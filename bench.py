@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}.
+
+Each query is materialized via a count-ish action (collect on already-
+aggregated results) so the full plan executes. Value = total seconds
+across headline queries (median over RUNS runs each).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Headline set: one per operator family — scan+agg, join-heavy, window,
+# time-series bucketing, as-of, text, dedup (exact + LSH), ANN.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_rank_per_group",
+    "q_date_bin_5min",
+    "q_asof_join",
+    "q_latest_per_key",
+    "q_token_count",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_ann_brute_force",
+    "q_ann_lsh",
+]
+
+
+def main() -> None:
+    from ella_spark.queries import all_queries
+    from ella_spark.session import get_session
+
+    spark = get_session("ella_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # warm the JVM + parquet footer caches once with a cheap query
+    qs["q_distinct"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": RUNS,
+        "spark": spark.version,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

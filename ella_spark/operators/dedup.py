@@ -1,0 +1,331 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's surface (ella has no dedup): exact hash dedup,
+character-shingle Jaccard, MinHash+LSH near-dup, SimHash, and
+embedding-cosine near-dup. All hot paths are JVM-side built-ins
+(xxhash64, higher-order array functions) — no Python UDFs — so every
+stage scales: LSH turns the O(n²) pair space into a band-bucket
+shuffle join, which is the only strategy that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text normalization used by all dedup variants."""
+    return F.lower(F.trim(col))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string column, JVM-side.
+
+    Uses sequence+transform (whole-stage codegen) instead of a Python
+    UDF; returns array<string>. Strings shorter than k yield an empty
+    array (sequence would otherwise run descending).
+    """
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (k - 1)),
+            lambda i: col.substr(i, F.lit(k)),
+        )
+    )
+    return F.when(F.length(col) >= k, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-content hash.
+
+    One hash-aggregate shuffle on the content digest; at scale the
+    digest (16 bytes) shuffles instead of the document bodies.
+    """
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.withColumn("content_hash", F.md5(norm.cast("binary")))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: per hash function, min of seeded xxhash64
+    over the shingle set. Deterministic, JVM-side.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    Pipeline: shingle → minhash signature → split into ``bands`` bands
+    → self-join on (band_idx, band_hash) → verify candidates with
+    exact shingle Jaccard. The band join is an equi-join on a hashed
+    key, so Spark shuffles only (id, band_hash) pairs — never the
+    O(n²) document pair space.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    norm = normalize_text(F.col(text_col))
+    # Cache the shingle sets: they feed both the signature pipeline and
+    # the final verify join — without this the whole shingle+minhash
+    # DAG would execute once per self-join side. (At cluster scale this
+    # would be a persisted intermediate table / checkpoint.)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            char_shingles(norm, shingle_k).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        .persist()
+    )
+    sig = base.select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+
+    # Band the signatures: ONLY (id, band_idx, band_hash) flows into the
+    # self-join — 24 bytes/row instead of the full shingle arrays.
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_band.band_idx", "_band.band_hash").persist()
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Re-attach shingle sets for exact-Jaccard verification of the
+    # (much smaller) candidate set.
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    candidates = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    window: int = 3,
+    partition_col: str | None = "lang",
+) -> DataFrame:
+    """Exact n-gram Jaccard for bounded candidate windows.
+
+    Candidate generation: each doc vs the next ``window`` doc ids in
+    the same ``partition_col`` group (a deterministic, oracle-checkable
+    candidate set; the LSH variant is the open-world one). Equi-join on
+    the partition column keeps this a bounded-fanout join, not a cross
+    product.
+    """
+    norm = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(partition_col) if partition_col else F.lit("all")).alias("_grp"),
+        char_shingles(norm, shingle_k).alias("_sh"),
+    )
+    w = Window.partitionBy("_grp").orderBy("_id")
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh"))).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a._grp") == F.col("b._grp"))
+            & (F.col("b._rn") > F.col("a._rn"))
+            & (F.col("b._rn") <= F.col("a._rn") + window),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.when(union > 0, F.round(inter / union, 6)).otherwise(0.0).alias("jaccard"),
+        )
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 4
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document → (_id, _fp).
+
+    Features are character k-shingles (not whitespace tokens): a local
+    edit then perturbs only ~k features, keeping the Hamming distance
+    of near-duplicates small even for short documents.
+
+    Scalable formulation: explode shingles, hash each once (xxhash64),
+    then ONE hash-aggregate computes all 64 per-bit votes as parallel
+    sum() columns (map-side partial aggregation applies). Avoids both
+    Python UDFs and a 64-pass expression tree.
+    """
+    shingles = char_shingles(normalize_text(F.col(text_col)), shingle_k)
+    tok = (
+        df.select(F.col(id_col).alias("_id"), F.explode(shingles).alias("_t"))
+        .where(F.length("_t") > 0)
+        .withColumn("_h", F.xxhash64("_t"))
+    )
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("_id", fp.alias("_fp"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints, bucketed by 4×16-bit
+    chunks (two near-dups within Hamming distance 3 must share at
+    least one chunk), verified by exact Hamming distance.
+    """
+    base = simhash_fingerprints(df, text_col, id_col)
+    chunks = base.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned("_fp", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_fp", "_c.chunk_idx", "_c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._fp").alias("fp_a"),
+            F.col("b._fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= hamming_threshold)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    bucket_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup within buckets.
+
+    Cosine computed JVM-side via zip_with + aggregate (double
+    accumulation). ``bucket_col`` bounds the pair space; pass None for
+    exhaustive (small data only).
+    """
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(bucket_col) if bucket_col else F.lit(0)).alias("_b"),
+        dbl.alias("_v"),
+        F.sqrt(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_norm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn(
+            "cosine", F.round(dot / (F.col("a._norm") * F.col("b._norm")), 6)
+        )
+        .where(F.col("cosine") >= cosine_threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "cosine",
+        )
+    )

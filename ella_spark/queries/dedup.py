@@ -1,0 +1,106 @@
+"""Dedup query-registry entries (oracle-paired where SQL-expressible).
+
+Exact dedup and windowed n-gram Jaccard have exact DuckDB oracles.
+MinHash-LSH and SimHash depend on Spark's xxhash64 (no DuckDB
+equivalent), so they register without an oracle — the driver records
+the weaker rows-only check; tests/test_dedup.py verifies them against
+planted duplicates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ella_spark.operators import dedup as D
+from ella_spark.queries import register
+from ella_spark.sources import load_table
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           min(doc_id)            AS keep_id,
+           count(*)               AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: one survivor per normalized-content hash.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(trim(text))) - 2, 0) + 1),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 3))) AS grams
+      FROM documents
+      WHERE length(lower(trim(text))) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                THEN round(
+                  CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+                ELSE 0.0 END AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+    """,
+    doc="Exact 3-gram Jaccard over a windowed candidate set (per-lang).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    import pyspark.sql.functions as F
+
+    docs = docs.where(F.length(F.lower(F.trim("text"))) >= 3)
+    return D.ngram_jaccard_pairs(docs, shingle_k=3, window=3, partition_col="lang")
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based; verified against planted dups in tests
+    doc="MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→verify).",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, jaccard_threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-based; verified against planted dups in tests
+    doc="SimHash near-dup pairs (64-bit fingerprint, 16-bit chunk LSH, Hamming<=3).",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_dedup(docs, hamming_threshold=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> a.ve[CAST(i AS INTEGER)] * b.ve[CAST(i AS INTEGER)]))
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(1, 65),
+            i -> a.ve[CAST(i AS INTEGER)] * b.ve[CAST(i AS INTEGER)]))
+          / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+    doc="Embedding-cosine near-dup within label buckets (JVM zip_with/aggregate).",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, cosine_threshold=0.3, bucket_col="label")

@@ -1,0 +1,678 @@
+"""Relational surface: scans, filters, joins, aggregation, set ops,
+subqueries, scalar functions (SURVEY.md §2.B).
+
+The reference inherits all of this verbatim from DataFusion 27
+(ella-engine/src/engine/state.rs:115-133); here Catalyst provides the
+same surface. Implementations are DataFrame-first so Catalyst gets a
+declarative plan: filters sit directly on scans (predicate pushdown),
+small dims are broadcast (no shuffle for the dim side), and
+aggregations use built-in JVM functions (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ella_spark.queries import register
+from ella_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Aggregation: partial/final hash agg, multiple agg fns ---------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filtered scan -> hash aggregate (map-side partial).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-06-30 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           round(stddev_samp(o_totalprice), 4) AS std_price,
+           round(var_samp(o_totalprice), 4)    AS var_price,
+           round(min(o_totalprice), 2)         AS min_price,
+           round(max(o_totalprice), 2)         AS max_price,
+           count(DISTINCT o_custkey)           AS n_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Statistical aggregates: stddev/variance/min/max/count distinct.",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+@register(
+    "q_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Correlation / covariance aggregates.",
+)
+def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL')  AS region_name,
+           coalesce(n_name, 'ALL')  AS nation_name,
+           count(*)                 AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchical aggregation over broadcast-joined dims.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                         AS n_orders,
+           round(avg(o_totalprice), 4)      AS avg_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS via Spark SQL.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*)                         AS n_orders,
+               round(avg(o_totalprice), 4)      AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 3
+    """,
+    doc="GROUP BY + HAVING post-aggregation filter.",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+# --- Joins ---------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: 3-way join, broadcast dim, agg, top-k (TakeOrderedAndProject).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5: 6-way join incl. compound join key; dims broadcast.",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            s,
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_outer_join",
+    oracle="""
+    SELECT c_custkey, c_name,
+           coalesce(cnt, 0)             AS n_orders,
+           round(coalesce(spend, 0), 2) AS spend
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    """,
+    doc="Left outer join against pre-aggregated subquery.",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("spend"))
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("spend", F.lit(0.0)), 2).alias("spend"),
+    )
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 50000),
+         rich   AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT coalesce(b.k, r.k) AS custkey,
+           (b.k IS NOT NULL)  AS is_big_buyer,
+           (r.k IS NOT NULL)  AS is_rich
+    FROM buyers b FULL OUTER JOIN rich r ON b.k = r.k
+    """,
+    doc="Full outer join of two derived key sets.",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    buyers = (
+        o.where(F.col("o_totalprice") > 50000).select(F.col("o_custkey").alias("k")).distinct()
+    )
+    rich = c.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    b, r = buyers.alias("b"), rich.alias("r")
+    return b.join(r, F.col("b.k") == F.col("r.k"), "full").select(
+        F.coalesce(F.col("b.k"), F.col("r.k")).alias("custkey"),
+        F.col("b.k").isNotNull().alias("is_big_buyer"),
+        F.col("r.k").isNotNull().alias("is_rich"),
+    )
+
+
+@register(
+    "q_semi_anti_join",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer c WHERE EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      (SELECT count(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+    """,
+    doc="Left-semi and left-anti joins (EXISTS / NOT EXISTS equivalents).",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_with_orders")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_without_orders")
+    )
+    return semi.crossJoin(anti)
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+    doc="Cross join (small-small) with post-filter.",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = _t(spark, sf_dir, "region").alias("r1")
+    r2 = _t(spark, sf_dir, "region").alias("r2")
+    return r1.crossJoin(r2).where(
+        F.col("r1.r_regionkey") < F.col("r2.r_regionkey")
+    ).select(F.col("r1.r_name").alias("region_a"), F.col("r2.r_name").alias("region_b"))
+
+
+@register(
+    "q_non_equi_join",
+    oracle="""
+    SELECT p_brand, count(*) AS n_close_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity BETWEEN p_size - 2 AND p_size + 2
+    GROUP BY p_brand
+    """,
+    doc="Equi join + range (non-equi) residual predicate.",
+)
+def q_non_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(
+            p,
+            (li.l_partkey == p.p_partkey)
+            & li.l_quantity.between(p.p_size - 2, p.p_size + 2),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_close_qty"))
+    )
+
+
+# --- Set operations -------------------------------------------------------
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+         pri AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT DISTINCT k FROM (SELECT k FROM big UNION SELECT k FROM pri))
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM big INTERSECT SELECT k FROM pri)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM big EXCEPT SELECT k FROM pri)
+    """,
+    doc="UNION / INTERSECT / EXCEPT over derived key sets.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    pri = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        counted(big.union(pri).distinct(), "union")
+        .unionAll(counted(big.intersect(pri), "intersect"))
+        .unionAll(counted(big.subtract(pri), "except"))
+    )
+
+
+# --- Subqueries ------------------------------------------------------------
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+    doc="Scalar subquery in WHERE.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+    doc="Correlated scalar subquery (Catalyst decorrelates to join).",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (
+      SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+    )
+    """,
+    doc="IN subquery (plans as left-semi join).",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+        """
+    )
+
+
+# --- Expression language ---------------------------------------------------
+
+@register(
+    "q_case_cast_like",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'high'
+                WHEN o_totalprice >= 50000  THEN 'mid'
+                ELSE 'low' END                       AS price_band,
+           CAST(trunc(o_totalprice) AS BIGINT)       AS price_int,
+           (o_orderpriority LIKE '1-%')              AS is_urgent,
+           (o_orderstatus IN ('F', 'P'))             AS is_done_or_partial,
+           (o_totalprice BETWEEN 1000 AND 2000)      AS is_small_band,
+           (o_custkey IS NULL)                       AS cust_missing
+    FROM orders
+    """,
+    doc="CASE / CAST / LIKE / IN / BETWEEN / IS NULL expression matrix.",
+)
+def q_case_cast_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 150000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderpriority").like("1-%").alias("is_urgent"),
+        F.col("o_orderstatus").isin("F", "P").alias("is_done_or_partial"),
+        F.col("o_totalprice").between(1000, 2000).alias("is_small_band"),
+        F.col("o_custkey").isNull().alias("cust_missing"),
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name)                         AS lname,
+           upper(c_mktsegment)                   AS useg,
+           length(c_name)                        AS name_len,
+           substr(c_name, 1, 8)                  AS name_prefix,
+           concat(c_name, ':', c_mktsegment)     AS name_seg,
+           replace(c_name, '#', '-')             AS name_dash,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           trim(c_name)                          AS trimmed,
+           reverse(c_mktsegment)                 AS seg_rev,
+           split_part(c_name, '#', 2)            AS name_num,
+           starts_with(c_name, 'Customer')       AS is_cust,
+           md5(c_name)                           AS name_md5,
+           strpos(c_name, '#')                   AS hash_pos
+    FROM customer
+    """,
+    doc="String function matrix (concat/substr/pad/replace/split_part/md5/...).",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("", F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias(
+            "name_seg"
+        ),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.trim("c_name").alias("trimmed"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).alias("is_cust"),
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 30000), 4)        AS abs_diff,
+           CAST(ceil(l_quantity) AS BIGINT)              AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)             AS qty_floor,
+           round(sqrt(l_extendedprice), 6)               AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6)             AS price_ln,
+           round(log10(l_extendedprice + 1), 6)          AS price_log10,
+           round(exp(l_discount), 6)                     AS disc_exp,
+           round(power(l_tax + 1, 2), 6)                 AS tax_sq,
+           round(sin(l_quantity), 6)                     AS qty_sin,
+           round(atan2(l_quantity, 10.0), 6)             AS qty_atan2,
+           CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS price_sign,
+           mod(CAST(l_quantity AS BIGINT), 7)            AS qty_mod
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+    doc="Math function matrix (abs/ceil/floor/sqrt/ln/log10/exp/pow/trig/sign/mod).",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 4).alias("abs_diff"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.round(F.sin("l_quantity"), 6).alias("qty_sin"),
+        F.round(F.atan2(F.col("l_quantity"), F.lit(10.0)), 6).alias("qty_atan2"),
+        F.signum(F.col("l_extendedprice") - 30000).alias("price_sign"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "q_conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0)                            AS bal_clamped,
+           least(c_acctbal, 1000.0)                            AS bal_capped,
+           if(c_acctbal < 0, 'debt', 'credit')                 AS bal_state
+    FROM customer
+    """,
+    doc="coalesce/nullif/greatest/least/if conditionals.",
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+        F.when(F.col("c_acctbal") < 0, "debt").otherwise("credit").alias("bal_state"),
+    )
+
+
+# --- Sort / limit / offset -------------------------------------------------
+
+@register(
+    "q_order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 5
+    """,
+    doc="Global sort + limit + offset with deterministic tiebreak.",
+)
+def q_order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(5)
+        .limit(20)
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="DISTINCT projection.",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()

@@ -1,0 +1,60 @@
+"""Similarity-search query-registry entries.
+
+Brute-force cosine top-k has an exact DuckDB oracle; the LSH-bucketed
+ANN variant registers without one (deterministic but hash-derived
+hyperplanes; tests verify recall against the brute-force baseline).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ella_spark.operators import similarity as S
+from ella_spark.queries import register
+from ella_spark.sources import load_table
+
+_N_QUERIES = 5
+_DIM = 64
+
+
+@register(
+    "q_ann_brute_force",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {_DIM + 1}),
+               i -> q.ve[CAST(i AS INTEGER)] * c.ve[CAST(i AS INTEGER)]))
+               / (q.nrm * c.nrm) AS cos
+      FROM q JOIN v c ON c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Exact cosine top-5 for the first 5 vectors (broadcast queries, "
+    "one corpus pass, per-query top-k window).",
+)
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "q_ann_lsh",
+    oracle=None,  # approximate; recall vs brute force asserted in tests
+    doc="ANN top-k via multi-table random-hyperplane LSH bucket join.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return S.lsh_topk(emb, queries, dim=_DIM, k=5).orderBy("query_id", "rank")

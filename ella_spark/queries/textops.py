@@ -1,0 +1,192 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond the reference (which has no text ops): language-ID heuristics,
+quality scoring, token counting, and document fingerprinting over the
+``documents`` table — all JVM-side built-ins (regexp / split / hash),
+no Python UDFs, so they run at 100 TB inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ella_spark.queries import register
+from ella_spark.sources import load_table
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small and deterministic.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+
+@register(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT)                                  AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_repeated
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+    doc="Whitespace tokenization: token count, char count, repeated-token count.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.size(toks) - F.size(F.array_distinct(toks))).cast("bigint").alias(
+            "n_repeated"
+        ),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS digit_ratio,
+           round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS upper_ratio,
+           round(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS word_density,
+           (length(text) BETWEEN 50 AND 20000)   AS len_ok
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+    doc="Document quality scoring: punctuation/digit/uppercase ratios, "
+    "word density, length gate.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.greatest(F.length("text"), F.lit(1)).cast("double")
+
+    def ratio(pattern: str):
+        return F.round(
+            F.length(F.regexp_replace("text", pattern, "")).cast("double") / n, 6
+        )
+
+    return d.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        ratio("[^.!?,;:]").alias("punct_ratio"),
+        ratio("[^0-9]").alias("digit_ratio"),
+        ratio("[^A-Z]").alias("upper_ratio"),
+        F.round(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double") / n, 6
+        ).alias("word_density"),
+        F.length("text").between(50, 20000).alias("len_ok"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = _LANG_MARKERS[lang]
+    arr = ", ".join(f"'{t}'" for t in toks)
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), "
+        f"w -> list_contains([{arr}], w))) AS DOUBLE)"
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('es')} AS s_es
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END AS lang_guess
+    FROM scored
+    """,
+    doc="Stopword-marker language ID heuristic; ties broken en>de>fr>es.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), "[^a-z]+")
+    scores = {
+        lang: F.size(
+            F.filter(words, lambda w: w.isin(*_LANG_MARKERS[lang]))
+        ).cast("double")
+        for lang in _LANG_MARKERS
+    }
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *(scores[lang].alias(f"s_{lang}") for lang in _LANG_MARKERS),
+    )
+    guess = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))                 AS content_md5,
+           CAST(length(text) AS BIGINT)           AS n_chars,
+           substr(lower(trim(text)), 1, 16)       AS head16
+    FROM documents
+    """,
+    doc="Document fingerprinting: normalized-content hash + head sample.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_md5"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.substring(norm, 1, 16).alias("head16"),
+    )
+
+
+@register(
+    "q_lang_source_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                                 AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)             AS total_chars,
+           round(avg(n_chars), 4)                   AS avg_chars,
+           CAST(median(n_chars) AS DOUBLE)          AS median_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Corpus composition stats per language/source incl. exact median.",
+)
+def q_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.percentile(F.col("n_chars"), F.lit(0.5)).cast("double").alias("median_chars"),
+    )

@@ -1,0 +1,254 @@
+"""Time-series operators — the reference's core domain.
+
+ella is a streaming time-series store; its SQL time surface is
+``date_trunc`` / ``date_bin`` / ``date_part`` / ``now()`` inherited
+from DataFusion (SURVEY.md §2.B date/time row; README.md:96-105 uses
+``now()`` predicates to split history vs live). Time here follows the
+SURVEY §1.4 shim: the events table's nanosecond timestamps surface as
+LongType epoch-ns (lossless), compared against the oracle at µs
+precision since DuckDB's parquet reader truncates ns → µs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ella_spark.queries import register
+from ella_spark.sources import load_table
+
+_NS_PER_MIN = 60 * 1_000_000_000
+
+
+@register(
+    "q_date_bin_5min",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // {5 * _NS_PER_MIN}) * {5 * _NS_PER_MIN // 1000} AS bucket_us,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="date_bin parity: fixed 5-minute buckets over ns time (the TSDB workhorse; "
+    "reference gets this from DataFusion date_bin — SURVEY.md §2.B).",
+)
+def q_date_bin_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_ns = 5 * _NS_PER_MIN
+    return (
+        ev.groupBy(
+            F.expr(f"(ts div {bin_ns}) * {bin_ns // 1000}").alias("bucket_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "q_date_trunc_parts",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS BIGINT)      AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)     AS order_mm,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS order_dd,
+           count(*)                          AS n_orders,
+           round(sum(o_totalprice), 2)       AS month_rev
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="date_trunc + date_part extraction and monthly aggregation.",
+)
+def q_date_trunc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_mm"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("order_dd"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_rev"),
+        )
+    )
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, (epoch_ns(ts) // 1000) AS ts_us
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+    doc="Latest-row-per-key (ella's 'current value of each series' idiom).",
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us"))
+    )
+
+
+@register(
+    "q_time_range_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, (epoch_ns(ts) // 1000) AS ts_us
+    FROM events
+    WHERE epoch_ns(ts) >= 1704070000000000000 AND epoch_ns(ts) < 1704080000000000000
+    """,
+    doc="Bounded time-range scan: the `WHERE time < now()` history read "
+    "(reference README.md:96-105); predicate pushes to parquet row groups.",
+)
+def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") >= 1704070000000000000) & (F.col("ts") < 1704080000000000000)
+    ).select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("ts_us")
+    )
+
+
+@register(
+    "q_session_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+             lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ns
+      FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM seq
+    GROUP BY user_id
+    """,
+    doc="Sessionization by inactivity gap (30 min) — windowed lag + conditional sum.",
+)
+def q_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    return (
+        ev.withColumn("prev_ns", F.lag("ts").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("prev_ns").isNull()
+                    | ((F.col("ts") - F.col("prev_ns")) > gap_ns),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sessions"),
+        )
+    )
+
+
+@register(
+    "q_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           event_type
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    doc="Semi-structured JSON property extraction from the events payload.",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_id", k.alias("prop_k"), "event_type")
+        .where(F.col("prop_k").isNotNull() & (F.col("prop_k") > 50))
+    )
+
+
+@register(
+    "q_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Conditional-count pivot of event types per user (FILTER clause parity).",
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return (
+            F.count(F.when(F.col("event_type") == t, 1)).cast("bigint").alias(f"n_{t}")
+        )
+
+    return ev.groupBy("user_id").agg(
+        cnt("click"), cnt("purchase"), cnt("signup"), cnt("error")
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           (epoch_ns(p.ts) // 1000) AS purchase_us,
+           (SELECT max(epoch_ns(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) // 1000 AS last_click_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join: each purchase matched to the latest preceding click per user. "
+    "Spark-first: union both streams, one window pass (no per-row subquery).",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Tag clicks and purchases, union, and carry the running max click
+    # time forward within each user ordered by time. This is the
+    # scalable as-of plan: ONE shuffle by user_id instead of a
+    # correlated per-row lookup.
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # rangeBetween (not rowsBetween) so a click at exactly the same ns
+    # timestamp as the purchase is included, matching the oracle's
+    # `c.ts <= p.ts`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ns", F.max("click_ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.expr("ts div 1000").alias("purchase_us"),
+            F.expr("last_click_ns div 1000").alias("last_click_us"),
+        )
+    )

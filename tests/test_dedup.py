@@ -1,0 +1,80 @@
+"""Unit tests for the non-oracle dedup operators: planted duplicates
+must be found; unrelated documents must not collapse."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog in the morning sun", "en"),
+        (2, "the quick brown fox jumps over the lazy dog in the morning sun!", "en"),  # near-dup of 1
+        (3, "completely different text about database query engines and optimizers", "en"),
+        (4, "der schnelle braune fuchs springt ueber den faulen hund am morgen", "de"),
+        (5, "der schnelle braune fuchs springt ueber den faulen hund am morgen.", "de"),  # near-dup of 4
+        (6, "streaming time series storage with arrow parquet and datafusion layers", "en"),
+        (7, "the quick brown fox jumps over the lazy dog in the morning sun", "en"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(planted):
+    from ella_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(planted).toPandas()
+    # 7 docs, one exact pair (1,7) -> 6 distinct hashes
+    assert len(out) == 6
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.keep_id.iloc[0] == 1
+
+
+def test_minhash_lsh_finds_planted_pairs(planted):
+    from ella_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            planted, jaccard_threshold=0.5, shingle_k=5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs
+    assert (1, 7) in pairs  # exact dup certainly collides
+    assert (3, 6) not in pairs
+
+
+def test_simhash_finds_planted_pairs(planted):
+    from ella_spark.operators.dedup import simhash_dedup
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dedup(planted, hamming_threshold=8).collect()}
+    assert pairs.get((1, 7)) == 0  # identical docs -> identical fingerprint
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs
+    assert (3, 6) not in pairs
+
+
+def test_ngram_jaccard_scores(planted):
+    from ella_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(planted, shingle_k=3, window=6, partition_col="lang")
+    scores = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert scores[(1, 7)] == 1.0
+    assert scores[(1, 2)] > 0.9
+    assert scores[(1, 3)] < 0.3
+
+
+def test_embedding_neardup(spark):
+    from ella_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),     # orthogonal
+        (4, [0.0, 0.0, 1.0, 0.0], 1),     # other bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_neardup_pairs(df, cosine_threshold=0.95, bucket_col="label")
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(1, 2)}

@@ -1,0 +1,50 @@
+"""Similarity-search operator tests: brute force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from ella_spark.sources import load_table
+
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_brute_force_topk_shape(emb):
+    from ella_spark.operators.similarity import brute_force_topk
+
+    q = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, q, k=4).toPandas()
+    assert sorted(out.query_id.unique()) == [0, 1, 2]
+    assert all(out.groupby("query_id")["rank"].max() == 4)
+    assert (out.cosine <= 1.000001).all()
+    # self never returned
+    assert not ((out.query_id == out.neighbor_id).any())
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    from ella_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=3).toPandas()
+    approx = lsh_topk(emb, q, dim=64, k=3, num_planes=3, num_tables=10).toPandas()
+    exact_set = set(zip(exact.query_id, exact.neighbor_id))
+    approx_set = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 8 tables x 6 planes on 64-dim synthetic data: generous threshold,
+    # but catches a broken bucketing outright.
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_deterministic(emb):
+    from ella_spark.operators.similarity import lsh_topk
+
+    q = emb.where(F.col("vec_id") < 3)
+    a = lsh_topk(emb, q, dim=64, k=3).toPandas().sort_values(["query_id", "rank"])
+    b = lsh_topk(emb, q, dim=64, k=3).toPandas().sort_values(["query_id", "rank"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
