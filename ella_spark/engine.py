@@ -1,0 +1,232 @@
+"""Ella: the embedded datastore facade.
+
+Reference: `ella::open/create/connect` (ella/src/lib.rs:86-105) +
+EllaState DDL dispatch (ella-engine/src/engine/state.rs:48-279).
+One `Ella` instance = one datastore root + one SparkSession. Tables
+in the default `ella.public` namespace register as Spark temp views,
+so the full Spark SQL surface (the DataFusion-27 superset, SURVEY.md
+§2.B) works over topics and views transparently.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ella_spark.catalog import (
+    DEFAULT_CATALOG,
+    DEFAULT_SCHEMA,
+    CatalogStore,
+    TableEntry,
+)
+from ella_spark.lazy import Lazy
+from ella_spark.topic import Publisher, Topic
+from ella_spark.types import Column, topic_schema
+
+
+class Ella:
+    def __init__(self, store: CatalogStore, spark: SparkSession):
+        self.store = store
+        self.spark = spark
+        self._register_all()
+
+    # -- open/create (ella/src/lib.rs:86-105) --------------------------------
+
+    @classmethod
+    def create(cls, root: str, spark: SparkSession | None = None) -> "Ella":
+        spark = spark or _default_session()
+        return cls(CatalogStore.create(root), spark)
+
+    @classmethod
+    def open(cls, root: str, spark: SparkSession | None = None) -> "Ella":
+        spark = spark or _default_session()
+        return cls(CatalogStore.open(root), spark)
+
+    @classmethod
+    def open_or_create(cls, root: str, spark: SparkSession | None = None) -> "Ella":
+        try:
+            return cls.open(root, spark)
+        except FileNotFoundError:
+            return cls.create(root, spark)
+
+    def shutdown(self) -> None:
+        """Snapshot the catalog (Engine::shutdown, engine.rs:36-39)."""
+        self.store.snapshot()
+
+    # -- registration ----------------------------------------------------------
+
+    def _register_all(self) -> None:
+        for entry in list(self.store.tables.values()):
+            self._register(entry)
+
+    def _register(self, entry: TableEntry) -> None:
+        """Expose a catalog table to spark.sql.
+
+        Default-namespace tables register under their bare name
+        (matching the reference's default catalog/schema resolution,
+        config.rs:16-25). Non-default namespaces register as
+        ``<schema>__<name>`` (Spark temp views are single-part).
+        """
+        name = self._view_name(entry)
+        if entry.kind == "topic":
+            df = Topic(self.store, entry).read(self.spark)
+        else:
+            df = self.spark.sql(entry.sql)
+        df.createOrReplaceTempView(name)
+
+    def _unregister(self, entry: TableEntry) -> None:
+        self.spark.catalog.dropTempView(self._view_name(entry))
+
+    @staticmethod
+    def _view_name(entry: TableEntry) -> str:
+        if entry.catalog == DEFAULT_CATALOG and entry.schema == DEFAULT_SCHEMA:
+            return entry.name
+        return f"{entry.schema}__{entry.name}"
+
+    # -- DDL (state.rs:156-279 parity) -----------------------------------------
+
+    def create_topic(
+        self,
+        name: str,
+        columns: list[Column],
+        *,
+        temporary: bool = False,
+        indexes: list[tuple[str, bool]] | None = None,
+        if_not_exists: bool = False,
+        replace: bool = False,
+    ) -> Topic:
+        """Create a topic; the time column is auto-prepended as the
+        required primary index (info.rs:397-424)."""
+        catalog, schema, base = self._split(name)
+        existing = self.store.tables.get((catalog, schema, base))
+        if existing is not None and if_not_exists and not replace:
+            return Topic(self.store, existing)
+        struct = topic_schema(columns)
+        cols = [Column.from_struct_field(f) for f in struct.fields]
+        entry = TableEntry(
+            catalog=catalog,
+            schema=schema,
+            name=base,
+            kind="topic",
+            columns=cols,
+            temporary=temporary,
+            indexes=[("time", True)] + list(indexes or []),
+        )
+        if replace and existing is not None:
+            self._drop_data(existing)
+        self.store.put_table(entry, replace=replace)
+        path = self.store.table_path(entry)
+        path.mkdir(parents=True, exist_ok=True)
+        self._register(entry)
+        return Topic(self.store, entry)
+
+    def create_view(self, name: str, query: "Lazy | str", replace: bool = True) -> None:
+        """Store a named plan re-resolved at scan time (view.rs:23-28):
+        persisted as SQL text, registered as a Spark temp view (Catalyst
+        inlines it per query exactly like the reference re-plans)."""
+        catalog, schema, base = self._split(name)
+        sql = query if isinstance(query, str) else query._sql
+        if sql is None:
+            # Lazy built from a DataFrame without SQL text: persist via
+            # temp-view indirection is impossible across sessions, so
+            # require SQL (the reference serializes LogicalPlans; our
+            # durable plan format is SQL text).
+            raise ValueError(
+                "create_view needs SQL text; build the Lazy via Ella.query(sql)"
+            )
+        entry = TableEntry(
+            catalog=catalog, schema=schema, name=base, kind="view", columns=[], sql=sql
+        )
+        self.store.put_table(entry, replace=replace)
+        self._register(entry)
+
+    def drop_table(self, name: str) -> None:
+        catalog, schema, base = self._split(name)
+        entry = self.store.tables.get((catalog, schema, base))
+        if entry is None:
+            raise ValueError(f"table {name!r} does not exist")
+        self.store.drop_table(catalog, schema, base)
+        self._unregister(entry)
+        self._drop_data(entry)
+
+    def _drop_data(self, entry: TableEntry) -> None:
+        if entry.kind == "topic":
+            path = self.store.table_path(entry)
+            if path.exists():
+                shutil.rmtree(path)
+
+    def create_schema(self, name: str, if_not_exists: bool = False) -> None:
+        self.store.create_schema(name, if_not_exists=if_not_exists)
+
+    def create_catalog(self, name: str, if_not_exists: bool = False) -> None:
+        self.store.create_catalog(name, if_not_exists=if_not_exists)
+
+    # -- access ------------------------------------------------------------------
+
+    def topic(self, name: str) -> Topic:
+        entry = self._require(name, "topic")
+        return Topic(self.store, entry)
+
+    def publish(self, name: str, capacity: int = 1024) -> Publisher:
+        return self.topic(name).publish(capacity)
+
+    def tables(self) -> list[str]:
+        return sorted(".".join(e.ident) for e in self.store.tables.values())
+
+    # -- query (state.rs:151-154) ---------------------------------------------
+
+    def query(self, sql: str) -> Lazy:
+        """Parse + plan, deferred: `ella.query(sql)` → Lazy.
+
+        Topic views are re-registered first: Spark's parquet file index
+        is frozen per DataFrame, so shards published since registration
+        would otherwise be invisible (the reference's TopicExec re-lists
+        shards per scan, topic.rs:165-203 — same semantics).
+        """
+        self._register_all()
+        return Lazy(self.spark.sql(sql), engine=self, sql=sql)
+
+    def read(self, name: str) -> DataFrame:
+        entry = self._require(name, None)
+        if entry.kind == "topic":
+            return Topic(self.store, entry).read(self.spark)
+        return self.spark.sql(entry.sql)
+
+    def subscribe(self, name: str) -> DataFrame:
+        """Streaming scan of a topic (Subscriber parity,
+        channel.rs:250-331): returns an unbounded streaming DataFrame."""
+        return self.topic(name).read_stream(self.spark)
+
+    # -- helpers --------------------------------------------------------------
+
+    def _split(self, name: str) -> tuple[str, str, str]:
+        parts = name.split(".")
+        if len(parts) == 1:
+            return (DEFAULT_CATALOG, DEFAULT_SCHEMA, parts[0])
+        if len(parts) == 2:
+            return (DEFAULT_CATALOG, parts[0], parts[1])
+        if len(parts) == 3:
+            return tuple(parts)  # type: ignore[return-value]
+        raise ValueError(f"invalid table name {name!r}")
+
+    def _require(self, name: str, kind: str | None) -> TableEntry:
+        entry = self.store.resolve(name)
+        if entry is None:
+            raise ValueError(f"table {name!r} does not exist")
+        if kind is not None and entry.kind != kind:
+            raise ValueError(f"{name!r} is a {entry.kind}, expected {kind}")
+        return entry
+
+
+def _default_session() -> SparkSession:
+    from ella_spark.session import get_session
+
+    return get_session("ella")
+
+
+# Module-level convenience mirroring `ella::open/create`
+open = Ella.open  # noqa: A001
+create = Ella.create
+open_or_create = Ella.open_or_create

@@ -1,0 +1,80 @@
+"""Lazy: deferred query handle (ella-engine/src/lazy.rs parity).
+
+Spark DataFrames are already lazy, so this is a thin wrapper that
+carries the engine reference and adds the reference's API verbs:
+execute / stream / rows / limit / skip / col / create_view
+(lazy.rs:34-97).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, Row
+
+if TYPE_CHECKING:
+    from ella_spark.engine import Ella
+
+
+class Lazy:
+    def __init__(self, df: DataFrame, engine: "Ella | None" = None, sql: str | None = None):
+        self.df = df
+        self._engine = engine
+        self._sql = sql
+
+    # -- execution (lazy.rs:34-44) ------------------------------------------
+
+    def execute(self):
+        """Run and concat to a single pandas frame (the reference's
+        DataFrame result, lazy/backend.rs:35-41)."""
+        return self.df.toPandas()
+
+    def stream(self) -> Iterator[Row]:
+        """Incremental row stream (Lazy::stream parity) — pulls
+        partitions lazily instead of collecting."""
+        return self.df.toLocalIterator()
+
+    def rows(self) -> Iterator[tuple]:
+        """Typed row iterator (Lazy::rows / RowStream parity)."""
+        for r in self.df.toLocalIterator():
+            yield tuple(r)
+
+    # -- plan rewrites (lazy.rs:46-97) ----------------------------------------
+
+    def limit(self, n: int) -> "Lazy":
+        return Lazy(self.df.limit(n), self._engine, self._sql)
+
+    def skip(self, n: int) -> "Lazy":
+        return Lazy(self.df.offset(n), self._engine, self._sql)
+
+    def col(self, name: str):
+        """Single-column projection → numpy array (Lazy::col → Tensor,
+        lazy.rs:62-97)."""
+        import numpy as np
+
+        pdf = self.df.select(name).toPandas()
+        vals = pdf[name].to_list()
+        if vals and isinstance(vals[0], (list, tuple, np.ndarray)):
+            return np.stack([np.asarray(v) for v in vals])
+        return np.asarray(vals)
+
+    def create_view(self, name: str, materialize: bool = False) -> "Lazy":
+        """Register this plan as a named view (lazy/view.rs:10-76).
+
+        Materialized views are unimplemented in the reference
+        (`todo!()`, view.rs:36-39); we mirror that contract with an
+        explicit error.
+        """
+        if materialize:
+            raise NotImplementedError(
+                "materialized views are unimplemented (reference parity: "
+                "ella-engine/src/table/view.rs:36-39 todo!())"
+            )
+        if self._engine is None:
+            raise RuntimeError("Lazy is not attached to an engine")
+        self._engine.create_view(name, self)
+        return self
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)

@@ -1,0 +1,115 @@
+"""Background maintenance: shard compaction + orphan cleanup.
+
+Reference: the Maintainer loop (ella-engine/src/util.rs:52-144) runs
+every 30 s, merging small shards up to ``target_shard_size`` rows
+(compact_shards, shard/compact.rs:47-141) and deleting files the
+catalog no longer references (cleanup, util.rs:122-144).
+
+Spark version: a compaction *job* (callable from a scheduler or after
+N publishes). Reads small shards, re-sorts by time, writes one shard,
+atomically swaps. At cluster scale the same job runs distributed; for
+the 100 TB layout, add time-bucket partitioning so compaction touches
+only recent buckets.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+from ella_spark.topic import Topic
+from ella_spark.types import TIME_COLUMN
+
+#: compaction target (rows) — reference target_shard_size = 32 Mi rows
+#: (table/config.rs:19); scaled down for local defaults.
+DEFAULT_TARGET_ROWS = 1 << 25
+
+
+def compact_topic(
+    topic: Topic, target_rows: int = DEFAULT_TARGET_ROWS, min_shards: int = 2
+) -> Path | None:
+    """Merge adjacent small shards into one time-sorted shard.
+
+    Mirrors compact_shards (compact.rs:47-141): pick shards below
+    target until the running total reaches it, rewrite sorted,
+    transactionally swap (write tmp → rename → unlink originals).
+    Returns the new shard path, or None if nothing to do.
+    """
+    shards = topic.shards()
+    sizes = {p: pq.ParquetFile(p).metadata.num_rows for p in shards}
+    group: list[Path] = []
+    total = 0
+    for p in shards:  # shards sort lexicographically = by create time
+        if sizes[p] >= target_rows:
+            continue
+        group.append(p)
+        total += sizes[p]
+        if total >= target_rows:
+            break
+    if len(group) < min_shards:
+        return None
+
+    tables = [pq.read_table(p) for p in group]
+    import pyarrow as pa
+
+    merged = pa.concat_tables(tables).sort_by([(TIME_COLUMN, "ascending")])
+    out = topic.path / f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+    tmp = out.with_name(f"_tmp-{out.name}")
+    pq.write_table(merged, tmp, row_group_size=1 << 20)
+    tmp.replace(out)
+    for p in group:
+        p.unlink()
+    return out
+
+
+def cleanup_orphans(store, max_age_sec: float = 3600.0) -> list[Path]:
+    """Delete tmp files and data dirs for tables no longer in the
+    catalog (util.rs:122-144 parity)."""
+    removed: list[Path] = []
+    now = time.time()
+    live = {store.table_path(e) for e in store.tables.values()}
+    for catalog_dir in store.root.iterdir():
+        if catalog_dir.name.startswith(".") or not catalog_dir.is_dir():
+            continue
+        for schema_dir in catalog_dir.iterdir():
+            if not schema_dir.is_dir():
+                continue
+            for table_dir in schema_dir.iterdir():
+                if not table_dir.is_dir():
+                    continue
+                if table_dir not in live:
+                    import shutil
+
+                    shutil.rmtree(table_dir)
+                    removed.append(table_dir)
+                    continue
+                for tmp in table_dir.glob("_tmp-*"):
+                    if now - tmp.stat().st_mtime > max_age_sec:
+                        tmp.unlink()
+                        removed.append(tmp)
+    return removed
+
+
+class Maintainer:
+    """Synchronous maintenance pass (the reference's interval loop,
+    util.rs:52-120, minus the background thread — callers schedule it)."""
+
+    def __init__(self, engine, target_rows: int = DEFAULT_TARGET_ROWS):
+        self.engine = engine
+        self.target_rows = target_rows
+
+    def run_once(self) -> dict:
+        compacted, cleaned = [], []
+        for entry in list(self.engine.store.tables.values()):
+            if entry.kind != "topic":
+                continue
+            out = compact_topic(
+                Topic(self.engine.store, entry), target_rows=self.target_rows
+            )
+            if out is not None:
+                compacted.append(str(out))
+        cleaned = [str(p) for p in cleanup_orphans(self.engine.store)]
+        return {"compacted": compacted, "cleaned": cleaned}

@@ -1,0 +1,140 @@
+"""Streaming semantics over topics (SURVEY.md §F).
+
+The reference's streaming model: a topic scan with no time predicate
+returns history *then* live rows, and the live scan terminates when
+the active-publisher count drops to zero (channel.rs:283-318
+``stop_on_inactive``). There are NO watermarks/windows in the
+reference — time bucketing is plain ``date_bin`` SQL. Spark mapping:
+
+- live tier   = ``readStream`` file source on the topic dir
+- history+live= batch DataFrame ∪ streaming DataFrame at the API level
+  (Spark separates the plans; SURVEY §1.4.3)
+- stop-on-inactive = publisher marker files + a monitor that stops the
+  streaming query once no publishers remain and the backlog is drained
+- windows     = conveniences over ``F.window`` (a superset of the
+  reference's date_bin surface)
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ella_spark.topic import Publisher, Topic
+from ella_spark.types import TIME_COLUMN
+
+
+# -- publisher liveness (channel.rs:131-139 active-count parity) -----------
+
+def _markers_dir(topic: Topic) -> Path:
+    d = topic.store.meta_dir / "publishers" / topic.entry.name
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+class TrackedPublisher(Publisher):
+    """Publisher that registers a liveness marker so subscribers can
+    stop when the last publisher closes (stop_on_inactive)."""
+
+    def __init__(self, topic: Topic, capacity: int = 1024):
+        super().__init__(topic, capacity)
+        self._marker = _markers_dir(topic) / f"pub-{uuid.uuid4().hex}"
+        self._marker.write_text(str(time.time_ns()))
+
+    def close(self) -> None:
+        super().close()
+        self._marker.unlink(missing_ok=True)
+
+
+def active_publishers(topic: Topic) -> int:
+    return len(list(_markers_dir(topic).glob("pub-*")))
+
+
+# -- subscriber ---------------------------------------------------------------
+
+def subscribe_to_memory(
+    topic: Topic,
+    spark,
+    name: str | None = None,
+    max_files_per_trigger: int = 8,
+) -> StreamingQuery:
+    """Start a streaming query that tails the topic into an in-memory
+    table (the Subscriber's per-consumer feed, channel.rs:250-331).
+    Read results with ``spark.sql(f"SELECT * FROM {name}")``.
+    """
+    name = name or f"sub_{topic.entry.name}"
+    stream = (
+        spark.readStream.schema(topic.spark_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(str(topic.path))
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(topic.store.meta_dir / "checkpoints" / name))
+        .start()
+    )
+
+
+def wait_stop_on_inactive(
+    topic: Topic, query: StreamingQuery, poll_sec: float = 0.25, timeout_sec: float = 60.0
+) -> None:
+    """Stop ``query`` once no active publishers remain AND the query has
+    drained all pending input (stop_on_inactive, channel.rs:283-318).
+    """
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline:
+        if active_publishers(topic) == 0:
+            query.processAllAvailable()
+            query.stop()
+            query.awaitTermination(10)
+            return
+        time.sleep(poll_sec)
+    raise TimeoutError("publishers still active after timeout")
+
+
+def read_available(topic: Topic, spark) -> DataFrame:
+    """Bounded 'history then live so-far' read: Trigger.AvailableNow
+    semantics without keeping a long-lived query — equivalent to the
+    reference's unbounded scan ending when publishers drop
+    (README.md:96-105), for the common test/batch case."""
+    return topic.read(spark)
+
+
+# -- time windows (beyond-reference conveniences, §F last row) ---------------
+
+def with_event_time(df: DataFrame, time_col: str = TIME_COLUMN) -> DataFrame:
+    """Derive a µs TimestampType column from the ns long for use with
+    F.window / withWatermark (SURVEY §1.4.1 shim)."""
+    return df.withColumn(
+        "_event_time", F.timestamp_micros(F.expr(f"{time_col} div 1000"))
+    )
+
+
+def tumbling(df: DataFrame, duration: str, time_col: str = TIME_COLUMN):
+    """Tumbling event-time window group: returns a GroupedData keyed by
+    window over the ns time column."""
+    return with_event_time(df, time_col).groupBy(F.window("_event_time", duration))
+
+
+def sliding(
+    df: DataFrame, duration: str, slide: str, time_col: str = TIME_COLUMN
+):
+    return with_event_time(df, time_col).groupBy(
+        F.window("_event_time", duration, slide)
+    )
+
+
+def session_window(df: DataFrame, gap: str, keys: list[str], time_col: str = TIME_COLUMN):
+    return with_event_time(df, time_col).groupBy(
+        F.session_window("_event_time", gap), *keys
+    )
+
+
+def with_watermark(df: DataFrame, delay: str, time_col: str = TIME_COLUMN) -> DataFrame:
+    return with_event_time(df, time_col).withWatermark("_event_time", delay)

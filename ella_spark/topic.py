@@ -1,0 +1,280 @@
+"""Topics: append-only streaming tables with a mandatory leading
+nanosecond time column.
+
+Reference: ella-engine/src/table/topic.rs — a topic scan is the
+ordered concat of parquet shards → r/w buffer → live channel
+(topic.rs:165-203). In the Spark rebuild the tiers collapse to:
+
+- *shards*   = parquet part files under the topic dir (batch read)
+- *rw buffer*= the publisher's in-flight row buffer (flushed at
+  ``capacity`` like RowSink, ella-common/src/row/sink.rs:60-71)
+- *live*     = ``spark.readStream`` file source over the same dir —
+  Spark's micro-batch tailing replaces the tokio broadcast channel.
+
+Shards are written time-sorted (writer sorting-column parity,
+shard/writer.rs:270-276) so ORDER BY time is a cheap merge and parquet
+row-group min/max stats prune time-range scans.
+"""
+
+from __future__ import annotations
+
+import time as _time
+import uuid
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ella_spark.catalog import CatalogStore, TableEntry
+from ella_spark.types import TIME_COLUMN, Column
+
+#: Default publisher buffer size (rows) — reference RowSink capacity /
+#: TableConfig.write_batch_size=1024 (table/config.rs:16).
+DEFAULT_CAPACITY = 1024
+
+
+def _arrow_type(col: Column) -> pa.DataType:
+    base = {
+        "bool": pa.bool_(),
+        "int8": pa.int8(),
+        "int16": pa.int16(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "uint8": pa.int16(),
+        "uint16": pa.int32(),
+        "uint32": pa.int64(),
+        "uint64": pa.decimal128(20, 0),
+        "float32": pa.float32(),
+        "float64": pa.float64(),
+        "timestamp": pa.int64(),  # epoch ns
+        "duration": pa.int64(),  # ns
+        "string": pa.string(),
+    }[col.dtype]
+    if col.row_shape is not None:
+        return pa.list_(base, col.flat_size)
+    return base
+
+
+def topic_arrow_schema(columns: list[Column]) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field(c.name, _arrow_type(c), nullable=not c.required)
+            for c in columns
+        ]
+    )
+
+
+class Topic:
+    """Handle on a topic: read (batch/stream) and publish."""
+
+    def __init__(self, store: CatalogStore, entry: TableEntry):
+        if entry.kind != "topic":
+            raise ValueError(f"{'.'.join(entry.ident)} is not a topic")
+        self.store = store
+        self.entry = entry
+        self.path: Path = store.table_path(entry)
+
+    # -- reads ---------------------------------------------------------------
+
+    def spark_schema(self):
+        from pyspark.sql.types import StructType
+
+        return StructType([c.to_struct_field() for c in self.entry.columns])
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Batch scan of all durable shards (history tier).
+
+        Explicit schema: works on an empty topic and skips footer
+        merging; Catalyst pushes filters/projection into the scan.
+        """
+        from ella_spark.session import configure
+
+        configure(spark)
+        return spark.read.schema(self.spark_schema()).parquet(str(self.path))
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """Live tail as a Structured Streaming file source — the
+        subscriber role of the broadcast channel (channel.rs:347-512).
+        New shards appear as new micro-batch input; ordering within a
+        batch follows shard sort order (time)."""
+        from ella_spark.session import configure
+
+        configure(spark)
+        return (
+            spark.readStream.schema(self.spark_schema())
+            .option("maxFilesPerTrigger", 8)  # lag bound ≈ subscriber queue
+            .parquet(str(self.path))
+        )
+
+    def shards(self) -> list[Path]:
+        return sorted(self.path.glob("part-*.parquet"))
+
+    # -- writes ----------------------------------------------------------------
+
+    def publish(self, capacity: int = DEFAULT_CAPACITY) -> "Publisher":
+        return Publisher(self, capacity=capacity)
+
+    def insert(self, df: DataFrame) -> int:
+        """``INSERT INTO topic`` — the DataSink path (topic.rs:205-213).
+
+        Distributed write: sorts within partitions by time and appends
+        parquet parts via Spark (scales with executors, unlike the
+        driver-side Publisher which mirrors the reference's client
+        push).
+        """
+        cols = [c.name for c in self.entry.columns]
+        n = df.count()
+        (
+            df.select(cols)
+            .sortWithinPartitions(TIME_COLUMN)
+            .write.mode("append")
+            .parquet(str(self.path))
+        )
+        return n
+
+
+class Publisher:
+    """Client-side row/batch writer (pyella Publisher parity,
+    pyella/src/table/publisher.rs:35-123).
+
+    - ``write(*args)`` appends one row; if the leading time value is
+      omitted it is auto-filled with now() in epoch-ns
+      (publisher.rs:119-123 behavior)
+    - rows buffer until ``capacity`` then flush (RowSink, sink.rs:60-71)
+    - ``flush()`` writes one time-sorted parquet shard atomically
+      (tmp + rename — the shard writer's transactional create/close,
+      shard.rs:75-100)
+    """
+
+    def __init__(self, topic: Topic, capacity: int = DEFAULT_CAPACITY):
+        self.topic = topic
+        self.capacity = capacity
+        self.columns = topic.entry.columns
+        self.schema = topic_arrow_schema(self.columns)
+        self._rows: list[tuple] = []
+        self._closed = False
+        self.rows_written = 0
+        self.topic.path.mkdir(parents=True, exist_ok=True)
+
+    # -- row / batch ingestion ---------------------------------------------
+
+    def write(self, *args) -> None:
+        if self._closed:
+            raise RuntimeError("publisher is closed")
+        ncols = len(self.columns)
+        if len(args) == ncols - 1:
+            # auto-prepend time=now() (ns) when omitted
+            args = (_time.time_ns(), *args)
+        elif len(args) != ncols:
+            raise ValueError(
+                f"expected {ncols} values (or {ncols - 1} w/o time), got {len(args)}"
+            )
+        self._rows.append(self._normalize_row(args))
+        if len(self._rows) >= self.capacity:
+            self.flush()
+
+    def write_batch(self, batch) -> None:
+        """Accept a pandas DataFrame, pyarrow Table/RecordBatch, or
+        list of tuples. Missing time column is auto-filled."""
+        if self._closed:
+            raise RuntimeError("publisher is closed")
+        import pandas as pd
+
+        if isinstance(batch, (pa.Table, pa.RecordBatch)):
+            batch = batch.to_pandas()
+        if isinstance(batch, pd.DataFrame):
+            df = batch.copy()
+            if TIME_COLUMN not in df.columns:
+                df.insert(0, TIME_COLUMN, _time.time_ns())
+            rows = [tuple(r) for r in df[[c.name for c in self.columns]].itertuples(index=False)]
+        else:
+            rows = [
+                self._pad_time(tuple(r)) for r in batch
+            ]
+        for r in rows:
+            self._rows.append(self._normalize_row(r))
+            if len(self._rows) >= self.capacity:
+                self.flush()
+
+    def _pad_time(self, row: tuple) -> tuple:
+        if len(row) == len(self.columns) - 1:
+            return (_time.time_ns(), *row)
+        return row
+
+    def _normalize_row(self, row: tuple) -> tuple:
+        out = []
+        for col, v in zip(self.columns, row):
+            if col.row_shape is not None and v is not None:
+                try:
+                    import numpy as np
+
+                    if isinstance(v, np.ndarray):
+                        if v.shape != col.row_shape:
+                            raise ValueError(
+                                f"{col.name}: shape {v.shape} != {col.row_shape}"
+                            )
+                        v = v.ravel().tolist()
+                except ImportError:  # pragma: no cover
+                    pass
+                if len(v) != col.flat_size:
+                    raise ValueError(
+                        f"{col.name}: expected {col.flat_size} elements, got {len(v)}"
+                    )
+                v = list(v)
+            if col.dtype == "timestamp" and v is not None and not isinstance(v, int):
+                v = _coerce_ns(v)
+            if col.required and v is None:
+                raise ValueError(f"{col.name} is required")
+            out.append(v)
+        return tuple(out)
+
+    # -- flush / close ----------------------------------------------------------
+
+    def flush(self) -> Path | None:
+        """Write buffered rows as one time-sorted shard (atomic)."""
+        if not self._rows:
+            return None
+        cols = list(zip(*self._rows))
+        arrays = [
+            pa.array(col_vals, type=self.schema.field(i).type)
+            for i, col_vals in enumerate(cols)
+        ]
+        table = pa.Table.from_arrays(arrays, schema=self.schema)
+        table = table.sort_by([(TIME_COLUMN, "ascending")])
+        shard = self.topic.path / f"part-{_time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = shard.with_name(f"_tmp-{shard.name}")
+        pq.write_table(table, tmp, row_group_size=1 << 20)
+        tmp.replace(shard)
+        self.rows_written += len(self._rows)
+        self._rows.clear()
+        return shard
+
+    def close(self) -> None:
+        if not self._closed:
+            self.flush()
+            self._closed = True
+
+    def __enter__(self) -> "Publisher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _coerce_ns(v) -> int:
+    """Coerce datetime-ish values to epoch ns."""
+    import datetime as dt
+
+    import pandas as pd
+
+    if isinstance(v, pd.Timestamp):
+        return v.value
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000) * 1000
+    if isinstance(v, float):
+        return int(v)
+    raise TypeError(f"cannot coerce {type(v)} to epoch ns")

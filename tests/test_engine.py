@@ -1,0 +1,202 @@
+"""Engine-layer tests: topic lifecycle, publisher semantics, views,
+catalog durability, compaction — modeled on the reference's examples
+(ella-engine/examples/pubsub.rs, pyella/examples/publisher.py) and
+FIXTURES.md behaviors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ella_spark import Column, Ella, Maintainer, compact_topic
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Ella.create(str(tmp_path / "db"), spark)
+
+
+def test_pubsub_roundtrip(db):
+    """pubsub.rs:43-82 analog: publish typed rows, query ordered."""
+    topic = db.create_topic(
+        "point", [Column("x", "float32", required=True), Column("y", "int64")]
+    )
+    with topic.publish() as pub:
+        pub.write(3_000, 1.5, 10)
+        pub.write(1_000, 0.5, 20)
+        pub.write(2_000, -0.5, None)
+    out = db.query("SELECT time, x, y FROM point ORDER BY time").execute()
+    assert list(out["time"]) == [1_000, 2_000, 3_000]
+    assert list(out["x"]) == [0.5, -0.5, 1.5]
+    assert out["y"].iloc[1] is None or np.isnan(out["y"].iloc[1])
+
+
+def test_auto_time_now(db):
+    """publisher.rs:119-123: omitted time auto-filled with now() ns."""
+    import time
+
+    topic = db.create_topic("t_auto", [Column("v", "float64")])
+    before = time.time_ns()
+    with topic.publish() as pub:
+        pub.write(1.0)
+    after = time.time_ns()
+    out = db.query("SELECT time FROM t_auto").execute()
+    assert before <= out["time"].iloc[0] <= after
+
+
+def test_capacity_flush(db):
+    """RowSink flushes at capacity (sink.rs:60-71): shards appear
+    without explicit flush."""
+    topic = db.create_topic("t_cap", [Column("v", "int32")])
+    pub = topic.publish(capacity=10)
+    for i in range(25):
+        pub.write(i * 1000, i)
+    assert len(topic.shards()) == 2  # two full buffers flushed
+    pub.close()
+    assert len(topic.shards()) == 3
+    assert db.query("SELECT count(*) AS n FROM t_cap").execute()["n"].iloc[0] == 25
+
+
+def test_tensor_column_roundtrip(db):
+    """pyella publisher example: fixed-shape tensor rows round-trip
+    (column.rs:137-155 encode / 157-178 decode parity)."""
+    topic = db.create_topic(
+        "tensors", [Column("m", "float32", row_shape=(2, 2)), Column("tag", "string")]
+    )
+    mat = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    with topic.publish() as pub:
+        pub.write(1_000, mat, "a")
+        pub.write(2_000, mat * 2, "b")
+    lazy = db.query("SELECT m FROM tensors ORDER BY time")
+    col = lazy.col("m")
+    assert col.shape == (2, 4)  # flattened row-major
+    np.testing.assert_allclose(col[0], [1, 2, 3, 4])
+    np.testing.assert_allclose(col[1], [2, 4, 6, 8])
+    # shape metadata survives in the catalog
+    entry = db.store.resolve("tensors")
+    assert next(c for c in entry.columns if c.name == "m").row_shape == (2, 2)
+
+
+def test_tensor_shape_validation(db):
+    topic = db.create_topic("t_shape", [Column("m", "float32", row_shape=(3,))])
+    pub = topic.publish()
+    with pytest.raises(ValueError, match="shape"):
+        pub.write(1_000, np.zeros((2, 2), dtype=np.float32))
+
+
+def test_required_column_enforced(db):
+    topic = db.create_topic("t_req", [Column("v", "int64", required=True)])
+    pub = topic.publish()
+    with pytest.raises(ValueError, match="required"):
+        pub.write(1_000, None)
+
+
+def test_view_inlining(db):
+    """Views re-plan at scan (view.rs:131-166): new data published
+    after CREATE VIEW is visible through the view."""
+    topic = db.create_topic("ev", [Column("v", "float64")])
+    with topic.publish() as pub:
+        pub.write(1_000, 1.0)
+    db.query("SELECT time, v * 2 AS v2 FROM ev").create_view("ev2")
+    assert db.query("SELECT v2 FROM ev2").execute()["v2"].iloc[0] == 2.0
+    with topic.publish() as pub:
+        pub.write(2_000, 5.0)
+    out = db.query("SELECT v2 FROM ev2 ORDER BY v2").execute()
+    assert list(out["v2"]) == [2.0, 10.0]
+
+
+def test_materialized_view_unimplemented(db):
+    """Reference todo!()s materialized views (view.rs:36-39) — we keep
+    the same contract as an explicit error."""
+    db.create_topic("mv_src", [Column("v", "float64")])
+    with pytest.raises(NotImplementedError):
+        db.query("SELECT * FROM mv_src").create_view("mv", materialize=True)
+
+
+def test_ddl_matrix(db):
+    """create/drop × if_not_exists/replace (state.rs:156-279)."""
+    db.create_topic("d1", [Column("v", "int64")])
+    with pytest.raises(ValueError, match="exists"):
+        db.create_topic("d1", [Column("v", "int64")])
+    db.create_topic("d1", [Column("v", "int64")], if_not_exists=True)  # no-op
+    db.create_topic("d1", [Column("w", "float64")], replace=True)
+    assert [c.name for c in db.store.resolve("d1").columns] == ["time", "w"]
+    db.drop_table("d1")
+    with pytest.raises(ValueError, match="does not exist"):
+        db.drop_table("d1")
+    db.create_schema("aux")
+    db.create_topic("aux.t2", [Column("v", "int64")])
+    assert "ella.aux.t2" in db.tables()
+
+
+def test_unsigned_widening(db):
+    """SURVEY §1.2: unsigned types widen; original recorded in metadata."""
+    topic = db.create_topic(
+        "u", [Column("a", "uint8"), Column("b", "uint32"), Column("c", "uint64")]
+    )
+    with topic.publish() as pub:
+        pub.write(1_000, 255, 2**31, 2**63)
+    out = db.query("SELECT a, b, c FROM u").execute()
+    assert out["a"].iloc[0] == 255
+    assert out["b"].iloc[0] == 2**31
+    assert int(out["c"].iloc[0]) == 2**63
+    entry = db.store.resolve("u")
+    assert {c.name: c.dtype for c in entry.columns} == {
+        "time": "timestamp", "a": "uint8", "b": "uint32", "c": "uint64"
+    }
+
+
+def test_catalog_durability(spark, tmp_path):
+    """Transaction log + snapshot replay (transaction_log.rs:41-70,
+    snapshot.rs:28-66): reopen sees tables and data; snapshot squashes."""
+    root = str(tmp_path / "db")
+    db = Ella.create(root, spark)
+    t = db.create_topic("persist", [Column("v", "int64")])
+    with t.publish() as pub:
+        pub.write(1_000, 42)
+    db.query("SELECT v + 1 AS v1 FROM persist").create_view("pv")
+    # reopen WITHOUT snapshot: replay from log
+    db2 = Ella.open(root, spark)
+    assert sorted(db2.tables()) == ["ella.public.persist", "ella.public.pv"]
+    assert db2.query("SELECT v1 FROM pv").execute()["v1"].iloc[0] == 43
+    db2.shutdown()  # snapshot + truncate log
+    assert not list(db2.store.log_dir.glob("*.json"))
+    db3 = Ella.open(root, spark)
+    assert db3.query("SELECT v FROM persist").execute()["v"].iloc[0] == 42
+
+
+def test_compaction(db):
+    """compact_shards parity: many small shards merge into one,
+    preserving rows and time order."""
+    topic = db.create_topic("comp", [Column("v", "int64")])
+    for i in range(5):
+        with topic.publish() as pub:
+            pub.write((5 - i) * 1_000, i)  # descending times across shards
+    assert len(topic.shards()) == 5
+    out = compact_topic(topic, target_rows=1 << 20)
+    assert out is not None and len(topic.shards()) == 1
+    res = db.query("SELECT time, v FROM comp ORDER BY time").execute()
+    assert list(res["v"]) == [4, 3, 2, 1, 0]
+
+
+def test_maintainer_cleanup(db, tmp_path):
+    topic = db.create_topic("m1", [Column("v", "int64")])
+    with topic.publish() as pub:
+        pub.write(1_000, 1)
+    # orphan dir not in catalog
+    orphan = db.store.root / "ella" / "public" / "ghost"
+    orphan.mkdir(parents=True)
+    (orphan / "part-x.parquet").write_bytes(b"junk")
+    report = Maintainer(db).run_once()
+    assert any("ghost" in p for p in report["cleaned"])
+    assert not orphan.exists()
+
+
+def test_insert_distributed(db, spark):
+    """INSERT INTO path (topic.rs:205-213): Spark-side write."""
+    topic = db.create_topic("ins", [Column("v", "double" if False else "float64")])
+    src = spark.range(100).selectExpr("id * 1000 AS time", "CAST(id AS double) AS v")
+    n = topic.insert(src)
+    assert n == 100
+    out = db.query("SELECT count(*) AS n, sum(v) AS s FROM ins").execute()
+    assert out["n"].iloc[0] == 100 and out["s"].iloc[0] == sum(range(100))
