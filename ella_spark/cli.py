@@ -1,0 +1,71 @@
+"""CLI + interactive SQL REPL (ella-cli parity,
+ella-cli/src/main.rs:24-45, interactive.rs:20-36).
+
+    python -m ella_spark open /path/to/db        # open + REPL
+    python -m ella_spark create /path/to/db      # create + REPL
+    python -m ella_spark sql /path/to/db "SELECT ..."  # one-shot
+
+REPL commands: ``\\q`` quit, ``\\h`` help, ``\\d`` list tables,
+anything else is SQL (passthrough like the reference REPL).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _repl(db) -> None:
+    print(f"ella_spark {__import__('ella_spark').__version__} — \\h for help")
+    while True:
+        try:
+            line = input("ella> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        if not line:
+            continue
+        if line in ("\\q", "quit", "exit"):
+            break
+        if line == "\\h":
+            print("\\q quit | \\h help | \\d list tables | <sql> run query")
+            continue
+        if line == "\\d":
+            for t in db.tables():
+                print(" ", t)
+            continue
+        try:
+            print(db.query(line).execute().to_string(index=False))
+        except Exception as e:  # noqa: BLE001 — REPL surfaces all errors
+            print(f"error: {e}", file=sys.stderr)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ella_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for cmd in ("open", "create"):
+        sp = sub.add_parser(cmd, help=f"{cmd} a datastore and start the REPL")
+        sp.add_argument("root")
+    sq = sub.add_parser("sql", help="run one SQL statement and exit")
+    sq.add_argument("root")
+    sq.add_argument("query")
+    args = p.parse_args(argv)
+
+    from ella_spark import Ella
+
+    if args.cmd == "create":
+        db = Ella.create(args.root)
+    else:
+        db = Ella.open(args.root)
+    try:
+        if args.cmd == "sql":
+            print(db.query(args.query).execute().to_string(index=False))
+        else:
+            _repl(db)
+    finally:
+        db.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

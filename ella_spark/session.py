@@ -12,6 +12,7 @@ whole point of the rebuild.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -47,7 +48,10 @@ def configure(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an externally-provided session.
 
     The verify driver hands us its own SparkSession; these are all
-    runtime-settable SQL confs.
+    runtime-settable SQL confs. Also ships the ella_spark package to
+    executor Python workers (addPyFile) so Pandas-UDF / mapInPandas
+    closures that reference this module deserialize on workers even
+    when the application was launched outside the repo directory.
     """
     for k, v in {**REQUIRED_CONFS, **PERF_CONFS}.items():
         try:
@@ -57,7 +61,40 @@ def configure(spark: SparkSession) -> SparkSession:
             # acceptable for everything except REQUIRED_CONFS, which
             # are all runtime-settable.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = getattr(spark, "sparkContext", None)
+    if sc is None:  # Spark Connect session: workers resolve via artifacts
+        return
+    if getattr(sc, "_ella_spark_shipped", False):
+        return
+    try:
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"ella_spark_pkg_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for base, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if not fn.endswith(".py"):
+                            continue
+                        full = os.path.join(base, fn)
+                        rel = os.path.join(
+                            "ella_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        sc.addPyFile(zip_path)
+        sc._ella_spark_shipped = True
+    except Exception:
+        # Non-fatal: JVM-only plans never need it; worker-side imports
+        # still work when the app itself runs from the repo directory.
+        pass
 
 
 def get_session(app_name: str = "ella_spark", master: str | None = None) -> SparkSession:

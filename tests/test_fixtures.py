@@ -1,0 +1,129 @@
+"""FIXTURES.md parity sweeps: F2 (tensor topic incl. string tensors +
+duration), F4 (full type-system sweep), F5 (events replay ingest)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ella_spark import Column, Ella
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Ella.create(str(tmp_path / "fdb"), spark)
+
+
+def test_f2_pubsub_tensor_topic(db):
+    """pubsub.rs:43-48 schema: i int32, dt duration, x float32[512],
+    y string[2,2]."""
+    topic = db.create_topic(
+        "point",
+        [
+            Column("i", "int32"),
+            Column("dt", "duration"),
+            Column("x", "float32", row_shape=(512,)),
+            Column("y", "string", row_shape=(2, 2)),
+        ],
+    )
+    with topic.publish() as pub:
+        for i in range(20):
+            pub.write(
+                i * 1_000,
+                i,
+                i * 10,
+                np.linspace(i, i + 1, 512, dtype=np.float32),
+                np.array([["a", "b"], [f"c{i}", "d"]]),
+            )
+    out = db.query("SELECT i, dt, x, y FROM point ORDER BY time").execute()
+    assert len(out) == 20
+    assert out["dt"].tolist() == [i * 10 for i in range(20)]
+    np.testing.assert_allclose(
+        np.asarray(out["x"].iloc[3], dtype=np.float32),
+        np.linspace(3, 4, 512, dtype=np.float32),
+    )
+    assert list(out["y"].iloc[5]) == ["a", "b", "c5", "d"]
+    # Lazy.col returns stacked tensor restoring nothing but flat shape
+    x = db.query("SELECT x FROM point ORDER BY time").col("x")
+    assert x.shape == (20, 512)
+
+
+def test_f4_type_sweep(db):
+    """One column per TensorType; nulls except time; u64 > i64::MAX."""
+    cols = [
+        Column("c_bool", "bool"),
+        Column("c_i8", "int8"),
+        Column("c_i16", "int16"),
+        Column("c_i32", "int32"),
+        Column("c_i64", "int64"),
+        Column("c_u8", "uint8"),
+        Column("c_u16", "uint16"),
+        Column("c_u32", "uint32"),
+        Column("c_u64", "uint64"),
+        Column("c_f32", "float32"),
+        Column("c_f64", "float64"),
+        Column("c_dur", "duration"),
+        Column("c_str", "string"),
+    ]
+    topic = db.create_topic("types_full", cols)
+    big = (1 << 63) + 7  # > i64::MAX proves widening
+    with topic.publish() as pub:
+        pub.write(1_000, True, -8, -16, -32, -64, 255, 65535, 4294967295, big,
+                  0.5, 0.25, 123456789, "s1")
+        pub.write(2_000, *([None] * 13))
+    out = db.query(
+        "SELECT * FROM types_full ORDER BY time"
+    ).execute()
+    r = out.iloc[0]
+    assert bool(r.c_bool) is True
+    assert (r.c_i8, r.c_i16, r.c_i32, r.c_i64) == (-8, -16, -32, -64)
+    assert (r.c_u8, r.c_u16, r.c_u32) == (255, 65535, 4294967295)
+    assert int(r.c_u64) == big
+    assert (r.c_f32, r.c_f64) == (0.5, 0.25)
+    assert r.c_dur == 123456789 and r.c_str == "s1"
+    assert out.iloc[1].c_str is None
+    # aggregates work across widened types
+    agg = db.query(
+        "SELECT max(c_u64) AS mx, sum(c_u32) AS s32, min(c_bool) AS mb FROM types_full"
+    ).execute()
+    assert int(agg["mx"].iloc[0]) == big
+
+
+def test_f5_events_replay(db, spark):
+    """Replay driver events.parquet through the publisher; batch query
+    over the topic must equal the original file exactly."""
+    from ella_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").toPandas()
+    topic = db.create_topic(
+        "events_replayed",
+        [
+            Column("event_id", "int64"),
+            Column("user_id", "int64"),
+            Column("event_type", "string"),
+            Column("value", "float64"),
+            Column("props", "string"),
+        ],
+    )
+    src = ev.rename(columns={"ts": "time"})[
+        ["time", "event_id", "user_id", "event_type", "value", "props"]
+    ]
+    pub = topic.publish(capacity=256)
+    pub.write_batch(src)
+    pub.close()
+    assert len(topic.shards()) == int(np.ceil(len(src) / 256))
+    out = db.query(
+        "SELECT time, event_id, user_id, event_type, value, props "
+        "FROM events_replayed ORDER BY event_id"
+    ).execute()
+    assert len(out) == len(src)
+    src_sorted = src.sort_values("event_id", ignore_index=True)
+    assert out["time"].tolist() == src_sorted["time"].tolist()
+    assert out["value"].tolist() == src_sorted["value"].tolist()
+    assert out["event_type"].tolist() == src_sorted["event_type"].tolist()
+    # time-ordered within each shard (writer sorting parity)
+    import pyarrow.parquet as pq
+
+    for shard in topic.shards():
+        t = pq.read_table(shard, columns=["time"])["time"].to_pylist()
+        assert t == sorted(t)

@@ -1,0 +1,102 @@
+"""Tensor-function surface tests (SURVEY §2.C parity) + date_bin."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+import ella_spark.functions as T
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, [0.0, -1.0, None], [1.0, 1.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+
+
+def test_arith_ops(vec_df):
+    out = vec_df.where("id = 1").select(
+        T.t_add(F.col("a"), F.col("b")).alias("add"),
+        T.t_mul(F.col("a"), F.col("b")).alias("mul"),
+        T.t_scale(F.col("a"), 2.0).alias("scale"),
+        T.t_neg(F.col("a")).alias("neg"),
+    ).first()
+    assert out["add"] == [5.0, 7.0, 9.0]
+    assert out["mul"] == [4.0, 10.0, 18.0]
+    assert out["scale"] == [2.0, 4.0, 6.0]
+    assert out["neg"] == [-1.0, -2.0, -3.0]
+
+
+def test_unary_math(vec_df):
+    out = vec_df.where("id = 1").select(T.t_sqrt(F.col("a")).alias("s")).first()
+    assert out["s"] == pytest.approx([1.0, math.sqrt(2), math.sqrt(3)])
+
+
+def test_cmp_and_boolean_reduce(vec_df):
+    out = vec_df.where("id = 1").select(
+        T.t_lt(F.col("a"), F.col("b")).alias("lt"),
+        T.t_all(T.t_lt(F.col("a"), F.col("b"))).alias("all_lt"),
+        T.t_any(T.t_gt(F.col("a"), F.col("b"))).alias("any_gt"),
+    ).first()
+    assert out["lt"] == [True, True, True]
+    assert out["all_lt"] is True and out["any_gt"] is False
+
+
+def test_reductions(vec_df):
+    out = vec_df.where("id = 1").select(
+        T.t_sum(F.col("a")).alias("s"),
+        T.t_mean(F.col("a")).alias("m"),
+        T.t_dot(F.col("a"), F.col("b")).alias("d"),
+        T.t_norm(F.col("a")).alias("n"),
+    ).first()
+    assert out["s"] == 6.0 and out["m"] == 2.0
+    assert out["d"] == 32.0
+    assert out["n"] == pytest.approx(math.sqrt(14))
+
+
+def test_mask_ops(vec_df):
+    out = vec_df.where("id = 2").select(
+        T.t_fill_masked(F.col("a"), 0.0).alias("filled"),
+        T.t_compress(F.col("a")).alias("compressed"),
+    ).first()
+    assert out["filled"] == [0.0, -1.0, 0.0]
+    assert out["compressed"] == [0.0, -1.0]
+
+
+def test_slice_index_concat(vec_df):
+    out = vec_df.where("id = 1").select(
+        T.t_slice(F.col("a"), 2, 2).alias("sl"),
+        T.t_index(F.col("a"), 3).alias("ix"),
+        T.t_concat(F.col("a"), F.col("b")).alias("cc"),
+    ).first()
+    assert out["sl"] == [2.0, 3.0]
+    assert out["ix"] == 3.0
+    assert out["cc"] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
+def test_date_bin_and_trunc(spark):
+    ns = 1_000_000_000
+    df = spark.createDataFrame(
+        [(0,), (4 * ns,), (5 * ns,), (61 * ns,), (1_700_000_000_123_456_789,)],
+        "t long",
+    )
+    out = df.select(
+        T.date_bin(5, "second", F.col("t")).alias("b"),
+        T.time_to_timestamp(F.col("t")).alias("ts"),
+    ).collect()
+    assert [r["b"] for r in out[:4]] == [0, 0, 5 * ns, 60 * ns]
+    # exact µs conversion at full ns magnitude (no double rounding)
+    assert out[4]["ts"].microsecond == 123456
+
+
+def test_date_bin_origin_and_negative(spark):
+    df = spark.createDataFrame([(-1,), (-5_000_000_000,)], "t long")
+    out = df.select(T.date_bin(5, "second", F.col("t")).alias("b")).collect()
+    # floor semantics for negatives
+    assert out[0]["b"] == -5_000_000_000
+    assert out[1]["b"] == -5_000_000_000
