@@ -72,31 +72,43 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_k: int = 5,
+    shingle_k: int = 8,
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
-    Pipeline: shingle → minhash signature → split into ``bands`` bands
-    → self-join on (band_idx, band_hash) → verify candidates with
-    exact shingle Jaccard. The band join is an equi-join on a hashed
+    Pipeline: shingle → hash shingles to int64 (once) → minhash
+    signature → split into ``bands`` bands → self-join on
+    (band_idx, band_hash) → verify candidates with exact Jaccard over
+    the hashed shingle sets. The band join is an equi-join on a hashed
     key, so Spark shuffles only (id, band_hash) pairs — never the
     O(n²) document pair space.
+
+    ``shingle_k`` defaults to 8: with short shingles the *background*
+    Jaccard of unrelated same-language documents is high enough
+    (~0.2-0.3 at k=5) that the LSH S-curve floods candidates; 8-grams
+    push background similarity near zero while true near-duplicates
+    stay >0.8, so candidates ≈ real duplicates. Verification compares
+    int64 shingle hashes, not strings — an order of magnitude cheaper
+    per pair (64-bit collisions are negligible at any corpus size that
+    fits a cluster).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
     norm = normalize_text(F.col(text_col))
-    # Cache the shingle sets: they feed both the signature pipeline and
-    # the final verify join — without this the whole shingle+minhash
-    # DAG would execute once per self-join side. (At cluster scale this
-    # would be a persisted intermediate table / checkpoint.)
+    # Cache the hashed shingle sets: they feed both the signature
+    # pipeline and the final verify join — without this the whole
+    # shingle DAG would execute once per self-join side. (At cluster
+    # scale this would be a persisted intermediate table / checkpoint.)
     base = (
         df.select(
             F.col(id_col).alias("_id"),
-            char_shingles(norm, shingle_k).alias("_sh"),
+            F.array_distinct(
+                F.transform(char_shingles(norm, shingle_k), lambda s: F.xxhash64(s))
+            ).alias("_sh"),
         )
         .where(F.size("_sh") > 0)
         .persist()
