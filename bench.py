@@ -18,6 +18,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 REPO = str(Path(__file__).resolve().parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
@@ -53,6 +55,18 @@ def main() -> None:
 
     # warm the JVM + parquet footer caches once with a cheap query
     qs["q_distinct"](spark, SF_DIR).collect()
+
+    # warm the Python/Arrow UDF workers: the first pandas_udf job pays
+    # worker spin-up + numpy import on every core — engine startup
+    # cost, not query cost
+    import pyspark.sql.functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).select(F.sum(_warm("id"))).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -106,6 +106,8 @@ def get_session(app_name: str = "ella_spark", master: str | None = None) -> Spar
     for k, v in {**REQUIRED_CONFS, **PERF_CONFS}.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.ui.enabled", "false")
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # 32 concurrent task threads share one driver heap in local mode;
+    # 16g keeps GC pauses out of the query timings (128 GiB available).
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     spark = builder.getOrCreate()
     return configure(spark)

@@ -46,6 +46,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure at least ``defaultParallelism`` partitions before a
+    compute-heavy narrow stage (shingling, vector math UDFs).
+
+    Small local scans arrive as ONE split (a few-MB parquet file),
+    which would serialize the whole stage on a single core. On a real
+    cluster the scan of a big table already has >= parallelism splits
+    and this is a no-op — so the repartition never becomes a gratuitous
+    shuffle at scale; it only rescues the small-input case.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every test table as a temp view for spark.sql use."""
     for name in tables:
