@@ -33,6 +33,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
     "q_rank_per_group",
     "q_date_bin_5min",
     "q_asof_join",
@@ -42,6 +45,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_ann_brute_force",
     "q_ann_lsh",
+    "q_ann_ivf",
 ]
 
 

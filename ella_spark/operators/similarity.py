@@ -188,6 +188,22 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return _exact_rerank(pairs, df, queries, vec_col, id_col, k)
+
+
+def _exact_rerank(
+    pairs: DataFrame,
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Re-rank (query_id, neighbor_id) candidate pairs by exact cosine.
+
+    Vectors attach by id AFTER candidate dedup (the candidate pipeline
+    never shuffles embeddings); the query side is broadcast.
+    """
     cvec = df.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
@@ -217,3 +233,113 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cosine"))
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    train_sample: int = 4096,
+    iters: int = 8,
+):
+    """Spherical k-means centroids for IVF, trained on a bounded
+    driver-side sample (numpy Lloyd iterations).
+
+    Sample-based training is the standard IVF recipe: centroid quality
+    needs only a representative sample, so the driver pulls at most
+    ``train_sample`` vectors (ordered by id — deterministic) no matter
+    how big the corpus is. Assignment/search stay fully distributed.
+
+    Returns a unit-normalized (n_centroids x dim) numpy array.
+    """
+    import numpy as np
+
+    sample = (
+        df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        .orderBy("_id")
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.stack(sample["_v"].to_numpy())
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(42)
+    cent = X[rng.choice(X.shape[0], size=min(n_centroids, X.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = X[assign == c]
+            if members.shape[0]:
+                cent[c] = members.mean(axis=0)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _centroid_dots(vec: Column, centroids) -> Column:
+    """Dot products of ``vec`` against every centroid, one pass over a
+    single literal centroid matrix (same AST-size rationale as
+    `_planes_lit`)."""
+    cent_lit = F.array(*[F.lit([float(v) for v in c]) for c in centroids])
+    return F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(c, vec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted file) coarse quantization.
+
+    Corpus vectors are assigned to their nearest centroid cell (argmax
+    dot against unit centroids == max cosine — a narrow map stage).
+    Each query probes its ``n_probe`` closest cells; candidates come
+    from the (cell) equi-join, so at scale the search touches
+    ~n_probe/n_centroids of the corpus instead of all of it, and the
+    join shuffles only (id, cell) pairs. Exact cosine re-ranks.
+
+    With a precomputed ``centroids`` matrix the whole search is a
+    static plan (no training job) — the production shape where
+    centroids are trained once and reused across queries.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, dim, vec_col, id_col, n_centroids=n_centroids
+        )
+
+    def cells(src: DataFrame, idc: str, probe: int) -> DataFrame:
+        dots = _centroid_dots(as_double(F.col(vec_col)), centroids)
+        ranked = F.array_sort(
+            F.zip_with(
+                dots,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda d, i: F.struct((-d).alias("neg"), i.alias("cell")),
+            )
+        )
+        out = src.select(
+            F.col(id_col).alias(idc),
+            F.slice(ranked, 1, probe).alias("_cells"),
+        )
+        return out.select(idc, F.explode("_cells.cell").alias("cell"))
+
+    pairs = (
+        cells(df, "neighbor_id", 1)
+        .join(F.broadcast(cells(queries, "query_id", n_probe)), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _exact_rerank(pairs, df, queries, vec_col, id_col, k)

@@ -676,3 +676,161 @@ def q_order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --- Additional TPC-H-shaped headline queries ------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: tight multi-predicate scan -> global agg. All "
+    "predicates reach the parquet scan (PushedFilters); zero shuffle "
+    "beyond the single-row final agg.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: 4-way join -> agg -> top-k. lineitem/orders "
+    "shuffle on their join keys (both scale with SF); customer joins "
+    "the pre-aggregated order revenue and nation is broadcast. Filters "
+    "on orderdate/returnflag push to the scans, shrinking the shuffle.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: fact x dim join with conditional aggregate. "
+    "part is broadcast (stays executor-memory-sized while lineitem "
+    "scales with SF) -> no shuffle for the join; the date filter "
+    "pushes to the lineitem scan.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregate with grouping() markers (completes the "
+    "GROUPING SETS / ROLLUP / CUBE matrix from SURVEY.md §2.B).",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_approx_aggs",
+    oracle=None,  # sketch-based: HLL/KLL estimates differ per engine;
+    # tests assert relative error vs exact counts instead
+    doc="Approximate aggregates: approx_count_distinct (HyperLogLog++) "
+    "and percentile_approx (KLL-style sketch) — constant-memory "
+    "distinct counts / quantiles at 100 TB where exact DISTINCT "
+    "would shuffle every key.",
+)
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
+    )

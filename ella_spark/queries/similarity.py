@@ -58,3 +58,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     return S.lsh_topk(emb, queries, dim=_DIM, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "q_ann_ivf",
+    oracle=None,  # approximate; recall vs brute force asserted in tests
+    doc="ANN top-k via IVF coarse quantization: spherical k-means cells "
+    "(sample-trained), corpus assigned to nearest cell, queries probe "
+    "n_probe cells, exact cosine re-rank. At scale the search touches "
+    "~n_probe/n_centroids of the corpus.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(
+        emb, queries, dim=_DIM, k=5, n_centroids=16, n_probe=6
+    ).orderBy("query_id", "rank")

@@ -100,3 +100,32 @@ def test_date_bin_origin_and_negative(spark):
     # floor semantics for negatives
     assert out[0]["b"] == -5_000_000_000
     assert out[1]["b"] == -5_000_000_000
+
+
+def test_approx_aggs_close_to_exact(spark):
+    """Sketch aggregates must land near exact answers (the oracle
+    can't hash-compare engine-specific sketch estimates)."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.queries import all_queries
+    from ella_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in all_queries()["q_approx_aggs"](spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_orders"] - e["orders"]) <= max(2, 0.05 * e["orders"])
+        assert abs(a["approx_median_price"] - e["median_price"]) <= 0.1 * e["median_price"]

@@ -48,3 +48,25 @@ def test_lsh_deterministic(emb):
     a = lsh_topk(emb, q, dim=64, k=3).toPandas().sort_values(["query_id", "rank"])
     b = lsh_topk(emb, q, dim=64, k=3).toPandas().sort_values(["query_id", "rank"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    from ella_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=3).toPandas()
+    approx = ivf_topk(emb, q, dim=64, k=3, n_centroids=8, n_probe=4).toPandas()
+    exact_set = set(zip(exact.query_id, exact.neighbor_id))
+    approx_set = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic_with_precomputed_centroids(emb):
+    from ella_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    cent = train_ivf_centroids(emb, dim=64, n_centroids=8)
+    q = emb.where(F.col("vec_id") < 3)
+    a = ivf_topk(emb, q, dim=64, k=3, centroids=cent).toPandas().sort_values(["query_id", "rank"])
+    b = ivf_topk(emb, q, dim=64, k=3, centroids=cent).toPandas().sort_values(["query_id", "rank"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
