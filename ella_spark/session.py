@@ -39,7 +39,12 @@ PERF_CONFS = {
     # sf<=0.1 a modest shuffle fan-out avoids tiny-task overhead while
     # AQE coalesces further.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Spark's default 10MB: fact tables must never auto-broadcast (at
+    # sf0.1 lineitem is 10.5MB and a 64MB threshold made Spark
+    # broadcast-build the FACT side of q3/q5 — slow locally, and the
+    # wrong plan shape to be validating for scale). True dimension
+    # tables are broadcast explicitly (sources.BROADCAST_TABLES).
+    "spark.sql.autoBroadcastJoinThreshold": "10MB",
     "spark.sql.files.maxPartitionBytes": "128MB",
 }
 
