@@ -10,6 +10,7 @@ so the full Spark SQL surface (the DataFusion-27 superset, SURVEY.md
 
 from __future__ import annotations
 
+import re
 import shutil
 from pathlib import Path
 
@@ -23,7 +24,11 @@ from ella_spark.catalog import (
 )
 from ella_spark.lazy import Lazy
 from ella_spark.topic import Publisher, Topic
-from ella_spark.types import Column, topic_schema
+from ella_spark.types import TIME_COLUMN, Column, topic_schema
+
+#: `INSERT INTO <table> <source query>` — the only DML the reference
+#: supports (everything else is DDL or SELECT).
+_INSERT_RE = re.compile(r"^\s*insert\s+into\s+([A-Za-z0-9_.]+)\s+(.+)$", re.I | re.S)
 
 
 class Ella:
@@ -184,8 +189,35 @@ class Ella:
         is frozen per DataFrame, so shards published since registration
         would otherwise be invisible (the reference's TopicExec re-lists
         shards per scan, topic.rs:165-203 — same semantics).
+
+        ``INSERT INTO <topic> SELECT ...|VALUES ...`` routes to the
+        topic's distributed sink (the reference's DataSink path,
+        topic.rs:205-213 via InsertExec) and yields a single-row
+        ``count`` frame, matching the reference's returned row count.
         """
         self._register_all()
+        m = _INSERT_RE.match(sql)
+        if m:
+            topic = self.topic(m.group(1))
+            src = self.spark.sql(m.group(2))
+            names = [c.name for c in topic.entry.columns]
+            if len(src.columns) == len(names) - 1:
+                # time omitted: auto-fill now() like the publisher
+                # (pyella publisher.rs:119-123 behavior)
+                import time as _time
+
+                import pyspark.sql.functions as F
+
+                src = src.select(
+                    F.lit(_time.time_ns()).cast("long").alias(TIME_COLUMN), "*"
+                )
+            if src.columns != names and len(src.columns) == len(names):
+                src = src.toDF(*names)
+            n = topic.insert(src)
+            self._register(topic.entry)
+            return Lazy(
+                self.spark.createDataFrame([(n,)], "count long"), engine=self, sql=sql
+            )
         return Lazy(self.spark.sql(sql), engine=self, sql=sql)
 
     def read(self, name: str) -> DataFrame:

@@ -200,3 +200,26 @@ def test_insert_distributed(db, spark):
     assert n == 100
     out = db.query("SELECT count(*) AS n, sum(v) AS s FROM ins").execute()
     assert out["n"].iloc[0] == 100 and out["s"].iloc[0] == sum(range(100))
+
+
+def test_insert_sql_routing(db):
+    """`ella.query('INSERT INTO t ...')` routes to the topic sink and
+    returns the row count (state-dispatch parity: the reference wires
+    INSERT through the topic's DataSink, topic.rs:205-213)."""
+    from ella_spark.types import Column
+
+    db.create_topic("ins_sql", [Column("v", "float64")])
+    out = db.query(
+        "INSERT INTO ins_sql SELECT id * 1000 AS time, CAST(id AS double) AS v "
+        "FROM range(50)"
+    ).execute()
+    assert out["count"].iloc[0] == 50
+    got = db.query("SELECT count(*) AS n FROM ins_sql").execute()
+    assert got["n"].iloc[0] == 50
+    # VALUES form + omitted time column (auto-filled with now())
+    out2 = db.query("INSERT INTO ins_sql VALUES (CAST(7.5 AS DOUBLE))").execute()
+    assert out2["count"].iloc[0] == 1
+    got2 = db.query(
+        "SELECT count(*) AS n, count_if(v = 7.5) AS hits FROM ins_sql"
+    ).execute()
+    assert got2["n"].iloc[0] == 51 and got2["hits"].iloc[0] == 1
