@@ -93,6 +93,10 @@ def main() -> None:
         "runs": RUNS,
         "spark": spark.version,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        # timings on this host swing up to 10x with hypervisor steal
+        # (parallel stages amplify vCPU stalls into per-stage
+        # stragglers); record the load context with each run
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
     spark.stop()

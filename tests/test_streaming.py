@@ -90,3 +90,49 @@ def test_session_window(db):
         .toPandas()
     )
     assert sorted(out["n"]) == [2, 3]
+
+
+def test_stateful_running_stats(db, spark):
+    """applyInPandasWithState: per-key state must accumulate ACROSS
+    micro-batches (beyond-reference custom stateful operator)."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.streaming.stateful import running_stats_per_key
+
+    topic = db.create_topic(
+        "stateful", [Column("k", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:  # micro-batch 1 (one shard)
+        pub.write(1 * ns, "a", 1.0)
+        pub.write(2 * ns, "a", 3.0)
+        pub.write(3 * ns, "b", 10.0)
+
+    out = running_stats_per_key(db.subscribe("stateful"), "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "stateful_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:  # micro-batch 2 (new shard)
+            pub.write(4 * ns, "a", 2.0)
+        q.processAllAvailable()
+        pdf = spark.sql(
+            "SELECT * FROM stateful_out"
+        ).toPandas()
+        # last update per key wins
+        last = pdf.sort_index().groupby("key").last()
+        assert last.loc["a", "n"] == 3
+        assert last.loc["a", "total"] == 6.0
+        assert last.loc["a", "v_min"] == 1.0 and last.loc["a", "v_max"] == 3.0
+        assert last.loc["a", "last_v"] == 2.0  # state carried across batches
+        assert last.loc["b", "n"] == 1 and last.loc["b", "last_v"] == 10.0
+    finally:
+        q.stop()
