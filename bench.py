@@ -49,6 +49,44 @@ HEADLINE = [
 ]
 
 
+def _ingest_bench(spark, n_rows: int = 200_000) -> tuple[float, float]:
+    """Publisher->queryable throughput + single-row freshness
+    (BASELINE.md ingest metrics).
+
+    - throughput: distributed INSERT of n_rows through the topic sink,
+      timed until a count over the topic sees every row
+    - freshness: one publisher row -> visible in a fresh query
+      (expected O(write+relist), NOT the reference's <1ms design goal —
+      the documented semantic-parity/latency gap)
+    """
+    import shutil
+    import tempfile
+
+    from ella_spark.engine import Ella
+    from ella_spark.types import Column
+
+    root = tempfile.mkdtemp(prefix="ella_bench_")
+    try:
+        db = Ella.create(root + "/db", spark)
+        topic = db.create_topic("ingest", [Column("v", "float64")])
+        t0 = time.perf_counter()
+        src = spark.range(n_rows).selectExpr(
+            "id * 1000 AS time", "CAST(id AS double) AS v"
+        )
+        topic.insert(src)
+        assert db.query("SELECT count(*) AS n FROM ingest").df.collect()[0].n == n_rows
+        rps = round(n_rows / (time.perf_counter() - t0), 1)
+
+        t0 = time.perf_counter()
+        with topic.publish() as pub:
+            pub.write(1.0)
+        db.query("SELECT count(*) AS n FROM ingest").df.collect()
+        fresh = round(time.perf_counter() - t0, 4)
+        return rps, fresh
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from ella_spark.queries import all_queries
     from ella_spark.session import get_session
@@ -83,6 +121,8 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
+    ingest_rps, freshness = _ingest_bench(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_total_sec",
@@ -97,6 +137,8 @@ def main() -> None:
         # (parallel stages amplify vCPU stalls into per-stage
         # stragglers); record the load context with each run
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "ingest_rows_per_sec": ingest_rps,
+        "freshness_sec": freshness,
     }
     print(json.dumps(out))
     spark.stop()
