@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis): invariants the engine must hold
+for arbitrary inputs — a deliberate step beyond the reference's test
+surface (SURVEY.md §5: 6 unit tests, no property/golden corpus).
+
+Spark sessions are expensive, so strategies draw whole row-batches and
+each property runs a bounded number of examples against the
+module-scoped session.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ella_spark import Column, Ella
+
+# bounded, deterministic example counts: each example spins Spark jobs
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_floats = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+_times = st.integers(min_value=0, max_value=2**62)
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Ella.create(str(tmp_path / "propdb"), spark)
+
+
+@given(
+    rows=st.lists(st.tuples(_times, _floats, st.text(max_size=20)), max_size=40)
+)
+@_SETTINGS
+def test_publish_roundtrip_sorted(spark, tmp_path, rows):
+    """Publisher round-trip: every published row reads back exactly
+    once, globally ordered by time (topic primary-index invariant,
+    info.rs:409-412)."""
+    import uuid
+
+    db = Ella.create(str(tmp_path / f"p{uuid.uuid4().hex[:8]}"), spark)
+    topic = db.create_topic(
+        "t", [Column("v", "float64"), Column("s", "string")]
+    )
+    with topic.publish(capacity=7) as pub:  # force multi-shard flushes
+        for t, v, s in rows:
+            pub.write(t, v, s)
+    got = topic.read(spark).orderBy("time", "v").collect()
+    want = sorted(rows, key=lambda r: (r[0], r[1]))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.time == w[0]
+        assert math.isclose(g.v, w[1], rel_tol=1e-12, abs_tol=1e-12)
+        assert g.s == w[2]
+    times = [g.time for g in topic.read(spark).orderBy("time").collect()]
+    assert times == sorted(times)
+
+
+@given(
+    data=st.lists(
+        st.lists(_floats, min_size=6, max_size=6), min_size=1, max_size=20
+    )
+)
+@_SETTINGS
+def test_tensor_column_roundtrip_property(spark, tmp_path, data):
+    """Tensor columns: (2,3)-shaped rows round-trip bit-exact through
+    flatten -> parquet -> read -> Lazy.col restack (column.rs:137-178
+    behavioral parity)."""
+    import uuid
+
+    import numpy as np
+
+    db = Ella.create(str(tmp_path / f"t{uuid.uuid4().hex[:8]}"), spark)
+    topic = db.create_topic("tz", [Column("m", "float64", row_shape=(2, 3))])
+    with topic.publish() as pub:
+        for i, flat in enumerate(data):
+            pub.write(i * 1000, np.array(flat).reshape(2, 3))
+    out = db.query("SELECT m FROM tz ORDER BY time").col("m")
+    assert out.shape == (len(data), 6)
+    np.testing.assert_array_equal(out, np.array(data))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        min_size=1,
+        max_size=50,
+    )
+)
+@_SETTINGS
+def test_insert_then_query_agg_matches_python(spark, tmp_path, vals):
+    """SQL over a topic computes the same aggregate Python does."""
+    import uuid
+
+    db = Ella.create(str(tmp_path / f"a{uuid.uuid4().hex[:8]}"), spark)
+    db.create_topic("nums", [Column("v", "int64")])
+    values = ", ".join(f"({t * 1000}, CAST({v} AS BIGINT))" for t, v in enumerate(vals))
+    db.query(f"INSERT INTO nums VALUES {values}").execute()
+    out = db.query(
+        "SELECT count(*) AS n, sum(v) AS s, min(v) AS lo, max(v) AS hi FROM nums"
+    ).execute()
+    assert out["n"].iloc[0] == len(vals)
+    assert out["s"].iloc[0] == sum(vals)
+    assert out["lo"].iloc[0] == min(vals)
+    assert out["hi"].iloc[0] == max(vals)
