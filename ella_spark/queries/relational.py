@@ -220,9 +220,10 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q3: 3-way join, broadcast dim, agg, top-k (TakeOrderedAndProject).",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = F.broadcast(
-        _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    )
+    # customer scales with SF: no forced broadcast — Catalyst's size
+    # threshold broadcasts it while it fits and shuffles it when it
+    # doesn't (a forced hint would OOM at 100x)
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1999-03-15 00:00:00").cast("timestamp")
     )
@@ -264,7 +265,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    s = _t(spark, sf_dir, "supplier")  # scales with SF: size-based broadcast
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
     return (
@@ -394,7 +395,7 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_non_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    p = F.broadcast(_t(spark, sf_dir, "part"))
+    p = _t(spark, sf_dir, "part")  # scales with SF: size-based broadcast
     return (
         li.join(
             p,
@@ -779,7 +780,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
     )
-    p = F.broadcast(_t(spark, sf_dir, "part"))
+    p = _t(spark, sf_dir, "part")  # scales with SF: size-based broadcast
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))

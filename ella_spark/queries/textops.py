@@ -9,7 +9,7 @@ no Python UDFs, so they run at 100 TB inside whole-stage codegen.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ella_spark.queries import register
 from ella_spark.sources import load_table
@@ -189,4 +189,72 @@ def q_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.percentile(F.col("n_chars"), F.lit(0.5)).cast("double").alias("median_chars"),
+    )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lower(tok) AS term
+      FROM documents,
+           unnest(string_split_regex(trim(text), '[^A-Za-z0-9]+')) AS t(tok)
+      WHERE length(tok) >= 3
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    WHERE rnk <= 3 AND doc_id < 50
+    """,
+    doc="TF-IDF top-3 terms per document, pure relational form: "
+    "tokenize -> explode (one shuffle per agg on (doc,term) / term) "
+    "-> idf join (term df fits memory at any corpus size: vocabulary "
+    "grows sublinearly) -> per-doc top-k window. The distributed "
+    "backbone of quality filtering / keyword extraction at 100 TB.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), "[^A-Za-z0-9]+")).alias("tok"),
+        )
+        .where(F.length("tok") >= 3)
+        .select("doc_id", F.lower(F.col("tok")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    n_docs = d.count()
+    scored = (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tfidf", "rnk")
     )

@@ -27,10 +27,12 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables: always broadcast-join these. At 100 TB the
-# fact tables (lineitem/orders/events/documents) grow with SF but the
-# dims stay broadcastable.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Constant-size dimension tables (5 regions / 25 nations at ANY scale
+# factor): safe to force-broadcast. Everything else — including
+# customer/supplier/part — grows with SF, so those joins rely on
+# Catalyst's size-based auto-broadcast instead of a forced hint that
+# would OOM at 100x.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
