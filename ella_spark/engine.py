@@ -30,6 +30,23 @@ from ella_spark.types import TIME_COLUMN, Column, topic_schema
 #: supports (everything else is DDL or SELECT).
 _INSERT_RE = re.compile(r"^\s*insert\s+into\s+([A-Za-z0-9_.]+)\s+(.+)$", re.I | re.S)
 
+#: DDL statements dispatched imperatively against the catalog, exactly
+#: the set the reference's LocalBackend handles (lazy/backend.rs:66-161).
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*create\s+(or\s+replace\s+)?view\s+([A-Za-z0-9_.]+)\s+as\s+(.+)$",
+    re.I | re.S,
+)
+_DROP_RE = re.compile(
+    r"^\s*drop\s+(table|view)\s+(if\s+exists\s+)?([A-Za-z0-9_.]+)\s*$", re.I
+)
+_CREATE_SCHEMA_RE = re.compile(
+    r"^\s*create\s+(schema|database)\s+(if\s+not\s+exists\s+)?([A-Za-z0-9_.]+)\s*$",
+    re.I,
+)
+_CREATE_CATALOG_RE = re.compile(
+    r"^\s*create\s+catalog\s+(if\s+not\s+exists\s+)?([A-Za-z0-9_.]+)\s*$", re.I
+)
+
 
 class Ella:
     def __init__(self, store: CatalogStore, spark: SparkSession):
@@ -196,6 +213,9 @@ class Ella:
         ``count`` frame, matching the reference's returned row count.
         """
         self._register_all()
+        ddl = self._dispatch_ddl(sql)
+        if ddl is not None:
+            return ddl
         m = _INSERT_RE.match(sql)
         if m:
             topic = self.topic(m.group(1))
@@ -219,6 +239,32 @@ class Ella:
                 self.spark.createDataFrame([(n,)], "count long"), engine=self, sql=sql
             )
         return Lazy(self.spark.sql(sql), engine=self, sql=sql)
+
+    def _dispatch_ddl(self, sql: str) -> Lazy | None:
+        """Imperative DDL dispatch (LocalBackend::stream parity,
+        lazy/backend.rs:66-161): CREATE VIEW / DROP TABLE|VIEW /
+        CREATE SCHEMA|DATABASE / CREATE CATALOG route to the catalog;
+        anything else returns None and flows to spark.sql."""
+        empty = lambda: Lazy(  # noqa: E731 — DDL yields an empty frame
+            self.spark.createDataFrame([], "ok boolean"), engine=self, sql=sql
+        )
+        if m := _CREATE_VIEW_RE.match(sql):
+            self.create_view(m.group(2), m.group(3).strip(), replace=bool(m.group(1)))
+            return empty()
+        if m := _DROP_RE.match(sql):
+            try:
+                self.drop_table(m.group(3))
+            except ValueError:
+                if not m.group(2):  # no IF EXISTS → propagate
+                    raise
+            return empty()
+        if m := _CREATE_SCHEMA_RE.match(sql):
+            self.create_schema(m.group(3), if_not_exists=bool(m.group(2)))
+            return empty()
+        if m := _CREATE_CATALOG_RE.match(sql):
+            self.create_catalog(m.group(2), if_not_exists=bool(m.group(1)))
+            return empty()
+        return None
 
     def read(self, name: str) -> DataFrame:
         entry = self._require(name, None)

@@ -113,3 +113,85 @@ class Maintainer:
                 compacted.append(str(out))
         cleaned = [str(p) for p in cleanup_orphans(self.engine.store)]
         return {"compacted": compacted, "cleaned": cleaned}
+
+
+def refresh_rollup(
+    engine,
+    source: str,
+    rollup_name: str,
+    bucket_ns: int,
+    value_col: str = "v",
+) -> int:
+    """Incrementally refresh a downsampled rollup topic (continuous
+    aggregate — the materialized form of the reference's
+    `date_bin`-group-by idiom, and the hypertable-rollup custom
+    operator the reference lacks).
+
+    The rollup topic holds one row per bucket: (time=bucket_start_ns,
+    n, v_sum, v_min, v_max, v_avg). Refresh is incremental: only
+    buckets at/after the rollup's high-water mark are recomputed (the
+    current open bucket is re-aggregated to absorb late rows within
+    it). At scale this reads only recent shards — parquet time stats
+    prune everything older. Returns the number of bucket rows written.
+    """
+    import pyspark.sql.functions as F
+
+    from ella_spark.types import Column
+
+    spark = engine.spark
+    src = engine.topic(source).read(spark)
+    try:
+        roll = engine.topic(rollup_name)
+    except ValueError:
+        roll = engine.create_topic(
+            rollup_name,
+            [
+                Column("n", "int64", required=True),
+                Column("v_sum", "float64"),
+                Column("v_min", "float64"),
+                Column("v_max", "float64"),
+                Column("v_avg", "float64"),
+            ],
+        )
+    existing = roll.read(spark)
+    hwm_row = existing.agg(F.max("time").alias("hwm")).collect()[0]
+    hwm = hwm_row.hwm if hwm_row.hwm is not None else None
+    if hwm is not None:
+        # recompute the open bucket and everything after it
+        src = src.where(F.col("time") >= hwm)
+    agg = (
+        src.groupBy((F.expr(f"time div {bucket_ns}") * bucket_ns).alias("time"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("v_sum"),
+            F.min(value_col).alias("v_min"),
+            F.max(value_col).alias("v_max"),
+            F.avg(value_col).alias("v_avg"),
+        )
+    )
+    rows = agg.collect()
+    if not rows:
+        return 0
+    # drop stale versions of refreshed buckets, then append the new ones
+    refreshed = {r.time for r in rows}
+    if hwm is not None and hwm in refreshed:
+        _rewrite_without_buckets(roll, {hwm})
+    with roll.publish(capacity=max(len(rows), 1)) as pub:
+        for r in rows:
+            pub.write(r.time, r.n, r.v_sum, r.v_min, r.v_max, r.v_avg)
+    return len(rows)
+
+
+def _rewrite_without_buckets(topic: Topic, buckets: set[int]) -> None:
+    """Remove rows for the given bucket keys from a (small) rollup
+    topic by rewriting only the shards that contain them."""
+    import pyarrow.compute as pc
+
+    for shard in topic.shards():
+        t = pq.read_table(shard)
+        mask = pc.is_in(t.column(TIME_COLUMN), value_set=__import__("pyarrow").array(sorted(buckets), type="int64"))
+        if pc.any(mask).as_py():
+            kept = t.filter(pc.invert(mask))
+            tmp = shard.with_name(f"_tmp-{shard.name}")
+            pq.write_table(kept, tmp, row_group_size=1 << 20)
+            tmp.replace(shard)

@@ -252,3 +252,58 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("last_click_ns div 1000").alias("last_click_us"),
         )
     )
+
+
+@register(
+    "q_gap_fill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // {10 * _NS_PER_MIN} AS b, value, event_id
+      FROM events WHERE user_id < 5),
+    binned AS (
+      SELECT user_id, b, max_by(value, event_id) AS v
+      FROM e GROUP BY user_id, b),
+    bounds AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM binned GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM bounds),
+    j AS (
+      SELECT g.user_id, g.b, binned.v
+      FROM grid g LEFT JOIN binned ON g.user_id = binned.user_id AND g.b = binned.b)
+    SELECT user_id,
+           b * {10 * _NS_PER_MIN // 1000} AS bucket_us,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
+    FROM j
+    """,
+    doc="Resample to a fixed 10-minute grid + forward fill (gap fill): "
+    "the hypertable/TSDB downsampling workhorse. Grid generation is "
+    "per-key sequence+explode (no driver loop); the fill is one "
+    "running last(ignorenulls) window — a single shuffle on user_id.",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bin_ns = 10 * _NS_PER_MIN
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    binned = ev.groupBy(
+        "user_id", F.expr(f"ts div {bin_ns}").alias("b")
+    ).agg(F.max_by("value", "event_id").alias("v"))
+    grid = (
+        binned.groupBy("user_id")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("b"),
+        )
+    )
+    j = grid.join(binned, ["user_id", "b"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        (F.col("b") * (bin_ns // 1000)).alias("bucket_us"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_filled"),
+    )

@@ -223,3 +223,59 @@ def test_insert_sql_routing(db):
         "SELECT count(*) AS n, count_if(v = 7.5) AS hits FROM ins_sql"
     ).execute()
     assert got2["n"].iloc[0] == 51 and got2["hits"].iloc[0] == 1
+
+
+def test_ddl_sql_routing(db):
+    """SQL-string DDL dispatches to the catalog (LocalBackend::stream
+    parity, lazy/backend.rs:66-161), not to Spark temp state."""
+    from ella_spark.types import Column
+
+    db.create_topic("src_t", [Column("v", "float64")])
+    db.query("INSERT INTO src_t VALUES (1000, CAST(2.0 AS DOUBLE))").execute()
+
+    db.query("CREATE VIEW doubled AS SELECT time, v * 2 AS v2 FROM src_t").execute()
+    assert any(t.endswith("doubled") for t in db.tables())
+    out = db.query("SELECT v2 FROM doubled").execute()
+    assert list(out["v2"]) == [4.0]
+
+    db.query("CREATE OR REPLACE VIEW doubled AS SELECT v * 3 AS v2 FROM src_t").execute()
+    assert list(db.query("SELECT v2 FROM doubled").execute()["v2"]) == [6.0]
+
+    db.query("CREATE SCHEMA IF NOT EXISTS aux").execute()
+    db.query("CREATE CATALOG IF NOT EXISTS side").execute()
+
+    db.query("DROP VIEW doubled").execute()
+    assert not any(t.endswith("doubled") for t in db.tables())
+    db.query("DROP TABLE IF EXISTS nonexistent_t").execute()  # no raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        db.query("DROP TABLE nonexistent_t").execute()
+
+
+def test_rollup_refresh_incremental(db):
+    """Continuous-aggregate rollup: refresh, append late+new rows,
+    refresh again — open bucket re-aggregates, closed buckets stay."""
+    from ella_spark.maintenance import refresh_rollup
+    from ella_spark.types import Column
+
+    sec = 1_000_000_000
+    db.create_topic("metrics", [Column("v", "float64")])
+    with db.publish("metrics") as pub:
+        for t, v in [(1, 1.0), (2, 3.0), (61, 10.0)]:
+            pub.write(t * sec, v)
+    n = refresh_rollup(db, "metrics", "metrics_1m", 60 * sec)
+    assert n == 2  # buckets [0,60) and [60,120)
+
+    with db.publish("metrics") as pub:
+        pub.write(62 * sec, 20.0)   # late row in the open bucket
+        pub.write(130 * sec, 5.0)   # new bucket
+    n2 = refresh_rollup(db, "metrics", "metrics_1m", 60 * sec)
+    assert n2 == 2  # re-aggregated open bucket + the new one
+
+    out = db.query(
+        "SELECT time, n, v_sum, v_avg FROM metrics_1m ORDER BY time"
+    ).execute()
+    assert list(out["time"]) == [0, 60 * sec, 120 * sec]
+    assert list(out["n"]) == [2, 2, 1]
+    assert list(out["v_sum"]) == [4.0, 30.0, 5.0]
