@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ella_spark.queries import register
 from ella_spark.sources import load_table
 
-_NS_PER_MIN = 60 * 1_000_000_000
+_NS_PER_SEC = 1_000_000_000
+_NS_PER_MIN = 60 * _NS_PER_SEC
 
 
 @register(
@@ -306,4 +307,33 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("b") * (bin_ns // 1000)).alias("bucket_us"),
         F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_filled"),
+    )
+
+
+@register(
+    "q_rolling_1h",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN {3600 * _NS_PER_SEC} PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_1h
+    FROM events
+    WHERE user_id < 10
+    """,
+    doc="Value-range window frame: per-user rolling 1-hour sum over ns "
+    "event time (RANGE BETWEEN <ns> PRECEDING — time-based frames "
+    "without bucketing; one shuffle on user_id).",
+)
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-3600 * _NS_PER_SEC, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
     )
