@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -132,8 +134,41 @@ def _pack_bits(bits_slice: Column) -> Column:
 def lsh_bucket_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
     """Random-hyperplane LSH signature: one bit per plane (sign of the
     projection), packed to a long. Vectors with small angular distance
-    collide with high probability."""
+    collide with high probability. (JVM expression form — fine for a
+    single signature; the multi-table search path uses the vectorized
+    `_signatures_udf` instead.)"""
     return _pack_bits(_projection_bits(vec, _planes_lit(dim, num_planes)))
+
+
+def _signatures_udf(dim: int, num_planes: int, num_tables: int):
+    """Arrow-batched UDF: embedding -> one packed signature per LSH
+    table, all tables in one numpy matmul against the plane matrix.
+
+    Replaces a (num_tables*num_planes x dim)-literal expression tree:
+    the JVM form spends seconds in analysis/codegen at 32x64 and
+    re-traverses the vector per plane, while here each Arrow batch is
+    one (P, dim) @ (dim,) product per row. Bit order matches
+    `_pack_bits` (first plane in a table = most significant bit)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(num_tables * num_planes)]
+    )
+    weights = (1 << np.arange(num_planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(emb: pd.Series) -> pd.Series:
+        out = []
+        for v in emb:
+            x = np.asarray(v, dtype=np.float64)
+            bits = (planes @ x) >= 0
+            out.append(
+                bits.reshape(num_tables, num_planes).astype(np.int64) @ weights
+            )
+        return pd.Series(out)
+
+    return _sigs
 
 
 def lsh_topk(
@@ -157,28 +192,14 @@ def lsh_topk(
     literal plane matrix (see `_planes_lit`). Exact cosine re-ranks
     the candidates; the (small) query side is broadcast everywhere.
     """
-    planes = _planes_lit(dim, num_tables * num_planes)
+    sigs_udf = _signatures_udf(dim, num_planes, num_tables)
 
     def bucketed(src: DataFrame, idc: str) -> DataFrame:
-        # projection boundary so _bits evaluates once per row, not
-        # once per table slice
-        withbits = src.select(
-            F.col(id_col).alias(idc),
-            _projection_bits(as_double(F.col(vec_col)), planes).alias("_bits"),
+        withsigs = src.select(
+            F.col(id_col).alias(idc), sigs_udf(F.col(vec_col)).alias("_sigs")
         )
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _pack_bits(
-                        F.slice(F.col("_bits"), t * num_planes + 1, num_planes)
-                    ).alias("sig"),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return withbits.select(idc, F.explode(tables).alias("_b")).select(
-            idc, "_b.tbl", "_b.sig"
+        return withsigs.select(
+            idc, F.posexplode("_sigs").alias("tbl", "sig")
         )
 
     pairs = (
