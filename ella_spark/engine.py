@@ -46,6 +46,15 @@ _CREATE_SCHEMA_RE = re.compile(
 _CREATE_CATALOG_RE = re.compile(
     r"^\s*create\s+catalog\s+(if\s+not\s+exists\s+)?([A-Za-z0-9_.]+)\s*$", re.I
 )
+_DROP_SCHEMA_RE = re.compile(
+    r"^\s*drop\s+(?:schema|database)\s+(if\s+exists\s+)?([A-Za-z0-9_.]+)"
+    r"\s*(cascade)?\s*$",
+    re.I,
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*show\s+tables\s*$", re.I)
+_DESCRIBE_RE = re.compile(
+    r"^\s*(?:describe|desc)\s+(?:table\s+)?([A-Za-z0-9_.]+)\s*$", re.I
+)
 
 
 class Ella:
@@ -182,6 +191,39 @@ class Ella:
     def create_schema(self, name: str, if_not_exists: bool = False) -> None:
         self.store.create_schema(name, if_not_exists=if_not_exists)
 
+    def drop_schema(
+        self, name: str, *, cascade: bool = False, if_exists: bool = False
+    ) -> None:
+        """Drop a schema (LocalBackend DropSchema parity,
+        lazy/backend.rs:104-128). Without CASCADE a non-empty schema is
+        an error; with CASCADE its tables are unregistered and their
+        data removed first."""
+        parts = name.split(".")
+        if len(parts) == 2:
+            catalog, schema = parts
+        elif len(parts) == 1:
+            catalog, schema = DEFAULT_CATALOG, parts[0]
+        else:
+            raise ValueError(f"invalid schema name {name!r}")
+        if (catalog, schema) not in self.store.schemas:
+            if if_exists:
+                return
+            raise ValueError(f"schema {catalog}.{schema} does not exist")
+        members = [
+            e
+            for e in self.store.tables.values()
+            if (e.catalog, e.schema) == (catalog, schema)
+        ]
+        if members and not cascade:
+            raise ValueError(
+                f"schema {catalog}.{schema} is not empty "
+                f"({len(members)} tables); use DROP SCHEMA ... CASCADE"
+            )
+        for e in members:
+            self._unregister(e)
+            self._drop_data(e)
+        self.store.drop_schema(schema, catalog)
+
     def create_catalog(self, name: str, if_not_exists: bool = False) -> None:
         self.store.create_catalog(name, if_not_exists=if_not_exists)
 
@@ -264,6 +306,47 @@ class Ella:
         if m := _CREATE_CATALOG_RE.match(sql):
             self.create_catalog(m.group(2), if_not_exists=bool(m.group(1)))
             return empty()
+        if m := _DROP_SCHEMA_RE.match(sql):
+            self.drop_schema(
+                m.group(2), cascade=bool(m.group(3)), if_exists=bool(m.group(1))
+            )
+            return empty()
+        if _SHOW_TABLES_RE.match(sql):
+            rows = [
+                (e.catalog, e.schema, e.name, e.kind)
+                for e in sorted(self.store.tables.values(), key=lambda e: e.ident)
+            ]
+            return Lazy(
+                self.spark.createDataFrame(
+                    rows, "catalog string, schema string, name string, kind string"
+                ),
+                engine=self,
+                sql=sql,
+            )
+        if m := _DESCRIBE_RE.match(sql):
+            entry = self._require(m.group(1), None)
+            if entry.kind == "topic":
+                rows = [
+                    (
+                        c.name,
+                        c.dtype
+                        + (str(list(c.row_shape)) if c.row_shape is not None else ""),
+                        not c.required,
+                    )
+                    for c in entry.columns
+                ]
+            else:  # view: describe the resolved plan's schema
+                rows = [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in self.spark.sql(entry.sql).schema.fields
+                ]
+            return Lazy(
+                self.spark.createDataFrame(
+                    rows, "col_name string, data_type string, nullable boolean"
+                ),
+                engine=self,
+                sql=sql,
+            )
         return None
 
     def read(self, name: str) -> DataFrame:

@@ -73,6 +73,86 @@ def t_pow(a: Column, p) -> Column:
     return F.transform(a, lambda x: F.pow(x, p))
 
 
+def t_tan(a: Column) -> Column:
+    return F.transform(a, F.tan)
+
+
+def t_asin(a: Column) -> Column:
+    return F.transform(a, F.asin)
+
+
+def t_acos(a: Column) -> Column:
+    return F.transform(a, F.acos)
+
+
+def t_atan(a: Column) -> Column:
+    return F.transform(a, F.atan)
+
+
+def t_atan2(a: Column, b: Column) -> Column:
+    """Elementwise atan2(y, x) (ops/binary_arith.rs:13)."""
+    return F.zip_with(a, b, lambda y, x: F.atan2(y, x))
+
+
+def t_exp2(a: Column) -> Column:
+    return F.transform(a, lambda x: F.pow(F.lit(2.0), x))
+
+
+def t_log2(a: Column) -> Column:
+    return F.transform(a, F.log2)
+
+
+def t_log10(a: Column) -> Column:
+    return F.transform(a, F.log10)
+
+
+# -- constructors (ops/constructors.rs:11-84) -------------------------------
+# Column forms: each builds a length-`n` array value per row — the Spark
+# analog of the reference's client-side tensor constructors.
+
+
+def t_full(n: int, value) -> Column:
+    return F.array_repeat(F.lit(value), n)
+
+
+def t_zeros(n: int) -> Column:
+    return t_full(n, 0.0)
+
+
+def t_ones(n: int) -> Column:
+    return t_full(n, 1.0)
+
+
+def t_range(start, stop, step=1) -> Column:
+    """Half-open integer range [start, stop) like constructors.rs range.
+    (F.sequence is inclusive of its stop, so pull it in by one unit.)"""
+    return F.sequence(
+        F.lit(start), F.lit(stop - (1 if step > 0 else -1)), F.lit(step)
+    )
+
+
+def t_linspace(start: float, stop: float, n: int) -> Column:
+    """n evenly spaced doubles over [start, stop] (inclusive ends)."""
+    if n < 2:
+        return F.array(F.lit(float(start)))
+    step = (float(stop) - float(start)) / (n - 1)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.lit(float(start)) + i.cast("double") * F.lit(step),
+    )
+
+
+def t_eye(n: int, flat: bool = True) -> Column:
+    """Identity matrix as a flattened row-major array<double> of n*n
+    elements — the storage form of a [n, n] tensor column (§1.2
+    tensor-valued columns are FixedSizeList-flattened)."""
+    idx = F.sequence(F.lit(0), F.lit(n * n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.when((i % n) == F.floor(i / n), 1.0).otherwise(0.0),
+    )
+
+
 # -- comparison → bool tensor (ops/cmp.rs:87-128) ---------------------------
 
 
@@ -80,12 +160,24 @@ def t_eq(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x == y)
 
 
+def t_ne(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x != y)
+
+
 def t_lt(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x < y)
 
 
+def t_lte(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x <= y)
+
+
 def t_gt(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x > y)
+
+
+def t_gte(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x >= y)
 
 
 # -- boolean reduce (ops/boolean.rs:8-14) -----------------------------------

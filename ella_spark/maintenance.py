@@ -34,8 +34,17 @@ def compact_topic(
     """Merge adjacent small shards into one time-sorted shard.
 
     Mirrors compact_shards (compact.rs:47-141): pick shards below
-    target until the running total reaches it, rewrite sorted,
-    transactionally swap (write tmp → rename → unlink originals).
+    target until the running total reaches it, rewrite sorted, then
+    swap (write tmp → rename merged in → unlink originals). The swap
+    is atomic per *file*, not per topic: between the rename and the
+    unlinks a concurrent batch scan may list both the merged shard and
+    the originals (transient double counting), and scans that listed
+    the originals earlier rely on ``spark.sql.files.ignoreMissingFiles``
+    (set in REQUIRED_CONFS) to skip the vanished files. Streaming
+    subscribers see the merged shard as NEW input and would re-deliver
+    its rows — run compaction only on quiesced topics (no active
+    subscribers), which is also the reference's implicit contract (its
+    Maintainer runs inside the single embedded process).
     Returns the new shard path, or None if nothing to do.
     """
     shards = topic.shards()
@@ -169,17 +178,15 @@ def refresh_rollup(
             F.avg(value_col).alias("v_avg"),
         )
     )
-    rows = agg.collect()
-    if not rows:
-        return 0
-    # drop stale versions of refreshed buckets, then append the new ones
-    refreshed = {r.time for r in rows}
-    if hwm is not None and hwm in refreshed:
+    # Drop the stale open-bucket row (it is being re-aggregated — source
+    # rows at/after hwm always include that bucket's rows, topics are
+    # append-only), then append the recomputed buckets DISTRIBUTED via
+    # the topic sink. Only the open-bucket rewrite touches the driver;
+    # a backfill from empty never collects aggregate rows (at 100 TB of
+    # history with fine buckets a driver collect would be unbounded).
+    if hwm is not None:
         _rewrite_without_buckets(roll, {hwm})
-    with roll.publish(capacity=max(len(rows), 1)) as pub:
-        for r in rows:
-            pub.write(r.time, r.n, r.v_sum, r.v_min, r.v_max, r.v_avg)
-    return len(rows)
+    return roll.insert(agg)
 
 
 def _rewrite_without_buckets(topic: Topic, buckets: set[int]) -> None:
@@ -195,3 +202,7 @@ def _rewrite_without_buckets(topic: Topic, buckets: set[int]) -> None:
             tmp = shard.with_name(f"_tmp-{shard.name}")
             pq.write_table(kept, tmp, row_group_size=1 << 20)
             tmp.replace(shard)
+            # Spark/Hadoop-written shards carry a .crc sidecar; it no
+            # longer matches the rewritten bytes and would fail reads.
+            crc = shard.with_name(f".{shard.name}.crc")
+            crc.unlink(missing_ok=True)

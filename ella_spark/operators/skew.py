@@ -27,7 +27,19 @@ def salted_join(
     (keys..., _salt), spreading a hot key over ``salt`` reducers at the
     cost of replicating the right side salt×: use when right is the
     smaller side but too big to broadcast.
+
+    Only ``inner`` and left-outer/semi/anti joins are correct here:
+    with a right/full join, every unmatched right row was replicated
+    ``salt`` times and would surface as ``salt`` duplicate null-padded
+    output rows.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized in {"right", "rightouter", "full", "fullouter", "outer",
+                      "rightsemi", "rightanti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right rows "
+            "are replicated salt times (use inner/left/left_semi/left_anti)"
+        )
     l_salted = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt))
     )

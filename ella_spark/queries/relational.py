@@ -72,25 +72,58 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_stats",
     oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS sx2,
+               count(*)                  AS n,
+               min(o_totalprice)         AS min_p,
+               max(o_totalprice)         AS max_p,
+               count(DISTINCT o_custkey) AS n_cust
+        FROM orders
+        GROUP BY o_orderstatus
+    )
     SELECT o_orderstatus,
-           round(stddev_samp(o_totalprice), 4) AS std_price,
-           round(var_samp(o_totalprice), 4)    AS var_price,
-           round(min(o_totalprice), 2)         AS min_price,
-           round(max(o_totalprice), 2)         AS max_price,
-           count(DISTINCT o_custkey)           AS n_cust
-    FROM orders
-    GROUP BY o_orderstatus
+           round(sqrt((CAST(sx2 AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      / (n - 1)), 4) AS std_price,
+           round((CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                 / (n - 1), 4)       AS var_price,
+           round(min_p, 2)           AS min_price,
+           round(max_p, 2)           AS max_price,
+           n_cust
+    FROM s
     """,
-    doc="Statistical aggregates: stddev/variance/min/max/count distinct.",
+    doc="Statistical aggregates: stddev/variance/min/max/count distinct. "
+    "Variance is computed from exact decimal sums (o_totalprice is a 2-dp "
+    "value, so DECIMAL(18,2) sums are exact) then identical IEEE-double "
+    "scalar math on both engines — Spark's partition-parallel moment "
+    "aggregation would otherwise diverge from DuckDB in the last digit.",
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
-        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy("o_orderstatus").agg(
+        F.sum(d).alias("sx"),
+        F.sum(d * d).alias("sx2"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_p"),
+        F.max("o_totalprice").alias("max_p"),
         F.countDistinct("o_custkey").alias("n_cust"),
+    )
+    var = (
+        F.col("sx2").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    ) / (F.col("n") - F.lit(1))
+    return s.select(
+        "o_orderstatus",
+        F.round(F.sqrt(var), 4).alias("std_price"),
+        F.round(var, 4).alias("var_price"),
+        F.round("min_p", 2).alias("min_price"),
+        F.round("max_p", 2).alias("max_price"),
+        "n_cust",
     )
 
 

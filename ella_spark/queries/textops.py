@@ -241,14 +241,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("dfreq")
     )
-    n_docs = d.count()
+    # Single plan: the corpus size enters as a broadcast 1-row aggregate
+    # instead of a driver-side d.count() (which would run an extra job
+    # and execute the scan twice).
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6
             ).alias("tfidf"),
         )
     )

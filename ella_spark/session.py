@@ -25,6 +25,10 @@ REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic timestamp semantics for the duckdb oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Compaction unlinks merged-away shards; a batch scan whose file
+    # index listed them moments earlier must skip, not fail, on the
+    # vanished files (compact_topic's reader contract).
+    "spark.sql.files.ignoreMissingFiles": "true",
 }
 
 # Performance configs — tuned for local[N] testing but chosen so the

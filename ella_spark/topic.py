@@ -124,15 +124,22 @@ class Topic:
         driver-side Publisher which mirrors the reference's client
         push).
         """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         cols = [c.name for c in self.entry.columns]
-        n = df.count()
+        # Count with an Observation DURING the write — a df.count() first
+        # would execute the whole source plan twice (at scale, INSERT INTO
+        # t SELECT <expensive> doubles the ingest computation).
+        obs = Observation()
         (
             df.select(cols)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .sortWithinPartitions(TIME_COLUMN)
             .write.mode("append")
             .parquet(str(self.path))
         )
-        return n
+        return int(obs.get["n"])
 
 
 class Publisher:
@@ -264,8 +271,16 @@ class Publisher:
 
 
 def _coerce_ns(v) -> int:
-    """Coerce datetime-ish values to epoch ns."""
+    """Coerce datetime-ish values to epoch ns.
+
+    - integral values (incl. numpy integers from pandas/arrow batches)
+      pass through as already-epoch-ns
+    - bare floats are epoch SECONDS (``Publisher.write(time.time(), ...)``
+      must not silently store a 1970-era timestamp)
+    - datetimes/pd.Timestamps convert exactly
+    """
     import datetime as dt
+    import numbers
 
     import pandas as pd
 
@@ -275,6 +290,8 @@ def _coerce_ns(v) -> int:
         if v.tzinfo is None:
             v = v.replace(tzinfo=dt.timezone.utc)
         return int(v.timestamp() * 1_000_000) * 1000
-    if isinstance(v, float):
+    if isinstance(v, numbers.Integral):
         return int(v)
+    if isinstance(v, float):
+        return int(v * 1_000_000_000)
     raise TypeError(f"cannot coerce {type(v)} to epoch ns")

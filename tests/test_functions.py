@@ -129,3 +129,62 @@ def test_approx_aggs_close_to_exact(spark):
         a = approx[flag]
         assert abs(a["approx_orders"] - e["orders"]) <= max(2, 0.05 * e["orders"])
         assert abs(a["approx_median_price"] - e["median_price"]) <= 0.1 * e["median_price"]
+
+
+def test_constructors_numpy_parity(spark):
+    """constructors.rs:11-84 parity: full/zeros/ones/range/linspace/eye."""
+    import numpy as np
+
+    row = spark.range(1).select(
+        T.t_full(4, 7.5).alias("full"),
+        T.t_zeros(3).alias("zeros"),
+        T.t_ones(3).alias("ones"),
+        T.t_range(2, 10, 3).alias("rng"),
+        T.t_linspace(0.0, 1.0, 5).alias("lin"),
+        T.t_eye(3).alias("eye"),
+    ).first()
+    assert row["full"] == [7.5] * 4
+    assert row["zeros"] == [0.0, 0.0, 0.0]
+    assert row["ones"] == [1.0, 1.0, 1.0]
+    assert row["rng"] == list(range(2, 10, 3))
+    assert row["lin"] == pytest.approx(np.linspace(0.0, 1.0, 5).tolist())
+    assert row["eye"] == np.eye(3).ravel().tolist()
+
+
+def test_extended_unary_numpy_parity(spark):
+    """unary_arith.rs:23-46 parity: tan/asin/acos/atan/atan2/exp2/log2/log10."""
+    import numpy as np
+
+    vals = [0.1, 0.5, 0.9]
+    df = spark.createDataFrame([(vals, [1.0, 2.0, 4.0])], "a array<double>, b array<double>")
+    row = df.select(
+        T.t_tan(F.col("a")).alias("tan"),
+        T.t_asin(F.col("a")).alias("asin"),
+        T.t_acos(F.col("a")).alias("acos"),
+        T.t_atan(F.col("a")).alias("atan"),
+        T.t_atan2(F.col("a"), F.col("b")).alias("atan2"),
+        T.t_exp2(F.col("b")).alias("exp2"),
+        T.t_log2(F.col("b")).alias("log2"),
+        T.t_log10(F.col("b")).alias("log10"),
+    ).first()
+    a, b = np.array(vals), np.array([1.0, 2.0, 4.0])
+    assert row["tan"] == pytest.approx(np.tan(a).tolist())
+    assert row["asin"] == pytest.approx(np.arcsin(a).tolist())
+    assert row["acos"] == pytest.approx(np.arccos(a).tolist())
+    assert row["atan"] == pytest.approx(np.arctan(a).tolist())
+    assert row["atan2"] == pytest.approx(np.arctan2(a, b).tolist())
+    assert row["exp2"] == pytest.approx(np.exp2(b).tolist())
+    assert row["log2"] == pytest.approx(np.log2(b).tolist())
+    assert row["log10"] == pytest.approx(np.log10(b).tolist())
+
+
+def test_extended_cmp(vec_df):
+    """cmp.rs:87-128 parity: ne/lte/gte."""
+    out = vec_df.where("id = 1").select(
+        T.t_ne(F.col("a"), F.col("a")).alias("ne_self"),
+        T.t_lte(F.col("a"), F.col("a")).alias("lte_self"),
+        T.t_gte(F.col("a"), F.col("b")).alias("gte"),
+    ).first()
+    assert out["ne_self"] == [False, False, False]
+    assert out["lte_self"] == [True, True, True]
+    assert out["gte"] == [False, False, False]

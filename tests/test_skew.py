@@ -41,3 +41,18 @@ def test_salted_agg_matches_plain(spark):
     assert salted.keys() == plain.keys()
     for k in plain:
         assert abs(salted[k] - plain[k]) < 1e-6
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full joins would emit `salt` duplicate null-padded rows for
+    unmatched right rows — the operator refuses them."""
+    import pytest
+
+    from ella_spark.operators.skew import salted_join
+
+    left = spark.range(10).withColumnRenamed("id", "k")
+    right = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, ["k"], how=how)
+    salted_join(left, right, ["k"], how="left_anti")  # allowed
