@@ -46,6 +46,11 @@ _CREATE_SCHEMA_RE = re.compile(
 _CREATE_CATALOG_RE = re.compile(
     r"^\s*create\s+catalog\s+(if\s+not\s+exists\s+)?([A-Za-z0-9_.]+)\s*$", re.I
 )
+#: `now()` in query text — evaluated ONCE per statement as epoch-ns
+#: (the reference's streaming query-time cut, README.md:96-105; Time
+#: is ns, ella-common/src/time.rs:28-45). Spark's own now() returns a
+#: µs timestamp which would not compare against our ns long columns.
+_NOW_RE = re.compile(r"\bnow\s*\(\s*\)", re.I)
 _DROP_SCHEMA_RE = re.compile(
     r"^\s*drop\s+(?:schema|database)\s+(if\s+exists\s+)?([A-Za-z0-9_.]+)"
     r"\s*(cascade)?\s*$",
@@ -253,7 +258,17 @@ class Ella:
         topic's distributed sink (the reference's DataSink path,
         topic.rs:205-213 via InsertExec) and yields a single-row
         ``count`` frame, matching the reference's returned row count.
+
+        ``now()`` is substituted once per statement with the current
+        epoch-ns, so ``WHERE time < now()`` is the reference's bounded
+        history cut (README.md:96-105). SQL queries always read the
+        history tier; the live tail is ``scan(mode="live"/"auto")`` or
+        ``subscribe()`` (Spark separates batch and streaming plans —
+        SURVEY §1.4.3).
         """
+        import time as _time_mod
+
+        sql = _NOW_RE.sub(str(_time_mod.time_ns()), sql)
         self._register_all()
         ddl = self._dispatch_ddl(sql)
         if ddl is not None:
@@ -359,6 +374,11 @@ class Ella:
         """Streaming scan of a topic (Subscriber parity,
         channel.rs:250-331): returns an unbounded streaming DataFrame."""
         return self.topic(name).read_stream(self.spark)
+
+    def scan(self, name: str, mode: str = "auto", **kw):
+        """Unified history+live topic scan (Topic.scan; the reference's
+        default `SELECT * FROM topic` behavior, topic.rs:165-203)."""
+        return self.topic(name).scan(self.spark, mode=mode, **kw)
 
     # -- helpers --------------------------------------------------------------
 

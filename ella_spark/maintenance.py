@@ -47,7 +47,20 @@ def compact_topic(
     Maintainer runs inside the single embedded process).
     Returns the new shard path, or None if nothing to do.
     """
-    shards = topic.shards()
+    out: Path | None = None
+    for bucket_dir in topic.bucket_dirs():
+        merged = _compact_dir(bucket_dir, target_rows, min_shards)
+        if merged is not None:
+            out = merged
+    return out
+
+
+def _compact_dir(
+    bucket_dir: Path, target_rows: int, min_shards: int
+) -> Path | None:
+    """Compact one time-bucket directory (compaction never crosses
+    bucket boundaries — partition pruning depends on the dirs)."""
+    shards = sorted(bucket_dir.glob("part-*.parquet"))
     sizes = {p: pq.ParquetFile(p).metadata.num_rows for p in shards}
     group: list[Path] = []
     total = 0
@@ -65,12 +78,13 @@ def compact_topic(
     import pyarrow as pa
 
     merged = pa.concat_tables(tables).sort_by([(TIME_COLUMN, "ascending")])
-    out = topic.path / f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+    out = bucket_dir / f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
     tmp = out.with_name(f"_tmp-{out.name}")
     pq.write_table(merged, tmp, row_group_size=1 << 20)
     tmp.replace(out)
     for p in group:
         p.unlink()
+        p.with_name(f".{p.name}.crc").unlink(missing_ok=True)
     return out
 
 
@@ -95,10 +109,11 @@ def cleanup_orphans(store, max_age_sec: float = 3600.0) -> list[Path]:
                     shutil.rmtree(table_dir)
                     removed.append(table_dir)
                     continue
-                for tmp in table_dir.glob("_tmp-*"):
-                    if now - tmp.stat().st_mtime > max_age_sec:
-                        tmp.unlink()
-                        removed.append(tmp)
+                for pattern in ("_tmp-*", "*/_tmp-*"):
+                    for tmp in table_dir.glob(pattern):
+                        if now - tmp.stat().st_mtime > max_age_sec:
+                            tmp.unlink()
+                            removed.append(tmp)
     return removed
 
 

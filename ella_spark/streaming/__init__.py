@@ -68,11 +68,7 @@ def subscribe_to_memory(
     Read results with ``spark.sql(f"SELECT * FROM {name}")``.
     """
     name = name or f"sub_{topic.entry.name}"
-    stream = (
-        spark.readStream.schema(topic.spark_schema())
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(str(topic.path))
-    )
+    stream = topic.read_stream(spark, max_files_per_trigger)
     return (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -104,6 +100,69 @@ def read_available(topic: Topic, spark) -> DataFrame:
     reference's unbounded scan ending when publishers drop
     (README.md:96-105), for the common test/batch case."""
     return topic.read(spark)
+
+
+def unified_scan(
+    topic: Topic,
+    spark,
+    since_ns: int | None = None,
+    poll_sec: float = 0.1,
+    timeout_sec: float = 60.0,
+):
+    """History **then** live rows from one call — the reference's
+    signature topic-scan behavior (topic.rs:165-203: parquet shards →
+    rw buffer → live channel in one ExecutionPlan; README.md:96-105).
+
+    Yields ``pyspark.sql.Row``s in arrival order: Spark's file stream
+    source delivers the pre-existing shards as the first micro-batches
+    (the history tier) and every subsequently published shard as live
+    input — one streaming plan plays both roles. The generator
+    terminates when no active (tracked) publishers remain and the
+    backlog is drained (stop_on_inactive, channel.rs:283-318), or at
+    ``timeout_sec``.
+
+    ``since_ns`` filters the stream to ``time > since_ns`` — passing
+    the current time gives the reference's ``WHERE time > now()``
+    live-only mode.
+
+    The memory-sink poll is a client-side tail — bounded by what one
+    subscriber can consume, exactly like the reference's per-subscriber
+    broadcast queue (it errors past 1024 batches; we buffer instead).
+    """
+    import pyspark.sql.functions as F
+
+    name = f"scan_{topic.entry.name}_{uuid.uuid4().hex[:8]}"
+    stream = topic.read_stream(spark)
+    if since_ns is not None:
+        stream = stream.where(F.col(TIME_COLUMN) > since_ns)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            str(topic.store.meta_dir / "checkpoints" / name),
+        )
+        .start()
+    )
+    seen = 0
+    deadline = time.time() + timeout_sec
+    try:
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if len(rows) > seen:
+                yield from rows[seen:]
+                seen = len(rows)
+                continue
+            if active_publishers(topic) == 0:
+                query.processAllAvailable()
+                rows = spark.sql(f"SELECT * FROM {name}").collect()
+                if len(rows) > seen:
+                    yield from rows[seen:]
+                return
+            time.sleep(poll_sec)
+    finally:
+        query.stop()
+        spark.catalog.dropTempView(name)
 
 
 # -- time windows (beyond-reference conveniences, §F last row) ---------------

@@ -34,6 +34,18 @@ from ella_spark.types import TIME_COLUMN, Column
 #: TableConfig.write_batch_size=1024 (table/config.rs:16).
 DEFAULT_CAPACITY = 1024
 
+#: Time-bucket directory partitioning (SURVEY §7 Phase 3 — a deliberate
+#: improvement over the reference's flat shard dir, shard.rs:320-330).
+#: Shards live under ``__bucket=<day>/`` where day = time_ns div DAY_NS:
+#: at 100 TB a time-range scan prunes whole directories instead of
+#: relying on footer stats across 10^6 files.
+DAY_NS = 86_400 * 1_000_000_000
+PARTITION_COL = "__bucket"
+
+
+def time_bucket(time_ns: int) -> int:
+    return time_ns // DAY_NS  # floor division — negative times bucket left
+
 
 def _arrow_type(col: Column) -> pa.DataType:
     base = {
@@ -83,18 +95,54 @@ class Topic:
 
         return StructType([c.to_struct_field() for c in self.entry.columns])
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def _partitioned_schema(self):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        base = self.spark_schema()
+        return StructType(
+            list(base.fields) + [StructField(PARTITION_COL, LongType(), True)]
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+    ) -> DataFrame:
         """Batch scan of all durable shards (history tier).
 
         Explicit schema: works on an empty topic and skips footer
         merging; Catalyst pushes filters/projection into the scan.
+        With ``start_ns``/``end_ns`` (half-open ``[start, end)``) the
+        scan also filters the ``__bucket`` partition column, so whole
+        day directories prune out of the file listing (PartitionFilters
+        in the plan) before any footer is read.
         """
+        from pyspark.sql import functions as F
+
         from ella_spark.session import configure
 
         configure(spark)
-        return spark.read.schema(self.spark_schema()).parquet(str(self.path))
+        df = (
+            spark.read.schema(self._partitioned_schema())
+            .option("basePath", str(self.path))
+            .parquet(str(self.path))
+        )
+        if start_ns is not None:
+            df = df.where(
+                (F.col(PARTITION_COL) >= time_bucket(start_ns))
+                & (F.col(TIME_COLUMN) >= start_ns)
+            )
+        if end_ns is not None:
+            df = df.where(
+                (F.col(PARTITION_COL) <= time_bucket(end_ns - 1))
+                & (F.col(TIME_COLUMN) < end_ns)
+            )
+        return df.drop(PARTITION_COL)
 
-    def read_stream(self, spark: SparkSession) -> DataFrame:
+    def read_stream(
+        self, spark: SparkSession, max_files_per_trigger: int = 8
+    ) -> DataFrame:
         """Live tail as a Structured Streaming file source — the
         subscriber role of the broadcast channel (channel.rs:347-512).
         New shards appear as new micro-batch input; ordering within a
@@ -103,13 +151,48 @@ class Topic:
 
         configure(spark)
         return (
-            spark.readStream.schema(self.spark_schema())
-            .option("maxFilesPerTrigger", 8)  # lag bound ≈ subscriber queue
+            spark.readStream.schema(self._partitioned_schema())
+            # lag bound ≈ subscriber queue
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("basePath", str(self.path))
             .parquet(str(self.path))
+            .drop(PARTITION_COL)
         )
 
+    def scan(self, spark: SparkSession, mode: str = "auto", **kw):
+        """Unified topic scan — the reference's query-time cut
+        (README.md:96-105; SURVEY §F):
+
+        - ``history``: bounded batch DataFrame (``WHERE time < now()``)
+        - ``live``:    generator of rows published after this call
+          (``WHERE time > now()``), ends on stop-on-inactive
+        - ``auto``:    generator of history rows **then** live rows in
+          one scan (no predicate — the reference's default), ends on
+          stop-on-inactive
+
+        ``kw`` passes through (``since_ns``/``poll_sec``/``timeout_sec``
+        for the streaming modes; ``start_ns``/``end_ns`` for history).
+        """
+        import time as _t
+
+        from ella_spark.streaming import unified_scan
+
+        if mode == "history":
+            return self.read(spark, **kw)
+        if mode == "live":
+            kw.setdefault("since_ns", _t.time_ns())
+            return unified_scan(self, spark, **kw)
+        if mode == "auto":
+            return unified_scan(self, spark, **kw)
+        raise ValueError(f"mode must be history|live|auto, got {mode!r}")
+
     def shards(self) -> list[Path]:
-        return sorted(self.path.glob("part-*.parquet"))
+        return sorted(self.path.glob(f"{PARTITION_COL}=*/part-*.parquet"))
+
+    def bucket_dirs(self) -> list[Path]:
+        return sorted(
+            p for p in self.path.glob(f"{PARTITION_COL}=*") if p.is_dir()
+        )
 
     # -- writes ----------------------------------------------------------------
 
@@ -135,8 +218,19 @@ class Topic:
         (
             df.select(cols)
             .observe(obs, F.count(F.lit(1)).alias("n"))
+            # floor-division bucket in pure long arithmetic (a double
+            # intermediate is lossy at epoch-ns magnitudes; pmod keeps
+            # negative times bucketing left like Python's //)
+            .withColumn(
+                PARTITION_COL,
+                F.expr(
+                    f"({TIME_COLUMN} - pmod({TIME_COLUMN}, {DAY_NS}))"
+                    f" div {DAY_NS}"
+                ),
+            )
             .sortWithinPartitions(TIME_COLUMN)
             .write.mode("append")
+            .partitionBy(PARTITION_COL)
             .parquet(str(self.path))
         )
         return int(obs.get["n"])
@@ -240,7 +334,13 @@ class Publisher:
     # -- flush / close ----------------------------------------------------------
 
     def flush(self) -> Path | None:
-        """Write buffered rows as one time-sorted shard (atomic)."""
+        """Write buffered rows as time-sorted shards, one per day bucket
+        (atomic per shard: tmp + rename). Returns the last shard path.
+
+        A buffer rarely spans buckets (rows arrive near now()), so the
+        common case is exactly one shard — the reference's single-shard
+        flush — while backfill batches split cleanly into their days.
+        """
         if not self._rows:
             return None
         cols = list(zip(*self._rows))
@@ -250,10 +350,24 @@ class Publisher:
         ]
         table = pa.Table.from_arrays(arrays, schema=self.schema)
         table = table.sort_by([(TIME_COLUMN, "ascending")])
-        shard = self.topic.path / f"part-{_time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
-        tmp = shard.with_name(f"_tmp-{shard.name}")
-        pq.write_table(table, tmp, row_group_size=1 << 20)
-        tmp.replace(shard)
+        times = table.column(TIME_COLUMN).to_pylist()
+        buckets = [time_bucket(t) for t in times]
+        shard: Path | None = None
+        lo = 0
+        while lo < len(buckets):  # time-sorted → buckets are contiguous runs
+            hi = lo
+            while hi < len(buckets) and buckets[hi] == buckets[lo]:
+                hi += 1
+            bucket_dir = self.topic.path / f"{PARTITION_COL}={buckets[lo]}"
+            bucket_dir.mkdir(parents=True, exist_ok=True)
+            shard = (
+                bucket_dir
+                / f"part-{_time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            tmp = shard.with_name(f"_tmp-{shard.name}")
+            pq.write_table(table.slice(lo, hi - lo), tmp, row_group_size=1 << 20)
+            tmp.replace(shard)
+            lo = hi
         self.rows_written += len(self._rows)
         self._rows.clear()
         return shard

@@ -348,3 +348,50 @@ def test_rollup_backfill_distributed(db, spark):
     assert n == 10  # 600 s of data -> 10 one-minute buckets
     out = db.query("SELECT count(*) AS c, sum(n) AS rows FROM bf_1m").execute()
     assert out["c"].iloc[0] == 10 and out["rows"].iloc[0] == 600
+
+
+def test_time_bucket_partition_pruning(db, spark):
+    """SURVEY §7 Phase 3: shards land in __bucket=<day> dirs and a
+    time-range read prunes to one bucket dir via PartitionFilters —
+    at 100 TB this skips whole directories, not just parquet footers."""
+    from ella_spark.topic import DAY_NS
+
+    topic = db.create_topic("buck", [Column("v", "float64")])
+    with topic.publish() as pub:
+        for day in range(3):
+            pub.write(day * DAY_NS + 1_000, float(day))
+            pub.flush()  # one shard per day
+    dirs = topic.bucket_dirs()
+    assert [d.name for d in dirs] == ["__bucket=0", "__bucket=1", "__bucket=2"]
+
+    pruned = topic.read(spark, start_ns=DAY_NS, end_ns=2 * DAY_NS)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan and "PartitionFilters" in plan
+    rows = pruned.collect()
+    assert [r.v for r in rows] == [1.0]
+    # the pruned scan must list exactly one of the three bucket dirs
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip()  # non-empty partition filters
+
+    # full scan still sees everything, ordered
+    assert [r.v for r in topic.read(spark).orderBy("time").collect()] == [
+        0.0, 1.0, 2.0,
+    ]
+
+
+def test_insert_writes_bucket_dirs(db, spark):
+    """Distributed INSERT also lands in __bucket dirs (same layout as
+    the publisher) and negative times bucket left like Python //."""
+    from ella_spark.topic import DAY_NS
+
+    topic = db.create_topic("buck2", [Column("v", "float64")])
+    src = spark.createDataFrame(
+        [(-1, -1.0), (5, 0.0), (DAY_NS + 5, 1.0)], "time long, v double"
+    )
+    topic.insert(src)
+    names = {d.name for d in topic.bucket_dirs()}
+    assert names == {"__bucket=-1", "__bucket=0", "__bucket=1"}
+    out = db.query("SELECT time, v FROM buck2 ORDER BY time").execute()
+    assert list(out["v"]) == [-1.0, 0.0, 1.0]

@@ -111,7 +111,10 @@ def test_f5_events_replay(db, spark):
     pub = topic.publish(capacity=256)
     pub.write_batch(src)
     pub.close()
-    assert len(topic.shards()) == int(np.ceil(len(src) / 256))
+    # each 256-row flush yields one shard per day bucket it spans
+    # (time-bucket layout): at least one shard per flush, all bucketed
+    assert len(topic.shards()) >= int(np.ceil(len(src) / 256))
+    assert topic.bucket_dirs() and not list(topic.path.glob("part-*.parquet"))
     out = db.query(
         "SELECT time, event_id, user_id, event_type, value, props "
         "FROM events_replayed ORDER BY event_id"

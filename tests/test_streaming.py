@@ -136,3 +136,69 @@ def test_stateful_running_stats(db, spark):
         assert last.loc["b", "n"] == 1 and last.loc["b", "last_v"] == 10.0
     finally:
         q.stop()
+
+
+def test_unified_scan_history_then_live(db, spark):
+    """Fixture mirror of the reference pubsub example
+    (ella-engine/examples/pubsub.rs:43-82): pre-existing rows, then a
+    no-predicate scan sees history AND rows published while it runs,
+    and terminates when the last publisher closes."""
+    import threading
+
+    from ella_spark.streaming import TrackedPublisher
+
+    topic = db.create_topic("pubsub", [Column("v", "int64")])
+    with TrackedPublisher(topic) as pub:  # history tier
+        pub.write(1_000, 1)
+        pub.write(2_000, 2)
+
+    live = TrackedPublisher(topic)
+
+    def publish_live():
+        time.sleep(0.5)
+        live.write(3_000, 3)
+        live.flush()
+        time.sleep(0.5)
+        live.write(4_000, 4)
+        live.close()  # → stop_on_inactive fires
+
+    t = threading.Thread(target=publish_live)
+    t.start()
+    rows = list(db.scan("pubsub", mode="auto", timeout_sec=60))
+    t.join()
+    assert sorted(r.v for r in rows) == [1, 2, 3, 4]
+    # history arrived before the rows published mid-scan
+    assert [r.v for r in rows[:2]] == [1, 2]
+
+
+def test_scan_live_mode_skips_history(db, spark):
+    import threading
+
+    from ella_spark.streaming import TrackedPublisher
+
+    topic = db.create_topic("liveonly", [Column("v", "int64")])
+    with TrackedPublisher(topic) as pub:
+        pub.write(1_000, 1)  # history — must NOT appear
+
+    live = TrackedPublisher(topic)
+
+    def publish_live():
+        time.sleep(0.5)
+        live.write(time.time_ns() + 10_000_000_000, 42)
+        live.close()
+
+    t = threading.Thread(target=publish_live)
+    t.start()
+    rows = list(db.scan("liveonly", mode="live", timeout_sec=60))
+    t.join()
+    assert [r.v for r in rows] == [42]
+
+
+def test_query_now_substitution(db):
+    """`WHERE time < now()` = bounded history cut (README.md:96-105)."""
+    topic = db.create_topic("nowq", [Column("v", "int64")])
+    with topic.publish() as pub:
+        pub.write(1_000, 1)  # 1970-era: far in the past
+        pub.write(time.time_ns() + 3_600_000_000_000, 2)  # 1h in the future
+    out = db.query("SELECT v FROM nowq WHERE time < now()").execute()
+    assert list(out["v"]) == [1]
