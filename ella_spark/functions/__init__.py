@@ -247,11 +247,45 @@ def t_compress(a: Column) -> Column:
     return F.filter(a, lambda x: x.isNotNull())
 
 
+def t_mask(a: Column, keep: Column) -> Column:
+    """Apply a boolean mask elementwise: null where ``keep`` is false
+    (ops/masked.rs mask/with_mask — null IS the mask in Arrow terms)."""
+    return F.zip_with(a, keep, lambda x, k: F.when(k, x))
+
+
+def t_with_mask(a: Column, keep: Column) -> Column:
+    return t_mask(a, keep)
+
+
+def t_drop_mask(a: Column, fill=0.0) -> Column:
+    """Discard the mask, exposing raw values (ops/masked.rs drop_mask).
+    Arrow keeps undefined values under the mask; Spark nulls carry no
+    value, so masked slots surface as ``fill``."""
+    return F.transform(a, lambda x: F.coalesce(x, F.lit(fill)))
+
+
+def t_get_mask(a: Column) -> Column:
+    """The validity mask itself: true where a value is present."""
+    return F.transform(a, lambda x: x.isNotNull())
+
+
 # -- combine (ops/combine.rs) ------------------------------------------------
 
 
 def t_concat(*arrays: Column) -> Column:
     return F.concat(*arrays)
+
+
+def t_stack(*arrays: Column) -> Column:
+    """Stack k length-n arrays into one array<array> of shape [k, n]
+    (ops/combine.rs:68 stack along a new leading axis)."""
+    return F.array(*arrays)
+
+
+def t_unstack(a: Column, k: int) -> list[Column]:
+    """Inverse of t_stack: split an array<array> of k rows back into k
+    array columns (ops/combine.rs:97)."""
+    return [F.element_at(a, i + 1) for i in range(k)]
 
 
 # -- time bucketing (the DataFusion date_bin workhorse, SURVEY §2.B) --------

@@ -35,10 +35,37 @@ class Lazy:
         partitions lazily instead of collecting."""
         return self.df.toLocalIterator()
 
-    def rows(self) -> Iterator[tuple]:
-        """Typed row iterator (Lazy::rows / RowStream parity)."""
-        for r in self.df.toLocalIterator():
-            yield tuple(r)
+    def rows(self, row_type: type | None = None) -> Iterator:
+        """Typed row iterator (Lazy::rows / RowStream parity).
+
+        With ``row_type`` — a dataclass (or any class constructible by
+        field name) — each row maps to an instance by column name: the
+        Python analog of ``#[derive(RowFormat)]`` + ``Lazy::rows::<R>()``
+        (ella-derive/src/lib.rs:7-23). Missing columns raise; extra
+        result columns are ignored so SELECT * works against a narrower
+        row type.
+        """
+        if row_type is None:
+            for r in self.df.toLocalIterator():
+                yield tuple(r)
+            return
+        import dataclasses
+
+        if dataclasses.is_dataclass(row_type):
+            names = [f.name for f in dataclasses.fields(row_type)]
+        else:
+            names = list(getattr(row_type, "_fields", ()))  # NamedTuple
+            if not names:
+                raise TypeError(
+                    f"{row_type.__name__} must be a dataclass or NamedTuple"
+                )
+        missing = [n for n in names if n not in self.df.columns]
+        if missing:
+            raise ValueError(
+                f"result lacks columns {missing} required by {row_type.__name__}"
+            )
+        for r in self.df.select(names).toLocalIterator():
+            yield row_type(**r.asDict())
 
     # -- plan rewrites (lazy.rs:46-97) ----------------------------------------
 

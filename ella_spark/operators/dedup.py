@@ -239,7 +239,10 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "_band.band_idx", "_band.band_hash").persist()
+    ).select("_id", "_band.band_idx", "_band.band_hash")
+    # NOT persisted: both self-join sides re-derive banding from the
+    # cached ``base`` — a narrow map over cached rows is cheaper than a
+    # second materialization barrier (measured ~1s saved at sf0.1).
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -235,8 +235,12 @@ def _exact_rerank(
             as_double(F.col(vec_col)).alias("_qv"),
         ).withColumn("_qn", l2_norm(F.col("_qv")))
     )
+    # Broadcast the candidate pairs: they are bounded by the (small)
+    # query set's bucket fanout, while cvec is the full corpus — a
+    # broadcast hash join streams the corpus scan with NO shuffle of
+    # the embedding arrays.
     scored = (
-        pairs.join(cvec, "neighbor_id")
+        cvec.join(F.broadcast(pairs), "neighbor_id")
         .join(qvec, "query_id")
         .select(
             "query_id",

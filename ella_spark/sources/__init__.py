@@ -48,6 +48,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _parse_bytes(s: str) -> int:
+    s = s.strip().lower()
+    for suf, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(s)
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Ensure at least ``defaultParallelism`` partitions before a
     compute-heavy narrow stage (shingling, vector math UDFs).
@@ -58,8 +69,25 @@ def fan_out(df: DataFrame) -> DataFrame:
     and this is a no-op — so the repartition never becomes a gratuitous
     shuffle at scale; it only rescues the small-input case.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # Estimate the scan's split count from the file listing instead of
+    # df.rdd.getNumPartitions(): the RDD bridge forces plan analysis
+    # and breaks under Spark Connect. splits ≈ max(n_files,
+    # total_bytes / maxPartitionBytes) — the file-source packing rule.
+    files = df.inputFiles()
+    local = [f[len("file:"):] for f in files if f.startswith("file:")]
+    if len(local) != len(files):
+        return df  # remote storage → big-data path, scan already fans out
+    try:
+        total = sum(os.path.getsize(f) for f in local)
+    except OSError:
+        return df
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    splits = max(len(files), -(-total // max(max_bytes, 1)))
+    if splits < target:
         return df.repartition(target)
     return df
 

@@ -350,14 +350,15 @@ class Publisher:
         ]
         table = pa.Table.from_arrays(arrays, schema=self.schema)
         table = table.sort_by([(TIME_COLUMN, "ascending")])
-        times = table.column(TIME_COLUMN).to_pylist()
-        buckets = [time_bucket(t) for t in times]
+        import numpy as np
+
+        # numpy floor-division matches Python // for negatives; time is
+        # a required column so to_numpy is zero-copy int64
+        buckets = table.column(TIME_COLUMN).to_numpy() // DAY_NS
+        # time-sorted → buckets are contiguous runs
+        edges = [0, *(np.flatnonzero(np.diff(buckets)) + 1), len(buckets)]
         shard: Path | None = None
-        lo = 0
-        while lo < len(buckets):  # time-sorted → buckets are contiguous runs
-            hi = lo
-            while hi < len(buckets) and buckets[hi] == buckets[lo]:
-                hi += 1
+        for lo, hi in zip(edges[:-1], edges[1:]):
             bucket_dir = self.topic.path / f"{PARTITION_COL}={buckets[lo]}"
             bucket_dir.mkdir(parents=True, exist_ok=True)
             shard = (
@@ -367,7 +368,6 @@ class Publisher:
             tmp = shard.with_name(f"_tmp-{shard.name}")
             pq.write_table(table.slice(lo, hi - lo), tmp, row_group_size=1 << 20)
             tmp.replace(shard)
-            lo = hi
         self.rows_written += len(self._rows)
         self._rows.clear()
         return shard

@@ -395,3 +395,10 @@ def test_insert_writes_bucket_dirs(db, spark):
     assert names == {"__bucket=-1", "__bucket=0", "__bucket=1"}
     out = db.query("SELECT time, v FROM buck2 ORDER BY time").execute()
     assert list(out["v"]) == [-1.0, 0.0, 1.0]
+
+
+def test_insert_empty_source_returns_zero(db, spark):
+    """Observation-based count must not hang on a zero-row write."""
+    topic = db.create_topic("empty_ins", [Column("v", "float64")])
+    src = spark.range(0).selectExpr("id AS time", "CAST(id AS double) AS v")
+    assert topic.insert(src) == 0

@@ -188,3 +188,56 @@ def test_extended_cmp(vec_df):
     assert out["ne_self"] == [False, False, False]
     assert out["lte_self"] == [True, True, True]
     assert out["gte"] == [False, False, False]
+
+
+def test_mask_ops_full_set(vec_df):
+    """masked.rs:30-62 parity: mask/with_mask/drop_mask/get_mask."""
+    out = vec_df.where("id = 1").select(
+        T.t_mask(F.col("a"), F.array(F.lit(True), F.lit(False), F.lit(True))).alias("m"),
+        T.t_get_mask(
+            T.t_mask(F.col("a"), F.array(F.lit(True), F.lit(False), F.lit(True)))
+        ).alias("gm"),
+    ).first()
+    assert out["m"] == [1.0, None, 3.0]
+    assert out["gm"] == [True, False, True]
+    out2 = vec_df.where("id = 2").select(
+        T.t_drop_mask(F.col("a"), fill=-9.0).alias("dm")
+    ).first()
+    assert out2["dm"] == [0.0, -1.0, -9.0]
+
+
+def test_stack_unstack(vec_df):
+    row = vec_df.where("id = 1").select(
+        T.t_stack(F.col("a"), F.col("b")).alias("s")
+    ).first()
+    assert row["s"] == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+    cols = T.t_unstack(T.t_stack(F.col("a"), F.col("b")), 2)
+    back = vec_df.where("id = 1").select(
+        cols[0].alias("u0"), cols[1].alias("u1")
+    ).first()
+    assert back["u0"] == [1.0, 2.0, 3.0] and back["u1"] == [4.0, 5.0, 6.0]
+
+
+def test_lazy_rows_dataclass(spark, tmp_path):
+    """RowFormat-derive analog: Lazy.rows(dataclass) maps by name."""
+    import dataclasses
+
+    from ella_spark import Column, Ella
+
+    @dataclasses.dataclass
+    class Point:
+        time: int
+        x: float
+
+    db = Ella.create(str(tmp_path / "rowsdb"), spark)
+    t = db.create_topic("pts", [Column("x", "float64")])
+    with t.publish() as pub:
+        pub.write(1_000, 1.5)
+        pub.write(2_000, 2.5)
+    got = list(db.query("SELECT time, x FROM pts ORDER BY time").rows(Point))
+    assert got == [Point(1_000, 1.5), Point(2_000, 2.5)]
+    # extra result columns are ignored; missing ones raise
+    got2 = list(db.query("SELECT *, x + 1 AS x1 FROM pts").rows(Point))
+    assert len(got2) == 2 and isinstance(got2[0], Point)
+    with pytest.raises(ValueError, match="lacks columns"):
+        list(db.query("SELECT time FROM pts").rows(Point))
