@@ -68,4 +68,48 @@ def _load() -> None:
         arrays,
     )
 
+    _reorder()
     _LOADED = True
+
+
+def _rank(name: str) -> int:
+    """Priority tier for the driver's budget-limited prefix:
+
+    0. LLM-pipeline flagships (dedup / ANN / text) — absent from
+       CORRECTNESS_r01, the round-1 top gap
+    1. time-series / window / array ops — the engine's TSDB identity
+    2. TPC-H shapes + aggregate families
+    3. generic SQL surface (scalar fns, set ops, subqueries) — all
+       green in round 1, lowest re-verification risk
+    """
+    if name.startswith(("q_dedup", "q_ann")) or name in {
+        "q_token_count", "q_quality_score", "q_lang_id", "q_doc_fingerprint",
+        "q_lang_source_stats", "q_tfidf_top_terms", "q_tokenize_bpe",
+    }:
+        return 0
+    if name in {
+        "q_date_bin_5min", "q_date_trunc_parts", "q_latest_per_key",
+        "q_time_range_scan", "q_session_gaps", "q_json_props",
+        "q_event_type_pivot", "q_asof_join", "q_gap_fill", "q_rolling_1h",
+        "q_rank_per_group", "q_running_sum", "q_lag_lead",
+        "q_ntile_percentiles", "q_first_last_value", "q_array_basics",
+        "q_vector_norms", "q_vector_arith", "q_label_centroid_dist",
+    }:
+        return 1
+    if name in {
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
+        "q_agg_stats", "q_corr_covar", "q_rollup", "q_grouping_sets",
+        "q_cube", "q_having", "q_approx_aggs", "q_array_bool_aggs",
+        "q_outer_join", "q_full_outer_join", "q_semi_anti_join",
+    }:
+        return 2
+    return 3
+
+
+def _reorder() -> None:
+    """Stable-sort REGISTRY by tier (insertion order within a tier)."""
+    items = sorted(REGISTRY.items(), key=lambda kv: _rank(kv[0]))
+    ordered = dict(items)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)

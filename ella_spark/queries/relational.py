@@ -868,3 +868,34 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
     )
+
+
+@register(
+    "q_array_bool_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           bool_and(o_totalprice > 1000)     AS all_over_1k,
+           bool_or(o_totalprice > 400000)    AS any_over_400k,
+           bit_and(o_orderkey % 256)         AS key_bit_and,
+           bit_or(o_orderkey % 256)          AS key_bit_or,
+           count(*)                          AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="array_agg / bool_and / bool_or / bit_and / bit_or aggregates "
+    "(DataFusion-27 agg surface, SURVEY §2.B aggregation row; the "
+    "collected set is sorted+joined so the comparison is order-free).",
+)
+def q_array_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bit_and(F.col("o_orderkey") % 256).alias("key_bit_and"),
+        F.bit_or(F.col("o_orderkey") % 256).alias("key_bit_or"),
+        F.count(F.lit(1)).alias("n"),
+    )

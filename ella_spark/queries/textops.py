@@ -262,3 +262,32 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_tokenize_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT) AS n_distinct,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_runs
+    FROM documents
+    """,
+    doc="BPE-ish regex tokenization (letter runs / digit runs / single "
+    "punctuation — the pre-tokenizer split of GPT-style BPE): token "
+    "and distinct-token counts per document, pure JVM regexp.",
+)
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))
+        ).cast("bigint").alias("n_number_runs"),
+    )

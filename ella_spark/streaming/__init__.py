@@ -102,12 +102,19 @@ def read_available(topic: Topic, spark) -> DataFrame:
     return topic.read(spark)
 
 
+class Lagged(RuntimeError):
+    """Subscriber fell more than the queue bound behind the live feed
+    (reference parity: the broadcast channel errors a slow subscriber
+    rather than buffering unboundedly, channel.rs:289-294)."""
+
+
 def unified_scan(
     topic: Topic,
     spark,
     since_ns: int | None = None,
     poll_sec: float = 0.1,
     timeout_sec: float = 60.0,
+    max_lag_rows: int | None = None,
 ):
     """History **then** live rows from one call — the reference's
     signature topic-scan behavior (topic.rs:165-203: parquet shards →
@@ -126,8 +133,10 @@ def unified_scan(
     live-only mode.
 
     The memory-sink poll is a client-side tail — bounded by what one
-    subscriber can consume, exactly like the reference's per-subscriber
-    broadcast queue (it errors past 1024 batches; we buffer instead).
+    subscriber can consume, like the reference's per-subscriber
+    broadcast queue. With ``max_lag_rows`` set, a consumer that falls
+    further behind than that raises :class:`Lagged` — the reference's
+    slow-subscriber error (default: buffer without bound).
     """
     import pyspark.sql.functions as F
 
@@ -149,6 +158,11 @@ def unified_scan(
     try:
         while time.time() < deadline:
             rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if max_lag_rows is not None and len(rows) - seen > max_lag_rows:
+                raise Lagged(
+                    f"subscriber lagged {len(rows) - seen} rows behind "
+                    f"(bound {max_lag_rows})"
+                )
             if len(rows) > seen:
                 yield from rows[seen:]
                 seen = len(rows)
@@ -197,3 +211,26 @@ def session_window(df: DataFrame, gap: str, keys: list[str], time_col: str = TIM
 
 def with_watermark(df: DataFrame, delay: str, time_col: str = TIME_COLUMN) -> DataFrame:
     return with_event_time(df, time_col).withWatermark("_event_time", delay)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_delay: str = "10 minutes",
+    time_col: str = TIME_COLUMN,
+) -> DataFrame:
+    """Continuous exact dedup over a stream: the first row per key
+    wins, duplicates arriving in ANY later micro-batch are dropped,
+    and the watermark bounds the dedup state (beyond-reference: the
+    reference has no streaming dedup; batch `exact_dedup` is the
+    offline analog).
+
+    State scales with distinct keys inside the watermark horizon, not
+    with the stream length — the only shape that survives an unbounded
+    100 TB/day ingest. Uses dropDuplicatesWithinWatermark so two true
+    duplicates straddling a micro-batch boundary still dedup as long
+    as they are within ``watermark_delay`` of each other.
+    """
+    return with_event_time(stream, time_col).withWatermark(
+        "_event_time", watermark_delay
+    ).dropDuplicatesWithinWatermark(keys).drop("_event_time")

@@ -202,3 +202,59 @@ def test_query_now_substitution(db):
         pub.write(time.time_ns() + 3_600_000_000_000, 2)  # 1h in the future
     out = db.query("SELECT v FROM nowq WHERE time < now()").execute()
     assert list(out["v"]) == [1]
+
+
+def test_streaming_dedup_across_batches(db, spark):
+    """First row per key wins; duplicates in LATER micro-batches drop;
+    watermark bounds state (beyond-reference streaming dedup)."""
+    from ella_spark.streaming import streaming_dedup
+
+    topic = db.create_topic(
+        "sdedup", [Column("k", "string", required=True), Column("v", "int64")]
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:  # micro-batch 1
+        pub.write(1 * ns, "a", 1)
+        pub.write(2 * ns, "b", 2)
+        pub.write(3 * ns, "a", 99)  # same-batch dup
+    out = streaming_dedup(db.subscribe("sdedup"), ["k"], "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "sdedup_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:  # micro-batch 2: cross-batch dups
+            pub.write(4 * ns, "a", 100)
+            pub.write(5 * ns, "c", 3)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT k, v FROM sdedup_out").toPandas()
+        got = dict(zip(pdf["k"], pdf["v"]))
+        assert got == {"a": 1, "b": 2, "c": 3}
+    finally:
+        q.stop()
+
+
+def test_unified_scan_lag_error(db, spark):
+    """Slow-subscriber Lagged error parity (channel.rs:289-294): a
+    consumer that falls further behind than the bound errors instead
+    of buffering without limit."""
+    from ella_spark.streaming import Lagged, TrackedPublisher, unified_scan
+
+    topic = db.create_topic("laggy", [Column("v", "int64")])
+    live = TrackedPublisher(topic)  # stays open → the scan keeps polling
+    try:
+        for i in range(10):  # more pending rows than the bound
+            live.write(i * 1_000, i)
+        live.flush()
+        gen = unified_scan(topic, spark, max_lag_rows=3, timeout_sec=30)
+        with pytest.raises(Lagged, match="lagged"):
+            list(gen)
+    finally:
+        live.close()
