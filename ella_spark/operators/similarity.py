@@ -364,11 +364,14 @@ def ivf_topk(
         )
         return out.select(idc, F.explode("_cells").alias("cell"))
 
+    # No dropDuplicates needed: every corpus vector lives in EXACTLY one
+    # cell (probe=1) and a query probes n_probe DISTINCT cells, so each
+    # (query, neighbor) pair arises at most once — one shuffle saved vs
+    # the LSH path, whose overlapping bands do require the dedup.
     pairs = (
         cells(df, "neighbor_id", 1)
         .join(F.broadcast(cells(queries, "query_id", n_probe)), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _exact_rerank(pairs, df, queries, vec_col, id_col, k)
