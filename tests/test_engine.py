@@ -402,3 +402,19 @@ def test_insert_empty_source_returns_zero(db, spark):
     topic = db.create_topic("empty_ins", [Column("v", "float64")])
     src = spark.range(0).selectExpr("id AS time", "CAST(id AS double) AS v")
     assert topic.insert(src) == 0
+
+
+def test_topic_scan_filter_pushdown(db, spark):
+    """Time filters reach the parquet scan (PushedFilters) — row-group
+    stats prune within a bucket because shards are time-sorted."""
+    topic = db.create_topic("pushd", [Column("v", "float64")])
+    with topic.publish() as pub:
+        for i in range(10):
+            pub.write(i * 1_000, float(i))
+    import pyspark.sql.functions as F
+
+    df = topic.read(spark).where(F.col("time") > 5_000).select("v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(time), GreaterThan(time,5000)]" in plan
+    # column pruning: the scan reads only what the projection needs
+    assert "ReadSchema: struct<time:bigint,v:double>" in plan
