@@ -111,3 +111,58 @@ def test_insert_then_query_agg_matches_python(spark, tmp_path, vals):
     assert out["s"].iloc[0] == sum(vals)
     assert out["lo"].iloc[0] == min(vals)
     assert out["hi"].iloc[0] == max(vals)
+
+
+@given(
+    times=st.lists(
+        st.integers(min_value=-(3 * 86_400 * 10**9), max_value=3 * 86_400 * 10**9),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_bucket_split_preserves_rows(spark, tmp_path, times):
+    """Publisher bucket-splitting invariants for arbitrary (incl.
+    negative) times: every row survives, every shard sits in the dir
+    matching its rows' day bucket, shards stay time-sorted."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ella_spark.topic import DAY_NS
+
+    db = Ella.create(str(tmp_path / f"b{uuid.uuid4().hex[:8]}"), spark)
+    topic = db.create_topic("bsplit", [Column("v", "int64")])
+    with topic.publish(capacity=10_000) as pub:
+        for i, t in enumerate(times):
+            pub.write(t, i)
+    got = db.query("SELECT time, v FROM bsplit ORDER BY time, v").execute()
+    assert sorted(got["time"]) == sorted(times)
+    for shard in topic.shards():
+        bucket = int(shard.parent.name.split("=")[1])
+        t_col = pq.read_table(shard, columns=["time"])["time"].to_pylist()
+        assert t_col == sorted(t_col)
+        assert all(t // DAY_NS == bucket for t in t_col)
+
+
+def test_concurrent_publishers(spark, tmp_path):
+    """Two publishers appending concurrently never lose rows (shards
+    are uuid-named, writes are atomic per file)."""
+    import threading
+    import uuid
+
+    db = Ella.create(str(tmp_path / f"c{uuid.uuid4().hex[:8]}"), spark)
+    topic = db.create_topic("conc", [Column("v", "int64")])
+
+    def writer(offset: int):
+        with topic.publish(capacity=7) as pub:
+            for i in range(100):
+                pub.write((offset + i) * 1_000, offset + i)
+
+    ts = [threading.Thread(target=writer, args=(o,)) for o in (0, 1_000_000)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    out = db.query("SELECT count(*) AS n, count(DISTINCT v) AS d FROM conc").execute()
+    assert out["n"].iloc[0] == 200 and out["d"].iloc[0] == 200
