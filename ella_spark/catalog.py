@@ -38,11 +38,16 @@ class TableEntry:
     catalog: str
     schema: str
     name: str
-    kind: str  # "topic" | "view"
+    kind: str  # "topic" | "view" | "materialized_view"
     columns: list[Column] = field(default_factory=list)
     sql: str | None = None  # for views: stored plan as SQL text
     temporary: bool = False
     indexes: list[tuple[str, bool]] = field(default_factory=list)
+    #: materialized views: current snapshot version (0 = never refreshed)
+    version: int = 0
+    #: materialized views: Spark schema JSON of the snapshot (needed to
+    #: read an empty snapshot and to skip footer merging)
+    result_schema: str | None = None
 
     @property
     def ident(self) -> tuple[str, str, str]:
@@ -58,6 +63,8 @@ class TableEntry:
             "sql": self.sql,
             "temporary": self.temporary,
             "indexes": [list(i) for i in self.indexes],
+            "version": self.version,
+            "result_schema": self.result_schema,
         }
 
     @classmethod
@@ -71,6 +78,8 @@ class TableEntry:
             sql=d.get("sql"),
             temporary=d.get("temporary", False),
             indexes=[tuple(i) for i in d.get("indexes", [])],
+            version=d.get("version", 0),
+            result_schema=d.get("result_schema"),
         )
 
 

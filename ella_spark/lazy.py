@@ -89,18 +89,17 @@ class Lazy:
     def create_view(self, name: str, materialize: bool = False) -> "Lazy":
         """Register this plan as a named view (lazy/view.rs:10-76).
 
-        Materialized views are unimplemented in the reference
-        (`todo!()`, view.rs:36-39); we mirror that contract with an
-        explicit error.
+        ``materialize=True`` creates a materialized view — declared but
+        `todo!()`d in the reference (view.rs:36-39); here it works:
+        versioned parquet snapshot, refreshed via
+        ``Ella.refresh_materialized``.
         """
-        if materialize:
-            raise NotImplementedError(
-                "materialized views are unimplemented (reference parity: "
-                "ella-engine/src/table/view.rs:36-39 todo!())"
-            )
         if self._engine is None:
             raise RuntimeError("Lazy is not attached to an engine")
-        self._engine.create_view(name, self)
+        if materialize:
+            self._engine.create_materialized_view(name, self)
+        else:
+            self._engine.create_view(name, self)
         return self
 
     def explain(self, mode: str = "formatted") -> None:

@@ -105,12 +105,49 @@ def test_view_inlining(db):
     assert list(out["v2"]) == [2.0, 10.0]
 
 
-def test_materialized_view_unimplemented(db):
-    """Reference todo!()s materialized views (view.rs:36-39) — we keep
-    the same contract as an explicit error."""
-    db.create_topic("mv_src", [Column("v", "float64")])
-    with pytest.raises(NotImplementedError):
-        db.query("SELECT * FROM mv_src").create_view("mv", materialize=True)
+def test_materialized_view_lifecycle(db):
+    """Materialized views — declared but todo!()'d in the reference
+    (view.rs:36-39); implemented here: versioned parquet snapshot,
+    stale until refreshed, atomic version flip, SQL dispatch."""
+    topic = db.create_topic("mv_src", [Column("v", "float64")])
+    with topic.publish() as pub:
+        pub.write(1_000, 2.0)
+        pub.write(2_000, 4.0)
+    out = db.query(
+        "CREATE MATERIALIZED VIEW mv AS SELECT sum(v) AS s FROM mv_src"
+    ).execute()
+    assert out["count"].iloc[0] == 1
+    assert db.query("SELECT s FROM mv").execute()["s"].iloc[0] == 6.0
+
+    # snapshot semantics: new source rows are invisible until refresh
+    with topic.publish() as pub:
+        pub.write(3_000, 10.0)
+    assert db.query("SELECT s FROM mv").execute()["s"].iloc[0] == 6.0
+    db.query("REFRESH MATERIALIZED VIEW mv").execute()
+    assert db.query("SELECT s FROM mv").execute()["s"].iloc[0] == 16.0
+    # only the current snapshot version remains on disk
+    entry = db.store.resolve("mv")
+    assert entry.version == 2
+    vdirs = sorted(p.name for p in db.store.table_path(entry).glob("v=*"))
+    assert vdirs == ["v=2"]
+
+    db.query("DROP MATERIALIZED VIEW mv").execute()
+    assert not any(t.endswith(".mv") for t in db.tables())
+    assert not db.store.table_path(entry).exists()
+
+
+def test_materialized_view_via_lazy_and_durability(spark, tmp_path):
+    """Lazy.create_view(materialize=True) + reopen sees the snapshot."""
+    root = str(tmp_path / "mvdb")
+    db = Ella.create(root, spark)
+    t = db.create_topic("msrc", [Column("v", "int64")])
+    with t.publish() as pub:
+        pub.write(1_000, 5)
+    db.query("SELECT v * 2 AS v2 FROM msrc").create_view("m2", materialize=True)
+    assert db.query("SELECT v2 FROM m2").execute()["v2"].iloc[0] == 10
+    db.shutdown()
+    db2 = Ella.open(root, spark)
+    assert db2.query("SELECT v2 FROM m2").execute()["v2"].iloc[0] == 10
 
 
 def test_ddl_matrix(db):
