@@ -291,3 +291,41 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))
         ).cast("bigint").alias("n_number_runs"),
     )
+
+
+_F8 = ",\n           ".join(
+    f"round(CAST(('0x' || substr(hx, {2 * i + 1}, 2)) AS INTEGER) / 255.0, 6)"
+    f" AS f{i}"
+    for i in range(8)
+)
+
+
+@register(
+    "q_media_features",
+    oracle=f"""
+    WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+    SELECT media_id,
+           {_F8}
+    FROM h
+    """,
+    doc="Multimodal feature-extraction pipeline over binary payloads "
+    "(documents text-as-bytes stands in for media blobs): mapInPandas "
+    "Arrow-batched decode+featurize (operators.multimodal) — the "
+    "deterministic fake decoder is sha256-derived, so DuckDB can "
+    "verify the full distributed plumbing end to end.",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(d)
+    return feats.select(
+        "media_id",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
