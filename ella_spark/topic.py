@@ -228,7 +228,13 @@ class Topic:
                     f" div {DAY_NS}"
                 ),
             )
-            .sortWithinPartitions(TIME_COLUMN)
+            # sort by (bucket, time): satisfies the dynamic-partition
+            # writer's required ordering directly (it would otherwise
+            # insert its own non-stable sort on __bucket and could
+            # destroy within-bucket time order), and keeps every
+            # written shard time-sorted for merge reads and row-group
+            # pruning
+            .sortWithinPartitions(PARTITION_COL, TIME_COLUMN)
             .write.mode("append")
             .partitionBy(PARTITION_COL)
             .parquet(str(self.path))

@@ -455,3 +455,23 @@ def test_topic_scan_filter_pushdown(db, spark):
     assert "PushedFilters: [IsNotNull(time), GreaterThan(time,5000)]" in plan
     # column pruning: the scan reads only what the projection needs
     assert "ReadSchema: struct<time:bigint,v:double>" in plan
+
+
+def test_insert_shards_time_sorted(db, spark):
+    """Distributed-INSERT shards stay time-sorted within each bucket
+    (row-group pruning + cheap merge reads depend on it)."""
+    import pyarrow.parquet as pq
+
+    from ella_spark.topic import DAY_NS
+
+    topic = db.create_topic("sorted_ins", [Column("v", "double" if False else "float64")])
+    # adversarial order: descending times across two day buckets
+    src = spark.createDataFrame(
+        [((2 * DAY_NS - i * 1_000_000), float(i)) for i in range(1000)],
+        "time long, v double",
+    ).repartition(4)
+    topic.insert(src)
+    assert topic.shards(), "no shards written"
+    for shard in topic.shards():
+        t = pq.read_table(shard, columns=["time"])["time"].to_pylist()
+        assert t == sorted(t), f"unsorted shard {shard}"
