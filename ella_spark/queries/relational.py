@@ -899,3 +899,68 @@ def q_array_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(F.col("o_orderkey") % 256).alias("key_bit_or"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           to_hex(c_custkey)                          AS key_hex,
+           ascii(c_mktsegment)                        AS seg_ascii,
+           chr(CAST(65 + c_custkey % 26 AS INTEGER))  AS key_chr,
+           left(c_name, 9)                            AS name_left,
+           right(c_name, 3)                           AS name_right,
+           repeat(c_mktsegment, 2)                    AS seg_twice,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')  AS seg_lowvowel,
+           substr(sha256(c_name), 1, 16)              AS name_sha16,
+           regexp_replace(c_name, '[0-9]', '*', 'g')  AS name_masked,
+           ltrim(rtrim('  ' || c_name || '  '))       AS name_trim
+    FROM customer
+    """,
+    doc="Second string-function matrix: to_hex/ascii/chr/left/right/"
+    "repeat/translate/sha256/regexp_replace/ltrim/rtrim (completes the "
+    "DataFusion-27 string surface, SURVEY §2.B).",
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.hex(F.col("c_custkey")).alias("key_hex"),
+        F.ascii(F.col("c_mktsegment")).alias("seg_ascii"),
+        F.char(F.lit(65) + F.col("c_custkey") % 26).alias("key_chr"),
+        F.substring("c_name", 1, 9).alias("name_left"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_right"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg_twice"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_lowvowel"),
+        F.substring(F.sha2(F.col("c_name"), 256), 1, 16).alias("name_sha16"),
+        F.regexp_replace("c_name", "[0-9]", "*").alias("name_masked"),
+        F.ltrim(F.rtrim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")))).alias(
+            "name_trim"
+        ),
+    )
+
+
+@register(
+    "q_time_convs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT)       AS epoch_s,
+           epoch_ms(o_orderdate)                    AS epoch_ms,
+           to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)) AT TIME ZONE 'UTC'
+                                                    AS ts_roundtrip,
+           strftime(o_orderdate, '%Y-%m-%d')        AS day_str
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    doc="Timestamp conversion matrix: to_timestamp/from_unixtime/"
+    "epoch seconds+millis/format (DataFusion date/time surface).",
+)
+def q_time_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_ms"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("ts_roundtrip"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_str"),
+    )
