@@ -118,3 +118,40 @@ def q_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim_idx"))
         .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
     )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)) AS qv,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings)
+    SELECT vec_id,
+           qv[1] AS q_first,
+           CAST(list_max(qv) AS INTEGER) AS q_max,
+           round(list_sum(list_transform(list_zip(ve, qv),
+                 p -> abs(p[1] - p[2] / 127.0))), 6) AS recon_l1_err
+    FROM q
+    """,
+    doc="int8-style embedding quantization (scale 127, floor(x+0.5) — "
+    "identical rounding on both engines) + L1 reconstruction error: "
+    "the 4x storage cut that makes a 100 TB embedding corpus scannable.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = F.transform(ve, lambda x: F.floor(x * 127 + 0.5).cast("int"))
+    err = F.aggregate(
+        F.zip_with(ve, qv, lambda v, q: F.abs(v - q / 127.0)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.element_at(qv, 1).alias("q_first"),
+        F.array_max(qv).cast("int").alias("q_max"),
+        F.round(err, 6).alias("recon_l1_err"),
+    )

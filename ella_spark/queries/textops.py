@@ -329,3 +329,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     )
+
+
+_BOILER = r"(https?://\S+)|(\S+@\S+\.\S+)"
+
+
+@register(
+    "q_strip_boilerplate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '{_BOILER}', '', 'g')) AS BIGINT)
+               AS clean_len,
+           CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS BIGINT)
+               AS n_urls,
+           CAST(len(regexp_extract_all(text, '\\S+@\\S+\\.\\S+')) AS BIGINT)
+               AS n_emails
+    FROM documents
+    """,
+    doc="Boilerplate stripping for training corpora: URL/email removal "
+    "+ counts, pure JVM regexp (codegen-friendly at 100 TB).",
+)
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", _BOILER, "")).cast("bigint").alias(
+            "clean_len"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"https?://\S+"), F.lit(0))
+        ).cast("bigint").alias("n_urls"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+@\S+\.\S+"), F.lit(0))
+        ).cast("bigint").alias("n_emails"),
+    )

@@ -213,6 +213,46 @@ def with_watermark(df: DataFrame, delay: str, time_col: str = TIME_COLUMN) -> Da
     return with_event_time(df, time_col).withWatermark("_event_time", delay)
 
 
+def continuous_rollup(
+    engine,
+    source: str,
+    rollup_name: str,
+    bucket_ns: int,
+    value_col: str = "v",
+    max_files_per_trigger: int = 8,
+) -> StreamingQuery:
+    """Continuously-maintained rollup: a streaming query that runs the
+    incremental ``refresh_rollup`` after every micro-batch of new
+    source shards — the always-fresh form of the reference's
+    ``date_bin`` group-by idiom (a TimescaleDB-style continuous
+    aggregate; the reference has no streaming aggregation at all).
+
+    foreachBatch drives the refresh; the refresh itself is the same
+    HWM-incremental distributed append as the batch path, so state and
+    work per trigger scale with NEW buckets only. Stop with
+    ``query.stop()`` (or wait_stop_on_inactive).
+    """
+    from ella_spark.maintenance import refresh_rollup
+
+    topic = engine.topic(source)
+
+    def _on_batch(batch_df, batch_id: int) -> None:
+        # the batch content itself is unused: its arrival signals new
+        # shards; refresh reads the topic (HWM-filtered) directly so
+        # the rollup and batch boundaries can never disagree
+        refresh_rollup(engine, source, rollup_name, bucket_ns, value_col)
+
+    return (
+        topic.read_stream(engine.spark, max_files_per_trigger)
+        .writeStream.foreachBatch(_on_batch)
+        .option(
+            "checkpointLocation",
+            str(topic.store.meta_dir / "checkpoints" / f"roll_{rollup_name}"),
+        )
+        .start()
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],

@@ -258,3 +258,28 @@ def test_unified_scan_lag_error(db, spark):
             list(gen)
     finally:
         live.close()
+
+
+def test_continuous_rollup(db, spark):
+    """foreachBatch-driven continuous aggregate: rollup refreshes as
+    new shards stream in."""
+    from ella_spark.streaming import continuous_rollup
+
+    sec = 1_000_000_000
+    topic = db.create_topic("croll", [Column("v", "float64")])
+    with topic.publish() as pub:
+        pub.write(1 * sec, 1.0)
+        pub.write(61 * sec, 2.0)
+    q = continuous_rollup(db, "croll", "croll_1m", 60 * sec)
+    try:
+        q.processAllAvailable()
+        out = db.query("SELECT time, v_sum FROM croll_1m ORDER BY time").execute()
+        assert list(out["v_sum"]) == [1.0, 2.0]
+        with topic.publish() as pub:  # new shard → new micro-batch
+            pub.write(62 * sec, 10.0)   # open bucket absorbs late row
+            pub.write(130 * sec, 5.0)   # new bucket
+        q.processAllAvailable()
+        out = db.query("SELECT time, v_sum FROM croll_1m ORDER BY time").execute()
+        assert list(out["v_sum"]) == [1.0, 12.0, 5.0]
+    finally:
+        q.stop()
