@@ -104,3 +104,76 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs(emb, cosine_threshold=0.3, bucket_col="label")
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents)
+    SELECT lang,
+           count(*)                       AS n_sampled,
+           CAST(min(doc_id) AS BIGINT)    AS min_id,
+           CAST(max(doc_id) AS BIGINT)    AS max_id
+    FROM tagged
+    WHERE bucket < 20
+    GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling (hash-mod buckets on the "
+    "stable id — reproducible across engines/runs/cluster sizes, "
+    "unlike rand()): keep ~20% per language stratum. The standard "
+    "downsampling primitive for 100 TB corpus curation.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        d.where(bucket < 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents WHERE doc_id < 50
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE md5(lower(trim(d.text))) NOT IN (SELECT h FROM bench)
+      AND d.doc_id >= 50
+    """,
+    doc="Benchmark decontamination: drop training documents whose "
+    "normalized content hash appears in the held-out set (docs 0-49 "
+    "stand in for the benchmark). Plan shape: broadcast anti-join on "
+    "16-byte digests — bodies never shuffle, benchmark set is small "
+    "by definition, so this scales to any corpus size.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    bench = (
+        d.where(F.col("doc_id") < 50).select(h.alias("h")).distinct()
+    )
+    return (
+        d.where(F.col("doc_id") >= 50)
+        .withColumn("h", h)
+        .join(F.broadcast(bench), "h", "left_anti")
+        .select("doc_id", "lang")
+    )
