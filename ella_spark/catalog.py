@@ -218,6 +218,11 @@ class CatalogStore:
             raise ValueError(f"schema {catalog}.{name} does not exist")
         self._apply_and_log({"op": "drop_schema", "catalog": catalog, "name": name})
 
+    def drop_catalog(self, name: str) -> None:
+        if name not in self.catalogs:
+            raise ValueError(f"catalog {name!r} does not exist")
+        self._apply_and_log({"op": "drop_catalog", "name": name})
+
     def put_table(self, entry: TableEntry, replace: bool = False) -> None:
         if (entry.catalog, entry.schema) not in self.schemas:
             raise ValueError(f"schema {entry.catalog}.{entry.schema} does not exist")

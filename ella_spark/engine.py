@@ -67,6 +67,12 @@ _DROP_SCHEMA_RE = re.compile(
     re.I,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*show\s+tables\s*$", re.I)
+_SHOW_SCHEMAS_RE = re.compile(r"^\s*show\s+(?:schemas|databases)\s*$", re.I)
+_SHOW_CATALOGS_RE = re.compile(r"^\s*show\s+catalogs\s*$", re.I)
+_DROP_CATALOG_RE = re.compile(
+    r"^\s*drop\s+catalog\s+(if\s+exists\s+)?([A-Za-z0-9_]+)\s*(cascade)?\s*$",
+    re.I,
+)
 _DESCRIBE_RE = re.compile(
     r"^\s*(?:describe|desc)\s+(?:table\s+)?([A-Za-z0-9_.]+)\s*$", re.I
 )
@@ -312,6 +318,27 @@ class Ella:
     def create_catalog(self, name: str, if_not_exists: bool = False) -> None:
         self.store.create_catalog(name, if_not_exists=if_not_exists)
 
+    def drop_catalog(
+        self, name: str, *, cascade: bool = False, if_exists: bool = False
+    ) -> None:
+        """Drop a catalog; CASCADE removes its schemas and tables
+        (incl. data). Mirrors the schema-drop contract one level up."""
+        if name not in self.store.catalogs:
+            if if_exists:
+                return
+            raise ValueError(f"catalog {name!r} does not exist")
+        members = [e for e in self.store.tables.values() if e.catalog == name]
+        schemas = [s for s in self.store.schemas if s[0] == name]
+        if (members or schemas) and not cascade:
+            raise ValueError(
+                f"catalog {name!r} is not empty ({len(schemas)} schemas, "
+                f"{len(members)} tables); use DROP CATALOG ... CASCADE"
+            )
+        for e in members:
+            self._unregister(e)
+            self._drop_data(e)
+        self.store.drop_catalog(name)
+
     # -- access ------------------------------------------------------------------
 
     def topic(self, name: str) -> Topic:
@@ -418,6 +445,27 @@ class Ella:
                 m.group(2), cascade=bool(m.group(3)), if_exists=bool(m.group(1))
             )
             return empty()
+        if m := _DROP_CATALOG_RE.match(sql):
+            self.drop_catalog(
+                m.group(2), cascade=bool(m.group(3)), if_exists=bool(m.group(1))
+            )
+            return empty()
+        if _SHOW_SCHEMAS_RE.match(sql):
+            return Lazy(
+                self.spark.createDataFrame(
+                    sorted(self.store.schemas), "catalog string, schema string"
+                ),
+                engine=self,
+                sql=sql,
+            )
+        if _SHOW_CATALOGS_RE.match(sql):
+            return Lazy(
+                self.spark.createDataFrame(
+                    [(c,) for c in sorted(self.store.catalogs)], "catalog string"
+                ),
+                engine=self,
+                sql=sql,
+            )
         if _SHOW_TABLES_RE.match(sql):
             rows = [
                 (e.catalog, e.schema, e.name, e.kind)

@@ -475,3 +475,27 @@ def test_insert_shards_time_sorted(db, spark):
     for shard in topic.shards():
         t = pq.read_table(shard, columns=["time"])["time"].to_pylist()
         assert t == sorted(t), f"unsorted shard {shard}"
+
+
+def test_drop_catalog_and_show_dispatch(db):
+    """DROP CATALOG [CASCADE] + SHOW SCHEMAS/CATALOGS SQL dispatch."""
+    db.query("CREATE CATALOG side").execute()
+    cats = db.query("SHOW CATALOGS").execute()
+    assert set(cats["catalog"]) == {"ella", "side"}
+    schemas = db.query("SHOW SCHEMAS").execute()
+    assert ("ella", "public") in set(
+        zip(schemas["catalog"], schemas["schema"])
+    )
+    db.query("DROP CATALOG side").execute()  # empty → no CASCADE needed
+    assert set(db.query("SHOW CATALOGS").execute()["catalog"]) == {"ella"}
+
+    # non-empty requires CASCADE and removes table data
+    db.query("CREATE CATALOG full_c").execute()
+    db.store.create_schema("s1", catalog="full_c")
+    db.create_topic("full_c.s1.t1", [Column("v", "int64")])
+    with pytest.raises(ValueError, match="CASCADE"):
+        db.query("DROP CATALOG full_c").execute()
+    data = db.store.table_path(db.store.resolve("full_c.s1.t1"))
+    db.query("DROP CATALOG full_c CASCADE").execute()
+    assert not data.exists()
+    db.query("DROP CATALOG IF EXISTS full_c").execute()  # no raise
