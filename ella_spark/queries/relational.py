@@ -964,3 +964,37 @@ def q_time_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("ts_roundtrip"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_str"),
     )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+    WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+         pri AS (SELECT o_custkey AS k FROM orders
+                 WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union_all' AS op, count(*) AS n
+      FROM (SELECT k FROM big UNION ALL SELECT k FROM pri)
+    UNION ALL
+    SELECT 'intersect_all' AS op, count(*) AS n
+      FROM (SELECT k FROM big INTERSECT ALL SELECT k FROM pri)
+    UNION ALL
+    SELECT 'except_all' AS op, count(*) AS n
+      FROM (SELECT k FROM big EXCEPT ALL SELECT k FROM pri)
+    """,
+    doc="Bag-semantics set ops (UNION ALL / INTERSECT ALL / EXCEPT ALL "
+    "— duplicate multiplicity preserved; completes the DataFusion set-"
+    "op surface next to q_set_ops's distinct variants).",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    pri = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    def counted(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+    return (
+        counted("union_all", big.unionAll(pri))
+        .unionAll(counted("intersect_all", big.intersectAll(pri)))
+        .unionAll(counted("except_all", big.exceptAll(pri)))
+    )
