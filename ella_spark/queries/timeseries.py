@@ -337,3 +337,56 @@ def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
     )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT o.o_orderkey                 AS w_key,
+           count(*)                     AS n_shipped,
+           round(sum(l.l_quantity), 2)  AS sum_qty
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+    WHERE o.o_totalprice > 400000
+    GROUP BY 1
+    """,
+    doc="Interval (range) join: point events matched into 30-day "
+    "windows with NO equi key. Spark would execute the naive theta "
+    "join as a broadcast-nested-loop (O(points x windows) — dead at "
+    "100 TB); instead each window explodes into its covered day "
+    "buckets and the join becomes an EQUI-join on the bucket plus a "
+    "residual range filter. Shuffle volume = points + 30x windows, "
+    "never the cross product — the standard scalable range-join "
+    "rewrite (same family as the __bucket topic layout).",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    windows = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("w_key"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+    )
+    # explode each window into its day buckets (bounded fanout: 31)
+    w_days = windows.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.to_date("w_start"),
+                F.to_date(F.col("w_end") - F.expr("INTERVAL 1 SECOND")),
+            )
+        ),
+    )
+    points = li.select(
+        F.col("l_shipdate"), F.col("l_quantity"), F.to_date("l_shipdate").alias("day")
+    )
+    joined = points.join(w_days, "day").where(
+        (F.col("l_shipdate") >= F.col("w_start"))
+        & (F.col("l_shipdate") < F.col("w_end"))
+    )
+    return joined.groupBy("w_key").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
