@@ -39,3 +39,18 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The interval-join rewrite must plan as a hash/SMJ equi-join on
+    the day bucket — never BroadcastNestedLoopJoin (the naive theta
+    join's plan, which is O(points x windows) at scale)."""
+    from ella_spark.queries import _load, REGISTRY
+
+    _load()
+    df = REGISTRY["q_range_join"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
