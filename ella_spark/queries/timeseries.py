@@ -342,32 +342,45 @@ def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_range_join",
     oracle="""
-    SELECT o.o_orderkey                 AS w_key,
+    WITH w AS (
+      SELECT o_orderkey AS w_key,
+             o_orderdate AS w_start,
+             o_orderdate + INTERVAL 30 DAY AS w_end
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100
+    )
+    SELECT w.w_key,
            count(*)                     AS n_shipped,
            round(sum(l.l_quantity), 2)  AS sum_qty
-    FROM orders o
+    FROM w
     JOIN lineitem l
-      ON l.l_shipdate >= o.o_orderdate
-     AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
-    WHERE o.o_totalprice > 400000
+      ON l.l_shipdate >= w.w_start
+     AND l.l_shipdate <  w.w_end
     GROUP BY 1
     """,
-    doc="Interval (range) join: point events matched into 30-day "
-    "windows with NO equi key. Spark would execute the naive theta "
-    "join as a broadcast-nested-loop (O(points x windows) — dead at "
-    "100 TB); instead each window explodes into its covered day "
-    "buckets and the join becomes an EQUI-join on the bucket plus a "
-    "residual range filter. Shuffle volume = points + 30x windows, "
-    "never the cross product — the standard scalable range-join "
-    "rewrite (same family as the __bucket topic layout).",
+    doc="Interval (range) join: point events matched into the top-100 "
+    "orders' 30-day windows with NO equi key. Spark would execute the "
+    "naive theta join as a broadcast-nested-loop (O(points x windows) "
+    "— dead at 100 TB); instead each window explodes into its covered "
+    "day buckets and the join becomes an EQUI-join on the bucket plus "
+    "a residual range filter. The window side is bounded (top-k), the "
+    "point side streams — output and shuffle stay linear in the "
+    "points. (An UNBOUNDED overlapping-window set is inherently "
+    "quadratic in SF no matter the join strategy — the bounded window "
+    "set is the realistic incident/campaign-window shape.)",
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    windows = o.where(F.col("o_totalprice") > 400000).select(
-        F.col("o_orderkey").alias("w_key"),
-        F.col("o_orderdate").alias("w_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+    windows = (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            F.col("o_orderkey").alias("w_key"),
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+        )
     )
     # explode each window into its day buckets (bounded fanout: 31)
     w_days = windows.withColumn(
