@@ -86,7 +86,7 @@ def _rank(name: str) -> int:
         "q_token_count", "q_quality_score", "q_lang_id", "q_doc_fingerprint",
         "q_lang_source_stats", "q_tfidf_top_terms", "q_tokenize_bpe",
         "q_media_features", "q_strip_boilerplate", "q_embed_quantize",
-        "q_stratified_sample", "q_decontaminate",
+        "q_stratified_sample", "q_decontaminate", "q_winnow_fingerprint",
     }:
         return 0
     if name in {

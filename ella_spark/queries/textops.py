@@ -363,3 +363,67 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(r"\S+@\S+\.\S+"), F.lit(0))
         ).cast("bigint").alias("n_emails"),
     )
+
+
+@register(
+    "q_winnow_fingerprint",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents
+      WHERE length(lower(trim(text))) >= 11
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - 8 + 2),
+               i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 8)),
+                          1, 8)) AS BIGINT)) AS h
+      FROM n
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(h) - 4 + 2),
+               i -> list_min(h[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)]))) AS fp
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fp) AS BIGINT) AS n_fp,
+           list_min(fp)            AS fp_min,
+           list_max(fp)            AS fp_max
+    FROM f
+    """,
+    doc="Winnowing document fingerprints (the MOSS rolling-hash "
+    "algorithm): hash every 8-gram, slide a window of 4 hashes, keep "
+    "each window's minimum — guarantees shared substrings of length "
+    ">= 11 produce overlapping fingerprints, at ~1/4 the storage of "
+    "full shingle sets. All JVM-side (md5 + higher-order array fns).",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w = 8, 4
+    d = load_table(spark, sf_dir, "documents")
+    # project the normalized text first: compound expressions inside
+    # transform lambdas re-evaluate per element (NOTES lead #6)
+    n = d.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    ).where(F.length("t") >= k + w - 1)
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+    g = n.select("doc_id", F.transform(
+        grams,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    ).alias("h"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("h"), i, w)),
+        )
+    )
+    return g.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+    )
