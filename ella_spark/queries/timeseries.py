@@ -403,3 +403,46 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "q_asof_join_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           (epoch_ns(p.ts) // 1000) AS purchase_us,
+           (SELECT min(epoch_ns(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts >= p.ts) // 1000 AS next_click_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Forward as-of join: each purchase matched to the EARLIEST "
+    "following click per user (the mirror of q_asof_join's backward "
+    "direction — together they cover both ASOF JOIN directions). Same "
+    "scalable plan: one shuffle by user_id, running min over an "
+    "unbounded-following range frame.",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("next_click_ns", F.min("click_ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.expr("ts div 1000").alias("purchase_us"),
+            F.expr("next_click_ns div 1000").alias("next_click_us"),
+        )
+    )
