@@ -79,9 +79,31 @@ _DESCRIBE_RE = re.compile(
 
 
 class Ella:
+    #: DataFusion-dialect scalar functions the reference's SQL surface
+    #: has but Spark SQL lacks, registered as SQL UDFs (pure
+    #: expressions — they inline into the plan, no Python round-trip).
+    #: A pyella user's `SELECT date_bin(...)` works unchanged.
+    _SQL_COMPAT_FNS = (
+        # date_bin over epoch-ns longs (the TSDB workhorse,
+        # SURVEY §2.B date/time row); origin-anchored floor
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_bin("
+        "stride BIGINT, t BIGINT, origin BIGINT) RETURNS BIGINT "
+        "RETURN t - pmod(t - origin, stride)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
+        "RETURNS INT RETURN instr(s, sub)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_seconds(x BIGINT) "
+        "RETURNS TIMESTAMP RETURN timestamp_seconds(x)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_millis(x BIGINT) "
+        "RETURNS TIMESTAMP RETURN timestamp_millis(x)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_micros(x BIGINT) "
+        "RETURNS TIMESTAMP RETURN timestamp_micros(x)",
+    )
+
     def __init__(self, store: CatalogStore, spark: SparkSession):
         self.store = store
         self.spark = spark
+        for ddl in self._SQL_COMPAT_FNS:
+            spark.sql(ddl)
         self._register_all()
 
     # -- open/create (ella/src/lib.rs:86-105) --------------------------------

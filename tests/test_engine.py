@@ -499,3 +499,27 @@ def test_drop_catalog_and_show_dispatch(db):
     db.query("DROP CATALOG full_c CASCADE").execute()
     assert not data.exists()
     db.query("DROP CATALOG IF EXISTS full_c").execute()  # no raise
+
+
+def test_datafusion_sql_compat_functions(db):
+    """DataFusion-dialect fns a pyella user's SQL would call: date_bin
+    / strpos / to_timestamp_* (SQL UDFs — inline expressions, no
+    Python round-trip)."""
+    topic = db.create_topic("dfc", [Column("v", "float64")])
+    with topic.publish() as pub:
+        for t in (100, 350, 620):
+            pub.write(t * 1_000_000_000, 1.0)
+    out = db.query(
+        "SELECT date_bin(300000000000, time, 0) AS b, count(*) AS n "
+        "FROM dfc GROUP BY 1 ORDER BY 1"
+    ).execute()
+    assert list(out["b"]) == [0, 300_000_000_000, 600_000_000_000]
+    misc = db.query(
+        "SELECT strpos('hello', 'll') AS p, "
+        "to_timestamp_seconds(86400) AS ts1, "
+        "to_timestamp_millis(86400000) AS ts2, "
+        "to_timestamp_micros(86400000000) AS ts3"
+    ).execute()
+    assert misc["p"].iloc[0] == 3
+    assert str(misc["ts1"].iloc[0])[:10] == "1970-01-02"
+    assert misc["ts1"].iloc[0] == misc["ts2"].iloc[0] == misc["ts3"].iloc[0]
