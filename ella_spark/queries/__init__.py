@@ -63,6 +63,7 @@ def _load() -> None:
         similarity,
         textops,
         relational,
+        tpch_full,
         window,
         timeseries,
         arrays,
@@ -105,6 +106,11 @@ def _rank(name: str) -> int:
         "q_agg_stats", "q_corr_covar", "q_rollup", "q_grouping_sets",
         "q_cube", "q_having", "q_approx_aggs", "q_array_bool_aggs",
         "q_outer_join", "q_full_outer_join", "q_semi_anti_join",
+        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+        "q12_late_lines", "q13_cust_distribution", "q15_top_supplier",
+        "q17_small_qty_revenue", "q18_large_volume_cust",
+        "q19_bracket_revenue", "q21_waiting_suppliers",
+        "q22_dormant_customers",
     }:
         return 2
     return 3
