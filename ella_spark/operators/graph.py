@@ -1,0 +1,127 @@
+"""Distributed connected components over a DataFrame edge list.
+
+The production missing piece between near-dup *pair* generation
+(MinHash/LSH, SimHash, n-gram Jaccard — ella_spark.operators.dedup)
+and actual corpus deduplication: candidate pairs must be clustered into
+connected components so exactly one canonical document per duplicate
+group survives. The reference engine has no graph operator at all;
+this is part of the beyond-reference LLM-data-pipeline surface
+(SURVEY.md §7 Phase 5).
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+standard shared-nothing CC algorithm:
+
+- large-star: every node attaches its *larger* neighbors to the
+  minimum of its closed neighborhood;
+- small-star: every node attaches itself and its smaller-or-equal
+  neighbors to that minimum.
+
+The fixed point is a star forest in which every node points at its
+component's minimum id. Convergence is O(log^2 n) rounds — a 100-node
+chain (the pathological case for naive min-label flooding, which needs
+O(n) rounds) converges in ~7.
+
+Scale design (100 TB corpora => billions of nodes, edge lists from
+banded LSH joins):
+- each round is two shuffles keyed on node id (groupBy min +
+  self-join); nothing is ever collected to the driver;
+- `localCheckpoint` after every round truncates lineage so round k+1
+  does not replay rounds 1..k;
+- the convergence probe is a 3-scalar aggregate (count, sum(src),
+  sum(dst)) — label sums are monotonically non-increasing, so two
+  identical consecutive probes mean the edge multiset is stable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _closed_min(sym: DataFrame) -> DataFrame:
+    """Per node u: min of its closed neighborhood min(Γ(u) ∪ {u})."""
+    return (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("m_src"),
+            F.least(F.col("src"), F.col("nbr_min")).alias("m"),
+        )
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionAll(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    ``nodes``: one row per node (isolated nodes allowed — they become
+    singleton components). ``edges``: undirected candidate pairs (any
+    orientation, self-loops/duplicates tolerated).
+
+    Returns ``(id, component)``.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    prev_probe = None
+    for _ in range(max_iter):
+        # -- large-star: (v, m) for v in Γ(u) with v > u ------------------
+        sym = _symmetric(e)
+        m = _closed_min(sym)
+        e = (
+            sym.join(m, sym.src == m.m_src)
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # -- small-star: (v, m) for v in Γ(u) ∪ {u} with v <= u, v != m --
+        sym = _symmetric(e)
+        m = _closed_min(sym)
+        attach_small = (
+            sym.join(m, sym.src == m.m_src)
+            .where(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        attach_self = m.select(F.col("m_src").alias("src"), F.col("m").alias("dst"))
+        e = (
+            attach_small.unionAll(attach_self)
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        probe = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("src").alias("ssrc"),
+            F.sum("dst").alias("sdst"),
+        ).first()
+        probe = (probe["n"], probe["ssrc"], probe["sdst"])
+        if probe == prev_probe:
+            break
+        prev_probe = probe
+
+    # Fixed point: e maps every non-root node to its component root.
+    labels = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    return (
+        nodes.select(F.col(id_col).cast("long").alias("id"))
+        .join(labels, "id", "left_outer")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )

@@ -177,3 +177,63 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench), "h", "left_anti")
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "q_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(trim(text))) - 2, 0) + 1),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 3))) AS grams
+      FROM documents
+      WHERE length(lower(trim(text))) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+      WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                 THEN round(
+                   CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+                 ELSE 0.0 END >= 0.6
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS known FROM documents
+      UNION
+      SELECT e.dst AS id, r.known
+      FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(known) AS cluster_id,
+           CAST(id = min(known) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    doc="Near-dup CLUSTERING: candidate pairs (windowed 3-gram Jaccard "
+    ">= 0.6) -> connected components (alternating large-star/small-star, "
+    "operators/graph.py) -> one canonical doc per duplicate group. The "
+    "step LSH pair-generation alone leaves missing: transitive closure "
+    "of near-dup pairs. Oracle: recursive-CTE flood fill in DuckDB.",
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.where(F.length(F.lower(F.trim("text"))) >= 3)
+    pairs = D.ngram_jaccard_pairs(
+        eligible, shingle_k=3, window=3, partition_col="lang"
+    ).where(F.col("jaccard") >= 0.6)
+    comp = connected_components(
+        docs, pairs, id_col="doc_id", src="id_a", dst="id_b"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
