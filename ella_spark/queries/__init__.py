@@ -62,6 +62,7 @@ def _load() -> None:
         dedup,
         similarity,
         textops,
+        curation,
         relational,
         tpch_full,
         window,
@@ -88,6 +89,8 @@ def _rank(name: str) -> int:
         "q_lang_source_stats", "q_tfidf_top_terms", "q_tokenize_bpe",
         "q_media_features", "q_strip_boilerplate", "q_embed_quantize",
         "q_stratified_sample", "q_decontaminate", "q_winnow_fingerprint",
+        "q_chunk_documents", "q_pack_sequences", "q_quality_repetition",
+        "q_pii_scrub", "q_mix_resample",
     }:
         return 0
     if name in {
