@@ -15,6 +15,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+_BARRIER_SEQ = 0  # unique CollectMetrics names within a session
+
 _SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 _ROLL_P = np.uint64(1099511628211)  # FNV prime as the polynomial base
 
@@ -277,6 +279,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     window: int = 3,
     partition_col: str | None = "lang",
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for bounded candidate windows.
 
@@ -285,6 +288,15 @@ def ngram_jaccard_pairs(
     candidate set; the LSH variant is the open-world one). Equi-join on
     the partition column keeps this a bounded-fanout join, not a cross
     product.
+
+    ``min_jaccard`` applies the threshold INSIDE the operator behind a
+    CollectMetrics (``observe``) pushdown barrier. A caller-side
+    ``.where(jaccard >= t)`` gets substituted into the join condition
+    by Catalyst and is then evaluated on every same-group row pair
+    (O(n²/group) array intersections, measured 0.5 s -> 8.8 s at
+    sf0.01) instead of only the window-bounded candidates; a filter
+    cannot cross a CollectMetrics node (it would change the metrics),
+    so the threshold stays above the join.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -297,7 +309,7 @@ def ngram_jaccard_pairs(
     b = ranked.alias("b")
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
     union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh"))).cast("double")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a._grp") == F.col("b._grp"))
@@ -310,6 +322,13 @@ def ngram_jaccard_pairs(
             F.when(union > 0, F.round(inter / union, 6)).otherwise(0.0).alias("jaccard"),
         )
     )
+    if min_jaccard is not None:
+        global _BARRIER_SEQ
+        _BARRIER_SEQ += 1
+        out = out.observe(
+            f"ngram_jaccard_pairs_{_BARRIER_SEQ}", F.count(F.lit(1)).alias("n_pairs")
+        ).where(F.col("jaccard") >= min_jaccard)
+    return out
 
 
 def simhash_fingerprints(

@@ -73,27 +73,36 @@ def connected_components(
 
     Returns ``(id, component)``.
     """
+    # Materialize the incoming edge DAG once: candidate-pair generation
+    # (an LSH band join / shingle join) is typically the most expensive
+    # plan in sight and every round references edges multiple times.
     e = (
         edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
+    from pyspark.sql import Observation
+
     prev_probe = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # -- large-star: (v, m) for v in Γ(u) with v > u ------------------
+        # Stays lazy inside the round: its shuffle output is shared by
+        # the small-star branches via ReusedExchange, so a separate
+        # checkpoint job would only add latency. (No distinct either —
+        # the small-star _symmetric dedups.)
         sym = _symmetric(e)
         m = _closed_min(sym)
-        e = (
+        large = (
             sym.join(m, sym.src == m.m_src)
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
         )
         # -- small-star: (v, m) for v in Γ(u) ∪ {u} with v <= u, v != m --
-        sym = _symmetric(e)
+        sym = _symmetric(large)
         m = _closed_min(sym)
         attach_small = (
             sym.join(m, sym.src == m.m_src)
@@ -101,19 +110,23 @@ def connected_components(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
         attach_self = m.select(F.col("m_src").alias("src"), F.col("m").alias("dst"))
+        # The convergence probe rides on the checkpoint job (Observation)
+        # instead of being its own pass over the data.
+        obs = Observation(f"cc_round_{it}")
         e = (
             attach_small.unionAll(attach_self)
             .where(F.col("src") != F.col("dst"))
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("src").alias("ssrc"),
+                F.sum("dst").alias("sdst"),
+            )
             .localCheckpoint(eager=True)
         )
-
-        probe = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("src").alias("ssrc"),
-            F.sum("dst").alias("sdst"),
-        ).first()
-        probe = (probe["n"], probe["ssrc"], probe["sdst"])
+        got = obs.get
+        probe = (got["n"], got["ssrc"], got["sdst"])
         if probe == prev_probe:
             break
         prev_probe = probe

@@ -227,8 +227,8 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     eligible = docs.where(F.length(F.lower(F.trim("text"))) >= 3)
     pairs = D.ngram_jaccard_pairs(
-        eligible, shingle_k=3, window=3, partition_col="lang"
-    ).where(F.col("jaccard") >= 0.6)
+        eligible, shingle_k=3, window=3, partition_col="lang", min_jaccard=0.6
+    )
     comp = connected_components(
         docs, pairs, id_col="doc_id", src="id_a", dst="id_b"
     )

@@ -487,12 +487,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                        WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_mktsegment
     """,
     doc="TPC-H Q22 shape (phone prefix column absent -> mktsegment): "
     "scalar-subquery threshold (broadcast 1-row avg) + anti join "
-    "against orders, then segment rollup.",
+    "against recent orders (dormant = no order since 2000 — the "
+    "synthetic order density leaves 'never ordered' empty), then "
+    "segment rollup.",
 )
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -500,10 +504,13 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return (
         c.join(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
