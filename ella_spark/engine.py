@@ -76,6 +76,7 @@ _DROP_CATALOG_RE = re.compile(
 _DESCRIBE_RE = re.compile(
     r"^\s*(?:describe|desc)\s+(?:table\s+)?([A-Za-z0-9_.]+)\s*$", re.I
 )
+_EXPLAIN_RE = re.compile(r"^\s*explain\s+(analyze\s+)?(select\b.+)$", re.I | re.S)
 
 
 class Ella:
@@ -497,6 +498,23 @@ class Ella:
                 self.spark.createDataFrame(
                     rows, "catalog string, schema string, name string, kind string"
                 ),
+                engine=self,
+                sql=sql,
+            )
+        if m := _EXPLAIN_RE.match(sql):
+            # DataFusion-shaped EXPLAIN output: (plan_type, plan) rows
+            # (the reference inherits `EXPLAIN [ANALYZE] <query>` from
+            # DataFusion's SessionState). ANALYZE executes the query
+            # first so the reported physical plan is the AQE-final one.
+            df = self.spark.sql(m.group(2))
+            qe = df._jdf.queryExecution()
+            rows = [("logical_plan", qe.optimizedPlan().toString())]
+            if m.group(1):
+                n = df.count()
+                rows.append(("row_count", str(n)))
+            rows.append(("physical_plan", qe.executedPlan().toString()))
+            return Lazy(
+                self.spark.createDataFrame(rows, "plan_type string, plan string"),
                 engine=self,
                 sql=sql,
             )

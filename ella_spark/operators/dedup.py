@@ -435,6 +435,8 @@ def embedding_neardup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    global _BARRIER_SEQ
+    _BARRIER_SEQ += 1
     return (
         a.join(
             b,
@@ -442,6 +444,12 @@ def embedding_neardup_pairs(
         )
         .withColumn(
             "cosine", F.round(dot / (F.col("a._norm") * F.col("b._norm")), 6)
+        )
+        # CollectMetrics barrier: without it Catalyst substitutes the
+        # whole zip_with/aggregate dot product into the join condition
+        # and evaluates it a second time in the project (2x per pair).
+        .observe(
+            f"embedding_neardup_{_BARRIER_SEQ}", F.count(F.lit(1)).alias("n_pairs")
         )
         .where(F.col("cosine") >= cosine_threshold)
         .select(

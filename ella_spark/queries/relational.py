@@ -998,3 +998,62 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(counted("intersect_all", big.intersectAll(pri)))
         .unionAll(counted("except_all", big.exceptAll(pri)))
     )
+
+
+@register(
+    "q_regr_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4)      AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4)      AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Linear-regression aggregate family (regr_slope/intercept/r2/"
+    "count/avgx/avgy) — completes the DataFusion stats-aggregate "
+    "surface next to q_agg_stats and q_corr_covar.",
+)
+def q_regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                            AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)   AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-resilient salted join (operators/skew.py): the left side "
+    "gets a deterministic salt, the right side replicates salt ways, "
+    "and the shuffle key becomes (orderkey, salt) — spreading a hot "
+    "orderkey over `salt` reducers. The oracle is the PLAIN join: the "
+    "driver verifies salting is result-invariant.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, o, keys=["l_orderkey"], how="inner", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

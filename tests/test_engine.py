@@ -523,3 +523,20 @@ def test_datafusion_sql_compat_functions(db):
     assert misc["p"].iloc[0] == 3
     assert str(misc["ts1"].iloc[0])[:10] == "1970-01-02"
     assert misc["ts1"].iloc[0] == misc["ts2"].iloc[0] == misc["ts3"].iloc[0]
+
+
+def test_explain_sql(db):
+    """EXPLAIN [ANALYZE] parity: DataFusion-shaped (plan_type, plan)
+    rows (the reference inherits EXPLAIN from its SessionState)."""
+    db.create_topic("expl_t", [Column("v", "float64")])
+    db.query("INSERT INTO expl_t VALUES (1000, CAST(2.0 AS DOUBLE))").execute()
+
+    out = db.query("EXPLAIN SELECT v FROM expl_t WHERE v > 1.0").execute()
+    kinds = list(out["plan_type"])
+    assert kinds == ["logical_plan", "physical_plan"]
+    assert "expl_t" in out["plan"][0] or "Relation" in out["plan"][0]
+
+    out = db.query("EXPLAIN ANALYZE SELECT v FROM expl_t").execute()
+    kinds = list(out["plan_type"])
+    assert kinds == ["logical_plan", "row_count", "physical_plan"]
+    assert out["plan"][kinds.index("row_count")] == "1"
