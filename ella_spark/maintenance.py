@@ -78,7 +78,13 @@ def _compact_dir(
     import pyarrow as pa
 
     merged = pa.concat_tables(tables).sort_by([(TIME_COLUMN, "ascending")])
-    out = bucket_dir / f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+    # Name the merged shard with the EARLIEST source shard's timestamp
+    # prefix (plus a 'c' compaction marker) so it sorts at the position
+    # of its oldest input: an exact-offset subscriber whose watermark
+    # has passed the compacted range (sources/topic_stream.py orders by
+    # basename) never sees the merged file as new input.
+    first_ts = group[0].name.split("-")[1]
+    out = bucket_dir / f"part-{first_ts}-c{uuid.uuid4().hex[:7]}.parquet"
     tmp = out.with_name(f"_tmp-{out.name}")
     pq.write_table(merged, tmp, row_group_size=1 << 20)
     tmp.replace(out)

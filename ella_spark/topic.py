@@ -159,6 +159,35 @@ class Topic:
             .drop(PARTITION_COL)
         )
 
+    def read_stream_exact(
+        self, spark: SparkSession, starting: str = "earliest"
+    ) -> DataFrame:
+        """Live tail with EXACT shard-log offsets (Python DataSource,
+        sources/topic_stream.py): an offset is a position in the
+        topic's publish-ordered shard log — the reference subscriber's
+        queue cursor (channel.rs:250-331) — instead of the file
+        source's seen-file-names log. Compacted shards are not
+        re-delivered to caught-up subscribers.
+
+        ``starting``: ``earliest`` (history then live) or ``latest``
+        (rows published after this call — the reference's subscribe()).
+        """
+        from ella_spark.session import configure
+        from ella_spark.sources.topic_stream import (
+            SOURCE_NAME,
+            TopicStreamDataSource,
+        )
+
+        configure(spark)
+        spark.dataSource.register(TopicStreamDataSource)
+        return (
+            spark.readStream.format(SOURCE_NAME)
+            .schema(self.spark_schema())
+            .option("path", str(self.path))
+            .option("startingOffsets", starting)
+            .load()
+        )
+
     def scan(self, spark: SparkSession, mode: str = "auto", **kw):
         """Unified topic scan — the reference's query-time cut
         (README.md:96-105; SURVEY §F):
