@@ -48,6 +48,18 @@ HEADLINE = [
     "q_ann_ivf",
 ]
 
+# Newer flagship operators, timed and reported separately so the
+# headline total stays comparable with BASELINE.md round over round.
+EXTRAS = [
+    "q_dedup_cluster",
+    "q_chunk_documents",
+    "q_pack_sequences",
+    "q_quality_repetition",
+    "q_mix_resample",
+    "q7_volume_shipping",
+    "q18_large_volume_cust",
+]
+
 
 def _ingest_bench(spark, n_rows: int = 200_000) -> tuple[float, float]:
     """Publisher->queryable throughput + single-row freshness
@@ -121,6 +133,16 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        fn = qs[name]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            samples.append(time.perf_counter() - t0)
+        extras[name] = round(statistics.median(samples), 4)
+
     ingest_rps, freshness = _ingest_bench(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -139,6 +161,7 @@ def main() -> None:
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "ingest_rows_per_sec": ingest_rps,
         "freshness_sec": freshness,
+        "extra_queries": extras,
     }
     print(json.dumps(out))
     spark.stop()
