@@ -97,6 +97,7 @@ def _rank(name: str) -> int:
         "q_date_bin_5min", "q_date_trunc_parts", "q_latest_per_key",
         "q_time_range_scan", "q_session_gaps", "q_json_props",
         "q_event_type_pivot", "q_asof_join", "q_asof_join_forward",
+        "q_funnel_steps", "q_retention_cohorts",
         "q_range_join", "q_gap_fill", "q_rolling_1h",
         "q_rank_per_group", "q_running_sum", "q_lag_lead",
         "q_ntile_percentiles", "q_first_last_value", "q_array_basics",

@@ -446,3 +446,96 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("next_click_ns div 1000").alias("next_click_us"),
         )
     )
+
+
+@register(
+    "q_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_ns(ts)) AS tv
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_ns(e.ts)) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.tv
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase): per step, "
+    "the earliest qualifying event must FOLLOW the previous step's "
+    "time. Each step is one groupBy + one equi-join on user_id — at "
+    "100 TB all three shuffles share the user_id key so AQE co-"
+    "partitions them; no window over the full event stream is needed.",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .select("user_id")
+        .distinct()
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+_WEEK_NS = 7 * 86_400 * 1_000_000_000
+
+
+@register(
+    "q_retention_cohorts",
+    oracle=f"""
+    WITH weeks AS (
+      SELECT user_id,
+             epoch_ns(ts) // {_WEEK_NS} AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           w.week - c.cohort_week AS week_offset,
+           count(DISTINCT w.user_id) AS n_users
+    FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY c.cohort_week, week_offset
+    """,
+    doc="Retention cohort matrix: cohort = first-activity week, counting "
+    "distinct active users per (cohort_week, week_offset). Two "
+    "aggregations and a join all keyed on user_id; the final count-"
+    "distinct re-shuffles on the (tiny) cohort key only.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", (F.col("ts") / _WEEK_NS).cast("long").alias("week")
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

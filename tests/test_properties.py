@@ -166,3 +166,46 @@ def test_concurrent_publishers(spark, tmp_path):
         t.join()
     out = db.query("SELECT count(*) AS n, count(DISTINCT v) AS d FROM conc").execute()
     assert out["n"].iloc[0] == 200 and out["d"].iloc[0] == 200
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Star-contraction CC equals a union-find oracle on arbitrary
+    graphs (self-loops, duplicates, isolated nodes included)."""
+    from ella_spark.operators.graph import connected_components
+
+    nodes = list(range(61))
+    parent = {u: u for u in nodes}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {u: find(u) for u in nodes}
+
+    ndf = spark.createDataFrame([(u,) for u in nodes], "id long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(ndf, edf).collect()
+    }
+    assert got == expected
