@@ -114,7 +114,9 @@ def _rank(name: str) -> int:
         "q12_late_lines", "q13_cust_distribution", "q15_top_supplier",
         "q17_small_qty_revenue", "q18_large_volume_cust",
         "q19_bracket_revenue", "q21_waiting_suppliers",
-        "q22_dormant_customers",
+        "q22_dormant_customers", "q2_min_cost_supplier",
+        "q9_product_type_profit", "q11_important_parts",
+        "q16_supplier_part_counts", "q20_excess_share_suppliers",
     }:
         return 2
     return 3

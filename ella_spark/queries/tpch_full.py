@@ -517,3 +517,276 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT ps.*, s_acctbal, s_name, n_name
+        FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    j AS (
+        SELECT eu.*, p_partkey, p_name,
+               min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM eu JOIN part ON p_partkey = ps_partkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(ps_supplycost, 2) AS supply_cost
+    FROM j
+    WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (no partsupp table -> supplier/part cost derived "
+    "from lineitem: min unit price per (part, supplier) pair). The "
+    "correlated min-cost subquery becomes a window MIN over p_partkey "
+    "after the region filter — one shuffle on partkey instead of a "
+    "re-scan per outer row. Equality against the window min is exact: "
+    "MIN over doubles is order-independent and the min is an element of "
+    "the compared set. Region/nation are constant-size -> broadcast; "
+    "the derived ps aggregate shuffles (partkey, suppkey, 8B) only.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    eu = (
+        ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    j = eu.join(p, F.col("ps_partkey") == F.col("p_partkey")).withColumn(
+        "min_cost", F.min("ps_supplycost").over(Window.partitionBy("p_partkey"))
+    )
+    return (
+        j.where(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1.0 - l_discount AS DECIMAL(8,2))
+                     - CAST(p_retailprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,0))
+                       * CAST(0.6 AS DECIMAL(2,1))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, CAST(year(l_shipdate) AS BIGINT)
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (profit by nation and year). No partsupp -> "
+    "supply cost proxied as 0.6 * p_retailprice per unit, preserving "
+    "the plan shape: LIKE-filtered part join pruning lineitem, 4-way "
+    "join, year() extraction, two-key aggregate. All money math in "
+    "exact DECIMAL so partition-parallel sums match the oracle "
+    "bit-for-bit. part is filtered ~1/8 by the LIKE -> AQE may "
+    "broadcast it at small SF; at 100 TB it shuffle-joins on partkey.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    profit = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))"
+        " - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,0))"
+        "   * CAST(0.6 AS DECIMAL(2,1))"
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey AS partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1
+    )
+    SELECT partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM v
+    WHERE part_value > (SELECT CAST(sum(part_value) AS DOUBLE) * 0.0001 FROM v)
+    ORDER BY part_value DESC, partkey
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part value within one "
+    "nation, kept when above a fraction of the nation's total — a "
+    "grouped aggregate compared against a global scalar subquery. "
+    "Spark plans the scalar as a broadcast 1-row cross join, so the "
+    "grouped side streams through one filter; no second shuffle. "
+    "DECIMAL sums keep the threshold comparison exact on both engines.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3"))
+    v = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value"))
+    )
+    total = v.agg(
+        (F.sum("part_value").cast("double") * F.lit(0.0001)).alias("threshold")
+    )
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship). partsupp -> "
+    "DISTINCT (partkey, suppkey) pairs from lineitem; the 'customer "
+    "complaints' NOT IN exclusion keys on negative account balance "
+    "(no s_comment column). NOT IN -> left-anti join; the excluded-"
+    "supplier set scales with SF so it carries no broadcast hint (AQE "
+    "broadcasts it while small). countDistinct shuffles only after "
+    "the IN-list + brand/type filters prune parts ~6x.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    complainers = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(complainers, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2
+    ),
+    pt AS (SELECT l_partkey, sum(qty) AS total_qty FROM sp GROUP BY 1)
+    SELECT DISTINCT s_name, s_acctbal
+    FROM sp
+    JOIN pt USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND qty > CAST(0.3 AS DECIMAL(2,1)) * total_qty
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (potential part promotion). availqty has no "
+    "analog -> a supplier qualifies when its share of a 'small%' "
+    "part's 1997 shipments exceeds 30% — the correlated half-sum "
+    "subquery becomes a second aggregate over the first (per-part "
+    "totals) joined back on partkey: two narrow shuffles instead of a "
+    "per-supplier re-scan. DECIMAL quantity sums make the 30% "
+    "threshold comparison exact on both engines. The nation filter "
+    "lands on the (small) supplier dim.",
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3"))
+    sp = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    return (
+        sp.join(pt, F.col("l_partkey") == F.col("pt_partkey"))
+        .where(F.col("qty") > F.expr("CAST(0.3 AS DECIMAL(2,1))") * F.col("total_qty"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_name")
+    )
