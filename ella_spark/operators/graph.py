@@ -24,8 +24,13 @@ O(n) rounds) converges in ~7.
 
 Scale design (100 TB corpora => billions of nodes, edge lists from
 banded LSH joins):
-- each round is two shuffles keyed on node id (groupBy min +
-  self-join); nothing is ever collected to the driver;
+- a bounded small-graph fast path (edge list ≤ SMALL_GRAPH_EDGES after
+  dedup — the analog of Spark's broadcast-join threshold) solves the
+  labels with driver-side union-find and broadcasts them back; beyond
+  the threshold the iterative loop runs with nothing collected to the
+  driver;
+- each distributed round is two shuffles keyed on node id (groupBy min
+  + self-join);
 - `localCheckpoint` after every round truncates lineage so round k+1
   does not replay rounds 1..k;
 - the convergence probe is a 3-scalar aggregate (count, sum(src),
@@ -57,6 +62,43 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     return fwd.unionAll(rev).where(F.col("src") != F.col("dst")).distinct()
 
 
+#: Edge count at or below which the component labels are computed with
+#: driver-side union-find instead of the iterative distributed loop.
+#: Rationale mirrors Spark's own autoBroadcastJoinThreshold: a deduped
+#: edge list of ≤4Mi (src, dst) longs is ≤64 MB — trivially collectable
+#: — while the alternating-star loop pays ~4 shuffles per round for
+#: O(log²n) rounds regardless of size. Near-dup pair sets are usually
+#: tiny relative to the corpus (most docs are unique), so at 100 TB the
+#: post-verify pair list often still fits; when it doesn't, the
+#: distributed loop is the same code path with no semantic difference.
+SMALL_GRAPH_EDGES = 4 * 1024 * 1024
+
+
+def _union_find_labels(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find (path halving + union by min) over a
+    bounded edge list; returns (src=node, dst=component-min) labels for
+    non-root nodes, matching the fixed point of the distributed loop."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in edge_rows:
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(
+        labels or [(None, None)], "src long, dst long"
+    ).where(F.col("src").isNotNull())
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -64,12 +106,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Label every node with the minimum node id of its component.
 
     ``nodes``: one row per node (isolated nodes allowed — they become
     singleton components). ``edges``: undirected candidate pairs (any
     orientation, self-loops/duplicates tolerated).
+
+    Small-graph fast path: when the deduped edge list has at most
+    ``small_graph_edges`` rows it is collected and solved with
+    driver-side union-find, and the labels broadcast-join back to
+    ``nodes`` — one job instead of O(log²n) multi-shuffle rounds.
+    Pass ``small_graph_edges=0`` to force the distributed loop.
 
     Returns ``(id, component)``.
     """
@@ -83,6 +132,26 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if small_graph_edges > 0:
+        # localCheckpoint already materialized e: count() is metadata-cheap.
+        n_edges = e.count()
+        if n_edges <= small_graph_edges:
+            labels = _union_find_labels(nodes.sparkSession, e.collect())
+            return (
+                nodes.select(F.col(id_col).cast("long").alias("id"))
+                .join(
+                    F.broadcast(
+                        labels.select(
+                            F.col("src").alias("id"),
+                            F.col("dst").alias("component"),
+                        )
+                    ),
+                    "id",
+                    "left_outer",
+                )
+                .select("id", F.coalesce("component", "id").alias("component"))
+            )
 
     from pyspark.sql import Observation
 

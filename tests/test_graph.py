@@ -30,7 +30,7 @@ def _uf_components(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int
     return out
 
 
-def _run(spark, nodes, edges):
+def _run(spark, nodes, edges, small_graph_edges):
     ndf = spark.createDataFrame([(int(u),) for u in nodes], "id long")
     if edges:
         edf = spark.createDataFrame([(int(a), int(b)) for a, b in edges], "src long, dst long")
@@ -38,37 +38,43 @@ def _run(spark, nodes, edges):
         edf = spark.createDataFrame([], "src long, dst long")
     got = {
         r["id"]: r["component"]
-        for r in connected_components(ndf, edf).collect()
+        for r in connected_components(
+            ndf, edf, small_graph_edges=small_graph_edges
+        ).collect()
     }
     assert got == _uf_components(nodes, edges)
 
 
-def test_chain_pathological(spark):
+@pytest.mark.parametrize("sge", [0, 10**6], ids=["distributed", "unionfind"])
+def test_chain_pathological(spark, sge):
     # A 60-node path: naive min-flooding needs 60 rounds; star
     # contraction must finish inside the max_iter budget.
     nodes = list(range(100, 160))
     edges = [(i, i + 1) for i in nodes[:-1]]
-    _run(spark, nodes, edges)
+    _run(spark, nodes, edges, sge)
 
 
-def test_isolated_and_cliques(spark):
+@pytest.mark.parametrize("sge", [0, 10**6], ids=["distributed", "unionfind"])
+def test_isolated_and_cliques(spark, sge):
     nodes = list(range(20))
     edges = [(0, 1), (1, 2), (2, 0), (5, 6), (6, 7), (10, 11)]
-    _run(spark, nodes, edges)
+    _run(spark, nodes, edges, sge)
 
 
-def test_duplicate_and_reversed_edges(spark):
+@pytest.mark.parametrize("sge", [0, 10**6], ids=["distributed", "unionfind"])
+def test_duplicate_and_reversed_edges(spark, sge):
     nodes = [1, 2, 3, 4]
     edges = [(2, 1), (1, 2), (2, 1), (3, 4), (4, 3)]
-    _run(spark, nodes, edges)
+    _run(spark, nodes, edges, sge)
 
 
 @pytest.mark.parametrize("seed", [7, 42])
-def test_random_graph(spark, seed):
+@pytest.mark.parametrize("sge", [0, 10**6], ids=["distributed", "unionfind"])
+def test_random_graph(spark, seed, sge):
     rng = random.Random(seed)
     nodes = list(range(200))
     edges = [
         (rng.randrange(200), rng.randrange(200)) for _ in range(120)
     ]
     edges = [(a, b) for a, b in edges if a != b]
-    _run(spark, nodes, edges)
+    _run(spark, nodes, edges, sge)
