@@ -1,0 +1,183 @@
+"""Embedding-space clustering + semantic dedup for corpus curation.
+
+Beyond-reference LLM-data-pipeline operators (the reference engine has
+no vector operators at all; cf. its client-side-only tensor math,
+/root/reference/ella-tensor/src/ops/binary_arith.rs):
+
+- ``kmeans_assign``: spherical k-means cluster assignment over an
+  embedding column. Centroids are trained driver-side on a bounded
+  deterministic sample (the standard IVF recipe, shared with
+  operators/similarity.train_ivf_centroids); assignment is a map-only
+  Arrow-batched matmul with the centroid matrix shipped in the UDF
+  closure. Nothing unbounded ever reaches the driver, and the
+  assignment stage is embarrassingly parallel at any corpus size.
+
+- ``semantic_dedup``: SemDeDup-style semantic deduplication (Abbas et
+  al., "SemDeDup: Data-efficient learning at web-scale through
+  semantic deduplication", 2023): cluster the embedding space, then
+  find near-duplicate pairs ONLY within each cluster (cosine >=
+  threshold), and keep one canonical document per duplicate group via
+  connected components. The cluster bucketing is what makes this
+  scale: candidate generation is an equi-join on (cluster), never the
+  O(n²) corpus pair space — the same bounded-candidates discipline as
+  the MinHash/LSH text path (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ella_spark.operators.similarity import as_double, train_ivf_centroids
+
+
+def _assign_udf(centroids):
+    """Arrow-batched UDF: embedding -> struct<cluster:int, sim:double>
+    (nearest unit centroid by dot == cosine, and that cosine).
+
+    One (B, dim) @ (dim, C) matmul per Arrow batch; ties break toward
+    the smaller cluster id (stable argsort), so assignment is
+    deterministic for any input order.
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cluster: int, sim: double>")
+    def _assign(emb: pd.Series) -> pd.DataFrame:
+        if not len(emb):
+            return pd.DataFrame({"cluster": [], "sim": []})
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        D = X @ cent.T
+        idx = np.argmax(D, axis=1)  # np.argmax returns the FIRST max: min id
+        return pd.DataFrame(
+            {"cluster": idx.astype("int32"), "sim": D[np.arange(len(idx)), idx]}
+        )
+
+    return _assign
+
+
+def kmeans_assign(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    train_sample: int = 4096,
+    iters: int = 8,
+    centroids=None,
+) -> DataFrame:
+    """(id, cluster, sim): nearest spherical-k-means centroid per vector.
+
+    ``centroids`` (an (n_clusters x dim) array) may be passed to skip
+    training — e.g. reusing centroids across incremental batches.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df,
+            dim,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_centroids=n_clusters,
+            train_sample=train_sample,
+            iters=iters,
+        )
+    assign = _assign_udf(centroids)
+    return df.select(
+        F.col(id_col).alias("id"), assign(as_double(F.col(vec_col))).alias("_a")
+    ).select("id", F.col("_a.cluster").alias("cluster"), F.col("_a.sim").alias("sim"))
+
+
+def kmeans_cluster_stats(assigned: DataFrame) -> DataFrame:
+    """Per-cluster profile of a ``kmeans_assign`` result:
+    (cluster, n, mean_sim, min_sim) — the curation dashboard view
+    (tight clusters -> high mean cosine to centroid)."""
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("sim"), 6).alias("mean_sim"),
+            F.round(F.min("sim"), 6).alias("min_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    n_clusters: int = 16,
+    train_sample: int = 4096,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup: (id, cluster, group_id, is_canonical) per vector.
+
+    Pipeline: kmeans_assign -> within-cluster pairwise cosine (equi-
+    join on cluster; per-cluster candidate sets, never cross-corpus)
+    -> pairs >= ``cosine_threshold`` -> connected components -> keep
+    the minimum id of each duplicate group as canonical.
+
+    Scale: the pairwise step is O(sum over clusters of m_c²) where m_c
+    is the cluster size — ``n_clusters`` is the knob that bounds it
+    (SemDeDup uses tens of thousands of clusters at web scale so each
+    m_c is thousands). Pair rows carry ids only; vectors move once
+    into the join, partitioned by cluster.
+    """
+    from ella_spark.operators.graph import connected_components
+
+    assigned = kmeans_assign(
+        df,
+        dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_clusters=n_clusters,
+        train_sample=train_sample,
+        centroids=centroids,
+    ).localCheckpoint(eager=False)
+
+    vecs = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    nrm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    unit = assigned.join(vecs, "id").select(
+        "id", "cluster", F.transform("_v", lambda x: x / nrm).alias("_u")
+    )
+
+    a = unit.alias("a")
+    b = unit.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a._u"), F.col("b._u"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= cosine_threshold)
+    )
+
+    comp = connected_components(
+        assigned.select("id"), pairs, id_col="id", src="id_a", dst="id_b"
+    )
+    return (
+        assigned.select("id", "cluster")
+        .join(comp, "id")
+        .select(
+            "id",
+            "cluster",
+            F.col("component").alias("group_id"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+    )

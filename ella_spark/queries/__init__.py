@@ -90,7 +90,8 @@ def _rank(name: str) -> int:
         "q_media_features", "q_strip_boilerplate", "q_embed_quantize",
         "q_stratified_sample", "q_decontaminate", "q_winnow_fingerprint",
         "q_chunk_documents", "q_pack_sequences", "q_quality_repetition",
-        "q_pii_scrub", "q_mix_resample",
+        "q_pii_scrub", "q_mix_resample", "q_kmeans_embeddings",
+        "q_semantic_dedup",
     }:
         return 0
     if name in {

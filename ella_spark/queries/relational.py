@@ -1057,3 +1057,74 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "q_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4)       AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(quantile_cont(l_discount, 0.25), 4)      AS p25_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="EXACT percentiles (interpolated, SQL percentile_cont semantics) "
+    "per group — complements q_approx_aggs' sketch-based quantiles. "
+    "Spark's percentile() aggregate sorts within each group partition; "
+    "the interpolation of an exact sorted multiset is deterministic, so "
+    "values match DuckDB's quantile_cont bit-for-bit after round(4). "
+    "At scale the exact sort is the cost the approx query avoids — both "
+    "belong in the surface (exact for audits, sketch for dashboards).",
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    SELECT least(CAST(floor(l_quantity / 5.0) AS BIGINT), 10) AS bucket,
+           count(*) AS n,
+           round(min(l_quantity), 2) AS lo,
+           round(max(l_quantity), 2) AS hi,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS bucket_revenue
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Fixed-width value histogram (bucket = floor(qty/5), clamped) "
+    "with per-bucket count/min/max/revenue — the profiling primitive "
+    "behind data-quality dashboards. One hash aggregate over an "
+    "integer bucket key: map-side partials shrink each partition to "
+    "≤11 rows before the shuffle, so the plan is scan-bound at any SF. "
+    "DECIMAL revenue sums keep the oracle comparison exact.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_quantity") / 5.0).cast("bigint"), F.lit(10).cast("bigint")
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("bucket_revenue"),
+        )
+        .orderBy("bucket")
+    )

@@ -85,3 +85,60 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         emb, queries, dim=_DIM, k=5, n_probe=6, centroids=cent
     ).orderBy("query_id", "rank")
+
+
+_KMEANS_CENTROIDS: dict = {}
+
+
+def _corpus_centroids(emb, sf_dir: str, n_clusters: int = 16):
+    """Train-once-per-corpus centroid cache (same production shape as
+    the IVF cache above: centroids are a corpus artifact, not a
+    per-query cost)."""
+    key = (sf_dir, "kmeans", n_clusters)
+    cent = _KMEANS_CENTROIDS.get(key)
+    if cent is None:
+        from ella_spark.operators.similarity import train_ivf_centroids
+
+        cent = _KMEANS_CENTROIDS[key] = train_ivf_centroids(
+            emb, _DIM, n_centroids=n_clusters
+        )
+    return cent
+
+
+@register(
+    "q_kmeans_embeddings",
+    oracle=None,  # iterative trained centroids; numpy parity in tests
+    doc="Embedding-space k-means cluster profile: sample-trained "
+    "spherical centroids, map-only distributed assignment (Arrow "
+    "matmul UDF), per-cluster size + cohesion stats. The curation "
+    "primitive behind topic balancing / SemDeDup bucketing.",
+)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators import clustering as C
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = C.kmeans_assign(
+        emb, _DIM, n_clusters=16, centroids=_corpus_centroids(emb, sf_dir)
+    )
+    return C.kmeans_cluster_stats(assigned)
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=None,  # iterative trained centroids; planted-dup tests
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): k-means "
+    "bucketing -> within-cluster cosine pairs -> connected components "
+    "-> one canonical vector per duplicate group. Candidate pairs are "
+    "bounded per cluster, never the O(n^2) corpus pair space.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators import clustering as C
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.semantic_dedup(
+        emb,
+        _DIM,
+        cosine_threshold=0.97,
+        n_clusters=16,
+        centroids=_corpus_centroids(emb, sf_dir),
+    ).orderBy("id")
