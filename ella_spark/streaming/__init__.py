@@ -213,6 +213,54 @@ def with_watermark(df: DataFrame, delay: str, time_col: str = TIME_COLUMN) -> Da
     return with_event_time(df, time_col).withWatermark("_event_time", delay)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    within: str = "5 seconds",
+    watermark: str = "10 seconds",
+    time_col: str = TIME_COLUMN,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join bounded to an event-time
+    window (beyond-reference: the reference has no streaming joins —
+    its channels are single-topic feeds, channel.rs:250-331).
+
+    Joins ``left`` and ``right`` on the ``on`` key columns where the
+    right event time lies within ±``within`` of the left event time.
+    Both sides carry a ``watermark`` so Spark can age out join state —
+    the state bound is what makes the join runnable forever at scale:
+    each side buffers only rows younger than watermark+within.
+
+    Output columns: left columns (incl. its ns ``time``), the right's
+    non-key columns suffixed ``_r``. Works identically on two batch
+    DataFrames (Spark's unified semantics).
+    """
+    from functools import reduce
+
+    l = with_event_time(left, time_col).withColumnRenamed(
+        "_event_time", "_l_time"
+    ).withWatermark("_l_time", watermark)
+    r = with_event_time(right, time_col).withWatermark("_event_time", watermark)
+    # suffix every right column that collides with a left name (keys
+    # keep their name for the equi-condition, dropped after the join)
+    rename = {
+        c: f"{c}_r" for c in right.columns if c in left.columns and c not in on
+    }
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    r = r.withColumnRenamed("_event_time", "_r_time")
+
+    eq = reduce(lambda a, b: a & b, [l[k] == r[k] for k in on])
+    bound = (F.col("_r_time") >= F.col("_l_time") - F.expr(f"INTERVAL {within}")) & (
+        F.col("_r_time") <= F.col("_l_time") + F.expr(f"INTERVAL {within}")
+    )
+    out = l.join(r, eq & bound, how)
+    for k in on:
+        out = out.drop(r[k])
+    return out.drop("_l_time", "_r_time")
+
+
 def continuous_rollup(
     engine,
     source: str,

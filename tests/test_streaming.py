@@ -283,3 +283,61 @@ def test_continuous_rollup(db, spark):
         assert list(out["v_sum"]) == [1.0, 12.0, 5.0]
     finally:
         q.stop()
+
+
+def test_stream_stream_join(db, spark):
+    """Watermarked stream-stream join: two live topics joined on key
+    within an event-time bound; state is watermark-bounded so the
+    query could run forever (beyond-reference §F)."""
+    from ella_spark.streaming import stream_stream_join
+
+    t1 = db.create_topic("ssj_a", [Column("k", "int64"), Column("a", "float64")])
+    t2 = db.create_topic("ssj_b", [Column("k", "int64"), Column("b", "float64")])
+    ns = 1_000_000_000
+    # offset from epoch 0: a row whose event time EQUALS the initial
+    # watermark (1970-01-01T00:00:00) is filtered as late input
+    base = 3600
+    with t1.publish() as pub:
+        pub.write((base + 0) * ns, 1, 10.0)
+        pub.write((base + 1) * ns, 2, 20.0)
+        pub.write((base + 50) * ns, 3, 30.0)
+    with t2.publish() as pub:
+        pub.write((base + 2) * ns, 1, 100.0)
+        pub.write((base + 3) * ns, 2, 200.0)
+        pub.write((base + 120) * ns, 3, 300.0)  # 70s from left k=3: outside bound
+
+    # watermark must cover the full replayed event-time spread (120s):
+    # the history tier arrives across micro-batches, and a shorter
+    # watermark would age out early-event join state before the other
+    # side's file is read. k=3 is excluded by the JOIN BOUND, not the
+    # watermark, so the assertion is batch-split-deterministic.
+    joined = stream_stream_join(
+        t1.read_stream(spark),
+        t2.read_stream(spark),
+        on=["k"],
+        within="5 seconds",
+        watermark="10 minutes",
+    )
+    assert joined.isStreaming
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option(
+            "checkpointLocation",
+            str(t1.store.meta_dir / "checkpoints" / "ssj_out"),
+        )
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    out = spark.sql("SELECT k, a, b FROM ssj_out ORDER BY k").toPandas()
+    assert list(out["k"]) == [1, 2]
+    assert list(out["a"]) == [10.0, 20.0]
+    assert list(out["b"]) == [100.0, 200.0]
+
+    # unified batch/stream semantics: same helper on batch reads
+    batch = stream_stream_join(
+        t1.read(spark), t2.read(spark), on=["k"], within="5 seconds"
+    )
+    assert not batch.isStreaming
+    assert sorted(r["k"] for r in batch.collect()) == [1, 2]
