@@ -58,6 +58,12 @@ EXTRAS = [
     "q_mix_resample",
     "q7_volume_shipping",
     "q18_large_volume_cust",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q_kmeans_embeddings",
+    "q_semantic_dedup",
+    "q_percentile_exact",
+    "q_value_histogram",
 ]
 
 
