@@ -116,10 +116,12 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference README.md:96-105); predicate pushes to parquet row groups.",
 )
 def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.where(
-        (F.col("ts") >= 1704070000000000000) & (F.col("ts") < 1704080000000000000)
-    ).select(
+    from ella_spark.sources import scan_events_range
+
+    ev = scan_events_range(
+        spark, sf_dir, 1704070000000000000, 1704080000000000000
+    )
+    return ev.select(
         "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("ts_us")
     )
 

@@ -38,14 +38,63 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table, applying required session confs first.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as LongType
-    epoch-ns — the reference's native time representation
-    (ella-common/src/time.rs:28-45).
+    ``events.ts`` surfaces as LongType epoch-ns — the reference's
+    native time representation (ella-common/src/time.rs:28-45) —
+    regardless of the parquet physical type:
+
+    * parquet TIMESTAMP(NANOS): read directly as long via
+      ``spark.sql.legacy.parquet.nanosAsLong`` (lossless);
+    * parquet TIMESTAMP(MICROS) (timestamp / timestamp_ntz): projected
+      to ``unix_micros * 1000`` (session tz is pinned UTC so the
+      ntz→ltz cast is value-preserving).
+
+    The projection is a narrow, codegen'd expression — column pruning
+    and pushdown of predicates on OTHER columns are unaffected. Time-
+    range predicates that must prune parquet row groups should filter
+    on the native column first (see ``scan_events_range``).
     """
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name == "events":
+        df = _normalize_event_time(df)
+    return df
+
+
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype and dtype.startswith("timestamp"):
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
+
+
+def scan_events_range(
+    spark: SparkSession, sf_dir: str, lo_ns: int, hi_ns: int
+) -> DataFrame:
+    """Time-range scan over events with parquet row-group pruning.
+
+    Filters on the NATIVE ``ts`` column (timestamp or long, whichever
+    the file has) so the predicate reaches the parquet reader as a
+    PushedFilter and prunes row groups by min/max stats — at 100 TB
+    this is the difference between reading one day and one decade.
+    The epoch-ns normalization is projected only above the filter.
+    """
+    from pyspark.sql import functions as F
+
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dtype = dict(df.dtypes).get("ts", "")
+    if dtype.startswith("timestamp"):
+        lo = F.timestamp_micros(F.lit(lo_ns // 1000)).cast(dtype)
+        hi = F.timestamp_micros(F.lit(hi_ns // 1000)).cast(dtype)
+    else:
+        lo, hi = F.lit(lo_ns), F.lit(hi_ns)
+    df = df.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+    return _normalize_event_time(df)
 
 
 def _parse_bytes(s: str) -> int:
