@@ -128,26 +128,22 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(par * 4).repartition(par).select(F.sum(_warm("id"))).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def timed(name: str) -> float:
+        """Steady-state latency: one untimed warmup execution (pays the
+        per-query Catalyst analysis + whole-stage codegen compile and
+        any UDF state init — engine startup cost that amortizes to zero
+        over a production run), then the median of RUNS timed runs."""
         fn = qs[name]
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
-
-    extras: dict[str, float] = {}
-    for name in EXTRAS:
-        fn = qs[name]
+        fn(spark, SF_DIR).count()
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             samples.append(time.perf_counter() - t0)
-        extras[name] = round(statistics.median(samples), 4)
+        return round(statistics.median(samples), 4)
+
+    timings = {name: timed(name) for name in HEADLINE}
+    extras = {name: timed(name) for name in EXTRAS}
 
     ingest_rps, freshness = _ingest_bench(spark)
 
@@ -159,6 +155,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": RUNS,
+        "warmup_runs_per_query": 1,
         "spark": spark.version,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         # timings on this host swing up to 10x with hypervisor steal

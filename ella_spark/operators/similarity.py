@@ -159,14 +159,13 @@ def _signatures_udf(dim: int, num_planes: int, num_tables: int):
 
     @F.pandas_udf("array<long>")
     def _sigs(emb: pd.Series) -> pd.Series:
-        out = []
-        for v in emb:
-            x = np.asarray(v, dtype=np.float64)
-            bits = (planes @ x) >= 0
-            out.append(
-                bits.reshape(num_tables, num_planes).astype(np.int64) @ weights
-            )
-        return pd.Series(out)
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        # one (B, dim) @ (dim, T*P) matmul for the whole Arrow batch
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (X @ planes.T) >= 0
+        packed = bits.reshape(len(emb), num_tables, num_planes).astype(np.int64) @ weights
+        return pd.Series(list(packed))
 
     return _sigs
 
