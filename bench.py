@@ -128,22 +128,25 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(par * 4).repartition(par).select(F.sum(_warm("id"))).collect()
 
-    def timed(name: str) -> float:
-        """Steady-state latency: one untimed warmup execution (pays the
-        per-query Catalyst analysis + whole-stage codegen compile and
-        any UDF state init — engine startup cost that amortizes to zero
-        over a production run), then the median of RUNS timed runs."""
-        fn = qs[name]
-        fn(spark, SF_DIR).count()
-        samples = []
-        for _ in range(RUNS):
+    # Steady-state latency, burst-noise-robust:
+    # - round 0 (untimed) runs every query once — pays the per-query
+    #   Catalyst analysis + whole-stage-codegen compile and UDF state
+    #   init, engine startup cost that amortizes to zero in production;
+    # - then RUNS interleaved timed rounds (every query once per round,
+    #   median per query across rounds). Interleaving spreads this
+    #   host's bursty hypervisor-steal windows across many queries
+    #   instead of letting one bad minute own all samples of one query.
+    all_names = HEADLINE + EXTRAS
+    for name in all_names:
+        qs[name](spark, SF_DIR).count()
+    samples: dict[str, list[float]] = {name: [] for name in all_names}
+    for _ in range(RUNS):
+        for name in all_names:
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            samples.append(time.perf_counter() - t0)
-        return round(statistics.median(samples), 4)
-
-    timings = {name: timed(name) for name in HEADLINE}
-    extras = {name: timed(name) for name in EXTRAS}
+            qs[name](spark, SF_DIR).count()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(samples[n]), 4) for n in HEADLINE}
+    extras = {n: round(statistics.median(samples[n]), 4) for n in EXTRAS}
 
     ingest_rps, freshness = _ingest_bench(spark)
 
