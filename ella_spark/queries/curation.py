@@ -298,3 +298,48 @@ def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in reversed(_MIX_PERMILLE.items()):
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
     return d.where(gate < rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_train_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 5 THEN 'test'
+                WHEN bucket < 10 THEN 'val'
+                ELSE 'train' END AS split,
+           count(*)                    AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM b
+    GROUP BY 1
+    """,
+    doc="Deterministic hash-based train/val/test split (95/5/5 via an "
+    "md5 bucket of the stable doc id) with per-split corpus stats. "
+    "Hash-gating beats df.randomSplit for pipelines: the assignment is "
+    "a stateless map expression, reproducible on any cluster size, "
+    "stable under re-runs and incremental appends — no seed plumbing, "
+    "no shuffle; the only exchange is the 3-group aggregate.",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 5, "test").when(bucket < 10, "val").otherwise("train")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )

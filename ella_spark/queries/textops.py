@@ -427,3 +427,152 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("fp_min"),
         F.array_max(fps).alias("fp_max"),
     )
+
+
+_BM25_TERMS = ("spark", "query", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(tok) AS term
+      FROM documents,
+           unnest(string_split_regex(trim(text), '[^A-Za-z0-9]+')) AS t(tok)
+      WHERE length(tok) > 0
+    ),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term IN {_BM25_TERMS!r} GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (stats.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * dl.doclen / stats.avgdl))) AS score
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT doc_id, round(score, 6) AS bm25,
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 20
+    """,
+    doc="BM25 full-text ranking (Robertson/Sparck Jones; k1=1.2 b=0.75) "
+    "for a fixed term set, top-20 docs. Scale shape: doc lengths and "
+    "per-(doc,term) tf are one explode + two keyed aggs; the per-term "
+    "document frequencies and global (N, avgdl) are tiny broadcast "
+    "aggregates; no shuffle ever carries raw text. The final global "
+    "top-k is a TakeOrderedAndProject over one score row per matching "
+    "doc.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), "[^A-Za-z0-9]+")).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+        .select("doc_id", F.lower(F.col("tok")).alias("term"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
+    )
+    # Rank on the ROUNDED score: the raw doubles differ between engines
+    # in the last bits (different summation order), which would flip
+    # tie-adjacent rows at the top-k boundary.
+    scored = scored.select("doc_id", F.round("score", 6).alias("bm25"))
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 20)
+        .select("doc_id", "bm25", "rnk")
+    )
+
+
+@register(
+    "q_top_bigrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(
+               list_transform(
+                 string_split_regex(trim(text), '[^A-Za-z0-9]+'),
+                 t -> lower(t)),
+               t -> length(t) > 0) AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(
+               range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]
+             )) AS bigram
+      FROM toks
+      WHERE len(ts) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="Global top-20 word bigrams: per-doc token array -> adjacent "
+    "pairs via an index-sequence transform (no self-join on position), "
+    "explode -> count -> top-k. The corpus n-gram census behind "
+    "contamination screens and repetition stats. Shuffle carries "
+    "(bigram, partial count) only — map-side combine keeps it "
+    "sublinear in corpus size.",
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.transform(
+            F.split(F.trim(F.col("text")), "[^A-Za-z0-9]+"),
+            lambda t: F.lower(t),
+        ),
+        lambda t: F.length(t) > 0,
+    )
+    a = F.col("ts")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(a) - 1),
+        lambda i: F.concat(F.element_at(a, i), F.lit(" "), F.element_at(a, i + 1)),
+    )
+    return (
+        d.select(toks.alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
