@@ -77,6 +77,7 @@ _DESCRIBE_RE = re.compile(
     r"^\s*(?:describe|desc)\s+(?:table\s+)?([A-Za-z0-9_.]+)\s*$", re.I
 )
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+(analyze\s+)?(select\b.+)$", re.I | re.S)
+_INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", re.I)
 
 
 class Ella:
@@ -400,6 +401,8 @@ class Ella:
 
         sql = _NOW_RE.sub(str(_time_mod.time_ns()), sql)
         self._register_all()
+        if _INFO_SCHEMA_RE.search(sql):
+            sql = self._register_information_schema(sql)
         ddl = self._dispatch_ddl(sql)
         if ddl is not None:
             return ddl
@@ -426,6 +429,49 @@ class Ella:
                 self.spark.createDataFrame([(n,)], "count long"), engine=self, sql=sql
             )
         return Lazy(self.spark.sql(sql), engine=self, sql=sql)
+
+    def _register_information_schema(self, sql: str) -> str:
+        """information_schema.tables / .columns over the catalog store.
+
+        The reference builds its SessionState with
+        ``with_information_schema(true)`` (ella-engine/src/engine/
+        state.rs:115-133), so ``SELECT * FROM information_schema.tables``
+        works out of the box there. Spark has no information_schema;
+        the ANSI-shaped views are materialized from the catalog store
+        at query time (tiny — catalog metadata, never data) and the
+        statement is rewritten to reference them.
+        """
+        entries = sorted(self.store.tables.values(), key=lambda e: e.ident)
+        kind_to_type = {"topic": "BASE TABLE", "view": "VIEW",
+                        "materialized_view": "VIEW"}
+        tables = [
+            (e.catalog, e.schema, e.name, kind_to_type.get(e.kind, e.kind.upper()))
+            for e in entries
+        ]
+        self.spark.createDataFrame(
+            tables or [(None,) * 4],
+            "table_catalog string, table_schema string, "
+            "table_name string, table_type string",
+        ).where("table_name is not null").createOrReplaceTempView(
+            "__information_schema_tables"
+        )
+        columns = [
+            (e.catalog, e.schema, e.name, c.name, i + 1,
+             "NO" if c.required else "YES", c.dtype)
+            for e in entries
+            for i, c in enumerate(e.columns)
+        ]
+        self.spark.createDataFrame(
+            columns or [(None,) * 7],
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, "
+            "is_nullable string, data_type string",
+        ).where("table_name is not null").createOrReplaceTempView(
+            "__information_schema_columns"
+        )
+        return _INFO_SCHEMA_RE.sub(
+            lambda m: f"__information_schema_{m.group(1).lower()}", sql
+        )
 
     def _dispatch_ddl(self, sql: str) -> Lazy | None:
         """Imperative DDL dispatch (LocalBackend::stream parity,

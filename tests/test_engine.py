@@ -540,3 +540,27 @@ def test_explain_sql(db):
     kinds = list(out["plan_type"])
     assert kinds == ["logical_plan", "row_count", "physical_plan"]
     assert out["plan"][kinds.index("row_count")] == "1"
+
+
+def test_information_schema(db):
+    """state.rs:115-133 parity: with_information_schema(true) exposes
+    ANSI information_schema.tables / .columns over the catalog."""
+    db.create_topic(
+        "t_info", [Column("x", "float64", required=True), Column("s", "string")]
+    )
+    db.create_view("v_info", "SELECT x FROM t_info")
+    t = db.query(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "ORDER BY table_name"
+    ).df.collect()
+    names = {(r.table_name, r.table_type) for r in t}
+    assert ("t_info", "BASE TABLE") in names
+    assert ("v_info", "VIEW") in names
+    c = db.query(
+        "SELECT column_name, ordinal_position, is_nullable, data_type "
+        "FROM information_schema.columns WHERE table_name = 't_info' "
+        "ORDER BY ordinal_position"
+    ).df.collect()
+    assert [r.column_name for r in c] == ["time", "x", "s"]
+    assert c[0].data_type == "timestamp"  # auto-prepended ns time column
+    assert c[1].is_nullable == "NO" and c[2].is_nullable == "YES"
