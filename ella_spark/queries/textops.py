@@ -477,6 +477,14 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     "doc.",
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE tokenize pass for both document lengths and per-term counts:
+    # the fixed query-term set becomes conditional counts inside the
+    # same doc_id aggregate, so the plan is explode -> one shuffle on
+    # doc_id -> two single-row broadcast aggregates (N/avgdl and the
+    # per-term document frequencies) -> TakeOrdered top-k. The naive
+    # form (separate tf and doclen pipelines joined on doc_id) scans
+    # and explodes the 100 TB text column twice and adds a doc_id
+    # shuffle join.
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.select(
@@ -486,34 +494,50 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("tok") > 0)
         .select("doc_id", F.lower(F.col("tok")).alias("term"))
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("doclen"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
     )
-    tf = (
-        toks.where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    consts = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    idf = F.log(
-        1
-        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
-    )
-    denom = F.col("tf") + _BM25_K1 * (
-        1 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl")
-    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        denom = tf + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl")
+        )
+        return F.when(tf > 0, idf * tf * (_BM25_K1 + 1) / denom).otherwise(0.0)
+
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
+        per_doc.crossJoin(F.broadcast(consts))
+        .where(
+            sum((F.col(f"tf_{i}") for i in range(1, len(_BM25_TERMS))),
+                F.col("tf_0")) > 0
+        )
+        .select(
+            "doc_id",
+            # Round BEFORE ranking: the raw doubles differ between
+            # engines in the last bits (different summation order),
+            # which would flip tie-adjacent rows at the top-k boundary.
+            F.round(
+                sum((term_score(i) for i in range(1, len(_BM25_TERMS))),
+                    term_score(0)),
+                6,
+            ).alias("bm25"),
+        )
     )
-    # Rank on the ROUNDED score: the raw doubles differ between engines
-    # in the last bits (different summation order), which would flip
-    # tie-adjacent rows at the top-k boundary.
-    scored = scored.select("doc_id", F.round("score", 6).alias("bm25"))
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
