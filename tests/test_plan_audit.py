@@ -1,0 +1,110 @@
+"""Machine-checked scale audit of physical plans.
+
+Every registry query's executed plan is screened for the two
+operators that turn into accidental O(n*m) work at 100 TB —
+CartesianProduct and BroadcastNestedLoopJoin — with an explicit
+whitelist for the queries whose nested-loop side is bounded by
+construction (a 1-row aggregate, a constant-size dimension, or a
+fixed query set). Targeted assertions then pin the plan properties
+individual queries were designed around: parquet predicate pushdown,
+column pruning, and top-k as TakeOrderedAndProject.
+
+This is the regression net for "the plan you'd want, not the first
+one that passed": a refactor that silently drops a pushed filter or
+flips a broadcast to a nested loop fails here, not in a 1000-executor
+postmortem.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+#: Queries whose BroadcastNestedLoopJoin is a bounded-by-construction
+#: cross join, with the bound that makes it safe at any scale factor.
+BNLJ_BOUNDED = {
+    "q_ann_brute_force",  # fixed query set x corpus: exact baseline by design
+    "q_tfidf_top_terms",  # 1-row corpus-count aggregate
+    "q_bm25_search",      # 1-row (N, avgdl, df_*) constants aggregate
+    "q_funnel_steps",     # three 1-row step-count aggregates
+    "q_semi_anti_join",   # two 1-row count aggregates
+    "q22_dormant_customers",  # 1-row scalar avg-balance threshold
+    "q11_important_parts",    # 1-row global value threshold
+    "q_cross_join",       # region x region: constant 5x5
+}
+
+
+def _plan(spark, name: str) -> str:
+    from ella_spark.queries import REGISTRY, _load
+
+    _load()
+    df = REGISTRY[name].spark(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _all_names():
+    from ella_spark.queries import REGISTRY, _load
+
+    _load()
+    return sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_no_unbounded_nested_loops(name, spark):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_BOUNDED, (
+            f"{name}: BroadcastNestedLoopJoin with no documented bound — "
+            "either fix the join to an equi/hash form or whitelist it "
+            "here with the bound that makes it safe"
+        )
+
+
+def test_time_range_scan_pushes_to_parquet(spark):
+    plan = _plan(spark, "q_time_range_scan")
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan, plan
+
+
+def test_q6_filters_push_to_parquet(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    # toString truncates the PushedFilters list; the stable prefix
+    # proves all three predicate columns reached the parquet reader.
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual" in plan
+    ), plan
+
+
+def test_q1_prunes_lineitem_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    li = [s for s in scans if "l_quantity" in s]
+    assert li and all("l_partkey" not in s and "l_orderkey" not in s for s in li), (
+        f"q1 lineitem scan reads unused columns: {li}"
+    )
+
+
+def test_q3_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "q3_shipping_priority")
+
+
+def test_top_bigrams_single_scan_single_shuffle(spark):
+    plan = _plan(spark, "q_top_bigrams")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2  # partial/final agg; AQE may fold
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_forced_broadcast_of_sf_scaling_tables():
+    """Forced broadcast hints must stay limited to the constant-size
+    region/nation dims (sources.BROADCAST_TABLES); customer/supplier/
+    part/orders/lineitem grow with SF and would OOM a 100x broadcast.
+    (Size-based auto-broadcast at tiny test SFs is fine — AQE decides
+    from actual sizes at runtime; this guards the *forced* hints.)"""
+    from ella_spark.sources import BROADCAST_TABLES
+
+    assert BROADCAST_TABLES == frozenset({"region", "nation"})
