@@ -600,3 +600,42 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lower(tok) AS w
+      FROM documents,
+           unnest(string_split_regex(trim(text), '[^A-Za-z0-9]+')) AS t(tok)
+      WHERE length(tok) > 0
+    )
+    SELECT w AS value, cnt AS approx_count, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT w, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, w) AS rank
+      FROM toks GROUP BY w) s
+    WHERE rank <= 10
+    """,
+    doc="Top-10 corpus words via Misra-Gries per-partition summaries "
+    "(operators.sketch.heavy_hitters): bounded memory per task "
+    "regardless of key-space size; shuffle carries ≤ counters x tasks "
+    "summary rows, not the token stream. EXACT here (and oracle-"
+    "checkable) because the synthetic vocabulary fits the 4096 "
+    "counters — no eviction fires; with an open-ended key space the "
+    "same plan degrades gracefully to ε = n/(counters+1) undercounts "
+    "instead of spilling (see tests/test_sketch.py for the bound).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators.sketch import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), "[^A-Za-z0-9]+")).alias("tok")
+        )
+        .where(F.length("tok") > 0)
+        .select(F.lower(F.col("tok")).alias("w"))
+    )
+    return heavy_hitters(toks, "w", k=10, counters=4096)
