@@ -533,3 +533,96 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "q_ohlc_bars",
+    oracle=f"""
+    SELECT user_id,
+           (epoch_ns(ts) // {15 * _NS_PER_MIN}) * {15 * _NS_PER_MIN // 1000} AS bar_us,
+           round(arg_min(value, epoch_ns(ts)::HUGEINT * 1000000 + event_id), 4) AS open,
+           round(max(value), 4)  AS high,
+           round(min(value), 4)  AS low,
+           round(arg_max(value, epoch_ns(ts)::HUGEINT * 1000000 + event_id), 4) AS close,
+           count(*)              AS n_ticks
+    FROM events
+    WHERE user_id < 20
+    GROUP BY 1, 2
+    """,
+    doc="OHLC candlestick bars (15-minute): open/close via min_by/"
+    "max_by on a (time, event_id) composite order key — deterministic "
+    "under concurrent equal timestamps — high/low/count as plain "
+    "aggregates. ONE hash aggregate with map-side partials; no window, "
+    "no sort, no per-bar subquery: the shape that holds at 100 TB of "
+    "tick data.",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    bar_ns = 15 * _NS_PER_MIN
+    # composite order key: ns_time * 1e6 + event_id in 128-bit ints
+    # (decimal(38,0) here, HUGEINT in the oracle) — a plain long
+    # overflows at epoch-ns scale — so equal-time ticks break ties
+    # identically in both engines
+    okey = F.col("ts").cast("decimal(38,0)") * 1_000_000 + F.col("event_id")
+    return ev.groupBy(
+        "user_id",
+        F.expr(f"(ts div {bar_ns}) * {bar_ns // 1000}").alias("bar_us"),
+    ).agg(
+        F.round(F.min_by("value", okey), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", okey), 4).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@register(
+    "q_counter_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns, value,
+             lag(value)        OVER w AS prev_v,
+             lag(epoch_ns(ts)) OVER w AS prev_ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_deltas,
+           round(sum(CASE WHEN value >= prev_v THEN value - prev_v
+                          ELSE value END), 4) AS total_increase,
+           round(sum(CASE WHEN value >= prev_v THEN value - prev_v
+                          ELSE value END)
+                 / (greatest(max(ts_ns) - min(ts_ns), 1) / 1e9), 6)
+             AS per_sec_rate
+    FROM seq
+    WHERE prev_ns IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Monotonic-counter rate with reset handling (the monitoring-"
+    "TSDB `rate()` idiom): per key, a drop in the counter means a "
+    "reset, so the increase is the new value itself; total increase / "
+    "observed span = per-second rate. One lag window + one aggregate, "
+    "both keyed on user_id — a single shuffle shared by both stages.",
+)
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag("ts").over(w).alias("prev_ns"),
+    ).where(F.col("prev_ns").isNotNull())
+    inc = F.when(
+        F.col("value") >= F.col("prev_v"), F.col("value") - F.col("prev_v")
+    ).otherwise(F.col("value"))
+    return seq.groupBy("user_id").agg(
+        (F.count(F.lit(1))).cast("bigint").alias("n_deltas"),
+        F.round(F.sum(inc), 4).alias("total_increase"),
+        F.round(
+            F.sum(inc)
+            / (F.greatest(F.max("ts") - F.min("ts"), F.lit(1)) / F.lit(1e9)),
+            6,
+        ).alias("per_sec_rate"),
+    )
