@@ -122,22 +122,21 @@ def connected_components(
 
     Returns ``(id, component)``.
     """
-    # Materialize the incoming edge DAG once: candidate-pair generation
-    # (an LSH band join / shingle join) is typically the most expensive
-    # plan in sight and every round references edges multiple times.
-    e = (
+    e_plan = (
         edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     if small_graph_edges > 0:
-        # localCheckpoint already materialized e: count() is metadata-cheap.
-        n_edges = e.count()
-        if n_edges <= small_graph_edges:
-            labels = _union_find_labels(nodes.sparkSession, e.collect())
+        # Size-probe and fetch in ONE action: take(threshold+1) either
+        # returns the complete (bounded) edge list — union-find it,
+        # no checkpoint/count/collect chain needed — or proves the
+        # graph is big and we fall through to the distributed loop.
+        rows = e_plan.take(small_graph_edges + 1)
+        if len(rows) <= small_graph_edges:
+            labels = _union_find_labels(nodes.sparkSession, rows)
             return (
                 nodes.select(F.col(id_col).cast("long").alias("id"))
                 .join(
@@ -152,6 +151,12 @@ def connected_components(
                 )
                 .select("id", F.coalesce("component", "id").alias("component"))
             )
+
+    # Materialize the incoming edge DAG once for the iterative loop:
+    # candidate-pair generation (an LSH band join / shingle join) is
+    # typically the most expensive plan in sight and every round
+    # references edges multiple times.
+    e = e_plan.localCheckpoint(eager=True)
 
     from pyspark.sql import Observation
 

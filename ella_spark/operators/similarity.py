@@ -201,14 +201,46 @@ def lsh_topk(
             idc, F.posexplode("_sigs").alias("tbl", "sig")
         )
 
+    # Query-side signatures run driver-side: an ANN query batch is
+    # small by definition (it is broadcast everywhere downstream), and
+    # signing it via the UDF costs two extra Spark jobs (broadcast
+    # build + Python worker round-trip) of pure fixed overhead. The
+    # numpy math is bit-identical to _signatures_udf.
+    q_ids, Q = _collect_queries(queries, vec_col, id_col)
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(num_tables * num_planes)]
+    )
+    weights = (1 << np.arange(num_planes - 1, -1, -1)).astype(np.int64)
+    bits = (Q @ planes.T) >= 0
+    qsigs = bits.reshape(len(q_ids), num_tables, num_planes).astype(np.int64) @ weights
+    spark = queries.sparkSession
+    qb = spark.createDataFrame(
+        [
+            (int(qid), int(t), int(qsigs[i, t]))
+            for i, qid in enumerate(q_ids)
+            for t in range(num_tables)
+        ],
+        "query_id long, tbl int, sig long",
+    )
     pairs = (
         bucketed(df, "neighbor_id")
-        .join(F.broadcast(bucketed(queries, "query_id")), ["tbl", "sig"])
+        .join(F.broadcast(qb), ["tbl", "sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _exact_rerank(pairs, df, queries, vec_col, id_col, k)
+    return _exact_rerank(
+        pairs, df, queries, vec_col, id_col, k, q_collected=(q_ids, Q)
+    )
+
+
+def _collect_queries(queries: DataFrame, vec_col: str, id_col: str):
+    """Driver-side copy of the (small, broadcast-everywhere) query set:
+    ids + a (n_queries, dim) float64 matrix."""
+    rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = [r[0] for r in rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return ids, Q
 
 
 def _exact_rerank(
@@ -218,22 +250,38 @@ def _exact_rerank(
     vec_col: str,
     id_col: str,
     k: int,
+    q_collected=None,
 ) -> DataFrame:
     """Re-rank (query_id, neighbor_id) candidate pairs by exact cosine.
 
     Vectors attach by id AFTER candidate dedup (the candidate pipeline
-    never shuffles embeddings); the query side is broadcast.
+    never shuffles embeddings); the query side is broadcast — built
+    from the already-collected query matrix when the caller has one
+    (saves a broadcast-build job).
     """
     cvec = df.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
     ).withColumn("_cn", l2_norm(F.col("_cv")))
-    qvec = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            as_double(F.col(vec_col)).alias("_qv"),
-        ).withColumn("_qn", l2_norm(F.col("_qv")))
-    )
+    if q_collected is not None:
+        q_ids, Q = q_collected
+        qn = np.linalg.norm(Q, axis=1)
+        qvec = F.broadcast(
+            queries.sparkSession.createDataFrame(
+                [
+                    (int(qid), [float(x) for x in Q[i]], float(qn[i]))
+                    for i, qid in enumerate(q_ids)
+                ],
+                "query_id long, _qv array<double>, _qn double",
+            )
+        )
+    else:
+        qvec = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                as_double(F.col(vec_col)).alias("_qv"),
+            ).withColumn("_qn", l2_norm(F.col("_qv")))
+        )
     # Broadcast the candidate pairs: they are bounded by the (small)
     # query set's bucket fanout, while cvec is the full corpus — a
     # broadcast hash join streams the corpus scan with NO shuffle of
@@ -363,14 +411,30 @@ def ivf_topk(
         )
         return out.select(idc, F.explode("_cells").alias("cell"))
 
+    # Query-side probe cells run driver-side (same rationale and same
+    # math as the LSH query-side fast path: the query batch is small by
+    # definition, and the UDF route costs an extra broadcast-build job).
+    q_ids, Q = _collect_queries(queries, vec_col, id_col)
+    cent = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(-(Q @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    qc = queries.sparkSession.createDataFrame(
+        [
+            (int(qid), int(c))
+            for i, qid in enumerate(q_ids)
+            for c in order[i]
+        ],
+        "query_id long, cell int",
+    )
     # No dropDuplicates needed: every corpus vector lives in EXACTLY one
     # cell (probe=1) and a query probes n_probe DISTINCT cells, so each
     # (query, neighbor) pair arises at most once — one shuffle saved vs
     # the LSH path, whose overlapping bands do require the dedup.
     pairs = (
         cells(df, "neighbor_id", 1)
-        .join(F.broadcast(cells(queries, "query_id", n_probe)), "cell")
+        .join(F.broadcast(qc), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    return _exact_rerank(pairs, df, queries, vec_col, id_col, k)
+    return _exact_rerank(
+        pairs, df, queries, vec_col, id_col, k, q_collected=(q_ids, Q)
+    )
