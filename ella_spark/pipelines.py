@@ -1,0 +1,71 @@
+"""End-to-end corpus-curation pipeline composition.
+
+The individual operators (quality gates, exact dedup, benchmark
+decontamination, deterministic mixture resampling) each exist as
+registry queries; real training-data preparation chains them. This
+module composes the chain as ONE Catalyst plan — no intermediate
+materialization, filters stay pushable, and the whole pipeline is:
+
+    map-only gates
+    -> one shuffle on the 16-byte content digest (dedup window)
+    -> broadcast anti-join on digests (decontamination)
+    -> map-only hash gate (resampling)
+
+Scale: the only shuffle carries (digest, doc_id, small metadata) —
+document bodies never move; the benchmark digest set is broadcast
+(small by definition); every gate is a stateless expression,
+reproducible on any cluster size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: Knuth multiplicative-hash constants (same gate as q_mix_resample).
+KNUTH = 2654435761
+M32 = 2**32
+
+
+def content_digest(text_col: str = "text") -> F.Column:
+    """Normalized-content md5 digest — the dedup/decontamination key."""
+    return F.md5(F.lower(F.trim(F.col(text_col))).cast("binary"))
+
+
+def curate(
+    docs: DataFrame,
+    min_chars: int = 80,
+    max_chars: int = 20_000,
+    benchmark: DataFrame | None = None,
+    keep_permille: int = 500,
+) -> DataFrame:
+    """Quality-gate, dedup, decontaminate, and resample ``docs``.
+
+    ``benchmark``: held-out documents whose content must not leak into
+    training data (anti-joined by digest). ``keep_permille``: fraction
+    kept by the deterministic doc_id hash gate (1000 = keep all).
+
+    Returns surviving (doc_id, lang, n_chars) rows.
+    """
+    h = content_digest()
+    gated = docs.where(
+        F.col("n_chars").between(min_chars, max_chars)
+    ).select("doc_id", "lang", "n_chars", h.alias("_h"))
+
+    # exact dedup: first (lowest doc_id) survivor per digest
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    out = deduped
+    if benchmark is not None:
+        bench = benchmark.select(content_digest().alias("_h")).distinct()
+        out = out.join(F.broadcast(bench), "_h", "left_anti")
+
+    if keep_permille < 1000:
+        gate = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(M32) % 1000
+        out = out.where(gate < keep_permille)
+    return out.select("doc_id", "lang", "n_chars")

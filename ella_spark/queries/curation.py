@@ -343,3 +343,47 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, lang, n_chars, md5(lower(trim(text))) AS h
+      FROM documents
+      WHERE n_chars BETWEEN 80 AND 20000
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_chars, h
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM gated) s
+      WHERE rn = 1
+    ),
+    bench AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS h
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM deduped d
+    WHERE d.h NOT IN (SELECT h FROM bench)
+      AND ((d.doc_id * {_KNUTH}) % {_M32}) % 1000 < 500
+    """,
+    doc="End-to-end curation pipeline (pipelines.curate): quality gate "
+    "-> exact dedup (first survivor per content digest) -> benchmark "
+    "decontamination (docs 0-49 as the held-out set) -> deterministic "
+    "50% resample — composed as ONE Catalyst plan: map-only gates, a "
+    "single digest-keyed shuffle, a broadcast anti-join; document "
+    "bodies never shuffle at any stage.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.pipelines import curate
+
+    d = load_table(spark, sf_dir, "documents")
+    return curate(
+        d,
+        min_chars=80,
+        max_chars=20_000,
+        benchmark=d.where(F.col("doc_id") < 50),
+        keep_permille=500,
+    )
