@@ -17,12 +17,18 @@ Quick start (reference README parity):
 """
 
 from ella_spark.catalog import CatalogStore, TableEntry
-from ella_spark.engine import Ella, create, open, open_or_create  # noqa: A004
+from ella_spark.engine import Ella, TableRef, create, open, open_or_create  # noqa: A004
 from ella_spark.lazy import Lazy
 from ella_spark.maintenance import Maintainer, compact_topic
 from ella_spark.session import configure, get_session
 from ella_spark.topic import Publisher, Topic
-from ella_spark.types import Column
+
+# pyella module-surface parity (pyella/src/lib.rs:45-49): column/topic
+# schema declarators + high-precision now(). The `topic` FUNCTION
+# shadows the `ella_spark.topic` submodule attribute by design —
+# exactly like pyella, `ella.topic(...)` declares a schema; the
+# submodule stays importable via `from ella_spark.topic import ...`.
+from ella_spark.types import Column, TopicInfo, column, now, topic
 
 __all__ = [
     "CatalogStore",
@@ -32,13 +38,18 @@ __all__ = [
     "Maintainer",
     "Publisher",
     "TableEntry",
+    "TableRef",
     "Topic",
+    "TopicInfo",
+    "column",
     "compact_topic",
     "configure",
     "create",
     "get_session",
+    "now",
     "open",
     "open_or_create",
+    "topic",
 ]
 
 __version__ = "0.1.0"

@@ -634,3 +634,54 @@ def _default_session() -> SparkSession:
 open = Ella.open  # noqa: A001
 create = Ella.create
 open_or_create = Ella.open_or_create
+
+
+class TableRef:
+    """Handle for table CRUD, the reference's ``Ella::table`` accessor
+    (ella/src/table.rs:75-226): ``get`` / ``exists`` / ``or_create`` /
+    ``replace`` / ``drop`` against a (possibly absent) named table."""
+
+    def __init__(self, db: Ella, name: str) -> None:
+        self._db, self._name = db, name
+
+    def exists(self) -> bool:
+        return self._db.store.tables.get(self._db._split(self._name)) is not None
+
+    def get(self) -> Topic:
+        return self._db.topic(self._name)
+
+    def or_create(self, info) -> Topic:
+        """Open the topic, creating it from ``info`` if absent
+        (table.rs GetOrCreate semantics)."""
+        return self._db.create_topic(
+            self._name,
+            info.columns,
+            temporary=info.temporary,
+            indexes=info.index,
+            if_not_exists=True,
+        )
+
+    def replace(self, info) -> Topic:
+        """Drop-if-exists then create (table.rs Replace semantics)."""
+        return self._db.create_topic(
+            self._name,
+            info.columns,
+            temporary=info.temporary,
+            indexes=info.index,
+            replace=True,
+        )
+
+    def drop(self, if_exists: bool = False) -> None:
+        try:
+            self._db.drop_table(self._name)
+        except ValueError:
+            if not if_exists:
+                raise
+
+
+def _table(self: Ella, name: str) -> TableRef:
+    """``db.table(name)`` accessor (ella/src/table.rs:75-226)."""
+    return TableRef(self, name)
+
+
+Ella.table = _table

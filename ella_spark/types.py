@@ -170,3 +170,45 @@ def topic_schema(columns: list[Column], time_name: str = TIME_COLUMN) -> StructT
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate column names: {names}")
     return StructType([tc.to_struct_field()] + [c.to_struct_field() for c in rest])
+
+
+@dataclass
+class TopicInfo:
+    """Declarative topic schema, pyella's ``ella.topic(...)`` analog
+    (pyella/src/table.rs:91-110): columns + temporary flag + extra
+    ``(column, ascending)`` indexes, consumed by
+    ``Ella.table(name).or_create(info)`` / ``.replace(info)``."""
+
+    columns: list[Column]
+    temporary: bool = False
+    index: list[tuple[str, bool]] = field(default_factory=list)
+
+
+def topic(
+    columns: list[Column],
+    temporary: bool = False,
+    index: list[tuple[str, bool]] | None = None,
+) -> TopicInfo:
+    """pyella parity: declare a topic schema (table.rs:91-110)."""
+    return TopicInfo(
+        columns=list(columns), temporary=temporary, index=list(index or [])
+    )
+
+
+def column(
+    name: str,
+    dtype: str,
+    required: bool = False,
+    row_shape: tuple[int, ...] | None = None,
+) -> Column:
+    """pyella parity: declare a column (table.rs:164-180)."""
+    return Column(name, dtype, required=required, row_shape=row_shape)
+
+
+def now() -> int:
+    """Current time as an epoch-ns int — the reference's native
+    timestamp representation and its recommended way to stamp rows
+    (pyella lib.rs ``now()``; ella-common/src/time.rs:28-45)."""
+    import time as _time
+
+    return _time.time_ns()

@@ -564,3 +564,33 @@ def test_information_schema(db):
     assert [r.column_name for r in c] == ["time", "x", "s"]
     assert c[0].data_type == "timestamp"  # auto-prepended ns time column
     assert c[1].is_nullable == "NO" and c[2].is_nullable == "YES"
+
+
+def test_table_accessor_pyella_parity(db):
+    """ella/src/table.rs:75-226 + pyella lib.rs module fns: declare a
+    schema with topic()/column(), drive CRUD through db.table(name)."""
+    import ella_spark as ella
+
+    info = ella.topic(
+        [ella.column("x", "float64", required=True), ella.column("tag", "string")],
+        index=[("x", True)],
+    )
+    ref = db.table("acc")
+    assert not ref.exists()
+    t = ref.or_create(info)
+    assert ref.exists()
+    assert [c.name for c in t.entry.columns] == ["time", "x", "tag"]
+    # or_create on an existing table returns it unchanged
+    again = ref.or_create(info)
+    assert [c.name for c in again.entry.columns] == ["time", "x", "tag"]
+    # replace drops and recreates with the new schema
+    t2 = ref.replace(ella.topic([ella.column("y", "int64")]))
+    assert [c.name for c in t2.entry.columns] == ["time", "y"]
+    # write a row stamped with ella.now() ns and read it back
+    ts = ella.now()
+    with t2.publish() as pub:
+        pub.write(ts, 7)
+    assert db.query("SELECT y FROM acc").df.collect()[0].y == 7
+    ref.drop()
+    assert not ref.exists()
+    ref.drop(if_exists=True)  # idempotent with the flag
