@@ -64,6 +64,13 @@ EXTRAS = [
     "q_semantic_dedup",
     "q_percentile_exact",
     "q_value_histogram",
+    "q_bm25_search",
+    "q_top_bigrams",
+    "q_heavy_hitters",
+    "q_train_test_split",
+    "q_curation_pipeline",
+    "q_ohlc_bars",
+    "q_counter_rate",
 ]
 
 
