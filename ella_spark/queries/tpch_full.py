@@ -451,31 +451,38 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5"))
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
 
-    # Per (order): distinct suppliers overall and distinct late suppliers.
-    lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey", "l_suppkey", late.alias("is_late")
-    )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
-    qualifying = per_order.where(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select(F.col("l_orderkey").alias("q_orderkey"))
+    # ONE lineitem⋈orders pass: collapse to per-(order, supplier)
+    # late-line counts, then derive the per-order supplier stats with a
+    # window over that compact frame (rows = distinct (order, supplier)
+    # pairs — orders-of-magnitude smaller than lineitem). The previous
+    # form built the lineitem⋈orders join twice (once for the
+    # qualifying-order aggregate, once for the late lines) — at 100 TB
+    # that is two full fact-table joins instead of one.
+    from pyspark.sql import Window
 
-    late_lines = (
+    per_os = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(late)
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(late, 1)).alias("n_late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_late_lines",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.count(F.when(F.col("n_late_lines") > 0, 1)).over(w).alias("n_late_supp"),
+    )
+    waiting = stats.where(
+        (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
+        & (F.col("n_late_lines") > 0)
     )
     return (
-        late_lines.join(qualifying, F.col("l_orderkey") == F.col("q_orderkey"), "left_semi")
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )
 
 
