@@ -315,15 +315,22 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DataFusion/Catalyst both apply; here expressed directly).",
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # ONE lineitem scan: join the (filtered, auto-broadcast) brand
+    # parts first — pruning lineitem to the brand's lines — then the
+    # correlated per-part average becomes a window over those lines.
+    # The join keeps EVERY line of a qualifying part, so the window avg
+    # equals the subquery's whole-table per-part avg. The former
+    # aggregate-then-join form scanned the 100 TB fact table twice.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
-    part_avg = (
-        li.groupBy(F.col("l_partkey").alias("avg_partkey"))
-        .agg((F.avg("l_quantity") * 0.2).alias("qty_cutoff"))
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
+    cutoff = (F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2)
     return (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(part_avg, F.col("avg_partkey") == F.col("l_partkey"))
+        j.withColumn("qty_cutoff", cutoff)
         .where(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -347,20 +354,26 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and final rollup per order.",
 )
 def q18_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # ONE lineitem scan: the IN-over-HAVING subquery becomes a window
+    # sum per order over the same rows the detail rollup needs — the
+    # former aggregate-then-semi-join-then-rejoin form scanned and
+    # shuffled lineitem twice. The per-order qualifying sum IS the
+    # final sum_qty, so the last groupBy only dedups the (order,
+    # customer) header row.
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("tot"))
+    w = Window.partitionBy("l_orderkey")
+    big_lines = (
+        li.select("l_orderkey", "l_quantity")
+        .withColumn("tot", F.sum("l_quantity").over(w))
         .where(F.col("tot") > 350)
-        .select("l_orderkey")
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "big_key"),
-               F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        big_lines.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
