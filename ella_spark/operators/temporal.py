@@ -12,7 +12,11 @@ Scale design:
   window pass partitioned by the key — ONE shuffle on the by-keys,
   never a per-row subquery and never a theta join. Works at any right-
   side density because the window carries only the right-side payload
-  struct, not a join fanout.
+  struct, not a join fanout. NOTE: when left and right derive from the
+  SAME table (e.g. two event-type filters of one stream), don't
+  instantiate this operator — its two DataFrame inputs plan as two
+  scans of the table; tag in one scan and window directly instead
+  (see q_asof_join for the pattern).
 - ``interval_join`` equi-joins on coarse time buckets that each
   interval explodes into (bounded fanout = interval_len/granularity),
   then applies the exact range residual. Shuffle volume is linear in

@@ -225,27 +225,35 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark-first: union both streams, one window pass (no per-row subquery).",
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The general operator (operators.temporal.asof_join): union both
-    # sides, one window pass per user — ONE shuffle by user_id instead
-    # of a correlated per-row lookup. Exact-time ties match (<=), like
-    # the oracle's `c.ts <= p.ts`.
-    from ella_spark.operators.temporal import asof_join
-
+    # SAME-SOURCE as-of: both sides come from the events table, so tag
+    # rows in ONE scan and run one window pass per user — one scan,
+    # one shuffle. (The general two-table form is
+    # operators.temporal.asof_join — same union-window plan, but with
+    # genuinely distinct sources; instantiating it here would scan
+    # events twice, once per filtered side.) rangeBetween so a click
+    # at exactly the purchase ns matches the oracle's `c.ts <= p.ts`.
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("ts").alias("click_ns")
-    )
-    j = asof_join(
-        purchases, clicks, on="ts", by=["user_id"], right_cols=["click_ns"]
-    )
-    return j.select(
-        F.col("event_id").alias("purchase_id"),
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("purchase_us"),
-        F.expr("click_ns div 1000").alias("last_click_us"),
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ns", F.max("click_ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.expr("ts div 1000").alias("purchase_us"),
+            F.expr("last_click_ns div 1000").alias("last_click_us"),
+        )
     )
 
 
@@ -417,28 +425,31 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unbounded-following range frame.",
 )
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ella_spark.operators.temporal import asof_join
-
+    # Same-source forward as-of: one tagged scan + one window (see
+    # q_asof_join's note on why the two-table operator isn't
+    # instantiated here).
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("ts").alias("click_ns")
-    )
-    j = asof_join(
-        purchases,
-        clicks,
-        on="ts",
-        by=["user_id"],
-        direction="forward",
-        right_cols=["click_ns"],
-    )
-    return j.select(
-        F.col("event_id").alias("purchase_id"),
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("purchase_us"),
-        F.expr("click_ns div 1000").alias("next_click_us"),
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("next_click_ns", F.min("click_ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.expr("ts div 1000").alias("purchase_us"),
+            F.expr("next_click_ns div 1000").alias("next_click_us"),
+        )
     )
 
 

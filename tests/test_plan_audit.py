@@ -108,3 +108,11 @@ def test_no_forced_broadcast_of_sf_scaling_tables():
     from ella_spark.sources import BROADCAST_TABLES
 
     assert BROADCAST_TABLES == frozenset({"region", "nation"})
+
+
+def test_same_source_asof_is_single_scan(spark):
+    """Same-source as-of joins must tag in one scan, not instantiate
+    the two-input operator (which would scan events twice)."""
+    for name in ("q_asof_join", "q_asof_join_forward"):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 1, f"{name}: >1 events scan"
