@@ -476,35 +476,39 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Ordered funnel analysis (view -> click -> purchase): per step, "
     "the earliest qualifying event must FOLLOW the previous step's "
-    "time. Each step is one groupBy + one equi-join on user_id — at "
-    "100 TB all three shuffles share the user_id key so AQE co-"
-    "partitions them; no window over the full event stream is needed.",
+    "time. ONE events scan, ONE user_id shuffle: the step times are "
+    "three stacked whole-partition window minima over the same "
+    "partitioning (tv -> tc uses tv -> purchase flag uses tc), then a "
+    "single per-user dedup + one global aggregate produces all three "
+    "funnel counts — no per-step join, no per-step scan, no crossJoin "
+    "of scalar counts.",
 )
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
+    w = Window.partitionBy("user_id")
+    typ, ts = F.col("event_type"), F.col("ts")
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn("tv", F.min(F.when(typ == "view", ts)).over(w))
+        .withColumn(
+            "tc",
+            F.min(F.when((typ == "click") & (ts > F.col("tv")), ts)).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.max(
+                F.when((typ == "purchase") & (ts > F.col("tc")), F.lit(1))
+            ).over(w),
+        )
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("tc"))
-        .select("user_id")
-        .distinct()
+    per_user = staged.select("user_id", "tv", "tc", "tp").distinct()
+    return per_user.agg(
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_view_click"),
+        F.count(F.when(F.col("tp") == 1, 1)).alias("n_view_click_purchase"),
     )
-    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
-    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
-    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
-    return nv.crossJoin(nc).crossJoin(np_)
 
 
 _WEEK_NS = 7 * 86_400 * 1_000_000_000

@@ -27,7 +27,6 @@ BNLJ_BOUNDED = {
     "q_ann_brute_force",  # fixed query set x corpus: exact baseline by design
     "q_tfidf_top_terms",  # 1-row corpus-count aggregate
     "q_bm25_search",      # 1-row (N, avgdl, df_*) constants aggregate
-    "q_funnel_steps",     # three 1-row step-count aggregates
     "q_semi_anti_join",   # two 1-row count aggregates
     "q22_dormant_customers",  # 1-row scalar avg-balance threshold
     "q11_important_parts",    # 1-row global value threshold
