@@ -238,9 +238,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lower(F.col("tok")).alias("term"))
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("dfreq")
-    )
+    # document frequency from tf (one row per (doc, term) already) —
+    # deriving it from toks would tokenize and explode the corpus a
+    # second time; from tf it's a small agg over the compact frame.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     # Single plan: the corpus size enters as a broadcast 1-row aggregate
     # instead of a driver-side d.count() (which would run an extra job
     # and execute the scan twice).

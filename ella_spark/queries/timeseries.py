@@ -536,13 +536,17 @@ _WEEK_NS = 7 * 86_400 * 1_000_000_000
     "distinct re-shuffles on the (tiny) cohort key only.",
 )
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort week as a whole-partition window min: ONE events scan and
+    # ONE user_id shuffle (the aggregate-then-self-join form scanned
+    # events twice — scan+project subtrees get no runtime exchange
+    # reuse, unlike shared shuffles).
     ev = load_table(spark, sf_dir, "events")
     weeks = ev.select(
         "user_id", (F.col("ts") / _WEEK_NS).cast("long").alias("week")
     )
-    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    w = Window.partitionBy("user_id")
     return (
-        weeks.join(cohort, "user_id")
+        weeks.withColumn("cohort_week", F.min("week").over(w))
         .groupBy(
             "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
         )
