@@ -165,33 +165,34 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extremes; the shuffle carries count triples, never bodies.",
 )
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan, ONE tokenize: words and bigrams explode as a single
+    # kind-tagged token stream, counted in one (doc, kind, token)
+    # aggregate and folded to per-doc stats with conditional aggs —
+    # the two-pipeline form scanned and tokenized every document
+    # twice and joined the halves back on doc_id.
     d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     d = d.select("doc_id", _words().alias("words"))
 
-    wc = (
-        d.select("doc_id", F.explode("words").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    wstats = wc.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_words"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.max("c").alias("top_word_c"),
-    )
-
-    n = F.size("words")
     bigrams = F.expr(
         "transform(sequence(1, greatest(size(words) - 1, 0)), "
         "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
     )
-    bc = (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
+    tagged = F.concat(
+        F.expr("transform(words, w -> struct('w' AS kind, w AS tok))"),
+        F.transform(bigrams, lambda b: F.struct(F.lit("b").alias("kind"), b.alias("tok"))),
+    )
+    counts = (
+        d.select("doc_id", F.explode(tagged).alias("t"))
+        .groupBy("doc_id", F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bstats = bc.groupBy("doc_id").agg(
-        F.max("c").alias("top_bigram_c"),
-        F.sum("c").cast("long").alias("n_bigrams"),
+    is_w = F.col("kind") == "w"
+    stats = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c"))).cast("long").alias("n_words"),
+        F.count(F.when(is_w, 1)).cast("long").alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_word_c"),
+        F.max(F.when(~is_w, F.col("c"))).alias("top_bigram_c"),
+        F.sum(F.when(~is_w, F.col("c"))).cast("long").alias("n_bigrams"),
     )
 
     top_word_frac = F.col("top_word_c").cast("double") / F.col("n_words")
@@ -199,7 +200,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1))
     return (
-        wstats.join(bstats, "doc_id", "left_outer")
+        stats
         .select(
             "doc_id",
             "n_words",

@@ -289,10 +289,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    top = revenue.agg(F.max("total_revenue").alias("best"))
+    # the scalar MAX as a whole-frame window over the COMPACT revenue
+    # aggregate (one row per supplier): one lineitem scan. The
+    # aggregate-then-rejoin form re-built the revenue subtree — two
+    # full fact scans (AQE granted it no exchange reuse). The single-
+    # partition window touches only per-supplier rows, the standard
+    # Q15 trade.
+    from pyspark.sql import Window
+
     s = _t(spark, sf_dir, "supplier")
+    best = F.max("total_revenue").over(Window.partitionBy())
     return (
-        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("best"))
+        revenue.withColumn("best", best)
+        .where(F.col("total_revenue") == F.col("best"))
         .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
