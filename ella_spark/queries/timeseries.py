@@ -645,3 +645,50 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("per_sec_rate"),
     )
+
+
+@register(
+    "q_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           (epoch_ns(p.ts) // 1000) AS purchase_us,
+           (SELECT max(epoch_ns(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts
+              AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 1800000000000)
+             // 1000 AS click_within_30m_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Tolerance-bounded as-of join: latest preceding click within "
+    "30 minutes, else NULL (merge_asof tolerance semantics — "
+    "operators.temporal.asof_join's tolerance parameter). Same-source "
+    "single-scan form: the tolerance IS the window frame — a "
+    "RANGE BETWEEN 30min PRECEDING AND CURRENT ROW max over tagged "
+    "click times; one scan, one user_id shuffle.",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol_ns = 30 * 60 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-tol_ns, 0)
+    )
+    return (
+        tagged.withColumn("last_click_ns", F.max("click_ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.expr("ts div 1000").alias("purchase_us"),
+            F.expr("last_click_ns div 1000").alias("click_within_30m_us"),
+        )
+    )
