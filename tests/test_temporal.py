@@ -135,3 +135,21 @@ def test_asof_single_shuffle(trades, quotes):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in plan and "Join" not in plan
+
+
+def test_interval_join_granularity_invariant(spark):
+    """The bucket granularity is a physical knob only — the joined row
+    set must be identical for any choice."""
+    points = [(t, t) for t in range(0, 3000, 37)]
+    ivs = [(s, s + 250, s) for s in range(0, 2800, 400)]
+    p = spark.createDataFrame(points, "t long, pid long")
+    iv = spark.createDataFrame(ivs, "s long, e long, wid long")
+    results = []
+    for g in (1, 64, 250, 1000, 5000):
+        got = frozenset(
+            (r.pid, r.wid)
+            for r in interval_join(p, iv, "t", "s", "e", granularity=g).collect()
+        )
+        results.append(got)
+    assert all(r == results[0] for r in results[1:])
+    assert results[0]  # non-trivial
