@@ -33,7 +33,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def _mg_update(summary: dict[str, int], batch_counts: dict[str, int], c: int) -> None:
@@ -94,4 +94,43 @@ def heavy_hitters(
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("value", "approx_count", "rank")
+    )
+
+
+def distinct_rollup(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: Column | str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-bucket mergeable distinct-count sketches (Apache DataSketches
+    HLL via Spark's hll_sketch_agg).
+
+    The continuous-aggregate pattern for COUNT(DISTINCT) at 100 TB:
+    plain distinct counts don't merge (yesterday's count + today's
+    count ≠ the two-day count), so a rollup must either rescan raw
+    history per query or store sketches. Each bucket row carries a
+    binary sketch; ``merge_distinct`` unions any subset of buckets to
+    an estimate without touching raw data. lgk=12 → ~1.6% relative
+    standard error, 4KB per sketch.
+
+    Returns (bucket, sketch binary, per-bucket estimate).
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    return (
+        df.groupBy(b.alias("bucket"))
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"))
+        .select(
+            "bucket",
+            "sketch",
+            F.hll_sketch_estimate("sketch").alias("bucket_estimate"),
+        )
+    )
+
+
+def merge_distinct(rollup: DataFrame) -> DataFrame:
+    """Union bucket sketches (optionally pre-filtered to a time range)
+    into one distinct-count estimate — reads sketch rows only."""
+    return rollup.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_estimate")
     )

@@ -54,3 +54,29 @@ def test_summary_shuffle_is_bounded(spark):
     )
     # the map-side summarize must sit below the first exchange
     assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning")
+
+
+def test_distinct_rollup_merges_exactly_like_global(spark):
+    """Union of per-day sketches must estimate the same as one sketch
+    over all data (mergeability), and be within HLL error of exact."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.sketch import distinct_rollup, merge_distinct
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 9973).alias("user"), (F.col("id") % 14).alias("day")
+    )
+    roll = distinct_rollup(df, "user", "day")
+    assert roll.count() == 14
+    merged = merge_distinct(roll).collect()[0].distinct_estimate
+    direct = (
+        df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user", F.lit(12))))
+        .collect()[0][0]
+    )
+    assert merged == direct  # same sketch algebra -> identical estimate
+    assert abs(merged - 9973) / 9973 < 0.05
+
+    # range query: merge a subset of buckets without touching raw rows
+    week = merge_distinct(roll.where(F.col("bucket") < 7)).collect()[0][0]
+    exact_week = df.where(F.col("day") < 7).select("user").distinct().count()
+    assert abs(week - exact_week) / exact_week < 0.05
