@@ -69,3 +69,54 @@ def curate(
         gate = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(M32) % 1000
         out = out.where(gate < keep_permille)
     return out.select("doc_id", "lang", "n_chars")
+
+
+def curate_stream(
+    docs,
+    min_chars: int = 80,
+    max_chars: int = 20_000,
+    benchmark: DataFrame | None = None,
+    keep_permille: int = 500,
+    watermark_delay: str = "10 minutes",
+    time_col: str = "time",
+):
+    """Streaming form of :func:`curate` — the same pipeline stages on
+    a live document stream (``db.subscribe(topic)``):
+
+    * quality gate + resample gate: stateless maps, identical code;
+    * exact dedup: ``dropDuplicatesWithinWatermark`` on the content
+      digest — state holds one digest per distinct doc inside the
+      watermark horizon (bounded), duplicates dedup across
+      micro-batches as long as they arrive within ``watermark_delay``
+      of each other;
+    * decontamination: stream-static broadcast anti-join (the
+      benchmark digest set is a static frame — Spark re-joins it per
+      micro-batch with no state).
+
+    The first-wins survivor differs from the batch form's min-doc_id
+    survivor only when duplicates race inside one horizon — inherent
+    to unbounded processing, documented here rather than hidden.
+    """
+    h = content_digest("text")
+    gated = docs.where(
+        F.col("n_chars").between(min_chars, max_chars)
+    ).select(time_col, "doc_id", "lang", "n_chars", h.alias("_h"))
+
+    from ella_spark.streaming import with_event_time
+
+    deduped = (
+        with_event_time(gated, time_col)
+        .withWatermark("_event_time", watermark_delay)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_event_time")
+    )
+
+    out = deduped
+    if benchmark is not None:
+        bench = benchmark.select(content_digest().alias("_h")).distinct()
+        out = out.join(F.broadcast(bench), "_h", "left_anti")
+
+    if keep_permille < 1000:
+        gate = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(M32) % 1000
+        out = out.where(gate < keep_permille)
+    return out.select("doc_id", "lang", "n_chars")

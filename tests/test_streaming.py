@@ -341,3 +341,63 @@ def test_stream_stream_join(db, spark):
     )
     assert not batch.isStreaming
     assert sorted(r["k"] for r in batch.collect()) == [1, 2]
+
+
+def test_curate_stream_matches_batch(db, spark):
+    """pipelines.curate_stream on a live doc topic == pipelines.curate
+    on the same rows (duplicates published in doc_id order so the
+    first-wins and min-id survivors coincide)."""
+    from ella_spark.pipelines import curate, curate_stream
+
+    topic = db.create_topic(
+        "cdocs",
+        [
+            Column("doc_id", "int64", required=True),
+            Column("lang", "string"),
+            Column("n_chars", "int64"),
+            Column("text", "string"),
+        ],
+    )
+    ns = 1_000_000_000
+    rows = []
+    for i in range(40):
+        text = f"document body number {i % 30} " * 10  # ids 30-39 duplicate 0-9
+        rows.append((i * ns, i, "en" if i % 2 else "de", len(text), text))
+    rows.append((41 * ns, 41, "en", 5, "tiny"))  # fails min_chars gate
+    with topic.publish() as pub:
+        for r in rows:
+            pub.write(*r)
+
+    bench = spark.createDataFrame(
+        [(r[4],) for r in rows if r[1] < 3], "text string"
+    )
+    out = curate_stream(
+        db.subscribe("cdocs"), benchmark=bench, keep_permille=1000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "curate_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id for r in spark.sql("SELECT * FROM curate_out").collect()
+        }
+    finally:
+        q.stop()
+
+    static = db.query("SELECT * FROM cdocs").df
+    want = {
+        r.doc_id
+        for r in curate(static, benchmark=bench, keep_permille=1000).collect()
+    }
+    assert got == want
+    assert 41 not in got            # char gate
+    assert not ({0, 1, 2} & got)    # decontaminated
+    assert 3 in got and 33 not in got  # dup of 3 dropped, original kept
