@@ -685,3 +685,113 @@ def _table(self: Ella, name: str) -> TableRef:
 
 
 Ella.table = _table
+
+
+def _create_vector_index(
+    self: Ella,
+    table: str,
+    column: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    train_sample: int = 4096,
+) -> dict:
+    """Train and persist an IVF coarse-quantization index for an
+    embedding column of a catalog table.
+
+    The index artifact is the unit-normalized centroid matrix — the
+    production shape where centroids are trained ONCE per corpus
+    (bounded driver-side sample, operators/similarity.py) and reused
+    by every search. Persisted as JSON under the table's data dir
+    (``_vector_index/<column>.json``), versioned alongside the data it
+    indexes; rebuilding after major corpus drift is one call.
+    """
+    import json
+
+    from ella_spark.operators.similarity import train_ivf_centroids
+
+    entry = self.store.tables[self._split(table)]
+    df = self._frame_for(entry)
+    dim = len(df.select(column).first()[0])
+    cent = train_ivf_centroids(
+        df, dim, vec_col=column, id_col=id_col,
+        n_centroids=n_centroids, train_sample=train_sample,
+    )
+    meta = {
+        "column": column,
+        "id_col": id_col,
+        "dim": dim,
+        "n_centroids": int(cent.shape[0]),
+        "kind": "ivf",
+        "centroids": [[float(x) for x in row] for row in cent],
+    }
+    idx_dir = self.store.table_path(entry) / "_vector_index"
+    idx_dir.mkdir(parents=True, exist_ok=True)
+    tmp = idx_dir / f".{column}.json.tmp"
+    tmp.write_text(json.dumps(meta))
+    tmp.replace(idx_dir / f"{column}.json")
+    _vix_cache(self).pop((entry.ident, column), None)
+    return meta
+
+
+def _load_vector_index(self: Ella, table: str, column: str) -> dict:
+    import json
+
+    entry = self.store.tables[self._split(table)]
+    key = (entry.ident, column)
+    cache = _vix_cache(self)
+    cached = cache.get(key)
+    if cached is None:
+        path = self.store.table_path(entry) / "_vector_index" / f"{column}.json"
+        if not path.exists():
+            raise ValueError(
+                f"no vector index on {table}.{column}; "
+                "call create_vector_index first"
+            )
+        cached = cache[key] = json.loads(path.read_text())
+    return cached
+
+
+def _vector_search(
+    self: Ella,
+    table: str,
+    queries: DataFrame,
+    column: str | None = None,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a table's persisted IVF index.
+
+    ``queries``: small DataFrame with the same (id_col, column)
+    schema. Loads the centroid artifact (cached per session) and runs
+    the distributed IVF search — at scale the corpus side touches
+    ~n_probe/n_centroids of its cells.
+    """
+    import numpy as np
+
+    from ella_spark.operators.similarity import ivf_topk
+
+    column = column or "embedding"
+    idx = self._load_vector_index(table, column)
+    entry = self.store.tables[self._split(table)]
+    df = self._frame_for(entry)
+    return ivf_topk(
+        df,
+        queries,
+        dim=idx["dim"],
+        vec_col=idx["column"],
+        id_col=idx["id_col"],
+        k=k,
+        n_probe=n_probe,
+        centroids=np.asarray(idx["centroids"]),
+    )
+
+
+def _vix_cache(db: Ella) -> dict:
+    """Per-instance index cache (instances may point at different
+    roots whose tables share names — never share across dbs)."""
+    return db.__dict__.setdefault("_vector_index_cache", {})
+
+
+Ella.create_vector_index = _create_vector_index
+Ella._load_vector_index = _load_vector_index
+Ella.vector_search = _vector_search

@@ -70,3 +70,51 @@ def test_ivf_deterministic_with_precomputed_centroids(emb):
     a = ivf_topk(emb, q, dim=64, k=3, centroids=cent).toPandas().sort_values(["query_id", "rank"])
     b = ivf_topk(emb, q, dim=64, k=3, centroids=cent).toPandas().sort_values(["query_id", "rank"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_vector_index_lifecycle(spark, tmp_path):
+    """create_vector_index persists centroids; vector_search reuses
+    them (cache + disk) with brute-force-level recall on the corpus."""
+    import numpy as np
+
+    from ella_spark.engine import Ella
+    from ella_spark.operators.similarity import brute_force_topk
+    from ella_spark.sources import load_table
+    from ella_spark.types import Column
+
+    db = Ella.create(str(tmp_path / "vdb"), spark)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    t = db.create_topic(
+        "vecs",
+        [
+            Column("vec_id", "int64", required=True),
+            Column("embedding", "float32", row_shape=(64,)),
+        ],
+    )
+    import pyspark.sql.functions as F
+
+    t.insert(
+        emb.select(
+            (F.col("vec_id") * 1000).alias("time"), "vec_id", "embedding"
+        )
+    )
+    meta = db.create_vector_index("vecs", n_centroids=8)
+    assert meta["dim"] == 64 and meta["n_centroids"] == 8
+    # artifact is on disk and survives a fresh handle
+    db2 = Ella.open(str(tmp_path / "vdb"), spark)
+    queries = emb.where(F.col("vec_id") < 3)
+    got = db2.vector_search("vecs", queries, k=5, n_probe=4)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # n_probe=4 of 8 cells on a tiny corpus
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no vector index"):
+        db2.vector_search("vecs", queries, column="other")
