@@ -711,7 +711,13 @@ def _create_vector_index(
 
     entry = self.store.tables[self._split(table)]
     df = self._frame_for(entry)
-    dim = len(df.select(column).first()[0])
+    row = df.select(column).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot build vector index: {table}.{column} is empty or "
+            "its first embedding is NULL"
+        )
+    dim = len(row[0])
     cent = train_ivf_centroids(
         df, dim, vec_col=column, id_col=id_col,
         n_centroids=n_centroids, train_sample=train_sample,

@@ -136,17 +136,22 @@ def interval_join(
     """
     if how != "inner":
         raise ValueError("only inner interval joins are supported")
-    b = F.lit(granularity)
+    # Integer division on the long columns: epoch-ns values exceed 2^53,
+    # so a double round-trip ((col / g).cast('long')) can misassign
+    # boundary-adjacent points to the wrong bucket — and since the exact
+    # range residual below only REMOVES false positives, a misbucketed
+    # true match would be silently dropped.
+    g = int(granularity)
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(start_col) / b).cast("long"),
-                ((F.col(end_col) - 1) / b).cast("long"),
+                F.expr(f"`{start_col}` div {g}"),
+                F.expr(f"(`{end_col}` - 1) div {g}"),
             )
         ),
     )
-    pt = points.withColumn("__bucket", (F.col(point_col) / b).cast("long"))
+    pt = points.withColumn("__bucket", F.expr(f"`{point_col}` div {g}"))
     return (
         pt.join(iv, "__bucket")
         .where(

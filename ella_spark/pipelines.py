@@ -23,7 +23,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 #: Knuth multiplicative-hash constants (same gate as q_mix_resample).
+#: The gate reduces doc_id mod 2^31 BEFORE multiplying: 2^31 * KNUTH
+#: ~= 5.7e18 stays inside int64, whereas a raw doc_id * KNUTH wraps
+#: silently for doc_id >= ~3.5e9 (realistic at 100 TB document
+#: counts) and would diverge from the DuckDB oracle's checked
+#: arithmetic. Same formula text on both sides.
 KNUTH = 2654435761
+M31 = 2**31
 M32 = 2**32
 
 
@@ -66,7 +72,7 @@ def curate(
         out = out.join(F.broadcast(bench), "_h", "left_anti")
 
     if keep_permille < 1000:
-        gate = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(M32) % 1000
+        gate = (F.col("doc_id") % F.lit(M31)) * F.lit(KNUTH) % F.lit(M32) % 1000
         out = out.where(gate < keep_permille)
     return out.select("doc_id", "lang", "n_chars")
 
@@ -117,6 +123,6 @@ def curate_stream(
         out = out.join(F.broadcast(bench), "_h", "left_anti")
 
     if keep_permille < 1000:
-        gate = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(M32) % 1000
+        gate = (F.col("doc_id") % F.lit(M31)) * F.lit(KNUTH) % F.lit(M32) % 1000
         out = out.where(gate < keep_permille)
     return out.select("doc_id", "lang", "n_chars")

@@ -270,6 +270,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_PERMILLE = {"en": 400, "de": 800, "fr": 900, "es": 900, "zh": 700}
 _MIX_DEFAULT = 500
 _KNUTH = 2654435761  # Knuth multiplicative hash constant
+_M31 = 2147483648  # doc_id reduced mod 2^31 first: keeps the product in int64
 _M32 = 4294967296
 
 
@@ -285,7 +286,7 @@ def _mix_case_sql() -> str:
     oracle=f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE ((doc_id * {_KNUTH}) % {_M32}) % 1000 < {_mix_case_sql()}
+    WHERE (((doc_id % {_M31}) * {_KNUTH}) % {_M32}) % 1000 < {_mix_case_sql()}
     """,
     doc="Deterministic mixture resampling: per-language keep rates "
     "applied through a multiplicative-hash gate on doc_id — stateless, "
@@ -294,7 +295,7 @@ def _mix_case_sql() -> str:
 )
 def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    gate = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32) % 1000
+    gate = (F.col("doc_id") % F.lit(_M31)) * F.lit(_KNUTH) % F.lit(_M32) % 1000
     rate = F.lit(_MIX_DEFAULT)
     for k, v in reversed(_MIX_PERMILLE.items()):
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
@@ -368,7 +369,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang, d.n_chars
     FROM deduped d
     WHERE d.h NOT IN (SELECT h FROM bench)
-      AND ((d.doc_id * {_KNUTH}) % {_M32}) % 1000 < 500
+      AND (((d.doc_id % {_M31}) * {_KNUTH}) % {_M32}) % 1000 < 500
     """,
     doc="End-to-end curation pipeline (pipelines.curate): quality gate "
     "-> exact dedup (first survivor per content digest) -> benchmark "

@@ -89,8 +89,14 @@ def scan_events_range(
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     dtype = dict(df.dtypes).get("ts", "")
     if dtype.startswith("timestamp"):
-        lo = F.timestamp_micros(F.lit(lo_ns // 1000)).cast(dtype)
-        hi = F.timestamp_micros(F.lit(hi_ns // 1000)).cast(dtype)
+        # Ceil both ns bounds to micros. The file's timestamps are
+        # µs-aligned, so for any stored t: t*1000 >= lo_ns iff
+        # t >= ceil(lo_ns/1000), and t*1000 < hi_ns iff
+        # t < ceil(hi_ns/1000). Flooring instead would admit events up
+        # to 999 ns before a non-aligned lo and drop events in
+        # [hi//1000*1000, hi) for a non-aligned hi.
+        lo = F.timestamp_micros(F.lit((lo_ns + 999) // 1000)).cast(dtype)
+        hi = F.timestamp_micros(F.lit((hi_ns + 999) // 1000)).cast(dtype)
     else:
         lo, hi = F.lit(lo_ns), F.lit(hi_ns)
     df = df.where((F.col("ts") >= lo) & (F.col("ts") < hi))
