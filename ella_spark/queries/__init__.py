@@ -74,60 +74,54 @@ def _load() -> None:
     _LOADED = True
 
 
+# The driver cuts CORRECTNESS at exactly the first 50 registered
+# queries. Round-4 rotation (VERDICT r3 top-next): the 32 queries that
+# have NEVER earned a driver row fill the prefix first — all 16 extra
+# TPC-H shapes plus the 16 r3-added/uncovered names — so that after
+# this round every oracle-paired query has a hard driver-green record.
+_NEVER_CHECKED_R3 = {
+    # the 16 TPC-H shapes beyond the r1 six
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "q11_important_parts",
+    "q12_late_lines", "q13_cust_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_qty_revenue",
+    "q18_large_volume_cust", "q19_bracket_revenue",
+    "q20_excess_share_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # 16 registry queries with no driver row in rounds 1-3
+    "q_regr_funcs", "q_array_bool_aggs", "q_string_funcs2",
+    "q_time_convs", "q_set_ops_all", "q_percentile_exact",
+    "q_value_histogram", "q_salted_join", "q_asof_tolerance",
+    "q_ohlc_bars", "q_counter_rate", "q_bm25_search", "q_top_bigrams",
+    "q_train_test_split", "q_heavy_hitters", "q_curation_pipeline",
+}
+
+# Remaining 18 slots of the checked-50: the three queries upgraded
+# from rows-only to oracle-checked this round (persisted-centroid
+# determinism), the three whose code changed this round, and twelve
+# whose only driver green is round 1 (oldest signal, re-verify).
+_PREFIX_REST = {
+    "q_kmeans_embeddings", "q_semantic_dedup", "q_ann_ivf",
+    "q_mix_resample", "q_time_range_scan", "q_range_join",
+    "q6_forecast_revenue", "q_rollup", "q_grouping_sets", "q_cube",
+    "q_having", "q_distinct", "q_outer_join", "q_full_outer_join",
+    "q_semi_anti_join", "q_cross_join", "q_non_equi_join", "q_set_ops",
+}
+
+
 def _rank(name: str) -> int:
     """Priority tier for the driver's budget-limited prefix:
 
-    0. LLM-pipeline flagships (dedup / ANN / text) — absent from
-       CORRECTNESS_r01, the round-1 top gap
-    1. time-series / window / array ops — the engine's TSDB identity
-    2. TPC-H shapes + aggregate families
-    3. generic SQL surface (scalar fns, set ops, subqueries) — all
-       green in round 1, lowest re-verification risk
+    0. never-driver-checked queries (rotation debt — VERDICT r3 #1)
+    1. newly-oracled + changed-code + oldest-green queries
+    2. everything r3-green with unchanged code (local parity still
+       gates all of these every round via tests/test_oracle_parity.py)
     """
-    if name.startswith(("q_dedup", "q_ann")) or name in {
-        "q_token_count", "q_quality_score", "q_lang_id", "q_doc_fingerprint",
-        "q_lang_source_stats", "q_tfidf_top_terms", "q_tokenize_bpe",
-        "q_media_features", "q_strip_boilerplate", "q_embed_quantize",
-        "q_stratified_sample", "q_decontaminate", "q_winnow_fingerprint",
-        "q_chunk_documents", "q_pack_sequences", "q_quality_repetition",
-        "q_pii_scrub", "q_mix_resample", "q_kmeans_embeddings",
-        "q_semantic_dedup",
-    }:
+    if name in _NEVER_CHECKED_R3:
         return 0
-    if name in {
-        # Promoted into the checked-50 prefix for round 3: q_agg_stats
-        # was round 1's only hash mismatch (fixed via exact decimal-sum
-        # variance) and needs a driver-verified green row; q1 is the
-        # headline bench query. They displace the four array queries,
-        # whose rows were already green in round 1 (and rounds 1+2 for
-        # basics/norms) with unchanged code since.
-        "q_agg_stats", "q1_pricing_summary",
-        "q_date_bin_5min", "q_date_trunc_parts", "q_latest_per_key",
-        "q_time_range_scan", "q_session_gaps", "q_json_props",
-        "q_event_type_pivot", "q_asof_join", "q_asof_join_forward",
-        "q_funnel_steps", "q_retention_cohorts",
-        "q_range_join", "q_gap_fill", "q_rolling_1h",
-        "q_rank_per_group", "q_running_sum", "q_lag_lead",
-        "q_ntile_percentiles", "q_first_last_value", "q_array_basics",
-        "q_vector_norms", "q_vector_arith", "q_label_centroid_dist",
-    }:
+    if name in _PREFIX_REST:
         return 1
-    if name in {
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-        "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
-        "q_agg_stats", "q_corr_covar", "q_rollup", "q_grouping_sets",
-        "q_cube", "q_having", "q_approx_aggs", "q_array_bool_aggs",
-        "q_outer_join", "q_full_outer_join", "q_semi_anti_join",
-        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-        "q12_late_lines", "q13_cust_distribution", "q15_top_supplier",
-        "q17_small_qty_revenue", "q18_large_volume_cust",
-        "q19_bracket_revenue", "q21_waiting_suppliers",
-        "q22_dormant_customers", "q2_min_cost_supplier",
-        "q9_product_type_profit", "q11_important_parts",
-        "q16_supplier_part_counts", "q20_excess_share_suppliers",
-    }:
-        return 2
-    return 3
+    return 2
 
 
 def _reorder() -> None:
