@@ -307,6 +307,30 @@ def _exact_rerank(
     )
 
 
+def lloyd_spherical(X, n_centroids: int, iters: int = 8, seed: int = 42):
+    """Numpy spherical k-means (Lloyd) core, deterministic for a given
+    sample matrix: seeded init, stable argmax assignment, unit-
+    normalized centroids. Shared by the Spark-sampled trainer below
+    and the registry's parquet-direct trainer (queries/similarity.py),
+    which must produce bit-identical centroids so the DuckDB oracle
+    can pin them as literals.
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(X.shape[0], size=min(n_centroids, X.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = X[assign == c]
+            if members.shape[0]:
+                cent[c] = members.mean(axis=0)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
 def train_ivf_centroids(
     df: DataFrame,
     dim: int,
@@ -335,17 +359,7 @@ def train_ivf_centroids(
         .toPandas()
     )
     X = np.stack(sample["_v"].to_numpy())
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(42)
-    cent = X[rng.choice(X.shape[0], size=min(n_centroids, X.shape[0]), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(X @ cent.T, axis=1)
-        for c in range(cent.shape[0]):
-            members = X[assign == c]
-            if members.shape[0]:
-                cent[c] = members.mean(axis=0)
-        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-    return cent
+    return lloyd_spherical(X, n_centroids, iters=iters)
 
 
 def _cells_udf(centroids, probe: int):

@@ -1,12 +1,21 @@
 """Similarity-search query-registry entries.
 
-Brute-force cosine top-k has an exact DuckDB oracle; the LSH-bucketed
-ANN variant registers without one (deterministic but hash-derived
-hyperplanes; tests verify recall against the brute-force baseline).
+Brute-force cosine top-k has an exact DuckDB oracle; so do the IVF /
+k-means / SemDeDup queries as of round 4: their centroids are a
+train-once corpus ARTIFACT (the same shape `Ella.create_vector_index`
+persists on disk), computed deterministically from the corpus sample
+at registration time and pinned into the oracle SQL as literals — so
+DuckDB can replay assignment (argmax dot), within-cluster pairs, and
+connected components exactly. Only the MinHash/SimHash/LSH queries
+stay rows-only (xxhash64 / hash-derived hyperplanes have no DuckDB
+equivalent); tests verify their recall against brute force.
 """
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -16,6 +25,91 @@ from ella_spark.sources import load_table
 
 _N_QUERIES = 5
 _DIM = 64
+
+# ── train-once centroid artifact ─────────────────────────────────────
+# The registry computes corpus centroids straight from the parquet via
+# pyarrow (not through a Spark job): the sample recipe is identical to
+# operators.similarity.train_ivf_centroids (first `train_sample` rows
+# by vec_id, shared numpy Lloyd core), so the result is bit-identical
+# to the Spark-sampled path — but it is also available at REGISTRATION
+# time, which lets the DuckDB oracle pin the exact same centroids as
+# SQL literals. This mirrors production IVF, where centroids are a
+# persisted per-corpus artifact reused by every query, never retrained
+# per search.
+
+_CENTROIDS: dict = {}
+
+
+def corpus_centroids(sf_dir: str, n_centroids: int = 16, train_sample: int = 4096):
+    key = (os.path.abspath(sf_dir), n_centroids)
+    cent = _CENTROIDS.get(key)
+    if cent is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        pdf = tbl.to_pandas().sort_values("vec_id").head(train_sample)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        cent = _CENTROIDS[key] = S.lloyd_spherical(X, n_centroids)
+    return cent
+
+
+#: sf dir whose parquet the DuckDB oracle views read. The driver
+#: compares at sf0.01 (the default); tests/conftest.py exports its own
+#: choice (sf0.001 locally) before the registry loads, so the pinned
+#: centroid literals always match the corpus the oracle runs against.
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _oracle_centroids(n_centroids: int = 16):
+    """Centroids for the oracle literals, or None when the oracle
+    corpus is absent (oracle falls back to rows-only registration)."""
+    try:
+        return corpus_centroids(_ORACLE_SF_DIR, n_centroids)
+    except (OSError, FileNotFoundError):
+        return None
+
+
+def _cent_cte(cent) -> str:
+    """Centroid matrix as a DuckDB VALUES literal: (cluster, cv)."""
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
+        for i, row in enumerate(cent)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(cluster, cv)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> {a}[CAST(i AS INTEGER)] * {b}[CAST(i AS INTEGER)]))"
+    )
+
+
+# Shared oracle fragments: raw doubles, guarded unit vectors, per-
+# vector argmax-dot cluster assignment (ties to the smaller cluster
+# id — same contract as the numpy stable argmax in _assign_udf).
+def _assign_ctes(cent) -> str:
+    return f"""
+    cent AS ({_cent_cte(cent)}),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+    u AS (
+      SELECT vec_id, list_transform(ve,
+               x -> x / greatest(sqrt({_dot_sql('ve', 've')}), 1e-12)) AS ue
+      FROM v),
+    scored AS (
+      SELECT u.vec_id, c.cluster, {_dot_sql('u.ue', 'c.cv')} AS sim
+      FROM u CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, cluster, sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+        FROM scored) s
+      WHERE rn = 1)"""
 
 
 @register(
@@ -60,74 +154,142 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, dim=_DIM, k=5).orderBy("query_id", "rank")
 
 
-_IVF_CENTROIDS: dict = {}
+def _ivf_oracle() -> str | None:
+    cent = _oracle_centroids(16)
+    if cent is None:
+        return None
+    # Cell assignment uses RAW dot (argmax is norm-invariant — the
+    # Spark side's _cells_udf also skips normalization); the re-rank
+    # is exact cosine, same shape as the brute-force oracle.
+    return f"""
+    WITH cent AS ({_cent_cte(cent)}),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    cscore AS (
+      SELECT v.vec_id, c.cluster, {_dot_sql('v.ve', 'c.cv')} AS d
+      FROM v CROSS JOIN cent c),
+    corpus_cell AS (
+      SELECT vec_id, cluster AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cluster) AS rn
+        FROM cscore) s
+      WHERE rn = 1),
+    query_cells AS (
+      SELECT vec_id AS query_id, cluster AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cluster) AS rn
+        FROM cscore WHERE vec_id < {_N_QUERIES}) s
+      WHERE rn <= 6),
+    cand AS (
+      SELECT q.query_id, cc.vec_id AS neighbor_id
+      FROM query_cells q JOIN corpus_cell cc ON cc.cell = q.cell
+      WHERE cc.vec_id != q.query_id),
+    rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('qv.ve', 'cv.ve')} / (qv.nrm * cv.nrm) AS cos
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v cv ON cv.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           round(cos, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rescored)
+    WHERE rank <= 5
+    """
 
 
 @register(
     "q_ann_ivf",
-    oracle=None,  # approximate; recall vs brute force asserted in tests
+    oracle=_ivf_oracle(),
     doc="ANN top-k via IVF coarse quantization: spherical k-means cells "
-    "(sample-trained), corpus assigned to nearest cell, queries probe "
-    "n_probe cells, exact cosine re-rank. At scale the search touches "
+    "(train-once corpus artifact, pinned into the DuckDB oracle as "
+    "literals), corpus assigned to nearest cell, queries probe n_probe "
+    "cells, exact cosine re-rank. At scale the search touches "
     "~n_probe/n_centroids of the corpus.",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
-    # production IVF shape: centroids are trained once per corpus and
-    # reused across searches — cache per (corpus, n_centroids)
-    key = (sf_dir, 16)
-    cent = _IVF_CENTROIDS.get(key)
-    if cent is None:
-        cent = _IVF_CENTROIDS[key] = S.train_ivf_centroids(
-            emb, _DIM, n_centroids=16
-        )
     return S.ivf_topk(
-        emb, queries, dim=_DIM, k=5, n_probe=6, centroids=cent
+        emb, queries, dim=_DIM, k=5, n_probe=6,
+        centroids=corpus_centroids(sf_dir, 16),
     ).orderBy("query_id", "rank")
 
 
-_KMEANS_CENTROIDS: dict = {}
-
-
-def _corpus_centroids(emb, sf_dir: str, n_clusters: int = 16):
-    """Train-once-per-corpus centroid cache (same production shape as
-    the IVF cache above: centroids are a corpus artifact, not a
-    per-query cost)."""
-    key = (sf_dir, "kmeans", n_clusters)
-    cent = _KMEANS_CENTROIDS.get(key)
+def _kmeans_oracle() -> str | None:
+    cent = _oracle_centroids(16)
     if cent is None:
-        from ella_spark.operators.similarity import train_ivf_centroids
-
-        cent = _KMEANS_CENTROIDS[key] = train_ivf_centroids(
-            emb, _DIM, n_centroids=n_clusters
-        )
-    return cent
+        return None
+    return f"""
+    WITH {_assign_ctes(cent)}
+    SELECT cluster, COUNT(*) AS n, round(avg(sim), 6) AS mean_sim,
+           round(min(sim), 6) AS min_sim
+    FROM assigned GROUP BY cluster ORDER BY cluster
+    """
 
 
 @register(
     "q_kmeans_embeddings",
-    oracle=None,  # iterative trained centroids; numpy parity in tests
+    oracle=_kmeans_oracle(),
     doc="Embedding-space k-means cluster profile: sample-trained "
-    "spherical centroids, map-only distributed assignment (Arrow "
-    "matmul UDF), per-cluster size + cohesion stats. The curation "
-    "primitive behind topic balancing / SemDeDup bucketing.",
+    "spherical centroids (train-once corpus artifact, pinned into the "
+    "DuckDB oracle), map-only distributed assignment (Arrow matmul "
+    "UDF), per-cluster size + cohesion stats. The curation primitive "
+    "behind topic balancing / SemDeDup bucketing.",
 )
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ella_spark.operators import clustering as C
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = C.kmeans_assign(
-        emb, _DIM, n_clusters=16, centroids=_corpus_centroids(emb, sf_dir)
+        emb, _DIM, n_clusters=16, centroids=corpus_centroids(sf_dir, 16)
     )
     return C.kmeans_cluster_stats(assigned)
 
 
+def _semantic_dedup_oracle() -> str | None:
+    cent = _oracle_centroids(16)
+    if cent is None:
+        return None
+    # Within-cluster pairs on unit vectors, then connected components
+    # via the same recursive-CTE pattern as the q_dedup_cluster oracle.
+    return f"""
+    WITH RECURSIVE {_assign_ctes(cent)},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a
+      JOIN assigned b ON a.cluster = b.cluster AND b.vec_id > a.vec_id
+      JOIN u ua ON ua.vec_id = a.vec_id
+      JOIN u ub ON ub.vec_id = b.vec_id
+      WHERE {_dot_sql('ua.ue', 'ub.ue')} >= 0.97),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS known FROM embeddings
+      UNION
+      SELECT e.dst AS id, r.known FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(known) AS group_id FROM reach GROUP BY id)
+    SELECT a.vec_id AS id, a.cluster, c.group_id,
+           CAST(a.vec_id = c.group_id AS BOOLEAN) AS is_canonical
+    FROM assigned a JOIN comp c ON c.id = a.vec_id
+    ORDER BY id
+    """
+
+
 @register(
     "q_semantic_dedup",
-    oracle=None,  # iterative trained centroids; planted-dup tests
+    oracle=_semantic_dedup_oracle(),
     doc="SemDeDup semantic deduplication (Abbas et al. 2023): k-means "
-    "bucketing -> within-cluster cosine pairs -> connected components "
+    "bucketing (train-once centroid artifact, pinned into the DuckDB "
+    "oracle) -> within-cluster cosine pairs -> connected components "
     "-> one canonical vector per duplicate group. Candidate pairs are "
     "bounded per cluster, never the O(n^2) corpus pair space.",
 )
@@ -140,5 +302,5 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DIM,
         cosine_threshold=0.97,
         n_clusters=16,
-        centroids=_corpus_centroids(emb, sf_dir),
+        centroids=corpus_centroids(sf_dir, 16),
     ).orderBy("id")

@@ -12,6 +12,10 @@ if str(REPO) not in sys.path:
 
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+# Export the choice BEFORE the query registry loads: oracles that pin
+# data-derived literals (queries/similarity.py centroid artifacts)
+# must be built against the same corpus the oracle views read.
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_ORACLE
 
 
 @pytest.fixture(scope="session")
