@@ -104,6 +104,60 @@ def kmeans_cluster_stats(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _proj_col(vec_col: str, dim: int) -> F.Column:
+    """Deterministic 1-D projection of a unit vector (dot with a
+    hash-derived hyperplane — no RNG state, executors and driver
+    always agree). The key property for skew splitting: for unit
+    vectors, |p_i - p_j| <= ||x_i - x_j||, so near-duplicates have
+    near-equal projections and sort adjacently; exact duplicates have
+    EQUAL projections and sort consecutively."""
+    from ella_spark.operators.similarity import _hyperplane
+
+    plane = F.array(*[F.lit(v) for v in _hyperplane(dim, 1_000_000)])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _bucketed_big(
+    big: DataFrame, dim: int, max_cluster_size: int, overlap: int
+) -> DataFrame:
+    """Split over-cap clusters into rank-banded sub-buckets of HARD
+    size <= max_cluster_size + overlap: rows sort by their 1-D
+    projection within the cluster, ranks band into cap-sized buckets,
+    and the first ``overlap`` rows of each bucket are ALSO copied into
+    the previous bucket, so a contiguous run of near-duplicates that
+    straddles a boundary stays linked transitively through the shared
+    rows (connected components merges the halves downstream).
+
+    Scale notes: the rank window sorts SLIM (id, cluster, p) rows —
+    Spark's sort-based window spills to disk, so a 10^8-row skew
+    cluster costs a disk sort of ~24 B/row, never vectors in memory;
+    the unit vectors re-attach by an id equi-join afterwards and land
+    directly in bounded (cluster, _sb) tasks. Returns
+    (id, cluster, _u, _sb) with overlap rows duplicated."""
+    from pyspark.sql import Window
+
+    slim = big.select("id", "cluster", _proj_col("_u", dim).alias("_p"))
+    rk = (
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy("_p", "id")
+        )
+        - 1
+    )
+    slim = slim.select("id", "cluster", rk.alias("_rk"))
+    base = slim.select(
+        "id", (F.col("_rk") / max_cluster_size).cast("long").alias("_sb")
+    )
+    spill = slim.where(
+        ((F.col("_rk") % max_cluster_size) < overlap) & (F.col("_rk") >= max_cluster_size)
+    ).select("id", ((F.col("_rk") / max_cluster_size).cast("long") - 1).alias("_sb"))
+    buckets = base.unionByName(spill)
+    return big.select("id", "cluster", "_u").join(buckets, "id")
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
@@ -113,6 +167,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     train_sample: int = 4096,
     centroids=None,
+    max_cluster_size: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup: (id, cluster, group_id, is_canonical) per vector.
 
@@ -122,10 +177,23 @@ def semantic_dedup(
     the minimum id of each duplicate group as canonical.
 
     Scale: the pairwise step is O(sum over clusters of m_c²) where m_c
-    is the cluster size — ``n_clusters`` is the knob that bounds it
-    (SemDeDup uses tens of thousands of clusters at web scale so each
-    m_c is thousands). Pair rows carry ids only; vectors move once
-    into the join, partitioned by cluster.
+    is the cluster size — ``n_clusters`` is the first knob (SemDeDup
+    uses tens of thousands of clusters at web scale so each m_c is
+    thousands). ``max_cluster_size`` is the skew backstop: a cluster
+    that still exceeds it (a near-dup-heavy crawl shard collapsing
+    into one cell) is rank-banded by a deterministic 1-D projection
+    (`_bucketed_big`) into sub-buckets of HARD size <= cap + overlap
+    before the pair matmul, so per-task work is bounded at ANY skew.
+    Banding is an approximation — only projection-adjacent pairs are
+    compared — but near-duplicates have near-equal projections (for
+    unit vectors |p_i-p_j| <= ||x_i-x_j||), exact duplicates have
+    EQUAL projections and are ALWAYS compared (consecutive ranks,
+    boundary runs linked through overlap rows), and connected
+    components restores whole groups transitively. Clusters under the
+    cap are exact; at oracle test scales the cap never engages, so the
+    DuckDB oracle remains bit-faithful. Pass ``max_cluster_size=None``
+    to disable. Pair rows carry ids only; vectors move once into the
+    join, partitioned by cluster.
     """
     from ella_spark.operators.graph import connected_components
 
@@ -179,9 +247,30 @@ def semantic_dedup(
             {"id_a": lo, "id_b": hi, "cosine": S[iu, ju][keep]}
         )
 
-    pairs = unit.groupBy("cluster").applyInPandas(
-        _cluster_pairs, schema="id_a long, id_b long, cosine double"
-    )
+    schema = "id_a long, id_b long, cosine double"
+    if max_cluster_size is None:
+        pairs = unit.groupBy("cluster").applyInPandas(_cluster_pairs, schema)
+    else:
+        # Split on a tiny broadcast size table: under-cap clusters run
+        # the exact path unchanged; over-cap clusters are rank-banded
+        # into bounded sub-buckets first (approximate under extreme
+        # skew — see docstring). When no cluster exceeds the cap the
+        # big branch is an empty scan, not extra work.
+        sizes = unit.groupBy("cluster").agg(F.count(F.lit(1)).alias("_m"))
+        sized = unit.join(F.broadcast(sizes), "cluster")
+        small = sized.where(F.col("_m") <= max_cluster_size).drop("_m")
+        big = sized.where(F.col("_m") > max_cluster_size).drop("_m")
+        overlap = max(8, min(64, max_cluster_size // 4))
+        pairs = (
+            small.groupBy("cluster").applyInPandas(_cluster_pairs, schema)
+            .unionByName(
+                _bucketed_big(big, dim, max_cluster_size, overlap)
+                .groupBy("cluster", "_sb")
+                .applyInPandas(_cluster_pairs, schema)
+                # overlap rows can emit the same pair from two buckets
+                .dropDuplicates(["id_a", "id_b"])
+            )
+        )
 
     comp = connected_components(
         assigned.select("id"), pairs, id_col="id", src="id_a", dst="id_b"

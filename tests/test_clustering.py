@@ -99,3 +99,80 @@ def test_semantic_dedup_planted(spark):
     # below the 0.999 threshold, so every other vector is its own group
     n_canonical = sum(1 for r in out if r["is_canonical"])
     assert n_canonical == 120
+
+
+def test_semantic_dedup_skewed_cluster_bounded(spark):
+    """One mega-cluster with >50% of all rows: the skew cap must (a)
+    bound every pair-stage task and (b) still group exact duplicates
+    (identical vectors always share every hyperplane sign bit)."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.clustering import (
+        _bucketed_big,
+        kmeans_assign,
+    )
+    from ella_spark.operators.similarity import as_double
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=DIM)
+    base /= np.linalg.norm(base)
+    rows = []
+    vid = 0
+    # mega-blob: 240 exact duplicates of 40 distinct prototypes
+    protos = []
+    for _ in range(40):
+        v = base + rng.normal(scale=0.02, size=DIM)
+        v /= np.linalg.norm(v)
+        protos.append([float(x) for x in v])
+    for rep in range(6):
+        for p in protos:
+            rows.append((vid, p))
+            vid += 1
+    # background: 160 spread vectors (4 loose blobs)
+    for bi in range(4):
+        c = rng.normal(size=DIM)
+        c /= np.linalg.norm(c)
+        for _ in range(40):
+            v = c + rng.normal(scale=0.3, size=DIM)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cap = 32
+    out = semantic_dedup(
+        df, DIM, cosine_threshold=0.9999, n_clusters=5,
+        train_sample=400, max_cluster_size=cap,
+    ).collect()
+    assert len(out) == 400
+    # every replica group collapses to its prototype's min id
+    by_id = {r["id"]: r for r in out}
+    for i in range(40):
+        members = [i + 40 * rep for rep in range(6)]
+        roots = {by_id[m]["group_id"] for m in members}
+        assert roots == {i}, f"prototype {i}: roots {roots}"
+        assert by_id[i]["is_canonical"]
+
+    # per-task boundedness: no (cluster, sub-bucket) group exceeds the
+    # cap by more than the hash-split variance allows. The mega cluster
+    # (240 rows, cap 32 -> 3 bits -> 8 sub-buckets) must actually split.
+    assigned = kmeans_assign(df, DIM, n_clusters=5, train_sample=400)
+    vecs = df.select(
+        F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("_v")
+    )
+    nrm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    unit = assigned.join(vecs, "id").select(
+        "id", "cluster", F.transform("_v", lambda x: x / nrm).alias("_u")
+    )
+    overlap = max(8, min(64, cap // 4))
+    buckets = (
+        _bucketed_big(unit, DIM, cap, overlap)
+        .groupBy("cluster", "_sb")
+        .count()
+        .collect()
+    )
+    mega = max(r["count"] for r in buckets)
+    n_buckets = len({(r["cluster"], r["_sb"]) for r in buckets})
+    assert n_buckets > 5, "mega cluster did not sub-bucket"
+    # rank banding gives a HARD per-task bound of cap + overlap rows
+    assert mega <= cap + overlap, f"unbounded task: {mega} rows in one bucket"
