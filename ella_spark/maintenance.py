@@ -14,6 +14,7 @@ only recent buckets.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from pathlib import Path
@@ -28,6 +29,64 @@ from ella_spark.types import TIME_COLUMN
 DEFAULT_TARGET_ROWS = 1 << 25
 
 
+class BucketLock:
+    """Per-bucket-directory mutual exclusion via an O_EXCL lock file.
+
+    Writers that MUTATE existing shards (compaction's merge-and-unlink,
+    the rollup open-bucket rewrite) take this lock so they cannot both
+    operate on one bucket at once — e.g. two Maintainers merging the
+    same shard group would each write a merged copy and double the
+    rows, and a compactor that read a shard just before the rollup
+    rewrite swapped it would resurrect the dropped rows when it merges
+    the stale bytes. Publishers don't lock: they only ever CREATE new
+    shard files (tmp → rename), which commutes with compaction.
+
+    ``timeout=0`` → non-blocking try (compaction skips a busy bucket
+    and retries next pass); ``timeout>0`` → bounded wait (the rollup
+    rewrite must run, so it waits its turn). Locks left by crashed
+    processes are broken after ``stale_sec``. Single-filesystem scope
+    matches the engine's embedded deployment (SURVEY §0); a
+    multi-writer object-store layout would swap this for a catalog
+    transaction, not more lock files.
+    """
+
+    def __init__(
+        self, bucket_dir: Path, timeout: float = 0.0, stale_sec: float = 300.0
+    ):
+        self.path = bucket_dir / ".compact.lock"
+        self.timeout = timeout
+        self.stale_sec = stale_sec
+        self.held = False
+
+    def _try_acquire(self) -> bool:
+        try:
+            st = self.path.stat()
+            if time.time() - st.st_mtime > self.stale_sec:
+                self.path.unlink(missing_ok=True)
+        except FileNotFoundError:
+            pass
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return True
+
+    def __enter__(self) -> bool:
+        deadline = time.monotonic() + self.timeout
+        self.held = self._try_acquire()
+        while not self.held and time.monotonic() < deadline:
+            time.sleep(0.02)
+            self.held = self._try_acquire()
+        return self.held
+
+    def __exit__(self, *exc) -> None:
+        if self.held:
+            self.path.unlink(missing_ok=True)
+            self.held = False
+
+
 def compact_topic(
     topic: Topic, target_rows: int = DEFAULT_TARGET_ROWS, min_shards: int = 2
 ) -> Path | None:
@@ -40,11 +99,18 @@ def compact_topic(
     unlinks a concurrent batch scan may list both the merged shard and
     the originals (transient double counting), and scans that listed
     the originals earlier rely on ``spark.sql.files.ignoreMissingFiles``
-    (set in REQUIRED_CONFS) to skip the vanished files. Streaming
-    subscribers see the merged shard as NEW input and would re-deliver
-    its rows — run compaction only on quiesced topics (no active
-    subscribers), which is also the reference's implicit contract (its
-    Maintainer runs inside the single embedded process).
+    (set in REQUIRED_CONFS) to skip the vanished files.
+
+    Concurrency: each bucket is compacted under its `BucketLock`, so
+    concurrent compactors / rollup rewrites can't operate on the same
+    bucket (a busy bucket is skipped this pass). A concurrent live
+    Publisher needs no lock — it only creates NEW shard files via
+    tmp→rename, which commutes with merge-and-unlink of EXISTING
+    shards (tested: test_compact_while_publishing). Streaming
+    subscribers do see the merged shard as NEW input and would
+    re-deliver its rows — run compaction only on subscriber-quiesced
+    topics, the reference's implicit contract too (its Maintainer runs
+    inside the single embedded process).
     Returns the new shard path, or None if nothing to do.
     """
     out: Path | None = None
@@ -59,7 +125,18 @@ def _compact_dir(
     bucket_dir: Path, target_rows: int, min_shards: int
 ) -> Path | None:
     """Compact one time-bucket directory (compaction never crosses
-    bucket boundaries — partition pruning depends on the dirs)."""
+    bucket boundaries — partition pruning depends on the dirs). Holds
+    the bucket's `BucketLock` for the whole list→merge→swap→unlink
+    sequence; a busy bucket is skipped (next pass catches it)."""
+    with BucketLock(bucket_dir) as held:
+        if not held:
+            return None
+        return _compact_dir_locked(bucket_dir, target_rows, min_shards)
+
+
+def _compact_dir_locked(
+    bucket_dir: Path, target_rows: int, min_shards: int
+) -> Path | None:
     shards = sorted(bucket_dir.glob("part-*.parquet"))
     sizes = {p: pq.ParquetFile(p).metadata.num_rows for p in shards}
     group: list[Path] = []
@@ -212,18 +289,29 @@ def refresh_rollup(
 
 def _rewrite_without_buckets(topic: Topic, buckets: set[int]) -> None:
     """Remove rows for the given bucket keys from a (small) rollup
-    topic by rewriting only the shards that contain them."""
+    topic by rewriting only the shards that contain them. Takes each
+    bucket dir's `BucketLock` (blocking, bounded wait): an in-place
+    shard rewrite must not interleave with a compactor merging the
+    same bucket, or the merge of the pre-rewrite bytes would resurrect
+    the dropped rows."""
     import pyarrow.compute as pc
 
-    for shard in topic.shards():
-        t = pq.read_table(shard)
-        mask = pc.is_in(t.column(TIME_COLUMN), value_set=__import__("pyarrow").array(sorted(buckets), type="int64"))
-        if pc.any(mask).as_py():
-            kept = t.filter(pc.invert(mask))
-            tmp = shard.with_name(f"_tmp-{shard.name}")
-            pq.write_table(kept, tmp, row_group_size=1 << 20)
-            tmp.replace(shard)
-            # Spark/Hadoop-written shards carry a .crc sidecar; it no
-            # longer matches the rewritten bytes and would fail reads.
-            crc = shard.with_name(f".{shard.name}.crc")
-            crc.unlink(missing_ok=True)
+    for bucket_dir in topic.bucket_dirs():
+        with BucketLock(bucket_dir, timeout=30.0) as held:
+            if not held:
+                raise TimeoutError(
+                    f"rollup rewrite: bucket lock busy >30s: {bucket_dir}"
+                )
+            for shard in sorted(bucket_dir.glob("part-*.parquet")):
+                t = pq.read_table(shard)
+                mask = pc.is_in(t.column(TIME_COLUMN), value_set=__import__("pyarrow").array(sorted(buckets), type="int64"))
+                if pc.any(mask).as_py():
+                    kept = t.filter(pc.invert(mask))
+                    tmp = shard.with_name(f"_tmp-{shard.name}")
+                    pq.write_table(kept, tmp, row_group_size=1 << 20)
+                    tmp.replace(shard)
+                    # Spark/Hadoop-written shards carry a .crc sidecar; it
+                    # no longer matches the rewritten bytes and would fail
+                    # reads.
+                    crc = shard.with_name(f".{shard.name}.crc")
+                    crc.unlink(missing_ok=True)

@@ -229,6 +229,91 @@ def test_maintainer_cleanup(db, tmp_path):
     assert not orphan.exists()
 
 
+def test_compact_while_publishing(db):
+    """A live publisher flushing new shards while compact_topic runs
+    must lose no rows and leave no lock file behind."""
+    import threading
+
+    topic = db.create_topic("c_live", [Column("v", "int64")])
+    n_rows = 2_000
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def publish():
+        try:
+            pub = topic.publish(capacity=50)  # flush every 50 rows
+            for i in range(n_rows):
+                pub.write(i * 1_000, i)
+            pub.close()
+        except BaseException as e:  # surfaced in the main thread
+            errors.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=publish)
+    t.start()
+    while not stop.is_set():
+        compact_topic(topic, target_rows=1 << 20)
+    t.join()
+    compact_topic(topic, target_rows=1 << 20)  # final pass
+    assert not errors, errors
+    res = db.query("SELECT count(*) AS n, count(DISTINCT v) AS d FROM c_live").execute()
+    assert int(res["n"].iloc[0]) == n_rows
+    assert int(res["d"].iloc[0]) == n_rows
+    assert not list(topic.path.glob("*/.compact.lock"))
+
+
+def test_concurrent_compactors_no_duplication(db):
+    """Two compactors racing on the same buckets: the per-bucket lock
+    makes one win per bucket; rows are never duplicated or lost."""
+    import threading
+
+    topic = db.create_topic("c_race", [Column("v", "int64")])
+    for i in range(12):
+        with topic.publish() as pub:
+            pub.write(i * 1_000, i)
+    assert len(topic.shards()) == 12
+
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def compact():
+        try:
+            barrier.wait()
+            for _ in range(3):
+                compact_topic(topic, target_rows=1 << 20)
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=compact) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    res = db.query("SELECT count(*) AS n, count(DISTINCT v) AS d FROM c_race").execute()
+    assert int(res["n"].iloc[0]) == 12
+    assert int(res["d"].iloc[0]) == 12
+
+
+def test_bucket_lock_stale_break(db, tmp_path):
+    """A lock left by a crashed compactor is broken after stale_sec."""
+    import os
+    import time as _time
+
+    from ella_spark.maintenance import BucketLock
+
+    bucket = tmp_path / "bucket"
+    bucket.mkdir()
+    stale = bucket / ".compact.lock"
+    stale.write_text("999999")
+    old = _time.time() - 3600
+    os.utime(stale, (old, old))
+    with BucketLock(bucket, stale_sec=300.0) as held:
+        assert held
+    assert not stale.exists()
+
+
 def test_insert_distributed(db, spark):
     """INSERT INTO path (topic.rs:205-213): Spark-side write."""
     topic = db.create_topic("ins", [Column("v", "double" if False else "float64")])
