@@ -292,11 +292,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for bounded candidate windows.
 
-    Candidate generation: each doc vs the next ``window`` doc ids in
-    the same ``partition_col`` group (a deterministic, oracle-checkable
-    candidate set; the LSH variant is the open-world one). Equi-join on
-    the partition column keeps this a bounded-fanout join, not a cross
-    product.
+    Candidate generation is **id-adjacency, not similarity**: each doc
+    is compared against the next ``window`` doc ids in the same
+    ``partition_col`` group. Recall therefore depends on id locality —
+    duplicates whose ids are more than ``window`` apart within a group
+    are NEVER compared (pinned by
+    test_ngram_window_is_id_adjacent_not_similarity). That is the
+    deliberate contract: a deterministic, oracle-checkable pair set
+    for pipelines whose ingest assigns nearby ids to nearby documents
+    (crawl order, shard order). For open-world near-dup discovery with
+    no id-locality assumption, use ``minhash_lsh_candidates`` — its
+    banded-signature buckets find id-distant duplicates. The equi-join
+    on the partition column keeps this a bounded-fanout join, not a
+    cross product.
 
     Shingles are hashed character k-grams (hashed_grams_udf): the
     Jaccard value equals the string-gram Jaccard up to negligible

@@ -65,6 +65,43 @@ def test_ngram_jaccard_scores(planted):
     assert scores[(1, 3)] < 0.3
 
 
+def test_ngram_window_is_id_adjacent_not_similarity(spark):
+    """Pin ngram_jaccard_pairs' candidate contract: the window is over
+    ADJACENT DOC IDS, not similarity buckets. On an id-shuffled corpus
+    a planted near-dup pair whose ids are > window apart is NOT
+    compared — that pair is minhash_lsh_pairs territory (which must
+    find it regardless of id distance)."""
+    from ella_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    dup_a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    dup_b = dup_a + "!"
+    fillers = [
+        f"unrelated filler document number {i} about {topic}"
+        for i, topic in enumerate(
+            ["storage engines", "query planners", "arrow buffers", "shuffle io",
+             "join strategies", "window frames", "codegen stages", "page cache"]
+        )
+    ]
+    # ids shuffled: the dup pair sits at ids 0 and 9, window=3 apart > 3
+    rows = [(0, dup_a, "en")] + [
+        (i + 1, t, "en") for i, t in enumerate(fillers)
+    ] + [(9, dup_b, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    window_pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, shingle_k=3, window=3).collect()
+    }
+    assert (0, 9) not in window_pairs  # id-distant: not a candidate
+    assert all(b - a <= 3 for a, b in window_pairs)  # every pair id-adjacent
+
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5, shingle_k=5).collect()
+    }
+    assert (0, 9) in lsh_pairs  # similarity buckets don't care about ids
+
+
 def test_embedding_neardup(spark):
     from ella_spark.operators.dedup import embedding_neardup_pairs
 
