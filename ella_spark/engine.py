@@ -78,6 +78,13 @@ _DESCRIBE_RE = re.compile(
 )
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+(analyze\s+)?(select\b.+)$", re.I | re.S)
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", re.I)
+#: table-valued `ann_search('<table>', '<column>', '<queries>', [k],
+#: [n_probe])` — index-backed similarity search from plain SQL.
+_ANN_SEARCH_RE = re.compile(
+    r"\bann_search\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*(\d+))?(?:\s*,\s*(\d+))?\s*\)",
+    re.I,
+)
 
 
 class Ella:
@@ -403,6 +410,8 @@ class Ella:
         self._register_all()
         if _INFO_SCHEMA_RE.search(sql):
             sql = self._register_information_schema(sql)
+        if _ANN_SEARCH_RE.search(sql):
+            sql = self._rewrite_ann_search(sql)
         ddl = self._dispatch_ddl(sql)
         if ddl is not None:
             return ddl
@@ -429,6 +438,35 @@ class Ella:
                 self.spark.createDataFrame([(n,)], "count long"), engine=self, sql=sql
             )
         return Lazy(self.spark.sql(sql), engine=self, sql=sql)
+
+    def _rewrite_ann_search(self, sql: str) -> str:
+        """Table-valued ANN search in plain SQL:
+
+            SELECT * FROM ann_search('vecs', 'embedding', 'qv', 5, 6)
+
+        args: indexed table, vector column, a registered table/view of
+        query rows (same id/vector schema), then optional k and
+        n_probe. The call resolves against the table's PERSISTED IVF
+        index (`create_vector_index` artifact — errors if absent), runs
+        the distributed index-backed search, and is substituted with a
+        temp view so the surrounding statement (joins, filters, ORDER
+        BY) stays ordinary Spark SQL. The query batch is collected
+        driver-side at rewrite time — query sets are small by
+        definition (they broadcast everywhere downstream anyway)."""
+        out = sql
+        for i, m in enumerate(_ANN_SEARCH_RE.finditer(sql)):
+            table, column, qsrc, k, n_probe = m.groups()
+            res = self.vector_search(
+                table,
+                self.spark.table(qsrc),
+                column=column,
+                k=int(k) if k else 5,
+                n_probe=int(n_probe) if n_probe else 4,
+            )
+            view = f"__ann_search_{i}"
+            res.createOrReplaceTempView(view)
+            out = out.replace(m.group(0), view)
+        return out
 
     def _register_information_schema(self, sql: str) -> str:
         """information_schema.tables / .columns over the catalog store.

@@ -114,6 +114,23 @@ def test_vector_index_lifecycle(spark, tmp_path):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6  # n_probe=4 of 8 cells on a tiny corpus
 
+    # the index is reachable from the SQL surface as a TVF: joins and
+    # ORDER BY around the rewritten view are ordinary Spark SQL
+    queries.createOrReplaceTempView("qv")
+    sql_rows = db2.query(
+        "SELECT query_id, neighbor_id, rank FROM "
+        "ann_search('vecs', 'embedding', 'qv', 5, 4) "
+        "WHERE rank <= 3 ORDER BY query_id, rank"
+    ).execute()
+    assert set(sql_rows["query_id"]) == {0, 1, 2}
+    assert list(sql_rows["rank"]) == [1, 2, 3] * 3
+    sql_pairs = set(zip(sql_rows["query_id"], sql_rows["neighbor_id"]))
+    assert sql_pairs <= approx  # same index, same candidates
+    with pytest.raises(ValueError, match="no vector index"):
+        db2.query(
+            "SELECT * FROM ann_search('vecs', 'missing_col', 'qv')"
+        ).execute()
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="no vector index"):
