@@ -46,6 +46,13 @@ HEADLINE = [
     "q_ann_brute_force",
     "q_ann_lsh",
     "q_ann_ivf",
+    # Heaviest decision-support shapes, promoted from EXTRAS in round 4
+    # (VERDICT r3 #5) so regressions on them are tracked per round. The
+    # pre-r4-comparable total is value minus these four entries.
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q18_large_volume_cust",
+    "q21_waiting_suppliers",
 ]
 
 # Newer flagship operators, timed and reported separately so the
@@ -57,9 +64,6 @@ EXTRAS = [
     "q_quality_repetition",
     "q_mix_resample",
     "q7_volume_shipping",
-    "q18_large_volume_cust",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
     "q_kmeans_embeddings",
     "q_semantic_dedup",
     "q_percentile_exact",

@@ -48,6 +48,12 @@ class TableEntry:
     #: materialized views: Spark schema JSON of the snapshot (needed to
     #: read an empty snapshot and to skip footer merging)
     result_schema: str | None = None
+    #: materialized views over a single topic: incremental-refresh
+    #: cursor — the exact shard basenames folded into the current
+    #: snapshot (``{"topic": <view name>, "shards": [...], "rows": n}``).
+    #: None → the stored SQL isn't delta-refreshable (or never analyzed);
+    #: refresh falls back to full recompute.
+    refresh_state: dict | None = None
 
     @property
     def ident(self) -> tuple[str, str, str]:
@@ -65,6 +71,7 @@ class TableEntry:
             "indexes": [list(i) for i in self.indexes],
             "version": self.version,
             "result_schema": self.result_schema,
+            "refresh_state": self.refresh_state,
         }
 
     @classmethod
@@ -80,6 +87,7 @@ class TableEntry:
             indexes=[tuple(i) for i in d.get("indexes", [])],
             version=d.get("version", 0),
             result_schema=d.get("result_schema"),
+            refresh_state=d.get("refresh_state"),
         )
 
 

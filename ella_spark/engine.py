@@ -264,18 +264,59 @@ class Ella:
         self.store.put_table(entry, replace=replace)
         return self.refresh_materialized(name)
 
-    def refresh_materialized(self, name: str) -> int:
-        """Recompute a materialized view into the next snapshot version
-        and atomically advance the catalog pointer. Old versions are
-        pruned after the flip."""
-        from pyspark.sql import Observation
-        from pyspark.sql import functions as F
+    def refresh_materialized(self, name: str, incremental: bool = True) -> int:
+        """Refresh a materialized view and return its snapshot row count.
 
-        import dataclasses
+        Incremental when possible: for single-topic SPF / mergeable-
+        aggregate SQL (ella_spark/incremental.py) the refresh reads ONLY
+        the shards published since the last snapshot — the immutable
+        shard basenames are the cursor — and appends (SPF) or
+        partial-aggregates-and-merges (sum/count/min/max) into the next
+        snapshot. O(new data), not O(history): at 100 TB a rollup
+        refresh touches a day of shards, never the full fact table.
+        Compaction renames shards, which invalidates the cursor and
+        safely falls back to a full recompute, as does any SQL shape
+        the analyzer does not fully understand.
+        """
+        from ella_spark.incremental import analyze_mv_sql
 
         entry = self._require(name, "materialized_view")
         self._register_all()  # the SQL may reference topics/views
-        df = self.spark.sql(entry.sql)
+        analysis = analyze_mv_sql(entry.sql)
+        topic = self._topic_for_view_name(analysis.table) if analysis else None
+        state = entry.refresh_state
+        if (
+            incremental
+            and topic is not None
+            and entry.version > 0
+            and state is not None
+            and state.get("topic") == analysis.table
+        ):
+            n = self._refresh_delta(entry, analysis, topic)
+            if n is not None:
+                return n
+        return self._refresh_full(entry, analysis, topic)
+
+    def _topic_for_view_name(self, ident: str) -> "Topic | None":
+        """Resolve a registered view name back to its topic, if any."""
+        if "__" in ident:
+            schema, base = ident.split("__", 1)
+            key = (DEFAULT_CATALOG, schema, base)
+        else:
+            key = (DEFAULT_CATALOG, DEFAULT_SCHEMA, ident)
+        entry = self.store.tables.get(key)
+        if entry is not None and entry.kind == "topic":
+            return Topic(self.store, entry)
+        return None
+
+    def _commit_snapshot(self, entry: TableEntry, df: DataFrame, state) -> int:
+        """Write df as the next snapshot version, flip the catalog
+        pointer atomically, prune old versions. Returns row count."""
+        import dataclasses
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         new_version = entry.version + 1
         snap = self.store.table_path(entry) / f"v={new_version}"
         obs = Observation()
@@ -285,8 +326,13 @@ class Ella:
             .parquet(str(snap))
         )
         n = int(obs.get["n"])
+        if state is not None:
+            state = dict(state, rows=n)
         updated = dataclasses.replace(
-            entry, version=new_version, result_schema=df.schema.json()
+            entry,
+            version=new_version,
+            result_schema=df.schema.json(),
+            refresh_state=state,
         )
         self.store.put_table(updated, replace=True)
         self._register(updated)
@@ -294,6 +340,94 @@ class Ella:
             if old.is_dir() and int(old.name.split("=")[1]) < new_version:
                 shutil.rmtree(old, ignore_errors=True)
         return n
+
+    def _refresh_full(self, entry: TableEntry, analysis, topic) -> int:
+        """Full recompute. For an analyzable single-topic view the
+        topic is bound to an EXPLICIT shard listing so the recorded
+        cursor equals the snapshot's exact inputs (rows published
+        between listing and compute are picked up next refresh, never
+        double-counted)."""
+        state = None
+        if analysis is not None and topic is not None:
+            shard_paths = topic.shards()
+            state = {
+                "topic": analysis.table,
+                "shards": [p.name for p in shard_paths],
+                "rows": 0,
+            }
+            topic.read_files(self.spark, shard_paths).createOrReplaceTempView(
+                analysis.table
+            )
+        try:
+            df = self.spark.sql(entry.sql)
+            return self._commit_snapshot(entry, df, state)
+        finally:
+            if topic is not None:
+                self._register(topic.entry)  # undo the delta/full binding
+
+    def _refresh_delta(self, entry: TableEntry, analysis, topic) -> int | None:
+        """Delta refresh; None → caller falls back to full recompute."""
+        import dataclasses
+        import json as _json
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        state = entry.refresh_state
+        current = topic.shards()
+        names = [p.name for p in current]
+        if not set(state["shards"]).issubset(names):
+            return None  # compaction rewrote consumed shards
+        delta = [p for p in current if p.name not in set(state["shards"])]
+        if not delta:
+            return int(state["rows"])
+
+        new_state = {"topic": analysis.table, "shards": names, "rows": 0}
+        try:
+            topic.read_files(self.spark, delta).createOrReplaceTempView(
+                analysis.table
+            )
+            delta_df = self.spark.sql(entry.sql)
+            if analysis.mode == "spf":
+                snap = self.store.table_path(entry) / f"v={entry.version}"
+                obs = Observation()
+                (
+                    delta_df.observe(obs, F.count(F.lit(1)).alias("n"))
+                    .write.mode("append")
+                    .parquet(str(snap))
+                )
+                total = int(state["rows"]) + int(obs.get["n"])
+                updated = dataclasses.replace(
+                    entry, refresh_state=dict(new_state, rows=total)
+                )
+                self.store.put_table(updated, replace=True)
+                self._register(updated)
+                return total
+            # mergeable aggregate: snapshot ∪ delta partials, re-aggregated
+            old = self._frame_for(entry)
+            union = old.unionByName(delta_df)
+            if analysis.aggs:
+                merge_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+                aggs = [
+                    merge_fns[fn](c).alias(c) for c, fn in analysis.aggs.items()
+                ]
+                merged = (
+                    union.groupBy(*analysis.keys).agg(*aggs)
+                    if analysis.keys
+                    else union.agg(*aggs)
+                )
+            else:
+                merged = union.dropDuplicates(analysis.keys)
+            # restore select order and snapshot dtypes (SUM over decimal
+            # widens precision; the snapshot schema is the contract)
+            schema = StructType.fromJson(_json.loads(entry.result_schema))
+            merged = merged.select(
+                [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+            return self._commit_snapshot(entry, merged, new_state)
+        finally:
+            self._register(topic.entry)
 
     def drop_table(self, name: str) -> None:
         catalog, schema, base = self._split(name)

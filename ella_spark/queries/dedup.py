@@ -179,6 +179,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-process cache of the corpus fingerprint index (built once per
+#: sf_dir, like a production index living next to its corpus)
+_DEDUP_IDX_CACHE: dict = {}
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(lower(trim(text))) AS h, min(doc_id) AS exact_dup_of
+      FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+    ), batch AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT b.doc_id AS doc_id,
+           c.exact_dup_of AS exact_dup_of,
+           CAST(c.exact_dup_of IS NULL AS INT) AS is_unique
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    """,
+    doc="Incremental cross-corpus dedup: a persisted fingerprint index "
+    "(operators/incremental_dedup.py DedupIndex — digests + MinHash "
+    "band buckets + signatures, ids only) is built ONCE over the "
+    "corpus slice; each new batch joins the index, never corpus text. "
+    "The oracle replays the exact-digest path; the MinHash near-dup "
+    "path (signature-estimated Jaccard) is xxhash-free but "
+    "numpy-hash-based, verified against planted dups in "
+    "tests/test_incremental_dedup.py.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.incremental_dedup import DedupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = os.path.abspath(sf_dir)
+    idx = _DEDUP_IDX_CACHE.get(key)
+    if idx is None:
+        idx = _DEDUP_IDX_CACHE[key] = DedupIndex.build(
+            docs.where("doc_id % 5 <> 0"),
+            tempfile.mkdtemp(prefix="ella_dedup_idx_"),
+        )
+    out = idx.dedup_against(docs.where("doc_id % 5 = 0"), near=False)
+    return out.select(
+        "doc_id", "exact_dup_of", F.col("is_unique").cast("int").alias("is_unique")
+    )
+
+
 @register(
     "q_dedup_cluster",
     oracle="""

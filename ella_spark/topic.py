@@ -218,6 +218,24 @@ class Topic:
     def shards(self) -> list[Path]:
         return sorted(self.path.glob(f"{PARTITION_COL}=*/part-*.parquet"))
 
+    def read_files(self, spark: SparkSession, paths: list) -> DataFrame:
+        """Batch scan of an EXPLICIT shard subset (same schema handling
+        as ``read``). This is the delta path for incremental
+        materialized-view refresh: at 100 TB, re-reading only the
+        shards published since the last snapshot is what makes a
+        refresh O(new data), not O(history)."""
+        from ella_spark.session import configure
+
+        configure(spark)
+        if not paths:
+            return spark.createDataFrame([], self.spark_schema())
+        df = (
+            spark.read.schema(self._partitioned_schema())
+            .option("basePath", str(self.path))
+            .parquet(*[str(p) for p in paths])
+        )
+        return df.drop(PARTITION_COL)
+
     def bucket_dirs(self) -> list[Path]:
         return sorted(
             p for p in self.path.glob(f"{PARTITION_COL}=*") if p.is_dir()

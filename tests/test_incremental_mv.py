@@ -1,0 +1,212 @@
+"""Incremental materialized-view refresh (ella_spark/incremental.py).
+
+The reference declares MVs but `todo!()`s execution (view.rs:36-39);
+here REFRESH is O(new shards) for single-topic SPF / mergeable-agg SQL.
+The proof that delta refresh reads ONLY new shards is behavioral: a
+consumed shard is tampered in place (same basename) and the delta
+refresh must NOT see the change, while a forced full recompute must.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from ella_spark.engine import Ella
+from ella_spark.incremental import analyze_mv_sql
+from ella_spark.types import Column
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = Ella.create(str(tmp_path / "incdb"), spark)
+    yield d
+
+
+def _mk_topic(db, spark, name="ev", n=60):
+    t = db.create_topic(name, [Column("k", "int64"), Column("v", "float64")])
+    t.insert(
+        spark.range(n).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    return t
+
+
+def _tamper_shard(topic, consumed: set[str]) -> None:
+    """Rewrite one CONSUMED shard's values in place (basename kept).
+
+    Also removes Hadoop's .crc sidecar — the rewrite invalidates it, and
+    a stale checksum would make any read fail instead of proving that
+    the delta path simply never touches the file.
+    """
+    import pyarrow.compute as pc
+
+    shard = next(p for p in topic.shards() if p.name in consumed)
+    tbl = pq.read_table(shard)
+    idx = tbl.schema.get_field_index("v")
+    tbl = tbl.set_column(idx, "v", pc.multiply(tbl.column("v"), 1000.0))
+    pq.write_table(tbl, shard)
+    crc = shard.with_name(f".{shard.name}.crc")
+    crc.unlink(missing_ok=True)
+
+
+def test_agg_delta_reads_only_new_shards(db, spark):
+    t = _mk_topic(db, spark)
+    db.create_materialized_view(
+        "roll",
+        "SELECT k, count(*) AS n, sum(v) AS total, min(v) AS lo, max(v) AS hi "
+        "FROM ev GROUP BY k",
+    )
+    entry = db.store.resolve("roll")
+    assert entry.refresh_state is not None
+    consumed = set(entry.refresh_state["shards"])
+    expected_before = {
+        r.k: (r.n, r.total, r.lo, r.hi)
+        for r in db.query("SELECT * FROM roll").df.collect()
+    }
+
+    # new data + tamper an already-consumed shard: the delta refresh
+    # must fold in ONLY the new rows and never rescan history
+    t.insert(
+        spark.range(60, 90).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    _tamper_shard(t, consumed)
+    n = db.refresh_materialized("roll")
+    assert n == 3
+    got = {
+        r.k: (r.n, r.total, r.lo, r.hi)
+        for r in db.query("SELECT * FROM roll").df.collect()
+    }
+    for k in (0, 1, 2):
+        n0, tot0, lo0, hi0 = expected_before[k]
+        delta_vals = [v for v in range(60, 90) if v % 3 == k]
+        assert got[k][0] == n0 + len(delta_vals)
+        assert got[k][1] == pytest.approx(tot0 + sum(delta_vals))
+        assert got[k][2] == lo0  # min unchanged by larger values
+        assert got[k][3] == max(hi0, max(delta_vals))
+    # cursor advanced to the full current shard set
+    entry = db.store.resolve("roll")
+    assert set(entry.refresh_state["shards"]) > consumed
+    assert set(entry.refresh_state["shards"]) == {p.name for p in t.shards()}
+
+    # a forced FULL recompute rescans history and sees the tampering
+    db.refresh_materialized("roll", incremental=False)
+    full = {r.k: r.total for r in db.query("SELECT * FROM roll").df.collect()}
+    assert any(full[k] != got[k][1] for k in (0, 1, 2))
+
+
+def test_spf_append_delta(db, spark):
+    t = _mk_topic(db, spark)
+    db.create_materialized_view(
+        "highs", "SELECT time, k, v FROM ev WHERE v >= 30.0"
+    )
+    entry = db.store.resolve("highs")
+    assert entry.version == 1
+    consumed = set(db.store.resolve("highs").refresh_state["shards"])
+    t.insert(
+        spark.range(60, 80).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    _tamper_shard(t, consumed)  # consumed shard: must not be re-read
+    n = db.refresh_materialized("highs")
+    assert n == 50  # 30..79 all >= 30
+    # SPF appends into the SAME snapshot version — no rewrite of history
+    entry = db.store.resolve("highs")
+    assert entry.version == 1
+    vals = sorted(
+        r.v for r in db.query("SELECT v FROM highs").df.collect()
+    )
+    assert vals == [float(x) for x in range(30, 80)]  # tampering invisible
+
+
+def test_spf_delta_fully_filtered(db, spark):
+    t = _mk_topic(db, spark)
+    db.create_materialized_view("big", "SELECT time, v FROM ev WHERE v > 1e6")
+    t.insert(spark.range(60, 70).selectExpr(
+        "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+    ))
+    assert db.refresh_materialized("big") == 0
+    assert db.query("SELECT * FROM big").df.count() == 0
+
+
+def test_distinct_keys_merge(db, spark):
+    t = _mk_topic(db, spark)
+    db.create_materialized_view("keys", "SELECT k FROM ev GROUP BY k")
+    t.insert(
+        spark.range(60, 61).selectExpr(
+            "id * 1000 AS time", "CAST(7 AS long) AS k", "CAST(id AS double) AS v"
+        )
+    )
+    assert db.refresh_materialized("keys") == 4
+    got = sorted(r.k for r in db.query("SELECT k FROM keys").df.collect())
+    assert got == [0, 1, 2, 7]
+
+
+def test_compaction_invalidates_cursor(db, spark):
+    from ella_spark.maintenance import compact_topic
+
+    t = _mk_topic(db, spark)
+    db.create_materialized_view(
+        "roll2", "SELECT k, sum(v) AS total FROM ev GROUP BY k"
+    )
+    t.insert(
+        spark.range(60, 90).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    compact_topic(t)  # merges shards → consumed basenames disappear
+    v_before = db.store.resolve("roll2").version
+    db.refresh_materialized("roll2")
+    # fell back to full recompute: version bumped, values exact
+    entry = db.store.resolve("roll2")
+    assert entry.version == v_before + 1
+    got = {r.k: r.total for r in db.query("SELECT * FROM roll2").df.collect()}
+    exp = {
+        r.k: r.total
+        for r in spark.sql("SELECT k, sum(v) AS total FROM ev GROUP BY k").collect()
+    }
+    assert got == exp
+    # cursor re-pinned to the compacted shard set
+    assert set(entry.refresh_state["shards"]) == {p.name for p in t.shards()}
+
+
+def test_non_analyzable_sql_full_recompute(db, spark):
+    _mk_topic(db, spark, name="a", n=10)
+    _mk_topic(db, spark, name="b", n=10)
+    db.create_materialized_view(
+        "j",
+        "SELECT a.time AS ts, a.v + b.v AS s FROM a JOIN b ON a.time = b.time",
+    )
+    entry = db.store.resolve("j")
+    assert entry.refresh_state is None  # join: not delta-refreshable
+    assert db.refresh_materialized("j") == 10
+
+
+def test_analyzer_shapes():
+    ok = analyze_mv_sql(
+        "SELECT k, count(*) AS n, sum(v) AS s FROM t GROUP BY k"
+    )
+    assert ok.mode == "agg" and ok.aggs == {"n": "count", "s": "sum"}
+    assert analyze_mv_sql("SELECT time, v FROM t WHERE v > 0").mode == "spf"
+    assert analyze_mv_sql("SELECT count(*) AS n FROM t").keys == []
+    # alias referenced from GROUP BY
+    a = analyze_mv_sql(
+        "SELECT time div 3600 AS h, max(v) AS m FROM t GROUP BY h"
+    )
+    assert a is not None and a.keys == ["h"]
+    for bad in (
+        "SELECT k, avg(v) AS m FROM t GROUP BY k",  # avg: not mergeable
+        "SELECT k, count(DISTINCT v) AS d FROM t GROUP BY k",
+        "SELECT a.v FROM a JOIN b ON a.k = b.k",
+        "SELECT v FROM (SELECT v FROM t)",
+        "SELECT k, sum(v) AS s FROM t GROUP BY k HAVING sum(v) > 1",
+        "SELECT DISTINCT k FROM t",
+        "SELECT k FROM t ORDER BY k LIMIT 5",
+        "SELECT rank() OVER (ORDER BY v) AS r FROM t",
+        "SELECT k + 1 FROM t GROUP BY k + 1",  # unaliased computed key
+    ):
+        assert analyze_mv_sql(bad) is None, bad
