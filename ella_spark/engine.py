@@ -866,21 +866,41 @@ def _create_vector_index(
     id_col: str = "vec_id",
     n_centroids: int = 16,
     train_sample: int = 4096,
+    kind: str = "ivf",
+    m_subvectors: int | None = None,
+    n_codes: int = 16,
 ) -> dict:
-    """Train and persist an IVF coarse-quantization index for an
-    embedding column of a catalog table.
+    """Train and persist a vector index for an embedding column of a
+    catalog table.
 
-    The index artifact is the unit-normalized centroid matrix — the
-    production shape where centroids are trained ONCE per corpus
-    (bounded driver-side sample, operators/similarity.py) and reused
-    by every search. Persisted as JSON under the table's data dir
-    (``_vector_index/<column>.json``), versioned alongside the data it
-    indexes; rebuilding after major corpus drift is one call.
+    ``kind="ivf"``: the artifact is the unit-normalized centroid
+    matrix — the production shape where centroids are trained ONCE per
+    corpus (bounded driver-side sample, operators/similarity.py) and
+    reused by every search.
+
+    ``kind="ivfpq"``: additionally trains per-subspace PQ codebooks
+    over the IVF residuals and writes the ENCODED corpus —
+    (id, cell, m codes, norm), a few bytes per vector instead of
+    dim·4 — as parquet next to the JSON. Searches then scan the
+    compact encoded table for ADC candidate scoring and only touch
+    full embeddings for the exact re-rank of the refined set. This is
+    what keeps the candidate scan in memory at 100 TB corpus scale.
+
+    Persisted as JSON (+ parquet for ivfpq) under the table's data dir
+    (``_vector_index/<column>.json`` / ``<column>.pq/``), versioned
+    alongside the data it indexes; rebuilding after major corpus drift
+    is one call.
     """
     import json
 
-    from ella_spark.operators.similarity import train_ivf_centroids
+    from ella_spark.operators.similarity import (
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
 
+    if kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"unknown vector index kind {kind!r}")
     entry = self.store.tables[self._split(table)]
     df = self._frame_for(entry)
     row = df.select(column).first()
@@ -899,11 +919,28 @@ def _create_vector_index(
         "id_col": id_col,
         "dim": dim,
         "n_centroids": int(cent.shape[0]),
-        "kind": "ivf",
+        "kind": kind,
         "centroids": [[float(x) for x in row] for row in cent],
     }
     idx_dir = self.store.table_path(entry) / "_vector_index"
     idx_dir.mkdir(parents=True, exist_ok=True)
+    if kind == "ivfpq":
+        if m_subvectors is None:
+            m_subvectors = max(4, dim // 4)
+        books = train_pq_codebooks(
+            df, dim, cent, vec_col=column, id_col=id_col,
+            m_subvectors=m_subvectors, n_codes=n_codes,
+            train_sample=train_sample,
+        )
+        meta["m_subvectors"] = m_subvectors
+        meta["n_codes"] = n_codes
+        meta["codebooks"] = [
+            [[float(x) for x in code] for code in book] for book in books
+        ]
+        # distributed map-only encode; overwrite = rebuild
+        pq_encode(df, cent, books, vec_col=column, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(str(idx_dir / f"{column}.pq"))
     tmp = idx_dir / f".{column}.json.tmp"
     tmp.write_text(json.dumps(meta))
     tmp.replace(idx_dir / f"{column}.json")
@@ -936,22 +973,48 @@ def _vector_search(
     column: str | None = None,
     k: int = 5,
     n_probe: int = 4,
+    refine: int | None = None,
 ) -> DataFrame:
-    """ANN top-k against a table's persisted IVF index.
+    """ANN top-k against a table's persisted vector index.
 
     ``queries``: small DataFrame with the same (id_col, column)
-    schema. Loads the centroid artifact (cached per session) and runs
-    the distributed IVF search — at scale the corpus side touches
-    ~n_probe/n_centroids of its cells.
+    schema. Loads the artifact (cached per session) and runs the
+    distributed search — at scale the corpus side touches
+    ~n_probe/n_centroids of its cells. For an ``ivfpq`` index the
+    candidate scan reads the persisted ENCODED table (a few bytes per
+    vector) and only the exact re-rank of the refined set touches full
+    embeddings.
     """
     import numpy as np
 
-    from ella_spark.operators.similarity import ivf_topk
+    from ella_spark.operators.similarity import ivf_topk, ivfpq_topk
 
     column = column or "embedding"
     idx = self._load_vector_index(table, column)
     entry = self.store.tables[self._split(table)]
     df = self._frame_for(entry)
+    if idx.get("kind") == "ivfpq":
+        enc_path = self.store.table_path(entry) / "_vector_index" / f"{column}.pq"
+        encoded = self.spark.read.schema(
+            "neighbor_id bigint, cell int, codes array<smallint>, norm double"
+        ).parquet(str(enc_path))
+        return ivfpq_topk(
+            df,
+            queries,
+            dim=idx["dim"],
+            vec_col=idx["column"],
+            id_col=idx["id_col"],
+            k=k,
+            n_probe=n_probe,
+            m_subvectors=idx["m_subvectors"],
+            n_codes=idx["n_codes"],
+            # the ADC cut must leave comfortable headroom over k for
+            # the exact re-rank to recover quantization misorderings
+            refine=refine if refine is not None else max(48, 24 * k),
+            centroids=np.asarray(idx["centroids"]),
+            codebooks=np.asarray(idx["codebooks"]),
+            encoded=encoded,
+        )
     return ivf_topk(
         df,
         queries,

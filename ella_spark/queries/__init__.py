@@ -96,16 +96,22 @@ _NEVER_CHECKED_R3 = {
     "q_train_test_split", "q_heavy_hitters", "q_curation_pipeline",
 }
 
-# Remaining 18 slots of the checked-50: the three queries upgraded
+# Queries ADDED in round 4 (no driver row can exist yet): right after
+# the rotation debt so they earn a hard record in their first round.
+_NEW_R4 = {
+    "q_dedup_incremental", "q_gopher_quality", "q_importance_weights",
+}
+
+# Remaining 15 slots of the checked-50: the three queries upgraded
 # from rows-only to oracle-checked this round (persisted-centroid
-# determinism), the three whose code changed this round, and twelve
+# determinism), the three whose code changed this round, and nine
 # whose only driver green is round 1 (oldest signal, re-verify).
 _PREFIX_REST = {
     "q_kmeans_embeddings", "q_semantic_dedup", "q_ann_ivf",
     "q_mix_resample", "q_time_range_scan", "q_range_join",
     "q6_forecast_revenue", "q_rollup", "q_grouping_sets", "q_cube",
     "q_having", "q_distinct", "q_outer_join", "q_full_outer_join",
-    "q_semi_anti_join", "q_cross_join", "q_non_equi_join", "q_set_ops",
+    "q_semi_anti_join",
 }
 
 
@@ -113,15 +119,18 @@ def _rank(name: str) -> int:
     """Priority tier for the driver's budget-limited prefix:
 
     0. never-driver-checked queries (rotation debt — VERDICT r3 #1)
-    1. newly-oracled + changed-code + oldest-green queries
-    2. everything r3-green with unchanged code (local parity still
+    1. queries added this round (first chance at a driver row)
+    2. newly-oracled + changed-code + oldest-green queries
+    3. everything r3-green with unchanged code (local parity still
        gates all of these every round via tests/test_oracle_parity.py)
     """
     if name in _NEVER_CHECKED_R3:
         return 0
-    if name in _PREFIX_REST:
+    if name in _NEW_R4:
         return 1
-    return 2
+    if name in _PREFIX_REST:
+        return 2
+    return 3
 
 
 def _reorder() -> None:

@@ -389,3 +389,228 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         benchmark=d.where(F.col("doc_id") < 50),
         keep_permille=500,
     )
+
+
+# ── Gopher-style quality rules ───────────────────────────────────────
+# The rule set from the Gopher corpus pipeline (Rae et al. 2021,
+# "Scaling Language Models", §A.1.1): word-count bounds, mean word
+# length 3-10, symbol-to-word ratio, bullet/ellipsis line ratios, and
+# a required minimum of common-stopword hits. All JVM expressions —
+# one map-only pass, no shuffle, no UDF.
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "q_gopher_quality",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+             string_split(text, chr(10)) AS lines
+      FROM documents WHERE length(trim(text)) > 0
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                   / len(words), 6) AS mean_word_len,
+             round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len(words), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(lines,
+                     l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS DOUBLE)
+                   / len(lines), 6) AS bullet_ratio,
+             round(CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS DOUBLE)
+                   / len(lines), 6) AS ellipsis_ratio,
+             CAST(len(list_filter({_GOPHER_STOPWORDS!r},
+                     s -> list_contains(words, s))) AS BIGINT) AS stopword_hits
+      FROM d
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+           ellipsis_ratio, stopword_hits,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT)            AS word_count_ok,
+           CAST(mean_word_len BETWEEN 3 AND 10 AS INT)           AS mean_len_ok,
+           CAST(symbol_ratio < 0.1 AS INT)                       AS symbol_ok,
+           CAST(bullet_ratio < 0.9 AS INT)                       AS bullet_ok,
+           CAST(ellipsis_ratio < 0.3 AS INT)                     AS ellipsis_ok,
+           CAST(stopword_hits >= 2 AS INT)                       AS stopword_ok,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+                AND ellipsis_ratio < 0.3 AND stopword_hits >= 2 AS INT)
+                                                                 AS gopher_pass
+    FROM m
+    """,
+    doc="Gopher-rule quality filter (Rae et al. 2021 §A.1.1): word "
+    "count 50-100k, mean word length 3-10, symbol-to-word ratio, "
+    "bullet/ellipsis line ratios, >=2 common stopwords. Map-only JVM "
+    "expressions; each rule is also emitted as a flag so downstream "
+    "mixtures can re-weight instead of hard-dropping.",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    words = _words()
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    sw = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    m = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(
+            F.aggregate(
+                words, F.lit(0).cast("double"), lambda a, w: a + F.length(w)
+            )
+            / n_words,
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            (
+                (F.length("text") - F.length(F.replace("text", F.lit("#"))))
+                .cast("double")
+                + (F.length("text") - F.length(F.replace("text", F.lit("..."))))
+                / 3
+            )
+            / n_words,
+            6,
+        ).alias("symbol_ratio"),
+        F.round(
+            F.expr(
+                "cast(size(filter(split(text, '\\n'), "
+                "l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) as double)"
+            )
+            / F.size(lines),
+            6,
+        ).alias("bullet_ratio"),
+        F.round(
+            F.expr(
+                "cast(size(filter(split(text, '\\n'), "
+                "l -> rtrim(l) LIKE '%...')) as double)"
+            )
+            / F.size(lines),
+            6,
+        ).alias("ellipsis_ratio"),
+        F.expr(
+            f"cast(size(filter(array({sw}), "
+            f"s -> array_contains(split(lower(trim(text)), '\\\\s+'), s))) as bigint)"
+        ).alias("stopword_hits"),
+    )
+    ok = lambda c: c.cast("int")
+    word_ok = F.col("n_words").between(50, 100000)
+    len_ok = F.col("mean_word_len").between(3, 10)
+    sym_ok = F.col("symbol_ratio") < 0.1
+    bul_ok = F.col("bullet_ratio") < 0.9
+    ell_ok = F.col("ellipsis_ratio") < 0.3
+    stop_ok = F.col("stopword_hits") >= 2
+    return m.select(
+        "*",
+        ok(word_ok).alias("word_count_ok"),
+        ok(len_ok).alias("mean_len_ok"),
+        ok(sym_ok).alias("symbol_ok"),
+        ok(bul_ok).alias("bullet_ok"),
+        ok(ell_ok).alias("ellipsis_ok"),
+        ok(stop_ok).alias("stopword_ok"),
+        ok(
+            word_ok & len_ok & sym_ok & bul_ok & ell_ok & stop_ok
+        ).alias("gopher_pass"),
+    )
+
+
+# ── DSIR-style importance weights ────────────────────────────────────
+# Hashed n-gram importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): features are hashed
+# word unigrams in B buckets; a document's weight is the sum over its
+# tokens of log(p_target / p_raw) with add-1 smoothing. Target here =
+# the English slice (stand-in for any curated target domain).
+
+_DSIR_BUCKETS = 64
+
+
+@register(
+    "q_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(w)
+      WHERE length(trim(text)) > 0 AND length(w) > 0
+    ), raw AS (
+      SELECT b, count(*) AS cnt_r FROM tok GROUP BY b
+    ), tgt AS (
+      SELECT b, count(*) AS cnt_t FROM tok WHERE lang = 'en' GROUP BY b
+    ), totals AS (
+      SELECT (SELECT count(*) FROM tok) AS n_r,
+             (SELECT count(*) FROM tok WHERE lang = 'en') AS n_t
+    ), ratio AS (
+      SELECT r.b,
+             ln((coalesce(t.cnt_t, 0) + 1.0) / (totals.n_t + {_DSIR_BUCKETS}))
+           - ln((r.cnt_r + 1.0) / (totals.n_r + {_DSIR_BUCKETS})) AS log_ratio
+      FROM raw r LEFT JOIN tgt t ON r.b = t.b, totals
+    ), db AS (
+      SELECT doc_id, b, count(*) AS n FROM tok GROUP BY doc_id, b
+    )
+    SELECT db.doc_id,
+           CAST(sum(db.n) AS BIGINT)              AS n_tokens,
+           round(sum(db.n * ratio.log_ratio), 6)  AS log_weight
+    FROM db JOIN ratio ON db.b = ratio.b
+    GROUP BY db.doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023): hashed word "
+    "unigrams in 64 buckets, per-doc sum of token-count x "
+    "log(p_target/p_raw) with add-1 smoothing; target = the English "
+    "slice. Scale shape: the shuffle carries (doc_id, bucket, count) "
+    "triples; the 64-row bucket-ratio table broadcasts; bodies never "
+    "move.",
+)
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _DSIR_BUCKETS
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tok = (
+        d.select("doc_id", "lang", F.explode(_words()).alias("w"))
+        .where(F.length("w") > 0)
+        .withColumn(
+            "b",
+            F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % B,
+        )
+        .drop("w")
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    # scalar totals ride along as 1-row broadcast aggregates (never a
+    # separate .count() job against the token stream)
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"cnt_t": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("cnt_t") + 1.0) / (F.col("n_t") + B))
+                - F.log((F.col("cnt_r") + 1.0) / (F.col("n_r") + B))
+            ).alias("log_ratio"),
+        )
+    )
+    db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        db.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * F.col("log_ratio")), 6).alias("log_weight"),
+        )
+    )

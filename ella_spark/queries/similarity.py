@@ -222,6 +222,52 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_CODEBOOKS: dict = {}
+
+
+def corpus_codebooks(sf_dir: str, n_centroids: int = 16, m: int = 16, n_codes: int = 16):
+    """Train-once PQ codebook artifact over the same pyarrow-read
+    corpus sample as ``corpus_centroids`` (shared numpy core, so the
+    Spark-sampled path would produce bit-identical books)."""
+    key = (os.path.abspath(sf_dir), n_centroids, m, n_codes)
+    books = _CODEBOOKS.get(key)
+    if books is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        pdf = tbl.to_pandas().sort_values("vec_id").head(4096)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        books = _CODEBOOKS[key] = S.pq_codebooks_from_matrix(
+            X, corpus_centroids(sf_dir, n_centroids), m, n_codes
+        )
+    return books
+
+
+@register(
+    "q_ann_ivfpq",
+    oracle=None,  # ADC candidate cut is float-order-sensitive across
+    # engines; accuracy + recall are pinned in tests/test_similarity.py
+    doc="ANN top-k via IVF-PQ (Jegou et al. 2011): corpus residuals "
+    "product-quantized to m=8 codes (train-once codebook artifact), "
+    "candidates scored by ADC lookup tables (no embedding ever moves "
+    "for scoring), top `refine` per query re-ranked with exact cosine. "
+    "~48x smaller candidate scan than raw float32 embeddings — the "
+    "memory shape that survives 100 TB corpora.",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return S.ivfpq_topk(
+        emb, queries, dim=_DIM, k=5, n_probe=6,
+        centroids=corpus_centroids(sf_dir, 16),
+        codebooks=corpus_codebooks(sf_dir, 16),
+        m_subvectors=16, refine=48,
+    ).orderBy("query_id", "rank")
+
+
 def _kmeans_oracle() -> str | None:
     cent = _oracle_centroids(16)
     if cent is None:

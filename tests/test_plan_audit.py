@@ -31,6 +31,7 @@ BNLJ_BOUNDED = {
     "q22_dormant_customers",  # 1-row scalar avg-balance threshold
     "q11_important_parts",    # 1-row global value threshold
     "q_cross_join",       # region x region: constant 5x5
+    "q_importance_weights",  # 1-row (n_raw, n_target) totals aggregate
 }
 
 
