@@ -248,18 +248,28 @@ def semantic_dedup(
         )
 
     schema = "id_a long, id_b long, cosine double"
-    if max_cluster_size is None:
+    # Decide skew handling DRIVER-side from the per-cluster counts: the
+    # size table is <= n_clusters rows (a bounded parameter, same class
+    # as the centroid artifact), read off the already-checkpointed
+    # assignment — one tiny agg job, no broadcast join in the pair
+    # plan. The unskewed common case then keeps the exact single-branch
+    # plan; the earlier always-on two-branch union re-executed the
+    # whole unit subplan for a provably-empty big branch (~0.4 s of
+    # pure plan overhead at sf0.1, and a wasted corpus pass at scale).
+    over_cap: list[int] = []
+    if max_cluster_size is not None:
+        counts = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_m")
+        ).collect()
+        over_cap = [r["cluster"] for r in counts if r["_m"] > max_cluster_size]
+    if not over_cap:
         pairs = unit.groupBy("cluster").applyInPandas(_cluster_pairs, schema)
     else:
-        # Split on a tiny broadcast size table: under-cap clusters run
-        # the exact path unchanged; over-cap clusters are rank-banded
-        # into bounded sub-buckets first (approximate under extreme
-        # skew — see docstring). When no cluster exceeds the cap the
-        # big branch is an empty scan, not extra work.
-        sizes = unit.groupBy("cluster").agg(F.count(F.lit(1)).alias("_m"))
-        sized = unit.join(F.broadcast(sizes), "cluster")
-        small = sized.where(F.col("_m") <= max_cluster_size).drop("_m")
-        big = sized.where(F.col("_m") > max_cluster_size).drop("_m")
+        # over-cap clusters (a literal id list) are rank-banded into
+        # bounded sub-buckets first (approximate under extreme skew —
+        # see docstring); everything else runs the exact path.
+        small = unit.where(~F.col("cluster").isin(over_cap))
+        big = unit.where(F.col("cluster").isin(over_cap))
         overlap = max(8, min(64, max_cluster_size // 4))
         pairs = (
             small.groupBy("cluster").applyInPandas(_cluster_pairs, schema)
