@@ -66,6 +66,10 @@ EXTRAS = [
     "q7_volume_shipping",
     "q_kmeans_embeddings",
     "q_semantic_dedup",
+    "q_ann_ivfpq",
+    "q_dedup_incremental",
+    "q_gopher_quality",
+    "q_importance_weights",
     "q_percentile_exact",
     "q_value_histogram",
     "q_bm25_search",

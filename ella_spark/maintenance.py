@@ -208,8 +208,8 @@ class Maintainer:
         self.engine = engine
         self.target_rows = target_rows
 
-    def run_once(self) -> dict:
-        compacted, cleaned = [], []
+    def run_once(self, refresh_views: bool = True) -> dict:
+        compacted, cleaned, refreshed = [], [], []
         for entry in list(self.engine.store.tables.values()):
             if entry.kind != "topic":
                 continue
@@ -219,7 +219,26 @@ class Maintainer:
             if out is not None:
                 compacted.append(str(out))
         cleaned = [str(p) for p in cleanup_orphans(self.engine.store)]
-        return {"compacted": compacted, "cleaned": cleaned}
+        if refresh_views:
+            # Materialized views ride the maintenance loop (the
+            # continuous-aggregate shape): delta-refreshable MVs fold
+            # in only the shards published since their snapshot
+            # (ella_spark/incremental.py), so this is cheap enough to
+            # run every interval. Ordered AFTER compaction: a refresh
+            # whose cursor compaction just invalidated falls back to a
+            # full recompute in the same pass and re-pins its cursor
+            # to the compacted shard set.
+            for entry in list(self.engine.store.tables.values()):
+                if entry.kind == "materialized_view" and entry.version > 0:
+                    self.engine.refresh_materialized(
+                        ".".join(entry.ident)
+                    )
+                    refreshed.append(".".join(entry.ident))
+        return {
+            "compacted": compacted,
+            "cleaned": cleaned,
+            "refreshed": refreshed,
+        }
 
 
 def refresh_rollup(

@@ -210,3 +210,32 @@ def test_analyzer_shapes():
         "SELECT k + 1 FROM t GROUP BY k + 1",  # unaliased computed key
     ):
         assert analyze_mv_sql(bad) is None, bad
+
+
+def test_maintainer_refreshes_views(db, spark):
+    """MVs ride the maintenance loop: run_once delta-refreshes them
+    (and a compaction in the same pass forces full recompute, which
+    re-pins the cursor to the compacted shard set)."""
+    from ella_spark.maintenance import Maintainer
+
+    t = _mk_topic(db, spark)
+    db.create_materialized_view(
+        "mroll", "SELECT k, sum(v) AS total FROM ev GROUP BY k"
+    )
+    t.insert(
+        spark.range(60, 90).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    out = Maintainer(db, target_rows=10_000).run_once()
+    assert "ella.public.mroll" in out["refreshed"]
+    got = {r.k: r.total for r in db.query("SELECT * FROM mroll").df.collect()}
+    exp = {
+        r.k: r.total
+        for r in spark.sql("SELECT k, sum(v) AS total FROM ev GROUP BY k").collect()
+    }
+    assert got == exp
+    # the pass compacted the topic, so the refresh re-pinned its
+    # cursor to the surviving shard set
+    entry = db.store.resolve("mroll")
+    assert set(entry.refresh_state["shards"]) == {p.name for p in t.shards()}
