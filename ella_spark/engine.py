@@ -377,9 +377,10 @@ class Ella:
         state = entry.refresh_state
         current = topic.shards()
         names = [p.name for p in current]
-        if not set(state["shards"]).issubset(names):
+        consumed = set(state["shards"])
+        if not consumed.issubset(names):
             return None  # compaction rewrote consumed shards
-        delta = [p for p in current if p.name not in set(state["shards"])]
+        delta = [p for p in current if p.name not in consumed]
         if not delta:
             return int(state["rows"])
 

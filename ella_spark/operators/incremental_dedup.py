@@ -104,7 +104,15 @@ class DedupIndex:
         self._append(df)
 
     def _fingerprints(self, df: DataFrame) -> DataFrame:
-        """(doc_id, content_hash, sig, bands[]) in ONE text pass."""
+        """(doc_id, content_hash, sig, bands[]) in ONE text pass.
+
+        Documents shorter than ``shingle_k`` have an EMPTY shingle set
+        and would all share the degenerate all-zeros signature —
+        band-colliding every short doc with every other as a fake
+        jaccard-1.0 near-dup — so their ``sig`` is nulled here and the
+        band/sig writers and the near-dup probe skip them. Exact-digest
+        matching still covers them fully.
+        """
         smh = shingle_minhash_udf(self.shingle_k, self.num_hashes)
         rows_per_band = self.num_hashes // self.bands
         norm = normalize_text(F.col(self.text_col))
@@ -112,7 +120,9 @@ class DedupIndex:
             df.select(
                 F.col(self.id_col).alias("doc_id"),
                 F.md5(norm.cast("binary")).alias("content_hash"),
-                smh(norm).alias("_s"),
+                F.when(
+                    F.length(norm) >= self.shingle_k, smh(norm)
+                ).alias("_s"),
             )
             .withColumn("sig", F.col("_s.sig"))
             .withColumn(
@@ -138,11 +148,12 @@ class DedupIndex:
             fp.select("content_hash", "doc_id").write.mode("append").parquet(
                 str(self.path / "digests")
             )
-            fp.select("doc_id", "sig").write.mode("append").parquet(
+            sigful = fp.where(F.col("sig").isNotNull())
+            sigful.select("doc_id", "sig").write.mode("append").parquet(
                 str(self.path / "sigs")
             )
             (
-                fp.select(
+                sigful.select(
                     "doc_id",
                     F.posexplode("band_hashes").alias("band_idx", "band_hash"),
                 )
@@ -188,7 +199,7 @@ class DedupIndex:
         spark = df.sparkSession
         fp = self._fingerprints(df).persist()
         try:
-            probe = fp.select(
+            probe = fp.where(F.col("sig").isNotNull()).select(
                 F.col("doc_id"),
                 F.posexplode("band_hashes").alias("band_idx", "band_hash"),
             )

@@ -114,3 +114,23 @@ def test_version_guard(tmp_path):
     (tmp_path / "meta.json").write_text(json.dumps({"version": 99}))
     with pytest.raises(ValueError, match="version"):
         DedupIndex(tmp_path)
+
+
+def test_short_docs_never_fake_near_dups(spark, tmp_path):
+    """Docs shorter than shingle_k must not band-collide via the
+    degenerate empty-shingle signature; exact digests still catch
+    their true copies."""
+    corpus = spark.createDataFrame(
+        [(0, "ab"), (1, "cd"), (2, "a proper length document here")],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex.build(corpus, tmp_path / "short_idx", shingle_k=8)
+    batch = spark.createDataFrame(
+        [(10, "xy"), (11, "ab")], "doc_id long, text string"
+    )
+    near = idx.near_matches(batch, threshold=0.1).collect()
+    assert near == []  # no signature-based matches for short docs
+    out = idx.dedup_against(batch)
+    got = {r.doc_id: (r.exact_dup_of, r.is_unique) for r in out.collect()}
+    assert got[11] == (0, False)  # exact copy still flagged via digest
+    assert got[10] == (None, True)
