@@ -236,11 +236,22 @@ class Ella:
         self._register(entry)
 
     def create_materialized_view(
-        self, name: str, query: "Lazy | str", replace: bool = True
+        self,
+        name: str,
+        query: "Lazy | str",
+        replace: bool = True,
+        indexes: list[tuple[str, bool]] | None = None,
     ) -> int:
         """Materialized view: stored SQL + a versioned parquet snapshot,
         refreshed on demand (beyond-reference: the reference declares
         this API but `todo!()`s it, view.rs:36-39 — here it works).
+
+        ``indexes``: declared secondary sort indexes — (column,
+        ascending) pairs, the reference's MV index declaration
+        (ella-engine/src/table/info.rs:200-213, which its engine can
+        never apply). Here they are REAL: every snapshot write sorts
+        rows by the index columns, so parquet row-group min/max stats
+        prune index-keyed scans of the materialized result.
 
         Snapshots live under ``<table>/v=<n>``; refresh writes the next
         version distributed, then flips the catalog pointer in one
@@ -260,6 +271,7 @@ class Ella:
             kind="materialized_view",
             columns=[],
             sql=sql,
+            indexes=list(indexes or []),
         )
         self.store.put_table(entry, replace=replace)
         return self.refresh_materialized(name)
@@ -319,6 +331,7 @@ class Ella:
 
         new_version = entry.version + 1
         snap = self.store.table_path(entry) / f"v={new_version}"
+        df = self._apply_mv_indexes(entry, df)
         obs = Observation()
         (
             df.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -340,6 +353,20 @@ class Ella:
             if old.is_dir() and int(old.name.split("=")[1]) < new_version:
                 shutil.rmtree(old, ignore_errors=True)
         return n
+
+    @staticmethod
+    def _apply_mv_indexes(entry: TableEntry, df: DataFrame) -> DataFrame:
+        """Sort snapshot rows by the declared MV indexes (info.rs
+        sorting_cols semantics) so row-group stats prune reads."""
+        if not entry.indexes:
+            return df
+        from pyspark.sql import functions as F
+
+        cols = [
+            F.col(c).asc() if asc else F.col(c).desc()
+            for c, asc in entry.indexes
+        ]
+        return df.sortWithinPartitions(*cols)
 
     def _refresh_full(self, entry: TableEntry, analysis, topic) -> int:
         """Full recompute. For an analyzable single-topic view the
@@ -394,7 +421,8 @@ class Ella:
                 snap = self.store.table_path(entry) / f"v={entry.version}"
                 obs = Observation()
                 (
-                    delta_df.observe(obs, F.count(F.lit(1)).alias("n"))
+                    self._apply_mv_indexes(entry, delta_df)
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
                     .write.mode("append")
                     .parquet(str(snap))
                 )

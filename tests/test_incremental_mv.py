@@ -239,3 +239,35 @@ def test_maintainer_refreshes_views(db, spark):
     # cursor to the surviving shard set
     entry = db.store.resolve("mroll")
     assert set(entry.refresh_state["shards"]) == {p.name for p in t.shards()}
+
+
+def test_mv_declared_indexes_sort_snapshots(db, spark):
+    """Declared MV secondary indexes (info.rs:200-213 — todo!()'d in
+    the reference) actually sort every snapshot file, so row-group
+    stats prune index-keyed reads."""
+    import pyarrow.parquet as pq_
+
+    _mk_topic(db, spark)
+    db.create_materialized_view(
+        "sorted_mv",
+        "SELECT time, k, v FROM ev WHERE v >= 10.0",
+        indexes=[("v", False)],  # descending
+    )
+    entry = db.store.resolve("sorted_mv")
+    assert entry.indexes == [("v", False)]
+    snap = db.store.table_path(entry) / f"v={entry.version}"
+    for f in snap.glob("*.parquet"):
+        vals = pq_.read_table(f, columns=["v"]).column("v").to_pylist()
+        assert vals == sorted(vals, reverse=True), f
+    # delta append preserves per-file sortedness
+    db.topic("ev").insert(
+        spark.range(60, 80).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    db.refresh_materialized("sorted_mv")
+    files = list(snap.glob("*.parquet"))
+    for f in files:
+        vals = pq_.read_table(f, columns=["v"]).column("v").to_pylist()
+        assert vals == sorted(vals, reverse=True), f
+    assert db.query("SELECT count(*) AS n FROM sorted_mv").df.collect()[0].n == 70
