@@ -70,6 +70,8 @@ EXTRAS = [
     "q_dedup_incremental",
     "q_gopher_quality",
     "q_importance_weights",
+    "q_ngram_decontaminate",
+    "q_embed_pca",
     "q_percentile_exact",
     "q_value_histogram",
     "q_bm25_search",

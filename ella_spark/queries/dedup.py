@@ -288,3 +288,76 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+@register(
+    "q_ngram_decontaminate",
+    oracle="""
+    WITH bench_grams AS (
+      SELECT DISTINCT md5(array_to_string(list_slice(words, s, s + 12), ' ')) AS g
+      FROM (
+        SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+        FROM documents WHERE doc_id < 50
+      ), unnest(range(1, greatest(len(words) - 12, 0) + 1)) AS t(s)
+    ),
+    train AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents WHERE doc_id >= 50
+    ),
+    hits AS (
+      SELECT DISTINCT tr.doc_id
+      FROM train tr,
+           unnest(range(1, greatest(len(tr.words) - 12, 0) + 1)) AS t(s)
+      WHERE md5(array_to_string(list_slice(tr.words, s, s + 12), ' '))
+            IN (SELECT g FROM bench_grams)
+    )
+    SELECT tr.doc_id,
+           CAST(len(tr.words) AS BIGINT) AS n_words,
+           CAST(tr.doc_id IN (SELECT doc_id FROM hits) AS INT) AS contaminated
+    FROM train tr
+    """,
+    doc="N-gram-level benchmark decontamination (the GPT-3 recipe: a "
+    "training doc is contaminated if ANY of its 13-gram word windows "
+    "appears in the held-out set; docs 0-49 stand in for the "
+    "benchmark). Plan shape: the benchmark 13-gram digest set is "
+    "small by definition and broadcasts; training docs explode to "
+    "(doc_id, gram_digest) pairs that semi-join the broadcast — "
+    "16-byte digests shuffle, text never does. Digest-level "
+    "q_decontaminate catches only verbatim copies; this catches "
+    "embedded quotes and partial overlaps.",
+)
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    N = 13
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # valid 13-gram start positions; empty for sub-N docs (a bare
+    # sequence(1, size-12) would generate a DESCENDING range there)
+    starts = F.when(
+        F.size("words") >= N,
+        F.sequence(F.lit(1), F.size("words") - (N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.md5(
+        F.concat_ws(" ", F.slice("words", F.col("s"), N)).cast("binary")
+    )
+    bench = (
+        d.where(F.col("doc_id") < 50)
+        .select(words.alias("words"))
+        .select(F.col("words"), F.explode(starts).alias("s"))
+        .select(gram.alias("g"))
+        .distinct()
+    )
+    train = d.where(F.col("doc_id") >= 50).select("doc_id", words.alias("words"))
+    hits = (
+        train.select("doc_id", "words", F.explode(starts).alias("s"))
+        .join(F.broadcast(bench), gram == F.col("g"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("contaminated"),
+    )

@@ -350,3 +350,106 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=16,
         centroids=corpus_centroids(sf_dir, 16),
     ).orderBy("id")
+
+
+# ── PCA projection artifact ──────────────────────────────────────────
+# Dimension reduction before clustering/ANN is a standard embedding-
+# pipeline stage. Components are a train-once corpus artifact (same
+# bounded pyarrow sample as the centroids); numpy SVD is deterministic
+# up to sign, which is fixed by forcing each component's largest-
+# magnitude coordinate positive — so the oracle can pin mean +
+# components as literals and replay the projection exactly.
+
+_PCA: dict = {}
+_PCA_K = 8
+
+
+def corpus_pca(sf_dir: str, k: int = _PCA_K, train_sample: int = 4096):
+    """(mean, components[k x dim]) trained once per corpus."""
+    key = (os.path.abspath(sf_dir), k)
+    got = _PCA.get(key)
+    if got is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        pdf = tbl.to_pandas().sort_values("vec_id").head(train_sample)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        mean = X.mean(axis=0)
+        _, _, Vt = np.linalg.svd(X - mean, full_matrices=False)
+        W = Vt[:k]
+        # deterministic sign: largest-|coord| of each component positive
+        for i in range(W.shape[0]):
+            j = int(np.argmax(np.abs(W[i])))
+            if W[i, j] < 0:
+                W[i] = -W[i]
+        got = _PCA[key] = (mean, W)
+    return got
+
+
+def _pca_oracle() -> str | None:
+    try:
+        mean, W = corpus_pca(_ORACLE_SF_DIR)
+    except (OSError, FileNotFoundError):
+        return None
+    mean_lit = "[" + ", ".join(repr(float(x)) for x in mean) + "]"
+    comp_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
+        for i, row in enumerate(W)
+    )
+    projs = ",\n           ".join(
+        f"round({_dot_sql('c.ve', f'w{i}.cv')}, 6) AS p{i}" for i in range(_PCA_K)
+    )
+    joins = "\n    ".join(
+        f"CROSS JOIN (SELECT cv FROM comp WHERE i = {i}) w{i}"
+        for i in range(_PCA_K)
+    )
+    return f"""
+    WITH comp AS (SELECT * FROM (VALUES {comp_rows}) AS t(i, cv)),
+    c AS (
+      SELECT vec_id,
+             list_transform(range(1, {_DIM + 1}),
+               j -> CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE)
+                    - ({mean_lit})[CAST(j AS INTEGER)]) AS ve
+      FROM embeddings)
+    SELECT c.vec_id,
+           {projs}
+    FROM c
+    {joins}
+    """
+
+
+@register(
+    "q_embed_pca",
+    oracle=_pca_oracle(),
+    doc="PCA projection of the embedding column to 8 dims (train-once "
+    "mean+component artifact from the bounded corpus sample, "
+    "deterministic sign convention, pinned into the DuckDB oracle as "
+    "literals). Map-only JVM expression projection — the standard "
+    "dimension-reduction stage before clustering/ANN; at 100 TB the "
+    "projection is a narrow pass, never a shuffle.",
+)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mean, W = corpus_pca(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean_col = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(
+        S.as_double(F.col("embedding")), mean_col, lambda x, m: x - m
+    )
+    out = emb.select("vec_id", centered.alias("_c"))
+    for i, row in enumerate(W):
+        comp = F.array(*[F.lit(float(x)) for x in row])
+        out = out.withColumn(
+            f"p{i}",
+            F.round(
+                F.aggregate(
+                    F.zip_with("_c", comp, lambda x, w: x * w),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ),
+        )
+    return out.drop("_c")
