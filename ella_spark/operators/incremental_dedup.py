@@ -280,3 +280,87 @@ class DedupIndex:
             "is_unique",
             F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull(),
         )
+
+
+def dedup_stream(index: DedupIndex, stream: DataFrame) -> DataFrame:
+    """Annotate an UNBOUNDED document stream against the persisted
+    corpus index — the streaming admission gate of a continuously-fed
+    training corpus.
+
+    Stream-static joins only, and every fingerprint is computed as
+    row-wise columns ON the stream (no stream self-join, no stream
+    aggregation — so no watermark is required and each row is
+    annotated exactly once in the micro-batch it arrives):
+
+    - ``exact_dup_of``: digest equi-join against the static digest
+      table, which IS pre-aggregated to its lowest corpus id
+      (aggregating the static side is allowed where aggregating the
+      stream is not);
+    - ``near_candidate``: one stream-static LEFT join per MinHash band
+      against that band's distinct bucket hashes — true if any band
+      collides with a corpus bucket. Candidate-level only: choosing
+      the BEST near match needs a per-doc aggregation, which
+      micro-batch semantics would force behind a watermark —
+      downstream either drops flagged docs (conservative) or routes
+      them to the batch ``near_matches`` verifier.
+
+    The static sides re-read the index parquet per micro-batch
+    (cheap: ids + fixed-width hashes), so ``extend`` between batches
+    is picked up automatically — appends are new immutable files.
+    """
+    spark = stream.sparkSession
+    smh = shingle_minhash_udf(index.shingle_k, index.num_hashes)
+    rows_per_band = index.num_hashes // index.bands
+    norm = normalize_text(F.col(index.text_col))
+    out = stream.withColumn(
+        "content_hash", F.md5(norm.cast("binary"))
+    ).withColumn(
+        "_sig",
+        F.when(F.length(norm) >= index.shingle_k, smh(norm)["sig"]),
+    )
+    digests = (
+        index._part(spark, "digests", "content_hash string, doc_id bigint")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    out = out.join(digests, "content_hash", "left")
+
+    buckets = index._part(
+        spark, "bands", "doc_id bigint, band_idx int, band_hash bigint"
+    )
+    hit_cols = []
+    for b in range(index.bands):
+        # null for sub-shingle docs (null join keys never match)
+        bh = F.when(
+            F.col("_sig").isNotNull(),
+            F.xxhash64(
+                *[
+                    F.element_at("_sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]
+            ),
+        )
+        side = (
+            buckets.where(F.col("band_idx") == b)
+            .select(F.col("band_hash").alias(f"_bh{b}"))
+            .distinct()
+            .withColumn(f"_hit{b}", F.lit(True))
+        )
+        out = out.withColumn(f"_bh{b}", bh).join(side, f"_bh{b}", "left")
+        hit_cols.append(F.coalesce(F.col(f"_hit{b}"), F.lit(False)))
+    near = hit_cols[0]
+    for h in hit_cols[1:]:
+        near = near | h
+    drop = (
+        ["content_hash", "_sig"]
+        + [f"_bh{b}" for b in range(index.bands)]
+        + [f"_hit{b}" for b in range(index.bands)]
+    )
+    return (
+        out.withColumn("near_candidate", near)
+        .withColumn(
+            "is_clean",
+            F.col("exact_dup_of").isNull() & ~F.col("near_candidate"),
+        )
+        .drop(*drop)
+    )

@@ -197,10 +197,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_lines",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
@@ -219,8 +219,11 @@ def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            # DuckDB sums integers as HUGEINT (which pandas renders as
+            # float); pin BIGINT on both sides so the driver's
+            # dtype-sensitive hash compare cannot drift
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
 

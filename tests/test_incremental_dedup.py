@@ -134,3 +134,55 @@ def test_short_docs_never_fake_near_dups(spark, tmp_path):
     got = {r.doc_id: (r.exact_dup_of, r.is_unique) for r in out.collect()}
     assert got[11] == (0, False)  # exact copy still flagged via digest
     assert got[10] == (None, True)
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """dedup_stream on a live doc topic: stream-static annotation
+    against the persisted index agrees with the batch dedup_against
+    exact path, plus candidate-level near flags."""
+    import random
+
+    from ella_spark.engine import Ella
+    from ella_spark.operators.incremental_dedup import dedup_stream
+    from ella_spark.types import Column
+
+    rng = random.Random(7)
+    corpus_rows = [(i, _doc(rng)) for i in range(20)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    idx = DedupIndex.build(corpus, tmp_path / "sidx", num_hashes=32)
+
+    db = Ella.create(str(tmp_path / "sdb"), spark)
+    topic = db.create_topic(
+        "sdocs",
+        [Column("doc_id", "int64", required=True), Column("text", "string")],
+    )
+    batch_rows = (
+        [(100, corpus_rows[0][1])]            # exact copy
+        + [(101, _edit(rng, corpus_rows[1][1]))]  # near copy
+        + [(102, _doc(rng)), (103, "xy")]     # fresh + sub-shingle
+    )
+    with topic.publish() as pub:
+        for i, (did, text) in enumerate(batch_rows):
+            pub.write(i * 1_000_000_000, did, text)
+
+    out = dedup_stream(idx, db.subscribe("sdocs"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "dedup_stream_out"),
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.exact_dup_of, r.near_candidate, r.is_clean)
+        for r in spark.sql("SELECT * FROM dedup_stream_out").collect()
+    }
+    assert got[100] == (0, True, False)       # exact dup (and band hit)
+    assert got[101][0] is None and got[101][1]  # near candidate only
+    assert got[102] == (None, False, True)    # clean
+    assert got[103] == (None, False, True)    # sub-shingle: digest-only path
