@@ -271,3 +271,53 @@ def test_mv_declared_indexes_sort_snapshots(db, spark):
         vals = pq_.read_table(f, columns=["v"]).column("v").to_pylist()
         assert vals == sorted(vals, reverse=True), f
     assert db.query("SELECT count(*) AS n FROM sorted_mv").df.collect()[0].n == 70
+
+
+def test_delta_equals_full_randomized(db, spark):
+    """Property: for every supported SQL shape, interleaved inserts +
+    delta refreshes end in exactly the state a from-scratch recompute
+    produces. Deterministic seed battery (a hypothesis strategy would
+    re-create Spark topics per example — too slow for CI)."""
+    import random
+
+    shapes = [
+        "SELECT k, count(*) AS n, sum(v) AS s, min(v) AS lo, max(v) AS hi "
+        "FROM rt GROUP BY k",
+        "SELECT time, v FROM rt WHERE v >= 20.0",
+        "SELECT count(*) AS n, max(v) AS hi FROM rt",
+        "SELECT k FROM rt GROUP BY k",
+        "SELECT time div 7000 AS bucket, sum(v) AS s FROM rt GROUP BY time div 7000",
+    ]
+    rng = random.Random(1234)
+    t = db.create_topic("rt", [Column("k", "int64"), Column("v", "float64")])
+    mk = lambda lo, hi: spark.createDataFrame(
+        [
+            (i * 1000, rng.randrange(6), float(rng.randrange(100)))
+            for i in range(lo, hi)
+        ],
+        "time long, k long, v double",
+    )
+    t.insert(mk(0, 37))
+    for i, sql in enumerate(shapes):
+        db.create_materialized_view(f"p{i}", sql.replace("rt", "rt"))
+    cursor = 37
+    for step in range(3):
+        n_new = rng.randrange(1, 40)
+        t.insert(mk(cursor, cursor + n_new))
+        cursor += n_new
+        for i in range(len(shapes)):
+            db.refresh_materialized(f"p{i}")  # delta path
+    for i, sql in enumerate(shapes):
+        got = _normalize_rows(db.query(f"SELECT * FROM p{i}").df.collect())
+        exp = _normalize_rows(spark.sql(sql.replace("rt", "rt")).collect())
+        assert got == exp, f"shape {i}: {sql}"
+
+
+def _normalize_rows(rows):
+    return sorted(
+        tuple(
+            round(v, 9) if isinstance(v, float) else v
+            for v in r
+        )
+        for r in rows
+    )
