@@ -1062,6 +1062,52 @@ def _vix_cache(db: Ella) -> dict:
     return db.__dict__.setdefault("_vector_index_cache", {})
 
 
+def _extend_vector_index(self: Ella, table: str, column: str = "embedding") -> int:
+    """Fold vectors added since the last (re)build into an ``ivfpq``
+    index's encoded table WITHOUT retraining: rows whose id is absent
+    from the encoded parquet are encoded with the existing
+    centroids/codebooks and appended (immutable files — readers see
+    old-or-new, never partial). Standard online-IVF practice: the
+    coarse/fine quantizers stay fixed between full rebuilds; rebuild
+    (`create_vector_index`) after major corpus drift. Returns the
+    number of vectors appended. No-op (0) for a plain ``ivf`` index,
+    whose search encodes nothing."""
+    import numpy as np
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ella_spark.operators.similarity import pq_encode
+
+    idx = self._load_vector_index(table, column)
+    if idx.get("kind") != "ivfpq":
+        return 0
+    entry = self.store.tables[self._split(table)]
+    df = self._frame_for(entry)
+    enc_path = self.store.table_path(entry) / "_vector_index" / f"{column}.pq"
+    seen = self.spark.read.schema(
+        "neighbor_id bigint, cell int, codes array<smallint>, norm double"
+    ).parquet(str(enc_path)).select(
+        F.col("neighbor_id").alias(idx["id_col"])
+    )
+    new = df.join(seen, idx["id_col"], "left_anti")
+    fresh = pq_encode(
+        new,
+        np.asarray(idx["centroids"]),
+        np.asarray(idx["codebooks"]),
+        vec_col=idx["column"],
+        id_col=idx["id_col"],
+    )
+    obs = Observation()
+    (
+        fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("append")
+        .parquet(str(enc_path))
+    )
+    return int(obs.get["n"])
+
+
 Ella.create_vector_index = _create_vector_index
 Ella._load_vector_index = _load_vector_index
 Ella.vector_search = _vector_search
+Ella.extend_vector_index = _extend_vector_index

@@ -259,7 +259,12 @@ class DedupIndex:
         """Annotate a new batch against the corpus: each row gains
         ``exact_dup_of``, ``near_dup_of``, ``est_jaccard`` (nullable)
         and ``is_unique``. Downstream admits ``is_unique`` rows and
-        calls :meth:`extend` on them."""
+        calls :meth:`extend` on them.
+
+        Contract: batch-vs-CORPUS only — duplicates WITHIN the batch
+        are not flagged against each other (run `dedup.exact_dedup` /
+        `minhash_lsh_pairs` on the batch first, or extend the index
+        batch-by-batch so later batches see earlier ones)."""
         out = df.join(
             self.exact_matches(df).withColumnRenamed("doc_id", self.id_col),
             self.id_col,

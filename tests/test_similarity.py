@@ -250,3 +250,38 @@ def test_ivfpq_vector_index_lifecycle(spark, tmp_path):
     }
     approx = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_ivfpq_extend_index(spark, tmp_path):
+    """extend_vector_index appends only not-yet-encoded vectors using
+    the existing quantizers; searches then see the new vectors."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.engine import Ella
+    from ella_spark.sources import load_table
+    from ella_spark.types import Column
+
+    db = Ella.create(str(tmp_path / "xdb"), spark)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    t = db.create_topic(
+        "vecs",
+        [
+            Column("vec_id", "int64", required=True),
+            Column("embedding", "float32", row_shape=(64,)),
+        ],
+    )
+    first = emb.where(F.col("vec_id") < 100)
+    t.insert(first.select((F.col("vec_id") * 1000).alias("time"), "vec_id", "embedding"))
+    db.create_vector_index("vecs", n_centroids=8, kind="ivfpq")
+    assert db.extend_vector_index("vecs") == 0  # nothing new yet
+
+    rest = emb.where(F.col("vec_id") >= 100)
+    t.insert(rest.select((F.col("vec_id") * 1000).alias("time"), "vec_id", "embedding"))
+    n_rest = rest.count()
+    assert db.extend_vector_index("vecs") == n_rest
+    assert db.extend_vector_index("vecs") == 0  # idempotent
+
+    # a vector only present in the extension is findable
+    q = emb.where(F.col("vec_id") == 150)
+    rows = db.vector_search("vecs", q, k=5, n_probe=8).collect()
+    assert len(rows) == 5 and all(r.query_id == 150 for r in rows)
