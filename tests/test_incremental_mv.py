@@ -321,3 +321,35 @@ def _normalize_rows(rows):
         )
         for r in rows
     )
+
+
+def test_analyzer_string_literal_keywords_fail_closed():
+    """Keywords inside string literals must never yield a WRONG delta
+    plan. Two safe outcomes exist: rejection (the banned-token scan is
+    textual, so literal 'join'/'order by'/'with' force a full
+    recompute — conservative) or a parse that is still semantically
+    correct ('group by' inside a literal leaves the query a plain
+    filter, for which SPF append IS the right delta). What must never
+    happen is a *misparse* that classifies agg keys from quote
+    residue — asserted by the GROUP-BY-in-literal cases landing on
+    None or on the correct shape."""
+    from ella_spark.incremental import analyze_mv_sql
+
+    # textual banned-token scan: rejected, full recompute (safe)
+    for sql in (
+        "SELECT time, v FROM t WHERE s = 'join me'",
+        "SELECT k, sum(v) AS s FROM t WHERE note = 'order by x' GROUP BY k",
+        "SELECT time FROM t WHERE s = 'with feeling'",
+    ):
+        assert analyze_mv_sql(sql) is None, sql
+    # literal 'group by': still a pure filter -> SPF is CORRECT
+    a = analyze_mv_sql("SELECT time, v FROM t WHERE s = 'group by hand'")
+    assert a is not None and a.mode == "spf"
+    # literal + real GROUP BY: any misparse leaves quote residue that
+    # cannot match the select keys -> fails closed to None
+    assert (
+        analyze_mv_sql(
+            "SELECT k FROM t WHERE s = ' group by k' GROUP BY k"
+        )
+        is None
+    )
