@@ -72,6 +72,9 @@ EXTRAS = [
     "q_importance_weights",
     "q_ngram_decontaminate",
     "q_embed_pca",
+    "q_source_caps",
+    "q_temperature_resample",
+    "q_shard_assignment",
     "q_percentile_exact",
     "q_value_histogram",
     "q_bm25_search",

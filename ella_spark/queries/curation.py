@@ -614,3 +614,156 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("n") * F.col("log_ratio")), 6).alias("log_weight"),
         )
     )
+
+
+# ── per-source document caps (RefinedWeb-style domain caps) ──────────
+
+_SOURCE_CAP = 10
+
+
+@register(
+    "q_source_caps",
+    oracle=f"""
+    SELECT doc_id, source, qrank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS qrank
+      FROM documents)
+    WHERE qrank <= {_SOURCE_CAP}
+    """,
+    doc=f"Per-source document caps (the RefinedWeb/C4 anti-domination "
+    f"rule): keep at most {_SOURCE_CAP} docs per source, best quality "
+    "first (n_chars as the quality proxy, doc_id tie-break). One "
+    "window shuffle keyed by source; Spark's rank-limit pushes the "
+    "top-k into partial sorts per partition — no global sort at any "
+    "corpus size.",
+)
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("qrank", F.row_number().over(w))
+        .where(F.col("qrank") <= _SOURCE_CAP)
+        .select("doc_id", "source", "qrank")
+    )
+
+
+# ── temperature-based mixture resampling ─────────────────────────────
+# Multilingual-LM mixture recipe (e.g. mT5): sampling probability per
+# language ∝ p_lang^alpha flattens the head and boosts the tail. The
+# per-language keep rate r_l = min(1, (p_l^alpha / Σ p^alpha) /
+# (p_l / Σ p) · scale) applies through the same deterministic
+# doc_id hash gate as q_mix_resample — stateless, reproducible on any
+# cluster size, no RNG state.
+
+_TEMP_ALPHA = 0.5
+
+
+@register(
+    "q_temperature_resample",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(n) AS total, sum(pow(n, {_TEMP_ALPHA})) AS total_a
+      FROM stats
+    ), rates AS (
+      SELECT s.lang,
+             least(1.0,
+               (pow(s.n, {_TEMP_ALPHA}) / t.total_a)
+               / (CAST(s.n AS DOUBLE) / t.total)) AS keep_rate
+      FROM stats s, tot t
+    )
+    SELECT d.doc_id, d.lang, round(r.keep_rate, 6) AS keep_rate
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE (((d.doc_id % {_M31}) * {_KNUTH}) % {_M32}) % 1000000
+          < CAST(round(r.keep_rate * 1000000) AS BIGINT)
+    """,
+    doc=f"Temperature-based mixture resampling (alpha={_TEMP_ALPHA}, "
+    "the multilingual-LM recipe): per-language keep rate derived from "
+    "corpus counts so sampling probability tracks p^alpha — flattens "
+    "dominant languages, boosts the tail. Rates come from a tiny "
+    "per-lang aggregate (broadcast); the gate is the deterministic "
+    "multiplicative hash on doc_id — map-only, reproducible across "
+    "runs and cluster sizes.",
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = stats.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.pow("n", F.lit(_TEMP_ALPHA))).alias("total_a"),
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0),
+                (F.pow("n", F.lit(_TEMP_ALPHA)) / F.col("total_a"))
+                / (F.col("n").cast("double") / F.col("total")),
+            ).alias("keep_rate"),
+        )
+    )
+    gate = (
+        ((F.col("doc_id") % _M31) * _KNUTH) % _M32
+    ) % 1_000_000
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(
+            gate
+            < F.round(F.col("keep_rate") * 1_000_000).cast("bigint")
+        )
+        .select("doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate"))
+    )
+
+
+# ── deterministic training-shard assignment ──────────────────────────
+
+_N_SHARDS = 16
+
+
+@register(
+    "q_shard_assignment",
+    oracle=f"""
+    WITH placed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_N_SHARDS} AS shard,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT)
+               AS pos_key
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY pos_key, doc_id) AS BIGINT)
+             AS position
+    FROM placed
+    """,
+    doc=f"Deterministic global shuffle into {_N_SHARDS} training "
+    "shards: shard = hash-bucket of doc_id, within-shard position = "
+    "rank of an independent hash slice — a reproducible full-corpus "
+    "permutation (the write-training-shards shape) with no RNG state. "
+    "At scale this is one hash-partitioned window; each shard sorts "
+    "independently, and the physical write is "
+    "df.repartition(shard).sortWithinPartitions(pos).",
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    placed = d.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _N_SHARDS).alias(
+            "shard"
+        ),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("pos_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    return placed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )

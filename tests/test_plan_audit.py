@@ -32,6 +32,7 @@ BNLJ_BOUNDED = {
     "q11_important_parts",    # 1-row global value threshold
     "q_cross_join",       # region x region: constant 5x5
     "q_importance_weights",  # 1-row (n_raw, n_target) totals aggregate
+    "q_temperature_resample",  # 1-row (total, total_a) corpus aggregate
 }
 
 
