@@ -75,6 +75,7 @@ EXTRAS = [
     "q_source_caps",
     "q_temperature_resample",
     "q_shard_assignment",
+    "q_char_entropy",
     "q_percentile_exact",
     "q_value_histogram",
     "q_bm25_search",

@@ -640,3 +640,53 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("tok")).alias("w"))
     )
     return heavy_hitters(toks, "w", k=10, counters=4096)
+
+
+@register(
+    "q_char_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS s FROM documents
+      WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT doc_id, c, count(*) AS n
+      FROM d, unnest(list_transform(range(1, length(s) + 1),
+                     i -> substr(s, CAST(i AS INTEGER), 1))) AS t(c)
+      GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT)   AS n_chars_norm,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy
+    FROM counts
+    GROUP BY doc_id
+    """,
+    doc="Character-level Shannon entropy per document (nats): a cheap "
+    "quality signal — near-zero entropy flags repeated-character junk "
+    "and binary-ish content; natural text sits in a narrow band. "
+    "Shape: explode chars -> count per (doc, char) -> one-pass "
+    "entropy via ln(N) - sum(n ln n)/N (identical formula both "
+    "engines, so the rounded values are bit-comparable). The shuffle "
+    "carries (doc_id, char, count) triples, never text. An "
+    "array-expression form (distinct chars x occurrence filters) was "
+    "rejected: Catalyst re-evaluates the char-array lambda per "
+    "distinct char -> measured 22 s for 500 docs vs 0.2 s here.",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    # (?!^) zero-width split: one char per element; Spark's regex
+    # split still emits one empty edge element — drop it
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"(?!^)")).alias("c"),
+    ).where(F.col("c") != "")
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_chars_norm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 6
+        ).alias("char_entropy"),
+    )
