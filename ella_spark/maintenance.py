@@ -210,14 +210,17 @@ class Maintainer:
 
     def run_once(self, refresh_views: bool = True) -> dict:
         compacted, cleaned, refreshed = [], [], []
+        manifest_entries = 0
         for entry in list(self.engine.store.tables.values()):
             if entry.kind != "topic":
                 continue
-            out = compact_topic(
-                Topic(self.engine.store, entry), target_rows=self.target_rows
-            )
+            t = Topic(self.engine.store, entry)
+            out = compact_topic(t, target_rows=self.target_rows)
             if out is not None:
                 compacted.append(str(out))
+            # consolidate per-shard time stats AFTER compaction so the
+            # manifest reflects the surviving shard set
+            manifest_entries += build_manifest(t)
         cleaned = [str(p) for p in cleanup_orphans(self.engine.store)]
         if refresh_views:
             # Materialized views ride the maintenance loop (the
@@ -238,6 +241,7 @@ class Maintainer:
             "compacted": compacted,
             "cleaned": cleaned,
             "refreshed": refreshed,
+            "manifest_entries": manifest_entries,
         }
 
 
@@ -334,3 +338,61 @@ def _rewrite_without_buckets(topic: Topic, buckets: set[int]) -> None:
                     # reads.
                     crc = shard.with_name(f".{shard.name}.crc")
                     crc.unlink(missing_ok=True)
+
+
+def build_manifest(topic: Topic) -> int:
+    """Consolidate per-shard time min/max stats into a single manifest
+    (``<topic>/_manifest/stats.json``) for DRIVER-side file skipping.
+
+    Day-bucket partition dirs already prune whole days; within a day a
+    hot topic accumulates thousands of shards, and Spark's parquet
+    reader opens every listed file's footer before row-group pruning
+    can help. The manifest is the Iceberg/Delta-style answer: one
+    driver-side JSON of ``basename -> [min_time, max_time]`` built
+    from parquet footers (each footer read ONCE, here, instead of on
+    every query), maintained by the maintenance pass and swapped
+    atomically. ``Topic.read`` then passes only overlapping files to
+    the scan. Semantics are conservative: a shard with no entry yet
+    (published since the last pass) is always read, so the manifest
+    can only skip files it has proven disjoint — never lose rows.
+
+    Returns the number of newly-added entries.
+    """
+    import json
+
+    mdir = topic.path / "_manifest"
+    mpath = mdir / "stats.json"
+    stats = topic.manifest()
+    live = {p.name: p for p in topic.shards()}
+    # drop entries whose files are gone (compacted/cleaned)
+    stats = {k: v for k, v in stats.items() if k in live}
+    added = 0
+    for name, path in live.items():
+        if name in stats:
+            continue
+        try:
+            md = pq.ParquetFile(path).metadata
+        except OSError:
+            continue  # mid-rename; next pass
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                if col.path_in_schema == TIME_COLUMN and col.statistics:
+                    s = col.statistics
+                    if s.has_min_max:
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+        if lo is None or hi is None:
+            continue  # no stats: file stays un-skippable
+        stats[name] = [int(lo), int(hi)]
+        added += 1
+    mdir.mkdir(exist_ok=True)
+    tmp = mdir / f".stats-{uuid.uuid4().hex}.tmp"
+    tmp.write_text(json.dumps(stats))
+    tmp.replace(mpath)
+    return added
+
+
+

@@ -103,6 +103,19 @@ class Topic:
             list(base.fields) + [StructField(PARTITION_COL, LongType(), True)]
         )
 
+    def manifest(self) -> dict:
+        """Per-shard time stats (basename -> [min, max]) consolidated
+        by maintenance.build_manifest; empty dict if never built."""
+        import json
+
+        mpath = self.path / "_manifest" / "stats.json"
+        if not mpath.exists():
+            return {}
+        try:
+            return json.loads(mpath.read_text())
+        except (ValueError, OSError):
+            return {}
+
     def read(
         self,
         spark: SparkSession,
@@ -116,13 +129,41 @@ class Topic:
         With ``start_ns``/``end_ns`` (half-open ``[start, end)``) the
         scan also filters the ``__bucket`` partition column, so whole
         day directories prune out of the file listing (PartitionFilters
-        in the plan) before any footer is read.
+        in the plan) before any footer is read. When the maintenance
+        pass has built the shard-stats manifest, files whose
+        [min, max] time range provably misses the bound are dropped
+        from the listing DRIVER-side — within a day bucket Spark would
+        otherwise open every shard's footer before row-group pruning
+        helps; at hot-topic shard counts that is the listing
+        bottleneck. Shards without a manifest entry yet (published
+        since the last pass) are always read — skipping is only ever
+        proven-disjoint.
         """
         from pyspark.sql import functions as F
 
         from ella_spark.session import configure
 
         configure(spark)
+        bounded = start_ns is not None or end_ns is not None
+        if bounded and (stats := self.manifest()):
+            files = self.shards()
+            keep = []
+            for p in files:
+                ent = stats.get(p.name)
+                if ent is not None:
+                    lo, hi = ent
+                    if start_ns is not None and hi < start_ns:
+                        continue
+                    if end_ns is not None and lo >= end_ns:
+                        continue
+                keep.append(p)
+            if len(keep) < len(files):
+                df = self.read_files(spark, keep)
+                if start_ns is not None:
+                    df = df.where(F.col(TIME_COLUMN) >= start_ns)
+                if end_ns is not None:
+                    df = df.where(F.col(TIME_COLUMN) < end_ns)
+                return df
         df = (
             spark.read.schema(self._partitioned_schema())
             .option("basePath", str(self.path))

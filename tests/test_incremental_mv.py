@@ -353,3 +353,47 @@ def test_analyzer_string_literal_keywords_fail_closed():
         )
         is None
     )
+
+
+def test_shard_manifest_file_skipping(db, spark):
+    """build_manifest consolidates per-shard time stats; a bounded
+    read then drops proven-disjoint files from the listing DRIVER-side
+    (within-bucket skipping, beyond day-dir partition pruning), while
+    un-manifested fresh shards are always read."""
+    from ella_spark.maintenance import build_manifest
+
+    t = db.create_topic("mt", [Column("v", "float64")])
+    # three shards in the SAME day bucket with disjoint time ranges
+    for base in (0, 1000, 2000):
+        with t.publish() as pub:
+            for i in range(10):
+                pub.write(base + i, float(base + i))
+    assert len(t.shards()) == 3
+    n = build_manifest(t)
+    assert n == 3
+
+    # narrow scan: only the middle shard's range
+    df = t.read(spark, start_ns=1000, end_ns=1010)
+    rows = df.collect()
+    assert sorted(r.time for r in rows) == list(range(1000, 1010))
+    assert len(df.inputFiles()) == 1  # two shards skipped driver-side
+
+    # a shard published AFTER the manifest is never skipped
+    with t.publish() as pub:
+        pub.write(1500, 9.9)
+    df2 = t.read(spark, start_ns=1000, end_ns=1600)
+    assert len(df2.inputFiles()) == 2  # middle + fresh (edges skipped)
+    assert df2.count() == 11
+
+    # unbounded scans bypass the manifest entirely
+    assert t.read(spark).count() == 31
+
+    # compaction invalidates entries; rebuild re-pins to survivors
+    from ella_spark.maintenance import compact_topic
+
+    compact_topic(t)
+    build_manifest(t)
+    stats = t.manifest()
+    assert set(stats) == {p.name for p in t.shards()}
+    df3 = t.read(spark, start_ns=0, end_ns=10)
+    assert df3.count() == 10
