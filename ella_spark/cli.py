@@ -49,6 +49,18 @@ def main(argv: list[str] | None = None) -> int:
     sq = sub.add_parser("sql", help="run one SQL statement and exit")
     sq.add_argument("root")
     sq.add_argument("query")
+    sm = sub.add_parser(
+        "maintain",
+        help="one maintenance pass: compact, expire, manifest, "
+        "refresh materialized views, clean orphans",
+    )
+    sm.add_argument("root")
+    sm.add_argument(
+        "--retention-days",
+        type=float,
+        default=None,
+        help="drop day buckets older than this many days",
+    )
     args = p.parse_args(argv)
 
     from ella_spark import Ella
@@ -60,6 +72,18 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "sql":
             print(db.query(args.query).execute().to_string(index=False))
+        elif args.cmd == "maintain":
+            import json as _json
+
+            from ella_spark.maintenance import Maintainer
+
+            retention = (
+                int(args.retention_days * 86_400 * 1_000_000_000)
+                if args.retention_days is not None
+                else None
+            )
+            out = Maintainer(db, retention_ns=retention).run_once()
+            print(_json.dumps(out))
         else:
             _repl(db)
     finally:

@@ -204,17 +204,31 @@ class Maintainer:
     """Synchronous maintenance pass (the reference's interval loop,
     util.rs:52-120, minus the background thread — callers schedule it)."""
 
-    def __init__(self, engine, target_rows: int = DEFAULT_TARGET_ROWS):
+    def __init__(
+        self,
+        engine,
+        target_rows: int = DEFAULT_TARGET_ROWS,
+        retention_ns: int | None = None,
+    ):
         self.engine = engine
         self.target_rows = target_rows
+        #: drop day buckets older than now - retention_ns each pass
+        self.retention_ns = retention_ns
 
     def run_once(self, refresh_views: bool = True) -> dict:
-        compacted, cleaned, refreshed = [], [], []
+        compacted, cleaned, refreshed, expired = [], [], [], []
         manifest_entries = 0
         for entry in list(self.engine.store.tables.values()):
             if entry.kind != "topic":
                 continue
             t = Topic(self.engine.store, entry)
+            if self.retention_ns is not None:
+                expired.extend(
+                    str(p)
+                    for p in expire_topic(
+                        t, time.time_ns() - self.retention_ns
+                    )
+                )
             out = compact_topic(t, target_rows=self.target_rows)
             if out is not None:
                 compacted.append(str(out))
@@ -242,6 +256,7 @@ class Maintainer:
             "cleaned": cleaned,
             "refreshed": refreshed,
             "manifest_entries": manifest_entries,
+            "expired": expired,
         }
 
 
@@ -338,6 +353,35 @@ def _rewrite_without_buckets(topic: Topic, buckets: set[int]) -> None:
                     # reads.
                     crc = shard.with_name(f".{shard.name}.crc")
                     crc.unlink(missing_ok=True)
+
+
+def expire_topic(topic: Topic, before_ns: int) -> list[Path]:
+    """Retention: drop whole day-bucket directories whose entire time
+    range lies before ``before_ns`` (bucket-granular TTL — the unit a
+    100 TB layout can delete atomically and cheaply). Only buckets
+    STRICTLY older than the cutoff's bucket are removed, so no
+    surviving row is ever inside a deleted dir; readers race-safe via
+    ``ignoreMissingFiles``. Incremental-MV cursors referencing expired
+    shards stop being a subset of the live set and fall back to a full
+    recompute automatically. Returns the removed bucket dirs.
+    """
+    import shutil
+
+    from ella_spark.topic import time_bucket
+
+    cutoff_bucket = time_bucket(before_ns)
+    removed: list[Path] = []
+    for bucket_dir in topic.bucket_dirs():
+        b = int(bucket_dir.name.split("=", 1)[1])
+        if b < cutoff_bucket:
+            with BucketLock(bucket_dir) as held:
+                if not held:
+                    continue  # compactor busy: next pass
+                shutil.rmtree(bucket_dir, ignore_errors=True)
+                removed.append(bucket_dir)
+    if removed:
+        build_manifest(topic)  # drop stale entries with their files
+    return removed
 
 
 def build_manifest(topic: Topic) -> int:

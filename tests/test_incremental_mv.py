@@ -397,3 +397,54 @@ def test_shard_manifest_file_skipping(db, spark):
     assert set(stats) == {p.name for p in t.shards()}
     df3 = t.read(spark, start_ns=0, end_ns=10)
     assert df3.count() == 10
+
+
+def test_retention_expires_old_buckets(db, spark):
+    """expire_topic drops only whole day buckets strictly older than
+    the cutoff's bucket; rows at/after the cutoff bucket survive, MV
+    cursors over expired shards fall back to full recompute."""
+    from ella_spark.maintenance import expire_topic
+    from ella_spark.topic import DAY_NS
+
+    t = db.create_topic("ret", [Column("v", "float64")])
+    # three day buckets: 0, 1, 2
+    for day in (0, 1, 2):
+        with t.publish() as pub:
+            for i in range(5):
+                pub.write(day * DAY_NS + i, float(day * 10 + i))
+    db.create_materialized_view("rsum", "SELECT sum(v) AS s FROM ret")
+    assert len(t.bucket_dirs()) == 3
+
+    removed = expire_topic(t, before_ns=1 * DAY_NS + 500)
+    # cutoff inside bucket 1: only bucket 0 is strictly older
+    assert len(removed) == 1 and "=0" in removed[0].name
+    assert len(t.bucket_dirs()) == 2
+    assert t.read(spark).count() == 10
+
+    # the MV cursor references expired shards -> full recompute
+    n = db.refresh_materialized("rsum")
+    assert n == 1
+    got = db.query("SELECT s FROM rsum").df.collect()[0].s
+    exp = spark.sql("SELECT sum(v) AS s FROM ret").collect()[0].s
+    assert got == exp
+
+
+def test_cli_maintain(db, spark, tmp_path, capsys):
+    """ella_spark maintain runs one pass and prints the JSON report."""
+    import json
+
+    from ella_spark.cli import main
+    from ella_spark.session import get_session  # session already live
+
+    root = str(tmp_path / "clidb")
+    from ella_spark.engine import Ella
+
+    d = Ella.create(root, spark)
+    t = d.create_topic("c1", [Column("v", "float64")])
+    with t.publish() as pub:
+        pub.write(1_000, 1.0)
+    d.shutdown()
+    assert main(["maintain", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) >= {"compacted", "cleaned", "refreshed", "expired"}
+    assert out["manifest_entries"] == 1
