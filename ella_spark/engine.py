@@ -44,6 +44,22 @@ _CREATE_MATVIEW_RE = re.compile(
 _REFRESH_MATVIEW_RE = re.compile(
     r"^\s*refresh\s+materialized\s+view\s+([A-Za-z0-9_.]+)\s*$", re.I
 )
+#: `ALTER TABLE <t> ADD COLUMN <name> <type>` — topic schema evolution
+#: (beyond-reference: the reference has no ALTER; at 100 TB adding a
+#: column must not rewrite history, which explicit-schema reads give
+#: for free).
+_ALTER_ADD_RE = re.compile(
+    r"^\s*alter\s+table\s+([A-Za-z0-9_.]+)\s+add\s+column\s+"
+    r"([A-Za-z0-9_]+)\s+([A-Za-z0-9_]+)\s*$",
+    re.I,
+)
+#: SQL type name -> ella dtype (ella dtype names pass through)
+_SQL_DTYPES = {
+    "bigint": "int64", "long": "int64", "double": "float64",
+    "float": "float32", "real": "float32", "int": "int32",
+    "integer": "int32", "smallint": "int16", "tinyint": "int8",
+    "varchar": "string", "text": "string", "boolean": "bool",
+}
 _DROP_RE = re.compile(
     r"^\s*drop\s+(table|materialized\s+view|view)\s+(if\s+exists\s+)?"
     r"([A-Za-z0-9_.]+)\s*$",
@@ -694,6 +710,12 @@ class Ella:
             return Lazy(
                 self.spark.createDataFrame([(n,)], "count long"), engine=self, sql=sql
             )
+        if m := _ALTER_ADD_RE.match(sql):
+            name, col, typ = m.group(1), m.group(2), m.group(3).lower()
+            topic = self.topic(name)
+            topic.add_column(Column(col, _SQL_DTYPES.get(typ, typ)))
+            self._register(topic.entry)
+            return empty()
         if m := _CREATE_VIEW_RE.match(sql):
             self.create_view(m.group(2), m.group(3).strip(), replace=bool(m.group(1)))
             return empty()

@@ -282,6 +282,32 @@ class Topic:
             p for p in self.path.glob(f"{PARTITION_COL}=*") if p.is_dir()
         )
 
+    # -- schema evolution ------------------------------------------------------
+
+    def add_column(self, column: Column) -> None:
+        """Append a nullable column to the topic schema — schema
+        evolution WITHOUT rewriting history (at 100 TB, rewriting is
+        not an option). Existing shards simply lack the column;
+        explicit-schema parquet reads surface it as NULL there, and
+        new shards carry it. The column must be nullable (history has
+        no values for it) and must not collide with an existing name.
+        Catalog-logged like any DDL, so reopen sees the new schema.
+        """
+        import dataclasses
+
+        if column.required:
+            raise ValueError(
+                f"added column {column.name!r} must be nullable: existing "
+                "shards have no values for it"
+            )
+        if any(c.name == column.name for c in self.entry.columns):
+            raise ValueError(f"column {column.name!r} already exists")
+        updated = dataclasses.replace(
+            self.entry, columns=list(self.entry.columns) + [column]
+        )
+        self.store.put_table(updated, replace=True)
+        self.entry = updated
+
     # -- writes ----------------------------------------------------------------
 
     def publish(self, capacity: int = DEFAULT_CAPACITY) -> "Publisher":

@@ -679,3 +679,34 @@ def test_table_accessor_pyella_parity(db):
     ref.drop()
     assert not ref.exists()
     ref.drop(if_exists=True)  # idempotent with the flag
+
+
+def test_topic_add_column_schema_evolution(db, spark):
+    """Adding a nullable column never rewrites history: old shards
+    read as NULL for it, new shards carry values; SQL ALTER works."""
+    import pytest as _pt
+
+    t = db.create_topic("evo", [Column("v", "float64")])
+    with t.publish() as pub:
+        pub.write(1_000, 1.0)
+    db.query("ALTER TABLE evo ADD COLUMN tag VARCHAR").execute()
+    t = db.topic("evo")
+    assert [c.name for c in t.entry.columns] == ["time", "v", "tag"]
+    with t.publish() as pub:
+        pub.write(2_000, 2.0, "new")
+    rows = {r.time: (r.v, r.tag) for r in db.read("evo").collect()}
+    assert rows[1_000] == (1.0, None)  # history: NULL, not rewritten
+    assert rows[2_000] == (2.0, "new")
+    # catalog-logged: survives reopen
+    db.shutdown()
+    from ella_spark.engine import Ella
+
+    db2 = Ella.open(str(db.store.root), spark)
+    assert [c.name for c in db2.store.resolve("evo").columns] == [
+        "time", "v", "tag",
+    ]
+    # guards
+    with _pt.raises(ValueError, match="already exists"):
+        db2.topic("evo").add_column(Column("tag", "string"))
+    with _pt.raises(ValueError, match="nullable"):
+        db2.topic("evo").add_column(Column("req", "int64", required=True))
