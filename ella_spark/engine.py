@@ -53,6 +53,11 @@ _ALTER_ADD_RE = re.compile(
     r"([A-Za-z0-9_]+)\s+([A-Za-z0-9_]+)\s*$",
     re.I,
 )
+_ALTER_DROP_RE = re.compile(
+    r"^\s*alter\s+table\s+([A-Za-z0-9_.]+)\s+drop\s+column\s+"
+    r"([A-Za-z0-9_]+)\s*$",
+    re.I,
+)
 #: SQL type name -> ella dtype (ella dtype names pass through)
 _SQL_DTYPES = {
     "bigint": "int64", "long": "int64", "double": "float64",
@@ -714,6 +719,11 @@ class Ella:
             name, col, typ = m.group(1), m.group(2), m.group(3).lower()
             topic = self.topic(name)
             topic.add_column(Column(col, _SQL_DTYPES.get(typ, typ)))
+            self._register(topic.entry)
+            return empty()
+        if m := _ALTER_DROP_RE.match(sql):
+            topic = self.topic(m.group(1))
+            topic.drop_column(m.group(2))
             self._register(topic.entry)
             return empty()
         if m := _CREATE_VIEW_RE.match(sql):

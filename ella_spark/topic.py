@@ -308,6 +308,28 @@ class Topic:
         self.store.put_table(updated, replace=True)
         self.entry = updated
 
+    def drop_column(self, name: str) -> None:
+        """Remove a column from the topic schema without rewriting
+        history: explicit-schema reads simply stop selecting it, so
+        old shards' extra bytes are dead weight until compaction
+        rewrites them (which drops the column physically — the
+        standard lazy-drop shape). The mandatory time column cannot
+        be dropped. RENAME is deliberately absent: old files would
+        read NULL under the new name; add-then-backfill instead.
+        """
+        import dataclasses
+
+        if name == TIME_COLUMN:
+            raise ValueError("cannot drop the mandatory time column")
+        if not any(c.name == name for c in self.entry.columns):
+            raise ValueError(f"column {name!r} does not exist")
+        updated = dataclasses.replace(
+            self.entry,
+            columns=[c for c in self.entry.columns if c.name != name],
+        )
+        self.store.put_table(updated, replace=True)
+        self.entry = updated
+
     # -- writes ----------------------------------------------------------------
 
     def publish(self, capacity: int = DEFAULT_CAPACITY) -> "Publisher":

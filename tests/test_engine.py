@@ -710,3 +710,27 @@ def test_topic_add_column_schema_evolution(db, spark):
         db2.topic("evo").add_column(Column("tag", "string"))
     with _pt.raises(ValueError, match="nullable"):
         db2.topic("evo").add_column(Column("req", "int64", required=True))
+
+
+def test_topic_drop_column(db, spark):
+    """Dropping a column is a catalog-only change: old shards' bytes
+    stay but reads stop selecting them; the time column is protected."""
+    import pytest as _pt
+
+    t = db.create_topic(
+        "evo2", [Column("v", "float64"), Column("tag", "string")]
+    )
+    with t.publish() as pub:
+        pub.write(1_000, 1.0, "a")
+    db.query("ALTER TABLE evo2 DROP COLUMN tag").execute()
+    t = db.topic("evo2")
+    assert [c.name for c in t.entry.columns] == ["time", "v"]
+    rows = db.read("evo2").collect()
+    assert not hasattr(rows[0], "tag") and rows[0].v == 1.0
+    with t.publish() as pub:
+        pub.write(2_000, 2.0)  # new schema: two args
+    assert db.read("evo2").count() == 2
+    with _pt.raises(ValueError, match="time"):
+        t.drop_column("time")
+    with _pt.raises(ValueError, match="does not exist"):
+        t.drop_column("ghost")
