@@ -113,16 +113,19 @@ def compact_topic(
     inside the single embedded process).
     Returns the new shard path, or None if nothing to do.
     """
+    from ella_spark.topic import topic_arrow_schema
+
+    schema = topic_arrow_schema(topic.entry.columns)
     out: Path | None = None
     for bucket_dir in topic.bucket_dirs():
-        merged = _compact_dir(bucket_dir, target_rows, min_shards)
+        merged = _compact_dir(bucket_dir, target_rows, min_shards, schema)
         if merged is not None:
             out = merged
     return out
 
 
 def _compact_dir(
-    bucket_dir: Path, target_rows: int, min_shards: int
+    bucket_dir: Path, target_rows: int, min_shards: int, schema=None
 ) -> Path | None:
     """Compact one time-bucket directory (compaction never crosses
     bucket boundaries — partition pruning depends on the dirs). Holds
@@ -131,11 +134,31 @@ def _compact_dir(
     with BucketLock(bucket_dir) as held:
         if not held:
             return None
-        return _compact_dir_locked(bucket_dir, target_rows, min_shards)
+        return _compact_dir_locked(bucket_dir, target_rows, min_shards, schema)
+
+
+def _align_to_schema(tbl, schema):
+    """Project a shard table onto the topic's CURRENT schema: evolved
+    topics mix shard generations in one bucket — columns added since a
+    shard was written null-fill, dropped columns' bytes are left
+    behind (this is where lazy DROP COLUMN physically reclaims), and
+    matching columns cast if the writer used a compatible layout."""
+    import pyarrow as pa
+
+    cols = []
+    for f in schema:
+        if f.name in tbl.schema.names:
+            col = tbl.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+        else:
+            col = pa.nulls(len(tbl), f.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
 
 
 def _compact_dir_locked(
-    bucket_dir: Path, target_rows: int, min_shards: int
+    bucket_dir: Path, target_rows: int, min_shards: int, schema=None
 ) -> Path | None:
     shards = sorted(bucket_dir.glob("part-*.parquet"))
     sizes = {p: pq.ParquetFile(p).metadata.num_rows for p in shards}
@@ -154,6 +177,8 @@ def _compact_dir_locked(
     tables = [pq.read_table(p) for p in group]
     import pyarrow as pa
 
+    if schema is not None:
+        tables = [_align_to_schema(t, schema) for t in tables]
     merged = pa.concat_tables(tables).sort_by([(TIME_COLUMN, "ascending")])
     # Name the merged shard with the EARLIEST source shard's timestamp
     # prefix (plus a 'c' compaction marker) so it sorts at the position

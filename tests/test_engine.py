@@ -734,3 +734,28 @@ def test_topic_drop_column(db, spark):
         t.drop_column("time")
     with _pt.raises(ValueError, match="does not exist"):
         t.drop_column("ghost")
+
+
+def test_compaction_across_schema_evolution(db, spark):
+    """Compaction merges shard generations written before and after
+    ADD/DROP COLUMN: the merged shard carries the CURRENT schema
+    (null-fill for added, dropped bytes reclaimed)."""
+    from ella_spark.maintenance import compact_topic
+
+    t = db.create_topic("evc", [Column("v", "float64"), Column("old", "string")])
+    with t.publish() as pub:
+        pub.write(1_000, 1.0, "x")
+    t.drop_column("old")
+    t.add_column(Column("tag", "string"))
+    with t.publish() as pub:
+        pub.write(2_000, 2.0, "y")
+    assert len(t.shards()) == 2
+    out = compact_topic(t, min_shards=2)
+    assert out is not None and len(t.shards()) == 1
+    import pyarrow.parquet as pq_
+
+    merged = pq_.read_table(out)
+    assert merged.schema.names == ["time", "v", "tag"]
+    db._register(t.entry)
+    rows = {r.time: (r.v, r.tag) for r in db.read("evc").collect()}
+    assert rows == {1_000: (1.0, None), 2_000: (2.0, "y")}
