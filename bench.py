@@ -76,6 +76,7 @@ EXTRAS = [
     "q_temperature_resample",
     "q_shard_assignment",
     "q_char_entropy",
+    "q_quality_classifier",
     "q_percentile_exact",
     "q_value_histogram",
     "q_bm25_search",

@@ -767,3 +767,160 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("position"),
     )
+
+
+# ── linear quality classifier (fasttext-style) ───────────────────────
+# The standard web-corpus quality filter is a linear classifier over
+# hashed token features (fastText recipe: high-quality reference text
+# vs raw crawl). Training is a bounded DRIVER-side artifact — here a
+# deterministic full-batch logistic regression over the corpus's
+# hashed-unigram bucket frequencies (the English slice stands in for
+# the high-quality class, as in q_importance_weights) — and the pinned
+# weights make distributed scoring a map-only pass that the DuckDB
+# oracle replays exactly.
+
+_CLF_BUCKETS = 64
+_CLF_CACHE: dict = {}
+
+
+def _clf_weights(sf_dir: str):
+    """(bias, weights[64]) — deterministic training artifact."""
+    import os
+
+    import numpy as np
+
+    key = os.path.abspath(sf_dir)
+    got = _CLF_CACHE.get(key)
+    if got is None:
+        import duckdb
+
+        con = duckdb.connect()
+        # per-doc bucket frequencies with the SAME md5-bucket transform
+        # the scorer uses (training/serving feature parity)
+        rows = con.execute(f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                       % {_CLF_BUCKETS} AS b
+              FROM read_parquet('{sf_dir}/documents.parquet'),
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(w)
+              WHERE length(trim(text)) > 0 AND length(w) > 0
+            )
+            SELECT doc_id,
+                   max(CAST(lang = 'en' AS INT)) AS y,
+                   count(*) AS n,
+                   list(b ORDER BY b) AS bs
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """).fetchall()
+        X = np.zeros((len(rows), _CLF_BUCKETS))
+        y = np.zeros(len(rows))
+        for i, (_, yy, n, bs) in enumerate(rows):
+            for b in bs:
+                X[i, b] += 1.0
+            # bucket share x B: O(1)-scale features so full-batch GD
+            # converges in a few hundred steps (raw 1/n shares are
+            # ~0.015 and underfit to the class prior)
+            X[i] *= _CLF_BUCKETS / n
+            y[i] = yy
+        w = np.zeros(_CLF_BUCKETS)
+        bias = 0.0
+        # lr/iters chosen for CONVERGENCE (mean p ~ class prior): the
+        # synthetic corpus shares one ~31-word vocabulary across all
+        # languages, so unigram separability is inherently weak — the
+        # op pins the production MECHANISM (train-once weights,
+        # map-shaped scoring, oracle parity), not benchmark accuracy.
+        lr = 0.02
+        for _ in range(5000):  # full-batch GD: deterministic
+            z = X @ w + bias
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - y
+            w -= lr * (X.T @ g) / len(rows)
+            bias -= lr * float(g.mean())
+        # fold the feature scale into the pinned weights so the scorer
+        # stays sum(n_b * w_b) / n
+        got = _CLF_CACHE[key] = (float(bias), w * _CLF_BUCKETS)
+    return got
+
+
+def _clf_oracle() -> str | None:
+    import os
+
+    try:
+        bias, w = _clf_weights(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        )
+    except Exception:
+        return None
+    wlit = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+               % {_CLF_BUCKETS} AS b
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(w)
+      WHERE length(trim(text)) > 0 AND length(w) > 0
+    ), db AS (
+      SELECT doc_id, b, count(*) AS n FROM tok GROUP BY doc_id, b
+    ), z AS (
+      SELECT doc_id,
+             {bias!r} + sum(n * ({wlit})[CAST(b + 1 AS INTEGER)])
+                        / sum(n) AS logit
+      FROM db GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(logit, 6) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS p_quality,
+           CAST(round(logit, 6) > 0 AS INT) AS keep
+    FROM z
+    """
+
+
+@register(
+    "q_quality_classifier",
+    oracle=_clf_oracle(),
+    doc="Linear quality classifier over hashed unigram buckets "
+    "(fastText-recipe web filter): weights are a deterministic "
+    "train-once driver artifact (full-batch logistic regression, "
+    "English slice as the quality class), pinned into the DuckDB "
+    "oracle as literals. Scoring shuffles (doc_id, bucket, count) "
+    "triples and broadcasts the 64-weight table — map-shaped at any "
+    "corpus size, like every quality gate in the curation chain.",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bias, w = _clf_weights(sf_dir)
+    B = _CLF_BUCKETS
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tok = (
+        d.select("doc_id", F.explode(_words()).alias("w"))
+        .where(F.length("w") > 0)
+        .withColumn(
+            "b",
+            F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % B,
+        )
+        .drop("w")
+    )
+    db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    weights = F.broadcast(
+        spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(w)], "b long, wt double"
+        )
+    )
+    logit = F.lit(bias) + F.sum(F.col("n") * F.col("wt")) / F.sum("n")
+    return (
+        db.join(weights, "b")
+        .groupBy("doc_id")
+        .agg(logit.alias("_logit"))
+        .select(
+            "doc_id",
+            F.round("_logit", 6).alias("logit"),
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6
+            ).alias("p_quality"),
+            (F.round("_logit", 6) > 0).cast("int").alias("keep"),
+        )
+    )

@@ -130,3 +130,23 @@ def test_f5_events_replay(db, spark):
     for shard in topic.shards():
         t = pq.read_table(shard, columns=["time"])["time"].to_pylist()
         assert t == sorted(t)
+
+
+def test_quality_classifier_direction(spark):
+    """The pinned-weight classifier must separate the target class
+    directionally (the synthetic corpus's shared 31-word vocabulary
+    bounds accuracy; the op pins the mechanism, not a benchmark)."""
+    from tests.conftest import SF_ORACLE
+
+    from ella_spark.queries import all_queries
+    from ella_spark.sources import load_table
+
+    pdf = all_queries()["q_quality_classifier"](spark, SF_ORACLE).toPandas()
+    langs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "lang")
+        .toPandas()
+    )
+    m = pdf.merge(langs, on="doc_id")
+    assert m[m.lang == "en"].p_quality.mean() > m[m.lang != "en"].p_quality.mean()
+    assert (m.p_quality.between(0, 1)).all()
