@@ -187,8 +187,12 @@ class Ella:
             return self.spark.read.schema(
                 StructType.fromJson(_json.loads(entry.result_schema))
             ).parquet(str(snap))
-        # view, or a materialized view before its first refresh
-        return self.spark.sql(entry.sql)
+        # view, or a materialized view before its first refresh; the
+        # stored SQL keeps durable ann_search(...) text — rewrite here
+        sql = entry.sql
+        if _ANN_SEARCH_RE.search(sql):
+            sql = self._rewrite_ann_search(sql)
+        return self.spark.sql(sql)
 
     def _unregister(self, entry: TableEntry) -> None:
         self.spark.catalog.dropTempView(self._view_name(entry))
@@ -389,12 +393,17 @@ class Ella:
         ]
         return df.sortWithinPartitions(*cols)
 
-    def _refresh_full(self, entry: TableEntry, analysis, topic) -> int:
+    def _refresh_full(
+        self, entry: TableEntry, analysis, topic, _retries: int = 2
+    ) -> int:
         """Full recompute. For an analyzable single-topic view the
         topic is bound to an EXPLICIT shard listing so the recorded
         cursor equals the snapshot's exact inputs (rows published
         between listing and compute are picked up next refresh, never
-        double-counted)."""
+        double-counted). If a concurrent compactor unlinked listed
+        shards MID-JOB, ignoreMissingFiles would have silently dropped
+        their rows — detected by re-listing after the commit and
+        repaired by re-running against the post-compaction listing."""
         state = None
         if analysis is not None and topic is not None:
             shard_paths = topic.shards()
@@ -407,11 +416,20 @@ class Ella:
                 analysis.table
             )
         try:
-            df = self.spark.sql(entry.sql)
-            return self._commit_snapshot(entry, df, state)
+            sql = entry.sql
+            if _ANN_SEARCH_RE.search(sql):
+                sql = self._rewrite_ann_search(sql)
+            df = self.spark.sql(sql)
+            n = self._commit_snapshot(entry, df, state)
         finally:
             if topic is not None:
                 self._register(topic.entry)  # undo the delta/full binding
+        if state is not None and _retries > 0:
+            live = {p.name for p in topic.shards()}
+            if not set(state["shards"]).issubset(live):
+                fresh = self.store.tables[entry.ident]
+                return self._refresh_full(fresh, analysis, topic, _retries - 1)
+        return n
 
     def _refresh_delta(self, entry: TableEntry, analysis, topic) -> int | None:
         """Delta refresh; None → caller falls back to full recompute."""
@@ -439,7 +457,36 @@ class Ella:
             )
             delta_df = self.spark.sql(entry.sql)
             if analysis.mode == "spf":
-                snap = self.store.table_path(entry) / f"v={entry.version}"
+                # structural guard behind the regex analyzer: an
+                # aggregate the blacklist does not know must NEVER be
+                # treated as append-only — a partial per-delta result
+                # would silently corrupt the snapshot. The analyzed
+                # plan is ground truth.
+                plan = delta_df._jdf.queryExecution().analyzed().toString()
+                if "Aggregate" in plan:
+                    return None
+                # O(delta) refresh WITH the old-or-new snapshot
+                # contract: hardlink the current version's files into
+                # v=N+1 (metadata-only on one filesystem; an object
+                # store would server-side-copy), append the delta
+                # there, then flip the catalog pointer. A crash before
+                # the flip leaves an orphan dir that the next refresh
+                # clears — never a half-visible snapshot and never a
+                # double-applied delta.
+                import os as _os
+                import shutil as _shutil
+
+                old_snap = self.store.table_path(entry) / f"v={entry.version}"
+                new_version = entry.version + 1
+                snap = self.store.table_path(entry) / f"v={new_version}"
+                if snap.exists():  # uncommitted orphan from a crash
+                    _shutil.rmtree(snap)
+                snap.mkdir(parents=True)
+                for f in old_snap.glob("*.parquet"):
+                    try:
+                        _os.link(f, snap / f.name)
+                    except OSError:
+                        _shutil.copy2(f, snap / f.name)
                 obs = Observation()
                 (
                     self._apply_mv_indexes(entry, delta_df)
@@ -449,10 +496,15 @@ class Ella:
                 )
                 total = int(state["rows"]) + int(obs.get["n"])
                 updated = dataclasses.replace(
-                    entry, refresh_state=dict(new_state, rows=total)
+                    entry,
+                    version=new_version,
+                    refresh_state=dict(new_state, rows=total),
                 )
                 self.store.put_table(updated, replace=True)
                 self._register(updated)
+                for old in self.store.table_path(entry).glob("v=*"):
+                    if old.is_dir() and int(old.name.split("=")[1]) < new_version:
+                        _shutil.rmtree(old, ignore_errors=True)
                 return total
             # mergeable aggregate: snapshot ∪ delta partials, re-aggregated
             old = self._frame_for(entry)
@@ -594,11 +646,16 @@ class Ella:
         self._register_all()
         if _INFO_SCHEMA_RE.search(sql):
             sql = self._register_information_schema(sql)
-        if _ANN_SEARCH_RE.search(sql):
-            sql = self._rewrite_ann_search(sql)
+        # DDL dispatch runs BEFORE the ann_search rewrite so a stored
+        # view/MV keeps the durable `ann_search(...)` text, never a
+        # session-scoped __ann_search_N temp-view name that would be
+        # dangling after reopen; _frame_for re-applies the rewrite at
+        # every read/refresh instead.
         ddl = self._dispatch_ddl(sql)
         if ddl is not None:
             return ddl
+        if _ANN_SEARCH_RE.search(sql):
+            sql = self._rewrite_ann_search(sql)
         m = _INSERT_RE.match(sql)
         if m:
             topic = self.topic(m.group(1))

@@ -67,9 +67,17 @@ _ANY_AGG = re.compile(
     r"corr|covar_\w+|regr_\w+|approx_\w+|percentile\w*|median|mode|"
     r"collect_\w+|array_agg|string_agg|listagg|first|last|first_value|"
     r"last_value|any_value|any|some|every|bool_and|bool_or|bit_\w+|"
-    r"count_if|grouping|histogram\w*|kurtosis|skewness|hll_\w+)\s*\(",
+    r"count_if|grouping|grouping_id|histogram\w*|kurtosis|skewness|"
+    r"hll_\w+|max_by|min_by|try_\w+|sum_distinct|"
+    r"count_min_sketch|bitmap_\w+|bloom_filter_agg|mode_agg)\s*\(",
     re.I,
 )
+# NOTE: this blacklist is the FIRST line of defense only. The delta
+# path additionally inspects the analyzed Spark plan of the bound
+# delta query and refuses SPF treatment if any Aggregate node appears
+# (engine._refresh_delta) — so an aggregate this regex does not know
+# can never silently append partial results; worst case is a full
+# recompute.
 
 _ALIASED = re.compile(r"^(?P<expr>.+?)\s+as\s+(?P<alias>[A-Za-z0-9_]+)$", re.I | re.S)
 _DOTTED_IDENT = re.compile(r"^[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)?$")

@@ -62,7 +62,19 @@ class BucketLock:
         try:
             st = self.path.stat()
             if time.time() - st.st_mtime > self.stale_sec:
-                self.path.unlink(missing_ok=True)
+                # break the stale lock ATOMICALLY: rename to a unique
+                # name first — exactly one breaker wins the rename, so
+                # two processes can never both unlink-and-acquire
+                # (holders must finish within stale_sec; compaction of
+                # one bucket is bounded well below it)
+                tomb = self.path.with_name(
+                    f".compact.lock.stale-{uuid.uuid4().hex}"
+                )
+                try:
+                    self.path.rename(tomb)
+                    tomb.unlink(missing_ok=True)
+                except FileNotFoundError:
+                    pass  # another breaker won
         except FileNotFoundError:
             pass
         try:
@@ -241,7 +253,7 @@ class Maintainer:
         self.retention_ns = retention_ns
 
     def run_once(self, refresh_views: bool = True) -> dict:
-        compacted, cleaned, refreshed, expired = [], [], [], []
+        compacted, cleaned, refreshed, expired, errors = [], [], [], [], []
         manifest_entries = 0
         for entry in list(self.engine.store.tables.values()):
             if entry.kind != "topic":
@@ -272,16 +284,21 @@ class Maintainer:
             # to the compacted shard set.
             for entry in list(self.engine.store.tables.values()):
                 if entry.kind == "materialized_view" and entry.version > 0:
-                    self.engine.refresh_materialized(
-                        ".".join(entry.ident)
-                    )
-                    refreshed.append(".".join(entry.ident))
+                    name = ".".join(entry.ident)
+                    try:
+                        self.engine.refresh_materialized(name)
+                        refreshed.append(name)
+                    except Exception as e:  # noqa: BLE001 — one broken
+                        # MV (e.g. its SQL references a dropped column)
+                        # must not abort the pass or starve the others
+                        errors.append(f"{name}: {e}")
         return {
             "compacted": compacted,
             "cleaned": cleaned,
             "refreshed": refreshed,
             "manifest_entries": manifest_entries,
             "expired": expired,
+            "errors": errors,
         }
 
 

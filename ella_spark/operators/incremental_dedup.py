@@ -171,16 +171,21 @@ class DedupIndex:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(str(d))
 
-    def exact_matches(self, df: DataFrame) -> DataFrame:
+    def exact_matches(self, df: DataFrame, _fp: DataFrame | None = None) -> DataFrame:
         """(doc_id, exact_dup_of) — batch docs whose normalized content
-        digest already exists in the corpus (lowest corpus id wins)."""
+        digest already exists in the corpus (lowest corpus id wins).
+        ``_fp``: an already-computed fingerprint frame (dedup_against
+        shares ONE text pass between the exact and near probes)."""
         spark = df.sparkSession
         corpus = self._part(spark, "digests", "content_hash string, doc_id bigint")
-        norm = normalize_text(F.col(self.text_col))
-        batch = df.select(
-            F.col(self.id_col).alias("doc_id"),
-            F.md5(norm.cast("binary")).alias("content_hash"),
-        )
+        if _fp is not None:
+            batch = _fp.select("doc_id", "content_hash")
+        else:
+            norm = normalize_text(F.col(self.text_col))
+            batch = df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.md5(norm.cast("binary")).alias("content_hash"),
+            )
         return (
             batch.join(
                 corpus.withColumnRenamed("doc_id", "corpus_id"), "content_hash"
@@ -189,7 +194,12 @@ class DedupIndex:
             .agg(F.min("corpus_id").alias("exact_dup_of"))
         )
 
-    def near_matches(self, df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    def near_matches(
+        self,
+        df: DataFrame,
+        threshold: float = 0.5,
+        _fp: DataFrame | None = None,
+    ) -> DataFrame:
         """(doc_id, near_dup_of, est_jaccard) — best corpus near-match
         per batch doc, estimated from MinHash signature agreement.
 
@@ -197,58 +207,64 @@ class DedupIndex:
         stored buckets; only candidate (ids, sigs) are ever joined —
         no text, no shingles, no O(n·m) pair space."""
         spark = df.sparkSession
-        fp = self._fingerprints(df).persist()
-        try:
-            probe = fp.where(F.col("sig").isNotNull()).select(
-                F.col("doc_id"),
-                F.posexplode("band_hashes").alias("band_idx", "band_hash"),
+        # lazy localCheckpoint: materialized once on first use, shared
+        # by the candidate and signature branches, reclaimed by the
+        # context cleaner when unreferenced (an explicit unpersist in
+        # a finally would fire BEFORE the caller materializes the
+        # returned lazy frame and silently undo the caching)
+        fp = (
+            _fp
+            if _fp is not None
+            else self._fingerprints(df).localCheckpoint(eager=False)
+        )
+        probe = fp.where(F.col("sig").isNotNull()).select(
+            F.col("doc_id"),
+            F.posexplode("band_hashes").alias("band_idx", "band_hash"),
+        )
+        buckets = self._part(
+            spark, "bands", "doc_id bigint, band_idx int, band_hash bigint"
+        ).withColumnRenamed("doc_id", "corpus_id")
+        cand = (
+            probe.join(buckets, ["band_idx", "band_hash"])
+            .select("doc_id", "corpus_id")
+            .dropDuplicates(["doc_id", "corpus_id"])
+        )
+        corpus_sigs = self._part(
+            spark, "sigs", f"doc_id bigint, sig array<bigint>"
+        ).select(
+            F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_c")
+        )
+        batch_sigs = fp.select("doc_id", F.col("sig").alias("sig_b"))
+        est = (
+            f"size(filter(zip_with(sig_b, sig_c, (x, y) -> x = y), v -> v))"
+            f" / cast({self.num_hashes} as double)"
+        )
+        return (
+            cand.join(batch_sigs, "doc_id")
+            .join(corpus_sigs, "corpus_id")
+            .withColumn("est_jaccard", F.expr(est))
+            .where(F.col("est_jaccard") >= threshold)
+            .groupBy("doc_id")
+            # best match = highest est_jaccard, ties to lowest
+            # corpus id (deterministic): lexicographic max_by
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("corpus_id").alias("near_dup_of"),
+                        F.col("est_jaccard"),
+                    ),
+                    F.struct(
+                        F.col("est_jaccard").alias("j"),
+                        (-F.col("corpus_id")).alias("nid"),
+                    ),
+                ).alias("_best")
             )
-            buckets = self._part(
-                spark, "bands", "doc_id bigint, band_idx int, band_hash bigint"
-            ).withColumnRenamed("doc_id", "corpus_id")
-            cand = (
-                probe.join(buckets, ["band_idx", "band_hash"])
-                .select("doc_id", "corpus_id")
-                .dropDuplicates(["doc_id", "corpus_id"])
+            .select(
+                "doc_id",
+                F.col("_best.near_dup_of").alias("near_dup_of"),
+                F.col("_best.est_jaccard").alias("est_jaccard"),
             )
-            corpus_sigs = self._part(
-                spark, "sigs", f"doc_id bigint, sig array<bigint>"
-            ).select(
-                F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_c")
-            )
-            batch_sigs = fp.select("doc_id", F.col("sig").alias("sig_b"))
-            est = (
-                f"size(filter(zip_with(sig_b, sig_c, (x, y) -> x = y), v -> v))"
-                f" / cast({self.num_hashes} as double)"
-            )
-            return (
-                cand.join(batch_sigs, "doc_id")
-                .join(corpus_sigs, "corpus_id")
-                .withColumn("est_jaccard", F.expr(est))
-                .where(F.col("est_jaccard") >= threshold)
-                .groupBy("doc_id")
-                # best match = highest est_jaccard, ties to lowest
-                # corpus id (deterministic): lexicographic max_by
-                .agg(
-                    F.max_by(
-                        F.struct(
-                            F.col("corpus_id").alias("near_dup_of"),
-                            F.col("est_jaccard"),
-                        ),
-                        F.struct(
-                            F.col("est_jaccard").alias("j"),
-                            (-F.col("corpus_id")).alias("nid"),
-                        ),
-                    ).alias("_best")
-                )
-                .select(
-                    "doc_id",
-                    F.col("_best.near_dup_of").alias("near_dup_of"),
-                    F.col("_best.est_jaccard").alias("est_jaccard"),
-                )
-            )
-        finally:
-            fp.unpersist()
+        )
 
     def dedup_against(
         self,
@@ -265,14 +281,18 @@ class DedupIndex:
         are not flagged against each other (run `dedup.exact_dedup` /
         `minhash_lsh_pairs` on the batch first, or extend the index
         batch-by-batch so later batches see earlier ones)."""
+        # ONE fingerprint pass (lazy localCheckpoint) feeds both probes
+        fp = self._fingerprints(df).localCheckpoint(eager=False)
         out = df.join(
-            self.exact_matches(df).withColumnRenamed("doc_id", self.id_col),
+            self.exact_matches(df, _fp=fp).withColumnRenamed(
+                "doc_id", self.id_col
+            ),
             self.id_col,
             "left",
         )
         if near:
             out = out.join(
-                self.near_matches(df, threshold).withColumnRenamed(
+                self.near_matches(df, threshold, _fp=fp).withColumnRenamed(
                     "doc_id", self.id_col
                 ),
                 self.id_col,

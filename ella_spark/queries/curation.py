@@ -783,8 +783,14 @@ _CLF_BUCKETS = 64
 _CLF_CACHE: dict = {}
 
 
+_CLF_TRAIN_SAMPLE = 4096
+
+
 def _clf_weights(sf_dir: str):
-    """(bias, weights[64]) — deterministic training artifact."""
+    """(bias, weights[64]) — deterministic training artifact over a
+    BOUNDED sample (first ``_CLF_TRAIN_SAMPLE`` docs by id, the same
+    bounded-driver-artifact recipe as the IVF centroids): training
+    cost is independent of corpus size."""
     import os
 
     import numpy as np
@@ -802,7 +808,11 @@ def _clf_weights(sf_dir: str):
               SELECT doc_id, lang,
                      CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
                        % {_CLF_BUCKETS} AS b
-              FROM read_parquet('{sf_dir}/documents.parquet'),
+              FROM (
+                SELECT doc_id, lang, text
+                FROM read_parquet('{sf_dir}/documents.parquet')
+                ORDER BY doc_id LIMIT {_CLF_TRAIN_SAMPLE}
+              ),
                    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(w)
               WHERE length(trim(text)) > 0 AND length(w) > 0
             )

@@ -114,9 +114,10 @@ def test_spf_append_delta(db, spark):
     _tamper_shard(t, consumed)  # consumed shard: must not be re-read
     n = db.refresh_materialized("highs")
     assert n == 50  # 30..79 all >= 30
-    # SPF appends into the SAME snapshot version — no rewrite of history
+    # SPF hardlinks history into the next version and appends only the
+    # delta — O(delta) data written, old-or-new snapshot visibility
     entry = db.store.resolve("highs")
-    assert entry.version == 1
+    assert entry.version == 2
     vals = sorted(
         r.v for r in db.query("SELECT v FROM highs").df.collect()
     )
@@ -259,15 +260,16 @@ def test_mv_declared_indexes_sort_snapshots(db, spark):
     for f in snap.glob("*.parquet"):
         vals = pq_.read_table(f, columns=["v"]).column("v").to_pylist()
         assert vals == sorted(vals, reverse=True), f
-    # delta append preserves per-file sortedness
+    # delta append preserves per-file sortedness (in the new version)
     db.topic("ev").insert(
         spark.range(60, 80).selectExpr(
             "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
         )
     )
     db.refresh_materialized("sorted_mv")
-    files = list(snap.glob("*.parquet"))
-    for f in files:
+    entry = db.store.resolve("sorted_mv")
+    snap = db.store.table_path(entry) / f"v={entry.version}"
+    for f in snap.glob("*.parquet"):
         vals = pq_.read_table(f, columns=["v"]).column("v").to_pylist()
         assert vals == sorted(vals, reverse=True), f
     assert db.query("SELECT count(*) AS n FROM sorted_mv").df.collect()[0].n == 70
@@ -448,3 +450,31 @@ def test_cli_maintain(db, spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(out) >= {"compacted", "cleaned", "refreshed", "expired"}
     assert out["manifest_entries"] == 1
+
+
+def test_spf_plan_guard_blocks_misclassified_aggregate(db, spark, monkeypatch):
+    """Defense-in-depth: if the regex analyzer ever misclassifies an
+    aggregate as SPF (an unknown aggregate function), the analyzed-plan
+    guard in the delta path must refuse the append and fall back to a
+    full recompute — never silently accumulate partial results."""
+    import ella_spark.incremental as inc
+
+    t = _mk_topic(db, spark)
+    db.create_materialized_view("gmax", "SELECT max(v) AS m FROM ev")
+    real = inc.analyze_mv_sql
+
+    def misclassify(sql):
+        a = real(sql)
+        if a is not None and "max(v)" in sql:
+            return inc.MvAnalysis(table=a.table, mode="spf")
+        return a
+
+    monkeypatch.setattr(inc, "analyze_mv_sql", misclassify)
+    t.insert(
+        spark.range(60, 90).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    n = db.refresh_materialized("gmax")
+    assert n == 1  # one aggregate row, not old-row + appended partial
+    assert db.query("SELECT m FROM gmax").df.collect()[0].m == 89.0
