@@ -321,6 +321,14 @@ class Ella:
         self._register_all()  # the SQL may reference topics/views
         analysis = analyze_mv_sql(entry.sql)
         topic = self._topic_for_view_name(analysis.table) if analysis else None
+        topic2 = (
+            self._topic_for_view_name(analysis.table2)
+            if analysis is not None and analysis.table2 is not None
+            else None
+        )
+        if analysis is not None and analysis.mode == "spf_join":
+            if topic is None or topic2 is None:
+                analysis = topic = topic2 = None  # not two topics: plain MV
         state = entry.refresh_state
         if (
             incremental
@@ -329,10 +337,16 @@ class Ella:
             and state is not None
             and state.get("topic") == analysis.table
         ):
-            n = self._refresh_delta(entry, analysis, topic)
-            if n is not None:
-                return n
-        return self._refresh_full(entry, analysis, topic)
+            if analysis.mode == "spf_join":
+                if state.get("topic2") == analysis.table2:
+                    n = self._refresh_delta_join(entry, analysis, topic, topic2)
+                    if n is not None:
+                        return n
+            else:
+                n = self._refresh_delta(entry, analysis, topic)
+                if n is not None:
+                    return n
+        return self._refresh_full(entry, analysis, topic, topic2=topic2)
 
     def _topic_for_view_name(self, ident: str) -> "Topic | None":
         """Resolve a registered view name back to its topic, if any."""
@@ -394,16 +408,17 @@ class Ella:
         return df.sortWithinPartitions(*cols)
 
     def _refresh_full(
-        self, entry: TableEntry, analysis, topic, _retries: int = 2
+        self, entry: TableEntry, analysis, topic, topic2=None, _retries: int = 2
     ) -> int:
-        """Full recompute. For an analyzable single-topic view the
-        topic is bound to an EXPLICIT shard listing so the recorded
-        cursor equals the snapshot's exact inputs (rows published
-        between listing and compute are picked up next refresh, never
-        double-counted). If a concurrent compactor unlinked listed
-        shards MID-JOB, ignoreMissingFiles would have silently dropped
-        their rows — detected by re-listing after the commit and
-        repaired by re-running against the post-compaction listing."""
+        """Full recompute. For an analyzable one- or two-topic view
+        the topic(s) are bound to EXPLICIT shard listings so the
+        recorded cursors equal the snapshot's exact inputs (rows
+        published between listing and compute are picked up next
+        refresh, never double-counted). If a concurrent compactor
+        unlinked listed shards MID-JOB, ignoreMissingFiles would have
+        silently dropped their rows — detected by re-listing after the
+        commit and repaired by re-running against the post-compaction
+        listing."""
         state = None
         if analysis is not None and topic is not None:
             shard_paths = topic.shards()
@@ -415,6 +430,13 @@ class Ella:
             topic.read_files(self.spark, shard_paths).createOrReplaceTempView(
                 analysis.table
             )
+            if topic2 is not None:
+                shard_paths2 = topic2.shards()
+                state["topic2"] = analysis.table2
+                state["shards2"] = [p.name for p in shard_paths2]
+                topic2.read_files(
+                    self.spark, shard_paths2
+                ).createOrReplaceTempView(analysis.table2)
         try:
             sql = entry.sql
             if _ANN_SEARCH_RE.search(sql):
@@ -424,11 +446,21 @@ class Ella:
         finally:
             if topic is not None:
                 self._register(topic.entry)  # undo the delta/full binding
+            if topic2 is not None:
+                self._register(topic2.entry)
         if state is not None and _retries > 0:
-            live = {p.name for p in topic.shards()}
-            if not set(state["shards"]).issubset(live):
+            stale = not set(state["shards"]).issubset(
+                p.name for p in topic.shards()
+            )
+            if topic2 is not None and not stale:
+                stale = not set(state["shards2"]).issubset(
+                    p.name for p in topic2.shards()
+                )
+            if stale:
                 fresh = self.store.tables[entry.ident]
-                return self._refresh_full(fresh, analysis, topic, _retries - 1)
+                return self._refresh_full(
+                    fresh, analysis, topic, topic2, _retries - 1
+                )
         return n
 
     def _refresh_delta(self, entry: TableEntry, analysis, topic) -> int | None:
@@ -465,47 +497,9 @@ class Ella:
                 plan = delta_df._jdf.queryExecution().analyzed().toString()
                 if "Aggregate" in plan:
                     return None
-                # O(delta) refresh WITH the old-or-new snapshot
-                # contract: hardlink the current version's files into
-                # v=N+1 (metadata-only on one filesystem; an object
-                # store would server-side-copy), append the delta
-                # there, then flip the catalog pointer. A crash before
-                # the flip leaves an orphan dir that the next refresh
-                # clears — never a half-visible snapshot and never a
-                # double-applied delta.
-                import os as _os
-                import shutil as _shutil
-
-                old_snap = self.store.table_path(entry) / f"v={entry.version}"
-                new_version = entry.version + 1
-                snap = self.store.table_path(entry) / f"v={new_version}"
-                if snap.exists():  # uncommitted orphan from a crash
-                    _shutil.rmtree(snap)
-                snap.mkdir(parents=True)
-                for f in old_snap.glob("*.parquet"):
-                    try:
-                        _os.link(f, snap / f.name)
-                    except OSError:
-                        _shutil.copy2(f, snap / f.name)
-                obs = Observation()
-                (
-                    self._apply_mv_indexes(entry, delta_df)
-                    .observe(obs, F.count(F.lit(1)).alias("n"))
-                    .write.mode("append")
-                    .parquet(str(snap))
+                return self._append_snapshot_version(
+                    entry, delta_df, new_state, int(state["rows"])
                 )
-                total = int(state["rows"]) + int(obs.get["n"])
-                updated = dataclasses.replace(
-                    entry,
-                    version=new_version,
-                    refresh_state=dict(new_state, rows=total),
-                )
-                self.store.put_table(updated, replace=True)
-                self._register(updated)
-                for old in self.store.table_path(entry).glob("v=*"):
-                    if old.is_dir() and int(old.name.split("=")[1]) < new_version:
-                        _shutil.rmtree(old, ignore_errors=True)
-                return total
             # mergeable aggregate: snapshot ∪ delta partials, re-aggregated
             old = self._frame_for(entry)
             union = old.unionByName(delta_df)
@@ -530,6 +524,114 @@ class Ella:
             return self._commit_snapshot(entry, merged, new_state)
         finally:
             self._register(topic.entry)
+
+    def _append_snapshot_version(
+        self, entry: TableEntry, delta_df: DataFrame, new_state: dict, prev_rows: int
+    ) -> int:
+        """O(delta) SPF refresh WITH the old-or-new snapshot contract:
+        hardlink the current version's files into v=N+1 (metadata-only
+        on one filesystem; an object store would server-side-copy),
+        append the delta there, then flip the catalog pointer. A crash
+        before the flip leaves an orphan dir that the next refresh
+        clears — never a half-visible snapshot and never a
+        double-applied delta."""
+        import dataclasses
+        import os as _os
+        import shutil as _shutil
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        old_snap = self.store.table_path(entry) / f"v={entry.version}"
+        new_version = entry.version + 1
+        snap = self.store.table_path(entry) / f"v={new_version}"
+        if snap.exists():  # uncommitted orphan from a crash
+            _shutil.rmtree(snap)
+        snap.mkdir(parents=True)
+        for f in old_snap.glob("*.parquet"):
+            try:
+                _os.link(f, snap / f.name)
+            except OSError:
+                _shutil.copy2(f, snap / f.name)
+        obs = Observation()
+        (
+            self._apply_mv_indexes(entry, delta_df)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(str(snap))
+        )
+        total = prev_rows + int(obs.get["n"])
+        updated = dataclasses.replace(
+            entry,
+            version=new_version,
+            refresh_state=dict(new_state, rows=total),
+        )
+        self.store.put_table(updated, replace=True)
+        self._register(updated)
+        for old in self.store.table_path(entry).glob("v=*"):
+            if old.is_dir() and int(old.name.split("=")[1]) < new_version:
+                _shutil.rmtree(old, ignore_errors=True)
+        return total
+
+    def _refresh_delta_join(
+        self, entry: TableEntry, analysis, topic, topic2
+    ) -> int | None:
+        """Insert-only delta maintenance of an SPF inner join:
+        Δ(A ⋈ B) = ΔA ⋈ B_new ∪ A_old ⋈ ΔB — an exact partition of the
+        new result rows (ΔA⋈ΔB lands in the first term only), so the
+        refresh never joins history against history. None → full."""
+        state = entry.refresh_state
+        cur1, cur2 = topic.shards(), topic2.shards()
+        names1 = [p.name for p in cur1]
+        names2 = [p.name for p in cur2]
+        consumed1 = set(state.get("shards", []))
+        consumed2 = set(state.get("shards2", []))
+        if not (consumed1.issubset(names1) and consumed2.issubset(names2)):
+            return None  # compaction/retention rewrote consumed shards
+        d1 = [p for p in cur1 if p.name not in consumed1]
+        d2 = [p for p in cur2 if p.name not in consumed2]
+        if not d1 and not d2:
+            return int(state["rows"])
+        old1 = [p for p in cur1 if p.name in consumed1]
+
+        new_state = {
+            "topic": analysis.table,
+            "topic2": analysis.table2,
+            "shards": names1,
+            "shards2": names2,
+            "rows": 0,
+        }
+        sql = entry.sql
+        if _ANN_SEARCH_RE.search(sql):
+            sql = self._rewrite_ann_search(sql)
+        try:
+            # term 1: ΔA against ALL of B (captures ΔA⋈B_old and ΔA⋈ΔB)
+            topic.read_files(self.spark, d1).createOrReplaceTempView(
+                analysis.table
+            )
+            topic2.read_files(self.spark, cur2).createOrReplaceTempView(
+                analysis.table2
+            )
+            t1_df = self.spark.sql(sql)
+            # term 2: OLD A against ΔB only (nothing overlaps term 1)
+            topic.read_files(self.spark, old1).createOrReplaceTempView(
+                analysis.table
+            )
+            topic2.read_files(self.spark, d2).createOrReplaceTempView(
+                analysis.table2
+            )
+            t2_df = self.spark.sql(sql)
+            delta_df = t1_df.unionByName(t2_df)
+            # structural guard, same as the single-topic SPF path
+            plan = delta_df._jdf.queryExecution().analyzed().toString()
+            if "Aggregate" in plan:
+                return None
+            return self._append_snapshot_version(
+                entry, delta_df, new_state, int(state["rows"])
+            )
+        finally:
+            self._register(topic.entry)
+            self._register(topic2.entry)
 
     def drop_table(self, name: str) -> None:
         catalog, schema, base = self._split(name)

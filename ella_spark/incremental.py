@@ -15,6 +15,14 @@ of O(history) for the common single-topic shapes:
   snapshot by re-aggregating snapshot ∪ delta-partials — sum/count via
   SUM, min via MIN, max via MAX. A GROUP BY with no aggregates (a
   DISTINCT-keys view) merges by dropping duplicate keys.
+- **SPF inner join of two topics** (`SELECT … FROM a JOIN b ON …
+  [WHERE …]`): for append-only inputs the classic insert-delta
+  identity  Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB  partitions the new
+  result rows exactly (ΔA⋈ΔB lands in the first term, nothing lands
+  in both), so a refresh joins only the delta shards against the
+  other side — never history against history. Inner joins only:
+  outer variants can RETRACT earlier null-padded rows on insert,
+  which append-only snapshots cannot express.
 
 Anything else (joins, subqueries, windows, DISTINCT aggs, avg/stats
 aggs, set ops) falls back to a full recompute — correctness first; the
@@ -80,18 +88,40 @@ _ANY_AGG = re.compile(
 # recompute.
 
 _ALIASED = re.compile(r"^(?P<expr>.+?)\s+as\s+(?P<alias>[A-Za-z0-9_]+)$", re.I | re.S)
+
+#: SPF inner join of two distinct topics
+_JOIN_SHAPE = re.compile(
+    r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<t1>[A-Za-z0-9_]+)"
+    r"(?:\s+(?:as\s+)?(?P<a1>[A-Za-z0-9_]+))?"
+    r"\s+(?:inner\s+)?join\s+(?P<t2>[A-Za-z0-9_]+)"
+    r"(?:\s+(?:as\s+)?(?P<a2>[A-Za-z0-9_]+))?"
+    r"\s+on\s+(?P<on>.+?)"
+    r"(?:\s+where\s+(?P<where>.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+#: disqualifiers for the join shape: everything in _BANNED except the
+#: INNER JOIN keywords themselves, plus every non-inner join flavor
+_BANNED_JOIN = re.compile(
+    r"\b(union|intersect|except|distinct|over|limit|offset|having|"
+    r"window|with|qualify|values|pivot|unpivot|lateral|tablesample|"
+    r"left|right|full|outer|cross|semi|anti|natural|using|"
+    r"order\s+by|cluster\s+by|sort\s+by|distribute\s+by|group\s+by)\b"
+    r"|\(\s*select",
+    re.I,
+)
 _DOTTED_IDENT = re.compile(r"^[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)?$")
 
 
 @dataclass
 class MvAnalysis:
-    """Delta-refresh plan for a single-topic materialized view."""
+    """Delta-refresh plan for a single- or two-topic materialized view."""
 
     table: str  # the FROM identifier (the topic's registered view name)
-    mode: str  # "spf" | "agg"
+    mode: str  # "spf" | "agg" | "spf_join"
     keys: list[str] = field(default_factory=list)  # agg: group-key out cols
     aggs: dict[str, str] = field(default_factory=dict)  # agg: out col -> fn
     out_cols: list[str] = field(default_factory=list)  # agg: select order
+    table2: str | None = None  # spf_join: the second topic
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -117,7 +147,7 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     """Classify a stored MV SQL as delta-refreshable, or None."""
     m = _SHAPE.match(sql)
     if m is None or _BANNED.search(sql):
-        return None
+        return _analyze_join(sql)
     table = m.group("table")
     select_items = _split_top_level(m.group("select"))
     group = m.group("group")
@@ -167,3 +197,21 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     if group is None and not aggs:
         return None
     return MvAnalysis(table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols)
+
+
+def _analyze_join(sql: str) -> MvAnalysis | None:
+    """SPF inner join of two DISTINCT topics (see module docstring).
+
+    Self-joins are rejected: the delta identity needs the two sides
+    bound to different file subsets simultaneously, which one view
+    name cannot express. Aggregates/outer flavors/subqueries reject.
+    """
+    m = _JOIN_SHAPE.match(sql)
+    if m is None or _BANNED_JOIN.search(sql):
+        return None
+    if _ANY_AGG.search(m.group("select")):
+        return None
+    t1, t2 = m.group("t1"), m.group("t2")
+    if t1.lower() == t2.lower():
+        return None
+    return MvAnalysis(table=t1, mode="spf_join", table2=t2)

@@ -180,10 +180,11 @@ def test_non_analyzable_sql_full_recompute(db, spark):
     _mk_topic(db, spark, name="b", n=10)
     db.create_materialized_view(
         "j",
-        "SELECT a.time AS ts, a.v + b.v AS s FROM a JOIN b ON a.time = b.time",
+        "SELECT a.time AS ts, a.v + b.v AS s "
+        "FROM a LEFT JOIN b ON a.time = b.time",
     )
     entry = db.store.resolve("j")
-    assert entry.refresh_state is None  # join: not delta-refreshable
+    assert entry.refresh_state is None  # OUTER join: not delta-refreshable
     assert db.refresh_materialized("j") == 10
 
 
@@ -199,10 +200,15 @@ def test_analyzer_shapes():
         "SELECT time div 3600 AS h, max(v) AS m FROM t GROUP BY h"
     )
     assert a is not None and a.keys == ["h"]
+    # two-topic SPF inner join: now a supported delta shape
+    j = analyze_mv_sql("SELECT a.v FROM a JOIN b ON a.k = b.k")
+    assert j is not None and j.mode == "spf_join" and j.table2 == "b"
     for bad in (
         "SELECT k, avg(v) AS m FROM t GROUP BY k",  # avg: not mergeable
         "SELECT k, count(DISTINCT v) AS d FROM t GROUP BY k",
-        "SELECT a.v FROM a JOIN b ON a.k = b.k",
+        "SELECT a.v FROM a LEFT JOIN b ON a.k = b.k",  # outer: retracts
+        "SELECT a.v FROM a JOIN a x ON a.k = x.k",  # self-join
+        "SELECT count(*) AS n FROM a JOIN b ON a.k = b.k",  # agg-on-join
         "SELECT v FROM (SELECT v FROM t)",
         "SELECT k, sum(v) AS s FROM t GROUP BY k HAVING sum(v) > 1",
         "SELECT DISTINCT k FROM t",
@@ -478,3 +484,52 @@ def test_spf_plan_guard_blocks_misclassified_aggregate(db, spark, monkeypatch):
     n = db.refresh_materialized("gmax")
     assert n == 1  # one aggregate row, not old-row + appended partial
     assert db.query("SELECT m FROM gmax").df.collect()[0].m == 89.0
+
+
+def test_join_mv_delta_matches_full(db, spark):
+    """SPF inner-join MV: interleaved inserts to either side refresh
+    via the delta identity and end exactly equal to a full recompute;
+    tampered consumed shards prove history is never re-joined."""
+    ta = _mk_topic(db, spark, name="ja", n=20)
+    tb = _mk_topic(db, spark, name="jb", n=20)
+    sql = (
+        "SELECT ja.time AS ts, ja.v AS av, jb.v AS bv "
+        "FROM ja JOIN jb ON ja.time = jb.time WHERE ja.v >= 2.0"
+    )
+    db.create_materialized_view("jmv", sql)
+    entry = db.store.resolve("jmv")
+    assert entry.refresh_state is not None
+    assert entry.refresh_state["topic2"] == "jb"
+    consumed_a = set(entry.refresh_state["shards"])
+    consumed_b = set(entry.refresh_state["shards2"])
+
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+    )
+    ta.insert(mk(20, 35))          # A-only delta
+    db.refresh_materialized("jmv")
+    tb.insert(mk(20, 30))          # B-only delta (matches some of A's)
+    db.refresh_materialized("jmv")
+    ta.insert(mk(35, 40))          # both sides at once
+    tb.insert(mk(30, 40))
+    _tamper_shard(ta, consumed_a)  # consumed shards must not re-read
+    _tamper_shard(tb, consumed_b)
+    n = db.refresh_materialized("jmv")
+
+    got = _normalize_rows(db.query("SELECT * FROM jmv").df.collect())
+    # the MV must equal the join over the ORIGINAL (untampered) data:
+    # both sides hold times 0..39, filter keeps v >= 2 -> rows 2..39
+    exp = [(t * 1000, float(t), float(t)) for t in range(2, 40)]
+    assert got == exp and n == len(exp)
+
+    # compaction on either side invalidates the cursors -> full
+    from ella_spark.maintenance import compact_topic
+
+    compact_topic(tb)
+    v_before = db.store.resolve("jmv").version
+    db.refresh_materialized("jmv")
+    entry = db.store.resolve("jmv")
+    assert entry.version == v_before + 1
+    got2 = _normalize_rows(db.query("SELECT * FROM jmv").df.collect())
+    exp2 = _normalize_rows(spark.sql(sql).collect())
+    assert got2 == exp2  # full recompute sees the tampered values now
