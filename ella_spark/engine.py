@@ -326,7 +326,7 @@ class Ella:
             if analysis is not None and analysis.table2 is not None
             else None
         )
-        if analysis is not None and analysis.mode == "spf_join":
+        if analysis is not None and analysis.mode in ("spf_join", "agg_join"):
             if topic is None or topic2 is None:
                 analysis = topic = topic2 = None  # not two topics: plain MV
         state = entry.refresh_state
@@ -337,7 +337,7 @@ class Ella:
             and state is not None
             and state.get("topic") == analysis.table
         ):
-            if analysis.mode == "spf_join":
+            if analysis.mode in ("spf_join", "agg_join"):
                 if state.get("topic2") == analysis.table2:
                     n = self._refresh_delta_join(entry, analysis, topic, topic2)
                     if n is not None:
@@ -501,29 +501,42 @@ class Ella:
                     entry, delta_df, new_state, int(state["rows"])
                 )
             # mergeable aggregate: snapshot ∪ delta partials, re-aggregated
-            old = self._frame_for(entry)
-            union = old.unionByName(delta_df)
-            if analysis.aggs:
-                merge_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-                aggs = [
-                    merge_fns[fn](c).alias(c) for c, fn in analysis.aggs.items()
-                ]
-                merged = (
-                    union.groupBy(*analysis.keys).agg(*aggs)
-                    if analysis.keys
-                    else union.agg(*aggs)
-                )
-            else:
-                merged = union.dropDuplicates(analysis.keys)
-            # restore select order and snapshot dtypes (SUM over decimal
-            # widens precision; the snapshot schema is the contract)
-            schema = StructType.fromJson(_json.loads(entry.result_schema))
-            merged = merged.select(
-                [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-            )
-            return self._commit_snapshot(entry, merged, new_state)
+            return self._merge_agg_snapshot(entry, analysis, delta_df, new_state)
         finally:
             self._register(topic.entry)
+
+    def _merge_agg_snapshot(
+        self, entry: TableEntry, analysis, delta_df: DataFrame, new_state: dict
+    ) -> int:
+        """Re-aggregate snapshot ∪ delta partials into the next
+        snapshot version (sum/count merge via SUM, min via MIN, max
+        via MAX; distinct-keys via dropDuplicates)."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        old = self._frame_for(entry)
+        union = old.unionByName(delta_df)
+        if analysis.aggs:
+            merge_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+            aggs = [
+                merge_fns[fn](c).alias(c) for c, fn in analysis.aggs.items()
+            ]
+            merged = (
+                union.groupBy(*analysis.keys).agg(*aggs)
+                if analysis.keys
+                else union.agg(*aggs)
+            )
+        else:
+            merged = union.dropDuplicates(analysis.keys)
+        # restore select order and snapshot dtypes (SUM over decimal
+        # widens precision; the snapshot schema is the contract)
+        schema = StructType.fromJson(_json.loads(entry.result_schema))
+        merged = merged.select(
+            [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        return self._commit_snapshot(entry, merged, new_state)
 
     def _append_snapshot_version(
         self, entry: TableEntry, delta_df: DataFrame, new_state: dict, prev_rows: int
@@ -622,6 +635,13 @@ class Ella:
             )
             t2_df = self.spark.sql(sql)
             delta_df = t1_df.unionByName(t2_df)
+            if analysis.mode == "agg_join":
+                # the two delta terms arrive ALREADY partially
+                # aggregated by the SQL; merge with the snapshot like
+                # the single-topic agg mode
+                return self._merge_agg_snapshot(
+                    entry, analysis, delta_df, new_state
+                )
             # structural guard, same as the single-topic SPF path
             plan = delta_df._jdf.queryExecution().analyzed().toString()
             if "Aggregate" in plan:

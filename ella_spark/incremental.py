@@ -89,14 +89,15 @@ _ANY_AGG = re.compile(
 
 _ALIASED = re.compile(r"^(?P<expr>.+?)\s+as\s+(?P<alias>[A-Za-z0-9_]+)$", re.I | re.S)
 
-#: SPF inner join of two distinct topics
+#: inner join of two distinct topics (optionally GROUP BY)
 _JOIN_SHAPE = re.compile(
     r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<t1>[A-Za-z0-9_]+)"
     r"(?:\s+(?:as\s+)?(?P<a1>[A-Za-z0-9_]+))?"
     r"\s+(?:inner\s+)?join\s+(?P<t2>[A-Za-z0-9_]+)"
     r"(?:\s+(?:as\s+)?(?P<a2>[A-Za-z0-9_]+))?"
     r"\s+on\s+(?P<on>.+?)"
-    r"(?:\s+where\s+(?P<where>.+?))?\s*;?\s*$",
+    r"(?:\s+where\s+(?P<where>.+?))?"
+    r"(?:\s+group\s+by\s+(?P<group>.+?))?\s*;?\s*$",
     re.I | re.S,
 )
 #: disqualifiers for the join shape: everything in _BANNED except the
@@ -105,7 +106,7 @@ _BANNED_JOIN = re.compile(
     r"\b(union|intersect|except|distinct|over|limit|offset|having|"
     r"window|with|qualify|values|pivot|unpivot|lateral|tablesample|"
     r"left|right|full|outer|cross|semi|anti|natural|using|"
-    r"order\s+by|cluster\s+by|sort\s+by|distribute\s+by|group\s+by)\b"
+    r"order\s+by|cluster\s+by|sort\s+by|distribute\s+by)\b"
     r"|\(\s*select",
     re.I,
 )
@@ -161,6 +162,18 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     else:
         group_exprs = [_norm(g) for g in _split_top_level(group)]
 
+    parsed = _classify_agg_select(select_items, group_exprs)
+    if parsed is None:
+        return None
+    keys, aggs, out_cols = parsed
+    if group is None and not aggs:
+        return None
+    return MvAnalysis(table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols)
+
+
+def _classify_agg_select(select_items, group_exprs):
+    """Split select items into (keys, aggs, out_cols) for the
+    mergeable-aggregate modes; None when any item disqualifies."""
     keys: list[str] = []
     aggs: dict[str, str] = {}
     out_cols: list[str] = []
@@ -193,25 +206,42 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
             alias = expr.strip().split(".")[-1]
         keys.append(alias)
         out_cols.append(alias)
-
-    if group is None and not aggs:
-        return None
-    return MvAnalysis(table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols)
+    return keys, aggs, out_cols
 
 
 def _analyze_join(sql: str) -> MvAnalysis | None:
-    """SPF inner join of two DISTINCT topics (see module docstring).
+    """Inner join of two DISTINCT topics (see module docstring):
+    SPF (``spf_join``) or mergeable GROUP BY aggregate (``agg_join`` —
+    the fact-join-dim rollup; the join-delta terms arrive already
+    partially aggregated and merge with the snapshot exactly like the
+    single-topic agg mode).
 
     Self-joins are rejected: the delta identity needs the two sides
     bound to different file subsets simultaneously, which one view
-    name cannot express. Aggregates/outer flavors/subqueries reject.
+    name cannot express. Outer flavors / subqueries reject.
     """
     m = _JOIN_SHAPE.match(sql)
     if m is None or _BANNED_JOIN.search(sql):
         return None
-    if _ANY_AGG.search(m.group("select")):
-        return None
     t1, t2 = m.group("t1"), m.group("t2")
     if t1.lower() == t2.lower():
         return None
-    return MvAnalysis(table=t1, mode="spf_join", table2=t2)
+    group = m.group("group")
+    if group is None:
+        if _ANY_AGG.search(m.group("select")):
+            return None  # global agg over a join: not yet supported
+        return MvAnalysis(table=t1, mode="spf_join", table2=t2)
+    parsed = _classify_agg_select(
+        _split_top_level(m.group("select")),
+        [_norm(g) for g in _split_top_level(group)],
+    )
+    if parsed is None:
+        return None
+    keys, aggs, out_cols = parsed
+    if not aggs:
+        return None  # distinct-keys over a join: keep it simple, full
+    return MvAnalysis(
+        table=t1, mode="agg_join", table2=t2,
+        keys=keys, aggs=aggs, out_cols=out_cols,
+    )
+

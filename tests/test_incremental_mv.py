@@ -533,3 +533,33 @@ def test_join_mv_delta_matches_full(db, spark):
     got2 = _normalize_rows(db.query("SELECT * FROM jmv").df.collect())
     exp2 = _normalize_rows(spark.sql(sql).collect())
     assert got2 == exp2  # full recompute sees the tampered values now
+
+
+def test_agg_join_mv_delta_merge(db, spark):
+    """Fact-join-dim rollup MV: delta terms arrive partially
+    aggregated and merge with the snapshot; result equals a full
+    recompute after interleaved inserts to both sides."""
+    dim = db.create_topic("dja", [Column("k", "int64"), Column("v", "float64")])
+    fact = db.create_topic("djb", [Column("k", "int64"), Column("v", "float64")])
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+    )
+    dim.insert(mk(0, 15))
+    fact.insert(mk(0, 25))
+    sql = (
+        "SELECT dja.k AS k, count(*) AS n, sum(djb.v) AS total, "
+        "max(djb.v) AS hi "
+        "FROM dja JOIN djb ON dja.time = djb.time GROUP BY dja.k"
+    )
+    db.create_materialized_view("aj", sql)
+    entry = db.store.resolve("aj")
+    assert entry.refresh_state is not None
+    assert entry.refresh_state["topic2"] == "djb"
+
+    fact.insert(mk(25, 40))   # fact-side delta (some match dim, some not)
+    db.refresh_materialized("aj")
+    dim.insert(mk(15, 30))    # dim-side delta (matches existing facts)
+    db.refresh_materialized("aj")
+    got = _normalize_rows(db.query("SELECT * FROM aj").df.collect())
+    exp = _normalize_rows(spark.sql(sql).collect())
+    assert got == exp
