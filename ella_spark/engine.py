@@ -108,6 +108,13 @@ _ANN_SEARCH_RE = re.compile(
 )
 
 
+def _state_key(prefix: str, i: int) -> str:
+    """refresh_state key for the i-th FROM table ("topic"/"shards" for
+    the first, "topic2"/"shards2" for the second, … — the numbered
+    scheme round-3 states already use, extended past two)."""
+    return prefix if i == 0 else f"{prefix}{i + 1}"
+
+
 class Ella:
     #: DataFusion-dialect scalar functions the reference's SQL surface
     #: has but Spark SQL lacks, registered as SQL UDFs (pure
@@ -175,7 +182,7 @@ class Ella:
         """
         self._frame_for(entry).createOrReplaceTempView(self._view_name(entry))
 
-    def _frame_for(self, entry: TableEntry) -> DataFrame:
+    def _frame_for(self, entry: TableEntry, include_hidden: bool = False) -> DataFrame:
         if entry.kind == "topic":
             return Topic(self.store, entry).read(self.spark)
         if entry.kind == "materialized_view" and entry.version > 0:
@@ -184,9 +191,14 @@ class Ella:
             from pyspark.sql.types import StructType
 
             snap = self.store.table_path(entry) / f"v={entry.version}"
-            return self.spark.read.schema(
+            df = self.spark.read.schema(
                 StructType.fromJson(_json.loads(entry.result_schema))
             ).parquet(str(snap))
+            if not include_hidden:
+                # avg MVs carry mergeable __mv_* state columns in the
+                # snapshot files; every read projects them away
+                df = df.drop(*[c for c in df.columns if c.startswith("__mv_")])
+            return df
         # view, or a materialized view before its first refresh; the
         # stored SQL keeps durable ann_search(...) text — rewrite here
         sql = entry.sql
@@ -320,33 +332,30 @@ class Ella:
         entry = self._require(name, "materialized_view")
         self._register_all()  # the SQL may reference topics/views
         analysis = analyze_mv_sql(entry.sql)
-        topic = self._topic_for_view_name(analysis.table) if analysis else None
-        topic2 = (
-            self._topic_for_view_name(analysis.table2)
-            if analysis is not None and analysis.table2 is not None
-            else None
-        )
-        if analysis is not None and analysis.mode in ("spf_join", "agg_join"):
-            if topic is None or topic2 is None:
-                analysis = topic = topic2 = None  # not two topics: plain MV
+        topics: list = []
+        if analysis is not None:
+            topics = [self._topic_for_view_name(t) for t in analysis.tables]
+            if any(t is None for t in topics):
+                # a FROM identifier that is not a topic: plain MV
+                analysis, topics = None, []
         state = entry.refresh_state
         if (
             incremental
-            and topic is not None
+            and topics
             and entry.version > 0
             and state is not None
-            and state.get("topic") == analysis.table
+            and all(
+                state.get(_state_key("topic", i)) == t
+                for i, t in enumerate(analysis.tables)
+            )
         ):
             if analysis.mode in ("spf_join", "agg_join"):
-                if state.get("topic2") == analysis.table2:
-                    n = self._refresh_delta_join(entry, analysis, topic, topic2)
-                    if n is not None:
-                        return n
+                n = self._refresh_delta_join(entry, analysis, topics)
             else:
-                n = self._refresh_delta(entry, analysis, topic)
-                if n is not None:
-                    return n
-        return self._refresh_full(entry, analysis, topic, topic2=topic2)
+                n = self._refresh_delta(entry, analysis, topics[0])
+            if n is not None:
+                return n
+        return self._refresh_full(entry, analysis, topics)
 
     def _topic_for_view_name(self, ident: str) -> "Topic | None":
         """Resolve a registered view name back to its topic, if any."""
@@ -408,60 +417,69 @@ class Ella:
         return df.sortWithinPartitions(*cols)
 
     def _refresh_full(
-        self, entry: TableEntry, analysis, topic, topic2=None, _retries: int = 2
+        self, entry: TableEntry, analysis, topics: list, _retries: int = 2
     ) -> int:
-        """Full recompute. For an analyzable one- or two-topic view
-        the topic(s) are bound to EXPLICIT shard listings so the
-        recorded cursors equal the snapshot's exact inputs (rows
-        published between listing and compute are picked up next
-        refresh, never double-counted). If a concurrent compactor
-        unlinked listed shards MID-JOB, ignoreMissingFiles would have
-        silently dropped their rows — detected by re-listing after the
-        commit and repaired by re-running against the post-compaction
-        listing."""
+        """Full recompute. For an analyzable n-topic view the topics
+        are bound to EXPLICIT shard listings so the recorded cursors
+        equal the snapshot's exact inputs (rows published between
+        listing and compute are picked up next refresh, never
+        double-counted). If a concurrent compactor unlinked listed
+        shards MID-JOB, ignoreMissingFiles would have silently dropped
+        their rows — detected by re-listing after the commit and
+        repaired by re-running against the post-compaction listing."""
         state = None
-        if analysis is not None and topic is not None:
-            shard_paths = topic.shards()
-            state = {
-                "topic": analysis.table,
-                "shards": [p.name for p in shard_paths],
-                "rows": 0,
-            }
-            topic.read_files(self.spark, shard_paths).createOrReplaceTempView(
-                analysis.table
-            )
-            if topic2 is not None:
-                shard_paths2 = topic2.shards()
-                state["topic2"] = analysis.table2
-                state["shards2"] = [p.name for p in shard_paths2]
-                topic2.read_files(
-                    self.spark, shard_paths2
-                ).createOrReplaceTempView(analysis.table2)
+        if analysis is not None and topics:
+            state = {"rows": 0}
+            for i, (t, name) in enumerate(zip(topics, analysis.tables)):
+                shard_paths = t.shards()
+                state[_state_key("topic", i)] = name
+                state[_state_key("shards", i)] = [p.name for p in shard_paths]
+                t.read_files(self.spark, shard_paths).createOrReplaceTempView(
+                    name
+                )
         try:
             sql = entry.sql
             if _ANN_SEARCH_RE.search(sql):
                 sql = self._rewrite_ann_search(sql)
-            df = self.spark.sql(sql)
+            if analysis is not None and topics and analysis.avgs:
+                df = self._with_visible_avgs(entry.sql, analysis)
+            else:
+                df = self.spark.sql(sql)
             n = self._commit_snapshot(entry, df, state)
         finally:
-            if topic is not None:
-                self._register(topic.entry)  # undo the delta/full binding
-            if topic2 is not None:
-                self._register(topic2.entry)
+            for t in topics:
+                self._register(t.entry)  # undo the delta/full binding
         if state is not None and _retries > 0:
-            stale = not set(state["shards"]).issubset(
-                p.name for p in topic.shards()
-            )
-            if topic2 is not None and not stale:
-                stale = not set(state["shards2"]).issubset(
-                    p.name for p in topic2.shards()
+            stale = any(
+                not set(state[_state_key("shards", i)]).issubset(
+                    p.name for p in t.shards()
                 )
+                for i, t in enumerate(topics)
+            )
             if stale:
                 fresh = self.store.tables[entry.ident]
-                return self._refresh_full(
-                    fresh, analysis, topic, topic2, _retries - 1
-                )
+                return self._refresh_full(fresh, analysis, topics, _retries - 1)
         return n
+
+    def _with_visible_avgs(self, orig_sql: str, analysis) -> DataFrame:
+        """Run the hidden-partials SQL and append the visible avg
+        columns (`sum/cnt`, the exact evaluation Spark's own Average
+        performs), each cast to the dtype the ORIGINAL SQL would
+        produce — the snapshot then carries visible cols in select
+        order followed by the mergeable hidden state."""
+        from pyspark.sql import functions as F
+
+        orig_fields = {f.name: f.dataType for f in self.spark.sql(orig_sql).schema}
+        df = self.spark.sql(analysis.hidden_sql)
+        for alias, (hsum, hcnt) in analysis.avgs.items():
+            df = df.withColumn(
+                alias,
+                F.when(
+                    F.col(hcnt) > 0, F.col(hsum) / F.col(hcnt)
+                ).cast(orig_fields[alias]),
+            )
+        hidden = [c for pair in analysis.avgs.values() for c in pair]
+        return df.select(*analysis.out_cols, *hidden)
 
     def _refresh_delta(self, entry: TableEntry, analysis, topic) -> int | None:
         """Delta refresh; None → caller falls back to full recompute."""
@@ -487,7 +505,7 @@ class Ella:
             topic.read_files(self.spark, delta).createOrReplaceTempView(
                 analysis.table
             )
-            delta_df = self.spark.sql(entry.sql)
+            delta_df = self.spark.sql(analysis.hidden_sql or entry.sql)
             if analysis.mode == "spf":
                 # structural guard behind the regex analyzer: an
                 # aggregate the blacklist does not know must NEVER be
@@ -510,29 +528,51 @@ class Ella:
     ) -> int:
         """Re-aggregate snapshot ∪ delta partials into the next
         snapshot version (sum/count merge via SUM, min via MIN, max
-        via MAX; distinct-keys via dropDuplicates)."""
+        via MAX; avg by SUMming its hidden sum+count state and
+        recomputing the visible column; distinct-keys via
+        dropDuplicates)."""
         import json as _json
 
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        old = self._frame_for(entry)
+        old = self._frame_for(entry, include_hidden=True)
+        if analysis.avgs:
+            # the snapshot's visible avg columns are derived, not
+            # mergeable state — drop them before unioning with the
+            # delta partials (which carry only the hidden state)
+            old = old.drop(*analysis.avgs.keys())
         union = old.unionByName(delta_df)
+        schema = StructType.fromJson(_json.loads(entry.result_schema))
+        dtypes = {f.name: f.dataType for f in schema.fields}
         if analysis.aggs:
             merge_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
             aggs = [
-                merge_fns[fn](c).alias(c) for c, fn in analysis.aggs.items()
+                merge_fns[fn](c).alias(c)
+                for c, fn in analysis.aggs.items()
+                if fn != "avg"
+            ]
+            aggs += [
+                F.sum(h).alias(h)
+                for pair in analysis.avgs.values()
+                for h in pair
             ]
             merged = (
                 union.groupBy(*analysis.keys).agg(*aggs)
                 if analysis.keys
                 else union.agg(*aggs)
             )
+            for alias, (hsum, hcnt) in analysis.avgs.items():
+                merged = merged.withColumn(
+                    alias,
+                    F.when(
+                        F.col(hcnt) > 0, F.col(hsum) / F.col(hcnt)
+                    ).cast(dtypes[alias]),
+                )
         else:
             merged = union.dropDuplicates(analysis.keys)
         # restore select order and snapshot dtypes (SUM over decimal
         # widens precision; the snapshot schema is the contract)
-        schema = StructType.fromJson(_json.loads(entry.result_schema))
         merged = merged.select(
             [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
@@ -587,58 +627,57 @@ class Ella:
         return total
 
     def _refresh_delta_join(
-        self, entry: TableEntry, analysis, topic, topic2
+        self, entry: TableEntry, analysis, topics: list
     ) -> int | None:
-        """Insert-only delta maintenance of an SPF inner join:
-        Δ(A ⋈ B) = ΔA ⋈ B_new ∪ A_old ⋈ ΔB — an exact partition of the
-        new result rows (ΔA⋈ΔB lands in the first term only), so the
-        refresh never joins history against history. None → full."""
+        """Insert-only delta maintenance of an inner-join chain via the
+        leapfrog identity: Δ(T1 ⋈ … ⋈ Tn) = ⋃ᵢ old₁ ⋈ … ⋈ oldᵢ₋₁ ⋈ Δᵢ ⋈
+        curᵢ₊₁ ⋈ … ⋈ curₙ — an exact partition of the new result rows
+        (each new row is claimed by the FIRST position holding one of
+        its delta inputs), so the refresh never joins history against
+        history on all sides at once. None → full recompute."""
         state = entry.refresh_state
-        cur1, cur2 = topic.shards(), topic2.shards()
-        names1 = [p.name for p in cur1]
-        names2 = [p.name for p in cur2]
-        consumed1 = set(state.get("shards", []))
-        consumed2 = set(state.get("shards2", []))
-        if not (consumed1.issubset(names1) and consumed2.issubset(names2)):
-            return None  # compaction/retention rewrote consumed shards
-        d1 = [p for p in cur1 if p.name not in consumed1]
-        d2 = [p for p in cur2 if p.name not in consumed2]
-        if not d1 and not d2:
+        n_tables = len(topics)
+        cur, consumed, deltas, olds = [], [], [], []
+        for i, t in enumerate(topics):
+            shards = t.shards()
+            names = {p.name for p in shards}
+            cons = set(state.get(_state_key("shards", i), []))
+            if not cons.issubset(names):
+                return None  # compaction/retention rewrote consumed shards
+            cur.append(shards)
+            consumed.append(cons)
+            deltas.append([p for p in shards if p.name not in cons])
+            olds.append([p for p in shards if p.name in cons])
+        if not any(deltas):
             return int(state["rows"])
-        old1 = [p for p in cur1 if p.name in consumed1]
 
-        new_state = {
-            "topic": analysis.table,
-            "topic2": analysis.table2,
-            "shards": names1,
-            "shards2": names2,
-            "rows": 0,
-        }
-        sql = entry.sql
+        new_state = {"rows": 0}
+        for i, name in enumerate(analysis.tables):
+            new_state[_state_key("topic", i)] = name
+            new_state[_state_key("shards", i)] = [p.name for p in cur[i]]
+        sql = analysis.hidden_sql or entry.sql
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
         try:
-            # term 1: ΔA against ALL of B (captures ΔA⋈B_old and ΔA⋈ΔB)
-            topic.read_files(self.spark, d1).createOrReplaceTempView(
-                analysis.table
-            )
-            topic2.read_files(self.spark, cur2).createOrReplaceTempView(
-                analysis.table2
-            )
-            t1_df = self.spark.sql(sql)
-            # term 2: OLD A against ΔB only (nothing overlaps term 1)
-            topic.read_files(self.spark, old1).createOrReplaceTempView(
-                analysis.table
-            )
-            topic2.read_files(self.spark, d2).createOrReplaceTempView(
-                analysis.table2
-            )
-            t2_df = self.spark.sql(sql)
-            delta_df = t1_df.unionByName(t2_df)
+            terms = []
+            for i in range(n_tables):
+                if not deltas[i]:
+                    continue
+                # positions before i: OLD only; i: its delta; after i:
+                # the full current listing (old + delta)
+                for j, t in enumerate(topics):
+                    files = olds[j] if j < i else deltas[i] if j == i else cur[j]
+                    t.read_files(self.spark, files).createOrReplaceTempView(
+                        analysis.tables[j]
+                    )
+                terms.append(self.spark.sql(sql))
+            delta_df = terms[0]
+            for t_df in terms[1:]:
+                delta_df = delta_df.unionByName(t_df)
             if analysis.mode == "agg_join":
-                # the two delta terms arrive ALREADY partially
-                # aggregated by the SQL; merge with the snapshot like
-                # the single-topic agg mode
+                # the delta terms arrive ALREADY partially aggregated
+                # by the SQL; merge with the snapshot like the
+                # single-topic agg mode
                 return self._merge_agg_snapshot(
                     entry, analysis, delta_df, new_state
                 )
@@ -650,8 +689,8 @@ class Ella:
                 entry, delta_df, new_state, int(state["rows"])
             )
         finally:
-            self._register(topic.entry)
-            self._register(topic2.entry)
+            for t in topics:
+                self._register(t.entry)
 
     def drop_table(self, name: str) -> None:
         catalog, schema, base = self._split(name)

@@ -15,19 +15,28 @@ of O(history) for the common single-topic shapes:
   snapshot by re-aggregating snapshot ∪ delta-partials — sum/count via
   SUM, min via MIN, max via MAX. A GROUP BY with no aggregates (a
   DISTINCT-keys view) merges by dropping duplicate keys.
-- **SPF inner join of two topics** (`SELECT … FROM a JOIN b ON …
-  [WHERE …]`): for append-only inputs the classic insert-delta
-  identity  Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB  partitions the new
-  result rows exactly (ΔA⋈ΔB lands in the first term, nothing lands
-  in both), so a refresh joins only the delta shards against the
-  other side — never history against history. Inner joins only:
-  outer variants can RETRACT earlier null-padded rows on insert,
-  which append-only snapshots cannot express.
+- **avg** rides the same merge as a REWRITE: `avg(e) AS a` is
+  maintained as two HIDDEN snapshot columns `__mv_sum__a` /
+  `__mv_cnt__a` (merged via SUM like any mergeable aggregate) and the
+  visible column is recomputed as `sum/cnt` on every commit — exactly
+  the sum÷count evaluation Spark's own `Average` performs, so the
+  visible values match a full recompute. Hidden columns live in the
+  snapshot files but are projected away on every read.
+- **SPF / aggregate inner-join CHAIN of n ≥ 2 distinct topics**
+  (`SELECT … FROM t1 JOIN t2 ON … [JOIN t3 ON …] [WHERE …] [GROUP BY
+  …]`): for append-only inputs the leapfrog insert-delta identity
+  Δ(T1 ⋈ … ⋈ Tn) = ⋃ᵢ T1ᵒˡᵈ ⋈ … ⋈ Tᵢ₋₁ᵒˡᵈ ⋈ ΔTᵢ ⋈ Tᵢ₊₁ⁿᵉʷ ⋈ … ⋈ Tnⁿᵉʷ
+  partitions the new result rows exactly (every new row contains a
+  delta row from some FIRST position i; terms are disjoint because
+  positions before i are bound to old data only), so a refresh never
+  joins history against history on every side at once. Inner joins
+  only: outer variants can RETRACT earlier null-padded rows on
+  insert, which append-only snapshots cannot express.
 
-Anything else (joins, subqueries, windows, DISTINCT aggs, avg/stats
-aggs, set ops) falls back to a full recompute — correctness first; the
-analyzer is deliberately conservative, and every token it does not
-understand disqualifies the plan.
+Anything else (outer joins, subqueries, windows, DISTINCT aggs,
+stats aggs, set ops) falls back to a full recompute — correctness
+first; the analyzer is deliberately conservative, and every token it
+does not understand disqualifies the plan.
 
 At 100 TB this is the difference between a rollup refresh that reads a
 day of new shards and one that rescans the whole fact history. The
@@ -62,8 +71,9 @@ _SHAPE = re.compile(
 )
 
 #: a mergeable aggregate select item: agg(expr) AS alias
+#: (avg is mergeable VIA REWRITE to hidden sum+count columns)
 _AGG_ITEM = re.compile(
-    r"^(?P<fn>sum|count|min|max)\s*\((?P<arg>.+)\)\s+as\s+"
+    r"^(?P<fn>sum|count|min|max|avg)\s*\((?P<arg>.+)\)\s+as\s+"
     r"(?P<alias>[A-Za-z0-9_]+)$",
     re.I | re.S,
 )
@@ -89,17 +99,23 @@ _ANY_AGG = re.compile(
 
 _ALIASED = re.compile(r"^(?P<expr>.+?)\s+as\s+(?P<alias>[A-Za-z0-9_]+)$", re.I | re.S)
 
-#: inner join of two distinct topics (optionally GROUP BY)
+#: inner-join CHAIN of distinct topics (optionally GROUP BY): the
+#: chain body is parsed by _parse_chain (n >= 2 tables)
 _JOIN_SHAPE = re.compile(
-    r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<t1>[A-Za-z0-9_]+)"
-    r"(?:\s+(?:as\s+)?(?P<a1>[A-Za-z0-9_]+))?"
-    r"\s+(?:inner\s+)?join\s+(?P<t2>[A-Za-z0-9_]+)"
-    r"(?:\s+(?:as\s+)?(?P<a2>[A-Za-z0-9_]+))?"
-    r"\s+on\s+(?P<on>.+?)"
+    r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<chain>.+?)"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"(?:\s+group\s+by\s+(?P<group>.+?))?\s*;?\s*$",
     re.I | re.S,
 )
+_CHAIN_HEAD = re.compile(
+    r"^\s*(?P<t>[A-Za-z0-9_]+)(?:\s+(?:as\s+)?(?P<a>[A-Za-z0-9_]+))?\s*$"
+)
+_CHAIN_LINK = re.compile(
+    r"^\s*(?P<t>[A-Za-z0-9_]+)(?:\s+(?:as\s+)?(?P<a>[A-Za-z0-9_]+))?"
+    r"\s+on\s+(?P<on>.+?)\s*$",
+    re.I | re.S,
+)
+_JOIN_SPLIT = re.compile(r"\s+(?:inner\s+)?join\s+", re.I)
 #: disqualifiers for the join shape: everything in _BANNED except the
 #: INNER JOIN keywords themselves, plus every non-inner join flavor
 _BANNED_JOIN = re.compile(
@@ -113,16 +129,32 @@ _BANNED_JOIN = re.compile(
 _DOTTED_IDENT = re.compile(r"^[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)?$")
 
 
+def hidden_cols(alias: str) -> tuple[str, str]:
+    """Snapshot column names carrying an avg's mergeable state."""
+    return f"__mv_sum__{alias}", f"__mv_cnt__{alias}"
+
+
 @dataclass
 class MvAnalysis:
-    """Delta-refresh plan for a single- or two-topic materialized view."""
+    """Delta-refresh plan for a 1..n-topic materialized view."""
 
     table: str  # the FROM identifier (the topic's registered view name)
-    mode: str  # "spf" | "agg" | "spf_join"
+    mode: str  # "spf" | "agg" | "spf_join" | "agg_join"
     keys: list[str] = field(default_factory=list)  # agg: group-key out cols
     aggs: dict[str, str] = field(default_factory=dict)  # agg: out col -> fn
     out_cols: list[str] = field(default_factory=list)  # agg: select order
-    table2: str | None = None  # spf_join: the second topic
+    table2: str | None = None  # join: the second topic (compat accessor)
+    #: every FROM-chain table in join order (len 1 for single-topic)
+    tables: list[str] = field(default_factory=list)
+    #: visible avg alias -> (hidden sum col, hidden cnt col)
+    avgs: dict[str, tuple[str, str]] = field(default_factory=dict)
+    #: SQL computing the MERGEABLE partials (avg items replaced by
+    #: hidden sum+count items); None when the view has no avg
+    hidden_sql: str | None = None
+
+    def __post_init__(self):
+        if not self.tables:
+            self.tables = [self.table] + ([self.table2] if self.table2 else [])
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -165,18 +197,40 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     parsed = _classify_agg_select(select_items, group_exprs)
     if parsed is None:
         return None
-    keys, aggs, out_cols = parsed
+    keys, aggs, out_cols, avgs, hidden_items = parsed
     if group is None and not aggs:
         return None
-    return MvAnalysis(table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols)
+    alias = m.group("alias")
+    from_text = table + (f" {alias}" if alias else "")
+    return MvAnalysis(
+        table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
+        avgs=avgs,
+        hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
+        if avgs
+        else None,
+    )
+
+
+def _rebuild(select_items, from_text, where, group) -> str:
+    """Reassemble a SELECT from parsed pieces (hidden-partials SQL)."""
+    sql = f"SELECT {', '.join(select_items)} FROM {from_text}"
+    if where:
+        sql += f" WHERE {where}"
+    if group:
+        sql += f" GROUP BY {group}"
+    return sql
 
 
 def _classify_agg_select(select_items, group_exprs):
-    """Split select items into (keys, aggs, out_cols) for the
-    mergeable-aggregate modes; None when any item disqualifies."""
+    """Split select items into (keys, aggs, out_cols, avgs,
+    hidden_items) for the mergeable-aggregate modes; None when any
+    item disqualifies. ``hidden_items`` is the select list with every
+    avg replaced by its two mergeable hidden-column items."""
     keys: list[str] = []
     aggs: dict[str, str] = {}
     out_cols: list[str] = []
+    avgs: dict[str, tuple[str, str]] = {}
+    hidden_items: list[str] = []
     for item in select_items:
         am = _AGG_ITEM.match(item.strip())
         if am is not None:
@@ -184,11 +238,19 @@ def _classify_agg_select(select_items, group_exprs):
             if re.match(r"^\s*distinct\b", arg, re.I) or _ANY_AGG.search(arg):
                 return None  # DISTINCT agg / nested agg: not mergeable
             alias = am.group("alias")
-            aggs[alias] = am.group("fn").lower()
+            fn = am.group("fn").lower()
+            aggs[alias] = fn
             out_cols.append(alias)
+            if fn == "avg":
+                hsum, hcnt = hidden_cols(alias)
+                avgs[alias] = (hsum, hcnt)
+                hidden_items.append(f"sum({arg}) AS {hsum}")
+                hidden_items.append(f"count({arg}) AS {hcnt}")
+            else:
+                hidden_items.append(item.strip())
             continue
         if _ANY_AGG.search(item):
-            return None  # an aggregate shape we can't merge (avg, expr-of-aggs, …)
+            return None  # an aggregate shape we can't merge (expr-of-aggs, …)
         # must be a group key with a derivable output column name
         alm = _ALIASED.match(item.strip())
         if alm is not None:
@@ -206,42 +268,74 @@ def _classify_agg_select(select_items, group_exprs):
             alias = expr.strip().split(".")[-1]
         keys.append(alias)
         out_cols.append(alias)
-    return keys, aggs, out_cols
+        hidden_items.append(item.strip())
+    return keys, aggs, out_cols, avgs, hidden_items
+
+
+def _parse_chain(chain: str) -> list[str] | None:
+    """Parse a FROM body of chained inner joins into the table list,
+    or None when it is not a plain ``t1 [a1] JOIN t2 [a2] ON … [JOIN
+    t3 [a3] ON …]…`` chain of n >= 2 DISTINCT tables. Subqueries are
+    impossible here (the banned-token scan rejected ``( select`` and
+    every non-inner join flavor before this runs), so splitting on the
+    JOIN keyword is unambiguous."""
+    parts = _JOIN_SPLIT.split(chain)
+    if len(parts) < 2:
+        return None
+    head = _CHAIN_HEAD.match(parts[0])
+    if head is None:
+        return None
+    tables = [head.group("t")]
+    for seg in parts[1:]:
+        link = _CHAIN_LINK.match(seg)
+        if link is None:
+            return None
+        tables.append(link.group("t"))
+    if len({t.lower() for t in tables}) != len(tables):
+        return None  # self-join: one view name cannot bind two subsets
+    return tables
 
 
 def _analyze_join(sql: str) -> MvAnalysis | None:
-    """Inner join of two DISTINCT topics (see module docstring):
-    SPF (``spf_join``) or mergeable GROUP BY aggregate (``agg_join`` —
-    the fact-join-dim rollup; the join-delta terms arrive already
-    partially aggregated and merge with the snapshot exactly like the
-    single-topic agg mode).
+    """Inner-join chain of n >= 2 DISTINCT topics (see module
+    docstring): SPF (``spf_join``) or mergeable GROUP BY aggregate
+    (``agg_join`` — the fact-join-dims rollup; the join-delta terms
+    arrive already partially aggregated and merge with the snapshot
+    exactly like the single-topic agg mode).
 
-    Self-joins are rejected: the delta identity needs the two sides
+    Self-joins are rejected: the delta identity needs the same table
     bound to different file subsets simultaneously, which one view
     name cannot express. Outer flavors / subqueries reject.
     """
     m = _JOIN_SHAPE.match(sql)
     if m is None or _BANNED_JOIN.search(sql):
         return None
-    t1, t2 = m.group("t1"), m.group("t2")
-    if t1.lower() == t2.lower():
+    tables = _parse_chain(m.group("chain"))
+    if tables is None:
         return None
     group = m.group("group")
     if group is None:
         if _ANY_AGG.search(m.group("select")):
             return None  # global agg over a join: not yet supported
-        return MvAnalysis(table=t1, mode="spf_join", table2=t2)
+        return MvAnalysis(
+            table=tables[0], mode="spf_join", table2=tables[1], tables=tables
+        )
     parsed = _classify_agg_select(
         _split_top_level(m.group("select")),
         [_norm(g) for g in _split_top_level(group)],
     )
     if parsed is None:
         return None
-    keys, aggs, out_cols = parsed
+    keys, aggs, out_cols, avgs, hidden_items = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
     return MvAnalysis(
-        table=t1, mode="agg_join", table2=t2,
-        keys=keys, aggs=aggs, out_cols=out_cols,
+        table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
+        keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs,
+        hidden_sql=_rebuild(
+            hidden_items, m.group("chain"), m.group("where"), group
+        )
+        if avgs
+        else None,
     )
 

@@ -203,9 +203,28 @@ def test_analyzer_shapes():
     # two-topic SPF inner join: now a supported delta shape
     j = analyze_mv_sql("SELECT a.v FROM a JOIN b ON a.k = b.k")
     assert j is not None and j.mode == "spf_join" and j.table2 == "b"
+    assert j.tables == ["a", "b"]
+    # n-table inner-join CHAIN (leapfrog delta identity)
+    j3 = analyze_mv_sql(
+        "SELECT a.v FROM a JOIN b ON a.k = b.k JOIN c ON b.k = c.k"
+    )
+    assert j3 is not None and j3.mode == "spf_join"
+    assert j3.tables == ["a", "b", "c"]
+    # avg: mergeable VIA REWRITE to hidden sum+count state
+    av = analyze_mv_sql("SELECT k, avg(v) AS m FROM t GROUP BY k")
+    assert av is not None and av.mode == "agg" and av.aggs == {"m": "avg"}
+    assert av.avgs == {"m": ("__mv_sum__m", "__mv_cnt__m")}
+    assert "sum(v) AS __mv_sum__m" in av.hidden_sql
+    assert "count(v) AS __mv_cnt__m" in av.hidden_sql
+    avj = analyze_mv_sql(
+        "SELECT a.k AS k, avg(b.v) AS m FROM a JOIN b ON a.k = b.k "
+        "GROUP BY a.k"
+    )
+    assert avj is not None and avj.mode == "agg_join" and avj.avgs
     for bad in (
-        "SELECT k, avg(v) AS m FROM t GROUP BY k",  # avg: not mergeable
+        "SELECT k, avg(DISTINCT v) AS m FROM t GROUP BY k",
         "SELECT k, count(DISTINCT v) AS d FROM t GROUP BY k",
+        "SELECT a.v FROM a JOIN b ON a.k = b.k JOIN a x ON b.k = x.k",
         "SELECT a.v FROM a LEFT JOIN b ON a.k = b.k",  # outer: retracts
         "SELECT a.v FROM a JOIN a x ON a.k = x.k",  # self-join
         "SELECT count(*) AS n FROM a JOIN b ON a.k = b.k",  # agg-on-join
@@ -295,6 +314,8 @@ def test_delta_equals_full_randomized(db, spark):
         "SELECT count(*) AS n, max(v) AS hi FROM rt",
         "SELECT k FROM rt GROUP BY k",
         "SELECT time div 7000 AS bucket, sum(v) AS s FROM rt GROUP BY time div 7000",
+        "SELECT k, avg(v) AS m FROM rt GROUP BY k",
+        "SELECT avg(v) AS m, count(*) AS n FROM rt",
     ]
     rng = random.Random(1234)
     t = db.create_topic("rt", [Column("k", "int64"), Column("v", "float64")])
@@ -533,6 +554,106 @@ def test_join_mv_delta_matches_full(db, spark):
     got2 = _normalize_rows(db.query("SELECT * FROM jmv").df.collect())
     exp2 = _normalize_rows(spark.sql(sql).collect())
     assert got2 == exp2  # full recompute sees the tampered values now
+
+
+def test_avg_mv_delta_matches_full(db, spark):
+    """avg MVs merge via hidden sum+count state: delta refreshes never
+    re-read consumed shards (tamper-proof) yet the visible avg equals
+    a full recompute; the hidden columns never leak into reads."""
+    t = _mk_topic(db, spark)
+    db.create_materialized_view(
+        "am",
+        "SELECT k, avg(v) AS mean_v, count(*) AS n FROM ev GROUP BY k",
+    )
+    entry = db.store.resolve("am")
+    assert entry.refresh_state is not None
+    consumed = set(entry.refresh_state["shards"])
+    # hidden state present in the snapshot files, absent from reads
+    df = db.query("SELECT * FROM am").df
+    assert df.columns == ["k", "mean_v", "n"]
+    snap_cols = pq.read_schema(
+        next((db.store.table_path(entry) / f"v={entry.version}").glob("*.parquet"))
+    ).names
+    assert "__mv_sum__mean_v" in snap_cols and "__mv_cnt__mean_v" in snap_cols
+
+    t.insert(
+        spark.range(60, 90).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    _tamper_shard(t, consumed)  # consumed shard must NOT be re-read
+    db.refresh_materialized("am")
+    got = {r.k: (r.mean_v, r.n) for r in db.query("SELECT * FROM am").df.collect()}
+    for k in (0, 1, 2):
+        vals = [v for v in range(90) if v % 3 == k]
+        assert got[k][1] == len(vals)
+        assert got[k][0] == pytest.approx(sum(vals) / len(vals))
+    # DESCRIBE-level surface: the registered view hides __mv_* too
+    assert db.query("SELECT * FROM am").df.columns == ["k", "mean_v", "n"]
+
+
+def test_three_table_join_chain_delta(db, spark):
+    """Leapfrog delta over a 3-topic inner-join chain: interleaved
+    inserts to every side end exactly equal to a full recompute, and
+    consumed shards are never re-joined (tamper-proof)."""
+    ta = _mk_topic(db, spark, name="ca", n=15)
+    tb = _mk_topic(db, spark, name="cb", n=15)
+    tc = _mk_topic(db, spark, name="cc", n=15)
+    sql = (
+        "SELECT ca.time AS ts, ca.v + cb.v + cc.v AS s "
+        "FROM ca JOIN cb ON ca.time = cb.time "
+        "JOIN cc ON cb.time = cc.time WHERE ca.v >= 1.0"
+    )
+    db.create_materialized_view("c3", sql)
+    entry = db.store.resolve("c3")
+    assert entry.refresh_state is not None
+    assert entry.refresh_state["topic3"] == "cc"
+    consumed = {
+        "ca": set(entry.refresh_state["shards"]),
+        "cb": set(entry.refresh_state["shards2"]),
+        "cc": set(entry.refresh_state["shards3"]),
+    }
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+    )
+    ta.insert(mk(15, 30))           # A only
+    db.refresh_materialized("c3")
+    tb.insert(mk(15, 25))           # B only
+    db.refresh_materialized("c3")
+    tc.insert(mk(15, 35))           # C only (some unmatched)
+    ta.insert(mk(30, 35))           # then all three at once
+    tb.insert(mk(25, 35))
+    for t, cons in ((ta, consumed["ca"]), (tb, consumed["cb"]), (tc, consumed["cc"])):
+        _tamper_shard(t, cons)
+    n = db.refresh_materialized("c3")
+    got = _normalize_rows(db.query("SELECT * FROM c3").df.collect())
+    # all three sides hold times 0..34 (untampered values), filter v>=1
+    exp = [(t * 1000, float(3 * t)) for t in range(1, 35)]
+    assert got == exp and n == len(exp)
+
+
+def test_avg_over_join_chain_delta(db, spark):
+    """agg_join with avg: hidden partials from the leapfrog terms
+    merge with the snapshot; equals a full recompute."""
+    dim = db.create_topic("ad", [Column("k", "int64"), Column("v", "float64")])
+    fact = db.create_topic("af", [Column("k", "int64"), Column("v", "float64")])
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+    )
+    dim.insert(mk(0, 15))
+    fact.insert(mk(0, 25))
+    sql = (
+        "SELECT ad.k AS k, avg(af.v) AS mean_v, sum(af.v) AS total "
+        "FROM ad JOIN af ON ad.time = af.time GROUP BY ad.k"
+    )
+    db.create_materialized_view("avj", sql)
+    fact.insert(mk(25, 40))
+    db.refresh_materialized("avj")
+    dim.insert(mk(15, 30))
+    db.refresh_materialized("avj")
+    got = _normalize_rows(db.query("SELECT * FROM avj").df.collect())
+    exp = _normalize_rows(spark.sql(sql).collect())
+    assert got == exp
 
 
 def test_agg_join_mv_delta_merge(db, spark):
