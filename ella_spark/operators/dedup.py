@@ -281,6 +281,130 @@ def minhash_lsh_pairs(
     )
 
 
+#: Carter–Wegman modulus + deterministic permutation constants for the
+#: PORTABLE minhash variant (integer math only → bit-identical across
+#: engines; 2^31-1 keeps a*(h%p)+b inside int64)
+MINHASH_P = 2147483647
+MINHASH_A = [(1103515245 * (i + 1) + 12345) % MINHASH_P for i in range(64)]
+MINHASH_B = [(2654435761 * (i + 1) + 40503) % MINHASH_P for i in range(64)]
+assert all(MINHASH_A[:16]) and all(MINHASH_B[:16])
+
+
+def portable_hash32(col: Column) -> Column:
+    """32-bit text hash computable identically in any engine with md5:
+    integer value of the first 8 hex chars of the md5 digest. Used by
+    the portable minhash variant so a DuckDB oracle can replay the
+    EXACT pair set (xxhash64 has no cross-engine equivalent)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with ENGINE-PORTABLE hashing.
+
+    Same banding pipeline and scale shape as ``minhash_lsh_pairs``
+    (shingle → hash → minhash → band equi-join on (band, key) → exact
+    Jaccard verify; only ids + band keys shuffle, never documents) but
+    every hash is deterministic integer math any SQL engine reproduces
+    bit-exactly: word ``shingle_words``-grams hashed via
+    ``portable_hash32`` (md5 hex prefix), minhash via Carter–Wegman
+    permutations (a·h+b mod 2^31−1). That makes the FULL pair set
+    replayable by the DuckDB oracle — the hash-checked counterpart to
+    the xxhash64 fast path, whose signatures no other engine can
+    recompute. Cost: md5 per shingle is heavier than xxhash64 but
+    stays whole-stage JVM codegen; word shingles (not char k-grams)
+    keep the expression form O(words·k), avoiding the O(len²) UTF8
+    substring scans that made JVM char-shingling a dead end.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, Jaccard computed
+    on the distinct hashed shingle sets.
+    """
+    from ella_spark.sources import fan_out
+
+    rows_per_band = num_hashes // bands
+    k = shingle_words
+    words = F.split(normalize_text(F.col(text_col)), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - k),
+        lambda i: F.concat_ws(" ", F.slice("_w", i + 1, k)),
+    )
+    hashed = F.array_distinct(F.transform("_sh", portable_hash32))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "_hs",
+                    lambda h: (
+                        F.lit(MINHASH_A[i]) * (h % MINHASH_P) + F.lit(MINHASH_B[i])
+                    )
+                    % MINHASH_P,
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    base = (
+        fan_out(df.select(F.col(id_col).alias("_id"), words.alias("_w")))
+        .where(F.size("_w") >= k)
+        .select("_id", shingles.alias("_sh"))
+        .select("_id", hashed.alias("_hs"))
+        .select("_id", "_hs", sig.alias("_sig"))
+        .persist()
+    )
+    banded = base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "_sig", b * rows_per_band + r + 1
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_band.band_idx", "_band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_hs").alias("hs_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_hs").alias("hs_b"))
+    candidates = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    return (
+        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -102,17 +102,18 @@ _NEW_R4 = {
     "q_dedup_incremental", "q_gopher_quality", "q_importance_weights",
     "q_ngram_decontaminate", "q_embed_pca", "q_source_caps",
     "q_temperature_resample", "q_shard_assignment", "q_char_entropy",
-    "q_quality_classifier",
+    "q_quality_classifier", "q_dedup_minhash_portable",
 }
 
-# Remaining 8 slots of the checked-50: the three queries upgraded
-# from rows-only to oracle-checked this round (persisted-centroid
-# determinism), the three whose code changed this round, and two
-# whose only driver green is round 1 (oldest signal, re-verify).
+# Remaining 8 slots of the checked-50: the four queries upgraded
+# from rows-only to oracle-checked this round (persisted-centroid /
+# pinned-hyperplane determinism: kmeans, semantic_dedup, ann_ivf,
+# ann_lsh), q_ann_ivfpq (the only name with no driver row in any
+# round), and the three whose code changed this round.
 _PREFIX_REST = {
     "q_kmeans_embeddings", "q_semantic_dedup", "q_ann_ivf",
-    "q_mix_resample", "q_time_range_scan", "q_range_join",
-    "q6_forecast_revenue", "q_semi_anti_join",
+    "q_ann_lsh", "q_ann_ivfpq",
+    "q_mix_resample", "q_time_range_scan",
 }
 
 

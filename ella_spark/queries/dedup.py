@@ -1,10 +1,11 @@
 """Dedup query-registry entries (oracle-paired where SQL-expressible).
 
-Exact dedup and windowed n-gram Jaccard have exact DuckDB oracles.
-MinHash-LSH and SimHash depend on Spark's xxhash64 (no DuckDB
-equivalent), so they register without an oracle — the driver records
-the weaker rows-only check; tests/test_dedup.py verifies them against
-planted duplicates instead.
+Exact dedup, windowed n-gram Jaccard, and the PORTABLE minhash
+variant (md5-derived integer hashing — the DuckDB oracle replays its
+exact pair set) have exact oracles. The xxhash64 fast-path MinHash-LSH
+and SimHash register without one (no cross-engine xxhash64); the
+driver records the weaker rows-only check and tests/test_dedup.py
+verifies them against planted duplicates instead.
 """
 
 from __future__ import annotations
@@ -70,6 +71,63 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, jaccard_threshold=0.4).orderBy("id_a", "id_b")
+
+
+def _minhash_portable_oracle() -> str:
+    from ella_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    k, num_hashes, bands = 3, 16, 4
+    r = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * (h % {MINHASH_P}) "
+        f"+ {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(num_hashes)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - {k} + 2),
+               i -> ('0x' || substr(md5(array_to_string(w[i:i+{k - 1}], ' ')), 1, 8))::BIGINT)) AS hs
+      FROM docs WHERE len(w) >= {k}),
+    sig AS (SELECT doc_id, hs, [{sig_items}] AS sg FROM sh),
+    banded AS (
+      SELECT doc_id, t.b AS band_idx,
+             array_to_string(sg[t.b*{r}+1 : t.b*{r}+{r}], ',') AS band_key
+      FROM sig, UNNEST([{band_ids}]) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx
+                   AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id)
+    SELECT cand.id_a, cand.id_b,
+           round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.id_a
+    JOIN sig sb ON sb.doc_id = cand.id_b
+    WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.4
+    """
+
+
+@register(
+    "q_dedup_minhash_portable",
+    oracle=_minhash_portable_oracle(),
+    doc="MinHash+LSH near-dup pairs with engine-portable hashing (md5 "
+    "hex-prefix shingle hash + Carter–Wegman permutations, integer "
+    "math only) — the hash-checked counterpart to the xxhash64 fast "
+    "path: the DuckDB oracle replays the EXACT pair set.",
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_portable_pairs(docs, jaccard_threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(

@@ -6,9 +6,11 @@ train-once corpus ARTIFACT (the same shape `Ella.create_vector_index`
 persists on disk), computed deterministically from the corpus sample
 at registration time and pinned into the oracle SQL as literals — so
 DuckDB can replay assignment (argmax dot), within-cluster pairs, and
-connected components exactly. Only the MinHash/SimHash/LSH queries
-stay rows-only (xxhash64 / hash-derived hyperplanes have no DuckDB
-equivalent); tests verify their recall against brute force.
+connected components exactly. LSH is oracle-checked too (its
+hyperplanes are deterministic hash-derived literals). Only MinHash /
+SimHash (xxhash64 has no DuckDB equivalent) and IVF-PQ (ADC cut is
+float-order-sensitive across engines) stay rows-only; tests verify
+their recall against brute force.
 """
 
 from __future__ import annotations
@@ -143,15 +145,78 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=5)
 
 
+_LSH_PLANES = 4
+_LSH_TABLES = 8
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of lsh_topk: the hyperplanes are deterministic
+    (hash-derived, no RNG state — operators/similarity._hyperplane), so
+    the oracle pins all num_tables*num_planes planes as literals,
+    recomputes each vector's per-table packed sign signature, joins
+    corpus to query buckets on (table, signature), and re-ranks the
+    distinct candidate pairs by exact cosine — the same pipeline the
+    Spark side runs. Sign bits agree across engines because both
+    compute the projection in float64 (a flip needs |dot| within ~1e-13
+    of 0; measured corpus dots are O(1))."""
+    total = _LSH_TABLES * _LSH_PLANES
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(repr(float(x)) for x in S._hyperplane(_DIM, p))}])"
+        for p in range(total)
+    )
+    return f"""
+    WITH planes AS (SELECT * FROM (VALUES {plane_rows}) AS t(p, pv)),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    bits AS (
+      SELECT v.vec_id, p.p // {_LSH_PLANES} AS tbl,
+             p.p % {_LSH_PLANES} AS off,
+             CASE WHEN {_dot_sql('v.ve', 'p.pv')} >= 0 THEN 1 ELSE 0 END AS bit
+      FROM v CROSS JOIN planes p),
+    sigs AS (
+      SELECT vec_id, tbl,
+             SUM(bit * (1 << ({_LSH_PLANES - 1} - off))) AS sig
+      FROM bits GROUP BY vec_id, tbl),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
+      FROM sigs q
+      JOIN sigs s ON s.tbl = q.tbl AND s.sig = q.sig
+      WHERE q.vec_id < {_N_QUERIES} AND s.vec_id != q.vec_id),
+    rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_dot_sql('qv.ve', 'cv.ve')} / (qv.nrm * cv.nrm) AS cos
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v cv ON cv.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           round(cos, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rescored)
+    WHERE rank <= 5
+    """
+
+
 @register(
     "q_ann_lsh",
-    oracle=None,  # approximate; recall vs brute force asserted in tests
-    doc="ANN top-k via multi-table random-hyperplane LSH bucket join.",
+    oracle=_lsh_oracle(),
+    doc="ANN top-k via multi-table random-hyperplane LSH bucket join. "
+    "The planes are deterministic hash-derived unit vectors, so the "
+    "DuckDB oracle pins them as literals and replays signature packing "
+    "+ bucket join + exact re-rank (upgraded from rows-only in r4).",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
-    return S.lsh_topk(emb, queries, dim=_DIM, k=5).orderBy("query_id", "rank")
+    return S.lsh_topk(
+        emb, queries, dim=_DIM, k=5,
+        num_planes=_LSH_PLANES, num_tables=_LSH_TABLES,
+    ).orderBy("query_id", "rank")
 
 
 def _ivf_oracle() -> str | None:
