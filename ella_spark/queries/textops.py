@@ -690,3 +690,118 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 6
         ).alias("char_entropy"),
     )
+
+
+# ── unigram LM perplexity (CCNet-style quality signal) ───────────────
+# CCNet (Wenzek et al. 2020) ranks crawl documents by the perplexity
+# of a language model trained on a trusted corpus; low-perplexity text
+# is "Wikipedia-like", high-perplexity text is noise. The miniature
+# here trains an add-alpha-smoothed UNIGRAM LM as a train-once corpus
+# artifact (same bounded-sample recipe as the IVF centroid artifact:
+# first _LM_SAMPLE docs by id, top _LM_V tokens) so the oracle can pin
+# (token, logprob) pairs as literals; scoring the full corpus is one
+# explode -> broadcast vocab join -> per-doc aggregate, where Spark's
+# map-side partial aggregation collapses each doc's tokens before the
+# shuffle (explode preserves row locality), so the exchange carries
+# O(docs), not O(tokens).
+
+_LM_V = 256
+_LM_ALPHA = 0.5
+_LM_SAMPLE = 512
+
+_LM_CACHE: dict = {}
+
+
+def corpus_unigram_lm(sf_dir: str):
+    """[(token, logprob)] for the top-V sample tokens + the OOV
+    logprob, deterministic for a given corpus."""
+    import math
+    import os
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    key = os.path.abspath(sf_dir)
+    got = _LM_CACHE.get(key)
+    if got is None:
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        pdf = tbl.to_pandas().sort_values("doc_id").head(_LM_SAMPLE)
+        counts: dict[str, int] = {}
+        total = 0
+        for txt in pdf["text"]:
+            for tok in _re.split(r"\s+", str(txt).lower().strip()):
+                if tok:
+                    counts[tok] = counts.get(tok, 0) + 1
+                    total += 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_LM_V]
+        denom = total + _LM_ALPHA * (len(top) + 1)
+        vocab = [
+            (tok, math.log((c + _LM_ALPHA) / denom)) for tok, c in top
+        ]
+        oov = math.log(_LM_ALPHA / denom)
+        got = _LM_CACHE[key] = (vocab, oov)
+    return got
+
+
+def _lm_oracle() -> str | None:
+    import os
+
+    try:
+        vocab, oov = corpus_unigram_lm(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        )
+    except (OSError, FileNotFoundError):
+        return None
+    def _sq(s: str) -> str:  # SQL single-quote escape
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(f"({_sq(tok)}, {lp!r})" for tok, lp in vocab)
+    return f"""
+    WITH vocab AS (SELECT * FROM (VALUES {rows}) AS t(tok, logp)),
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    scored AS (
+      SELECT t.doc_id, coalesce(v.logp, {oov!r}) AS lp
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+      WHERE t.tok != '')
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(lp), 6) AS avg_logp,
+           round(exp(-avg(lp)), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register(
+    "q_lm_perplexity",
+    oracle=_lm_oracle(),
+    doc="CCNet-style unigram-LM perplexity per document: add-alpha "
+    "smoothed LM trained once on a bounded corpus sample (pinned into "
+    "the DuckDB oracle as literal (token, logprob) pairs), every "
+    "document scored by mean token log-prob and exp(-avg) perplexity. "
+    "Scoring is explode -> broadcast vocab join -> doc-local "
+    "aggregate; the shuffle carries O(docs) after map-side combine.",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab, oov = corpus_unigram_lm(sf_dir)
+    vdf = F.broadcast(
+        spark.createDataFrame(vocab, "tok string, logp double")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return (
+        toks.join(vdf, "tok", "left")
+        .select("doc_id", F.coalesce("logp", F.lit(oov)).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+        )
+    )
