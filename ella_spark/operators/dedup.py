@@ -298,6 +298,13 @@ def portable_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit variant (15 md5 hex chars — the widest prefix that stays
+    inside a signed int64 in every engine); used where 32 bits are too
+    collision-prone, e.g. the portable SimHash fingerprint."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
 def minhash_portable_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -402,6 +409,109 @@ def minhash_portable_pairs(
         candidates.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+    chunk_bits: int = 15,
+    hamming_threshold: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with ENGINE-PORTABLE hashing.
+
+    Same chunk-bucket pipeline and scale shape as ``simhash_dedup``
+    (map-only fingerprints → chunk equi-join → bit_count verify) but
+    the fingerprint is pure integer math any SQL engine reproduces
+    bit-exactly: per document, the DISTINCT word-token set hashed via
+    ``portable_hash60`` (60 bits — 32 was measured far too
+    collision-prone on same-vocabulary corpora: 15 351 pairs at
+    sf0.01 vs 64-bit simhash_dedup's 18), bit j of the fingerprint
+    set by strict majority vote over the features' j-th hash bits.
+    Features are word BIGRAMS, not unigrams — same-language documents
+    share most of their unigram vocabulary, which collapses
+    majority-vote fingerprints together (measured 2 932 pairs at
+    sf0.01 with unigrams vs tens with bigrams); bigrams carry word
+    order, so unrelated documents diverge. With ``n_bits/chunk_bits``
+    = 4 chunks, any pair within Hamming ≤ 3 shares at least one exact
+    chunk (pigeonhole), so the bucket join has full recall at the
+    threshold. Set (not multiset) feature semantics keep the oracle
+    replay simple and exact.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, Hamming ≤
+    ``hamming_threshold``.
+    """
+    from ella_spark.sources import fan_out
+
+    n_chunks = n_bits // chunk_bits
+    assert hamming_threshold < n_chunks, "pigeonhole recall needs ham < chunks"
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - 2),
+        lambda i: F.concat_ws(" ", F.slice("_w", i + 1, 2)),
+    )
+    hashed = F.array_distinct(F.transform("_bg", portable_hash60))
+
+    def vote(j: int) -> Column:
+        return F.aggregate(
+            "_hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
+        )
+
+    fp = None
+    for j in range(n_bits):
+        bit = F.when(
+            vote(j) * 2 > F.size("_hs"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+
+    base = (
+        fan_out(df.select(F.col(id_col).alias("_id"), words.alias("_w")))
+        .where(F.size("_w") >= 2)
+        .select("_id", bigrams.alias("_bg"))
+        .select("_id", hashed.alias("_hs"))
+        .select("_id", fp.alias("_fp"))
+        .persist()
+    )
+    chunked = base.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright("_fp", c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk_key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_fp", "_c.chunk_idx", "_c.chunk_key")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

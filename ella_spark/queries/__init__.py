@@ -103,20 +103,18 @@ _NEW_R4 = {
     "q_ngram_decontaminate", "q_embed_pca", "q_source_caps",
     "q_temperature_resample", "q_shard_assignment", "q_char_entropy",
     "q_quality_classifier", "q_dedup_minhash_portable",
-    "q_lm_perplexity",
+    "q_lm_perplexity", "q_dedup_simhash_portable",
 }
 
-# Remaining slots of the checked-50: the four queries upgraded from
-# rows-only to oracle-checked this round (persisted-centroid /
-# pinned-hyperplane determinism: kmeans, semantic_dedup, ann_ivf,
-# ann_lsh), q_ann_ivfpq (the only name with no driver row in any
-# round), and q_time_range_scan (code changed this round). The other
-# changed-code queries (q_mix_resample, q_range_join) are demoted to
-# tier 3 — both are driver-green in a prior round and locally
-# parity-gated every run.
+# Remaining slots of the checked-50: queries upgraded from rows-only
+# to oracle-checked this round (persisted-centroid / pinned-hyperplane
+# determinism) plus q_ann_ivfpq (the only name with no driver row in
+# any round). The changed-code queries with prior driver greens
+# (q_time_range_scan, q_mix_resample, q_range_join) are demoted to
+# tier 3 — all locally parity-gated every run.
 _PREFIX_REST = {
     "q_kmeans_embeddings", "q_semantic_dedup", "q_ann_ivf",
-    "q_ann_lsh", "q_ann_ivfpq", "q_time_range_scan",
+    "q_ann_lsh", "q_ann_ivfpq",
 }
 
 

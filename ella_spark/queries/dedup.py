@@ -140,6 +140,59 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_dedup(docs, hamming_threshold=3).orderBy("id_a", "id_b")
 
 
+def _simhash_portable_oracle() -> str:
+    n_bits, chunk_bits, ham = 60, 15, 3
+    n_chunks = n_bits // chunk_bits
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * CAST(list_sum(list_transform(hs, h -> (h >> {j}) & 1)) AS BIGINT)"
+        f" > len(hs) THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    chunk_ids = ", ".join(str(c) for c in range(n_chunks))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)),
+               i -> ('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15))::BIGINT)) AS hs
+      FROM docs WHERE len(w) >= 2),
+    fp AS (
+      SELECT doc_id, CAST({fp_terms} AS BIGINT) AS f
+      FROM sh WHERE len(hs) > 0),
+    chunked AS (
+      SELECT doc_id, f, t.c AS chunk_idx,
+             (f >> (t.c * {chunk_bits})) & {(1 << chunk_bits) - 1} AS chunk_key
+      FROM fp, UNNEST([{chunk_ids}]) AS t(c)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+      FROM chunked a
+      JOIN chunked b ON a.chunk_idx = b.chunk_idx
+                    AND a.chunk_key = b.chunk_key
+                    AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {ham}
+    """
+
+
+@register(
+    "q_dedup_simhash_portable",
+    oracle=_simhash_portable_oracle(),
+    doc="SimHash near-dup pairs with engine-portable hashing: 60-bit "
+    "majority-vote fingerprint over md5-derived distinct token hashes, "
+    "4x15-bit chunk buckets (pigeonhole recall at Hamming<=3), "
+    "bit_count verify — the DuckDB oracle replays the exact pair set.",
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_portable_pairs(docs, hamming_threshold=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register(
     "q_dedup_embedding",
     oracle="""
