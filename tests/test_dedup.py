@@ -55,6 +55,42 @@ def test_simhash_finds_planted_pairs(planted):
     assert (3, 6) not in pairs
 
 
+def test_minhash_portable_finds_planted_pairs(planted):
+    """The engine-portable variant (md5 + Carter–Wegman integer
+    permutations) must behave like the xxhash64 fast path on planted
+    duplicates — correctness parity with the oracle is covered by
+    test_oracle_parity; this pins the dedup SEMANTICS."""
+    from ella_spark.operators.dedup import minhash_portable_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_portable_pairs(
+            planted, jaccard_threshold=0.5, shingle_words=3
+        ).collect()
+    }
+    assert pairs.get((1, 7)) == 1.0  # exact dup: identical shingle sets
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs
+    assert (3, 6) not in pairs
+
+
+def test_simhash_portable_finds_planted_pairs(planted):
+    """With ~12 bigram features per tiny test doc, one changed token
+    flips several majority votes ((1,2) lands at Hamming 8 — bigram
+    simhash needs realistic document lengths for a tight radius), so
+    this pins the exact-dup, strong near-dup, and no-false-positive
+    contracts; corpus-level behavior is oracle-checked at sf0.01."""
+    from ella_spark.operators.dedup import simhash_portable_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_portable_pairs(planted, hamming_threshold=3).collect()
+    }
+    assert pairs.get((1, 7)) == 0  # identical docs -> identical fingerprint
+    assert (4, 5) in pairs  # trailing-punctuation near-dup
+    assert (3, 6) not in pairs and (1, 3) not in pairs
+
+
 def test_ngram_jaccard_scores(planted):
     from ella_spark.operators.dedup import ngram_jaccard_pairs
 
