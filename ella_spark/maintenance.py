@@ -28,6 +28,10 @@ from ella_spark.types import TIME_COLUMN
 #: (table/config.rs:19); scaled down for local defaults.
 DEFAULT_TARGET_ROWS = 1 << 25
 
+#: clustered compaction writes this many range-disjoint output shards
+#: per merge group (each skippable independently via the v2 manifest)
+_CLUSTER_SPLITS = 4
+
 
 class BucketLock:
     """Per-bucket-directory mutual exclusion via an O_EXCL lock file.
@@ -100,7 +104,10 @@ class BucketLock:
 
 
 def compact_topic(
-    topic: Topic, target_rows: int = DEFAULT_TARGET_ROWS, min_shards: int = 2
+    topic: Topic,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    min_shards: int = 2,
+    cluster_by: list[str] | None = None,
 ) -> Path | None:
     """Merge adjacent small shards into one time-sorted shard.
 
@@ -123,6 +130,18 @@ def compact_topic(
     re-deliver its rows — run compaction only on subscriber-quiesced
     topics, the reference's implicit contract too (its Maintainer runs
     inside the single embedded process).
+
+    ``cluster_by`` re-sorts the merged shard by the given value
+    columns (then time) instead of time alone — the segment-sort-key
+    idiom: within a day bucket, compacted shards become disjoint in
+    the cluster columns, so the manifest's per-column stats
+    (build_manifest v2) let ``Topic.read(col_ranges=...)`` skip them
+    driver-side, and parquet row-group stats prune within the files
+    that survive. The trade: time-only row-group pruning inside the
+    bucket weakens (the day dir still prunes whole days) — cluster
+    analytics topics where value predicates dominate, not
+    latest-window TSDB topics.
+
     Returns the new shard path, or None if nothing to do.
     """
     from ella_spark.topic import topic_arrow_schema
@@ -130,14 +149,20 @@ def compact_topic(
     schema = topic_arrow_schema(topic.entry.columns)
     out: Path | None = None
     for bucket_dir in topic.bucket_dirs():
-        merged = _compact_dir(bucket_dir, target_rows, min_shards, schema)
+        merged = _compact_dir(
+            bucket_dir, target_rows, min_shards, schema, cluster_by
+        )
         if merged is not None:
             out = merged
     return out
 
 
 def _compact_dir(
-    bucket_dir: Path, target_rows: int, min_shards: int, schema=None
+    bucket_dir: Path,
+    target_rows: int,
+    min_shards: int,
+    schema=None,
+    cluster_by: list[str] | None = None,
 ) -> Path | None:
     """Compact one time-bucket directory (compaction never crosses
     bucket boundaries — partition pruning depends on the dirs). Holds
@@ -146,7 +171,9 @@ def _compact_dir(
     with BucketLock(bucket_dir) as held:
         if not held:
             return None
-        return _compact_dir_locked(bucket_dir, target_rows, min_shards, schema)
+        return _compact_dir_locked(
+            bucket_dir, target_rows, min_shards, schema, cluster_by
+        )
 
 
 def _align_to_schema(tbl, schema):
@@ -170,7 +197,11 @@ def _align_to_schema(tbl, schema):
 
 
 def _compact_dir_locked(
-    bucket_dir: Path, target_rows: int, min_shards: int, schema=None
+    bucket_dir: Path,
+    target_rows: int,
+    min_shards: int,
+    schema=None,
+    cluster_by: list[str] | None = None,
 ) -> Path | None:
     shards = sorted(bucket_dir.glob("part-*.parquet"))
     sizes = {p: pq.ParquetFile(p).metadata.num_rows for p in shards}
@@ -191,17 +222,40 @@ def _compact_dir_locked(
 
     if schema is not None:
         tables = [_align_to_schema(t, schema) for t in tables]
-    merged = pa.concat_tables(tables).sort_by([(TIME_COLUMN, "ascending")])
+    sort_keys = [(c, "ascending") for c in (cluster_by or [])] + [
+        (TIME_COLUMN, "ascending")
+    ]
+    merged = pa.concat_tables(tables).sort_by(sort_keys)
     # Name the merged shard with the EARLIEST source shard's timestamp
     # prefix (plus a 'c' compaction marker) so it sorts at the position
     # of its oldest input: an exact-offset subscriber whose watermark
     # has passed the compacted range (sources/topic_stream.py orders by
     # basename) never sees the merged file as new input.
     first_ts = group[0].name.split("-")[1]
-    out = bucket_dir / f"part-{first_ts}-c{uuid.uuid4().hex[:7]}.parquet"
-    tmp = out.with_name(f"_tmp-{out.name}")
-    pq.write_table(merged, tmp, row_group_size=1 << 20)
-    tmp.replace(out)
+    if cluster_by:
+        # range-disjoint output shards: contiguous slices of the
+        # cluster-sorted merge, so each FILE covers a disjoint
+        # cluster-column range and the v2 manifest can skip whole
+        # files for value predicates (one file would only enable
+        # row-group pruning)
+        n_slices = min(_CLUSTER_SPLITS, max(1, merged.num_rows))
+        step = -(-merged.num_rows // n_slices)
+        out = None
+        for s in range(n_slices):
+            part = merged.slice(s * step, step)
+            if part.num_rows == 0:
+                continue
+            out = bucket_dir / (
+                f"part-{first_ts}-c{uuid.uuid4().hex[:7]}-k{s}.parquet"
+            )
+            tmp = out.with_name(f"_tmp-{out.name}")
+            pq.write_table(part, tmp, row_group_size=1 << 20)
+            tmp.replace(out)
+    else:
+        out = bucket_dir / f"part-{first_ts}-c{uuid.uuid4().hex[:7]}.parquet"
+        tmp = out.with_name(f"_tmp-{out.name}")
+        pq.write_table(merged, tmp, row_group_size=1 << 20)
+        tmp.replace(out)
     for p in group:
         p.unlink()
         p.with_name(f".{p.name}.crc").unlink(missing_ok=True)
@@ -427,20 +481,29 @@ def expire_topic(topic: Topic, before_ns: int) -> list[Path]:
 
 
 def build_manifest(topic: Topic) -> int:
-    """Consolidate per-shard time min/max stats into a single manifest
+    """Consolidate per-shard min/max stats into a single manifest
     (``<topic>/_manifest/stats.json``) for DRIVER-side file skipping.
 
     Day-bucket partition dirs already prune whole days; within a day a
     hot topic accumulates thousands of shards, and Spark's parquet
     reader opens every listed file's footer before row-group pruning
     can help. The manifest is the Iceberg/Delta-style answer: one
-    driver-side JSON of ``basename -> [min_time, max_time]`` built
-    from parquet footers (each footer read ONCE, here, instead of on
-    every query), maintained by the maintenance pass and swapped
-    atomically. ``Topic.read`` then passes only overlapping files to
-    the scan. Semantics are conservative: a shard with no entry yet
-    (published since the last pass) is always read, so the manifest
-    can only skip files it has proven disjoint — never lose rows.
+    driver-side JSON built from parquet footers (each footer read
+    ONCE, here, instead of on every query), maintained by the
+    maintenance pass and swapped atomically. ``Topic.read`` then
+    passes only overlapping files to the scan. Semantics are
+    conservative: a shard with no entry yet (published since the last
+    pass) is always read, so the manifest can only skip files it has
+    proven disjoint — never lose rows.
+
+    Entry format (v2): ``basename -> {"t": [min_time, max_time],
+    "c": {col: [min, max], ...}}`` — the per-column stats cover every
+    numeric topic column, enabling value-predicate skipping via
+    ``Topic.read(col_ranges=...)``. Whether that skips anything
+    depends on shards being CLUSTERED on the column (natural
+    correlation with publish order, or ``compact_topic(...,
+    cluster_by=[col])``); the stats themselves are always sound. v1
+    entries (``basename -> [lo, hi]``) are upgraded in place.
 
     Returns the number of newly-added entries.
     """
@@ -452,6 +515,12 @@ def build_manifest(topic: Topic) -> int:
     live = {p.name: p for p in topic.shards()}
     # drop entries whose files are gone (compacted/cleaned)
     stats = {k: v for k, v in stats.items() if k in live}
+    numeric = {
+        c.name
+        for c in topic.entry.columns
+        if c.dtype in ("int8", "int16", "int32", "int64", "uint8", "uint16",
+                       "uint32", "uint64", "float32", "float64")
+    }
     added = 0
     for name, path in live.items():
         if name in stats:
@@ -460,19 +529,29 @@ def build_manifest(topic: Topic) -> int:
             md = pq.ParquetFile(path).metadata
         except OSError:
             continue  # mid-rename; next pass
-        lo = hi = None
+        mins: dict = {}
+        maxs: dict = {}
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             for i in range(rg.num_columns):
                 col = rg.column(i)
-                if col.path_in_schema == TIME_COLUMN and col.statistics:
+                cn = col.path_in_schema
+                if cn != TIME_COLUMN and cn not in numeric:
+                    continue
+                if col.statistics and col.statistics.has_min_max:
                     s = col.statistics
-                    if s.has_min_max:
-                        lo = s.min if lo is None else min(lo, s.min)
-                        hi = s.max if hi is None else max(hi, s.max)
-        if lo is None or hi is None:
-            continue  # no stats: file stays un-skippable
-        stats[name] = [int(lo), int(hi)]
+                    mins[cn] = s.min if cn not in mins else min(mins[cn], s.min)
+                    maxs[cn] = s.max if cn not in maxs else max(maxs[cn], s.max)
+        if TIME_COLUMN not in mins:
+            continue  # no time stats: file stays un-skippable
+        stats[name] = {
+            "t": [int(mins[TIME_COLUMN]), int(maxs[TIME_COLUMN])],
+            "c": {
+                cn: [mins[cn], maxs[cn]]
+                for cn in sorted(mins)
+                if cn != TIME_COLUMN
+            },
+        }
         added += 1
     mdir.mkdir(exist_ok=True)
     tmp = mdir / f".stats-{uuid.uuid4().hex}.tmp"

@@ -104,23 +104,31 @@ class Topic:
         )
 
     def manifest(self) -> dict:
-        """Per-shard time stats (basename -> [min, max]) consolidated
-        by maintenance.build_manifest; empty dict if never built."""
+        """Per-shard stats consolidated by maintenance.build_manifest:
+        ``basename -> {"t": [min_time, max_time], "c": {col: [min,
+        max]}}``; empty dict if never built. v1 entries (bare
+        ``[lo, hi]`` time lists) normalize to v2 with no column
+        stats."""
         import json
 
         mpath = self.path / "_manifest" / "stats.json"
         if not mpath.exists():
             return {}
         try:
-            return json.loads(mpath.read_text())
+            raw = json.loads(mpath.read_text())
         except (ValueError, OSError):
             return {}
+        return {
+            k: (v if isinstance(v, dict) else {"t": v, "c": {}})
+            for k, v in raw.items()
+        }
 
     def read(
         self,
         spark: SparkSession,
         start_ns: int | None = None,
         end_ns: int | None = None,
+        col_ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Batch scan of all durable shards (history tier).
 
@@ -138,23 +146,36 @@ class Topic:
         bottleneck. Shards without a manifest entry yet (published
         since the last pass) are always read — skipping is only ever
         proven-disjoint.
+
+        ``col_ranges`` extends the same skipping to numeric value
+        columns: ``{"k": (lo, hi)}`` keeps only shards whose manifest
+        [min, max] for ``k`` intersects the CLOSED interval [lo, hi]
+        (either bound may be None), then applies the residual filter
+        to the surviving rows. Effective when shards are clustered on
+        the column — publish-order correlation or
+        ``compact_topic(cluster_by=["k"])``; always correct
+        regardless.
         """
         from pyspark.sql import functions as F
 
         from ella_spark.session import configure
 
         configure(spark)
-        bounded = start_ns is not None or end_ns is not None
+        bounded = (
+            start_ns is not None or end_ns is not None or bool(col_ranges)
+        )
         if bounded and (stats := self.manifest()):
             files = self.shards()
             keep = []
             for p in files:
                 ent = stats.get(p.name)
                 if ent is not None:
-                    lo, hi = ent
+                    lo, hi = ent["t"]
                     if start_ns is not None and hi < start_ns:
                         continue
                     if end_ns is not None and lo >= end_ns:
+                        continue
+                    if col_ranges and self._misses_ranges(ent, col_ranges):
                         continue
                 keep.append(p)
             if len(keep) < len(files):
@@ -163,7 +184,7 @@ class Topic:
                     df = df.where(F.col(TIME_COLUMN) >= start_ns)
                 if end_ns is not None:
                     df = df.where(F.col(TIME_COLUMN) < end_ns)
-                return df
+                return self._apply_col_ranges(df, col_ranges)
         df = (
             spark.read.schema(self._partitioned_schema())
             .option("basePath", str(self.path))
@@ -179,7 +200,33 @@ class Topic:
                 (F.col(PARTITION_COL) <= time_bucket(end_ns - 1))
                 & (F.col(TIME_COLUMN) < end_ns)
             )
-        return df.drop(PARTITION_COL)
+        return self._apply_col_ranges(df.drop(PARTITION_COL), col_ranges)
+
+    @staticmethod
+    def _misses_ranges(ent: dict, col_ranges: dict) -> bool:
+        """True when the shard's stats PROVE it cannot intersect every
+        requested closed range (missing column stats never skip)."""
+        for col, (lo, hi) in col_ranges.items():
+            rng = ent.get("c", {}).get(col)
+            if rng is None:
+                continue
+            cmin, cmax = rng
+            if lo is not None and cmax < lo:
+                return True
+            if hi is not None and cmin > hi:
+                return True
+        return False
+
+    @staticmethod
+    def _apply_col_ranges(df: DataFrame, col_ranges: dict | None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for col, (lo, hi) in (col_ranges or {}).items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df
 
     def read_stream(
         self, spark: SparkSession, max_files_per_trigger: int = 8

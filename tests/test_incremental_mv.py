@@ -428,6 +428,79 @@ def test_shard_manifest_file_skipping(db, spark):
     assert df3.count() == 10
 
 
+def test_clustered_compaction_column_skipping(db, spark):
+    """compact_topic(cluster_by=[k]) writes range-disjoint shards in
+    the cluster column; build_manifest v2 records per-column stats;
+    Topic.read(col_ranges=...) then skips whole files driver-side,
+    while fresh shards and files without stats are never skipped."""
+    from ella_spark.maintenance import build_manifest, compact_topic
+
+    t = db.create_topic("ck", [Column("k", "int64"), Column("v", "float64")])
+    # four publishes with interleaved k: every shard spans most of the
+    # k range, so BEFORE clustering nothing is skippable
+    for base in range(4):
+        with t.publish() as pub:
+            for i in range(40):
+                k = (i * 7 + base) % 100
+                pub.write(base * 100 + i, k, float(k))
+    assert len(t.shards()) == 4
+    build_manifest(t)
+    df0 = t.read(spark, col_ranges={"k": (0, 10)})
+    assert len(df0.inputFiles()) == 4  # interleaved: no skipping possible
+
+    compact_topic(t, min_shards=2, cluster_by=["k"])
+    n = build_manifest(t)
+    shards = t.shards()
+    assert len(shards) == 4 and n == 4  # 4 range-disjoint slices
+    stats = t.manifest()
+    ranges = sorted(tuple(stats[p.name]["c"]["k"]) for p in shards)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo  # contiguous slices of the k-sorted merge
+
+    df = t.read(spark, col_ranges={"k": (0, 10)})
+    assert len(df.inputFiles()) == 1  # three of four files skipped
+    got = sorted((r.k, r.v) for r in df.collect())
+    assert got and all(0 <= k <= 10 for k, _ in got)
+    # residual filter exactness: equals the unskipped scan's rows
+    exp = sorted(
+        (r.k, r.v)
+        for r in t.read(spark).where("k BETWEEN 0 AND 10").collect()
+    )
+    assert got == exp
+
+    # a shard published AFTER the manifest is never skipped
+    with t.publish() as pub:
+        pub.write(999_000, 50, 5.0)
+    df2 = t.read(spark, col_ranges={"k": (45, 55)})
+    names2 = {f.rsplit("/", 1)[-1] for f in df2.inputFiles()}
+    assert any(n not in stats for n in names2)  # fresh file read
+    assert any(r.k == 50 for r in df2.collect())
+
+
+def test_manifest_v1_entries_upgrade(db, spark):
+    """A v1 manifest (basename -> [lo, hi]) still time-skips, and the
+    next build_manifest rewrites it as v2."""
+    import json
+
+    from ella_spark.maintenance import build_manifest
+
+    t = db.create_topic("v1m", [Column("v", "float64")])
+    for base in (0, 1000):
+        with t.publish() as pub:
+            for i in range(5):
+                pub.write(base + i, float(i))
+    build_manifest(t)
+    mpath = t.path / "_manifest" / "stats.json"
+    v2 = json.loads(mpath.read_text())
+    mpath.write_text(json.dumps({k: v["t"] for k, v in v2.items()}))  # v1
+    assert all(isinstance(v, dict) for v in t.manifest().values())
+    df = t.read(spark, start_ns=1000, end_ns=1010)
+    assert len(df.inputFiles()) == 1 and df.count() == 5
+    build_manifest(t)
+    raw = json.loads(mpath.read_text())
+    assert all(isinstance(v, dict) and "t" in v for v in raw.values())
+
+
 def test_retention_expires_old_buckets(db, spark):
     """expire_topic drops only whole day buckets strictly older than
     the cutoff's bucket; rows at/after the cutoff bucket survive, MV
