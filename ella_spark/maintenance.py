@@ -232,7 +232,7 @@ def _compact_dir_locked(
     # has passed the compacted range (sources/topic_stream.py orders by
     # basename) never sees the merged file as new input.
     first_ts = group[0].name.split("-")[1]
-    if cluster_by:
+    if cluster_by and merged.num_rows > 0:
         # range-disjoint output shards: contiguous slices of the
         # cluster-sorted merge, so each FILE covers a disjoint
         # cluster-column range and the v2 manifest can skip whole
