@@ -54,6 +54,10 @@ class TableEntry:
     #: None → the stored SQL isn't delta-refreshable (or never analyzed);
     #: refresh falls back to full recompute.
     refresh_state: dict | None = None
+    #: materialized views: how many snapshot versions to retain
+    #: (time travel via `FOR VERSION AS OF` / Ella.read_mv_version);
+    #: 1 = current only (old versions pruned at commit, the default)
+    keep_versions: int = 1
 
     @property
     def ident(self) -> tuple[str, str, str]:
@@ -72,6 +76,7 @@ class TableEntry:
             "version": self.version,
             "result_schema": self.result_schema,
             "refresh_state": self.refresh_state,
+            "keep_versions": self.keep_versions,
         }
 
     @classmethod
@@ -88,6 +93,7 @@ class TableEntry:
             version=d.get("version", 0),
             result_schema=d.get("result_schema"),
             refresh_state=d.get("refresh_state"),
+            keep_versions=d.get("keep_versions", 1),
         )
 
 

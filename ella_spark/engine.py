@@ -108,6 +108,16 @@ _ANN_SEARCH_RE = re.compile(
 )
 
 
+#: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
+#: is mandatory: without it, `mv VERSION AS OF 1` is valid vanilla SQL
+#: (VERSION parses as a table alias), so a textual rewrite could
+#: silently change the meaning of unrelated queries; `FOR VERSION`
+#: never is, which makes every match intentional.
+_VERSION_ASOF_RE = re.compile(
+    r"([A-Za-z0-9_.]+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
+)
+
+
 def _state_key(prefix: str, i: int) -> str:
     """refresh_state key for the i-th FROM table ("topic"/"shards" for
     the first, "topic2"/"shards2" for the second, … — the numbered
@@ -200,10 +210,13 @@ class Ella:
                 df = df.drop(*[c for c in df.columns if c.startswith("__mv_")])
             return df
         # view, or a materialized view before its first refresh; the
-        # stored SQL keeps durable ann_search(...) text — rewrite here
+        # stored SQL keeps durable ann_search(...) / VERSION AS OF
+        # text — rewrite here, at every read
         sql = entry.sql
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
+        if _VERSION_ASOF_RE.search(sql):
+            sql = self._rewrite_version_asof(sql)
         return self.spark.sql(sql)
 
     def _unregister(self, entry: TableEntry) -> None:
@@ -278,6 +291,7 @@ class Ella:
         query: "Lazy | str",
         replace: bool = True,
         indexes: list[tuple[str, bool]] | None = None,
+        keep_versions: int = 1,
     ) -> int:
         """Materialized view: stored SQL + a versioned parquet snapshot,
         refreshed on demand (beyond-reference: the reference declares
@@ -294,6 +308,13 @@ class Ella:
         version distributed, then flips the catalog pointer in one
         transaction — readers see the old or the new snapshot, never a
         half-written one. Returns the snapshot row count.
+
+        ``keep_versions`` > 1 retains that many snapshot versions for
+        TIME TRAVEL: read an old one with ``read_mv_version`` or SQL
+        ``SELECT … FROM mv FOR VERSION AS OF n`` (Iceberg-style).
+        Retention is by version count, pruned at commit — the Delta/
+        Iceberg snapshot-retention idiom; each retained version costs
+        only its delta for SPF views (hardlinked files are shared).
         """
         catalog, schema, base = self._split(name)
         sql = query if isinstance(query, str) else query._sql
@@ -301,6 +322,8 @@ class Ella:
             raise ValueError(
                 "materialized view needs SQL text; build via Ella.query(sql)"
             )
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
         entry = TableEntry(
             catalog=catalog,
             schema=schema,
@@ -309,6 +332,7 @@ class Ella:
             columns=[],
             sql=sql,
             indexes=list(indexes or []),
+            keep_versions=keep_versions,
         )
         self.store.put_table(entry, replace=replace)
         return self.refresh_materialized(name)
@@ -397,10 +421,58 @@ class Ella:
         )
         self.store.put_table(updated, replace=True)
         self._register(updated)
-        for old in self.store.table_path(entry).glob("v=*"):
-            if old.is_dir() and int(old.name.split("=")[1]) < new_version:
-                shutil.rmtree(old, ignore_errors=True)
+        self._prune_versions(entry, new_version)
         return n
+
+    def read_mv_version(self, name: str, version: int) -> DataFrame:
+        """Time-travel read of a retained materialized-view snapshot
+        (``keep_versions`` > 1). The current version reads through the
+        stored-schema fast path; older versions read their own files
+        (schemas may differ across versions after a definition
+        change). Hidden ``__mv_*`` avg state never surfaces."""
+        entry = self._require(name, "materialized_view")
+        if version == entry.version:
+            return self._frame_for(entry)
+        snap = self.store.table_path(entry) / f"v={version}"
+        if not snap.is_dir():
+            have = sorted(
+                int(p.name.split("=")[1])
+                for p in self.store.table_path(entry).glob("v=*")
+                if p.is_dir()
+            )
+            raise ValueError(
+                f"{name} has no snapshot v={version}; retained: {have} "
+                f"(keep_versions={entry.keep_versions})"
+            )
+        df = self.spark.read.parquet(str(snap))
+        return df.drop(*[c for c in df.columns if c.startswith("__mv_")])
+
+    def _rewrite_version_asof(self, sql: str) -> str:
+        """Substitute every `<mv> [FOR] VERSION AS OF <n>` with a temp
+        view over that retained snapshot (re-applied at every read, so
+        stored view SQL keeps the durable time-travel text)."""
+
+        def _sub(m: re.Match) -> str:
+            ident, version = m.group(1), int(m.group(2))
+            key = self._split(ident)
+            entry = self.store.tables.get(key)
+            if entry is None or entry.kind != "materialized_view":
+                # not an MV (e.g. the token sequence inside a string
+                # literal): leave the text for Spark to parse
+                return m.group(0)
+            view = f"__mv_asof_{ident.replace('.', '_')}_{version}"
+            self.read_mv_version(ident, version).createOrReplaceTempView(view)
+            return view
+
+        return _VERSION_ASOF_RE.sub(_sub, sql)
+
+    def _prune_versions(self, entry: TableEntry, new_version: int) -> None:
+        """Drop snapshot dirs older than the retention window
+        (``keep_versions`` newest survive — time-travel reads)."""
+        cutoff = new_version - max(entry.keep_versions, 1) + 1
+        for old in self.store.table_path(entry).glob("v=*"):
+            if old.is_dir() and int(old.name.split("=")[1]) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
 
     @staticmethod
     def _apply_mv_indexes(entry: TableEntry, df: DataFrame) -> DataFrame:
@@ -621,9 +693,7 @@ class Ella:
         )
         self.store.put_table(updated, replace=True)
         self._register(updated)
-        for old in self.store.table_path(entry).glob("v=*"):
-            if old.is_dir() and int(old.name.split("=")[1]) < new_version:
-                _shutil.rmtree(old, ignore_errors=True)
+        self._prune_versions(entry, new_version)
         return total
 
     def _refresh_delta_join(
@@ -817,6 +887,8 @@ class Ella:
             return ddl
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
+        if _VERSION_ASOF_RE.search(sql):
+            sql = self._rewrite_version_asof(sql)
         m = _INSERT_RE.match(sql)
         if m:
             topic = self.topic(m.group(1))

@@ -501,6 +501,57 @@ def test_manifest_v1_entries_upgrade(db, spark):
     assert all(isinstance(v, dict) and "t" in v for v in raw.values())
 
 
+def test_mv_time_travel(db, spark):
+    """keep_versions retains snapshot versions for time travel: old
+    versions readable via API and `FOR VERSION AS OF` SQL, pruned
+    beyond the retention window, hidden avg state never surfaces."""
+    t = _mk_topic(db, spark, n=10)
+    db.create_materialized_view(
+        "tt",
+        "SELECT k, count(*) AS n, avg(v) AS m FROM ev GROUP BY k",
+        keep_versions=3,
+    )
+    for lo in (10, 20, 30):  # versions 2, 3, 4
+        t.insert(
+            spark.range(lo, lo + 10).selectExpr(
+                "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+            )
+        )
+        db.refresh_materialized("tt")
+    entry = db.store.resolve("tt")
+    assert entry.version == 4
+    live = sorted(
+        int(p.name.split("=")[1])
+        for p in db.store.table_path(entry).glob("v=*")
+    )
+    assert live == [2, 3, 4]  # keep_versions=3 pruned v=1
+
+    # API read of an old version: counts as of 20 rows total
+    v2 = {r.k: r.n for r in db.read_mv_version("tt", 2).collect()}
+    assert sum(v2.values()) == 20
+    assert db.read_mv_version("tt", 2).columns == ["k", "n", "m"]  # no __mv_*
+
+    # SQL time travel, and the current version via the plain name
+    got = {
+        r.k: r.n
+        for r in db.query(
+            "SELECT k, n FROM tt FOR VERSION AS OF 3"
+        ).df.collect()
+    }
+    assert sum(got.values()) == 30
+    cur = {r.k: r.n for r in db.query("SELECT k, n FROM tt").df.collect()}
+    assert sum(cur.values()) == 40
+
+    # pruned / unknown versions raise with the retained list
+    with pytest.raises(ValueError, match=r"retained: \[2, 3, 4\]"):
+        db.read_mv_version("tt", 1)
+    # literal containing the token sequence is left for Spark to parse
+    one = db.query(
+        "SELECT 'tt VERSION AS OF 1' AS s FROM tt LIMIT 1"
+    ).df.collect()
+    assert one[0].s == "tt VERSION AS OF 1"
+
+
 def test_retention_expires_old_buckets(db, spark):
     """expire_topic drops only whole day buckets strictly older than
     the cutoff's bucket; rows at/after the cutoff bucket survive, MV
