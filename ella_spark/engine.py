@@ -38,6 +38,7 @@ _CREATE_VIEW_RE = re.compile(
 )
 _CREATE_MATVIEW_RE = re.compile(
     r"^\s*create\s+(or\s+replace\s+)?materialized\s+view\s+([A-Za-z0-9_.]+)"
+    r"(?:\s+keep\s+versions\s+(\d+))?"
     r"\s+as\s+(.+)$",
     re.I | re.S,
 )
@@ -995,7 +996,10 @@ class Ella:
         )
         if m := _CREATE_MATVIEW_RE.match(sql):
             n = self.create_materialized_view(
-                m.group(2), m.group(3).strip(), replace=bool(m.group(1))
+                m.group(2),
+                m.group(4).strip(),
+                replace=bool(m.group(1)),
+                keep_versions=int(m.group(3)) if m.group(3) else 1,
             )
             return Lazy(
                 self.spark.createDataFrame([(n,)], "count long"), engine=self, sql=sql

@@ -551,6 +551,13 @@ def test_mv_time_travel(db, spark):
     ).df.collect()
     assert one[0].s == "tt VERSION AS OF 1"
 
+    # DDL spelling: CREATE MATERIALIZED VIEW ... KEEP VERSIONS n
+    db.query(
+        "CREATE MATERIALIZED VIEW tt2 KEEP VERSIONS 2 "
+        "AS SELECT k, count(*) AS n FROM ev GROUP BY k"
+    )
+    assert db.store.resolve("tt2").keep_versions == 2
+
 
 def test_retention_expires_old_buckets(db, spark):
     """expire_topic drops only whole day buckets strictly older than
