@@ -117,6 +117,9 @@ _ANN_SEARCH_RE = re.compile(
 _VERSION_ASOF_RE = re.compile(
     r"([A-Za-z0-9_.]+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
 )
+#: single-quoted SQL string literal ('' = escaped quote) — spans the
+#: version-asof rewrite must never touch
+_SQL_STRING_RE = re.compile(r"'(?:[^']|'')*'")
 
 
 def _state_key(prefix: str, i: int) -> str:
@@ -325,6 +328,14 @@ class Ella:
             )
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
+        # CREATE OR REPLACE resets version to 0: stale v=* dirs from
+        # the previous definition must not survive where time travel
+        # could serve them as this view's history
+        prev = self.store.tables.get((catalog, schema, base))
+        if replace and prev is not None and prev.kind == "materialized_view":
+            path = self.store.table_path(prev)
+            if path.exists():
+                shutil.rmtree(path, ignore_errors=True)
         entry = TableEntry(
             catalog=catalog,
             schema=schema,
@@ -435,23 +446,28 @@ class Ella:
         if version == entry.version:
             return self._frame_for(entry)
         snap = self.store.table_path(entry) / f"v={version}"
-        if not snap.is_dir():
+        # the committed-version bound also refuses a v=N+1 dir a
+        # crashed refresh left behind before its catalog flip — only
+        # versions the catalog ever committed are readable
+        if version < 1 or version > entry.version or not snap.is_dir():
             have = sorted(
-                int(p.name.split("=")[1])
+                v
                 for p in self.store.table_path(entry).glob("v=*")
-                if p.is_dir()
+                if p.is_dir() and (v := int(p.name.split("=")[1])) <= entry.version
             )
             raise ValueError(
-                f"{name} has no snapshot v={version}; retained: {have} "
-                f"(keep_versions={entry.keep_versions})"
+                f"{name} has no committed snapshot v={version}; retained: "
+                f"{have} (keep_versions={entry.keep_versions})"
             )
         df = self.spark.read.parquet(str(snap))
         return df.drop(*[c for c in df.columns if c.startswith("__mv_")])
 
     def _rewrite_version_asof(self, sql: str) -> str:
-        """Substitute every `<mv> [FOR] VERSION AS OF <n>` with a temp
+        """Substitute every `<mv> FOR VERSION AS OF <n>` with a temp
         view over that retained snapshot (re-applied at every read, so
-        stored view SQL keeps the durable time-travel text)."""
+        stored view SQL keeps the durable time-travel text).
+        Single-quoted string literals are masked first — `'mv FOR
+        VERSION AS OF 1'` is data, not time travel."""
 
         def _sub(m: re.Match) -> str:
             ident, version = m.group(1), int(m.group(2))
@@ -465,7 +481,13 @@ class Ella:
             self.read_mv_version(ident, version).createOrReplaceTempView(view)
             return view
 
-        return _VERSION_ASOF_RE.sub(_sub, sql)
+        parts, last = [], 0
+        for m in _SQL_STRING_RE.finditer(sql):
+            parts.append(_VERSION_ASOF_RE.sub(_sub, sql[last : m.start()]))
+            parts.append(m.group(0))
+            last = m.end()
+        parts.append(_VERSION_ASOF_RE.sub(_sub, sql[last:]))
+        return "".join(parts)
 
     def _prune_versions(self, entry: TableEntry, new_version: int) -> None:
         """Drop snapshot dirs older than the retention window
@@ -514,6 +536,8 @@ class Ella:
             sql = entry.sql
             if _ANN_SEARCH_RE.search(sql):
                 sql = self._rewrite_ann_search(sql)
+            if _VERSION_ASOF_RE.search(sql):
+                sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.avgs:
                 df = self._with_visible_avgs(entry.sql, analysis)
             else:
@@ -886,6 +910,12 @@ class Ella:
         ddl = self._dispatch_ddl(sql)
         if ddl is not None:
             return ddl
+        # Lazy keeps the PRE-rewrite text: creating a view/MV from a
+        # Lazy must persist durable ann_search(...) / VERSION AS OF
+        # SQL, never the session-scoped temp-view names the rewrites
+        # substitute (those dangle after reopen; _frame_for and the
+        # refresh paths re-apply the rewrites at every read instead).
+        durable_sql = sql
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
         if _VERSION_ASOF_RE.search(sql):
@@ -910,9 +940,11 @@ class Ella:
             n = topic.insert(src)
             self._register(topic.entry)
             return Lazy(
-                self.spark.createDataFrame([(n,)], "count long"), engine=self, sql=sql
+                self.spark.createDataFrame([(n,)], "count long"),
+                engine=self,
+                sql=durable_sql,
             )
-        return Lazy(self.spark.sql(sql), engine=self, sql=sql)
+        return Lazy(self.spark.sql(sql), engine=self, sql=durable_sql)
 
     def _rewrite_ann_search(self, sql: str) -> str:
         """Table-valued ANN search in plain SQL:

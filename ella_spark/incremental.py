@@ -108,7 +108,8 @@ _JOIN_SHAPE = re.compile(
     re.I | re.S,
 )
 _CHAIN_HEAD = re.compile(
-    r"^\s*(?P<t>[A-Za-z0-9_]+)(?:\s+(?:as\s+)?(?P<a>[A-Za-z0-9_]+))?\s*$"
+    r"^\s*(?P<t>[A-Za-z0-9_]+)(?:\s+(?:as\s+)?(?P<a>[A-Za-z0-9_]+))?\s*$",
+    re.I,
 )
 _CHAIN_LINK = re.compile(
     r"^\s*(?P<t>[A-Za-z0-9_]+)(?:\s+(?:as\s+)?(?P<a>[A-Za-z0-9_]+))?"

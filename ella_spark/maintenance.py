@@ -15,6 +15,7 @@ only recent buckets.
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
 from pathlib import Path
@@ -176,6 +177,21 @@ def _compact_dir(
         )
 
 
+_CLUSTER_GEN_RE = re.compile(r"-c([0-9a-f]+)-k\d+\.parquet$")
+
+
+def _one_cluster_generation(group: list[Path]) -> bool:
+    """True when every file in the group is a clustered slice from the
+    SAME previous merge (one shared generation id)."""
+    gens = set()
+    for p in group:
+        m = _CLUSTER_GEN_RE.search(p.name)
+        if m is None:
+            return False
+        gens.add(m.group(1))
+    return len(gens) == 1
+
+
 def _align_to_schema(tbl, schema):
     """Project a shard table onto the topic's CURRENT schema: evolved
     topics mix shard generations in one bucket — columns added since a
@@ -216,6 +232,12 @@ def _compact_dir_locked(
             break
     if len(group) < min_shards:
         return None
+    if cluster_by and _one_cluster_generation(group):
+        # the group is exactly the slice set one previous clustered
+        # merge produced: re-merging would rewrite identical data
+        # every pass (and rename shards, invalidating MV delta
+        # cursors each cycle) — quiesce until new shards arrive
+        return None
 
     tables = [pq.read_table(p) for p in group]
     import pyarrow as pa
@@ -237,7 +259,9 @@ def _compact_dir_locked(
         # cluster-sorted merge, so each FILE covers a disjoint
         # cluster-column range and the v2 manifest can skip whole
         # files for value predicates (one file would only enable
-        # row-group pruning)
+        # row-group pruning). One generation id across the slices —
+        # the next pass recognizes its own output and quiesces.
+        gen = uuid.uuid4().hex[:7]
         n_slices = min(_CLUSTER_SPLITS, max(1, merged.num_rows))
         step = -(-merged.num_rows // n_slices)
         out = None
@@ -245,9 +269,7 @@ def _compact_dir_locked(
             part = merged.slice(s * step, step)
             if part.num_rows == 0:
                 continue
-            out = bucket_dir / (
-                f"part-{first_ts}-c{uuid.uuid4().hex[:7]}-k{s}.parquet"
-            )
+            out = bucket_dir / f"part-{first_ts}-c{gen}-k{s}.parquet"
             tmp = out.with_name(f"_tmp-{out.name}")
             pq.write_table(part, tmp, row_group_size=1 << 20)
             tmp.replace(out)
@@ -523,8 +545,11 @@ def build_manifest(topic: Topic) -> int:
     }
     added = 0
     for name, path in live.items():
-        if name in stats:
+        ent = stats.get(name)
+        if ent is not None and (ent.get("c") or not numeric):
             continue
+        # new shard, or a v1-era entry with no column stats yet: (re)read
+        # the footer so pre-upgrade shards gain col_ranges skipping too
         try:
             md = pq.ParquetFile(path).metadata
         except OSError:

@@ -205,7 +205,16 @@ class Topic:
     @staticmethod
     def _misses_ranges(ent: dict, col_ranges: dict) -> bool:
         """True when the shard's stats PROVE it cannot intersect every
-        requested closed range (missing column stats never skip)."""
+        requested closed range (missing column stats never skip).
+
+        NaN note: parquet min/max exclude NaN, so for float columns a
+        skipped file may hold NaN rows even though Spark's comparison
+        semantics say ``NaN >= lo``. This matches Spark's OWN scan
+        behavior exactly — the pushed-down parquet filter prunes the
+        same row groups from the same stats (verified: a plain
+        ``read.parquet(...).where("v >= 100")`` drops the NaN row
+        too, test_col_ranges_nan_matches_spark_pushdown) — so the
+        manifest path and the unskipped path always agree."""
         for col, (lo, hi) in col_ranges.items():
             rng = ent.get("c", {}).get(col)
             if rng is None:

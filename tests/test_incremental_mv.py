@@ -221,6 +221,10 @@ def test_analyzer_shapes():
         "GROUP BY a.k"
     )
     assert avj is not None and avj.mode == "agg_join" and avj.avgs
+    # uppercase AS in the chain head alias (regression: _CHAIN_HEAD
+    # must be case-insensitive like the rest of the analyzer)
+    up = analyze_mv_sql("SELECT x.v FROM a AS x JOIN b ON x.k = b.k")
+    assert up is not None and up.mode == "spf_join" and up.tables == ["a", "b"]
     for bad in (
         "SELECT k, avg(DISTINCT v) AS m FROM t GROUP BY k",
         "SELECT k, count(DISTINCT v) AS d FROM t GROUP BY k",
@@ -476,6 +480,40 @@ def test_clustered_compaction_column_skipping(db, spark):
     assert any(n not in stats for n in names2)  # fresh file read
     assert any(r.k == 50 for r in df2.collect())
 
+    # quiesce: a second clustered pass recognizes its own slice set
+    # (one generation id) and rewrites nothing — endless recompaction
+    # would also rename shards and invalidate MV delta cursors
+    before = {p.name for p in t.shards()}
+    assert compact_topic(t, min_shards=2, cluster_by=["k"]) is not None
+    mid = {p.name for p in t.shards()}  # fresh shard folded in
+    assert compact_topic(t, min_shards=2, cluster_by=["k"]) is None
+    assert {p.name for p in t.shards()} == mid != before
+
+
+def test_col_ranges_nan_matches_spark_pushdown(db, spark):
+    """Parquet min/max exclude NaN, so a manifest-level skip on
+    ``cmax < lo`` could drop a NaN row that Spark's comparison
+    semantics accept (NaN >= lo is true). That is EXACTLY what
+    Spark's own pushed-down parquet filter does from the same stats —
+    so the contract is agreement with the unskipped scan, not with
+    the in-memory comparison semantics. This pins both sides."""
+    import math
+
+    from ella_spark.maintenance import build_manifest
+
+    t = db.create_topic("nanv", [Column("v", "float64")])
+    with t.publish() as pub:
+        for i in range(5):
+            pub.write(i, float(i))
+        pub.write(5, math.nan)
+    build_manifest(t)
+    skipped = t.read(spark, col_ranges={"v": (100.0, None)}).collect()
+    native = t.read(spark).where("v >= 100.0").collect()
+    assert [r.v for r in skipped] == [r.v for r in native]
+    # Spark's own row-group pruning drops the NaN row from the same
+    # stats the manifest uses — document the equivalence
+    assert native == []
+
 
 def test_manifest_v1_entries_upgrade(db, spark):
     """A v1 manifest (basename -> [lo, hi]) still time-skips, and the
@@ -499,6 +537,9 @@ def test_manifest_v1_entries_upgrade(db, spark):
     build_manifest(t)
     raw = json.loads(mpath.read_text())
     assert all(isinstance(v, dict) and "t" in v for v in raw.values())
+    # the rebuild BACKFILLS column stats for pre-v2 entries (footers
+    # re-read), so col_ranges skipping works on pre-upgrade shards too
+    assert all(v["c"].get("v") for v in raw.values())
 
 
 def test_mv_time_travel(db, spark):
@@ -557,6 +598,38 @@ def test_mv_time_travel(db, spark):
         "AS SELECT k, count(*) AS n FROM ev GROUP BY k"
     )
     assert db.store.resolve("tt2").keep_versions == 2
+
+    # a v=N+1 dir a crashed refresh left before its catalog flip is
+    # NOT readable: only committed versions serve time travel
+    orphan = db.store.table_path(entry) / "v=9"
+    orphan.mkdir()
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        db.read_mv_version("tt", 9)
+    orphan.rmdir()
+
+    # literal containing an MV name + the full FOR spelling is data
+    lit = db.query(
+        "SELECT 'tt FOR VERSION AS OF 3' AS s FROM tt LIMIT 1"
+    ).df.collect()
+    assert lit[0].s == "tt FOR VERSION AS OF 3"
+
+    # a Lazy built from time-travel SQL persists the DURABLE text
+    lz = db.query("SELECT k, n FROM tt FOR VERSION AS OF 3")
+    db.create_materialized_view("tt3", lz)
+    assert "FOR VERSION AS OF 3" in db.store.resolve("tt3").sql
+    assert "__mv_asof_" not in db.store.resolve("tt3").sql
+    got3 = {r.k: r.n for r in db.query("SELECT * FROM tt3").df.collect()}
+    assert sum(got3.values()) == 30
+
+    # CREATE OR REPLACE resets history: the old definition's
+    # snapshots must not serve the new view's time travel
+    db.create_materialized_view(
+        "tt", "SELECT k, max(v) AS hi FROM ev GROUP BY k", keep_versions=3
+    )
+    entry = db.store.resolve("tt")
+    assert entry.version == 1
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        db.read_mv_version("tt", 3)
 
 
 def test_retention_expires_old_buckets(db, spark):
