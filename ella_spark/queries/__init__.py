@@ -103,18 +103,19 @@ _NEW_R4 = {
     "q_ngram_decontaminate", "q_embed_pca", "q_source_caps",
     "q_temperature_resample", "q_shard_assignment", "q_char_entropy",
     "q_quality_classifier", "q_dedup_minhash_portable",
-    "q_lm_perplexity", "q_dedup_simhash_portable",
+    "q_lm_perplexity", "q_dedup_simhash_portable", "q_paragraph_dedup",
 }
 
 # Remaining slots of the checked-50: queries upgraded from rows-only
 # to oracle-checked this round (persisted-centroid / pinned-hyperplane
 # determinism) plus q_ann_ivfpq (the only name with no driver row in
-# any round). The changed-code queries with prior driver greens
-# (q_time_range_scan, q_mix_resample, q_range_join) are demoted to
-# tier 3 — all locally parity-gated every run.
+# any round). Demoted to tier 3 to make room: q_kmeans_embeddings
+# (the same pinned-centroid assignment machinery q_semantic_dedup
+# exercises) and the changed-code queries with prior driver greens
+# (q_time_range_scan, q_mix_resample, q_range_join) — all locally
+# parity-gated every run.
 _PREFIX_REST = {
-    "q_kmeans_embeddings", "q_semantic_dedup", "q_ann_ivf",
-    "q_ann_lsh", "q_ann_ivfpq",
+    "q_semantic_dedup", "q_ann_ivf", "q_ann_lsh", "q_ann_ivfpq",
 }
 
 

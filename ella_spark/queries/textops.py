@@ -805,3 +805,58 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
         )
     )
+
+
+@register(
+    "q_paragraph_dedup",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\n{2,}'),
+                         x -> trim(x) != '') AS ps
+      FROM documents),
+    u AS (
+      SELECT doc_id, ps,
+             list_filter(ps, (x, i) -> list_position(ps, x) = i) AS uniq
+      FROM p)
+    SELECT doc_id,
+           CAST(len(ps) AS BIGINT) AS n_paragraphs,
+           CAST(len(uniq) AS BIGINT) AS n_unique,
+           round(CASE WHEN len(ps) > 0
+                 THEN CAST(len(uniq) AS DOUBLE) / len(ps) ELSE 1.0 END, 6)
+             AS unique_ratio,
+           md5(array_to_string(uniq, chr(10) || chr(10))) AS dedup_digest
+    FROM u
+    """,
+    doc="Within-document paragraph dedup (first occurrence wins): the "
+    "intra-doc counterpart of corpus-level dedup — crawl text often "
+    "repeats nav/boilerplate blocks inside one page. Map-only JVM "
+    "expressions (split + indexed filter), no shuffle at any scale; "
+    "the deduped text is fingerprinted (md5) so the oracle compares "
+    "content without hauling full bodies through the harness.",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    paras = F.filter(
+        F.split(F.trim("text"), r"\n{2,}"), lambda x: F.trim(x) != ""
+    )
+    d = d.select("doc_id", paras.alias("_ps"))
+    uniq = F.filter(
+        "_ps", lambda x, i: F.array_position("_ps", x) == i + F.lit(1)
+    )
+    d = d.select("doc_id", "_ps", uniq.alias("_u"))
+    return d.select(
+        "doc_id",
+        F.size("_ps").cast("bigint").alias("n_paragraphs"),
+        F.size("_u").cast("bigint").alias("n_unique"),
+        F.round(
+            F.when(
+                F.size("_ps") > 0,
+                F.size("_u").cast("double") / F.size("_ps"),
+            ).otherwise(1.0),
+            6,
+        ).alias("unique_ratio"),
+        F.md5(F.concat_ws("\n\n", F.col("_u")).cast("binary")).alias(
+            "dedup_digest"
+        ),
+    )
