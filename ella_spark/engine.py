@@ -538,7 +538,7 @@ class Ella:
                 sql = self._rewrite_ann_search(sql)
             if _VERSION_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
-            if analysis is not None and topics and analysis.avgs:
+            if analysis is not None and topics and analysis.hidden_sql:
                 df = self._with_visible_avgs(entry.sql, analysis)
             else:
                 df = self.spark.sql(sql)
@@ -559,23 +559,46 @@ class Ella:
         return n
 
     def _with_visible_avgs(self, orig_sql: str, analysis) -> DataFrame:
-        """Run the hidden-partials SQL and append the visible avg
-        columns (`sum/cnt`, the exact evaluation Spark's own Average
-        performs), each cast to the dtype the ORIGINAL SQL would
+        """Run the hidden-partials SQL and append the visible avg /
+        variance-family columns (recomputed from the mergeable hidden
+        state), each cast to the dtype the ORIGINAL SQL would
         produce — the snapshot then carries visible cols in select
         order followed by the mergeable hidden state."""
-        from pyspark.sql import functions as F
-
         orig_fields = {f.name: f.dataType for f in self.spark.sql(orig_sql).schema}
         df = self.spark.sql(analysis.hidden_sql)
+        return self._derive_visible(df, analysis, orig_fields)
+
+    @staticmethod
+    def _derive_visible(df: DataFrame, analysis, dtypes) -> DataFrame:
+        """Visible avg / variance columns from hidden state, selected
+        in out_cols order followed by the hidden columns."""
+        from pyspark.sql import functions as F
+
         for alias, (hsum, hcnt) in analysis.avgs.items():
             df = df.withColumn(
                 alias,
-                F.when(
-                    F.col(hcnt) > 0, F.col(hsum) / F.col(hcnt)
-                ).cast(orig_fields[alias]),
+                F.when(F.col(hcnt) > 0, F.col(hsum) / F.col(hcnt)).cast(
+                    dtypes[alias]
+                ),
             )
-        hidden = [c for pair in analysis.avgs.values() for c in pair]
+        for alias, (fn, hsum, hcnt, hsq) in analysis.stats.items():
+            n = F.col(hcnt).cast("double")
+            # sum-of-squares variance; clamp tiny negative rounding
+            m2 = F.greatest(
+                F.col(hsq) - F.col(hsum) * F.col(hsum) / n, F.lit(0.0)
+            )
+            if fn in ("var_pop", "stddev_pop"):
+                var, floor = m2 / n, 1
+            else:
+                var, floor = m2 / (n - 1), 2  # sample stats: NULL at n<2
+            val = F.sqrt(var) if fn.startswith("stddev") else var
+            df = df.withColumn(
+                alias,
+                F.when(F.col(hcnt) >= floor, val).cast(dtypes[alias]),
+            )
+        hidden = [c for pair in analysis.avgs.values() for c in pair] + [
+            c for tup in analysis.stats.values() for c in tup[1:]
+        ]
         return df.select(*analysis.out_cols, *hidden)
 
     def _refresh_delta(self, entry: TableEntry, analysis, topic) -> int | None:
@@ -634,11 +657,12 @@ class Ella:
         from pyspark.sql.types import StructType
 
         old = self._frame_for(entry, include_hidden=True)
-        if analysis.avgs:
-            # the snapshot's visible avg columns are derived, not
-            # mergeable state — drop them before unioning with the
+        derived = set(analysis.avgs) | set(analysis.stats)
+        if derived:
+            # the snapshot's visible avg/variance columns are derived,
+            # not mergeable state — drop them before unioning with the
             # delta partials (which carry only the hidden state)
-            old = old.drop(*analysis.avgs.keys())
+            old = old.drop(*derived)
         union = old.unionByName(delta_df)
         schema = StructType.fromJson(_json.loads(entry.result_schema))
         dtypes = {f.name: f.dataType for f in schema.fields}
@@ -647,25 +671,25 @@ class Ella:
             aggs = [
                 merge_fns[fn](c).alias(c)
                 for c, fn in analysis.aggs.items()
-                if fn != "avg"
+                if c not in derived
             ]
             aggs += [
                 F.sum(h).alias(h)
                 for pair in analysis.avgs.values()
                 for h in pair
             ]
+            aggs += [
+                F.sum(h).alias(h)
+                for tup in analysis.stats.values()
+                for h in tup[1:]
+            ]
             merged = (
                 union.groupBy(*analysis.keys).agg(*aggs)
                 if analysis.keys
                 else union.agg(*aggs)
             )
-            for alias, (hsum, hcnt) in analysis.avgs.items():
-                merged = merged.withColumn(
-                    alias,
-                    F.when(
-                        F.col(hcnt) > 0, F.col(hsum) / F.col(hcnt)
-                    ).cast(dtypes[alias]),
-                )
+            if derived:
+                merged = self._derive_visible(merged, analysis, dtypes)
         else:
             merged = union.dropDuplicates(analysis.keys)
         # restore select order and snapshot dtypes (SUM over decimal

@@ -22,6 +22,14 @@ of O(history) for the common single-topic shapes:
   the sum÷count evaluation Spark's own `Average` performs, so the
   visible values match a full recompute. Hidden columns live in the
   snapshot files but are projected away on every read.
+- **variance family** (`stddev[_samp]`, `stddev_pop`, `variance`,
+  `var_samp`, `var_pop`) extends the avg rewrite with a third hidden
+  column `__mv_sq__a` (sum of squares, double): the visible value is
+  `(sumsq − sum²/n) / (n or n−1)` [sqrt for stddev], NULL below the
+  sample-count floor and clamped at 0 against negative rounding.
+  This is textbook sum-of-squares merging, order-independent up to
+  float ulps (Spark's own Welford-merge differs in low-order bits
+  the same way between partition splits).
 - **SPF / aggregate inner-join CHAIN of n ≥ 2 distinct topics**
   (`SELECT … FROM t1 JOIN t2 ON … [JOIN t3 ON …] [WHERE …] [GROUP BY
   …]`): for append-only inputs the leapfrog insert-delta identity
@@ -34,9 +42,9 @@ of O(history) for the common single-topic shapes:
   insert, which append-only snapshots cannot express.
 
 Anything else (outer joins, subqueries, windows, DISTINCT aggs,
-stats aggs, set ops) falls back to a full recompute — correctness
-first; the analyzer is deliberately conservative, and every token it
-does not understand disqualifies the plan.
+corr/covar/regression aggs, set ops) falls back to a full recompute —
+correctness first; the analyzer is deliberately conservative, and
+every token it does not understand disqualifies the plan.
 
 At 100 TB this is the difference between a rollup refresh that reads a
 day of new shards and one that rescans the whole fact history. The
@@ -71,12 +79,20 @@ _SHAPE = re.compile(
 )
 
 #: a mergeable aggregate select item: agg(expr) AS alias
-#: (avg is mergeable VIA REWRITE to hidden sum+count columns)
+#: (avg and the variance family are mergeable VIA REWRITE to hidden
+#: sum/count[/sum-of-squares] columns; longest alternatives first so
+#: stddev_samp is not half-matched as stddev)
 _AGG_ITEM = re.compile(
-    r"^(?P<fn>sum|count|min|max|avg)\s*\((?P<arg>.+)\)\s+as\s+"
+    r"^(?P<fn>sum|count|min|max|avg|stddev_samp|stddev_pop|stddev|"
+    r"var_samp|var_pop|variance)\s*\((?P<arg>.+)\)\s+as\s+"
     r"(?P<alias>[A-Za-z0-9_]+)$",
     re.I | re.S,
 )
+
+#: variance-family fns rewritten to (sum, count, sumsq) hidden state
+_STATS_FNS = {
+    "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance",
+}
 
 #: ANY aggregate-function call (used to reject un-mergeable aggs and
 #: to tell SPF apart from a global aggregate)
@@ -135,6 +151,16 @@ def hidden_cols(alias: str) -> tuple[str, str]:
     return f"__mv_sum__{alias}", f"__mv_cnt__{alias}"
 
 
+def stats_hidden_cols(alias: str) -> tuple[str, str, str]:
+    """Snapshot column names carrying a variance-family aggregate's
+    mergeable state (sum, count, sum of squares — all double)."""
+    return (
+        f"__mv_sum__{alias}",
+        f"__mv_cnt__{alias}",
+        f"__mv_sq__{alias}",
+    )
+
+
 @dataclass
 class MvAnalysis:
     """Delta-refresh plan for a 1..n-topic materialized view."""
@@ -149,8 +175,10 @@ class MvAnalysis:
     tables: list[str] = field(default_factory=list)
     #: visible avg alias -> (hidden sum col, hidden cnt col)
     avgs: dict[str, tuple[str, str]] = field(default_factory=dict)
-    #: SQL computing the MERGEABLE partials (avg items replaced by
-    #: hidden sum+count items); None when the view has no avg
+    #: visible variance-family alias -> (fn, sum col, cnt col, sq col)
+    stats: dict[str, tuple[str, str, str, str]] = field(default_factory=dict)
+    #: SQL computing the MERGEABLE partials (avg / variance items
+    #: replaced by hidden-state items); None when neither is present
     hidden_sql: str | None = None
 
     def __post_init__(self):
@@ -198,16 +226,16 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     parsed = _classify_agg_select(select_items, group_exprs)
     if parsed is None:
         return None
-    keys, aggs, out_cols, avgs, hidden_items = parsed
+    keys, aggs, out_cols, avgs, stats, hidden_items = parsed
     if group is None and not aggs:
         return None
     alias = m.group("alias")
     from_text = table + (f" {alias}" if alias else "")
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
-        avgs=avgs,
+        avgs=avgs, stats=stats,
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
-        if avgs
+        if (avgs or stats)
         else None,
     )
 
@@ -223,14 +251,16 @@ def _rebuild(select_items, from_text, where, group) -> str:
 
 
 def _classify_agg_select(select_items, group_exprs):
-    """Split select items into (keys, aggs, out_cols, avgs,
+    """Split select items into (keys, aggs, out_cols, avgs, stats,
     hidden_items) for the mergeable-aggregate modes; None when any
     item disqualifies. ``hidden_items`` is the select list with every
-    avg replaced by its two mergeable hidden-column items."""
+    avg / variance-family item replaced by its mergeable
+    hidden-column items."""
     keys: list[str] = []
     aggs: dict[str, str] = {}
     out_cols: list[str] = []
     avgs: dict[str, tuple[str, str]] = {}
+    stats: dict[str, tuple[str, str, str, str]] = {}
     hidden_items: list[str] = []
     for item in select_items:
         am = _AGG_ITEM.match(item.strip())
@@ -247,6 +277,15 @@ def _classify_agg_select(select_items, group_exprs):
                 avgs[alias] = (hsum, hcnt)
                 hidden_items.append(f"sum({arg}) AS {hsum}")
                 hidden_items.append(f"count({arg}) AS {hcnt}")
+            elif fn in _STATS_FNS:
+                hsum, hcnt, hsq = stats_hidden_cols(alias)
+                stats[alias] = (fn, hsum, hcnt, hsq)
+                # double state: Spark's variance family casts its
+                # input to double and returns double
+                d = f"CAST(({arg}) AS DOUBLE)"
+                hidden_items.append(f"sum({d}) AS {hsum}")
+                hidden_items.append(f"count({arg}) AS {hcnt}")
+                hidden_items.append(f"sum({d} * {d}) AS {hsq}")
             else:
                 hidden_items.append(item.strip())
             continue
@@ -270,7 +309,7 @@ def _classify_agg_select(select_items, group_exprs):
         keys.append(alias)
         out_cols.append(alias)
         hidden_items.append(item.strip())
-    return keys, aggs, out_cols, avgs, hidden_items
+    return keys, aggs, out_cols, avgs, stats, hidden_items
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -327,16 +366,16 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     )
     if parsed is None:
         return None
-    keys, aggs, out_cols, avgs, hidden_items = parsed
+    keys, aggs, out_cols, avgs, stats, hidden_items = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
     return MvAnalysis(
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
-        keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs,
+        keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,
         hidden_sql=_rebuild(
             hidden_items, m.group("chain"), m.group("where"), group
         )
-        if avgs
+        if (avgs or stats)
         else None,
     )
 

@@ -796,6 +796,55 @@ def test_avg_mv_delta_matches_full(db, spark):
     assert db.query("SELECT * FROM am").df.columns == ["k", "mean_v", "n"]
 
 
+def test_stats_mv_delta_matches_full(db, spark):
+    """Variance-family MVs merge via hidden (sum, count, sumsq) state:
+    deltas never re-read consumed shards, the merged values equal a
+    full recompute of the SAME rewrite bit-for-bit-ish (sum merging is
+    order-independent up to ulps), and track plain Spark stddev (a
+    Welford merge) to float precision. n=1 groups: var_samp NULL,
+    var_pop 0.0 — Spark's own contract."""
+    t = _mk_topic(db, spark)
+    db.create_materialized_view(
+        "sv",
+        "SELECT k, stddev(v) AS sd, var_samp(v) AS vs, var_pop(v) AS vp, "
+        "stddev_pop(v) AS sp, count(*) AS n FROM ev GROUP BY k",
+    )
+    entry = db.store.resolve("sv")
+    assert entry.refresh_state is not None  # analyzable now
+    consumed = set(entry.refresh_state["shards"])
+    assert db.query("SELECT * FROM sv").df.columns == [
+        "k", "sd", "vs", "vp", "sp", "n",
+    ]
+
+    t.insert(
+        spark.range(60, 90).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    _tamper_shard(t, consumed)  # consumed shard must NOT be re-read
+    db.refresh_materialized("sv")
+    got = {r.k: r for r in db.query("SELECT * FROM sv").df.collect()}
+    import statistics
+
+    for k in (0, 1, 2):
+        vals = [float(v) for v in range(90) if v % 3 == k]
+        assert got[k].n == len(vals)
+        assert got[k].sd == pytest.approx(statistics.stdev(vals), rel=1e-9)
+        assert got[k].vs == pytest.approx(statistics.variance(vals), rel=1e-9)
+        assert got[k].vp == pytest.approx(statistics.pvariance(vals), rel=1e-9)
+        assert got[k].sp == pytest.approx(statistics.pstdev(vals), rel=1e-9)
+
+    # n=1 group: var_samp/stddev NULL, *_pop 0.0 (Spark semantics)
+    t2 = db.create_topic("sv1", [Column("k", "int64"), Column("v", "float64")])
+    with t2.publish() as pub:
+        pub.write(1_000, 7, 3.5)
+    db.create_materialized_view(
+        "svm", "SELECT k, stddev(v) AS sd, var_pop(v) AS vp FROM sv1 GROUP BY k"
+    )
+    row = db.query("SELECT * FROM svm").df.collect()[0]
+    assert row.sd is None and row.vp == 0.0
+
+
 def test_three_table_join_chain_delta(db, spark):
     """Leapfrog delta over a 3-topic inner-join chain: interleaved
     inserts to every side end exactly equal to a full recompute, and
