@@ -596,9 +596,27 @@ class Ella:
                 alias,
                 F.when(F.col(hcnt) >= floor, val).cast(dtypes[alias]),
             )
-        hidden = [c for pair in analysis.avgs.values() for c in pair] + [
-            c for tup in analysis.stats.values() for c in tup[1:]
-        ]
+        for alias, (fn, hn, hsx, hsy, hsxy, hsxx, hsyy) in analysis.corrs.items():
+            n = F.col(hn).cast("double")
+            cov = F.col(hsxy) - F.col(hsx) * F.col(hsy) / n
+            if fn == "covar_pop":
+                val, guard = cov / n, F.col(hn) >= 1
+            elif fn == "covar_samp":
+                val, guard = cov / (n - 1), F.col(hn) >= 2
+            else:  # corr; zero-variance sides -> NULL (PostgreSQL
+                # convention — Spark's native ANSI corr raises here)
+                m2x = F.col(hsxx) - F.col(hsx) * F.col(hsx) / n
+                m2y = F.col(hsyy) - F.col(hsy) * F.col(hsy) / n
+                val = cov / F.sqrt(m2x * m2y)
+                guard = (F.col(hn) >= 1) & (m2x > 0) & (m2y > 0)
+            df = df.withColumn(
+                alias, F.when(guard, val).cast(dtypes[alias])
+            )
+        hidden = (
+            [c for pair in analysis.avgs.values() for c in pair]
+            + [c for tup in analysis.stats.values() for c in tup[1:]]
+            + [c for tup in analysis.corrs.values() for c in tup[1:]]
+        )
         return df.select(*analysis.out_cols, *hidden)
 
     def _refresh_delta(self, entry: TableEntry, analysis, topic) -> int | None:
@@ -657,7 +675,7 @@ class Ella:
         from pyspark.sql.types import StructType
 
         old = self._frame_for(entry, include_hidden=True)
-        derived = set(analysis.avgs) | set(analysis.stats)
+        derived = set(analysis.avgs) | set(analysis.stats) | set(analysis.corrs)
         if derived:
             # the snapshot's visible avg/variance columns are derived,
             # not mergeable state — drop them before unioning with the
@@ -681,6 +699,11 @@ class Ella:
             aggs += [
                 F.sum(h).alias(h)
                 for tup in analysis.stats.values()
+                for h in tup[1:]
+            ]
+            aggs += [
+                F.sum(h).alias(h)
+                for tup in analysis.corrs.values()
                 for h in tup[1:]
             ]
             merged = (

@@ -30,6 +30,12 @@ of O(history) for the common single-topic shapes:
   This is textbook sum-of-squares merging, order-independent up to
   float ulps (Spark's own Welford-merge differs in low-order bits
   the same way between partition splits).
+- **correlation family** (`corr`, `covar_samp`, `covar_pop`): same
+  recipe with six pairwise sums (n, Σx, Σy, Σxy, Σx², Σy²) counted
+  over BOTH-non-null pairs. One deliberate deviation: `corr` over a
+  zero-variance side returns NULL (the PostgreSQL convention) where
+  Spark's native ANSI-mode corr raises DIVIDE_BY_ZERO — both refresh
+  paths use the rewrite, so the MV is self-consistent.
 - **SPF / aggregate inner-join CHAIN of n ≥ 2 distinct topics**
   (`SELECT … FROM t1 JOIN t2 ON … [JOIN t3 ON …] [WHERE …] [GROUP BY
   …]`): for append-only inputs the leapfrog insert-delta identity
@@ -42,7 +48,7 @@ of O(history) for the common single-topic shapes:
   insert, which append-only snapshots cannot express.
 
 Anything else (outer joins, subqueries, windows, DISTINCT aggs,
-corr/covar/regression aggs, set ops) falls back to a full recompute —
+regression aggs, set ops) falls back to a full recompute —
 correctness first; the analyzer is deliberately conservative, and
 every token it does not understand disqualifies the plan.
 
@@ -84,7 +90,8 @@ _SHAPE = re.compile(
 #: stddev_samp is not half-matched as stddev)
 _AGG_ITEM = re.compile(
     r"^(?P<fn>sum|count|min|max|avg|stddev_samp|stddev_pop|stddev|"
-    r"var_samp|var_pop|variance)\s*\((?P<arg>.+)\)\s+as\s+"
+    r"var_samp|var_pop|variance|corr|covar_samp|covar_pop)"
+    r"\s*\((?P<arg>.+)\)\s+as\s+"
     r"(?P<alias>[A-Za-z0-9_]+)$",
     re.I | re.S,
 )
@@ -93,6 +100,10 @@ _AGG_ITEM = re.compile(
 _STATS_FNS = {
     "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance",
 }
+
+#: two-argument correlation family rewritten to pairwise-sum state
+#: (n, Σx, Σy, Σxy, Σx², Σy² over BOTH-non-null pairs)
+_CORR_FNS = {"corr", "covar_samp", "covar_pop"}
 
 #: ANY aggregate-function call (used to reject un-mergeable aggs and
 #: to tell SPF apart from a global aggregate)
@@ -161,6 +172,14 @@ def stats_hidden_cols(alias: str) -> tuple[str, str, str]:
     )
 
 
+def corr_hidden_cols(alias: str) -> tuple[str, str, str, str, str, str]:
+    """Snapshot column names carrying a correlation-family aggregate's
+    pairwise-sum state."""
+    return tuple(
+        f"__mv_{part}__{alias}" for part in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+
+
 @dataclass
 class MvAnalysis:
     """Delta-refresh plan for a 1..n-topic materialized view."""
@@ -177,6 +196,8 @@ class MvAnalysis:
     avgs: dict[str, tuple[str, str]] = field(default_factory=dict)
     #: visible variance-family alias -> (fn, sum col, cnt col, sq col)
     stats: dict[str, tuple[str, str, str, str]] = field(default_factory=dict)
+    #: visible correlation-family alias -> (fn, n, sx, sy, sxy, sxx, syy)
+    corrs: dict[str, tuple] = field(default_factory=dict)
     #: SQL computing the MERGEABLE partials (avg / variance items
     #: replaced by hidden-state items); None when neither is present
     hidden_sql: str | None = None
@@ -226,16 +247,16 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     parsed = _classify_agg_select(select_items, group_exprs)
     if parsed is None:
         return None
-    keys, aggs, out_cols, avgs, stats, hidden_items = parsed
+    keys, aggs, out_cols, avgs, stats, corrs, hidden_items = parsed
     if group is None and not aggs:
         return None
     alias = m.group("alias")
     from_text = table + (f" {alias}" if alias else "")
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
-        avgs=avgs, stats=stats,
+        avgs=avgs, stats=stats, corrs=corrs,
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
-        if (avgs or stats)
+        if (avgs or stats or corrs)
         else None,
     )
 
@@ -261,6 +282,7 @@ def _classify_agg_select(select_items, group_exprs):
     out_cols: list[str] = []
     avgs: dict[str, tuple[str, str]] = {}
     stats: dict[str, tuple[str, str, str, str]] = {}
+    corrs: dict[str, tuple] = {}
     hidden_items: list[str] = []
     for item in select_items:
         am = _AGG_ITEM.match(item.strip())
@@ -286,6 +308,27 @@ def _classify_agg_select(select_items, group_exprs):
                 hidden_items.append(f"sum({d}) AS {hsum}")
                 hidden_items.append(f"count({arg}) AS {hcnt}")
                 hidden_items.append(f"sum({d} * {d}) AS {hsq}")
+            elif fn in _CORR_FNS:
+                parts = _split_top_level(arg)
+                if len(parts) != 2:
+                    return None
+                cols = corr_hidden_cols(alias)
+                corrs[alias] = (fn, *cols)
+                hn, hsx, hsy, hsxy, hsxx, hsyy = cols
+                # pairwise sums over BOTH-non-null rows (x NULL or y
+                # NULL contributes nothing — Spark's pair semantics):
+                # the cross-guards make each term NULL when the OTHER
+                # argument is NULL
+                dx = f"CAST(({parts[0]}) AS DOUBLE)"
+                dy = f"CAST(({parts[1]}) AS DOUBLE)"
+                gx = f"CASE WHEN ({parts[1]}) IS NOT NULL THEN {dx} END"
+                gy = f"CASE WHEN ({parts[0]}) IS NOT NULL THEN {dy} END"
+                hidden_items.append(f"count({dx} + {dy}) AS {hn}")
+                hidden_items.append(f"sum({gx}) AS {hsx}")
+                hidden_items.append(f"sum({gy}) AS {hsy}")
+                hidden_items.append(f"sum({dx} * {dy}) AS {hsxy}")
+                hidden_items.append(f"sum(({gx}) * ({gx})) AS {hsxx}")
+                hidden_items.append(f"sum(({gy}) * ({gy})) AS {hsyy}")
             else:
                 hidden_items.append(item.strip())
             continue
@@ -309,7 +352,7 @@ def _classify_agg_select(select_items, group_exprs):
         keys.append(alias)
         out_cols.append(alias)
         hidden_items.append(item.strip())
-    return keys, aggs, out_cols, avgs, stats, hidden_items
+    return keys, aggs, out_cols, avgs, stats, corrs, hidden_items
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -366,16 +409,17 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     )
     if parsed is None:
         return None
-    keys, aggs, out_cols, avgs, stats, hidden_items = parsed
+    keys, aggs, out_cols, avgs, stats, corrs, hidden_items = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
     return MvAnalysis(
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,
+        corrs=corrs,
         hidden_sql=_rebuild(
             hidden_items, m.group("chain"), m.group("where"), group
         )
-        if (avgs or stats)
+        if (avgs or stats or corrs)
         else None,
     )
 

@@ -33,7 +33,7 @@ def _mk_topic(db, spark, name="ev", n=60):
     return t
 
 
-def _tamper_shard(topic, consumed: set[str]) -> None:
+def _tamper_shard(topic, consumed: set[str], col: str = "v") -> None:
     """Rewrite one CONSUMED shard's values in place (basename kept).
 
     Also removes Hadoop's .crc sidecar — the rewrite invalidates it, and
@@ -44,8 +44,8 @@ def _tamper_shard(topic, consumed: set[str]) -> None:
 
     shard = next(p for p in topic.shards() if p.name in consumed)
     tbl = pq.read_table(shard)
-    idx = tbl.schema.get_field_index("v")
-    tbl = tbl.set_column(idx, "v", pc.multiply(tbl.column("v"), 1000.0))
+    idx = tbl.schema.get_field_index(col)
+    tbl = tbl.set_column(idx, col, pc.multiply(tbl.column(col), 1000.0))
     pq.write_table(tbl, shard)
     crc = shard.with_name(f".{shard.name}.crc")
     crc.unlink(missing_ok=True)
@@ -843,6 +843,64 @@ def test_stats_mv_delta_matches_full(db, spark):
     )
     row = db.query("SELECT * FROM svm").df.collect()[0]
     assert row.sd is None and row.vp == 0.0
+
+
+def test_corr_covar_mv_delta(db, spark):
+    """Correlation-family MVs merge via six pairwise sums; values
+    track plain Spark corr/covar to float precision after interleaved
+    deltas, NULL-pair rows contribute nothing, and n=1 groups follow
+    Spark (covar_pop 0.0, corr NULL)."""
+    t = db.create_topic("cv", [Column("x", "float64"), Column("y", "float64")])
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i * 1000, float(i % 17), float((i * 7) % 23) + 0.5 * (i % 17)) for i in range(lo, hi)],
+        "time long, x double, y double",
+    )
+    t.insert(mk(0, 40))
+    sql = (
+        "SELECT corr(x, y) AS r, covar_samp(x, y) AS cs, "
+        "covar_pop(x, y) AS cp, count(*) AS n FROM cv"
+    )
+    db.create_materialized_view("cmv", sql)
+    assert db.store.resolve("cmv").refresh_state is not None
+    consumed = set(db.store.resolve("cmv").refresh_state["shards"])
+    t.insert(mk(40, 75))
+    _tamper_shard(t, consumed, col="x")
+    db.refresh_materialized("cmv")
+    got = db.query("SELECT * FROM cmv").df.collect()[0]
+    import statistics
+
+    xs = [float(i % 17) for i in range(75)]
+    ys = [float((i * 7) % 23) + 0.5 * (i % 17) for i in range(75)]
+    assert got.n == 75
+    assert got.r == pytest.approx(statistics.correlation(xs, ys), rel=1e-9)
+    assert got.cs == pytest.approx(statistics.covariance(xs, ys), rel=1e-9)
+    mean_x, mean_y = sum(xs) / 75, sum(ys) / 75
+    cp = sum((a - mean_x) * (b - mean_y) for a, b in zip(xs, ys)) / 75
+    assert got.cp == pytest.approx(cp, rel=1e-9)
+
+    # NULL-pair rows contribute nothing (Spark's pair semantics)
+    t2 = db.create_topic("cvn", [Column("x", "float64"), Column("y", "float64")])
+    t2.insert(
+        spark.createDataFrame(
+            [(0, 1.0, 2.0), (1, 3.0, None), (2, None, 5.0), (3, 2.0, 1.0)],
+            "time long, x double, y double",
+        )
+    )
+    db.create_materialized_view(
+        "cnv", "SELECT corr(x, y) AS r, covar_pop(x, y) AS cp FROM cvn"
+    )
+    row = db.query("SELECT * FROM cnv").df.collect()[0]
+    assert row.r == pytest.approx(-1.0) and row.cp == pytest.approx(-0.25)
+
+    # n=1: covar_pop 0.0; corr NULL (zero variance -> NULL, the
+    # PostgreSQL convention where Spark's ANSI corr raises)
+    t3 = db.create_topic("cv1", [Column("x", "float64"), Column("y", "float64")])
+    t3.insert(spark.createDataFrame([(0, 1.0, 2.0)], "time long, x double, y double"))
+    db.create_materialized_view(
+        "c1v", "SELECT corr(x, y) AS r, covar_pop(x, y) AS cp FROM cv1"
+    )
+    row1 = db.query("SELECT * FROM c1v").df.collect()[0]
+    assert row1.r is None and row1.cp == 0.0
 
 
 def test_three_table_join_chain_delta(db, spark):
