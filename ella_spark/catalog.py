@@ -58,6 +58,9 @@ class TableEntry:
     #: (time travel via `FOR VERSION AS OF` / Ella.read_mv_version);
     #: 1 = current only (old versions pruned at commit, the default)
     keep_versions: int = 1
+    #: materialized views: [version, commit_epoch_ns] per retained
+    #: snapshot (maps `FOR TIMESTAMP AS OF` onto a version)
+    version_log: list = field(default_factory=list)
 
     @property
     def ident(self) -> tuple[str, str, str]:
@@ -77,6 +80,7 @@ class TableEntry:
             "result_schema": self.result_schema,
             "refresh_state": self.refresh_state,
             "keep_versions": self.keep_versions,
+            "version_log": [list(v) for v in self.version_log],
         }
 
     @classmethod
@@ -94,6 +98,7 @@ class TableEntry:
             result_schema=d.get("result_schema"),
             refresh_state=d.get("refresh_state"),
             keep_versions=d.get("keep_versions", 1),
+            version_log=[tuple(v) for v in d.get("version_log", [])],
         )
 
 

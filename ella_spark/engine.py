@@ -120,6 +120,11 @@ _VERSION_ASOF_RE = re.compile(
 #: single-quoted SQL string literal ('' = escaped quote) — spans the
 #: version-asof rewrite must never touch
 _SQL_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+#: `<mv> FOR TIMESTAMP AS OF '<iso>'|<epoch_ns>` — resolved to the
+#: newest version committed at-or-before the bound via version_log
+_TIMESTAMP_ASOF_RE = re.compile(
+    r"([A-Za-z0-9_.]+)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+('[^']+'|\d+)", re.I
+)
 
 
 def _state_key(prefix: str, i: int) -> str:
@@ -127,6 +132,18 @@ def _state_key(prefix: str, i: int) -> str:
     the first, "topic2"/"shards2" for the second, … — the numbered
     scheme round-3 states already use, extended past two)."""
     return prefix if i == 0 else f"{prefix}{i + 1}"
+
+
+def _trim_log(entry: TableEntry, new_version: int) -> list:
+    """Append (new_version, now_ns) to the MV's commit log, trimmed to
+    the retention window — the map `FOR TIMESTAMP AS OF` resolves
+    against."""
+    import time as _t
+
+    cutoff = new_version - max(entry.keep_versions, 1) + 1
+    log = [t for t in entry.version_log if cutoff <= t[0] < new_version]
+    log.append((new_version, _t.time_ns()))
+    return log
 
 
 class Ella:
@@ -219,7 +236,7 @@ class Ella:
         sql = entry.sql
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
-        if _VERSION_ASOF_RE.search(sql):
+        if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         return self.spark.sql(sql)
 
@@ -430,6 +447,7 @@ class Ella:
             version=new_version,
             result_schema=df.schema.json(),
             refresh_state=state,
+            version_log=_trim_log(entry, new_version),
         )
         self.store.put_table(updated, replace=True)
         self._register(updated)
@@ -462,6 +480,28 @@ class Ella:
         df = self.spark.read.parquet(str(snap))
         return df.drop(*[c for c in df.columns if c.startswith("__mv_")])
 
+    def resolve_mv_version_asof(self, name: str, ts_ns: int) -> int:
+        """Newest committed version at-or-before ``ts_ns`` (from the
+        MV's retained commit log); clear error when the bound predates
+        every retained commit."""
+        entry = self._require(name, "materialized_view")
+        eligible = [v for v, t in entry.version_log if t <= ts_ns]
+        if not eligible:
+            have = [
+                (v, t) for v, t in entry.version_log
+            ]
+            raise ValueError(
+                f"{name} has no snapshot committed at or before "
+                f"epoch-ns {ts_ns}; retained commits: {have}"
+            )
+        return max(eligible)
+
+    def read_mv_asof(self, name: str, ts_ns: int) -> DataFrame:
+        """Time-travel read by commit timestamp (epoch ns)."""
+        return self.read_mv_version(
+            name, self.resolve_mv_version_asof(name, ts_ns)
+        )
+
     def _rewrite_version_asof(self, sql: str) -> str:
         """Substitute every `<mv> FOR VERSION AS OF <n>` with a temp
         view over that retained snapshot (re-applied at every read, so
@@ -481,6 +521,35 @@ class Ella:
             self.read_mv_version(ident, version).createOrReplaceTempView(view)
             return view
 
+        def _tsub(m: re.Match) -> str:
+            ident, bound = m.group(1), m.group(2)
+            key = self._split(ident)
+            entry = self.store.tables.get(key)
+            if entry is None or entry.kind != "materialized_view":
+                return m.group(0)
+            if bound.startswith("'"):
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(bound.strip("'"))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                # integer epoch-ns: float timestamp()*1e9 rounds above
+                # 2^53 and could land a few hundred ns off the bound
+                delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+                ts_ns = (
+                    (delta.days * 86_400 + delta.seconds) * 10**9
+                    + delta.microseconds * 1_000
+                )
+            else:
+                ts_ns = int(bound)
+            version = self.resolve_mv_version_asof(ident, ts_ns)
+            view = f"__mv_asof_{ident.replace('.', '_')}_{version}"
+            self.read_mv_version(ident, version).createOrReplaceTempView(view)
+            return view
+
+        # TIMESTAMP AS OF first, on the raw text: its quoted bound IS
+        # a string literal, so it must run before literal masking
+        sql = _TIMESTAMP_ASOF_RE.sub(_tsub, sql)
         parts, last = [], 0
         for m in _SQL_STRING_RE.finditer(sql):
             parts.append(_VERSION_ASOF_RE.sub(_sub, sql[last : m.start()]))
@@ -536,7 +605,7 @@ class Ella:
             sql = entry.sql
             if _ANN_SEARCH_RE.search(sql):
                 sql = self._rewrite_ann_search(sql)
-            if _VERSION_ASOF_RE.search(sql):
+            if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.hidden_sql:
                 df = self._with_visible_avgs(entry.sql, analysis)
@@ -762,6 +831,7 @@ class Ella:
             entry,
             version=new_version,
             refresh_state=dict(new_state, rows=total),
+            version_log=_trim_log(entry, new_version),
         )
         self.store.put_table(updated, replace=True)
         self._register(updated)
@@ -965,7 +1035,7 @@ class Ella:
         durable_sql = sql
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
-        if _VERSION_ASOF_RE.search(sql):
+        if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         m = _INSERT_RE.match(sql)
         if m:

@@ -621,6 +621,35 @@ def test_mv_time_travel(db, spark):
     got3 = {r.k: r.n for r in db.query("SELECT * FROM tt3").df.collect()}
     assert sum(got3.values()) == 30
 
+    # TIMESTAMP AS OF: version_log maps commit times to versions
+    log = dict(db.store.resolve("tt").version_log)
+    assert sorted(log) == [2, 3, 4]
+    ts3 = log[3]
+    assert db.resolve_mv_version_asof("tt", ts3) == 3
+    assert db.resolve_mv_version_asof("tt", (ts3 + log[4]) // 2) == 3
+    got_ts = {
+        r.k: r.n
+        for r in db.query(
+            f"SELECT k, n FROM tt FOR TIMESTAMP AS OF {ts3}"
+        ).df.collect()
+    }
+    assert sum(got_ts.values()) == 30
+    import datetime
+
+    # +5 ms past the v3 commit: ISO carries µs precision, so a bound
+    # built exactly AT a ns commit time would truncate below it
+    iso = (
+        datetime.datetime.fromtimestamp(
+            (ts3 + 5_000_000) / 1e9, tz=datetime.timezone.utc
+        ).isoformat()
+    )
+    got_iso = db.query(
+        f"SELECT sum(n) AS s FROM tt FOR TIMESTAMP AS OF '{iso}'"
+    ).df.collect()[0].s
+    assert got_iso == 30
+    with pytest.raises(ValueError, match="at or before"):
+        db.read_mv_asof("tt", log[2] - 1)
+
     # CREATE OR REPLACE resets history: the old definition's
     # snapshots must not serve the new view's time travel
     db.create_materialized_view(
@@ -630,6 +659,7 @@ def test_mv_time_travel(db, spark):
     assert entry.version == 1
     with pytest.raises(ValueError, match="no committed snapshot"):
         db.read_mv_version("tt", 3)
+    assert [v for v, _ in entry.version_log] == [1]  # log reset too
 
 
 def test_retention_expires_old_buckets(db, spark):
