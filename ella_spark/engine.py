@@ -665,19 +665,45 @@ class Ella:
                 alias,
                 F.when(F.col(hcnt) >= floor, val).cast(dtypes[alias]),
             )
-        for alias, (fn, hn, hsx, hsy, hsxy, hsxx, hsyy) in analysis.corrs.items():
+        for alias, (fn, hn, hs1, hs2, hs12, hs11, hs22) in analysis.corrs.items():
+            # positional sums: 1 = FIRST argument (y for regr_*(y, x)),
+            # 2 = second; m's are the centered moments
             n = F.col(hn).cast("double")
-            cov = F.col(hsxy) - F.col(hsx) * F.col(hsy) / n
+            m12 = F.col(hs12) - F.col(hs1) * F.col(hs2) / n
+            m11 = F.col(hs11) - F.col(hs1) * F.col(hs1) / n
+            m22 = F.col(hs22) - F.col(hs2) * F.col(hs2) / n
+            one = F.col(hn) >= 1
             if fn == "covar_pop":
-                val, guard = cov / n, F.col(hn) >= 1
+                val, guard = m12 / n, one
             elif fn == "covar_samp":
-                val, guard = cov / (n - 1), F.col(hn) >= 2
-            else:  # corr; zero-variance sides -> NULL (PostgreSQL
-                # convention — Spark's native ANSI corr raises here)
-                m2x = F.col(hsxx) - F.col(hsx) * F.col(hsx) / n
-                m2y = F.col(hsyy) - F.col(hsy) * F.col(hsy) / n
-                val = cov / F.sqrt(m2x * m2y)
-                guard = (F.col(hn) >= 1) & (m2x > 0) & (m2y > 0)
+                val, guard = m12 / (n - 1), F.col(hn) >= 2
+            elif fn == "corr":
+                # zero-variance sides -> NULL (PostgreSQL convention —
+                # Spark's native ANSI corr raises here)
+                val = m12 / F.sqrt(m11 * m22)
+                guard = one & (m11 > 0) & (m22 > 0)
+            elif fn == "regr_count":
+                val, guard = F.col(hn), F.lit(True)
+            elif fn == "regr_avgx":
+                val, guard = F.col(hs2) / n, one
+            elif fn == "regr_avgy":
+                val, guard = F.col(hs1) / n, one
+            elif fn == "regr_slope":
+                val, guard = m12 / m22, one & (m22 > 0)
+            elif fn == "regr_intercept":
+                val = (F.col(hs1) - (m12 / m22) * F.col(hs2)) / n
+                guard = one & (m22 > 0)
+            elif fn == "regr_r2":
+                # Spark/PostgreSQL: NULL when var(x)=0; 1.0 when
+                # var(y)=0 (x varying); else corr²
+                val = F.when(m11 > 0, m12 * m12 / (m22 * m11)).otherwise(1.0)
+                guard = one & (m22 > 0)
+            elif fn == "regr_sxx":
+                val, guard = F.greatest(m22, F.lit(0.0)), one
+            elif fn == "regr_syy":
+                val, guard = F.greatest(m11, F.lit(0.0)), one
+            else:  # regr_sxy
+                val, guard = m12, one
             df = df.withColumn(
                 alias, F.when(guard, val).cast(dtypes[alias])
             )

@@ -30,12 +30,15 @@ of O(history) for the common single-topic shapes:
   This is textbook sum-of-squares merging, order-independent up to
   float ulps (Spark's own Welford-merge differs in low-order bits
   the same way between partition splits).
-- **correlation family** (`corr`, `covar_samp`, `covar_pop`): same
-  recipe with six pairwise sums (n, Σx, Σy, Σxy, Σx², Σy²) counted
-  over BOTH-non-null pairs. One deliberate deviation: `corr` over a
-  zero-variance side returns NULL (the PostgreSQL convention) where
-  Spark's native ANSI-mode corr raises DIVIDE_BY_ZERO — both refresh
-  paths use the rewrite, so the MV is self-consistent.
+- **correlation/regression family** (`corr`, `covar_samp`,
+  `covar_pop`, and all nine `regr_*` functions): same recipe with six
+  pairwise sums (n, Σa, Σb, Σab, Σa², Σb²) counted over BOTH-non-null
+  pairs — Spark's own regr_* evaluate the identical centered-sum
+  formulas, so values match to the ulp. One deliberate deviation:
+  `corr` over a zero-variance side returns NULL (the PostgreSQL
+  convention) where Spark's native ANSI-mode corr raises
+  DIVIDE_BY_ZERO — both refresh paths use the rewrite, so the MV is
+  self-consistent.
 - **SPF / aggregate inner-join CHAIN of n ≥ 2 distinct topics**
   (`SELECT … FROM t1 JOIN t2 ON … [JOIN t3 ON …] [WHERE …] [GROUP BY
   …]`): for append-only inputs the leapfrog insert-delta identity
@@ -48,7 +51,7 @@ of O(history) for the common single-topic shapes:
   insert, which append-only snapshots cannot express.
 
 Anything else (outer joins, subqueries, windows, DISTINCT aggs,
-regression aggs, set ops) falls back to a full recompute —
+set ops) falls back to a full recompute —
 correctness first; the analyzer is deliberately conservative, and
 every token it does not understand disqualifies the plan.
 
@@ -90,7 +93,8 @@ _SHAPE = re.compile(
 #: stddev_samp is not half-matched as stddev)
 _AGG_ITEM = re.compile(
     r"^(?P<fn>sum|count|min|max|avg|stddev_samp|stddev_pop|stddev|"
-    r"var_samp|var_pop|variance|corr|covar_samp|covar_pop)"
+    r"var_samp|var_pop|variance|corr|covar_samp|covar_pop|"
+    r"regr_(?:count|avgx|avgy|slope|intercept|r2|sxx|syy|sxy))"
     r"\s*\((?P<arg>.+)\)\s+as\s+"
     r"(?P<alias>[A-Za-z0-9_]+)$",
     re.I | re.S,
@@ -101,9 +105,14 @@ _STATS_FNS = {
     "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance",
 }
 
-#: two-argument correlation family rewritten to pairwise-sum state
-#: (n, Σx, Σy, Σxy, Σx², Σy² over BOTH-non-null pairs)
-_CORR_FNS = {"corr", "covar_samp", "covar_pop"}
+#: two-argument correlation/regression family rewritten to
+#: pairwise-sum state (n, Σa, Σb, Σab, Σa², Σb² over BOTH-non-null
+#: pairs, a = FIRST argument — note regr_*(y, x) passes y first)
+_CORR_FNS = {
+    "corr", "covar_samp", "covar_pop",
+    "regr_count", "regr_avgx", "regr_avgy", "regr_slope",
+    "regr_intercept", "regr_r2", "regr_sxx", "regr_syy", "regr_sxy",
+}
 
 #: ANY aggregate-function call (used to reject un-mergeable aggs and
 #: to tell SPF apart from a global aggregate)

@@ -933,6 +933,55 @@ def test_corr_covar_mv_delta(db, spark):
     assert row1.r is None and row1.cp == 0.0
 
 
+def test_regr_mv_delta(db, spark):
+    """regr_* family over the same pairwise-sum state: values equal
+    plain Spark regr_* (which evaluates the identical centered-sum
+    formulas) after a delta merge; regr_*(y, x) argument order (y
+    first) is honored."""
+    t = db.create_topic("rg", [Column("x", "float64"), Column("y", "float64")])
+    rows = [(1.0, 2.0), (2.0, 4.5), (3.0, 5.5)]
+    t.insert(
+        spark.createDataFrame(
+            [(i * 1000, x, y) for i, (x, y) in enumerate(rows)],
+            "time long, x double, y double",
+        )
+    )
+    sql = (
+        "SELECT regr_count(y, x) AS n, regr_avgx(y, x) AS ax, "
+        "regr_avgy(y, x) AS ay, regr_slope(y, x) AS sl, "
+        "regr_intercept(y, x) AS ic, regr_r2(y, x) AS r2, "
+        "regr_sxx(y, x) AS sxx, regr_syy(y, x) AS syy, "
+        "regr_sxy(y, x) AS sxy FROM rg"
+    )
+    db.create_materialized_view("rmv", sql)
+    assert db.store.resolve("rmv").refresh_state is not None
+    # delta: two more points, then compare against plain Spark
+    t.insert(
+        spark.createDataFrame(
+            [(3000, 4.0, 8.5), (4000, 5.0, 9.0)],
+            "time long, x double, y double",
+        )
+    )
+    db.refresh_materialized("rmv")
+    got = db.query("SELECT * FROM rmv").df.collect()[0]
+    exp = spark.sql(sql.replace("FROM rg", "FROM rg")).collect()[0]
+    for f in ("n", "ax", "ay", "sl", "ic", "r2", "sxx", "syy", "sxy"):
+        assert got[f] == pytest.approx(exp[f], rel=1e-12), f
+
+    # zero-variance x: slope/r2 NULL; zero-variance y: slope 0, r2 1
+    t2 = db.create_topic("rgc", [Column("x", "float64"), Column("y", "float64")])
+    t2.insert(
+        spark.createDataFrame(
+            [(0, 1.0, 2.0), (1, 3.0, 2.0)], "time long, x double, y double"
+        )
+    )
+    db.create_materialized_view(
+        "rc", "SELECT regr_slope(y, x) AS sl, regr_r2(y, x) AS r2 FROM rgc"
+    )
+    row = db.query("SELECT * FROM rc").df.collect()[0]
+    assert row.sl == 0.0 and row.r2 == 1.0
+
+
 def test_three_table_join_chain_delta(db, spark):
     """Leapfrog delta over a 3-topic inner-join chain: interleaved
     inserts to every side end exactly equal to a full recompute, and
