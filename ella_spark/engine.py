@@ -650,12 +650,11 @@ class Ella:
                     dtypes[alias]
                 ),
             )
-        for alias, (fn, hsum, hcnt, hsq) in analysis.stats.items():
+        for alias, (fn, hcnt, hmean, hm2) in analysis.stats.items():
             n = F.col(hcnt).cast("double")
-            # sum-of-squares variance; clamp tiny negative rounding
-            m2 = F.greatest(
-                F.col(hsq) - F.col(hsum) * F.col(hsum) / n, F.lit(0.0)
-            )
+            # Welford state: M2 is already the centered second moment;
+            # clamp tiny negative rounding from the merge
+            m2 = F.greatest(F.col(hm2), F.lit(0.0))
             if fn in ("var_pop", "stddev_pop"):
                 var, floor = m2 / n, 1
             else:
@@ -665,13 +664,13 @@ class Ella:
                 alias,
                 F.when(F.col(hcnt) >= floor, val).cast(dtypes[alias]),
             )
-        for alias, (fn, hn, hs1, hs2, hs12, hs11, hs22) in analysis.corrs.items():
-            # positional sums: 1 = FIRST argument (y for regr_*(y, x)),
-            # 2 = second; m's are the centered moments
+        for alias, (fn, hn, hm1, hm2a, hq1, hq2, hc) in analysis.corrs.items():
+            # positional state: 1 = FIRST argument (y for regr_*(y, x)),
+            # 2 = second; q's are the centered moments, c the co-moment
             n = F.col(hn).cast("double")
-            m12 = F.col(hs12) - F.col(hs1) * F.col(hs2) / n
-            m11 = F.col(hs11) - F.col(hs1) * F.col(hs1) / n
-            m22 = F.col(hs22) - F.col(hs2) * F.col(hs2) / n
+            m12 = F.col(hc)
+            m11 = F.greatest(F.col(hq1), F.lit(0.0))
+            m22 = F.greatest(F.col(hq2), F.lit(0.0))
             one = F.col(hn) >= 1
             if fn == "covar_pop":
                 val, guard = m12 / n, one
@@ -685,13 +684,13 @@ class Ella:
             elif fn == "regr_count":
                 val, guard = F.col(hn), F.lit(True)
             elif fn == "regr_avgx":
-                val, guard = F.col(hs2) / n, one
+                val, guard = F.col(hm2a), one
             elif fn == "regr_avgy":
-                val, guard = F.col(hs1) / n, one
+                val, guard = F.col(hm1), one
             elif fn == "regr_slope":
                 val, guard = m12 / m22, one & (m22 > 0)
             elif fn == "regr_intercept":
-                val = (F.col(hs1) - (m12 / m22) * F.col(hs2)) / n
+                val = F.col(hm1) - (m12 / m22) * F.col(hm2a)
                 guard = one & (m22 > 0)
             elif fn == "regr_r2":
                 # Spark/PostgreSQL: NULL when var(x)=0; 1.0 when
@@ -699,9 +698,9 @@ class Ella:
                 val = F.when(m11 > 0, m12 * m12 / (m22 * m11)).otherwise(1.0)
                 guard = one & (m22 > 0)
             elif fn == "regr_sxx":
-                val, guard = F.greatest(m22, F.lit(0.0)), one
+                val, guard = m22, one
             elif fn == "regr_syy":
-                val, guard = F.greatest(m11, F.lit(0.0)), one
+                val, guard = m11, one
             else:  # regr_sxy
                 val, guard = m12, one
             df = df.withColumn(
@@ -791,21 +790,111 @@ class Ella:
                 for pair in analysis.avgs.values()
                 for h in pair
             ]
-            aggs += [
-                F.sum(h).alias(h)
-                for tup in analysis.stats.values()
-                for h in tup[1:]
-            ]
-            aggs += [
-                F.sum(h).alias(h)
-                for tup in analysis.corrs.values()
-                for h in tup[1:]
-            ]
+            # Welford state (variance/corr families): counts merge
+            # exactly via SUM; means and centered moments merge via
+            # the grand-mean identity over the per-partial structs —
+            #   mean = Σ nᵢ·meanᵢ / N
+            #   M2   = Σ M2ᵢ + Σ nᵢ·(meanᵢ − mean)²
+            #   C    = Σ Cᵢ  + Σ nᵢ·(mxᵢ − mx)(myᵢ − my)
+            # Subtracting NEARBY means is stable where re-deriving
+            # from raw Σx² is not (values ~1e9, variance ~1 cancels
+            # catastrophically). collect_list is bounded: one struct
+            # per partial — the snapshot plus one delta term (or one
+            # per leapfrog join term), never per input row.
+            tmps: list[str] = []
+            for alias, (fn, hcnt, hmean, hm2) in analysis.stats.items():
+                tmp = f"__mv_tmp__{alias}"
+                tmps.append(tmp)
+                aggs.append(F.sum(hcnt).alias(hcnt))
+                aggs.append(
+                    F.collect_list(
+                        F.struct(
+                            F.col(hcnt).cast("double").alias("n"),
+                            F.coalesce(F.col(hmean), F.lit(0.0)).alias("m"),
+                            F.coalesce(F.col(hm2), F.lit(0.0)).alias("q"),
+                        )
+                    ).alias(tmp)
+                )
+            for alias, (fn, hn, hm1, hm2a, hq1, hq2, hc) in analysis.corrs.items():
+                tmp = f"__mv_tmp__{alias}"
+                tmps.append(tmp)
+                aggs.append(F.sum(hn).alias(hn))
+                aggs.append(
+                    F.collect_list(
+                        F.struct(
+                            F.col(hn).cast("double").alias("n"),
+                            F.coalesce(F.col(hm1), F.lit(0.0)).alias("m1"),
+                            F.coalesce(F.col(hm2a), F.lit(0.0)).alias("m2"),
+                            F.coalesce(F.col(hq1), F.lit(0.0)).alias("q1"),
+                            F.coalesce(F.col(hq2), F.lit(0.0)).alias("q2"),
+                            F.coalesce(F.col(hc), F.lit(0.0)).alias("c"),
+                        )
+                    ).alias(tmp)
+                )
             merged = (
                 union.groupBy(*analysis.keys).agg(*aggs)
                 if analysis.keys
                 else union.agg(*aggs)
             )
+            zero = F.lit(0.0)
+            for alias, (fn, hcnt, hmean, hm2) in analysis.stats.items():
+                arr = F.col(f"__mv_tmp__{alias}")
+                n = F.col(hcnt).cast("double")
+                wsum = F.aggregate(arr, zero, lambda a, s: a + s["n"] * s["m"])
+                merged = merged.withColumn(
+                    hmean, F.when(F.col(hcnt) > 0, wsum / n)
+                )
+                mean = F.coalesce(F.col(hmean), zero)
+                merged = merged.withColumn(
+                    hm2,
+                    F.aggregate(
+                        arr,
+                        zero,
+                        lambda a, s: a
+                        + s["q"]
+                        + s["n"] * (s["m"] - mean) * (s["m"] - mean),
+                    ),
+                )
+            for alias, (fn, hn, hm1, hm2a, hq1, hq2, hc) in analysis.corrs.items():
+                arr = F.col(f"__mv_tmp__{alias}")
+                n = F.col(hn).cast("double")
+                pos = F.col(hn) > 0
+                s1 = F.aggregate(arr, zero, lambda a, s: a + s["n"] * s["m1"])
+                s2 = F.aggregate(arr, zero, lambda a, s: a + s["n"] * s["m2"])
+                merged = merged.withColumn(hm1, F.when(pos, s1 / n))
+                merged = merged.withColumn(hm2a, F.when(pos, s2 / n))
+                mx = F.coalesce(F.col(hm1), zero)
+                my = F.coalesce(F.col(hm2a), zero)
+                merged = merged.withColumn(
+                    hq1,
+                    F.aggregate(
+                        arr,
+                        zero,
+                        lambda a, s: a
+                        + s["q1"]
+                        + s["n"] * (s["m1"] - mx) * (s["m1"] - mx),
+                    ),
+                ).withColumn(
+                    hq2,
+                    F.aggregate(
+                        arr,
+                        zero,
+                        lambda a, s: a
+                        + s["q2"]
+                        + s["n"] * (s["m2"] - my) * (s["m2"] - my),
+                    ),
+                ).withColumn(
+                    hc,
+                    F.aggregate(
+                        arr,
+                        zero,
+                        lambda a, s: a
+                        + s["c"]
+                        + s["n"] * (s["m1"] - mx) * (s["m2"] - my),
+                    ),
+                )
+            if tmps:
+                merged = merged.drop(*tmps)
             if derived:
                 merged = self._derive_visible(merged, analysis, dtypes)
         else:

@@ -23,18 +23,25 @@ of O(history) for the common single-topic shapes:
   visible values match a full recompute. Hidden columns live in the
   snapshot files but are projected away on every read.
 - **variance family** (`stddev[_samp]`, `stddev_pop`, `variance`,
-  `var_samp`, `var_pop`) extends the avg rewrite with a third hidden
-  column `__mv_sq__a` (sum of squares, double): the visible value is
-  `(sumsq − sum²/n) / (n or n−1)` [sqrt for stddev], NULL below the
-  sample-count floor and clamped at 0 against negative rounding.
-  This is textbook sum-of-squares merging, order-independent up to
-  float ulps (Spark's own Welford-merge differs in low-order bits
-  the same way between partition splits).
+  `var_samp`, `var_pop`) extends the avg rewrite with WELFORD hidden
+  state `(count, mean, M2)` — the exact state Spark's own
+  `CentralMomentAgg` carries between partitions. Each delta partial
+  computes `avg(x)` and `var_pop(x) * count(x)` (Welford inside
+  Spark, no cancellation); partials merge with the snapshot via the
+  grand-mean identity `M2 = Σ M2ᵢ + Σ nᵢ·(meanᵢ − mean)²`, which
+  subtracts NEARBY means instead of astronomically large raw
+  sums-of-squares. With values ~1e9 and variance ~1 the old
+  `sumsq − sum²/n` form lost all significant digits; the Welford
+  state keeps ~9 of them (pinned by
+  test_stats_mv_large_magnitude_stability). Visible value is
+  `M2/n` (`/(n−1)` for sample stats), sqrt for stddev, NULL below
+  the sample-count floor.
 - **correlation/regression family** (`corr`, `covar_samp`,
-  `covar_pop`, and all nine `regr_*` functions): same recipe with six
-  pairwise sums (n, Σa, Σb, Σab, Σa², Σb²) counted over BOTH-non-null
-  pairs — Spark's own regr_* evaluate the identical centered-sum
-  formulas, so values match to the ulp. One deliberate deviation:
+  `covar_pop`, and all nine `regr_*` functions): same Welford recipe
+  with six state columns `(n, mean_x, mean_y, M2x, M2y, C)` counted
+  over BOTH-non-null pairs — the state of Spark's own `Covariance`
+  aggregate (co-moment `C` merged via
+  `C = Σ Cᵢ + Σ nᵢ·(mxᵢ − mx)(myᵢ − my)`). One deliberate deviation:
   `corr` over a zero-variance side returns NULL (the PostgreSQL
   convention) where Spark's native ANSI-mode corr raises
   DIVIDE_BY_ZERO — both refresh paths use the rewrite, so the MV is
@@ -100,14 +107,15 @@ _AGG_ITEM = re.compile(
     re.I | re.S,
 )
 
-#: variance-family fns rewritten to (sum, count, sumsq) hidden state
+#: variance-family fns rewritten to Welford (count, mean, M2) state
 _STATS_FNS = {
     "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance",
 }
 
-#: two-argument correlation/regression family rewritten to
-#: pairwise-sum state (n, Σa, Σb, Σab, Σa², Σb² over BOTH-non-null
-#: pairs, a = FIRST argument — note regr_*(y, x) passes y first)
+#: two-argument correlation/regression family rewritten to Welford
+#: co-moment state (n, mean_a, mean_b, M2_a, M2_b, C over
+#: BOTH-non-null pairs, a = FIRST argument — note regr_*(y, x)
+#: passes y first)
 _CORR_FNS = {
     "corr", "covar_samp", "covar_pop",
     "regr_count", "regr_avgx", "regr_avgy", "regr_slope",
@@ -173,19 +181,21 @@ def hidden_cols(alias: str) -> tuple[str, str]:
 
 def stats_hidden_cols(alias: str) -> tuple[str, str, str]:
     """Snapshot column names carrying a variance-family aggregate's
-    mergeable state (sum, count, sum of squares — all double)."""
+    Welford state (count long, mean double, M2 double)."""
     return (
-        f"__mv_sum__{alias}",
         f"__mv_cnt__{alias}",
-        f"__mv_sq__{alias}",
+        f"__mv_mean__{alias}",
+        f"__mv_m2__{alias}",
     )
 
 
 def corr_hidden_cols(alias: str) -> tuple[str, str, str, str, str, str]:
     """Snapshot column names carrying a correlation-family aggregate's
-    pairwise-sum state."""
+    Welford co-moment state over BOTH-non-null pairs:
+    (n, mean of 1st arg, mean of 2nd arg, M2 of 1st, M2 of 2nd,
+    co-moment C)."""
     return tuple(
-        f"__mv_{part}__{alias}" for part in ("n", "sx", "sy", "sxy", "sxx", "syy")
+        f"__mv_{part}__{alias}" for part in ("n", "m1", "m2a", "q1", "q2", "c")
     )
 
 
@@ -203,9 +213,9 @@ class MvAnalysis:
     tables: list[str] = field(default_factory=list)
     #: visible avg alias -> (hidden sum col, hidden cnt col)
     avgs: dict[str, tuple[str, str]] = field(default_factory=dict)
-    #: visible variance-family alias -> (fn, sum col, cnt col, sq col)
+    #: visible variance-family alias -> (fn, cnt col, mean col, M2 col)
     stats: dict[str, tuple[str, str, str, str]] = field(default_factory=dict)
-    #: visible correlation-family alias -> (fn, n, sx, sy, sxy, sxx, syy)
+    #: visible correlation-family alias -> (fn, n, m1, m2a, q1, q2, c)
     corrs: dict[str, tuple] = field(default_factory=dict)
     #: SQL computing the MERGEABLE partials (avg / variance items
     #: replaced by hidden-state items); None when neither is present
@@ -309,35 +319,43 @@ def _classify_agg_select(select_items, group_exprs):
                 hidden_items.append(f"sum({arg}) AS {hsum}")
                 hidden_items.append(f"count({arg}) AS {hcnt}")
             elif fn in _STATS_FNS:
-                hsum, hcnt, hsq = stats_hidden_cols(alias)
-                stats[alias] = (fn, hsum, hcnt, hsq)
-                # double state: Spark's variance family casts its
-                # input to double and returns double
+                hcnt, hmean, hm2 = stats_hidden_cols(alias)
+                stats[alias] = (fn, hcnt, hmean, hm2)
+                # Welford state: avg and var_pop are Welford-computed
+                # inside Spark (CentralMomentAgg), so the partial
+                # itself never forms catastrophic sum-of-squares
                 d = f"CAST(({arg}) AS DOUBLE)"
-                hidden_items.append(f"sum({d}) AS {hsum}")
                 hidden_items.append(f"count({arg}) AS {hcnt}")
-                hidden_items.append(f"sum({d} * {d}) AS {hsq}")
+                hidden_items.append(f"avg({d}) AS {hmean}")
+                hidden_items.append(f"var_pop({d}) * count({arg}) AS {hm2}")
             elif fn in _CORR_FNS:
                 parts = _split_top_level(arg)
                 if len(parts) != 2:
                     return None
                 cols = corr_hidden_cols(alias)
                 corrs[alias] = (fn, *cols)
-                hn, hsx, hsy, hsxy, hsxx, hsyy = cols
-                # pairwise sums over BOTH-non-null rows (x NULL or y
-                # NULL contributes nothing — Spark's pair semantics):
-                # the cross-guards make each term NULL when the OTHER
-                # argument is NULL
+                hn, hm1, hm2a, hq1, hq2, hc = cols
+                # Welford co-moment state over BOTH-non-null rows
+                # (x NULL or y NULL contributes nothing — Spark's pair
+                # semantics): the cross-guards make each per-row value
+                # NULL when the OTHER argument is NULL, and Spark's
+                # covar_pop skips incomplete pairs natively
                 dx = f"CAST(({parts[0]}) AS DOUBLE)"
                 dy = f"CAST(({parts[1]}) AS DOUBLE)"
                 gx = f"CASE WHEN ({parts[1]}) IS NOT NULL THEN {dx} END"
                 gy = f"CASE WHEN ({parts[0]}) IS NOT NULL THEN {dy} END"
                 hidden_items.append(f"count({dx} + {dy}) AS {hn}")
-                hidden_items.append(f"sum({gx}) AS {hsx}")
-                hidden_items.append(f"sum({gy}) AS {hsy}")
-                hidden_items.append(f"sum({dx} * {dy}) AS {hsxy}")
-                hidden_items.append(f"sum(({gx}) * ({gx})) AS {hsxx}")
-                hidden_items.append(f"sum(({gy}) * ({gy})) AS {hsyy}")
+                hidden_items.append(f"avg({gx}) AS {hm1}")
+                hidden_items.append(f"avg({gy}) AS {hm2a}")
+                hidden_items.append(
+                    f"var_pop({gx}) * count({gx}) AS {hq1}"
+                )
+                hidden_items.append(
+                    f"var_pop({gy}) * count({gy}) AS {hq2}"
+                )
+                hidden_items.append(
+                    f"covar_pop({dx}, {dy}) * count({dx} + {dy}) AS {hc}"
+                )
             else:
                 hidden_items.append(item.strip())
             continue

@@ -176,16 +176,39 @@ def test_compaction_invalidates_cursor(db, spark):
 
 
 def test_non_analyzable_sql_full_recompute(db, spark):
-    _mk_topic(db, spark, name="a", n=10)
-    _mk_topic(db, spark, name="b", n=10)
-    db.create_materialized_view(
-        "j",
+    """An outer-join MV is NOT delta-refreshable (inserts on the right
+    side retract earlier null-padded rows, which an append-only
+    snapshot cannot express): the analyzer rejects it, every refresh
+    is a full recompute, and values stay exactly equal to running the
+    SQL directly after inserts on both sides."""
+    ta = _mk_topic(db, spark, name="a", n=10)
+    tb = _mk_topic(db, spark, name="b", n=5)
+    sql = (
         "SELECT a.time AS ts, a.v + b.v AS s "
-        "FROM a LEFT JOIN b ON a.time = b.time",
+        "FROM a LEFT JOIN b ON a.time = b.time"
     )
+    db.create_materialized_view("j", sql)
     entry = db.store.resolve("j")
     assert entry.refresh_state is None  # OUTER join: not delta-refreshable
     assert db.refresh_materialized("j") == 10
+
+    # a right-side insert RETRACTS earlier null-padded rows — the full
+    # recompute must reflect that (s flips NULL -> value for time 5..9)
+    tb.insert(
+        spark.range(5, 12).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    ta.insert(
+        spark.range(10, 12).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    db.refresh_materialized("j")
+    assert db.store.resolve("j").refresh_state is None  # still full-only
+    got = {r.ts: r.s for r in db.query("SELECT * FROM j").df.collect()}
+    exp = {r.ts: r.s for r in db.query(sql).df.collect()}
+    assert got == exp and got[7000] == 14.0  # retracted NULL now joined
 
 
 def test_analyzer_shapes():
@@ -827,12 +850,11 @@ def test_avg_mv_delta_matches_full(db, spark):
 
 
 def test_stats_mv_delta_matches_full(db, spark):
-    """Variance-family MVs merge via hidden (sum, count, sumsq) state:
-    deltas never re-read consumed shards, the merged values equal a
-    full recompute of the SAME rewrite bit-for-bit-ish (sum merging is
-    order-independent up to ulps), and track plain Spark stddev (a
-    Welford merge) to float precision. n=1 groups: var_samp NULL,
-    var_pop 0.0 — Spark's own contract."""
+    """Variance-family MVs merge via hidden Welford (count, mean, M2)
+    state: deltas never re-read consumed shards, the merged values
+    equal a full recompute of the SAME rewrite up to ulps, and track
+    plain Spark stddev (also a Welford merge) to float precision.
+    n=1 groups: var_samp NULL, var_pop 0.0 — Spark's own contract."""
     t = _mk_topic(db, spark)
     db.create_materialized_view(
         "sv",
@@ -980,6 +1002,48 @@ def test_regr_mv_delta(db, spark):
     )
     row = db.query("SELECT * FROM rc").df.collect()[0]
     assert row.sl == 0.0 and row.r2 == 1.0
+
+
+def test_stats_mv_large_magnitude_stability(db, spark):
+    """The ADVICE scenario that kills raw sum-of-squares state: values
+    ~1e9 with variance ~1. `sumsq − sum²/n` loses ALL significant
+    digits there (Σx² ~ n·1e18, the difference ~n); the Welford
+    (count, mean, M2) hidden state must track plain Spark — itself a
+    Welford merge — through delta refreshes to ~1e-6 relative."""
+    t = db.create_topic(
+        "big", [Column("x", "float64"), Column("y", "float64")]
+    )
+    # x ≈ 1e9 + small, y correlated with x: slope 0.5, noise-free-ish
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time",
+        "1e9 + CAST(id % 7 AS double) * 0.5 AS x",
+        "2e9 + (1e9 + CAST(id % 7 AS double) * 0.5) * 0.5 "
+        "+ CAST(id % 3 AS double) * 0.25 AS y",
+    )
+    t.insert(mk(0, 40))
+    sql = (
+        "SELECT stddev(x) AS sd, var_samp(x) AS vs, var_pop(x) AS vp, "
+        "corr(x, y) AS r, covar_samp(x, y) AS cs, "
+        "regr_slope(y, x) AS sl, regr_intercept(y, x) AS ic, "
+        "count(*) AS n FROM big"
+    )
+    db.create_materialized_view("bmv", sql)
+    assert db.store.resolve("bmv").refresh_state is not None
+    # two interleaved deltas so the merge path (not just the initial
+    # full compute) is what produces the final state
+    t.insert(mk(40, 70))
+    db.refresh_materialized("bmv")
+    t.insert(mk(70, 100))
+    db.refresh_materialized("bmv")
+
+    got = db.query("SELECT * FROM bmv").df.collect()[0]
+    exp = db.query(sql).df.collect()[0]  # plain Spark over all rows
+    assert got.n == exp.n == 100
+    for f in ("sd", "vs", "vp", "r", "cs", "sl", "ic"):
+        assert got[f] == pytest.approx(exp[f], rel=1e-6, abs=1e-6), f
+    # sanity: the statistics are O(1), not garbage — raw-sums state
+    # reported 0.0 or blew up here
+    assert 0.1 < got.sd < 10.0 and 0.4 < got.sl < 0.6
 
 
 def test_three_table_join_chain_delta(db, spark):
