@@ -345,14 +345,18 @@ class Ella:
             )
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
-        # CREATE OR REPLACE resets version to 0: stale v=* dirs from
-        # the previous definition must not survive where time travel
-        # could serve them as this view's history
+        # hidden mergeable-state columns are namespaced __mv_*; a user
+        # output alias in that namespace would be silently projected
+        # away by every read, so refuse it up front
+        if re.search(r"\bas\s+__mv_", sql, re.I):
+            raise ValueError(
+                "materialized-view output aliases must not start with "
+                "'__mv_' (reserved for hidden refresh state)"
+            )
         prev = self.store.tables.get((catalog, schema, base))
-        if replace and prev is not None and prev.kind == "materialized_view":
-            path = self.store.table_path(prev)
-            if path.exists():
-                shutil.rmtree(path, ignore_errors=True)
+        replacing = (
+            replace and prev is not None and prev.kind == "materialized_view"
+        )
         entry = TableEntry(
             catalog=catalog,
             schema=schema,
@@ -364,7 +368,32 @@ class Ella:
             keep_versions=keep_versions,
         )
         self.store.put_table(entry, replace=replace)
-        return self.refresh_materialized(name)
+        try:
+            n = self.refresh_materialized(name)
+        except Exception:
+            # the new definition never committed a snapshot: put the
+            # old definition (and its intact data) back, or drop the
+            # never-materialized entry — a failed CREATE OR REPLACE
+            # must not destroy the previous MV
+            if replacing:
+                self.store.put_table(prev, replace=True)
+                self._register(prev)
+            else:
+                self.store.drop_table(catalog, schema, base)
+            raise
+        if replacing:
+            # CREATE OR REPLACE resets version to 0: only now that the
+            # new definition has a COMMITTED snapshot may the previous
+            # definition's stale v=* dirs go (deleting them up front
+            # would destroy the old MV if this refresh failed). Dirs
+            # at-or-below the new version were overwritten by the
+            # commit; higher ones would be refused by the
+            # committed-version bound but still waste disk.
+            fresh = self.store.tables[(catalog, schema, base)]
+            for old in self.store.table_path(fresh).glob("v=*"):
+                if old.is_dir() and int(old.name.split("=")[1]) > fresh.version:
+                    shutil.rmtree(old, ignore_errors=True)
+        return n
 
     def refresh_materialized(self, name: str, incremental: bool = True) -> int:
         """Refresh a materialized view and return its snapshot row count.
@@ -547,16 +576,34 @@ class Ella:
             self.read_mv_version(ident, version).createOrReplaceTempView(view)
             return view
 
-        # TIMESTAMP AS OF first, on the raw text: its quoted bound IS
-        # a string literal, so it must run before literal masking
-        sql = _TIMESTAMP_ASOF_RE.sub(_tsub, sql)
-        parts, last = [], 0
-        for m in _SQL_STRING_RE.finditer(sql):
-            parts.append(_VERSION_ASOF_RE.sub(_sub, sql[last : m.start()]))
-            parts.append(m.group(0))
-            last = m.end()
-        parts.append(_VERSION_ASOF_RE.sub(_sub, sql[last:]))
-        return "".join(parts)
+        # One left-to-right scan over string literals and both
+        # time-travel patterns: the EARLIEST match at each position
+        # wins. A literal containing the token sequence (`SELECT 'mv
+        # FOR TIMESTAMP AS OF 123'`) starts at its opening quote —
+        # before the ident — so it is skipped whole; a real `mv FOR
+        # TIMESTAMP AS OF '<iso>'` starts at the ident — before its
+        # quoted bound — so the bound is consumed as part of the
+        # match instead of masking the rewrite away.
+        out: list[str] = []
+        pos = 0
+        while pos < len(sql):
+            cands = []
+            for rx, fn in (
+                (_SQL_STRING_RE, None),
+                (_TIMESTAMP_ASOF_RE, _tsub),
+                (_VERSION_ASOF_RE, _sub),
+            ):
+                m = rx.search(sql, pos)
+                if m is not None:
+                    cands.append((m.start(), len(cands), m, fn))
+            if not cands:
+                break
+            _, _, m, fn = min(cands)
+            out.append(sql[pos : m.start()])
+            out.append(m.group(0) if fn is None else fn(m))
+            pos = m.end()
+        out.append(sql[pos:])
+        return "".join(out)
 
     def _prune_versions(self, entry: TableEntry, new_version: int) -> None:
         """Drop snapshot dirs older than the retention window

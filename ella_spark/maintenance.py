@@ -556,6 +556,7 @@ def build_manifest(topic: Topic) -> int:
             continue  # mid-rename; next pass
         mins: dict = {}
         maxs: dict = {}
+        seen: dict = {}  # col -> row groups that contributed stats
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             for i in range(rg.num_columns):
@@ -565,15 +566,22 @@ def build_manifest(topic: Topic) -> int:
                     continue
                 if col.statistics and col.statistics.has_min_max:
                     s = col.statistics
+                    seen[cn] = seen.get(cn, 0) + 1
                     mins[cn] = s.min if cn not in mins else min(mins[cn], s.min)
                     maxs[cn] = s.max if cn not in maxs else max(maxs[cn], s.max)
-        if TIME_COLUMN not in mins:
-            continue  # no time stats: file stays un-skippable
+        # a column's range is only sound if EVERY row group contributed
+        # stats — a partial range under-covers the file and skipping
+        # against it would silently drop the statless row groups' rows
+        complete = {
+            cn for cn, k in seen.items() if k == md.num_row_groups
+        }
+        if TIME_COLUMN not in complete:
+            continue  # time stats absent/partial: file stays un-skippable
         stats[name] = {
             "t": [int(mins[TIME_COLUMN]), int(maxs[TIME_COLUMN])],
             "c": {
                 cn: [mins[cn], maxs[cn]]
-                for cn in sorted(mins)
+                for cn in sorted(complete)
                 if cn != TIME_COLUMN
             },
         }

@@ -538,6 +538,44 @@ def test_col_ranges_nan_matches_spark_pushdown(db, spark):
     assert native == []
 
 
+def test_manifest_partial_rowgroup_stats_never_skip(db, spark):
+    """A column whose stats cover only SOME row groups must not get a
+    manifest range: the partial range under-covers the file, and a
+    col_ranges skip against it could silently drop the statless row
+    groups' rows. build_manifest only emits a column entry when every
+    row group contributed has_min_max (an all-null row group, for
+    example, has none)."""
+    import pyarrow as pa
+
+    from ella_spark.maintenance import build_manifest
+
+    t = db.create_topic("pg", [Column("k", "int64"), Column("v", "float64")])
+    with t.publish() as pub:
+        pub.write(0, 1, 1.0)
+    shard = t.shards()[0]
+    schema = pq.read_table(shard).schema
+    w = pq.ParquetWriter(shard, schema)
+    # row group 1: full stats; row group 2: v all-null -> no v min/max
+    w.write_table(
+        pa.table({"time": [0, 1], "k": [1, 2], "v": [1.0, 2.0]}, schema=schema)
+    )
+    w.write_table(
+        pa.table({"time": [2, 3], "k": [3, 4], "v": [None, None]}, schema=schema)
+    )
+    w.close()
+    shard.with_name(f".{shard.name}.crc").unlink(missing_ok=True)
+
+    build_manifest(t)
+    ent = t.manifest()[shard.name]
+    assert ent["t"] == [0, 3]  # time stats complete in both row groups
+    assert "k" in ent["c"] and ent["c"]["k"] == [1, 4]
+    assert "v" not in ent["c"]  # partial stats: column must not skip
+    # a v-range the partial stats would have "proven" disjoint still
+    # reads the file (missing column stats never skip)
+    df = t.read(spark, col_ranges={"v": (100.0, None)})
+    assert len(df.inputFiles()) == 1
+
+
 def test_manifest_v1_entries_upgrade(db, spark):
     """A v1 manifest (basename -> [lo, hi]) still time-skips, and the
     next build_manifest rewrites it as v2."""
@@ -683,6 +721,145 @@ def test_mv_time_travel(db, spark):
     with pytest.raises(ValueError, match="no committed snapshot"):
         db.read_mv_version("tt", 3)
     assert [v for v, _ in entry.version_log] == [1]  # log reset too
+
+
+def test_mv_rejects_reserved_alias(db, spark):
+    """A user output alias in the hidden __mv_* namespace would be
+    silently projected away by every read — refused at CREATE."""
+    _mk_topic(db, spark, name="ra", n=5)
+    with pytest.raises(ValueError, match="__mv_"):
+        db.create_materialized_view(
+            "bad", "SELECT k, sum(v) AS __mv_x FROM ra GROUP BY k"
+        )
+    assert db.store.tables.get(("ella", "public", "bad")) is None
+
+
+def test_mv_create_or_replace_failure_preserves_old(db, spark):
+    """A failed CREATE OR REPLACE (bad SQL at refresh time) must not
+    destroy the previous MV: the old definition, its snapshot data,
+    and its retained versions all survive; a failed fresh CREATE
+    leaves no catalog entry behind."""
+    t = _mk_topic(db, spark, name="pr", n=10)
+    db.create_materialized_view(
+        "keepme",
+        "SELECT k, sum(v) AS s FROM pr GROUP BY k",
+        keep_versions=3,
+    )
+    t.insert(
+        spark.range(10, 20).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    db.refresh_materialized("keepme")  # v=2 retained
+    before = {r.k: r.s for r in db.query("SELECT * FROM keepme").df.collect()}
+    v1 = {r.k: r.s for r in db.read_mv_version("keepme", 1).collect()}
+
+    with pytest.raises(Exception):
+        db.create_materialized_view(
+            "keepme", "SELECT no_such_col FROM pr"
+        )
+    # old definition fully intact: current values, history, version
+    entry = db.store.resolve("keepme")
+    assert entry.version == 2 and "sum(v)" in entry.sql
+    after = {r.k: r.s for r in db.query("SELECT * FROM keepme").df.collect()}
+    assert after == before
+    assert {r.k: r.s for r in db.read_mv_version("keepme", 1).collect()} == v1
+
+    # fresh CREATE failing leaves no orphan entry
+    with pytest.raises(Exception):
+        db.create_materialized_view("neverwas", "SELECT boom FROM pr")
+    assert db.store.tables.get(("ella", "public", "neverwas")) is None
+    # and a successful replace still resets history (deferred delete)
+    db.create_materialized_view(
+        "keepme", "SELECT k, max(v) AS hi FROM pr GROUP BY k", keep_versions=3
+    )
+    assert db.store.resolve("keepme").version == 1
+    live = [
+        p.name
+        for p in db.store.table_path(db.store.resolve("keepme")).glob("v=*")
+    ]
+    assert live == ["v=1"]  # stale v=2 from the old definition removed
+
+
+def test_time_travel_rewriter_literal_property(db, spark):
+    """Property test of _rewrite_version_asof (regex rewriting must
+    survive quoted literals, escaped quotes, multiple refs in one
+    statement): every string literal survives VERBATIM — including
+    ones spelling `mv FOR TIMESTAMP AS OF 123` over a real MV name —
+    every real unquoted ref is substituted, and nothing else changes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    t = _mk_topic(db, spark, name="tp", n=6)
+    db.create_materialized_view(
+        "ttp", "SELECT k, count(*) AS n FROM tp GROUP BY k", keep_versions=4
+    )
+    t.insert(
+        spark.range(6, 12).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "CAST(id AS double) AS v"
+        )
+    )
+    db.refresh_materialized("ttp")  # versions 1, 2 retained
+    ts1 = dict(db.store.resolve("ttp").version_log)[1]
+
+    lit_bodies = st.sampled_from(
+        [
+            "plain data",
+            "ttp FOR VERSION AS OF 1",
+            f"ttp FOR TIMESTAMP AS OF {ts1}",
+            "ttp FOR TIMESTAMP AS OF 123",
+            "it''s quoted",
+            "FOR VERSION AS OF",
+            "",
+        ]
+    )
+    refs = st.sampled_from(
+        [
+            "ttp FOR VERSION AS OF 1",
+            "ttp FOR VERSION AS OF 2",
+            f"ttp FOR TIMESTAMP AS OF {ts1}",
+            "nosuchmv FOR VERSION AS OF 1",  # not an MV: left verbatim
+        ]
+    )
+    seg = st.one_of(
+        lit_bodies.map(lambda b: ("lit", f"'{b}'")),
+        refs.map(lambda r: ("ref", r)),
+        st.just(("sql", " , k , ")),
+    )
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(seg, min_size=1, max_size=6))
+    def check(segments):
+        sql = "SELECT " + " ".join(s for _, s in segments)
+        out = db._rewrite_version_asof(sql)
+        # every literal survives verbatim
+        for kind, s in segments:
+            if kind == "lit":
+                assert s in out, (sql, out)
+        # every REAL ref is substituted; unknown idents left alone
+        n_real = sum(
+            1 for kind, s in segments if kind == "ref" and s.startswith("ttp")
+        )
+        assert out.count("__mv_asof_ttp_") == n_real, (sql, out)
+        # no unquoted time-travel text remains once literals are removed
+        import re as _re
+
+        stripped = _re.sub(r"'(?:[^']|'')*'", "", out)
+        assert "ttp FOR" not in stripped, (sql, out)
+
+    check()
+
+    # end-to-end: a literal spelling the pattern over a REAL MV plus a
+    # real ref in the SAME statement — data intact, ref resolved
+    row = db.query(
+        f"SELECT 'ttp FOR TIMESTAMP AS OF {ts1}' AS s, sum(n) AS total "
+        "FROM ttp FOR VERSION AS OF 1 GROUP BY 1"
+    ).df.collect()[0]
+    assert row.s == f"ttp FOR TIMESTAMP AS OF {ts1}" and row.total == 6
 
 
 def test_retention_expires_old_buckets(db, spark):
