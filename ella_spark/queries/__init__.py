@@ -75,66 +75,77 @@ def _load() -> None:
 
 
 # The driver cuts CORRECTNESS at exactly the first 50 registered
-# queries. Round-4 rotation (VERDICT r3 top-next): the 32 queries that
-# have NEVER earned a driver row fill the prefix first — all 16 extra
-# TPC-H shapes plus the 16 r3-added/uncovered names — so that after
-# this round every oracle-paired query has a hard driver-green record.
-_NEVER_CHECKED_R3 = {
-    # the 16 TPC-H shapes beyond the r1 six
+# queries. Round-5 rotation (VERDICT r4 #2): after r4 zeroed the
+# never-checked debt, the policy is freshness — newest queries first,
+# then the names whose NEWEST driver green is oldest (r1/r2), so no
+# oracle-paired query's latest hard record ages past ~2 rounds. All
+# names are additionally re-verified locally every run by
+# tests/test_oracle_parity.py regardless of tier.
+
+# Queries added in round 5 (no driver row can exist yet).
+_NEW_R5 = {
+    "q_ann_ivfpq_portable",
+}
+
+# Names whose newest driver green is r1 (28) or r2 (2) — computed from
+# CORRECTNESS_r0{1..4}.json; these are the oldest-green veterans the
+# r4 verdict asked to cycle back through the checked-50.
+_OLDEST_GREEN = {
+    # newest green = r1
+    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "q10_returned_items", "q14_promo_effect", "q_approx_aggs",
+    "q_case_cast_like", "q_conditional_funcs", "q_corr_covar",
+    "q_correlated_subquery", "q_cross_join", "q_cube", "q_distinct",
+    "q_full_outer_join", "q_grouping_sets", "q_having", "q_in_subquery",
+    "q_label_centroid_dist", "q_math_funcs", "q_non_equi_join",
+    "q_order_limit_offset", "q_outer_join", "q_rollup",
+    "q_scalar_subquery", "q_semi_anti_join", "q_set_ops",
+    "q_string_funcs", "q_vector_arith",
+    # newest green = r2
+    "q_array_basics", "q_vector_norms",
+}
+
+# Names whose newest driver row is r4 — the freshest greens, demoted
+# to the back so r3-latest names fill the remaining prefix slots.
+_R4_GREEN = {
+    "q11_important_parts", "q12_late_lines", "q13_cust_distribution",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_qty_revenue", "q18_large_volume_cust",
+    "q19_bracket_revenue", "q20_excess_share_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q11_important_parts",
-    "q12_late_lines", "q13_cust_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_qty_revenue",
-    "q18_large_volume_cust", "q19_bracket_revenue",
-    "q20_excess_share_suppliers", "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # 16 registry queries with no driver row in rounds 1-3
-    "q_regr_funcs", "q_array_bool_aggs", "q_string_funcs2",
-    "q_time_convs", "q_set_ops_all", "q_percentile_exact",
-    "q_value_histogram", "q_salted_join", "q_asof_tolerance",
-    "q_ohlc_bars", "q_counter_rate", "q_bm25_search", "q_top_bigrams",
-    "q_train_test_split", "q_heavy_hitters", "q_curation_pipeline",
-}
-
-# Queries ADDED in round 4 (no driver row can exist yet): right after
-# the rotation debt so they earn a hard record in their first round.
-_NEW_R4 = {
-    "q_dedup_incremental", "q_gopher_quality", "q_importance_weights",
-    "q_ngram_decontaminate", "q_embed_pca", "q_source_caps",
-    "q_temperature_resample", "q_shard_assignment", "q_char_entropy",
-    "q_quality_classifier", "q_dedup_minhash_portable",
-    "q_lm_perplexity", "q_dedup_simhash_portable", "q_paragraph_dedup",
-}
-
-# Remaining slots of the checked-50: queries upgraded from rows-only
-# to oracle-checked this round (persisted-centroid / pinned-hyperplane
-# determinism) plus q_ann_ivfpq (the only name with no driver row in
-# any round). Demoted to tier 3 to make room: q_kmeans_embeddings
-# (the same pinned-centroid assignment machinery q_semantic_dedup
-# exercises) and the changed-code queries with prior driver greens
-# (q_time_range_scan, q_mix_resample, q_range_join) — all locally
-# parity-gated every run.
-_PREFIX_REST = {
-    "q_semantic_dedup", "q_ann_ivf", "q_ann_lsh", "q_ann_ivfpq",
+    "q8_market_share", "q9_product_type_profit", "q_ann_ivf",
+    "q_ann_ivfpq", "q_ann_lsh", "q_array_bool_aggs", "q_asof_tolerance",
+    "q_bm25_search", "q_char_entropy", "q_counter_rate",
+    "q_curation_pipeline", "q_dedup_incremental",
+    "q_dedup_minhash_portable", "q_dedup_simhash_portable",
+    "q_embed_pca", "q_gopher_quality", "q_heavy_hitters",
+    "q_importance_weights", "q_lm_perplexity", "q_ngram_decontaminate",
+    "q_ohlc_bars", "q_paragraph_dedup", "q_percentile_exact",
+    "q_quality_classifier", "q_regr_funcs", "q_salted_join",
+    "q_semantic_dedup", "q_set_ops_all", "q_shard_assignment",
+    "q_source_caps", "q_string_funcs2", "q_temperature_resample",
+    "q_time_convs", "q_top_bigrams", "q_train_test_split",
+    "q_value_histogram",
 }
 
 
 def _rank(name: str) -> int:
     """Priority tier for the driver's budget-limited prefix:
 
-    0. never-driver-checked queries (rotation debt — VERDICT r3 #1)
-    1. queries added this round (first chance at a driver row)
-    2. newly-oracled + changed-code + oldest-green queries
-    3. everything r3-green with unchanged code (local parity still
-       gates all of these every round via tests/test_oracle_parity.py)
+    0. queries added this round (first chance at a driver row)
+    1. oldest-green veterans (newest driver green is r1/r2)
+    2. r3-latest greens (fill the remaining checked-50 slots in
+       registration order; the overflow rotates in next round)
+    3. r4 greens — freshest records, checked again last
     """
-    if name in _NEVER_CHECKED_R3:
+    if name in _NEW_R5:
         return 0
-    if name in _NEW_R4:
+    if name in _OLDEST_GREEN:
         return 1
-    if name in _PREFIX_REST:
-        return 2
-    return 3
+    if name in _R4_GREEN:
+        return 3
+    return 2
 
 
 def _reorder() -> None:

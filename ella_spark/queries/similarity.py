@@ -333,6 +333,179 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# ── portable IVF-PQ: one generated SQL text per engine ───────────────
+# q_ann_ivfpq's numpy fast path stays rows-only (the ADC candidate cut
+# is float-order-sensitive against an engine that sums in a different
+# association order). The portable variant removes the order
+# sensitivity at the ROOT: both engines execute STRUCTURALLY IDENTICAL
+# SQL — every dot product and ADC sum is an unrolled left-associated
+# chain over the same pinned literals, so each intermediate double is
+# bit-identical and the refine cut lands on the same candidates. Only
+# the dialect shims differ (array() vs [...], 0- vs 1-based indexing,
+# collect_list+array_sort vs list(... ORDER BY)).
+
+_PQ_M, _PQ_SUB, _PQ_CODES, _PQ_PROBE, _PQ_REFINE = 16, 4, 16, 6, 48
+
+
+def _ivfpq_portable_sql(dialect: str, table: str, cent, books) -> str:
+    """Generate the IVF-PQ pipeline (cell assign → residual PQ encode →
+    probe → LUT ADC score → refine cut → exact re-rank) for ``spark``
+    or ``duck``, arithmetic-identical across the two."""
+    spark = dialect == "spark"
+
+    def el(arr: str, i) -> str:  # array element, 0-based semantics
+        if isinstance(i, int):
+            return f"{arr}[{i}]" if spark else f"{arr}[{i + 1}]"
+        return f"{arr}[{i}]" if spark else f"{arr}[({i}) + 1]"
+
+    def arrlit(vals) -> str:
+        body = ", ".join(repr(float(x)) for x in vals)
+        return f"array({body})" if spark else f"[{body}]"
+
+    def values(rows: str, alias: str) -> str:
+        return (
+            f"SELECT * FROM VALUES {rows} AS {alias}"
+            if spark
+            else f"SELECT * FROM (VALUES {rows}) AS {alias}"
+        )
+
+    xform = "transform" if spark else "list_transform"
+    dot = lambda a, b: " + ".join(
+        f"{el(a, i)} * {el(b, i)}" for i in range(_DIM)
+    )
+    cent_rows = ", ".join(f"({c}, {arrlit(row)})" for c, row in enumerate(cent))
+    book_rows = ", ".join(
+        f"({j}, {c}, "
+        + ", ".join(repr(float(x)) for x in books[j][c])
+        + ")"
+        for j in range(_PQ_M)
+        for c in range(_PQ_CODES)
+    )
+    # residual-to-codeword squared distance and query-LUT value for
+    # subspace j (4 unrolled terms each, left-associated)
+    dist4 = " + ".join(
+        f"({el('s.e', f'b.j*{_PQ_SUB}+{t}')} - "
+        f"{el('ct.cv', f'b.j*{_PQ_SUB}+{t}')} - b.b{t}) * "
+        f"({el('s.e', f'b.j*{_PQ_SUB}+{t}')} - "
+        f"{el('ct.cv', f'b.j*{_PQ_SUB}+{t}')} - b.b{t})"
+        for t in range(_PQ_SUB)
+    )
+    lut4 = " + ".join(
+        f"{el('q.e', f'b.j*{_PQ_SUB}+{t}')} * b.b{t}" for t in range(_PQ_SUB)
+    )
+    adc_sum = "a.cdot + " + " + ".join(
+        el("ls", j) for j in range(_PQ_M)
+    )
+    ocollect = (
+        "transform(array_sort(collect_list(struct(cd.j, l.lv))), s -> s.lv)"
+        if spark
+        else "list(l.lv ORDER BY cd.j)"
+    )
+    sq_norm = " + ".join(f"{el('e', i)} * {el('e', i)}" for i in range(_DIM))
+    bcols = ", ".join(f"b{t}" for t in range(_PQ_SUB))
+    return f"""
+    WITH cent AS ({values(cent_rows, 't(c, cv)')}),
+    books AS ({values(book_rows, f't(j, c, {bcols})')}),
+    v AS (
+      SELECT vec_id, {xform}(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM {table}),
+    vn AS (SELECT vec_id, e, sqrt({sq_norm}) AS nrm FROM v),
+    cs AS (
+      SELECT vn.vec_id, c.c AS cl, ({dot('vn.e', 'c.cv')}) AS d
+      FROM vn CROSS JOIN cent c),
+    cellof AS (
+      SELECT vec_id, cl AS cell, d AS cdot FROM (
+        SELECT cs.*, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cl) AS rn
+        FROM cs) t WHERE rn = 1),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, b.j, b.c AS code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, b.j
+                 ORDER BY ({dist4}) ASC, b.c) AS rn
+        FROM vn s
+        JOIN cellof co ON co.vec_id = s.vec_id
+        JOIN cent ct ON ct.c = co.cell
+        CROSS JOIN books b) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cl AS cell, d AS cdot FROM (
+        SELECT cs.*, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cl) AS rn
+        FROM cs WHERE vec_id < {_N_QUERIES}) t WHERE rn <= {_PQ_PROBE}),
+    lut AS (
+      SELECT q.vec_id AS query_id, b.j, b.c, ({lut4}) AS lv
+      FROM vn q CROSS JOIN books b WHERE q.vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT p.query_id, co.vec_id AS neighbor_id, p.cdot
+      FROM probes p JOIN cellof co ON co.cell = p.cell
+      WHERE co.vec_id != p.query_id),
+    adcl AS (
+      SELECT ca.query_id, ca.neighbor_id, ca.cdot, {ocollect} AS ls
+      FROM cand ca
+      JOIN codes cd ON cd.vec_id = ca.neighbor_id
+      JOIN lut l ON l.query_id = ca.query_id
+                AND l.j = cd.j AND l.c = cd.code
+      GROUP BY ca.query_id, ca.neighbor_id, ca.cdot),
+    ref AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, a.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.query_id
+                 ORDER BY (({adc_sum}) / (qv.nrm * cn.nrm)) DESC,
+                          a.neighbor_id) AS rr
+        FROM adcl a
+        JOIN vn qv ON qv.vec_id = a.query_id
+        JOIN vn cn ON cn.vec_id = a.neighbor_id) t
+      WHERE rr <= {_PQ_REFINE}),
+    resc AS (
+      SELECT r.query_id, r.neighbor_id,
+             ({dot('qv.e', 'cv.e')}) / (qv.nrm * cv.nrm) AS cos
+      FROM ref r
+      JOIN vn qv ON qv.vec_id = r.query_id
+      JOIN vn cv ON cv.vec_id = r.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           round(cos, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM resc) t
+    WHERE rank <= 5
+    """
+
+
+def _ivfpq_portable_oracle() -> str | None:
+    cent = _oracle_centroids(16)
+    if cent is None:
+        return None
+    books = corpus_codebooks(_ORACLE_SF_DIR, 16)
+    return _ivfpq_portable_sql("duck", "embeddings", cent, books)
+
+
+@register(
+    "q_ann_ivfpq_portable",
+    oracle=_ivfpq_portable_oracle(),
+    doc="IVF-PQ with an EXACT cross-engine oracle: Spark and DuckDB "
+    "execute structurally identical generated SQL (unrolled "
+    "left-associated dots over pinned centroid + codebook literals), "
+    "so every ADC score is bit-identical and the refine cut is "
+    "deterministic. The numpy fast path (q_ann_ivfpq) keeps the "
+    "Arrow-batched scale shape; this variant is its hard correctness "
+    "signal.",
+)
+def q_ann_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("__pq_emb")
+    sql = _ivfpq_portable_sql(
+        "spark",
+        "__pq_emb",
+        corpus_centroids(sf_dir, 16),
+        corpus_codebooks(sf_dir, 16),
+    )
+    return spark.sql(sql).orderBy("query_id", "rank")
+
+
 def _kmeans_oracle() -> str | None:
     cent = _oracle_centroids(16)
     if cent is None:
