@@ -193,6 +193,47 @@ class Ella:
         except FileNotFoundError:
             return cls.create(root, spark)
 
+    @classmethod
+    def connect(cls, root: str, remote_url: str) -> "Ella":
+        """Remote mode — the Spark Connect analog of the reference's
+        client/server transport (ella-server/src/client.rs:120-146:
+        Flight SQL for queries + gRPC for DDL). SURVEY §0 scopes the
+        reference's custom wire protocol out and names Spark Connect
+        as the platform answer: a thin client opens a SparkSession
+        against a remote Connect endpoint (``sc://host:port``, or a
+        ``local[n]`` master to spawn an in-process server) and reads
+        the shared catalog root. Every Ella surface — DDL dispatch,
+        queries, Lazy, topics — then travels the Connect protocol
+        unchanged; no Ella-specific wire format exists, which is the
+        point.
+
+        Requires the Spark Connect client stack (``grpcio`` etc. —
+        ``pip install 'pyspark[connect]'``); raises a RuntimeError
+        naming the missing dependency when absent so callers can
+        fall back to embedded mode.
+        """
+        from pyspark.errors.exceptions.base import PySparkImportError
+
+        try:
+            spark = SparkSession.builder.remote(remote_url).getOrCreate()
+        except (ImportError, PySparkImportError) as e:
+            raise RuntimeError(
+                "Spark Connect client dependencies missing "
+                "(pip install 'pyspark[connect]'): " + str(e)
+            ) from e
+        return cls.open_or_create(root, spark)
+
+    @staticmethod
+    def connect_available() -> bool:
+        """True when the Spark Connect client stack is importable."""
+        try:
+            from pyspark.sql.connect.utils import check_dependencies
+
+            check_dependencies("ella_spark.connect")
+            return True
+        except Exception:
+            return False
+
     def shutdown(self) -> None:
         """Snapshot the catalog (Engine::shutdown, engine.rs:36-39)."""
         self.store.snapshot()
@@ -790,8 +831,13 @@ class Ella:
                 # aggregate the blacklist does not know must NEVER be
                 # treated as append-only — a partial per-delta result
                 # would silently corrupt the snapshot. The analyzed
-                # plan is ground truth.
-                plan = delta_df._jdf.queryExecution().analyzed().toString()
+                # plan is ground truth; when it is not inspectable
+                # (Spark Connect has no _jdf), fail CLOSED to a full
+                # recompute rather than trust the regex alone.
+                try:
+                    plan = delta_df._jdf.queryExecution().analyzed().toString()
+                except Exception:
+                    return None
                 if "Aggregate" in plan:
                     return None
                 return self._append_snapshot_version(
@@ -1056,7 +1102,11 @@ class Ella:
                     entry, analysis, delta_df, new_state
                 )
             # structural guard, same as the single-topic SPF path
-            plan = delta_df._jdf.queryExecution().analyzed().toString()
+            # (fail closed when the plan is not inspectable — Connect)
+            try:
+                plan = delta_df._jdf.queryExecution().analyzed().toString()
+            except Exception:
+                return None
             if "Aggregate" in plan:
                 return None
             return self._append_snapshot_version(
@@ -1391,12 +1441,24 @@ class Ella:
             # DataFusion's SessionState). ANALYZE executes the query
             # first so the reported physical plan is the AQE-final one.
             df = self.spark.sql(m.group(2))
-            qe = df._jdf.queryExecution()
-            rows = [("logical_plan", qe.optimizedPlan().toString())]
+            try:
+                qe = df._jdf.queryExecution()
+                logical = qe.optimizedPlan().toString()
+                physical = qe.executedPlan().toString()
+            except Exception:
+                # Connect sessions have no _jdf: capture explain text
+                import contextlib as _ctx
+                import io as _io
+
+                buf = _io.StringIO()
+                with _ctx.redirect_stdout(buf):
+                    df.explain("extended")
+                logical = physical = buf.getvalue()
+            rows = [("logical_plan", logical)]
             if m.group(1):
                 n = df.count()
                 rows.append(("row_count", str(n)))
-            rows.append(("physical_plan", qe.executedPlan().toString()))
+            rows.append(("physical_plan", physical))
             return Lazy(
                 self.spark.createDataFrame(rows, "plan_type string, plan string"),
                 engine=self,

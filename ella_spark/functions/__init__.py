@@ -326,3 +326,25 @@ def date_trunc(unit: str, time_ns: Column) -> Column:
     """date_trunc over ns longs via the µs timestamp view; returns a
     TimestampType (like DataFusion's date_trunc)."""
     return F.date_trunc(unit, time_to_timestamp(time_ns))
+
+
+# -- named shape/slice/index parity surface (shape.rs, slice.rs,
+# index.rs) — driver-side numpy on the Lazy.col path, JVM expressions
+# for the 1-D array-column cases; see functions/shape.py
+from ella_spark.functions.shape import (  # noqa: E402, F401
+    t_broadcast_to,
+    t_broadcast_with,
+    t_collapse_axis,
+    t_diag,
+    t_flatten,
+    t_index_axis,
+    t_invert_axis,
+    t_reshape,
+    t_roll,
+    t_slice_axis,
+    t_slice_nd,
+    t_squeeze,
+    t_swap_axes,
+    t_t,
+    t_unsqueeze,
+)

@@ -29,6 +29,11 @@ from ella_spark.types import TIME_COLUMN
 #: (table/config.rs:19); scaled down for local defaults.
 DEFAULT_TARGET_ROWS = 1 << 25
 
+#: shard count past which build_manifest switches the manifest from
+#: JSON to parquet (columnar load stays sub-second at 10⁵-10⁶ entries
+#: where json.loads dominates)
+MANIFEST_PARQUET_THRESHOLD = 100_000
+
 #: clustered compaction writes this many range-disjoint output shards
 #: per merge group (each skippable independently via the v2 manifest)
 _CLUSTER_SPLITS = 4
@@ -587,9 +592,34 @@ def build_manifest(topic: Topic) -> int:
         }
         added += 1
     mdir.mkdir(exist_ok=True)
-    tmp = mdir / f".stats-{uuid.uuid4().hex}.tmp"
-    tmp.write_text(json.dumps(stats))
-    tmp.replace(mpath)
+    if len(stats) > MANIFEST_PARQUET_THRESHOLD:
+        # columnar manifest: at 10⁵+ shards json.loads dominates the
+        # driver-side skipping path (~120 B/entry); parquet loads the
+        # same entries sub-second and compresses ~10×. Same logical
+        # shape — Topic.manifest() normalizes both formats.
+        import pyarrow as pa
+
+        names = sorted(stats)
+        tbl = pa.table(
+            {
+                "name": names,
+                "tmin": [int(stats[n]["t"][0]) for n in names],
+                "tmax": [int(stats[n]["t"][1]) for n in names],
+                "c": [json.dumps(stats[n].get("c") or {}) for n in names],
+            }
+        )
+        tmp = mdir / f".stats-{uuid.uuid4().hex}.tmp"
+        pq.write_table(tbl, tmp)
+        tmp.replace(mdir / "stats.parquet")
+        mpath.unlink(missing_ok=True)
+    else:
+        # remove a stale parquet manifest FIRST: the reader prefers
+        # parquet, and a brief no-manifest window is merely
+        # conservative (all files read) — never stale skipping
+        (mdir / "stats.parquet").unlink(missing_ok=True)
+        tmp = mdir / f".stats-{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(stats))
+        tmp.replace(mpath)
     return added
 
 

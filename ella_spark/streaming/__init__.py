@@ -132,20 +132,34 @@ def unified_scan(
     the current time gives the reference's ``WHERE time > now()``
     live-only mode.
 
-    The memory-sink poll is a client-side tail — bounded by what one
+    The tail is a client-side consumer — bounded by what one
     subscriber can consume, like the reference's per-subscriber
-    broadcast queue. With ``max_lag_rows`` set, a consumer that falls
-    further behind than that raises :class:`Lagged` — the reference's
-    slow-subscriber error (default: buffer without bound).
+    broadcast queue. Each micro-batch is collected ONCE into a
+    driver-side queue via foreachBatch (total collected-row volume is
+    O(rows) — a memory-sink poll re-collecting the whole table every
+    tick would be O(rows²) over a long subscription). With
+    ``max_lag_rows`` set, a consumer that falls further behind than
+    that raises :class:`Lagged` — the reference's slow-subscriber
+    error (default: buffer without bound).
     """
+    import collections
+
     import pyspark.sql.functions as F
 
     name = f"scan_{topic.entry.name}_{uuid.uuid4().hex[:8]}"
     stream = topic.read_stream(spark)
     if since_ns is not None:
         stream = stream.where(F.col(TIME_COLUMN) > since_ns)
+    buf: collections.deque = collections.deque()
+
+    def _sink(batch_df, _batch_id):
+        rows = batch_df.collect()  # O(this batch) only, never history
+        global _collected_rows_total
+        _collected_rows_total += len(rows)
+        buf.extend(rows)
+
     query = (
-        stream.writeStream.format("memory")
+        stream.writeStream.foreachBatch(_sink)
         .queryName(name)
         .option(
             "checkpointLocation",
@@ -153,30 +167,32 @@ def unified_scan(
         )
         .start()
     )
-    seen = 0
     deadline = time.time() + timeout_sec
     try:
         while time.time() < deadline:
-            rows = spark.sql(f"SELECT * FROM {name}").collect()
-            if max_lag_rows is not None and len(rows) - seen > max_lag_rows:
+            pending = len(buf)
+            if max_lag_rows is not None and pending > max_lag_rows:
                 raise Lagged(
-                    f"subscriber lagged {len(rows) - seen} rows behind "
+                    f"subscriber lagged {pending} rows behind "
                     f"(bound {max_lag_rows})"
                 )
-            if len(rows) > seen:
-                yield from rows[seen:]
-                seen = len(rows)
+            if pending:
+                for _ in range(pending):
+                    yield buf.popleft()
                 continue
             if active_publishers(topic) == 0:
                 query.processAllAvailable()
-                rows = spark.sql(f"SELECT * FROM {name}").collect()
-                if len(rows) > seen:
-                    yield from rows[seen:]
+                while buf:
+                    yield buf.popleft()
                 return
             time.sleep(poll_sec)
     finally:
         query.stop()
-        spark.catalog.dropTempView(name)
+
+
+#: test hook: total rows ever collected by unified_scan sinks — lets a
+#: regression test assert the O(rows) collection contract directly
+_collected_rows_total = 0
 
 
 # -- time windows (beyond-reference conveniences, §F last row) ---------------

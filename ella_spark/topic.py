@@ -108,10 +108,38 @@ class Topic:
         ``basename -> {"t": [min_time, max_time], "c": {col: [min,
         max]}}``; empty dict if never built. v1 entries (bare
         ``[lo, hi]`` time lists) normalize to v2 with no column
-        stats."""
+        stats.
+
+        Two physical formats, one logical shape: small topics store
+        JSON (human-greppable); past ~10⁵ shards build_manifest
+        switches to parquet (columnar, ~10× smaller, sub-second load
+        where json.loads dominates) — whichever single file exists is
+        authoritative, the reader normalizes both."""
         import json
 
-        mpath = self.path / "_manifest" / "stats.json"
+        mdir = self.path / "_manifest"
+        ppath = mdir / "stats.parquet"
+        if ppath.exists():
+            try:
+                import pyarrow.parquet as _pq
+
+                tbl = _pq.read_table(ppath)
+            except (OSError, ValueError):
+                return {}
+            cjson = tbl.column("c").to_pylist()
+            # ONE C-level parse for all column-stat payloads: 10⁵
+            # individual json.loads calls dominate the load time
+            cols = json.loads("[" + ",".join(c or "{}" for c in cjson) + "]")
+            return {
+                name: {"t": [tmin, tmax], "c": c}
+                for name, tmin, tmax, c in zip(
+                    tbl.column("name").to_pylist(),
+                    tbl.column("tmin").to_pylist(),
+                    tbl.column("tmax").to_pylist(),
+                    cols,
+                )
+            }
+        mpath = mdir / "stats.json"
         if not mpath.exists():
             return {}
         try:

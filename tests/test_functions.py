@@ -241,3 +241,89 @@ def test_lazy_rows_dataclass(spark, tmp_path):
     assert len(got2) == 2 and isinstance(got2[0], Point)
     with pytest.raises(ValueError, match="lacks columns"):
         list(db.query("SELECT time FROM pts").rows(Point))
+
+
+def test_shape_ops_reference_parity():
+    """Named shape/slice/index ops mirror the reference's OWN tests:
+    invert_axis + roll (shape.rs:204-239), slice_axis + slice
+    (slice.rs:82-100), diag (slice.rs:70-77)."""
+    import numpy as np
+
+    x = np.array([[1, 2, 3], [4, 5, 6]])
+    assert (T.t_invert_axis(x, 0) == [[4, 5, 6], [1, 2, 3]]).all()
+    assert (T.t_invert_axis(x, 1) == [[3, 2, 1], [6, 5, 4]]).all()
+
+    x3 = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]])
+    assert (T.t_roll(x3, 0, 2) == [[4, 5, 6], [7, 8, 9], [1, 2, 3]]).all()
+    assert (T.t_roll(x3, 0, -1) == [[4, 5, 6], [7, 8, 9], [1, 2, 3]]).all()
+    assert (T.t_roll(x3, 0, 5) == [[4, 5, 6], [7, 8, 9], [1, 2, 3]]).all()
+    assert (T.t_roll(x3, -1, 1) == [[3, 1, 2], [6, 4, 5], [9, 7, 8]]).all()
+
+    y = np.array([[1, 2, 3, 4], [5, 6, 7, 8]])
+    # slice_axis(Axis(1), ..=1) / 2.. / 1..-2 / (Axis(0), 1..)
+    assert (T.t_slice_axis(y, 1, None, 2) == [[1, 2], [5, 6]]).all()
+    assert (T.t_slice_axis(y, 1, 2) == [[3, 4], [7, 8]]).all()
+    assert (T.t_slice_axis(y, 1, 1, -2) == [[2], [6]]).all()
+    assert (T.t_slice_axis(y, 0, 1) == [[5, 6, 7, 8]]).all()
+    # slice![..1, 1..=2] and slice![NewAxis, ..;-1, 0..3;2]
+    assert (T.t_slice_nd(y, slice(None, 1), slice(1, 3)) == [[2, 3]]).all()
+    assert (
+        T.t_slice_nd(y, None, slice(None, None, -1), slice(0, 3, 2))
+        == [[[5, 7], [1, 3]]]
+    ).all()
+    assert (T.t_diag(y) == [1, 6]).all()
+    assert (T.t_diag(np.arange(27).reshape(3, 3, 3)) == [0, 13, 26]).all()
+
+
+def test_shape_ops_combine_roundtrip():
+    """combine.rs:227-249 mirror: index_axis decomposition re-stacks to
+    the original along every axis; stacking axis-1 slices on the last
+    axis equals swap_axes(1, 2)."""
+    import numpy as np
+
+    x = np.arange(1, 19).reshape(3, 2, 3)
+    for ax in range(3):
+        parts = [T.t_index_axis(x, ax, i) for i in range(x.shape[ax])]
+        assert (np.stack(parts, axis=ax) == x).all()
+    c = np.stack([T.t_index_axis(x, 1, 0), T.t_index_axis(x, 1, 1)], axis=-1)
+    assert (T.t_swap_axes(x, 1, 2) == c).all()
+    # collapse keeps the axis at size 1; squeeze removes it again
+    col = T.t_collapse_axis(x, 1, 1)
+    assert col.shape == (3, 1, 3)
+    assert (T.t_squeeze(col, 1) == T.t_index_axis(x, 1, 1)).all()
+    # reshape/flatten/unsqueeze/broadcast round-trips
+    assert T.t_reshape(x, (6, 3)).shape == (6, 3)
+    assert T.t_flatten(x).shape == (18,)
+    assert T.t_unsqueeze(x, 0).shape == (1, 3, 2, 3)
+    assert T.t_broadcast_to(np.array([1, 2, 3]), (2, 3)).shape == (2, 3)
+    a2, b2 = T.t_broadcast_with(np.ones((2, 1)), np.ones((1, 4)))
+    assert a2.shape == b2.shape == (2, 4)
+    with pytest.raises(ValueError):
+        T.t_squeeze(x, 0)  # size-3 axis cannot squeeze
+
+
+def test_shape_ops_column_variants(spark):
+    """The 1-D per-row cases stay JVM expressions: reverse, cyclic
+    roll, python-semantics slice — equal to the numpy path."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "id long, a array<double>"
+    )
+    out = df.select(
+        T.t_invert_axis(F.col("a")).alias("rev"),
+        T.t_roll(F.col("a"), 0, 1).alias("r1"),
+        T.t_roll(F.col("a"), 0, -1).alias("rm1"),
+        T.t_roll(F.col("a"), 0, 6).alias("r6"),
+        T.t_slice_axis(F.col("a"), 0, 1, -1).alias("mid"),
+        T.t_slice_axis(F.col("a"), 0, None, 2).alias("head"),
+        T.t_slice_axis(F.col("a"), 0, -2).alias("tail"),
+    ).first()
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    assert out["rev"] == list(T.t_invert_axis(v))
+    assert out["r1"] == list(T.t_roll(v, 0, 1))
+    assert out["rm1"] == list(T.t_roll(v, 0, -1))
+    assert out["r6"] == list(T.t_roll(v, 0, 6))
+    assert out["mid"] == list(T.t_slice_axis(v, 0, 1, -1))
+    assert out["head"] == list(T.t_slice_axis(v, 0, None, 2))
+    assert out["tail"] == list(T.t_slice_axis(v, 0, -2))

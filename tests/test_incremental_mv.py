@@ -603,6 +603,67 @@ def test_manifest_v1_entries_upgrade(db, spark):
     assert all(v["c"].get("v") for v in raw.values())
 
 
+def test_manifest_parquet_format(db, spark, monkeypatch):
+    """Past the shard threshold build_manifest writes the manifest as
+    parquet instead of JSON; the read path is unchanged (time AND
+    col_ranges skipping still prove disjointness), shrinking back
+    under the threshold returns to JSON, and a 10⁵-entry parquet
+    manifest loads sub-second — the 100 TB-topic shape where
+    json.loads would dominate every skipping read."""
+    import json
+    import time as _time
+
+    import pyarrow as pa
+
+    from ella_spark import maintenance as mnt
+
+    t = db.create_topic("pqm", [Column("v", "float64")])
+    for base in (0, 1000, 2000):
+        with t.publish() as pub:
+            for i in range(10):
+                pub.write(base + i, float(base + i))
+    monkeypatch.setattr(mnt, "MANIFEST_PARQUET_THRESHOLD", 2)
+    assert mnt.build_manifest(t) == 3
+    mdir = t.path / "_manifest"
+    assert (mdir / "stats.parquet").exists()
+    assert not (mdir / "stats.json").exists()
+    stats = t.manifest()
+    assert set(stats) == {p.name for p in t.shards()}
+    assert all("t" in v and "c" in v for v in stats.values())
+    # skipping works identically through the parquet manifest
+    df = t.read(spark, start_ns=1000, end_ns=1010)
+    assert len(df.inputFiles()) == 1 and df.count() == 10
+    dfc = t.read(spark, col_ranges={"v": (2000.0, None)})
+    assert len(dfc.inputFiles()) == 1 and dfc.count() == 10
+
+    # shrink below the threshold: format flips back to JSON
+    monkeypatch.setattr(mnt, "MANIFEST_PARQUET_THRESHOLD", 100_000)
+    mnt.build_manifest(t)
+    assert (mdir / "stats.json").exists()
+    assert not (mdir / "stats.parquet").exists()
+    assert t.manifest() == stats
+
+    # 10⁵-entry synthetic parquet manifest: sub-second load
+    n = 100_000
+    tbl = pa.table(
+        {
+            "name": [f"shard-{i:06d}.parquet" for i in range(n)],
+            "tmin": list(range(0, n * 10, 10)),
+            "tmax": list(range(9, n * 10, 10)),
+            "c": [json.dumps({"v": [float(i), float(i + 1)]}) for i in range(n)],
+        }
+    )
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(tbl, mdir / "stats.parquet")
+    t0 = _time.monotonic()
+    big = t.manifest()
+    elapsed = _time.monotonic() - t0
+    assert len(big) == n
+    assert big["shard-000007.parquet"]["t"] == [70, 79]
+    assert elapsed < 1.0, f"manifest load took {elapsed:.2f}s"
+
+
 def test_mv_time_travel(db, spark):
     """keep_versions retains snapshot versions for time travel: old
     versions readable via API and `FOR VERSION AS OF` SQL, pruned

@@ -33,6 +33,9 @@ BNLJ_BOUNDED = {
     "q_cross_join",       # region x region: constant 5x5
     "q_importance_weights",  # 1-row (n_raw, n_target) totals aggregate
     "q_temperature_resample",  # 1-row (total, total_a) corpus aggregate
+    # literal VALUES artifacts: 16-row centroid / 256-row codebook
+    # tables cross-joined for assignment — bounded by construction
+    "q_ann_ivfpq_portable",
 }
 
 

@@ -260,6 +260,27 @@ def test_unified_scan_lag_error(db, spark):
         live.close()
 
 
+def test_unified_scan_collected_volume_is_linear(db, spark):
+    """The subscriber tail collects each micro-batch ONCE (foreachBatch
+    into a driver-side queue): total collected-row volume over a scan
+    of n rows is exactly n. The previous memory-sink poll re-collected
+    the whole table every tick — O(n²) over a long subscription."""
+    import ella_spark.streaming as stg
+
+    topic = db.create_topic("voln", [Column("v", "int64")])
+    n = 10_000
+    for chunk in range(10):  # 10 shards → several micro-batches
+        with topic.publish() as pub:
+            for i in range(1000):
+                r = chunk * 1000 + i
+                pub.write(r * 1000, r)
+    before = stg._collected_rows_total
+    rows = list(stg.unified_scan(topic, spark, timeout_sec=120))
+    assert len(rows) == n
+    assert sorted(r.v for r in rows) == list(range(n))
+    assert stg._collected_rows_total - before == n
+
+
 def test_continuous_rollup(db, spark):
     """foreachBatch-driven continuous aggregate: rollup refreshes as
     new shards stream in."""
