@@ -85,6 +85,9 @@ def _load() -> None:
 # Queries added in round 5 (no driver row can exist yet).
 _NEW_R5 = {
     "q_ann_ivfpq_portable",
+    "q_dup_span_fraction",
+    "q_ccnet_buckets",
+    "q_inverted_index",
 }
 
 # Names whose newest driver green is r1 (28) or r2 (2) — computed from

@@ -934,3 +934,95 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("_logit", 6) > 0).cast("int").alias("keep"),
         )
     )
+
+
+def _ccnet_oracle() -> str | None:
+    """DuckDB replay of the CCNet tiering: the pinned unigram-LM
+    literals (same artifact as q_lm_perplexity) score every doc, then
+    per-language perplexity terciles split head/middle/tail."""
+    import os
+
+    from ella_spark.queries.textops import corpus_unigram_lm
+
+    try:
+        vocab, oov = corpus_unigram_lm(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        )
+    except (OSError, FileNotFoundError):
+        return None
+
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(f"({_sq(tok)}, {lp!r})" for tok, lp in vocab)
+    return f"""
+    WITH vocab AS (SELECT * FROM (VALUES {rows}) AS t(tok, logp)),
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    scored AS (
+      SELECT t.doc_id, coalesce(v.logp, {oov!r}) AS lp
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+      WHERE t.tok != ''),
+    ppl AS (
+      SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
+      FROM scored GROUP BY doc_id),
+    tiered AS (
+      SELECT d.doc_id, d.lang, p.perplexity,
+             ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY p.perplexity, d.doc_id) AS nt
+      FROM documents d JOIN ppl p ON p.doc_id = d.doc_id)
+    SELECT doc_id, lang, perplexity,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS tier
+    FROM tiered
+    """
+
+
+@register(
+    "q_ccnet_buckets",
+    oracle=_ccnet_oracle(),
+    doc="CCNet head/middle/tail tiering (Wenzek et al. 2020): every "
+    "document scored by the pinned unigram-LM perplexity (the "
+    "q_lm_perplexity artifact), then split into per-LANGUAGE "
+    "perplexity terciles — head = most-fluent third, the slice CCNet "
+    "keeps for pretraining. Plan shape: the LM scoring shuffle "
+    "carries O(docs) after map-side combine; the tiering is one "
+    "window per language partition ordered by the ROUNDED perplexity "
+    "(deterministic cross-engine) with doc_id tiebreak.",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.queries.textops import corpus_unigram_lm
+
+    vocab, oov = corpus_unigram_lm(sf_dir)
+    vdf = F.broadcast(
+        spark.createDataFrame(vocab, "tok string, logp double")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    ppl = (
+        toks.join(vdf, "tok", "left")
+        .select("doc_id", F.coalesce("logp", F.lit(oov)).alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"))
+    )
+    w = Window.partitionBy("lang").orderBy("perplexity", "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .join(ppl, "doc_id")
+        .withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "perplexity",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("tier"),
+        )
+    )

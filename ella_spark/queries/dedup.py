@@ -472,3 +472,87 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("bigint").alias("n_words"),
         F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("contaminated"),
     )
+
+
+@register(
+    "q_dup_span_fraction",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, s,
+             md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS g
+      FROM w, unnest(range(1, greatest(len(words) - 7, 0) + 1)) AS t(s)
+    ),
+    dup AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(greatest(len(w.words) - 7, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           round(CASE WHEN len(w.words) > 7
+                 THEN CAST(coalesce(h.n_dup, 0) AS DOUBLE)
+                      / (len(w.words) - 7) ELSE 0.0 END, 6) AS dup_fraction
+    FROM w LEFT JOIN (
+      SELECT occ.doc_id, count(*) AS n_dup
+      FROM occ WHERE occ.g IN (SELECT g FROM dup)
+      GROUP BY occ.doc_id
+    ) h ON h.doc_id = w.doc_id
+    """,
+    doc="Cross-document duplicated-text fraction (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better'): the "
+    "share of each document's 8-gram windows that also occur in at "
+    "least one OTHER document — the span-level signal that survives "
+    "when whole-doc dedup misses templated/boilerplate overlap. Plan "
+    "shape: docs explode to (doc_id, position, gram_digest); the "
+    "duplicate-gram set is found by one digest-keyed aggregate "
+    "(16-byte digests shuffle, text never moves), occurrences "
+    "re-join on the digest, and the per-doc fraction is a final "
+    "O(docs) rollup.",
+)
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    N = 8
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = d.select("doc_id", words.alias("words"))
+    starts = F.when(
+        F.size("words") >= N,
+        F.sequence(F.lit(1), F.size("words") - (N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.md5(
+        F.concat_ws(" ", F.slice("words", F.col("s"), N)).cast("binary")
+    )
+    occ = w.select(
+        "doc_id", F.explode(starts).alias("s"), "words"
+    ).select("doc_id", gram.alias("g"))
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    per_doc = (
+        occ.join(dup, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    n_windows = F.greatest(F.size("words") - (N - 1), F.lit(0))
+    return (
+        w.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_windows.cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    n_windows > 0,
+                    F.coalesce("n_dup", F.lit(0)).cast("double") / n_windows,
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

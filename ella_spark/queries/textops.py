@@ -860,3 +860,60 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_digest"
         ),
     )
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    filtered AS (SELECT doc_id, term FROM toks WHERE term != '')
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+    FROM filtered
+    GROUP BY term
+    HAVING count(*) >= 20
+    """,
+    doc="Inverted-index build (posting lists): DISTINCT (doc, term) "
+    "pairs grouped per term into df + a doc_id-sorted posting list — "
+    "the materialization behind BM25/decontamination lookups. Plan "
+    "shape: explode → per-partition distinct → one term-keyed "
+    "shuffle carrying (term, doc_id) pairs, never text; posting "
+    "lists serialize as sorted CSV so the result is order-canonical "
+    "for the oracle compare. At 100 TB the df >= N floor bounds the "
+    "output to the head vocabulary while the long tail stays "
+    "unmaterialized.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= 20)
+    )
