@@ -134,3 +134,160 @@ def merge_distinct(rollup: DataFrame) -> DataFrame:
     return rollup.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_estimate")
     )
+
+
+# -- mergeable quantile sketches (KLL, derandomized) -------------------------
+#
+# The quantile counterpart of distinct_rollup: plain percentiles don't
+# merge (yesterday's p99 + today's p99 ≠ the two-day p99), so a
+# continuous rollup must either rescan raw history per query or store
+# mergeable summaries. KLL (Karnin-Lang-Liberty, FOCS'16) keeps
+# O(k · log(n/k)) values with rank error O(n/k); two sketches merge by
+# level-wise concatenation + recompaction, so per-bucket sketches
+# union over arbitrary time ranges without touching raw rows.
+#
+# This implementation derandomizes the compaction coin (parity
+# alternates with a per-sketch counter), so a sketch is a PURE
+# FUNCTION of the sorted input multiset — build it twice, get the
+# same bytes. Whenever a bucket's rows fit level 0 (n ≤ k) no
+# compaction fires and the sketch IS the sorted data: estimates are
+# then exactly `quantile_disc` (the registry query's oracle relies on
+# this, the same exact-when-fits contract as heavy_hitters).
+
+_KLL_MIN_CAP = 8
+
+
+def _kll_cap(k: int, depth_above: int) -> int:
+    """Capacity of a level ``depth_above`` levels below the top
+    (KLL's geometric (2/3)^d schedule, floored)."""
+    return max(_KLL_MIN_CAP, int(k * (2.0 / 3.0) ** depth_above))
+
+
+def _kll_compact(levels: list, k: int, state: dict) -> list:
+    """Compact the lowest overfull level until all fit. ``state``
+    carries the derandomized parity counter."""
+    import numpy as np
+
+    levels = [np.sort(np.asarray(l, dtype=np.float64)) for l in levels]
+    while True:
+        H = len(levels)
+        over = next(
+            (
+                i
+                for i in range(H)
+                if len(levels[i]) > _kll_cap(k, H - 1 - i)
+            ),
+            None,
+        )
+        if over is None:
+            return levels
+        lvl = levels[over]
+        parity = state["c"] & 1
+        state["c"] += 1
+        keep = lvl[parity::2]  # every other element, alternating start
+        if over + 1 == len(levels):
+            levels.append(np.array([], dtype=np.float64))
+        levels[over] = np.array([], dtype=np.float64)
+        levels[over + 1] = np.sort(np.concatenate([levels[over + 1], keep]))
+
+
+def kll_build(values, k: int = 256) -> list:
+    """Build a KLL sketch (list of sorted numpy arrays, level i
+    holding items of weight 2^i) from a value array."""
+    import numpy as np
+
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    v = v[~np.isnan(v)]
+    return _kll_compact([v], k, {"c": 0})
+
+
+def kll_merge(a: list, b: list, k: int = 256) -> list:
+    """Merge two sketches: level-wise concat + recompaction."""
+    import numpy as np
+
+    depth = max(len(a), len(b))
+    out = []
+    for i in range(depth):
+        xs = a[i] if i < len(a) else []
+        ys = b[i] if i < len(b) else []
+        out.append(np.sort(np.concatenate([
+            np.asarray(xs, dtype=np.float64),
+            np.asarray(ys, dtype=np.float64),
+        ])))
+    return _kll_compact(out, k, {"c": 0})
+
+
+def kll_quantiles(levels: list, probs) -> list[float]:
+    """quantile_disc semantics over the weighted summary: for each p,
+    the smallest value whose cumulative weight reaches rank
+    max(1, ceil(p · N)) (N = total weight) — the 1-based discrete
+    quantile rule DuckDB's quantile_disc implements (probed: n=10,
+    p=.75 → rank 8), so exact sketches line up with the oracle."""
+    import numpy as np
+
+    vals = np.concatenate([np.asarray(l) for l in levels]) if levels else np.array([])
+    wts = np.concatenate(
+        [np.full(len(l), 1 << i, dtype=np.int64) for i, l in enumerate(levels)]
+    ) if levels else np.array([], dtype=np.int64)
+    if not len(vals):
+        return [float("nan") for _ in probs]
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    N = int(cum[-1])
+    out = []
+    for p in probs:
+        target = max(1, int(np.ceil(p * N)))
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out.append(float(vals[min(idx, len(vals) - 1)]))
+    return out
+
+
+def quantile_rollup(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: Column | str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-bucket mergeable quantile sketches.
+
+    Plan shape: one shuffle on the bucket key (applyInPandas builds
+    each bucket's sketch from its rows — a bucket is a bounded unit
+    like a compaction day-dir); each output row carries the sketch as
+    ``array<array<double>>`` plus its total count. At 100 TB the raw
+    rows are read ONCE at rollup build; every later quantile query
+    over any time range reads only sketch rows
+    (``merge_quantile_rollup``).
+
+    Returns (bucket, levels, n).
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    src = df.select(b.alias("bucket"), F.col(value_col).alias("v"))
+    bucket_type = src.schema["bucket"].dataType.simpleString()
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        levels = kll_build(pdf["v"].to_numpy(dtype=float), k)
+        return pd.DataFrame(
+            {
+                "bucket": [pdf["bucket"].iloc[0]],
+                "levels": [[list(map(float, l)) for l in levels]],
+                "n": [int(pdf["v"].notna().sum())],
+            }
+        )
+
+    return src.groupBy("bucket").applyInPandas(
+        build,
+        schema=f"bucket {bucket_type}, levels array<array<double>>, n long",
+    )
+
+
+def merge_quantile_rollup(rollup: DataFrame, probs, k: int = 256):
+    """Union bucket sketches (optionally pre-filtered to a range) into
+    one estimate per prob — reads sketch rows only, never raw data.
+    Driver-side fold over ≤ n_buckets sketches of O(k log n) doubles
+    each (the same bounded shape as reading HLL sketch rows)."""
+    rows = rollup.select("levels").collect()
+    merged: list = []
+    for r in rows:
+        merged = kll_merge(merged, [list(l) for l in r.levels], k)
+    return kll_quantiles(merged, probs)

@@ -88,6 +88,7 @@ _NEW_R5 = {
     "q_dup_span_fraction",
     "q_ccnet_buckets",
     "q_inverted_index",
+    "q_quantile_rollup",
 }
 
 # Names whose newest driver green is r1 (28) or r2 (2) — computed from

@@ -692,3 +692,70 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("last_click_ns div 1000").alias("click_within_30m_us"),
         )
     )
+
+
+_QR_DAY_NS = 86_400_000_000_000
+_QR_K = 16_384  # no compaction at oracle scales -> exact (see doc)
+
+
+@register(
+    "q_quantile_rollup",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT epoch_ns(ts) // {_QR_DAY_NS} AS bucket,
+             CAST(count(value) AS BIGINT) AS n,
+             quantile_disc(value, 0.5) AS p50,
+             quantile_disc(value, 0.9) AS p90,
+             quantile_disc(value, 0.99) AS p99
+      FROM events GROUP BY 1
+    ),
+    total AS (
+      SELECT CAST(-1 AS BIGINT) AS bucket,
+             CAST(count(value) AS BIGINT) AS n,
+             quantile_disc(value, 0.5) AS p50,
+             quantile_disc(value, 0.9) AS p90,
+             quantile_disc(value, 0.99) AS p99
+      FROM events
+    )
+    SELECT * FROM buckets UNION ALL SELECT * FROM total
+    """,
+    doc="Continuous quantile rollup over mergeable KLL sketches: one "
+    "pass builds a per-day sketch of event values; any range query "
+    "(here: the whole-history row, bucket = -1) merges sketch rows "
+    "without rescanning raw data — the quantile counterpart of the "
+    "HLL distinct rollup. Exact-when-fits contract: with k=16384 no "
+    "compaction fires at oracle scale, the sketch IS the sorted "
+    "bucket, and estimates equal quantile_disc (the oracle relies on "
+    "this, like q_heavy_hitters); compaction + error bounds are "
+    "pinned separately in tests/test_sketch.py at small k.",
+)
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = SK.quantile_rollup(
+        ev.where(F.col("value").isNotNull()),
+        "value",
+        F.expr(f"ts div {_QR_DAY_NS}"),  # integer div: no double rounding
+        k=_QR_K,
+    )
+    probs = (0.5, 0.9, 0.99)
+    # driver-side fold over the BOUNDED sketch rows (one per day
+    # bucket) — the raw events are read exactly once, inside
+    # quantile_rollup's single bucket-keyed shuffle
+    rows = roll.collect()
+    from ella_spark.operators.sketch import kll_merge, kll_quantiles
+
+    out = []
+    merged: list = []
+    total_n = 0
+    for r in rows:
+        levels = [list(l) for l in r.levels]
+        qs = kll_quantiles(levels, probs)
+        out.append((int(r.bucket), int(r.n), *qs))
+        merged = kll_merge(merged, levels, _QR_K)
+        total_n += int(r.n)
+    out.append((-1, total_n, *kll_quantiles(merged, probs)))
+    return spark.createDataFrame(
+        out, "bucket bigint, n bigint, p50 double, p90 double, p99 double"
+    )

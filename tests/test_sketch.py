@@ -80,3 +80,97 @@ def test_distinct_rollup_merges_exactly_like_global(spark):
     week = merge_distinct(roll.where(F.col("bucket") < 7)).collect()[0][0]
     exact_week = df.where(F.col("day") < 7).select("user").distinct().count()
     assert abs(week - exact_week) / exact_week < 0.05
+
+
+def test_kll_exact_when_fits():
+    """n <= k: no compaction, the sketch IS the sorted data and every
+    quantile equals the discrete rank-ceil(p*n) exact answer — the
+    contract the registry oracle relies on."""
+    import math
+
+    import numpy as np
+
+    from ella_spark.operators.sketch import kll_build, kll_quantiles
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(100, 25, size=900)
+    sk = kll_build(v, k=1024)
+    assert sum(len(l) for l in sk) == 900  # untouched
+    s = np.sort(v)
+    for p in (0.1, 0.5, 0.9, 0.99, 1.0):
+        exact = s[max(1, math.ceil(p * len(s))) - 1]
+        assert kll_quantiles(sk, [p])[0] == exact, p
+
+
+def test_kll_error_bound_and_merge():
+    """Compacted sketches (n >> k) keep rank error well under the
+    KLL budget, merging part-sketches matches building one sketch's
+    error class, and construction is deterministic (derandomized
+    compaction coin): same multiset -> same sketch."""
+    import numpy as np
+
+    from ella_spark.operators.sketch import kll_build, kll_merge, kll_quantiles
+
+    rng = np.random.default_rng(11)
+    # mixed distribution: uniform body + lognormal tail
+    v = np.concatenate(
+        [rng.uniform(0, 1000, 40_000), rng.lognormal(6, 1, 10_000)]
+    )
+    n, k = len(v), 256
+    s = np.sort(v)
+
+    def rank_err(est, p):
+        true_rank = p * n
+        got_rank = np.searchsorted(s, est, side="right")
+        return abs(got_rank - true_rank) / n
+
+    whole = kll_build(v, k)
+    assert sum(len(l) for l in whole) < 6 * k  # bounded summary
+    for p in (0.1, 0.5, 0.9, 0.99):
+        assert rank_err(kll_quantiles(whole, [p])[0], p) < 0.03, p
+
+    # merge of 5 shards: same error class as the single build
+    parts = np.array_split(v, 5)
+    merged: list = []
+    for part in parts:
+        merged = kll_merge(merged, kll_build(part, k), k)
+    for p in (0.1, 0.5, 0.9, 0.99):
+        assert rank_err(kll_quantiles(merged, [p])[0], p) < 0.04, p
+
+    # determinism: rebuild -> identical level contents
+    again = kll_build(v, k)
+    assert len(again) == len(whole)
+    for a, b in zip(again, whole):
+        assert np.array_equal(a, b)
+
+
+def test_quantile_rollup_range_merge(spark):
+    """Per-bucket sketches answer any range without raw rescans: the
+    merged week estimate equals the exact discrete quantile when
+    buckets fit uncompacted (k above the merged range's total, so
+    no compaction fires during the merge either), and sketch rows are
+    all a range query reads."""
+    import math
+
+    import numpy as np
+
+    from ella_spark.operators.sketch import (
+        merge_quantile_rollup,
+        quantile_rollup,
+    )
+
+    df = spark.range(14_000).select(
+        (F.col("id") % 14).alias("day"),
+        (F.hash("id") % 1000).cast("double").alias("v"),
+    )
+    roll = quantile_rollup(df, "v", "day", k=8192)
+    assert roll.count() == 14
+    week = roll.where(F.col("bucket") < 7)
+    got = merge_quantile_rollup(week, [0.5, 0.99], k=8192)
+    exact = np.sort(
+        np.array(
+            df.where(F.col("day") < 7).select("v").toPandas()["v"], dtype=float
+        )
+    )
+    for p, est in zip([0.5, 0.99], got):
+        assert est == exact[max(1, math.ceil(p * len(exact))) - 1], p
