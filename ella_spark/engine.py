@@ -794,10 +794,20 @@ class Ella:
             df = df.withColumn(
                 alias, F.when(guard, val).cast(dtypes[alias])
             )
+        for alias, h in analysis.approxs.items():
+            # DataSketches HLL estimate from the mergeable sketch
+            # state (deliberate deviation from HyperLogLog++ — both
+            # refresh paths use this estimator, so the MV is
+            # self-consistent; the delta merge is the same union
+            # Spark runs across partitions, see incremental.py)
+            df = df.withColumn(
+                alias, F.hll_sketch_estimate(F.col(h)).cast(dtypes[alias])
+            )
         hidden = (
             [c for pair in analysis.avgs.values() for c in pair]
             + [c for tup in analysis.stats.values() for c in tup[1:]]
             + [c for tup in analysis.corrs.values() for c in tup[1:]]
+            + list(analysis.approxs.values())
         )
         return df.select(*analysis.out_cols, *hidden)
 
@@ -862,7 +872,12 @@ class Ella:
         from pyspark.sql.types import StructType
 
         old = self._frame_for(entry, include_hidden=True)
-        derived = set(analysis.avgs) | set(analysis.stats) | set(analysis.corrs)
+        derived = (
+            set(analysis.avgs)
+            | set(analysis.stats)
+            | set(analysis.corrs)
+            | set(analysis.approxs)
+        )
         if derived:
             # the snapshot's visible avg/variance columns are derived,
             # not mergeable state — drop them before unioning with the
@@ -882,6 +897,10 @@ class Ella:
                 F.sum(h).alias(h)
                 for pair in analysis.avgs.values()
                 for h in pair
+            ]
+            aggs += [
+                F.hll_union_agg(h).alias(h)
+                for h in analysis.approxs.values()
             ]
             # Welford state (variance/corr families): counts merge
             # exactly via SUM; means and centered moments merge via

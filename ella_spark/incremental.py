@@ -46,6 +46,21 @@ of O(history) for the common single-topic shapes:
   convention) where Spark's native ANSI-mode corr raises
   DIVIDE_BY_ZERO — both refresh paths use the rewrite, so the MV is
   self-consistent.
+- **approx_count_distinct** rides the rewrite as a hidden DataSketches
+  HLL sketch column `__mv_hll__a` (binary): delta partials compute
+  `hll_sketch_agg`, snapshots merge via `hll_union_agg`, and the
+  visible value is `hll_sketch_estimate` at every commit. The delta
+  merge is the SAME union algebra Spark itself applies across
+  partitions inside one `hll_sketch_agg` job, so the delta path adds
+  no error class — but union-built and direct-built sketches are not
+  bit-identical (estimates may differ by a fraction of the ~1.6%
+  lgK=12 standard error; a full recompute can nudge the value within
+  that band). Deliberate deviation: the estimator is DataSketches
+  HLL, not the HyperLogLog++ behind Spark's plain
+  `approx_count_distinct` — both refresh paths use the rewrite, so
+  the MV is self-consistent (same pattern as the corr → NULL
+  deviation). An explicit rsd argument disqualifies (the rewrite
+  cannot honor it).
 - **SPF / aggregate inner-join CHAIN of n ≥ 2 distinct topics**
   (`SELECT … FROM t1 JOIN t2 ON … [JOIN t3 ON …] [WHERE …] [GROUP BY
   …]`): for append-only inputs the leapfrog insert-delta identity
@@ -101,6 +116,7 @@ _SHAPE = re.compile(
 _AGG_ITEM = re.compile(
     r"^(?P<fn>sum|count|min|max|avg|stddev_samp|stddev_pop|stddev|"
     r"var_samp|var_pop|variance|corr|covar_samp|covar_pop|"
+    r"approx_count_distinct|"
     r"regr_(?:count|avgx|avgy|slope|intercept|r2|sxx|syy|sxy))"
     r"\s*\((?P<arg>.+)\)\s+as\s+"
     r"(?P<alias>[A-Za-z0-9_]+)$",
@@ -189,6 +205,12 @@ def stats_hidden_cols(alias: str) -> tuple[str, str, str]:
     )
 
 
+def approx_hidden_col(alias: str) -> str:
+    """Snapshot column carrying an approx_count_distinct's mergeable
+    state: a DataSketches HLL sketch (binary)."""
+    return f"__mv_hll__{alias}"
+
+
 def corr_hidden_cols(alias: str) -> tuple[str, str, str, str, str, str]:
     """Snapshot column names carrying a correlation-family aggregate's
     Welford co-moment state over BOTH-non-null pairs:
@@ -217,6 +239,8 @@ class MvAnalysis:
     stats: dict[str, tuple[str, str, str, str]] = field(default_factory=dict)
     #: visible correlation-family alias -> (fn, n, m1, m2a, q1, q2, c)
     corrs: dict[str, tuple] = field(default_factory=dict)
+    #: visible approx_count_distinct alias -> hidden HLL sketch col
+    approxs: dict[str, str] = field(default_factory=dict)
     #: SQL computing the MERGEABLE partials (avg / variance items
     #: replaced by hidden-state items); None when neither is present
     hidden_sql: str | None = None
@@ -266,16 +290,16 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     parsed = _classify_agg_select(select_items, group_exprs)
     if parsed is None:
         return None
-    keys, aggs, out_cols, avgs, stats, corrs, hidden_items = parsed
+    keys, aggs, out_cols, avgs, stats, corrs, approxs, hidden_items = parsed
     if group is None and not aggs:
         return None
     alias = m.group("alias")
     from_text = table + (f" {alias}" if alias else "")
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
-        avgs=avgs, stats=stats, corrs=corrs,
+        avgs=avgs, stats=stats, corrs=corrs, approxs=approxs,
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
-        if (avgs or stats or corrs)
+        if (avgs or stats or corrs or approxs)
         else None,
     )
 
@@ -292,16 +316,17 @@ def _rebuild(select_items, from_text, where, group) -> str:
 
 def _classify_agg_select(select_items, group_exprs):
     """Split select items into (keys, aggs, out_cols, avgs, stats,
-    hidden_items) for the mergeable-aggregate modes; None when any
-    item disqualifies. ``hidden_items`` is the select list with every
-    avg / variance-family item replaced by its mergeable
-    hidden-column items."""
+    corrs, approxs, hidden_items) for the mergeable-aggregate modes;
+    None when any item disqualifies. ``hidden_items`` is the select
+    list with every avg / variance / corr / approx-distinct item
+    replaced by its mergeable hidden-column items."""
     keys: list[str] = []
     aggs: dict[str, str] = {}
     out_cols: list[str] = []
     avgs: dict[str, tuple[str, str]] = {}
     stats: dict[str, tuple[str, str, str, str]] = {}
     corrs: dict[str, tuple] = {}
+    approxs: dict[str, str] = {}
     hidden_items: list[str] = []
     for item in select_items:
         am = _AGG_ITEM.match(item.strip())
@@ -328,6 +353,18 @@ def _classify_agg_select(select_items, group_exprs):
                 hidden_items.append(f"count({arg}) AS {hcnt}")
                 hidden_items.append(f"avg({d}) AS {hmean}")
                 hidden_items.append(f"var_pop({d}) * count({arg}) AS {hm2}")
+            elif fn == "approx_count_distinct":
+                parts = _split_top_level(arg)
+                if len(parts) != 1:
+                    return None  # explicit rsd: estimator differs, bail
+                h = approx_hidden_col(alias)
+                approxs[alias] = h
+                # DataSketches HLL state: the delta merge is the same
+                # union algebra Spark applies across partitions, so
+                # no new error class (see module docstring for the
+                # union-vs-direct estimate nuance and the estimator
+                # deviation from HyperLogLog++).
+                hidden_items.append(f"hll_sketch_agg({arg}) AS {h}")
             elif fn in _CORR_FNS:
                 parts = _split_top_level(arg)
                 if len(parts) != 2:
@@ -379,7 +416,7 @@ def _classify_agg_select(select_items, group_exprs):
         keys.append(alias)
         out_cols.append(alias)
         hidden_items.append(item.strip())
-    return keys, aggs, out_cols, avgs, stats, corrs, hidden_items
+    return keys, aggs, out_cols, avgs, stats, corrs, approxs, hidden_items
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -436,17 +473,17 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     )
     if parsed is None:
         return None
-    keys, aggs, out_cols, avgs, stats, corrs, hidden_items = parsed
+    keys, aggs, out_cols, avgs, stats, corrs, approxs, hidden_items = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
     return MvAnalysis(
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,
-        corrs=corrs,
+        corrs=corrs, approxs=approxs,
         hidden_sql=_rebuild(
             hidden_items, m.group("chain"), m.group("where"), group
         )
-        if (avgs or stats or corrs)
+        if (avgs or stats or corrs or approxs)
         else None,
     )
 

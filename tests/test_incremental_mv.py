@@ -1242,6 +1242,82 @@ def test_regr_mv_delta(db, spark):
     assert row.sl == 0.0 and row.r2 == 1.0
 
 
+def test_approx_distinct_mv_delta(db, spark):
+    """approx_count_distinct MVs merge via hidden DataSketches HLL
+    sketch state: delta refreshes never re-read consumed shards
+    (tamper-proof — the tampered values would shift the estimate far
+    outside HLL error), the merged estimate tracks the true distinct
+    count within HLL error, a full recompute of the same rewrite
+    stays within the same band (union-built and direct-built sketches
+    are not bit-identical — the delta union is the same algebra Spark
+    runs across partitions, so no new error class), and an explicit
+    rsd argument falls back to full recompute."""
+    t = db.create_topic("ad", [Column("k", "int64"), Column("u", "int64")])
+    t.insert(
+        spark.range(5_000).selectExpr(
+            "id * 1000 AS time", "id % 2 AS k", "id % 700 AS u"
+        )
+    )
+    db.create_materialized_view(
+        "adv",
+        "SELECT k, approx_count_distinct(u) AS nd, count(*) AS n "
+        "FROM ad GROUP BY k",
+    )
+    entry = db.store.resolve("adv")
+    assert entry.refresh_state is not None
+    consumed = set(entry.refresh_state["shards"])
+
+    t.insert(
+        spark.range(5_000, 9_000).selectExpr(
+            "id * 1000 AS time", "id % 2 AS k", "id % 1100 AS u"
+        )
+    )
+    _tamper_shard(t, consumed, col="u")  # ×1000: would ~double distincts
+    db.refresh_materialized("adv")
+    got = {r.k: (r.nd, r.n) for r in db.query("SELECT * FROM adv").df.collect()}
+    # per parity class: evens (or odds) of 0..699 ∪ 0..1099 → 550 true
+    for k in (0, 1):
+        assert got[k][1] == 4_500
+        assert abs(got[k][0] - 550) / 550 < 0.05
+    # hidden sketch col never leaks
+    assert db.query("SELECT * FROM adv").df.columns == ["k", "nd", "n"]
+
+    # sketch algebra: delta-merged state == full recompute, EXACTLY
+    t2 = db.create_topic("ad2", [Column("k", "int64"), Column("u", "int64")])
+    t2.insert(
+        spark.range(3_000).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "id % 401 AS u"
+        )
+    )
+    db.create_materialized_view(
+        "adv2", "SELECT k, approx_count_distinct(u) AS nd FROM ad2 GROUP BY k"
+    )
+    t2.insert(
+        spark.range(3_000, 5_000).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k", "id % 577 AS u"
+        )
+    )
+    db.refresh_materialized("adv2")  # delta merge
+    delta_vals = {
+        r.k: r.nd for r in db.query("SELECT * FROM adv2").df.collect()
+    }
+    db.refresh_materialized("adv2", incremental=False)  # full rewrite
+    full_vals = {
+        r.k: r.nd for r in db.query("SELECT * FROM adv2").df.collect()
+    }
+    # true per-k distincts = 577 (both value domains cycle all 3
+    # residue classes); both paths within the lgK=12 error band
+    for vals in (delta_vals, full_vals):
+        for k in (0, 1, 2):
+            assert abs(vals[k] - 577) / 577 < 0.05, (k, vals)
+
+    # explicit rsd: analyzer refuses (estimator differs), full-only MV
+    db.create_materialized_view(
+        "advr", "SELECT k, approx_count_distinct(u, 0.01) AS nd FROM ad2 GROUP BY k"
+    )
+    assert db.store.resolve("advr").refresh_state is None
+
+
 def test_stats_mv_large_magnitude_stability(db, spark):
     """The ADVICE scenario that kills raw sum-of-squares state: values
     ~1e9 with variance ~1. `sumsq − sum²/n` loses ALL significant
