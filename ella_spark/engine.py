@@ -808,6 +808,7 @@ class Ella:
             + [c for tup in analysis.stats.values() for c in tup[1:]]
             + [c for tup in analysis.corrs.values() for c in tup[1:]]
             + list(analysis.approxs.values())
+            + [h for _, h in analysis.argmaxs.values()]
         )
         return df.select(*analysis.out_cols, *hidden)
 
@@ -891,8 +892,18 @@ class Ella:
             aggs = [
                 merge_fns[fn](c).alias(c)
                 for c, fn in analysis.aggs.items()
-                if c not in derived
+                if c not in derived and c not in analysis.argmaxs
             ]
+            # max_by/min_by: the stored argument merges by picking the
+            # partial whose hidden ordering value wins; the hidden
+            # column itself merges via max/min (tie choice is
+            # implementation-defined, exactly as in plain Spark)
+            for c, (fn, h) in analysis.argmaxs.items():
+                pick, ext = (
+                    (F.max_by, F.max) if fn == "max_by" else (F.min_by, F.min)
+                )
+                aggs.append(pick(F.col(c), F.col(h)).alias(c))
+                aggs.append(ext(F.col(h)).alias(h))
             aggs += [
                 F.sum(h).alias(h)
                 for pair in analysis.avgs.values()

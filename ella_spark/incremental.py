@@ -46,6 +46,14 @@ of O(history) for the common single-topic shapes:
   convention) where Spark's native ANSI-mode corr raises
   DIVIDE_BY_ZERO — both refresh paths use the rewrite, so the MV is
   self-consistent.
+- **max_by / min_by** (`max_by(arg, ord) AS a`): the stored argument
+  IS mergeable state, paired with a hidden column `__mv_ord__a`
+  carrying the extreme ordering value it is associated with; two
+  partials merge by picking the pair whose ordering value wins
+  (`max_by(a, __mv_ord__a)` over snapshot ∪ delta). Ordering-value
+  TIES are implementation-chosen, exactly as in plain Spark's
+  max_by — a delta merge and a full recompute may legitimately pick
+  different tied arguments.
 - **approx_count_distinct** rides the rewrite as a hidden DataSketches
   HLL sketch column `__mv_hll__a` (binary): delta partials compute
   `hll_sketch_agg`, snapshots merge via `hll_union_agg`, and the
@@ -116,7 +124,7 @@ _SHAPE = re.compile(
 _AGG_ITEM = re.compile(
     r"^(?P<fn>sum|count|min|max|avg|stddev_samp|stddev_pop|stddev|"
     r"var_samp|var_pop|variance|corr|covar_samp|covar_pop|"
-    r"approx_count_distinct|"
+    r"approx_count_distinct|max_by|min_by|"
     r"regr_(?:count|avgx|avgy|slope|intercept|r2|sxx|syy|sxy))"
     r"\s*\((?P<arg>.+)\)\s+as\s+"
     r"(?P<alias>[A-Za-z0-9_]+)$",
@@ -205,6 +213,12 @@ def stats_hidden_cols(alias: str) -> tuple[str, str, str]:
     )
 
 
+def ord_hidden_col(alias: str) -> str:
+    """Snapshot column carrying a max_by/min_by's mergeable state: the
+    extreme ORDERING value its stored argument is associated with."""
+    return f"__mv_ord__{alias}"
+
+
 def approx_hidden_col(alias: str) -> str:
     """Snapshot column carrying an approx_count_distinct's mergeable
     state: a DataSketches HLL sketch (binary)."""
@@ -241,6 +255,8 @@ class MvAnalysis:
     corrs: dict[str, tuple] = field(default_factory=dict)
     #: visible approx_count_distinct alias -> hidden HLL sketch col
     approxs: dict[str, str] = field(default_factory=dict)
+    #: visible max_by/min_by alias -> (fn, hidden ordering-value col)
+    argmaxs: dict[str, tuple[str, str]] = field(default_factory=dict)
     #: SQL computing the MERGEABLE partials (avg / variance items
     #: replaced by hidden-state items); None when neither is present
     hidden_sql: str | None = None
@@ -290,7 +306,8 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     parsed = _classify_agg_select(select_items, group_exprs)
     if parsed is None:
         return None
-    keys, aggs, out_cols, avgs, stats, corrs, approxs, hidden_items = parsed
+    (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
+     hidden_items) = parsed
     if group is None and not aggs:
         return None
     alias = m.group("alias")
@@ -298,8 +315,9 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
         avgs=avgs, stats=stats, corrs=corrs, approxs=approxs,
+        argmaxs=argmaxs,
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
-        if (avgs or stats or corrs or approxs)
+        if (avgs or stats or corrs or approxs or argmaxs)
         else None,
     )
 
@@ -327,6 +345,7 @@ def _classify_agg_select(select_items, group_exprs):
     stats: dict[str, tuple[str, str, str, str]] = {}
     corrs: dict[str, tuple] = {}
     approxs: dict[str, str] = {}
+    argmaxs: dict[str, tuple[str, str]] = {}
     hidden_items: list[str] = []
     for item in select_items:
         am = _AGG_ITEM.match(item.strip())
@@ -353,6 +372,20 @@ def _classify_agg_select(select_items, group_exprs):
                 hidden_items.append(f"count({arg}) AS {hcnt}")
                 hidden_items.append(f"avg({d}) AS {hmean}")
                 hidden_items.append(f"var_pop({d}) * count({arg}) AS {hm2}")
+            elif fn in ("max_by", "min_by"):
+                parts = _split_top_level(arg)
+                if len(parts) != 2:
+                    return None
+                h = ord_hidden_col(alias)
+                argmaxs[alias] = (fn, h)
+                # the visible column IS mergeable state — alongside a
+                # hidden column carrying the extreme ordering value;
+                # two partials merge by picking the pair whose
+                # ordering value wins. Ties are implementation-chosen,
+                # exactly as in plain Spark max_by.
+                hidden_items.append(item.strip())
+                agg = "max" if fn == "max_by" else "min"
+                hidden_items.append(f"{agg}({parts[1]}) AS {h}")
             elif fn == "approx_count_distinct":
                 parts = _split_top_level(arg)
                 if len(parts) != 1:
@@ -416,7 +449,8 @@ def _classify_agg_select(select_items, group_exprs):
         keys.append(alias)
         out_cols.append(alias)
         hidden_items.append(item.strip())
-    return keys, aggs, out_cols, avgs, stats, corrs, approxs, hidden_items
+    return (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
+            hidden_items)
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -473,17 +507,18 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     )
     if parsed is None:
         return None
-    keys, aggs, out_cols, avgs, stats, corrs, approxs, hidden_items = parsed
+    (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
+     hidden_items) = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
     return MvAnalysis(
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,
-        corrs=corrs, approxs=approxs,
+        corrs=corrs, approxs=approxs, argmaxs=argmaxs,
         hidden_sql=_rebuild(
             hidden_items, m.group("chain"), m.group("where"), group
         )
-        if (avgs or stats or corrs or approxs)
+        if (avgs or stats or corrs or approxs or argmaxs)
         else None,
     )
 

@@ -1318,6 +1318,66 @@ def test_approx_distinct_mv_delta(db, spark):
     assert db.store.resolve("advr").refresh_state is None
 
 
+def test_argmax_mv_delta(db, spark):
+    """max_by/min_by MVs merge via the hidden extreme ordering value:
+    a delta whose ordering value beats the snapshot flips the stored
+    argument, one that loses leaves it; consumed shards are never
+    re-read (tamper-proof), and the result equals a full recompute on
+    tie-free data."""
+    t = db.create_topic(
+        "am2",
+        [Column("k", "int64"), Column("v", "float64"), Column("w", "int64")],
+    )
+    # tie-free ordering values: v = id (distinct); arg w = id * 7
+    t.insert(
+        spark.range(50).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k",
+            "CAST(id AS double) AS v", "id * 7 AS w"
+        )
+    )
+    db.create_materialized_view(
+        "amv",
+        "SELECT k, max_by(w, v) AS top_w, min_by(w, v) AS bot_w, "
+        "max(v) AS hi FROM am2 GROUP BY k",
+    )
+    entry = db.store.resolve("amv")
+    assert entry.refresh_state is not None
+    consumed = set(entry.refresh_state["shards"])
+    # delta: ids 50..79 — every group's max_by flips to the new max v,
+    # min_by must NOT move (old minima still win)
+    t.insert(
+        spark.range(50, 80).selectExpr(
+            "id * 1000 AS time", "id % 3 AS k",
+            "CAST(id AS double) AS v", "id * 7 AS w"
+        )
+    )
+    _tamper_shard(t, consumed)  # v *= 1000: would flip max_by if re-read
+    db.refresh_materialized("amv")
+    got = {
+        r.k: (r.top_w, r.bot_w, r.hi)
+        for r in db.query("SELECT * FROM amv").df.collect()
+    }
+    for k in (0, 1, 2):
+        top_id = max(i for i in range(80) if i % 3 == k)
+        bot_id = min(i for i in range(80) if i % 3 == k)
+        assert got[k] == (top_id * 7, bot_id * 7, float(top_id)), k
+    # hidden ordering cols never leak
+    assert db.query("SELECT * FROM amv").df.columns == [
+        "k", "top_w", "bot_w", "hi",
+    ]
+    # a losing delta leaves the stored argument in place
+    t.insert(
+        spark.createDataFrame(
+            [(80_000, 0, 10.5, 999_999)], "time long, k long, v double, w long"
+        )
+    )
+    db.refresh_materialized("amv")
+    row0 = {
+        r.k: r.top_w for r in db.query("SELECT * FROM amv").df.collect()
+    }
+    assert row0[0] == 78 * 7  # v=10.5 lost to v=78.0
+
+
 def test_stats_mv_large_magnitude_stability(db, spark):
     """The ADVICE scenario that kills raw sum-of-squares state: values
     ~1e9 with variance ~1. `sumsq − sum²/n` loses ALL significant
