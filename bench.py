@@ -86,6 +86,12 @@ EXTRAS = [
     "q_curation_pipeline",
     "q_ohlc_bars",
     "q_counter_rate",
+    # round-5 additions
+    "q_dup_span_fraction",
+    "q_ccnet_buckets",
+    "q_inverted_index",
+    "q_quantile_rollup",
+    "q_bpe_merges",
 ]
 
 

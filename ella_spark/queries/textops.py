@@ -917,3 +917,105 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 20)
     )
+
+
+# ── BPE vocabulary induction (iterative, exact cross-engine oracle) ──
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_sql(dialect: str, table: str, rounds: int = _BPE_ROUNDS) -> str:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016),
+    unrolled to ``rounds`` rounds of identical SQL for Spark and
+    DuckDB: count adjacent symbol pairs weighted by word frequency,
+    pick the most frequent pair (count desc, pair asc — integer
+    counts, so the choice is deterministic cross-engine), greedily
+    merge it left-to-right in every word via a sequential list fold,
+    repeat. Only the dialect shims differ (explode vs unnest,
+    0/1-based indexing, concat vs ||)."""
+    spark = dialect == "spark"
+    if spark:
+        words = (
+            "SELECT w AS word, count(*) AS freq FROM ("
+            f"SELECT explode(split(lower(trim(text)), '\\\\s+')) AS w "
+            f"FROM {table}) WHERE w != '' GROUP BY w"
+        )
+        chars = "split(word, '')"
+        positions = (
+            "LATERAL VIEW explode(CASE WHEN size(s) >= 2 THEN "
+            "sequence(1, size(s) - 1) ELSE array(CAST(NULL AS INT)) END) t AS i"
+        )
+        pos_guard = "WHERE i IS NOT NULL"
+        el = lambda arr, i: f"element_at({arr}, {i})"
+        fold = (
+            "aggregate(transform(s, x -> array(x)), "
+            "cast(array() as array<string>), (acc, x) -> "
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = b{r}.a "
+            "AND x[0] = b{r}.b "
+            "THEN concat(slice(acc, 1, size(acc) - 1), array(b{r}.a || b{r}.b)) "
+            "ELSE concat(acc, x) END)"
+        )
+    else:
+        words = (
+            "SELECT w AS word, count(*) AS freq FROM ("
+            "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w "
+            f"FROM {table}) WHERE w != '' GROUP BY w"
+        )
+        chars = "string_split(word, '')"
+        positions = ", unnest(range(1, len(s))) AS t(i)"
+        pos_guard = ""
+        el = lambda arr, i: f"{arr}[{i}]"
+        fold = (
+            "list_reduce(list_transform(s, x -> [x]), (acc, x) -> "
+            "CASE WHEN len(acc) > 0 AND acc[-1] = b{r}.a AND x[1] = b{r}.b "
+            "THEN acc[1:len(acc) - 1] || [b{r}.a || b{r}.b] "
+            "ELSE acc || x END)"
+        )
+    ctes = [
+        f"words AS ({words})",
+        f"w0 AS (SELECT {chars} AS s, freq FROM words)",
+    ]
+    outs = []
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT {el('s', 'i')} AS a, "
+            f"{el('s', 'i + 1')} AS b, "
+            f"CAST(sum(freq) AS BIGINT) AS c "
+            f"FROM {prev} {positions} {pos_guard} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r} AS (SELECT {fold.format(r=f'{r}')} AS s, freq "
+            f"FROM {prev} CROSS JOIN b{r})"
+        )
+        outs.append(
+            f"SELECT {r} AS round, a AS left_sym, b AS right_sym, "
+            f"a || b AS merged, c AS pair_count FROM b{r}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\nUNION ALL ".join(outs)
+    )
+
+
+@register(
+    "q_bpe_merges",
+    oracle=_bpe_sql("duck", "documents"),
+    doc="BPE tokenizer-vocabulary induction (Sennrich et al. 2016), "
+    "the iterative algorithm behind GPT/Llama tokenizers: 6 merge "
+    "rounds learned over the corpus word-frequency table. Scale "
+    "shape: ONE corpus scan builds (word, freq) — the only O(corpus) "
+    "step; every merge round then runs on the compact vocabulary "
+    "table (pair counts weighted by freq, 1-row broadcast of the "
+    "winning pair, greedy left-to-right fold re-tokenization — all "
+    "JVM expressions). Integer counts + (count desc, pair asc) "
+    "tie-break make every round deterministic cross-engine, so the "
+    "DuckDB oracle replays the exact merge table.",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__bpe_docs")
+    return spark.sql(_bpe_sql("spark", "__bpe_docs")).orderBy("round")

@@ -36,6 +36,7 @@ BNLJ_BOUNDED = {
     # literal VALUES artifacts: 16-row centroid / 256-row codebook
     # tables cross-joined for assignment — bounded by construction
     "q_ann_ivfpq_portable",
+    "q_bpe_merges",   # per-round 1-row winning-pair cross join
 }
 
 
