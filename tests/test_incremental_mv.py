@@ -1420,6 +1420,60 @@ def test_stats_mv_large_magnitude_stability(db, spark):
     assert 0.1 < got.sd < 10.0 and 0.4 < got.sl < 0.6
 
 
+def test_mixed_family_mv_delta(db, spark):
+    """EVERY mergeable-aggregate family in ONE select — plain
+    (sum/count/min/max), avg, variance, corr, regr, max_by/min_by,
+    approx_count_distinct — through two interleaved delta merges: the
+    exact families match direct SQL over the full data to float
+    precision, the approx family stays in its error band, and hidden
+    state columns never leak. Guards against cross-family merge
+    interactions (each family contributes different agg expressions
+    to the same groupBy)."""
+    t = db.create_topic(
+        "mix",
+        [Column("k", "int64"), Column("x", "float64"), Column("y", "float64"),
+         Column("u", "int64")],
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time",
+        "id % 2 AS k",
+        "CAST(id AS double) AS x",
+        "CAST(id AS double) * 0.5 + CAST(id % 13 AS double) AS y",
+        "id % 97 AS u",
+    )
+    t.insert(mk(0, 400))
+    sql = (
+        "SELECT k, count(*) AS n, sum(x) AS sx, min(x) AS lo, "
+        "max(x) AS hi, avg(x) AS mean_x, stddev(x) AS sd, "
+        "var_pop(x) AS vp, corr(x, y) AS r, regr_slope(y, x) AS sl, "
+        "max_by(u, x) AS last_u, min_by(u, x) AS first_u, "
+        "approx_count_distinct(u) AS nd "
+        "FROM mix GROUP BY k"
+    )
+    db.create_materialized_view("mixmv", sql)
+    assert db.store.resolve("mixmv").refresh_state is not None
+    t.insert(mk(400, 700))
+    db.refresh_materialized("mixmv")
+    t.insert(mk(700, 1000))
+    db.refresh_materialized("mixmv")
+
+    got = {r.k: r for r in db.query("SELECT * FROM mixmv").df.collect()}
+    exp = {r.k: r for r in db.query(sql).df.collect()}
+    exact = ("n", "sx", "lo", "hi", "mean_x", "last_u", "first_u")
+    for k in (0, 1):
+        for f in exact:
+            assert got[k][f] == exp[k][f], (k, f)
+        for f in ("sd", "vp", "r", "sl"):
+            assert got[k][f] == pytest.approx(exp[k][f], rel=1e-9), (k, f)
+        # approx family: direct SQL uses HLL++, the MV DataSketches —
+        # both must sit within the ~2% error band of the true 97
+        assert abs(got[k]["nd"] - 97) / 97 < 0.05, k
+    assert db.query("SELECT * FROM mixmv").df.columns == [
+        "k", "n", "sx", "lo", "hi", "mean_x", "sd", "vp", "r", "sl",
+        "last_u", "first_u", "nd",
+    ]
+
+
 def test_three_table_join_chain_delta(db, spark):
     """Leapfrog delta over a 3-topic inner-join chain: interleaved
     inserts to every side end exactly equal to a full recompute, and
