@@ -10,8 +10,10 @@ so the full Spark SQL surface (the DataFusion-27 superset, SURVEY.md
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -386,14 +388,6 @@ class Ella:
             )
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
-        # hidden mergeable-state columns are namespaced __mv_*; a user
-        # output alias in that namespace would be silently projected
-        # away by every read, so refuse it up front
-        if re.search(r"\bas\s+__mv_", sql, re.I):
-            raise ValueError(
-                "materialized-view output aliases must not start with "
-                "'__mv_' (reserved for hidden refresh state)"
-            )
         prev = self.store.tables.get((catalog, schema, base))
         replacing = (
             replace and prev is not None and prev.kind == "materialized_view"
@@ -408,32 +402,41 @@ class Ella:
             indexes=list(indexes or []),
             keep_versions=keep_versions,
         )
+        # CREATE OR REPLACE: stash the previous definition's whole
+        # snapshot tree aside FIRST — the new definition's first
+        # commit writes v=1 with mode(overwrite), which would destroy
+        # the old v=1 dir before the new snapshot ever commits (a
+        # runtime-failing refresh, e.g. raise_error or disk-full,
+        # must leave the old MV fully readable)
+        stash = None
+        if replacing:
+            path = self.store.table_path(prev)
+            if path.exists():
+                stash = path.with_name(
+                    f".{path.name}.replaced-{uuid.uuid4().hex[:8]}"
+                )
+                os.rename(path, stash)
         self.store.put_table(entry, replace=replace)
         try:
             n = self.refresh_materialized(name)
         except Exception:
             # the new definition never committed a snapshot: put the
-            # old definition (and its intact data) back, or drop the
-            # never-materialized entry — a failed CREATE OR REPLACE
-            # must not destroy the previous MV
+            # old definition (entry AND stashed data) back, or drop
+            # the never-materialized entry — a failed CREATE OR
+            # REPLACE must not destroy the previous MV
             if replacing:
+                if stash is not None:
+                    path = self.store.table_path(prev)
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.rename(stash, path)
                 self.store.put_table(prev, replace=True)
                 self._register(prev)
             else:
                 self.store.drop_table(catalog, schema, base)
             raise
-        if replacing:
-            # CREATE OR REPLACE resets version to 0: only now that the
-            # new definition has a COMMITTED snapshot may the previous
-            # definition's stale v=* dirs go (deleting them up front
-            # would destroy the old MV if this refresh failed). Dirs
-            # at-or-below the new version were overwritten by the
-            # commit; higher ones would be refused by the
-            # committed-version bound but still waste disk.
-            fresh = self.store.tables[(catalog, schema, base)]
-            for old in self.store.table_path(fresh).glob("v=*"):
-                if old.is_dir() and int(old.name.split("=")[1]) > fresh.version:
-                    shutil.rmtree(old, ignore_errors=True)
+        if stash is not None:
+            # the new definition committed: the old snapshots go now
+            shutil.rmtree(stash, ignore_errors=True)
         return n
 
     def refresh_materialized(self, name: str, incremental: bool = True) -> int:
@@ -696,9 +699,20 @@ class Ella:
             if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.hidden_sql:
-                df = self._with_visible_avgs(entry.sql, analysis)
+                try:
+                    df = self._with_visible_avgs(entry.sql, analysis)
+                except Exception:
+                    # the hidden rewrite can be unsupported for the
+                    # actual argument types (e.g. hll_sketch_agg
+                    # rejects double where approx_count_distinct
+                    # accepts it): fall back to the PLAIN query as a
+                    # full-recompute-only MV instead of failing CREATE
+                    df = self.spark.sql(sql)
+                    state = None
+                    analysis = None
             else:
                 df = self.spark.sql(sql)
+            self._check_reserved_aliases(df, analysis)
             n = self._commit_snapshot(entry, df, state)
         finally:
             for t in topics:
@@ -714,6 +728,34 @@ class Ella:
                 fresh = self.store.tables[entry.ident]
                 return self._refresh_full(fresh, analysis, topics, _retries - 1)
         return n
+
+    @staticmethod
+    def _check_reserved_aliases(df: DataFrame, analysis) -> None:
+        """Refuse USER output columns in the hidden __mv_* namespace —
+        they would be silently projected away by every read. Checked
+        against the actual output schema (catches `AS __mv_x` and the
+        no-AS alias form alike; a regex over the SQL text would also
+        false-positive on string literals)."""
+        legit: set[str] = set()
+        if analysis is not None:
+            legit = (
+                {c for pair in analysis.avgs.values() for c in pair}
+                | {c for tup in analysis.stats.values() for c in tup[1:]}
+                | {c for tup in analysis.corrs.values() for c in tup[1:]}
+                | set(analysis.approxs.values())
+                | {h for _, h in analysis.argmaxs.values()}
+            )
+        bad = [
+            c
+            for c in df.columns
+            if c.startswith("__mv_") and c not in legit
+        ]
+        if bad:
+            raise ValueError(
+                f"materialized-view output columns {bad} use the "
+                "reserved '__mv_' namespace (hidden refresh state) — "
+                "rename them"
+            )
 
     def _with_visible_avgs(self, orig_sql: str, analysis) -> DataFrame:
         """Run the hidden-partials SQL and append the visible avg /
@@ -799,9 +841,14 @@ class Ella:
             # state (deliberate deviation from HyperLogLog++ — both
             # refresh paths use this estimator, so the MV is
             # self-consistent; the delta merge is the same union
-            # Spark runs across partitions, see incremental.py)
+            # Spark runs across partitions, see incremental.py).
+            # All-NULL group -> NULL sketch -> coalesce to 0: plain
+            # approx_count_distinct is count-like and never NULL.
             df = df.withColumn(
-                alias, F.hll_sketch_estimate(F.col(h)).cast(dtypes[alias])
+                alias,
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(h)), F.lit(0)
+                ).cast(dtypes[alias]),
             )
         hidden = (
             [c for pair in analysis.avgs.values() for c in pair]
@@ -854,8 +901,19 @@ class Ella:
                 return self._append_snapshot_version(
                     entry, delta_df, new_state, int(state["rows"])
                 )
-            # mergeable aggregate: snapshot ∪ delta partials, re-aggregated
-            return self._merge_agg_snapshot(entry, analysis, delta_df, new_state)
+            # mergeable aggregate: snapshot ∪ delta partials,
+            # re-aggregated. A snapshot written by an OLDER hidden-
+            # state layout (e.g. pre-Welford raw sums) fails the
+            # unionByName at analysis time — fall back to a full
+            # recompute, which rewrites the state in the new layout.
+            from pyspark.errors import AnalysisException
+
+            try:
+                return self._merge_agg_snapshot(
+                    entry, analysis, delta_df, new_state
+                )
+            except AnalysisException:
+                return None
         finally:
             self._register(topic.entry)
 
@@ -1127,10 +1185,16 @@ class Ella:
             if analysis.mode == "agg_join":
                 # the delta terms arrive ALREADY partially aggregated
                 # by the SQL; merge with the snapshot like the
-                # single-topic agg mode
-                return self._merge_agg_snapshot(
-                    entry, analysis, delta_df, new_state
-                )
+                # single-topic agg mode (layout-mismatch fallback as
+                # in _refresh_delta)
+                from pyspark.errors import AnalysisException
+
+                try:
+                    return self._merge_agg_snapshot(
+                        entry, analysis, delta_df, new_state
+                    )
+                except AnalysisException:
+                    return None
             # structural guard, same as the single-topic SPF path
             # (fail closed when the plan is not inspectable — Connect)
             try:

@@ -34,6 +34,11 @@ DEFAULT_TARGET_ROWS = 1 << 25
 #: where json.loads dominates)
 MANIFEST_PARQUET_THRESHOLD = 100_000
 
+#: manifest format generation: v3 = per-column ranges only when every
+#: row group carries stats (older ranges may under-cover and must be
+#: rebuilt — see build_manifest)
+_MANIFEST_FORMAT = 3
+
 #: clustered compaction writes this many range-disjoint output shards
 #: per merge group (each skippable independently via the v2 manifest)
 _CLUSTER_SPLITS = 4
@@ -539,6 +544,18 @@ def build_manifest(topic: Topic) -> int:
     mdir = topic.path / "_manifest"
     mpath = mdir / "stats.json"
     stats = topic.manifest()
+    # Format v3 stamped the every-row-group completeness guard onto
+    # column ranges; entries written by older builds may carry
+    # partial-stats ranges that under-cover their file (silently
+    # skip-dropping rows), so a pre-v3 manifest is rebuilt from
+    # footers in full, once. Parquet manifests are v3-era by
+    # construction.
+    if mpath.exists() and not (mdir / "stats.parquet").exists():
+        try:
+            if json.loads(mpath.read_text()).get("_v") != _MANIFEST_FORMAT:
+                stats = {}
+        except (ValueError, OSError):
+            stats = {}
     live = {p.name: p for p in topic.shards()}
     # drop entries whose files are gone (compacted/cleaned)
     stats = {k: v for k, v in stats.items() if k in live}
@@ -618,7 +635,7 @@ def build_manifest(topic: Topic) -> int:
         # conservative (all files read) — never stale skipping
         (mdir / "stats.parquet").unlink(missing_ok=True)
         tmp = mdir / f".stats-{uuid.uuid4().hex}.tmp"
-        tmp.write_text(json.dumps(stats))
+        tmp.write_text(json.dumps({**stats, "_v": _MANIFEST_FORMAT}))
         tmp.replace(mpath)
     return added
 

@@ -25,6 +25,12 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def sql_quote(s: str) -> str:
+    """SQL single-quoted string literal ('' = escaped quote) — the one
+    shared quoting helper for generated oracle/driver SQL."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)

@@ -951,8 +951,7 @@ def _ccnet_oracle() -> str | None:
     except (OSError, FileNotFoundError):
         return None
 
-    def _sq(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    from ella_spark.queries import sql_quote as _sq
 
     rows = ", ".join(f"({_sq(tok)}, {lp!r})" for tok, lp in vocab)
     return f"""

@@ -754,8 +754,7 @@ def _lm_oracle() -> str | None:
         )
     except (OSError, FileNotFoundError):
         return None
-    def _sq(s: str) -> str:  # SQL single-quote escape
-        return "'" + s.replace("'", "''") + "'"
+    from ella_spark.queries import sql_quote as _sq
 
     rows = ", ".join(f"({_sq(tok)}, {lp!r})" for tok, lp in vocab)
     return f"""
@@ -924,53 +923,31 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_sql(dialect: str, table: str, rounds: int = _BPE_ROUNDS) -> str:
-    """Byte-pair-encoding merge learning (Sennrich et al. 2016),
-    unrolled to ``rounds`` rounds of identical SQL for Spark and
-    DuckDB: count adjacent symbol pairs weighted by word frequency,
-    pick the most frequent pair (count desc, pair asc — integer
-    counts, so the choice is deterministic cross-engine), greedily
-    merge it left-to-right in every word via a sequential list fold,
-    repeat. Only the dialect shims differ (explode vs unnest,
-    0/1-based indexing, concat vs ||)."""
-    spark = dialect == "spark"
-    if spark:
-        words = (
-            "SELECT w AS word, count(*) AS freq FROM ("
-            f"SELECT explode(split(lower(trim(text)), '\\\\s+')) AS w "
-            f"FROM {table}) WHERE w != '' GROUP BY w"
-        )
-        chars = "split(word, '')"
-        positions = (
-            "LATERAL VIEW explode(CASE WHEN size(s) >= 2 THEN "
-            "sequence(1, size(s) - 1) ELSE array(CAST(NULL AS INT)) END) t AS i"
-        )
-        pos_guard = "WHERE i IS NOT NULL"
-        el = lambda arr, i: f"element_at({arr}, {i})"
-        fold = (
-            "aggregate(transform(s, x -> array(x)), "
-            "cast(array() as array<string>), (acc, x) -> "
-            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = b{r}.a "
-            "AND x[0] = b{r}.b "
-            "THEN concat(slice(acc, 1, size(acc) - 1), array(b{r}.a || b{r}.b)) "
-            "ELSE concat(acc, x) END)"
-        )
-    else:
-        words = (
-            "SELECT w AS word, count(*) AS freq FROM ("
-            "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w "
-            f"FROM {table}) WHERE w != '' GROUP BY w"
-        )
-        chars = "string_split(word, '')"
-        positions = ", unnest(range(1, len(s))) AS t(i)"
-        pos_guard = ""
-        el = lambda arr, i: f"{arr}[{i}]"
-        fold = (
-            "list_reduce(list_transform(s, x -> [x]), (acc, x) -> "
-            "CASE WHEN len(acc) > 0 AND acc[-1] = b{r}.a AND x[1] = b{r}.b "
-            "THEN acc[1:len(acc) - 1] || [b{r}.a || b{r}.b] "
-            "ELSE acc || x END)"
-        )
+def _bpe_sql(table: str, rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB replay of the BPE merge loop, unrolled to ``rounds``
+    rounds of CTEs: count adjacent symbol pairs weighted by word
+    frequency, pick the most frequent pair (count desc, pair asc —
+    integer counts, so the choice is deterministic cross-engine),
+    greedily merge it left-to-right in every word via a sequential
+    list fold, repeat. The Spark side runs the same algorithm as a
+    materialized driver loop (chained-CTE unrolling re-executes
+    earlier rounds exponentially) — semantics are pinned equal by the
+    oracle compare itself."""
+    words = (
+        "SELECT w AS word, count(*) AS freq FROM ("
+        "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w "
+        f"FROM {table}) WHERE w != '' GROUP BY w"
+    )
+    chars = "string_split(word, '')"
+    positions = ", unnest(range(1, len(s))) AS t(i)"
+    pos_guard = ""
+    el = lambda arr, i: f"{arr}[{i}]"
+    fold = (
+        "list_reduce(list_transform(s, x -> [x]), (acc, x) -> "
+        "CASE WHEN len(acc) > 0 AND acc[-1] = b{r}.a AND x[1] = b{r}.b "
+        "THEN acc[1:len(acc) - 1] || [b{r}.a || b{r}.b] "
+        "ELSE acc || x END)"
+    )
     ctes = [
         f"words AS ({words})",
         f"w0 AS (SELECT {chars} AS s, freq FROM words)",
@@ -1003,7 +980,7 @@ def _bpe_sql(dialect: str, table: str, rounds: int = _BPE_ROUNDS) -> str:
 
 @register(
     "q_bpe_merges",
-    oracle=_bpe_sql("duck", "documents"),
+    oracle=_bpe_sql("documents"),
     doc="BPE tokenizer-vocabulary induction (Sennrich et al. 2016), "
     "the iterative algorithm behind GPT/Llama tokenizers: 6 merge "
     "rounds learned over the corpus word-frequency table. Scale "
@@ -1011,16 +988,16 @@ def _bpe_sql(dialect: str, table: str, rounds: int = _BPE_ROUNDS) -> str:
     "step; every merge round then runs on the compact vocabulary "
     "table (pair counts weighted by freq, a 1-row winning-pair "
     "collect, greedy left-to-right fold re-tokenization — all JVM "
-    "expressions), MATERIALIZED between rounds (localCheckpoint) the "
-    "way any iterative Spark algorithm must be — chained-CTE "
-    "unrolling re-executes earlier rounds exponentially (measured "
-    "3.2s vs 1s at sf0.1). Integer counts + (count desc, pair asc) "
+    "expressions). The vocab is materialized ONCE (localCheckpoint); "
+    "rounds then chain as lazy narrow folds over that compact table — "
+    "unrolling the loop as chained SQL CTEs instead re-executes "
+    "earlier rounds exponentially (measured 3.2s vs 1.7s at sf0.1). "
+    "Integer counts + (count desc, pair asc) "
     "tie-break make every round deterministic cross-engine, so the "
     "unrolled-SQL DuckDB oracle replays the exact merge table.",
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def lit(s: str) -> str:  # SQL string literal ('' = escaped quote)
-        return "'" + s.replace("'", "''") + "'"
+    from ella_spark.queries import sql_quote as lit
 
     d = load_table(spark, sf_dir, "documents")
     vocab = (
@@ -1049,8 +1026,13 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").cast("bigint").alias("c"))
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not best:
+            # no adjacent pairs left (degenerate corpus): the oracle's
+            # b{r} CTE is empty too, so both sides emit fewer rounds
+            break
+        best = best[0]
         out.append((r, best.a, best.b, best.a + best.b, int(best.c)))
         merged = F.expr(
             "aggregate(transform(s, x -> array(x)), "

@@ -149,6 +149,7 @@ class Topic:
         return {
             k: (v if isinstance(v, dict) else {"t": v, "c": {}})
             for k, v in raw.items()
+            if not k.startswith("_")  # meta keys (_v format stamp)
         }
 
     def read(

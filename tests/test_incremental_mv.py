@@ -576,6 +576,36 @@ def test_manifest_partial_rowgroup_stats_never_skip(db, spark):
     assert len(df.inputFiles()) == 1
 
 
+def test_manifest_pre_v3_column_ranges_rebuilt(db, spark):
+    """Column ranges written BEFORE the every-row-group completeness
+    guard may under-cover their file (partial stats) — a pre-v3
+    manifest must be rebuilt from footers in full, not trusted
+    entry-by-entry."""
+    import json
+
+    from ella_spark.maintenance import build_manifest
+
+    t = db.create_topic("pv3", [Column("v", "float64")])
+    with t.publish() as pub:
+        for i in range(10):
+            pub.write(i, float(i))
+    build_manifest(t)
+    mpath = t.path / "_manifest" / "stats.json"
+    raw = json.loads(mpath.read_text())
+    assert raw.pop("_v") == 3  # new manifests carry the format stamp
+    shard = next(iter(raw))
+    # forge a pre-v3 manifest whose v-range under-covers the file
+    raw[shard]["c"]["v"] = [100.0, 200.0]
+    mpath.write_text(json.dumps(raw))  # no _v: pre-v3
+    # the unsound range WOULD skip-drop every row if trusted
+    assert len(t.read(spark, col_ranges={"v": (0.0, 9.0)}).inputFiles()) == 0
+    build_manifest(t)  # pre-v3 detected: full footer rebuild
+    fixed = t.manifest()[shard]
+    assert fixed["c"]["v"] == [0.0, 9.0]
+    df = t.read(spark, col_ranges={"v": (0.0, 9.0)})
+    assert df.count() == 10
+
+
 def test_manifest_v1_entries_upgrade(db, spark):
     """A v1 manifest (basename -> [lo, hi]) still time-skips, and the
     next build_manifest rewrites it as v2."""
@@ -591,12 +621,17 @@ def test_manifest_v1_entries_upgrade(db, spark):
     build_manifest(t)
     mpath = t.path / "_manifest" / "stats.json"
     v2 = json.loads(mpath.read_text())
-    mpath.write_text(json.dumps({k: v["t"] for k, v in v2.items()}))  # v1
+    mpath.write_text(
+        json.dumps(
+            {k: v["t"] for k, v in v2.items() if not k.startswith("_")}
+        )
+    )  # v1 (no _v stamp, bare [lo, hi] entries)
     assert all(isinstance(v, dict) for v in t.manifest().values())
     df = t.read(spark, start_ns=1000, end_ns=1010)
     assert len(df.inputFiles()) == 1 and df.count() == 5
     build_manifest(t)
     raw = json.loads(mpath.read_text())
+    assert raw.pop("_v") == 3  # rebuilt with the format stamp
     assert all(isinstance(v, dict) and "t" in v for v in raw.values())
     # the rebuild BACKFILLS column stats for pre-v2 entries (footers
     # re-read), so col_ranges skipping works on pre-upgrade shards too
@@ -785,14 +820,30 @@ def test_mv_time_travel(db, spark):
 
 
 def test_mv_rejects_reserved_alias(db, spark):
-    """A user output alias in the hidden __mv_* namespace would be
-    silently projected away by every read — refused at CREATE."""
+    """A user output column in the hidden __mv_* namespace would be
+    silently projected away by every read — refused at CREATE, via
+    the OUTPUT SCHEMA (catches the no-AS alias form too), while a
+    string literal merely spelling 'as __mv_' is fine."""
     _mk_topic(db, spark, name="ra", n=5)
     with pytest.raises(ValueError, match="__mv_"):
         db.create_materialized_view(
             "bad", "SELECT k, sum(v) AS __mv_x FROM ra GROUP BY k"
         )
     assert db.store.tables.get(("ella", "public", "bad")) is None
+    # alias without AS — valid Spark SQL, same reserved-name collision
+    with pytest.raises(ValueError, match="__mv_"):
+        db.create_materialized_view(
+            "bad2", "SELECT k, sum(v) __mv_y FROM ra GROUP BY k"
+        )
+    assert db.store.tables.get(("ella", "public", "bad2")) is None
+    # a literal containing the namespace text is data, not an alias
+    n = db.create_materialized_view(
+        "oklit",
+        "SELECT k, 'as __mv_note' AS tag, count(*) AS n "
+        "FROM ra GROUP BY k",
+    )
+    assert n == 3
+    assert db.query("SELECT * FROM oklit").df.columns == ["k", "tag", "n"]
 
 
 def test_mv_create_or_replace_failure_preserves_old(db, spark):
@@ -824,6 +875,21 @@ def test_mv_create_or_replace_failure_preserves_old(db, spark):
     assert entry.version == 2 and "sum(v)" in entry.sql
     after = {r.k: r.s for r in db.query("SELECT * FROM keepme").df.collect()}
     assert after == before
+    assert {r.k: r.s for r in db.read_mv_version("keepme", 1).collect()} == v1
+
+    # RUNTIME-failing replace (passes analysis, fails during the
+    # snapshot write): the old v=1 dir must survive — _commit_snapshot
+    # writes v=1 with mode(overwrite), so without the stash the old
+    # data would be destroyed before the new snapshot ever commits
+    with pytest.raises(Exception):
+        db.create_materialized_view(
+            "keepme", "SELECT raise_error('boom') AS s FROM pr"
+        )
+    entry = db.store.resolve("keepme")
+    assert entry.version == 2 and "sum(v)" in entry.sql
+    assert {
+        r.k: r.s for r in db.query("SELECT * FROM keepme").df.collect()
+    } == before
     assert {r.k: r.s for r in db.read_mv_version("keepme", 1).collect()} == v1
 
     # fresh CREATE failing leaves no orphan entry
@@ -1316,6 +1382,43 @@ def test_approx_distinct_mv_delta(db, spark):
         "advr", "SELECT k, approx_count_distinct(u, 0.01) AS nd FROM ad2 GROUP BY k"
     )
     assert db.store.resolve("advr").refresh_state is None
+
+    # unsupported arg type (hll_sketch_agg rejects double where plain
+    # approx_count_distinct accepts it): CREATE succeeds as a
+    # full-recompute MV with plain-Spark values
+    tf = db.create_topic("adf", [Column("k", "int64"), Column("x", "float64")])
+    tf.insert(
+        spark.range(200).selectExpr(
+            "id * 1000 AS time", "id % 2 AS k", "CAST(id % 37 AS double) AS x"
+        )
+    )
+    db.create_materialized_view(
+        "advf", "SELECT k, approx_count_distinct(x) AS nd FROM adf GROUP BY k"
+    )
+    assert db.store.resolve("advf").refresh_state is None  # fell back
+    got_f = {r.k: r.nd for r in db.query("SELECT * FROM advf").df.collect()}
+    exp_f = {
+        r.k: r.nd
+        for r in db.query(
+            "SELECT k, approx_count_distinct(x) AS nd FROM adf GROUP BY k"
+        ).df.collect()
+    }
+    assert got_f == exp_f  # plain-path values, not the sketch rewrite
+
+    # all-NULL group: plain approx_count_distinct returns 0, never
+    # NULL — the sketch rewrite must coalesce the NULL sketch to 0
+    tn = db.create_topic("adn", [Column("k", "int64"), Column("u", "int64")])
+    tn.insert(
+        spark.createDataFrame(
+            [(0, 1, None), (1, 1, None), (2, 2, 5)],
+            "time long, k long, u long",
+        )
+    )
+    db.create_materialized_view(
+        "advn", "SELECT k, approx_count_distinct(u) AS nd FROM adn GROUP BY k"
+    )
+    got_n = {r.k: r.nd for r in db.query("SELECT * FROM advn").df.collect()}
+    assert got_n == {1: 0, 2: 1}
 
 
 def test_argmax_mv_delta(db, spark):
