@@ -744,6 +744,7 @@ class Ella:
                 | {c for tup in analysis.corrs.values() for c in tup[1:]}
                 | set(analysis.approxs.values())
                 | {h for _, h in analysis.argmaxs.values()}
+                | {h for _, _, h in analysis.klls.values()}
             )
         bad = [
             c
@@ -757,6 +758,86 @@ class Ella:
                 "rename them"
             )
 
+    #: KLL capacity for approx_percentile MV state: groups up to this
+    #: many rows keep an uncompacted sketch (estimates exactly the
+    #: discrete quantile); larger groups stay within the KLL rank
+    #: error. ~16 KB of doubles per group at the cap.
+    _KLL_MV_K = 2048
+
+    @staticmethod
+    def _kll_merge_udf():
+        from ella_spark.operators.sketch import kll_merge_states_udf
+
+        return kll_merge_states_udf(Ella._KLL_MV_K)
+
+    def _attach_kll_state(self, df: DataFrame, analysis) -> DataFrame:
+        """Join the approx_percentile hidden state (per-group KLL
+        sketches) onto the hidden-partials frame. The state is built
+        by an applyInPandas side-query over the SAME FROM/WHERE
+        binding the hidden SQL used — sketches are not expressible in
+        SQL. One bucket-keyed shuffle per percentile column; the
+        sketch rows are O(groups), never O(rows)."""
+        import pandas as _pd
+
+        from pyspark.sql import functions as F
+
+        from ella_spark.operators.sketch import kll_build
+
+        if not analysis.klls:
+            return df
+        k = self._KLL_MV_K
+        for alias, (arg, _prob, h) in analysis.klls.items():
+            sel = ", ".join(
+                analysis.key_items + [f"CAST(({arg}) AS DOUBLE) AS __v"]
+            )
+            q = f"SELECT {sel} FROM {analysis.from_text}"
+            if analysis.where:
+                q += f" WHERE {analysis.where}"
+            src = self.spark.sql(q)
+            if analysis.keys:
+                grouped = src.groupBy(*analysis.keys)
+                key_fields = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in src.schema.fields
+                    if f.name in analysis.keys
+                )
+                out_schema = f"{key_fields}, {h} array<array<double>>"
+            else:
+                src = src.withColumn("__g", F.lit(1))
+                grouped = src.groupBy("__g")
+                out_schema = f"__g int, {h} array<array<double>>"
+
+            def _mk_build(_h):
+                def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
+                    levels = kll_build(pdf["__v"].to_numpy(dtype=float), k)
+                    row = {
+                        c: [pdf[c].iloc[0]]
+                        for c in pdf.columns
+                        if c != "__v"
+                    }
+                    row[_h] = [[list(map(float, l)) for l in levels]]
+                    return _pd.DataFrame(row)
+
+                return build
+
+            state = grouped.applyInPandas(_mk_build(h), schema=out_schema)
+            if analysis.keys:
+                df = df.join(state, analysis.keys, "left")
+            else:
+                df = df.crossJoin(F.broadcast(state.drop("__g")))
+        return df
+
+    @staticmethod
+    def _kll_quantile_expr(h, prob: float, dtype):
+        """Visible percentile column from serialized KLL levels
+        (sketch.kll_quantile_udf; None for empty state — Spark's own
+        approx_percentile over zero non-null rows is NULL too)."""
+        from pyspark.sql import functions as F
+
+        from ella_spark.operators.sketch import kll_quantile_udf
+
+        return kll_quantile_udf(prob)(F.col(h)).cast(dtype)
+
     def _with_visible_avgs(self, orig_sql: str, analysis) -> DataFrame:
         """Run the hidden-partials SQL and append the visible avg /
         variance-family columns (recomputed from the mergeable hidden
@@ -765,6 +846,7 @@ class Ella:
         order followed by the mergeable hidden state."""
         orig_fields = {f.name: f.dataType for f in self.spark.sql(orig_sql).schema}
         df = self.spark.sql(analysis.hidden_sql)
+        df = self._attach_kll_state(df, analysis)
         return self._derive_visible(df, analysis, orig_fields)
 
     @staticmethod
@@ -850,12 +932,18 @@ class Ella:
                     F.hll_sketch_estimate(F.col(h)), F.lit(0)
                 ).cast(dtypes[alias]),
             )
+        for alias, (_arg, prob, h) in analysis.klls.items():
+            df = df.withColumn(
+                alias,
+                Ella._kll_quantile_expr(h, prob, dtypes[alias]),
+            )
         hidden = (
             [c for pair in analysis.avgs.values() for c in pair]
             + [c for tup in analysis.stats.values() for c in tup[1:]]
             + [c for tup in analysis.corrs.values() for c in tup[1:]]
             + list(analysis.approxs.values())
             + [h for _, h in analysis.argmaxs.values()]
+            + [h for _, _, h in analysis.klls.values()]
         )
         return df.select(*analysis.out_cols, *hidden)
 
@@ -884,6 +972,8 @@ class Ella:
                 analysis.table
             )
             delta_df = self.spark.sql(analysis.hidden_sql or entry.sql)
+            if analysis.mode == "agg":
+                delta_df = self._attach_kll_state(delta_df, analysis)
             if analysis.mode == "spf":
                 # structural guard behind the regex analyzer: an
                 # aggregate the blacklist does not know must NEVER be
@@ -936,6 +1026,7 @@ class Ella:
             | set(analysis.stats)
             | set(analysis.corrs)
             | set(analysis.approxs)
+            | set(analysis.klls)
         )
         if derived:
             # the snapshot's visible avg/variance columns are derived,
@@ -971,6 +1062,13 @@ class Ella:
                 F.hll_union_agg(h).alias(h)
                 for h in analysis.approxs.values()
             ]
+            # approx_percentile KLL state: fold snapshot ∪ delta
+            # sketches per group (bounded: one struct per partial)
+            kll_tmps: list[str] = []
+            for alias, (_arg, _prob, h) in analysis.klls.items():
+                tmp = f"__mv_klltmp__{alias}"
+                kll_tmps.append(tmp)
+                aggs.append(F.collect_list(F.col(h)).alias(tmp))
             # Welford state (variance/corr families): counts merge
             # exactly via SUM; means and centered moments merge via
             # the grand-mean identity over the per-partial structs —
@@ -1074,8 +1172,12 @@ class Ella:
                         + s["n"] * (s["m1"] - mx) * (s["m2"] - my),
                     ),
                 )
-            if tmps:
-                merged = merged.drop(*tmps)
+            for alias, (_arg, _prob, h) in analysis.klls.items():
+                merged = merged.withColumn(
+                    h, self._kll_merge_udf()(F.col(f"__mv_klltmp__{alias}"))
+                )
+            if tmps or kll_tmps:
+                merged = merged.drop(*tmps, *kll_tmps)
             if derived:
                 merged = self._derive_visible(merged, analysis, dtypes)
         else:

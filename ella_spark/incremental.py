@@ -69,6 +69,21 @@ of O(history) for the common single-topic shapes:
   the MV is self-consistent (same pattern as the corr → NULL
   deviation). An explicit rsd argument disqualifies (the rewrite
   cannot honor it).
+- **approx_percentile / percentile_approx** (`approx_percentile(e,
+  p) AS a`, scalar literal p): hidden state `__mv_kll__a` is a
+  mergeable KLL sketch (operators.sketch — derandomized compaction,
+  so state is a pure function of the group's sorted multiset),
+  serialized as `array<array<double>>`. Sketches are not
+  SQL-expressible, so the state is computed by an applyInPandas
+  side-query over the same FROM/WHERE binding (engine._attach_
+  kll_state) and joined onto the hidden partials by the group keys;
+  snapshot ∪ delta states merge with `kll_merge`. Deliberate
+  deviation: the estimator is this KLL, not Spark's GK — both
+  refresh paths use it, so the MV is self-consistent, and whenever a
+  group fits uncompacted (n ≤ 2048) the estimate IS the exact
+  discrete quantile (rank ceil(p·n)). Multi-prob arrays, an explicit
+  accuracy argument, percentile-over-join, and a global percentile
+  with no sibling aggregate all disqualify (full recompute).
 - **SPF / aggregate inner-join CHAIN of n ≥ 2 distinct topics**
   (`SELECT … FROM t1 JOIN t2 ON … [JOIN t3 ON …] [WHERE …] [GROUP BY
   …]`): for append-only inputs the leapfrog insert-delta identity
@@ -124,7 +139,8 @@ _SHAPE = re.compile(
 _AGG_ITEM = re.compile(
     r"^(?P<fn>sum|count|min|max|avg|stddev_samp|stddev_pop|stddev|"
     r"var_samp|var_pop|variance|corr|covar_samp|covar_pop|"
-    r"approx_count_distinct|max_by|min_by|"
+    r"approx_count_distinct|approx_percentile|percentile_approx|"
+    r"max_by|min_by|"
     r"regr_(?:count|avgx|avgy|slope|intercept|r2|sxx|syy|sxy))"
     r"\s*\((?P<arg>.+)\)\s+as\s+"
     r"(?P<alias>[A-Za-z0-9_]+)$",
@@ -219,6 +235,13 @@ def ord_hidden_col(alias: str) -> str:
     return f"__mv_ord__{alias}"
 
 
+def kll_hidden_col(alias: str) -> str:
+    """Snapshot column carrying an approx_percentile's mergeable
+    state: KLL sketch levels (array<array<double>>, level i holding
+    items of weight 2^i — operators.sketch)."""
+    return f"__mv_kll__{alias}"
+
+
 def approx_hidden_col(alias: str) -> str:
     """Snapshot column carrying an approx_count_distinct's mergeable
     state: a DataSketches HLL sketch (binary)."""
@@ -257,6 +280,15 @@ class MvAnalysis:
     approxs: dict[str, str] = field(default_factory=dict)
     #: visible max_by/min_by alias -> (fn, hidden ordering-value col)
     argmaxs: dict[str, tuple[str, str]] = field(default_factory=dict)
+    #: visible approx_percentile alias -> (arg SQL, prob, hidden col)
+    klls: dict[str, tuple[str, float, str]] = field(default_factory=dict)
+    #: raw SELECT items for the group keys (the kll state side-query
+    #: re-selects them next to the percentile argument)
+    key_items: list[str] = field(default_factory=list)
+    #: FROM body + optional WHERE of the analyzed SQL (single-topic
+    #: modes; the kll state side-query replays them)
+    from_text: str | None = None
+    where: str | None = None
     #: SQL computing the MERGEABLE partials (avg / variance items
     #: replaced by hidden-state items); None when neither is present
     hidden_sql: str | None = None
@@ -307,17 +339,23 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     hidden_items) = parsed
+     klls, key_items, hidden_items) = parsed
     if group is None and not aggs:
+        return None
+    if klls and not hidden_items:
+        # a GLOBAL percentile with no sibling aggregate/key leaves the
+        # hidden partial SQL with an empty select list — full
+        # recompute (add e.g. count(*) to the view to make it delta)
         return None
     alias = m.group("alias")
     from_text = table + (f" {alias}" if alias else "")
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
         avgs=avgs, stats=stats, corrs=corrs, approxs=approxs,
-        argmaxs=argmaxs,
+        argmaxs=argmaxs, klls=klls, key_items=key_items,
+        from_text=from_text, where=m.group("where"),
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
-        if (avgs or stats or corrs or approxs or argmaxs)
+        if (avgs or stats or corrs or approxs or argmaxs or klls)
         else None,
     )
 
@@ -346,6 +384,8 @@ def _classify_agg_select(select_items, group_exprs):
     corrs: dict[str, tuple] = {}
     approxs: dict[str, str] = {}
     argmaxs: dict[str, tuple[str, str]] = {}
+    klls: dict[str, tuple[str, float, str]] = {}
+    key_items: list[str] = []
     hidden_items: list[str] = []
     for item in select_items:
         am = _AGG_ITEM.match(item.strip())
@@ -372,6 +412,28 @@ def _classify_agg_select(select_items, group_exprs):
                 hidden_items.append(f"count({arg}) AS {hcnt}")
                 hidden_items.append(f"avg({d}) AS {hmean}")
                 hidden_items.append(f"var_pop({d}) * count({arg}) AS {hm2}")
+            elif fn in ("approx_percentile", "percentile_approx"):
+                parts = _split_top_level(arg)
+                if len(parts) != 2:
+                    return None  # prob arrays / accuracy arg: bail
+                try:
+                    prob = float(parts[1])
+                except ValueError:
+                    return None
+                if not 0.0 <= prob <= 1.0:
+                    return None
+                h = kll_hidden_col(alias)
+                klls[alias] = (parts[0], prob, h)
+                # state is a KLL sketch built OUTSIDE the hidden SQL
+                # (engine._attach_kll_state): sketches are not
+                # SQL-expressible, so the select item is simply
+                # omitted here and the state column joined on the
+                # group keys afterwards. Deliberate deviation
+                # (documented): the estimator is the repo's
+                # derandomized KLL, not Spark's GK — both refresh
+                # paths use it, so the MV is self-consistent, and
+                # whenever a group fits uncompacted (n <= k=2048) the
+                # estimate is the exact discrete quantile.
             elif fn in ("max_by", "min_by"):
                 parts = _split_top_level(arg)
                 if len(parts) != 2:
@@ -448,9 +510,10 @@ def _classify_agg_select(select_items, group_exprs):
             alias = expr.strip().split(".")[-1]
         keys.append(alias)
         out_cols.append(alias)
+        key_items.append(item.strip())
         hidden_items.append(item.strip())
     return (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-            hidden_items)
+            klls, key_items, hidden_items)
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -508,9 +571,12 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     hidden_items) = parsed
+     klls, key_items, hidden_items) = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
+    if klls:
+        return None  # percentile-over-join: full recompute (no state
+        # side-query over a join chain yet)
     return MvAnalysis(
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,

@@ -291,3 +291,44 @@ def merge_quantile_rollup(rollup: DataFrame, probs, k: int = 256):
     for r in rows:
         merged = kll_merge(merged, [list(l) for l in r.levels], k)
     return kll_quantiles(merged, probs)
+
+
+def kll_quantile_udf(prob: float):
+    """Arrow-batched UDF: serialized KLL levels -> the prob-quantile
+    estimate (None for empty state — count-like aggregates over zero
+    non-null rows are NULL in Spark too). Used by the incremental-MV
+    approx_percentile rewrite (engine._derive_visible)."""
+    import math
+
+    @F.pandas_udf("double")
+    def _q(levels: pd.Series) -> pd.Series:
+        out = []
+        for lv in levels:
+            if lv is None:
+                out.append(None)
+                continue
+            vals = kll_quantiles([list(l) for l in lv], [prob])
+            out.append(None if math.isnan(vals[0]) else vals[0])
+        return pd.Series(out, dtype="float64")
+
+    return _q
+
+
+def kll_merge_states_udf(k: int):
+    """Arrow-batched fold of collected per-partial KLL states (array
+    of levels-arrays) into one merged state per group. Used by the
+    incremental-MV merge (engine._merge_agg_snapshot)."""
+
+    @F.pandas_udf("array<array<double>>")
+    def _m(states: pd.Series) -> pd.Series:
+        out = []
+        for st in states:
+            merged: list = []
+            for lv in st if st is not None else []:
+                if lv is None:
+                    continue
+                merged = kll_merge(merged, [list(l) for l in lv], k)
+            out.append([[float(x) for x in l] for l in merged])
+        return pd.Series(out)
+
+    return _m
