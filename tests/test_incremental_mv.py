@@ -1631,7 +1631,8 @@ def test_mixed_family_mv_delta(db, spark):
         "max(x) AS hi, avg(x) AS mean_x, stddev(x) AS sd, "
         "var_pop(x) AS vp, corr(x, y) AS r, regr_slope(y, x) AS sl, "
         "max_by(u, x) AS last_u, min_by(u, x) AS first_u, "
-        "approx_count_distinct(u) AS nd "
+        "approx_count_distinct(u) AS nd, "
+        "approx_percentile(x, 0.75) AS q75 "
         "FROM mix GROUP BY k"
     )
     db.create_materialized_view("mixmv", sql)
@@ -1652,9 +1653,14 @@ def test_mixed_family_mv_delta(db, spark):
         # approx family: direct SQL uses HLL++, the MV DataSketches —
         # both must sit within the ~2% error band of the true 97
         assert abs(got[k]["nd"] - 97) / 97 < 0.05, k
+        # percentile: exact discrete quantile (groups fit uncompacted)
+        import math
+
+        vals = sorted(float(i) for i in range(1000) if i % 2 == k)
+        assert got[k]["q75"] == vals[max(1, math.ceil(0.75 * len(vals))) - 1]
     assert db.query("SELECT * FROM mixmv").df.columns == [
         "k", "n", "sx", "lo", "hi", "mean_x", "sd", "vp", "r", "sl",
-        "last_u", "first_u", "nd",
+        "last_u", "first_u", "nd", "q75",
     ]
 
 
