@@ -16,6 +16,7 @@ import shutil
 import uuid
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ella_spark.catalog import (
@@ -407,17 +408,29 @@ class Ella:
         # commit writes v=1 with mode(overwrite), which would destroy
         # the old v=1 dir before the new snapshot ever commits (a
         # runtime-failing refresh, e.g. raise_error or disk-full,
-        # must leave the old MV fully readable)
+        # must leave the old MV fully readable). The rename sits
+        # INSIDE the guarded region so even a put_table failure
+        # restores it; a process crash mid-replace is recovered by
+        # the stash-restore sweep below on the next replace attempt.
         stash = None
         if replacing:
             path = self.store.table_path(prev)
-            if path.exists():
+            if not path.exists():
+                # crash recovery: a previous replace died between the
+                # stash rename and its restore — put the newest
+                # stashed tree back so the catalog entry's data exists
+                cands = sorted(
+                    path.parent.glob(f".{path.name}.replaced-*")
+                )
+                if cands:
+                    os.rename(cands[-1], path)
+        try:
+            if replacing and path.exists():
                 stash = path.with_name(
                     f".{path.name}.replaced-{uuid.uuid4().hex[:8]}"
                 )
                 os.rename(path, stash)
-        self.store.put_table(entry, replace=replace)
-        try:
+            self.store.put_table(entry, replace=replace)
             n = self.refresh_materialized(name)
         except Exception:
             # the new definition never committed a snapshot: put the
@@ -426,12 +439,11 @@ class Ella:
             # REPLACE must not destroy the previous MV
             if replacing:
                 if stash is not None:
-                    path = self.store.table_path(prev)
                     shutil.rmtree(path, ignore_errors=True)
                     os.rename(stash, path)
                 self.store.put_table(prev, replace=True)
                 self._register(prev)
-            else:
+            elif self.store.tables.get((catalog, schema, base)) is not None:
                 self.store.drop_table(catalog, schema, base)
             raise
         if stash is not None:
@@ -701,12 +713,15 @@ class Ella:
             if analysis is not None and topics and analysis.hidden_sql:
                 try:
                     df = self._with_visible_avgs(entry.sql, analysis)
-                except Exception:
+                except AnalysisException:
                     # the hidden rewrite can be unsupported for the
                     # actual argument types (e.g. hll_sketch_agg
                     # rejects double where approx_count_distinct
-                    # accepts it): fall back to the PLAIN query as a
-                    # full-recompute-only MV instead of failing CREATE
+                    # accepts it) — an ANALYSIS-time error, so fall
+                    # back to the PLAIN query as a full-recompute-only
+                    # MV instead of failing CREATE. Runtime errors
+                    # (transient executor/IO failures) propagate: a
+                    # retry must keep the incremental state.
                     df = self.spark.sql(sql)
                     state = None
                     analysis = None
@@ -777,6 +792,8 @@ class Ella:
         binding the hidden SQL used — sketches are not expressible in
         SQL. One bucket-keyed shuffle per percentile column; the
         sketch rows are O(groups), never O(rows)."""
+        import functools
+
         import pandas as _pd
 
         from pyspark.sql import functions as F
@@ -786,45 +803,72 @@ class Ella:
         if not analysis.klls:
             return df
         k = self._KLL_MV_K
-        for alias, (arg, _prob, h) in analysis.klls.items():
-            sel = ", ".join(
-                analysis.key_items + [f"CAST(({arg}) AS DOUBLE) AS __v"]
+        # ONE side-query + ONE applyInPandas pass builds every
+        # percentile column's state (several percentiles over the same
+        # argument would otherwise scan the source once each)
+        val_cols = {
+            h: f"__v_{i}"
+            for i, (_, _, h) in enumerate(analysis.klls.values())
+        }
+        sel = ", ".join(
+            analysis.key_items
+            + [
+                f"CAST(({arg}) AS DOUBLE) AS {val_cols[h]}"
+                for (arg, _prob, h) in analysis.klls.values()
+            ]
+        )
+        q = f"SELECT {sel} FROM {analysis.from_text}"
+        if analysis.where:
+            q += f" WHERE {analysis.where}"
+        src = self.spark.sql(q)
+        state_fields = ", ".join(
+            f"{h} array<array<double>>" for h in val_cols
+        )
+        if analysis.keys:
+            grouped = src.groupBy(*analysis.keys)
+            key_fields = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in src.schema.fields
+                if f.name in analysis.keys
             )
-            q = f"SELECT {sel} FROM {analysis.from_text}"
-            if analysis.where:
-                q += f" WHERE {analysis.where}"
-            src = self.spark.sql(q)
-            if analysis.keys:
-                grouped = src.groupBy(*analysis.keys)
-                key_fields = ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}"
-                    for f in src.schema.fields
-                    if f.name in analysis.keys
-                )
-                out_schema = f"{key_fields}, {h} array<array<double>>"
-            else:
-                src = src.withColumn("__g", F.lit(1))
-                grouped = src.groupBy("__g")
-                out_schema = f"__g int, {h} array<array<double>>"
+            out_schema = f"{key_fields}, {state_fields}"
+        else:
+            src = src.withColumn("__g", F.lit(1))
+            grouped = src.groupBy("__g")
+            out_schema = f"__g int, {state_fields}"
 
-            def _mk_build(_h):
-                def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
-                    levels = kll_build(pdf["__v"].to_numpy(dtype=float), k)
-                    row = {
-                        c: [pdf[c].iloc[0]]
-                        for c in pdf.columns
-                        if c != "__v"
-                    }
-                    row[_h] = [[list(map(float, l)) for l in levels]]
-                    return _pd.DataFrame(row)
+        def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            row = {
+                c: [pdf[c].iloc[0]]
+                for c in pdf.columns
+                if not c.startswith("__v_")
+            }
+            for h, vc in val_cols.items():
+                levels = kll_build(pdf[vc].to_numpy(dtype=float), k)
+                row[h] = [[list(map(float, l)) for l in levels]]
+            return _pd.DataFrame(row)
 
-                return build
-
-            state = grouped.applyInPandas(_mk_build(h), schema=out_schema)
-            if analysis.keys:
-                df = df.join(state, analysis.keys, "left")
-            else:
-                df = df.crossJoin(F.broadcast(state.drop("__g")))
+        state = grouped.applyInPandas(build, schema=out_schema)
+        if analysis.keys:
+            # NULL-SAFE key join: a NULL group key is a real group in
+            # the hidden partials and must match its sketch row (a
+            # plain equality join would leave its percentile NULL)
+            right = state
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [df[kk].eqNullSafe(right[kk]) for kk in analysis.keys],
+            )
+            df = df.join(right, cond, "left").drop(
+                *[right[kk] for kk in analysis.keys]
+            )
+        else:
+            # LEFT join on true, not crossJoin: an empty source (or a
+            # WHERE that filters everything) leaves the state frame
+            # empty, and a crossJoin would wipe the global aggregate's
+            # single row — the left join keeps it with NULL state
+            df = df.join(
+                F.broadcast(state.drop("__g")), F.lit(True), "left"
+            )
         return df
 
     @staticmethod

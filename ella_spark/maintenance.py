@@ -543,19 +543,28 @@ def build_manifest(topic: Topic) -> int:
 
     mdir = topic.path / "_manifest"
     mpath = mdir / "stats.json"
-    stats = topic.manifest()
     # Format v3 stamped the every-row-group completeness guard onto
     # column ranges; entries written by older builds may carry
     # partial-stats ranges that under-cover their file (silently
-    # skip-dropping rows), so a pre-v3 manifest is rebuilt from
+    # skip-dropping rows), so a pre-v3 JSON manifest is rebuilt from
     # footers in full, once. Parquet manifests are v3-era by
-    # construction.
+    # construction. ONE parse: the stamp is read from the same raw
+    # dict the entries come from (topic.manifest() would re-parse).
     if mpath.exists() and not (mdir / "stats.parquet").exists():
         try:
-            if json.loads(mpath.read_text()).get("_v") != _MANIFEST_FORMAT:
-                stats = {}
+            raw = json.loads(mpath.read_text())
         except (ValueError, OSError):
+            raw = {"_v": None}
+        if raw.get("_v") != _MANIFEST_FORMAT:
             stats = {}
+        else:
+            stats = {
+                k: (v if isinstance(v, dict) else {"t": v, "c": {}})
+                for k, v in raw.items()
+                if not k.startswith("_")
+            }
+    else:
+        stats = topic.manifest()
     live = {p.name: p for p in topic.shards()}
     # drop entries whose files are gone (compacted/cleaned)
     stats = {k: v for k, v in stats.items() if k in live}

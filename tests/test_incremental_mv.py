@@ -1603,6 +1603,33 @@ def test_approx_percentile_mv_delta(db, spark):
     ):
         assert analyze_mv_sql(bad) is None, bad
 
+    # NULL group key: a real group — the state join must be null-safe
+    # or its percentile silently comes back NULL
+    tn = db.create_topic("qpn", [Column("k", "int64"), Column("v", "float64")])
+    tn.insert(
+        spark.createDataFrame(
+            [(0, None, 1.0), (1, None, 2.0), (2, None, 3.0), (3, 7, 9.0)],
+            "time long, k long, v double",
+        )
+    )
+    db.create_materialized_view(
+        "qpnv",
+        "SELECT k, approx_percentile(v, 0.5) AS p, count(*) AS n "
+        "FROM qpn GROUP BY k",
+    )
+    got_n = {r.k: (r.p, r.n) for r in db.query("SELECT * FROM qpnv").df.collect()}
+    assert got_n == {None: (2.0, 3), 7: (9.0, 1)}
+
+    # empty source: the global aggregate's single row survives (a
+    # crossJoin with the empty state frame would wipe it)
+    db.create_topic("qpe", [Column("v", "float64")])
+    db.create_materialized_view(
+        "qpev",
+        "SELECT approx_percentile(v, 0.5) AS p, count(*) AS n FROM qpe",
+    )
+    row_e = db.query("SELECT * FROM qpev").df.collect()
+    assert len(row_e) == 1 and row_e[0].p is None and row_e[0].n == 0
+
 
 def test_mixed_family_mv_delta(db, spark):
     """EVERY mergeable-aggregate family in ONE select — plain
