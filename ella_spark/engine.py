@@ -419,11 +419,12 @@ class Ella:
                 # crash recovery: a previous replace died between the
                 # stash rename and its restore — put the newest
                 # stashed tree back so the catalog entry's data exists
-                cands = sorted(
+                cands = list(
                     path.parent.glob(f".{path.name}.replaced-*")
                 )
                 if cands:
-                    os.rename(cands[-1], path)
+                    newest = max(cands, key=lambda c: c.stat().st_mtime)
+                    os.rename(newest, path)
         try:
             if replacing and path.exists():
                 stash = path.with_name(
