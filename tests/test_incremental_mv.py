@@ -1783,3 +1783,105 @@ def test_agg_join_mv_delta_merge(db, spark):
     got = _normalize_rows(db.query("SELECT * FROM aj").df.collect())
     exp = _normalize_rows(spark.sql(sql).collect())
     assert got == exp
+
+
+def test_mv_randomized_family_equivalence(db, spark):
+    """Randomized delta-vs-direct equivalence across the mergeable
+    families: a random subset of aggregates, random grouping, random
+    batch splits — after every delta refresh the MV must match direct
+    SQL over all rows (exact for order-independent aggregates,
+    1e-9-relative for float sums/means/moments, exact percentile by
+    construction: tie-free values and groups under the KLL cap)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    FAMILIES = [
+        ("count(*) AS n", "n", "exact"),
+        ("sum(v) AS s", "s", "approx"),
+        ("min(v) AS lo", "lo", "exact"),
+        ("max(v) AS hi", "hi", "exact"),
+        ("avg(v) AS m", "m", "approx"),
+        ("stddev(v) AS sd", "sd", "approx"),
+        ("var_pop(v) AS vp", "vp", "approx"),
+        ("corr(v, w) AS r", "r", "approx"),
+        ("regr_slope(w, v) AS sl", "sl", "approx"),
+        ("max_by(u, v) AS mb", "mb", "exact"),
+        ("min_by(u, v) AS nb", "nb", "exact"),
+        ("approx_percentile(v, 0.5) AS p50", "p50", "exact"),
+    ]
+    counter = {"i": 0}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        picks=st.sets(st.sampled_from(range(len(FAMILIES))), min_size=1, max_size=5),
+        grouped=st.booleans(),
+        n_rows=st.integers(min_value=20, max_value=300),
+        split=st.floats(min_value=0.2, max_value=0.8),
+        mult=st.sampled_from([7, 13, 37, 101]),
+    )
+    def check(picks, grouped, n_rows, split, mult):
+        counter["i"] += 1
+        name = f"rz{counter['i']}"
+        items = [FAMILIES[i] for i in sorted(picks)]
+        t = db.create_topic(
+            name,
+            [Column("k", "int64"), Column("v", "float64"),
+             Column("w", "float64"), Column("u", "int64")],
+        )
+        # v is a permutation of 0..n-1 (tie-free for max_by /
+        # deterministic percentile); w correlated with noise
+        mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+            "id * 1000 AS time",
+            "id % 3 AS k",
+            f"CAST(pmod(id * {mult}, {n_rows}) AS double) AS v",
+            f"CAST(pmod(id * {mult}, {n_rows}) AS double) * 0.5 "
+            "+ CAST(id % 5 AS double) AS w",
+            "id * 11 AS u",
+        )
+        cut = max(1, min(n_rows - 1, int(n_rows * split)))
+        t.insert(mk(0, cut))
+        sel = ", ".join(s for s, _, _ in items)
+        sql = (
+            f"SELECT k, {sel} FROM {name} GROUP BY k"
+            if grouped
+            else f"SELECT {sel}, count(*) AS __n FROM {name}"
+        )
+        mv = f"{name}_mv"
+        db.create_materialized_view(mv, sql)
+        assert db.store.resolve(mv).refresh_state is not None, sql
+        t.insert(mk(cut, n_rows))
+        db.refresh_materialized(mv)
+
+        got = db.query(f"SELECT * FROM {mv}").df.collect()
+        exp = db.query(sql).df.collect()
+        gk = {(r.k if grouped else 0): r for r in got}
+        ek = {(r.k if grouped else 0): r for r in exp}
+        assert set(gk) == set(ek), sql
+        for key in ek:
+            for _, alias, kind in items:
+                g, e = gk[key][alias], ek[key][alias]
+                if alias == "p50":
+                    # deviation from Spark's GK by design: compare to
+                    # the exact rank-ceil(p*n) discrete quantile
+                    vals = sorted(
+                        float((i * mult) % n_rows)
+                        for i in range(n_rows)
+                        if not grouped or i % 3 == key
+                    )
+                    e = vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+                if kind == "exact":
+                    assert g == e, (sql, key, alias, g, e)
+                elif g is None or e is None:
+                    assert g == e, (sql, key, alias, g, e)
+                else:
+                    assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (
+                        sql, key, alias, g, e,
+                    )
+
+    check()
