@@ -92,6 +92,7 @@ EXTRAS = [
     "q_inverted_index",
     "q_quantile_rollup",
     "q_bpe_merges",
+    "q_ann_recall",
 ]
 
 

@@ -96,6 +96,7 @@ _NEW_R5 = {
     "q_inverted_index",
     "q_quantile_rollup",
     "q_bpe_merges",
+    "q_ann_recall",
 }
 
 # Names whose newest driver green is r1 (28) or r2 (2) — computed from

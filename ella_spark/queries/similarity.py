@@ -506,6 +506,78 @@ def q_ann_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql).orderBy("query_id", "rank")
 
 
+def _ann_recall_oracle() -> str | None:
+    ivf = _ivf_oracle()
+    if ivf is None:
+        return None
+    brute = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < {nq}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {dot} / (q.nrm * c.nrm) AS cos
+      FROM q JOIN v c ON c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """.format(nq=_N_QUERIES, dot=_dot_sql("q.ve", "c.ve"))
+    return f"""
+    WITH approx AS ({ivf}),
+    exact AS ({brute})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4)
+             AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "q_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc="ANN index-quality monitoring: recall@5 of the IVF index "
+    "against the exact brute-force top-5, per query — the metric an "
+    "operator watches to decide when a drifting corpus needs an index "
+    "rebuild. Both constituent pipelines are deterministic "
+    "(pinned-centroid IVF, exact cosine), so the recall itself is "
+    "exact cross-engine; at 100 TB the exact side runs on a "
+    "SAMPLED query set, which is precisely this shape.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    approx = S.ivf_topk(
+        emb, queries, dim=_DIM, k=5, n_probe=6,
+        centroids=corpus_centroids(sf_dir, 16),
+    ).select("query_id", "neighbor_id")
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("e_neighbor")
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.e_neighbor == approx.neighbor_id),
+        "left",
+    ).select(exact.query_id, "e_neighbor", approx.neighbor_id)
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("neighbor_id").cast("bigint").alias("n_hit"),
+        F.round(
+            F.count("neighbor_id").cast("double") / F.count(F.lit(1)), 4
+        ).alias("recall_at_5"),
+    )
+
+
 def _kmeans_oracle() -> str | None:
     cent = _oracle_centroids(16)
     if cent is None:

@@ -37,6 +37,7 @@ BNLJ_BOUNDED = {
     # tables cross-joined for assignment — bounded by construction
     "q_ann_ivfpq_portable",
     "q_bpe_merges",   # per-round 1-row winning-pair cross join
+    "q_ann_recall",   # contains the brute-force exact baseline (fixed query set)
 }
 
 
