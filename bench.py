@@ -93,6 +93,7 @@ EXTRAS = [
     "q_quantile_rollup",
     "q_bpe_merges",
     "q_ann_recall",
+    "q_dedup_winnow_pairs",
 ]
 
 

@@ -97,6 +97,7 @@ _NEW_R5 = {
     "q_quantile_rollup",
     "q_bpe_merges",
     "q_ann_recall",
+    "q_dedup_winnow_pairs",
 }
 
 # Names whose newest driver green is r1 (28) or r2 (2) — computed from

@@ -336,6 +336,132 @@ _BOILER = r"(https?://\S+)|(\S+@\S+\.\S+)"
 
 
 @register(
+    "q_dedup_winnow_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents
+      WHERE length(lower(trim(text))) >= 11
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - 8 + 2),
+               i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 8)),
+                          1, 8)) AS BIGINT)) AS h
+      FROM n
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(h) - 4 + 2),
+               i -> list_min(h[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)]))) AS fp
+      FROM g
+    ),
+    e AS (SELECT doc_id, unnest(fp) AS fp FROM f),
+    rare AS (
+      SELECT fp FROM e GROUP BY fp HAVING count(*) <= 10
+    ),
+    ee AS (SELECT e.doc_id, e.fp FROM e WHERE e.fp IN (SELECT fp FROM rare)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM ee a JOIN ee b ON a.fp = b.fp AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 3
+    )
+    SELECT p.id_a, p.id_b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE)
+                 / least(fa.nf, fb.nf), 6) AS overlap
+    FROM pairs p
+    JOIN (SELECT doc_id, CAST(len(fp) AS BIGINT) AS nf FROM f) fa
+      ON fa.doc_id = p.id_a
+    JOIN (SELECT doc_id, CAST(len(fp) AS BIGINT) AS nf FROM f) fb
+      ON fb.doc_id = p.id_b
+    """,
+    doc="Winnowing-based cross-document near-dup pairs (the MOSS "
+    "recipe, Schleimer et al. 2003): the fourth candidate-generation "
+    "family next to MinHash/SimHash/n-gram-Jaccard. Per-doc winnowing "
+    "fingerprints explode to (doc, fp); HIGH-DF fingerprints are "
+    "dropped first (MOSS's 'ignore matches in too many documents' "
+    "rule — the df cap bounds every fp group, so the pair join is "
+    "never all-pairs at any corpus size); surviving fps equi-join "
+    "into pairs scored by shared-fp count and overlap vs the smaller "
+    "fingerprint set. All integer counts — exact cross-engine.",
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w, df_cap, min_shared = 8, 4, 10, 3
+    d = load_table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    ).where(F.length("t") >= k + w - 1)
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+    g = n.select("doc_id", F.transform(
+        grams,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    ).alias("h"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("h"), i, w)),
+        )
+    )
+    # CUT the lineage here: the fingerprint expression is a deep
+    # nest of higher-order functions, and the downstream SELF-joins
+    # (occurrences ⋈ rare-fp aggregate, pair join, two nf joins)
+    # each re-embed it — Catalyst's self-join re-analysis over that
+    # tree blows up super-linearly (measured: plan ANALYSIS alone
+    # hung at any SF). One bounded materialization (a row per doc)
+    # makes every later plan shallow — the same idiom as the
+    # connected-components edge checkpoint (operators/graph.py).
+    f = g.select("doc_id", fps.alias("fp")).localCheckpoint()
+    e = f.select("doc_id", F.explode("fp").alias("fp"))
+    rare = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("fp")
+    )
+    ee = e.join(rare, "fp", "left_semi")
+    a = ee.alias("a")
+    b = ee.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    nf = f.select("doc_id", F.size("fp").cast("bigint").alias("nf"))
+    return (
+        pairs.join(nf.withColumnRenamed("doc_id", "id_a").alias("fa"), "id_a")
+        .join(
+            nf.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("nf", "nfb")
+            .alias("fb"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("nf", "nfb"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+@register(
     "q_strip_boilerplate",
     oracle=f"""
     SELECT doc_id,
