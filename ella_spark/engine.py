@@ -390,6 +390,17 @@ class Ella:
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         prev = self.store.tables.get((catalog, schema, base))
+        if prev is not None and prev.kind != "materialized_view":
+            # refuse to replace a non-MV entry: put_table(replace=True)
+            # would silently overwrite a topic / plain view, and the
+            # failure-cleanup branch would then DROP it entirely (the
+            # stash/restore protection only guards MV → MV replaces)
+            raise ValueError(
+                f"cannot create materialized view {name!r}: an entry "
+                f"of kind {prev.kind!r} already exists under that name "
+                "— drop it first (REPLACE only replaces materialized "
+                "views)"
+            )
         replacing = (
             replace and prev is not None and prev.kind == "materialized_view"
         )
@@ -982,6 +993,13 @@ class Ella:
                 alias,
                 Ella._kll_quantile_expr(h, prob, dtypes[alias]),
             )
+        for alias, (_fn, h) in analysis.argmaxs.items():
+            # visible argument from the lexicographic (ord, arg)
+            # struct state; all-NULL-ord group -> NULL state -> NULL,
+            # matching plain max_by over zero qualifying rows
+            df = df.withColumn(
+                alias, F.col(h).getField("a").cast(dtypes[alias])
+            )
         hidden = (
             [c for pair in analysis.avgs.values() for c in pair]
             + [c for tup in analysis.stats.values() for c in tup[1:]]
@@ -1072,6 +1090,7 @@ class Ella:
             | set(analysis.corrs)
             | set(analysis.approxs)
             | set(analysis.klls)
+            | set(analysis.argmaxs)
         )
         if derived:
             # the snapshot's visible avg/variance columns are derived,
@@ -1088,15 +1107,12 @@ class Ella:
                 for c, fn in analysis.aggs.items()
                 if c not in derived and c not in analysis.argmaxs
             ]
-            # max_by/min_by: the stored argument merges by picking the
-            # partial whose hidden ordering value wins; the hidden
-            # column itself merges via max/min (tie choice is
-            # implementation-defined, exactly as in plain Spark)
+            # max_by/min_by: the hidden (ord, arg) struct merges via
+            # lexicographic max/min — deterministic on ordering-value
+            # ties, so delta merge ≡ full recompute; the visible
+            # argument is re-derived from the struct afterwards
             for c, (fn, h) in analysis.argmaxs.items():
-                pick, ext = (
-                    (F.max_by, F.max) if fn == "max_by" else (F.min_by, F.min)
-                )
-                aggs.append(pick(F.col(c), F.col(h)).alias(c))
+                ext = F.max if fn == "max_by" else F.min
                 aggs.append(ext(F.col(h)).alias(h))
             aggs += [
                 F.sum(h).alias(h)

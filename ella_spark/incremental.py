@@ -46,14 +46,22 @@ of O(history) for the common single-topic shapes:
   convention) where Spark's native ANSI-mode corr raises
   DIVIDE_BY_ZERO — both refresh paths use the rewrite, so the MV is
   self-consistent.
-- **max_by / min_by** (`max_by(arg, ord) AS a`): the stored argument
-  IS mergeable state, paired with a hidden column `__mv_ord__a`
-  carrying the extreme ordering value it is associated with; two
-  partials merge by picking the pair whose ordering value wins
-  (`max_by(a, __mv_ord__a)` over snapshot ∪ delta). Ordering-value
-  TIES are implementation-chosen, exactly as in plain Spark's
-  max_by — a delta merge and a full recompute may legitimately pick
-  different tied arguments.
+- **max_by / min_by** (`max_by(arg, ord) AS a`): the hidden column
+  `__mv_ord__a` carries the full `(o=ord, a=arg)` PAIR as a struct,
+  aggregated lexicographically (`max(struct)` compares field by
+  field), and the visible column is derived as `state.a`. Storing
+  the pair — not just the winning ordering value — makes the state
+  DETERMINISTIC on ordering-value ties: both refresh paths resolve a
+  tie to the same argument (the lexicographically extreme one), so
+  delta merge ≡ full recompute always, where plain Spark's max_by
+  leaves the tied choice implementation-defined. Rows with NULL
+  ordering value contribute nothing (max_by semantics: the CASE
+  guard yields a NULL struct, which max/min skip); a NULL argument
+  with a non-NULL ordering value participates and loses ties under
+  max (struct comparison orders NULL first) / wins them under min —
+  deterministic either way. Deliberate deviation (documented): on
+  ties the MV may return a different argument than plain Spark's
+  max_by would — both are valid answers under max_by's contract.
 - **approx_count_distinct** rides the rewrite as a hidden DataSketches
   HLL sketch column `__mv_hll__a` (binary): delta partials compute
   `hll_sketch_agg`, snapshots merge via `hll_union_agg`, and the
@@ -440,14 +448,20 @@ def _classify_agg_select(select_items, group_exprs):
                     return None
                 h = ord_hidden_col(alias)
                 argmaxs[alias] = (fn, h)
-                # the visible column IS mergeable state — alongside a
-                # hidden column carrying the extreme ordering value;
-                # two partials merge by picking the pair whose
-                # ordering value wins. Ties are implementation-chosen,
-                # exactly as in plain Spark max_by.
-                hidden_items.append(item.strip())
+                # deterministic mergeable state: the (ord, arg) PAIR
+                # as a struct, aggregated lexicographically — a tied
+                # ordering value always resolves to the same argument
+                # in BOTH refresh paths (delta merge ≡ full
+                # recompute). NULL ord rows contribute nothing (the
+                # CASE guard nulls the whole struct, exactly max_by's
+                # skip rule); the visible column is derived as
+                # state.a by _derive_visible.
                 agg = "max" if fn == "max_by" else "min"
-                hidden_items.append(f"{agg}({parts[1]}) AS {h}")
+                hidden_items.append(
+                    f"{agg}(CASE WHEN ({parts[1]}) IS NOT NULL THEN "
+                    f"named_struct('o', ({parts[1]}), 'a', ({parts[0]})) "
+                    f"END) AS {h}"
+                )
             elif fn == "approx_count_distinct":
                 parts = _split_top_level(arg)
                 if len(parts) != 1:

@@ -286,7 +286,15 @@ def merge_quantile_rollup(rollup: DataFrame, probs, k: int = 256):
     one estimate per prob — reads sketch rows only, never raw data.
     Driver-side fold over ≤ n_buckets sketches of O(k log n) doubles
     each (the same bounded shape as reading HLL sketch rows)."""
-    rows = rollup.select("levels").collect()
+    # sort by bucket before folding: collect() order is partition-
+    # nondeterministic, and once compaction fires during merging
+    # kll_merge is order-sensitive — a fixed fold order makes repeated
+    # range queries reproducible (the build side is already
+    # derandomized)
+    rows = sorted(
+        rollup.select("bucket", "levels").collect(),
+        key=lambda r: (r.bucket is None, r.bucket),
+    )
     merged: list = []
     for r in rows:
         merged = kll_merge(merged, [list(l) for l in r.levels], k)

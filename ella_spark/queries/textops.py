@@ -1123,7 +1123,9 @@ def _bpe_sql(table: str, rounds: int = _BPE_ROUNDS) -> str:
     "unrolled-SQL DuckDB oracle replays the exact merge table.",
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ella_spark.queries import sql_quote as lit
+    # Spark-dialect quoting (backslash IS an escape char in Spark's
+    # parser, unlike DuckDB's): tokens are interpolated into F.expr
+    from ella_spark.queries import spark_sql_quote as lit
 
     d = load_table(spark, sf_dir, "documents")
     vocab = (

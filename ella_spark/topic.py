@@ -146,8 +146,21 @@ class Topic:
             raw = json.loads(mpath.read_text())
         except (ValueError, OSError):
             return {}
+        # Column ranges are only SOUND from format v3 (the
+        # every-row-group completeness guard, maintenance.
+        # _MANIFEST_FORMAT): pre-v3 entries may carry partial-stats
+        # ranges that under-cover their file, and trusting them would
+        # silently skip-drop rows in the window before the next
+        # build_manifest pass rebuilds the file. Gate at READ time:
+        # drop 'c' for pre-v3 manifests, keep the conservative time
+        # ranges (those were always whole-file).
+        sound_cols = (raw.get("_v") or 0) >= 3
         return {
-            k: (v if isinstance(v, dict) else {"t": v, "c": {}})
+            k: (
+                {"t": v["t"], "c": (v.get("c", {}) if sound_cols else {})}
+                if isinstance(v, dict)
+                else {"t": v, "c": {}}
+            )
             for k, v in raw.items()
             if not k.startswith("_")  # meta keys (_v format stamp)
         }

@@ -597,8 +597,10 @@ def test_manifest_pre_v3_column_ranges_rebuilt(db, spark):
     # forge a pre-v3 manifest whose v-range under-covers the file
     raw[shard]["c"]["v"] = [100.0, 200.0]
     mpath.write_text(json.dumps(raw))  # no _v: pre-v3
-    # the unsound range WOULD skip-drop every row if trusted
-    assert len(t.read(spark, col_ranges={"v": (0.0, 9.0)}).inputFiles()) == 0
+    # the read path must NOT trust pre-v3 column ranges even before
+    # maintenance runs: the forged unsound range would skip-drop every
+    # row, so manifest() drops 'c' (keeping conservative time ranges)
+    assert t.read(spark, col_ranges={"v": (0.0, 9.0)}).count() == 10
     build_manifest(t)  # pre-v3 detected: full footer rebuild
     fixed = t.manifest()[shard]
     assert fixed["c"]["v"] == [0.0, 9.0]
@@ -957,6 +959,7 @@ def test_time_travel_rewriter_literal_property(db, spark):
     @settings(
         max_examples=30,
         deadline=None,
+        derandomize=True,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(st.lists(seg, min_size=1, max_size=6))
@@ -1813,19 +1816,31 @@ def test_mv_randomized_family_equivalence(db, spark):
     ]
     counter = {"i": 0}
 
+    # (mult, n_rows) must be COPRIME or `pmod(id*mult, n_rows)` is
+    # not a permutation (gcd=13 at mult=13/n_rows=156 collapses v to
+    # 12 distinct values) and the tie-free premise behind the exact
+    # max_by/percentile assertions is false — hypothesis found
+    # exactly that in round 5. Tie behavior itself is pinned
+    # separately by test_mv_max_by_tie_determinism.
+    mult_rows = st.tuples(
+        st.sampled_from([7, 13, 37, 101]),
+        st.integers(min_value=20, max_value=300),
+    ).filter(lambda p: math.gcd(p[0], p[1]) == 1)
+
     @settings(
         max_examples=8,
         deadline=None,
+        derandomize=True,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(
         picks=st.sets(st.sampled_from(range(len(FAMILIES))), min_size=1, max_size=5),
         grouped=st.booleans(),
-        n_rows=st.integers(min_value=20, max_value=300),
+        mult_rows=mult_rows,
         split=st.floats(min_value=0.2, max_value=0.8),
-        mult=st.sampled_from([7, 13, 37, 101]),
     )
-    def check(picks, grouped, n_rows, split, mult):
+    def check(picks, grouped, mult_rows, split):
+        mult, n_rows = mult_rows
         counter["i"] += 1
         name = f"rz{counter['i']}"
         items = [FAMILIES[i] for i in sorted(picks)]
@@ -1885,3 +1900,77 @@ def test_mv_randomized_family_equivalence(db, spark):
                     )
 
     check()
+
+
+def test_mv_max_by_tie_determinism(db, spark):
+    """Ordering-value TIES resolve identically under delta merge and
+    full recompute: the hidden state is the lexicographic-extreme
+    (ord, arg) pair, so max_by returns the LARGEST tied argument and
+    min_by the smallest, deterministically — regardless of how rows
+    were split across refresh batches (round-5 red-test root cause)."""
+    t = db.create_topic(
+        "tie", [Column("u", "int64"), Column("v", "float64")]
+    )
+    mk = lambda rows: spark.createDataFrame(
+        [(i * 1000, u, float(v)) for i, (u, v) in enumerate(rows)],
+        "time long, u long, v double",
+    )
+    # batch 1 already contains a tied max (v=10 at u=1 and u=5)
+    t.insert(mk([(1, 10), (5, 10), (2, 5)]))
+    db.create_materialized_view(
+        "tiemv",
+        "SELECT max_by(u, v) AS mb, min_by(u, v) AS nb, count(*) AS n "
+        "FROM tie",
+    )
+    assert db.store.resolve("tiemv").refresh_state is not None
+    # delta batch adds ANOTHER tied argument (u=3, v=10) plus a tied
+    # min (u=7, v=5): the merge must pick max-arg for max_by (5) and
+    # min-arg for min_by (2), same as a from-scratch full recompute
+    t.insert(mk([(3, 10), (7, 5)]))
+    db.refresh_materialized("tiemv")
+    got = db.query("SELECT * FROM tiemv").df.collect()[0]
+    assert (got.mb, got.nb, got.n) == (5, 2, 5)
+    db.refresh_materialized("tiemv", incremental=False)
+    full = db.query("SELECT * FROM tiemv").df.collect()[0]
+    assert (full.mb, full.nb, full.n) == (got.mb, got.nb, got.n)
+
+
+def test_mv_max_by_hypothesis_counterexample_pinned(db, spark):
+    """The exact round-5 hypothesis counterexample (mult=13,
+    n_rows=156: gcd=13, v collapses to 12 distinct values with 13-way
+    argmax ties) now passes with STRICT equality between delta refresh
+    and full recompute — the deterministic (ord, arg) state makes the
+    tied choice batch-split-invariant."""
+    mult, n_rows, cut = 13, 156, 31
+    t = db.create_topic(
+        "cex", [Column("k", "int64"), Column("v", "float64"),
+                Column("w", "float64"), Column("u", "int64")]
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time",
+        "id % 3 AS k",
+        f"CAST(pmod(id * {mult}, {n_rows}) AS double) AS v",
+        f"CAST(pmod(id * {mult}, {n_rows}) AS double) * 0.5 "
+        "+ CAST(id % 5 AS double) AS w",
+        "id * 11 AS u",
+    )
+    t.insert(mk(0, cut))
+    sql = (
+        "SELECT count(*) AS n, avg(v) AS m, regr_slope(w, v) AS sl, "
+        "max_by(u, v) AS mb, count(*) AS __n FROM cex"
+    )
+    db.create_materialized_view("cexmv", sql)
+    assert db.store.resolve("cexmv").refresh_state is not None
+    t.insert(mk(cut, n_rows))
+    db.refresh_materialized("cexmv")
+    got = db.query("SELECT * FROM cexmv").df.collect()[0]
+    db.refresh_materialized("cexmv", incremental=False)
+    full = db.query("SELECT * FROM cexmv").df.collect()[0]
+    assert got.mb == full.mb  # strict: ties resolve identically
+    assert (got.n, got["__n"]) == (full.n, full["__n"]) == (n_rows, n_rows)
+    # the deterministic rule: LARGEST argument among the tied-max v's
+    vmax = max((i * mult) % n_rows for i in range(n_rows))
+    expect_mb = max(
+        i * 11 for i in range(n_rows) if (i * mult) % n_rows == vmax
+    )
+    assert got.mb == expect_mb
