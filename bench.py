@@ -94,6 +94,7 @@ EXTRAS = [
     "q_bpe_merges",
     "q_ann_recall",
     "q_dedup_winnow_pairs",
+    "q_dedup_winnow_fast",
 ]
 
 

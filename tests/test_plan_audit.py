@@ -122,3 +122,48 @@ def test_same_source_asof_is_single_scan(spark):
     for name in ("q_asof_join", "q_asof_join_forward"):
         plan = _plan(spark, name)
         assert plan.count("Scan parquet") == 1, f"{name}: >1 events scan"
+
+
+@pytest.mark.parametrize(
+    "name", ["q_dedup_winnow_pairs", "q_dedup_winnow_fast"]
+)
+def test_winnow_checkpoint_cut_and_fp_keyed_pair_join(name, spark):
+    """Both winnowing vehicles carry two designed-in plan properties:
+    (1) the fingerprint table is materialized ONCE (localCheckpoint →
+    'Scan ExistingRDD' leaves) so the deep fingerprint expression /
+    Python stage is never re-embedded into the 5 downstream self-join
+    branches — without the cut, Catalyst's self-join re-analysis hung
+    at any SF; (2) the pair join is an equi-join KEYED ON fp (hash or
+    sort-merge), bounded per bucket by the df<=10 cap — never a
+    nested loop over documents."""
+    import re
+
+    plan = _plan(spark, name)
+    assert "ExistingRDD" in plan, f"{name}: localCheckpoint cut missing"
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\[fp#",
+        plan,
+    ), f"{name}: pair join not an fp-keyed equi-join\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_merges_checkpoint_boundary_and_bounded_rounds(spark):
+    """q_bpe_merges' scale contract: the O(corpus) word-frequency
+    vocab is materialized exactly ONCE (localCheckpoint) and every
+    merge round is a lazy narrow fold over that compact table with a
+    1-row winner collect — unrolling rounds as chained CTEs instead
+    re-executes earlier rounds exponentially (measured 3.2 s vs
+    1.7 s at sf0.1). The final result is a driver-local merge table
+    (bounded: _BPE_ROUNDS rows), so the plan to pin is the SOURCE
+    structure: one checkpoint, one corpus scan expression, and
+    collects limited to the per-round limit(1)."""
+    import inspect
+
+    from ella_spark.queries import textops
+
+    src = inspect.getsource(textops.q_bpe_merges)
+    assert src.count("localCheckpoint()") == 1
+    # the only .collect() is the per-round 1-row winner (after limit(1))
+    assert src.count(".collect()") == 1
+    assert ".limit(1)" in src.split(".collect()")[0].rsplit("best", 1)[-1]
