@@ -95,6 +95,8 @@ EXTRAS = [
     "q_ann_recall",
     "q_dedup_winnow_pairs",
     "q_dedup_winnow_fast",
+    "q_dedup_edit_distance",
+    "q_containment_dedup",
 ]
 
 

@@ -593,6 +593,109 @@ def ngram_jaccard_pairs(
     return out
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    partition_col: str | None = "lang",
+    prefix_cap: int = 256,
+) -> DataFrame:
+    """Exact Levenshtein verification over bounded candidate windows.
+
+    The DP behind edit distance is O(L·L) per pair — unbounded doc
+    lengths would make a single pair arbitrarily expensive, so the
+    comparison runs on a ``prefix_cap``-char normalized prefix (near-
+    duplicate prose diverges within the first few hundred chars far
+    more often than it converges after them; the cap is the standard
+    production compromise and bounds every pair at O(cap²) regardless
+    of corpus size). Candidate generation is the same id-adjacency
+    contract as ngram_jaccard_pairs: each doc vs the next ``window``
+    ids in its ``partition_col`` group — a bounded-fanout equi-join,
+    O(n·window) pairs, never all-pairs. Levenshtein itself is a JVM
+    built-in (whole-stage codegen), identical semantics in DuckDB —
+    the oracle replays the exact distances.
+
+    Returns (id_a, id_b, edit_dist, rel_dist) where rel_dist =
+    dist / max(len_a, len_b) over the capped prefixes.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(partition_col) if partition_col else F.lit("all")).alias("_grp"),
+        normalize_text(F.col(text_col)).substr(1, prefix_cap).alias("_txt"),
+    )
+    w = Window.partitionBy("_grp").orderBy("_id")
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    dist = F.levenshtein(F.col("a._txt"), F.col("b._txt"))
+    longest = F.greatest(
+        F.length(F.col("a._txt")), F.length(F.col("b._txt"))
+    ).cast("double")
+    return a.join(
+        b,
+        (F.col("a._grp") == F.col("b._grp"))
+        & (F.col("b._rn") > F.col("a._rn"))
+        & (F.col("b._rn") <= F.col("a._rn") + window),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        dist.cast("bigint").alias("edit_dist"),
+        F.when(longest > 0, F.round(dist / longest, 6))
+        .otherwise(0.0)
+        .alias("rel_dist"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 4,
+    window: int = 3,
+    partition_col: str | None = "lang",
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A ∩ B| / |A| over bounded
+    candidate windows — the Broder measure that catches a document
+    EMBEDDED in a larger one, where symmetric Jaccard is diluted by
+    the larger set (|A∩B|/|A∪B| → small even for a perfect subset).
+    Same id-adjacency candidate contract and hashed-shingle
+    representation as ngram_jaccard_pairs (bounded-fanout equi-join;
+    shingling is a narrow vectorized map; only hashed-gram arrays
+    shuffle, never text). Returns (id_a, id_b, containment_a: how
+    much of A is inside B, containment_b: the reverse).
+    """
+    from ella_spark.sources import fan_out
+
+    base = fan_out(
+        df.select(
+            F.col(id_col).alias("_id"),
+            (F.col(partition_col) if partition_col else F.lit("all")).alias("_grp"),
+            normalize_text(F.col(text_col)).alias("_txt"),
+        )
+    ).select(
+        "_id", "_grp", hashed_grams_udf(shingle_k)(F.col("_txt")).alias("_sh")
+    )
+    w = Window.partitionBy("_grp").orderBy("_id")
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
+    na = F.size(F.col("a._sh")).cast("double")
+    nb = F.size(F.col("b._sh")).cast("double")
+    return a.join(
+        b,
+        (F.col("a._grp") == F.col("b._grp"))
+        & (F.col("b._rn") > F.col("a._rn"))
+        & (F.col("b._rn") <= F.col("a._rn") + window),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.when(na > 0, F.round(inter / na, 6)).otherwise(0.0).alias("containment_a"),
+        F.when(nb > 0, F.round(inter / nb, 6)).otherwise(0.0).alias("containment_b"),
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 4
 ) -> DataFrame:

@@ -106,7 +106,7 @@ def _load() -> None:
 _NEW_R6 = {
     "q_dedup_edit_distance",
     "q_containment_dedup",
-    "q_percent_rank_cume",
+    "q_lateral_topn",
     "q_unpivot_measures",
 }
 

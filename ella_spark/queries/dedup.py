@@ -64,6 +64,73 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_edit_distance",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             substr(lower(trim(text)), 1, 256) AS t,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+           CASE WHEN greatest(length(a.t), length(b.t)) > 0
+                THEN round(CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                           / greatest(length(a.t), length(b.t)), 6)
+                ELSE 0.0 END AS rel_dist
+    FROM r a JOIN r b
+      ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+    """,
+    doc="Exact Levenshtein verification over the id-adjacency "
+    "candidate window (per-lang, fanout 3): the ground-truth edit "
+    "metric LSH/SimHash candidates are usually verified against. "
+    "Scale shape: the O(L²) DP is bounded per pair by the 256-char "
+    "normalized-prefix cap, candidates by the windowed equi-join — "
+    "O(n·window) pairs, each O(cap²), never all-pairs; levenshtein "
+    "is a JVM built-in with identical semantics in DuckDB.",
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.edit_distance_pairs(docs, window=3, partition_col="lang")
+
+
+@register(
+    "q_containment_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(trim(text))) - 3, 0) + 1),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 4))) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(a.grams) > 0
+                THEN round(CAST(len(list_filter(a.grams,
+                       g -> list_contains(b.grams, g))) AS DOUBLE)
+                     / len(a.grams), 6)
+                ELSE 0.0 END AS containment_a,
+           CASE WHEN len(b.grams) > 0
+                THEN round(CAST(len(list_filter(a.grams,
+                       g -> list_contains(b.grams, g))) AS DOUBLE)
+                     / len(b.grams), 6)
+                ELSE 0.0 END AS containment_b
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+    """,
+    doc="Asymmetric 4-gram CONTAINMENT |A∩B|/|A| (Broder): catches a "
+    "document embedded in a larger one, where symmetric Jaccard is "
+    "diluted by the larger set. Same id-adjacency candidate contract "
+    "and hashed-shingle representation as q_dedup_ngram_jaccard "
+    "(bounded-fanout equi-join; only hashed-gram arrays shuffle).",
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, shingle_k=4, window=3, partition_col="lang")
+
+
+@register(
     "q_dedup_minhash_lsh",
     oracle=None,  # xxhash64-based; verified against planted dups in tests
     doc="MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→verify).",

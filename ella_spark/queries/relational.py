@@ -1128,3 +1128,79 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- Lateral joins & unpivot (round 6) -----------------------------------
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+    """,
+    doc="Correlated LATERAL subquery with per-row top-k (the two "
+    "richest customers per nation) — DataFrame.lateralJoin with an "
+    "outer() column reference. Catalyst DECORRELATES the per-nation "
+    "ORDER BY/LIMIT into a single window-rank pass over customer "
+    "(one shuffle on c_nationkey), so the plan never executes the "
+    "subquery per outer row — the shape that makes lateral top-k "
+    "viable at 100 TB where a nested re-scan per key would not be.",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    sub = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(2)
+        .select("c_name", "c_acctbal")
+    )
+    return n.lateralJoin(sub).select("n_name", "c_name", "c_acctbal")
+
+
+@register(
+    "q_unpivot_measures",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity      AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+             CAST(round(sum(CAST(l_discount     AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price', sum_base_price FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+    """,
+    doc="Wide->long UNPIVOT (DataFrame.unpivot / SQL stack): one "
+    "hash-aggregate produces the wide per-flag measure row, then the "
+    "unpivot is a narrow generator expression — no extra shuffle, "
+    "3x rows out of the tiny aggregate, never out of the fact table. "
+    "DECIMAL sums keep the measure values exact cross-engine.",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_base_price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return wide.unpivot(
+        "l_returnflag",
+        ["sum_qty", "sum_base_price", "sum_disc"],
+        "measure",
+        "value",
+    )

@@ -148,6 +148,18 @@ def test_winnow_checkpoint_cut_and_fp_keyed_pair_join(name, spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lateral_topn_is_decorrelated_window_group_limit(spark):
+    """The LATERAL per-nation top-2 must decorrelate into ONE window
+    pass over customer with map-side group limits (WindowGroupLimit
+    Partial before the shuffle) joined hash-wise to nation — never a
+    per-outer-row re-scan of the subquery."""
+    plan = _plan(spark, "q_lateral_topn")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan  # map-side top-k before the shuffle
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bpe_merges_checkpoint_boundary_and_bounded_rounds(spark):
     """q_bpe_merges' scale contract: the O(corpus) word-frequency
     vocab is materialized exactly ONCE (localCheckpoint) and every
