@@ -759,3 +759,25 @@ def test_compaction_across_schema_evolution(db, spark):
     db._register(t.entry)
     rows = {r.time: (r.v, r.tag) for r in db.read("evc").collect()}
     assert rows == {1_000: (1.0, None), 2_000: (2.0, "y")}
+
+
+def test_create_mv_refuses_replacing_non_mv_entry(db):
+    """CREATE [OR REPLACE] MATERIALIZED VIEW over an existing TOPIC
+    (or plain view) must refuse loudly: put_table(replace=True) would
+    silently overwrite the entry and the failure-cleanup branch would
+    then drop it entirely — the stash/restore protection only guards
+    MV -> MV replaces."""
+    topic = db.create_topic("prot", [Column("v", "float64")])
+    with topic.publish() as pub:
+        pub.write(1_000, 1.0)
+        pub.write(2_000, 2.0)
+    with pytest.raises(ValueError, match="kind 'topic'"):
+        db.create_materialized_view("prot", "SELECT count(*) AS n FROM prot")
+    # the topic survives untouched, entry and data both
+    assert db.store.resolve("prot").kind == "topic"
+    assert db.query("SELECT count(*) AS n FROM prot").execute()["n"].iloc[0] == 2
+
+    db.query("SELECT time, v FROM prot").create_view("protv")
+    with pytest.raises(ValueError, match="kind 'view'"):
+        db.create_materialized_view("protv", "SELECT count(*) AS n FROM prot")
+    assert db.store.resolve("protv").kind == "view"

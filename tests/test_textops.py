@@ -73,3 +73,18 @@ def test_winnow_variants_agree_on_planted_pair(spark, winnow_dir):
         for r in qs["q_dedup_winnow_fast"](spark, winnow_dir).collect()
     }
     assert md5_pairs == xx_pairs == {(1, 2)}
+
+
+def test_spark_sql_quote_backslash_roundtrip(spark):
+    """Tokens interpolated into Spark F.expr must survive backslashes:
+    Spark's parser treats \\ as an escape inside string literals where
+    DuckDB does not (the round-5 ADVICE finding on the BPE merge
+    fold). spark_sql_quote escapes both quotes and backslashes."""
+    from pyspark.sql import functions as F
+
+    from ella_spark.queries import spark_sql_quote
+
+    for tok in ["a\\b", "it's", "\\", "a'\\'b", "plain"]:
+        lit = spark_sql_quote(tok)
+        got = spark.range(1).select(F.expr(lit).alias("v")).collect()[0].v
+        assert got == tok, (tok, lit, got)
