@@ -108,6 +108,7 @@ _NEW_R6 = {
     "q_containment_dedup",
     "q_lateral_topn",
     "q_unpivot_measures",
+    "q_repeated_span_removal",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

@@ -541,6 +541,35 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_gram_dup_occurrences(d: DataFrame, N: int):
+    """Shared front half of the span-level dedup family: word arrays
+    per doc, exploded (doc_id, s, gram-digest) occurrences, and the
+    cross-document duplicate-gram set (digest seen in >= 2 distinct
+    docs). Only 16-byte digests shuffle — text never moves. Returns
+    (w, occ, dup); occ keeps the window start ``s`` for span logic."""
+    import pyspark.sql.functions as F
+
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = d.select("doc_id", words.alias("words"))
+    starts = F.when(
+        F.size("words") >= N,
+        F.sequence(F.lit(1), F.size("words") - (N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.md5(
+        F.concat_ws(" ", F.slice("words", F.col("s"), N)).cast("binary")
+    )
+    occ = w.select(
+        "doc_id", F.explode(starts).alias("s"), "words"
+    ).select("doc_id", "s", gram.alias("g"))
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    return w, occ, dup
+
+
 @register(
     "q_dup_span_fraction",
     oracle="""
@@ -584,24 +613,7 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     N = 8
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    w = d.select("doc_id", words.alias("words"))
-    starts = F.when(
-        F.size("words") >= N,
-        F.sequence(F.lit(1), F.size("words") - (N - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.md5(
-        F.concat_ws(" ", F.slice("words", F.col("s"), N)).cast("binary")
-    )
-    occ = w.select(
-        "doc_id", F.explode(starts).alias("s"), "words"
-    ).select("doc_id", gram.alias("g"))
-    dup = (
-        occ.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("g")
-    )
+    w, occ, dup = _word_gram_dup_occurrences(d, N)
     per_doc = (
         occ.join(dup, "g", "left_semi")
         .groupBy("doc_id")
@@ -623,3 +635,81 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "q_repeated_span_removal",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, s,
+             md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS g
+      FROM w, unnest(range(1, greatest(len(words) - 7, 0) + 1)) AS t(s)
+    ),
+    dup AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, s FROM occ WHERE g IN (SELECT g FROM dup)
+    ),
+    brk AS (
+      SELECT doc_id, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                    > 8 OR lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS b
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, s,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT)            AS span_start,
+           CAST(max(s) + 7 AS BIGINT)        AS span_end,
+           CAST(max(s) + 8 - min(s) AS BIGINT) AS span_words
+    FROM grp GROUP BY doc_id, gid
+    """,
+    doc="ExactSubstr-style repeated-span REMOVAL plan (Lee et al. "
+    "2022): where q_dup_span_fraction measures cross-document "
+    "duplication, this emits the MAXIMAL duplicated word spans — one "
+    "row per span to cut, [span_start, span_end] in word positions — "
+    "by merging overlapping/adjacent duplicate 8-gram windows into "
+    "islands (window lag/cumsum per doc: fixed-width windows make "
+    "`gap > N` the exact island-break test). Plan shape: the only "
+    "O(total words) stages are the digest explode and one digest-"
+    "keyed aggregate (16-byte digests shuffle, text never moves); "
+    "island detection is a per-doc window over duplicate hits only — "
+    "at 100 TB the hit set is the duplicated tail, typically a small "
+    "fraction of the corpus.",
+)
+def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    N = 8
+    d = load_table(spark, sf_dir, "documents")
+    _, occ, dup = _word_gram_dup_occurrences(d, N)
+    hits = occ.join(dup, "g", "left_semi").select("doc_id", "s")
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    # fixed-width windows sorted by start: the running covered-end is
+    # simply lag(s)+N-1, so a new island begins exactly when the gap
+    # to the previous start exceeds N (adjacent coverage merges)
+    brk = hits.withColumn(
+        "b",
+        F.when(
+            F.col("s") - F.lag("s").over(wd) > N, 1
+        ).when(F.lag("s").over(wd).isNull(), 1).otherwise(0),
+    )
+    grp = brk.withColumn(
+        "gid", F.sum("b").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("s").cast("bigint").alias("span_start"),
+        (F.max("s") + (N - 1)).cast("bigint").alias("span_end"),
+        (F.max("s") + N - F.min("s")).cast("bigint").alias("span_words"),
+    ).drop("gid")

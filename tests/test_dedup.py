@@ -151,3 +151,30 @@ def test_embedding_neardup(spark):
     out = embedding_neardup_pairs(df, cosine_threshold=0.95, bucket_col="label")
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_repeated_span_removal_planted_boundaries(spark, tmp_path):
+    """Two docs sharing a 12-word middle passage (unique pre/suffixes):
+    the maximal-span islands must cover EXACTLY the shared passage —
+    span boundaries are the window-start min / max+N-1 closure of the
+    contiguous duplicate 8-gram hits (starts 6..10 -> span [6, 17])."""
+    shared = " ".join(f"shared{i}" for i in range(12))
+    docs = [
+        (1, "a1 a2 a3 a4 a5 " + shared + " z1 z2 z3 z4 z5", "en", "web"),
+        (2, "b1 b2 b3 b4 b5 " + shared + " y1 y2 y3 y4 y5", "en", "web"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12", "en", "web"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ella_spark.queries import all_queries
+
+    rows = {
+        r.doc_id: (r.span_start, r.span_end, r.span_words)
+        for r in all_queries()["q_repeated_span_removal"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows == {1: (6, 17, 12), 2: (6, 17, 12)}, rows
