@@ -772,6 +772,7 @@ class Ella:
                 | set(analysis.approxs.values())
                 | {h for _, h in analysis.argmaxs.values()}
                 | {h for _, _, h in analysis.klls.values()}
+                | set(analysis.dists.values())
             )
         bad = [
             c
@@ -1000,6 +1001,16 @@ class Ella:
             df = df.withColumn(
                 alias, F.col(h).getField("a").cast(dtypes[alias])
             )
+        for alias, h in analysis.dists.items():
+            # count(DISTINCT x) = size of the hidden distinct set;
+            # NULL state (left-join-introduced empty group) -> 0,
+            # exactly count distinct over zero rows
+            df = df.withColumn(
+                alias,
+                F.when(F.col(h).isNull(), F.lit(0))
+                .otherwise(F.size(F.col(h)))
+                .cast(dtypes[alias]),
+            )
         hidden = (
             [c for pair in analysis.avgs.values() for c in pair]
             + [c for tup in analysis.stats.values() for c in tup[1:]]
@@ -1007,6 +1018,7 @@ class Ella:
             + list(analysis.approxs.values())
             + [h for _, h in analysis.argmaxs.values()]
             + [h for _, _, h in analysis.klls.values()]
+            + list(analysis.dists.values())
         )
         return df.select(*analysis.out_cols, *hidden)
 
@@ -1091,6 +1103,7 @@ class Ella:
             | set(analysis.approxs)
             | set(analysis.klls)
             | set(analysis.argmaxs)
+            | set(analysis.dists)
         )
         if derived:
             # the snapshot's visible avg/variance columns are derived,
@@ -1122,6 +1135,13 @@ class Ella:
             aggs += [
                 F.hll_union_agg(h).alias(h)
                 for h in analysis.approxs.values()
+            ]
+            # count(DISTINCT) set state: distinct-flatten of the
+            # per-partial sets (snapshot + delta(s) — one array per
+            # partial, never per input row)
+            aggs += [
+                F.array_distinct(F.flatten(F.collect_list(F.col(h)))).alias(h)
+                for h in analysis.dists.values()
             ]
             # approx_percentile KLL state: fold snapshot ∪ delta
             # sketches per group (bounded: one struct per partial)

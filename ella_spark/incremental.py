@@ -62,6 +62,16 @@ of O(history) for the common single-topic shapes:
   deterministic either way. Deliberate deviation (documented): on
   ties the MV may return a different argument than plain Spark's
   max_by would — both are valid answers under max_by's contract.
+- **count(DISTINCT x)** (single argument): EXACT via a hidden
+  distinct-value set column `__mv_set__a` (delta partials
+  `collect_set`, snapshot ∪ delta merge by distinct-flatten; visible
+  value is the set size). State is O(distinct values per group) —
+  the price any exact engine pays for this aggregate (one Spark
+  count-distinct job holds the same set in its hash aggregate);
+  when the cardinality is too large to store, use
+  approx_count_distinct instead (bounded ~4 KB HLL state, below).
+  `sum(DISTINCT)` / multi-argument `count(DISTINCT a, b)` disqualify
+  (full recompute).
 - **approx_count_distinct** rides the rewrite as a hidden DataSketches
   HLL sketch column `__mv_hll__a` (binary): delta partials compute
   `hll_sketch_agg`, snapshots merge via `hll_union_agg`, and the
@@ -131,6 +141,10 @@ _BANNED = re.compile(
     r"order\s+by|cluster\s+by|sort\s+by|distribute\s+by)\b|\(\s*select",
     re.I,
 )
+
+#: the one DISTINCT form the agg rewrite supports (masked out before
+#: the banned-token scan; see analyze_mv_sql)
+_COUNT_DISTINCT = re.compile(r"\bcount\s*\(\s*distinct\b", re.I)
 
 _SHAPE = re.compile(
     r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<table>[A-Za-z0-9_]+)"
@@ -250,6 +264,12 @@ def kll_hidden_col(alias: str) -> str:
     return f"__mv_kll__{alias}"
 
 
+def set_hidden_col(alias: str) -> str:
+    """Snapshot column carrying a count(DISTINCT x)'s mergeable state:
+    the group's distinct-value set (array; O(distinct values))."""
+    return f"__mv_set__{alias}"
+
+
 def approx_hidden_col(alias: str) -> str:
     """Snapshot column carrying an approx_count_distinct's mergeable
     state: a DataSketches HLL sketch (binary)."""
@@ -290,6 +310,8 @@ class MvAnalysis:
     argmaxs: dict[str, tuple[str, str]] = field(default_factory=dict)
     #: visible approx_percentile alias -> (arg SQL, prob, hidden col)
     klls: dict[str, tuple[str, float, str]] = field(default_factory=dict)
+    #: visible count(DISTINCT x) alias -> hidden distinct-set col
+    dists: dict[str, str] = field(default_factory=dict)
     #: raw SELECT items for the group keys (the kll state side-query
     #: re-selects them next to the percentile argument)
     key_items: list[str] = field(default_factory=list)
@@ -328,7 +350,13 @@ def _norm(expr: str) -> str:
 def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     """Classify a stored MV SQL as delta-refreshable, or None."""
     m = _SHAPE.match(sql)
-    if m is None or _BANNED.search(sql):
+    # count(DISTINCT x) is the ONE distinct form the rewrite handles
+    # (hidden set state) — mask it so the conservative banned-token
+    # scan does not reject it; every other DISTINCT (SELECT DISTINCT,
+    # sum(DISTINCT), multi-arg) still disqualifies here or in
+    # _classify_agg_select.
+    scan_sql = _COUNT_DISTINCT.sub("count(", sql)
+    if m is None or _BANNED.search(scan_sql):
         return _analyze_join(sql)
     table = m.group("table")
     select_items = _split_top_level(m.group("select"))
@@ -347,7 +375,7 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     klls, key_items, hidden_items) = parsed
+     klls, dists, key_items, hidden_items) = parsed
     if group is None and not aggs:
         return None
     if klls and not hidden_items:
@@ -360,10 +388,10 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
         avgs=avgs, stats=stats, corrs=corrs, approxs=approxs,
-        argmaxs=argmaxs, klls=klls, key_items=key_items,
+        argmaxs=argmaxs, klls=klls, dists=dists, key_items=key_items,
         from_text=from_text, where=m.group("where"),
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
-        if (avgs or stats or corrs or approxs or argmaxs or klls)
+        if (avgs or stats or corrs or approxs or argmaxs or klls or dists)
         else None,
     )
 
@@ -393,14 +421,36 @@ def _classify_agg_select(select_items, group_exprs):
     approxs: dict[str, str] = {}
     argmaxs: dict[str, tuple[str, str]] = {}
     klls: dict[str, tuple[str, float, str]] = {}
+    dists: dict[str, str] = {}
     key_items: list[str] = []
     hidden_items: list[str] = []
     for item in select_items:
         am = _AGG_ITEM.match(item.strip())
         if am is not None:
             arg = am.group("arg")
-            if re.match(r"^\s*distinct\b", arg, re.I) or _ANY_AGG.search(arg):
-                return None  # DISTINCT agg / nested agg: not mergeable
+            if _ANY_AGG.search(arg):
+                return None  # nested agg: not mergeable
+            dm = re.match(r"^\s*distinct\b(?P<inner>.+)$", arg, re.I | re.S)
+            if dm is not None:
+                # count(DISTINCT x): EXACT via a hidden per-group
+                # distinct-value set (collect_set partials, distinct-
+                # flatten merge). State is O(distinct values per
+                # group) — the price ANY exact engine pays for this
+                # aggregate (Spark itself keeps the same set inside
+                # one count-distinct job); approx_count_distinct is
+                # the bounded-state (4 KB HLL) alternative when the
+                # cardinality is too high to store. Other DISTINCT
+                # aggregates stay disqualified (full recompute).
+                alias, fn = am.group("alias"), am.group("fn").lower()
+                inner = dm.group("inner").strip()
+                if fn != "count" or len(_split_top_level(inner)) != 1:
+                    return None  # sum(DISTINCT)/multi-arg: full recompute
+                h = set_hidden_col(alias)
+                dists[alias] = h
+                aggs[alias] = fn
+                out_cols.append(alias)
+                hidden_items.append(f"collect_set({inner}) AS {h}")
+                continue
             alias = am.group("alias")
             fn = am.group("fn").lower()
             aggs[alias] = fn
@@ -527,7 +577,7 @@ def _classify_agg_select(select_items, group_exprs):
         key_items.append(item.strip())
         hidden_items.append(item.strip())
     return (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-            klls, key_items, hidden_items)
+            klls, dists, key_items, hidden_items)
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -585,7 +635,7 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     klls, key_items, hidden_items) = parsed
+     klls, dists, key_items, hidden_items) = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
     if klls:
@@ -594,11 +644,11 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     return MvAnalysis(
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,
-        corrs=corrs, approxs=approxs, argmaxs=argmaxs,
+        corrs=corrs, approxs=approxs, argmaxs=argmaxs, dists=dists,
         hidden_sql=_rebuild(
             hidden_items, m.group("chain"), m.group("where"), group
         )
-        if (avgs or stats or corrs or approxs or argmaxs)
+        if (avgs or stats or corrs or approxs or argmaxs or dists)
         else None,
     )
 

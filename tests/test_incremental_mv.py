@@ -248,9 +248,12 @@ def test_analyzer_shapes():
     # must be case-insensitive like the rest of the analyzer)
     up = analyze_mv_sql("SELECT x.v FROM a AS x JOIN b ON x.k = b.k")
     assert up is not None and up.mode == "spf_join" and up.tables == ["a", "b"]
+    # count(DISTINCT x) became mergeable in round 6 (hidden
+    # distinct-set state); every OTHER distinct form still disqualifies
+    cd = analyze_mv_sql("SELECT k, count(DISTINCT v) AS d FROM t GROUP BY k")
+    assert cd is not None and cd.dists == {"d": "__mv_set__d"}
     for bad in (
         "SELECT k, avg(DISTINCT v) AS m FROM t GROUP BY k",
-        "SELECT k, count(DISTINCT v) AS d FROM t GROUP BY k",
         "SELECT a.v FROM a JOIN b ON a.k = b.k JOIN a x ON b.k = x.k",
         "SELECT a.v FROM a LEFT JOIN b ON a.k = b.k",  # outer: retracts
         "SELECT a.v FROM a JOIN a x ON a.k = x.k",  # self-join
@@ -1813,6 +1816,10 @@ def test_mv_randomized_family_equivalence(db, spark):
         ("max_by(u, v) AS mb", "mb", "exact"),
         ("min_by(u, v) AS nb", "nb", "exact"),
         ("approx_percentile(v, 0.5) AS p50", "p50", "exact"),
+        # u % 97 cycles: heavy cross-batch value overlap exercises
+        # the distinct-set merge (a value must count once per group
+        # no matter how batches split it)
+        ("count(DISTINCT u % 97) AS cd", "cd", "exact"),
     ]
     counter = {"i": 0}
 
@@ -1974,3 +1981,55 @@ def test_mv_max_by_hypothesis_counterexample_pinned(db, spark):
         i * 11 for i in range(n_rows) if (i * mult) % n_rows == vmax
     )
     assert got.mb == expect_mb
+
+
+def test_count_distinct_mv_delta(db, spark):
+    """Exact count(DISTINCT x) incremental MVs: the hidden distinct-set
+    state must dedupe values ACROSS refresh batches (a value seen in
+    batch 1 and again in batch 2 counts once), grouped and global,
+    delta result == direct SQL == full recompute."""
+    t = db.create_topic("cd", [Column("k", "int64"), Column("v", "int64")])
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time", "id % 3 AS k", "id % 7 AS v"
+    )
+    t.insert(mk(0, 10))
+    db.create_materialized_view(
+        "cdg",
+        "SELECT k, count(DISTINCT v) AS dv, count(*) AS n FROM cd GROUP BY k",
+    )
+    db.create_materialized_view(
+        "cdt", "SELECT count(DISTINCT v) AS dv, count(*) AS n FROM cd"
+    )
+    for name in ("cdg", "cdt"):
+        assert db.store.resolve(name).refresh_state is not None, name
+    t.insert(mk(10, 25))  # v=id%7 recycles: heavy cross-batch overlap
+    db.refresh_materialized("cdg")
+    db.refresh_materialized("cdt")
+    exp_g = _normalize_rows(
+        spark.sql(
+            "SELECT k, count(DISTINCT v) AS dv, count(*) AS n FROM cd GROUP BY k"
+        ).collect()
+    )
+    got_g = _normalize_rows(db.query("SELECT * FROM cdg").df.collect())
+    assert got_g == exp_g
+    got_t = db.query("SELECT * FROM cdt").df.collect()[0]
+    assert (got_t.dv, got_t.n) == (7, 25)
+    # full recompute agrees (state layout is rebuilt identically)
+    db.refresh_materialized("cdg", incremental=False)
+    assert _normalize_rows(db.query("SELECT * FROM cdg").df.collect()) == exp_g
+    # hidden state never leaks into reads
+    assert db.query("SELECT * FROM cdg").df.columns == ["k", "dv", "n"]
+
+
+def test_count_distinct_mv_disqualifiers():
+    """sum(DISTINCT) and multi-arg count(DISTINCT a, b) must NOT be
+    treated as mergeable (full recompute), while count(DISTINCT x)
+    analyzes with the hidden set state."""
+    ok = analyze_mv_sql("SELECT k, count(DISTINCT v) AS dv FROM t GROUP BY k")
+    assert ok is not None and ok.dists == {"dv": "__mv_set__dv"}
+    assert "collect_set" in ok.hidden_sql
+    assert analyze_mv_sql("SELECT k, sum(DISTINCT v) AS s FROM t GROUP BY k") is None
+    assert (
+        analyze_mv_sql("SELECT k, count(DISTINCT v, w) AS c FROM t GROUP BY k")
+        is None
+    )
