@@ -109,6 +109,7 @@ _NEW_R6 = {
     "q_lateral_topn",
     "q_unpivot_measures",
     "q_repeated_span_removal",
+    "q_span_cleaned_text",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

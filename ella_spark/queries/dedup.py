@@ -688,17 +688,23 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fraction of the corpus.",
 )
 def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
     N = 8
     d = load_table(spark, sf_dir, "documents")
     _, occ, dup = _word_gram_dup_occurrences(d, N)
+    return _dup_span_islands(occ, dup, N)
+
+
+def _dup_span_islands(occ: DataFrame, dup: DataFrame, N: int) -> DataFrame:
+    """Maximal duplicated word spans per doc: duplicate-gram hits
+    merged into islands (fixed-width windows sorted by start: the
+    running covered-end is lag(s)+N-1, so a new island begins exactly
+    when the gap to the previous start exceeds N — adjacent coverage
+    merges). Returns (doc_id, span_start, span_end, span_words)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
     hits = occ.join(dup, "g", "left_semi").select("doc_id", "s")
     wd = Window.partitionBy("doc_id").orderBy("s")
-    # fixed-width windows sorted by start: the running covered-end is
-    # simply lag(s)+N-1, so a new island begins exactly when the gap
-    # to the previous start exceeds N (adjacent coverage merges)
     brk = hits.withColumn(
         "b",
         F.when(
@@ -713,3 +719,100 @@ def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("s") + (N - 1)).cast("bigint").alias("span_end"),
         (F.max("s") + N - F.min("s")).cast("bigint").alias("span_words"),
     ).drop("gid")
+
+
+@register(
+    "q_span_cleaned_text",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, s,
+             md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS g
+      FROM w, unnest(range(1, greatest(len(words) - 7, 0) + 1)) AS t(s)
+    ),
+    dup AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, s FROM occ WHERE g IN (SELECT g FROM dup)
+    ),
+    brk AS (
+      SELECT doc_id, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                    > 8 OR lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS b
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, s,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, min(s) AS a, max(s) + 7 AS b
+      FROM grp GROUP BY doc_id, gid
+    ),
+    per_doc AS (
+      SELECT doc_id, list({'a': a, 'b': b}) AS sp FROM spans GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(array_to_string(
+             list_filter(w.words,
+               (x, i) -> len(list_filter(coalesce(p.sp, []),
+                               s -> i >= s.a AND i <= s.b)) = 0),
+             ' '), '') AS clean_text,
+           CAST(len(w.words) AS BIGINT) AS n_words,
+           CAST(len(w.words)
+                - len(list_filter(w.words,
+                    (x, i) -> len(list_filter(coalesce(p.sp, []),
+                                    s -> i >= s.a AND i <= s.b)) = 0))
+             AS BIGINT) AS n_removed
+    FROM w LEFT JOIN per_doc p ON p.doc_id = w.doc_id
+    """,
+    doc="ExactSubstr dedup APPLIED: reconstructs each document's "
+    "cleaned text with every cross-document duplicated span cut out — "
+    "the measure (q_dup_span_fraction) → plan (q_repeated_span_"
+    "removal) → apply chain complete. Word positions covered by a "
+    "maximal duplicate island are filtered with an index lambda "
+    "against the doc's collected span list (spans per doc are few — "
+    "the O(words × spans) filter is bounded); text leaves the "
+    "executor only as the final cleaned string.",
+)
+def q_span_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    N = 8
+    d = load_table(spark, sf_dir, "documents")
+    w, occ, dup = _word_gram_dup_occurrences(d, N)
+    spans = _dup_span_islands(occ, dup, N)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("a"), F.col("span_end").alias("b")
+            )
+        ).alias("sp")
+    )
+    sp = F.coalesce(
+        F.col("sp"),
+        F.array().cast("array<struct<a:bigint,b:bigint>>"),
+    )
+    # Spark filter-lambda index is 0-based; word positions are 1-based
+    keep = F.filter(
+        "words",
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i + 1 >= s["a"]) & (i + 1 <= s["b"])
+        ),
+    )
+    return (
+        w.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", keep).alias("clean_text"),
+            F.size("words").cast("bigint").alias("n_words"),
+            (F.size("words") - F.size(keep)).cast("bigint").alias("n_removed"),
+        )
+    )

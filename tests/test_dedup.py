@@ -178,3 +178,32 @@ def test_repeated_span_removal_planted_boundaries(spark, tmp_path):
         ).collect()
     }
     assert rows == {1: (6, 17, 12), 2: (6, 17, 12)}, rows
+
+
+def test_span_cleaned_text_planted(spark, tmp_path):
+    """The APPLY step of ExactSubstr dedup: cleaned text must be the
+    document with exactly the shared passage cut out, untouched docs
+    pass through verbatim."""
+    shared = " ".join(f"shared{i}" for i in range(12))
+    docs = [
+        (1, "a1 a2 a3 a4 a5 " + shared + " z1 z2 z3 z4 z5", "en", "web"),
+        (2, "b1 b2 b3 b4 b5 " + shared + " y1 y2 y3 y4 y5", "en", "web"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12", "en", "web"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ella_spark.queries import all_queries
+
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["q_span_cleaned_text"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[1].clean_text == "a1 a2 a3 a4 a5 z1 z2 z3 z4 z5"
+    assert rows[2].clean_text == "b1 b2 b3 b4 b5 y1 y2 y3 y4 y5"
+    assert rows[3].clean_text == "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"
+    assert (rows[1].n_removed, rows[2].n_removed, rows[3].n_removed) == (12, 12, 0)
