@@ -97,6 +97,9 @@ EXTRAS = [
     "q_dedup_winnow_fast",
     "q_dedup_edit_distance",
     "q_containment_dedup",
+    "q_repeated_span_removal",
+    "q_span_cleaned_text",
+    "q_bpe_encode",
 ]
 
 

@@ -110,6 +110,7 @@ _NEW_R6 = {
     "q_unpivot_measures",
     "q_repeated_span_removal",
     "q_span_cleaned_text",
+    "q_bpe_encode",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

@@ -1237,6 +1237,19 @@ def _bpe_sql(table: str, rounds: int = _BPE_ROUNDS) -> str:
     "unrolled-SQL DuckDB oracle replays the exact merge table.",
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _cur = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        out,
+        "round int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the 6-round BPE merge loop; returns (merge rows, the final
+    tokenized vocab frame (s: array<string>, freq)) — shared by
+    q_bpe_merges (the merge table) and q_bpe_encode (the applied
+    token census)."""
     # Spark-dialect quoting (backslash IS an escape char in Spark's
     # parser, unlike DuckDB's): tokens are interpolated into F.expr
     from ella_spark.queries import spark_sql_quote as lit
@@ -1290,8 +1303,51 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the compact table) instead of paying a checkpoint job each
         # round; only the O(corpus) scan is materialized once above
         cur = cur.select(merged.alias("s"), "freq")
-    return spark.createDataFrame(
-        out,
-        "round int, left_sym string, right_sym string, "
-        "merged string, pair_count bigint",
+    return out, cur
+
+
+def _bpe_encode_sql(table: str, top: int = 40) -> str:
+    """DuckDB replay of the ENCODE step: the merge-loop CTE chain's
+    final vocab state w{rounds} exploded into a frequency-weighted
+    subword-token census (top ``top`` by count desc, token asc).
+    Reuses _bpe_sql's CTE chain up to the last w CTE. Caveat (shared
+    with the Spark side's early break): a degenerate corpus with no
+    adjacent pairs before round ``rounds`` would empty the chain —
+    impossible on the test corpus, where q_bpe_merges pins 6 rounds."""
+    full = _bpe_sql(table)
+    # reuse the WITH block verbatim; swap the merge-table UNION ALL
+    # tail (which starts at the round-1 out) for the encode SELECT
+    head = full.split("\n    SELECT 1 AS round")[0]
+    return (
+        head
+        + f"""
+    SELECT token, n FROM (
+      SELECT t.token AS token, CAST(sum(freq) AS BIGINT) AS n
+      FROM w{_BPE_ROUNDS}, unnest(s) AS t(token)
+      GROUP BY 1
+    ) ORDER BY n DESC, token LIMIT {top}
+    """
+    )
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_encode_sql("documents"),
+    doc="BPE ENCODE — the learned merge table applied back to the "
+    "corpus: after the 6 q_bpe_merges rounds, every word is segmented "
+    "into its final subword tokens, and the query returns the "
+    "frequency-weighted token census (top 40). Completes the "
+    "tokenizer chain: pre-tokenize (q_tokenize_bpe) -> induce "
+    "(q_bpe_merges) -> encode. Scale shape identical to q_bpe_merges "
+    "(the single O(corpus) word-frequency scan is the only large "
+    "stage; the encode explode runs over the compact vocab).",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _out, cur = _bpe_learn(spark, sf_dir)
+    return (
+        cur.select(F.explode("s").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(40)
     )
