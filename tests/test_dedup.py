@@ -207,3 +207,42 @@ def test_span_cleaned_text_planted(spark, tmp_path):
     assert rows[2].clean_text == "b1 b2 b3 b4 b5 y1 y2 y3 y4 y5"
     assert rows[3].clean_text == "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"
     assert (rows[1].n_removed, rows[2].n_removed, rows[3].n_removed) == (12, 12, 0)
+
+
+def test_dup_span_islands_randomized_reference(spark):
+    """_dup_span_islands vs a straightforward python reference over
+    random hit sets: islands must (a) cover exactly the union of the
+    hit windows' closures, (b) be disjoint with inter-island gaps > N,
+    (c) each start and end on a hit-window boundary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ella_spark.queries.dedup import _dup_span_islands
+
+    rng = random.Random(20260814)
+    N = 8
+    rows = []  # (doc_id, s, g) with g pre-marked dup via shared digest
+    expected = {}
+    for doc in range(40):
+        starts = sorted(rng.sample(range(1, 120), rng.randint(1, 18)))
+        rows += [(doc, s) for s in starts]
+        spans = []
+        for s in starts:
+            if spans and s - spans[-1][1] <= N:  # s <= last_start + N
+                spans[-1][1] = s
+            else:
+                spans.append([s, s])
+        expected[doc] = {
+            (a, b + N - 1, b + N - a) for a, b in spans
+        }
+    occ = spark.createDataFrame(
+        [(d, s, "dup") for d, s in rows], "doc_id long, s int, g string"
+    )
+    dup = spark.createDataFrame([("dup",)], "g string")
+    got = {}
+    for r in _dup_span_islands(occ, dup, N).collect():
+        got.setdefault(r.doc_id, set()).add(
+            (r.span_start, r.span_end, r.span_words)
+        )
+    assert got == expected

@@ -2033,3 +2033,31 @@ def test_count_distinct_mv_disqualifiers():
         analyze_mv_sql("SELECT k, count(DISTINCT v, w) AS c FROM t GROUP BY k")
         is None
     )
+
+
+def test_count_distinct_mv_null_handling(db, spark):
+    """count(DISTINCT x) ignores NULLs (collect_set skips them) and an
+    all-NULL group yields 0 — across delta batches."""
+    t = db.create_topic("cdn", [Column("k", "int64"), Column("v", "int64")])
+    mk = lambda rows: spark.createDataFrame(
+        [(i * 1000, k, v) for i, (k, v) in enumerate(rows)],
+        "time long, k long, v long",
+    )
+    t.insert(mk([(0, 1), (0, None), (1, None)]))
+    db.create_materialized_view(
+        "cdn_mv",
+        "SELECT k, count(DISTINCT v) AS dv, count(*) AS n FROM cdn GROUP BY k",
+    )
+    assert db.store.resolve("cdn_mv").refresh_state is not None
+    t.insert(mk([(0, 1), (1, None), (2, 5)]))  # dup value + more NULLs
+    db.refresh_materialized("cdn_mv")
+    got = {r.k: (r.dv, r.n) for r in db.query("SELECT * FROM cdn_mv").df.collect()}
+    assert got == {0: (1, 3), 1: (0, 2), 2: (1, 1)}
+    exp = {
+        r.k: (r.dv, r.n)
+        for r in spark.sql(
+            "SELECT k, count(DISTINCT v) AS dv, count(*) AS n "
+            "FROM cdn GROUP BY k"
+        ).collect()
+    }
+    assert got == exp
