@@ -111,6 +111,8 @@ _NEW_R6 = {
     "q_repeated_span_removal",
     "q_span_cleaned_text",
     "q_bpe_encode",
+    "q_time_weighted_avg",
+    "q_mad_outliers",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

@@ -759,3 +759,113 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "bucket bigint, n bigint, p50 double, p90 double, p99 double"
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns, value,
+             lead(epoch_ns(ts)) OVER w AS next_ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           round(sum(value * (next_ns - ts_ns))
+                 / greatest(max(next_ns) - min(ts_ns), 1), 6) AS twa,
+           round(avg(value), 6) AS plain_avg
+    FROM seq
+    WHERE next_ns IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average with last-observation-carried-forward "
+    "interpolation (the TimescaleDB `time_weight('LOCF')` idiom): "
+    "each sample's value holds until the next sample, so irregularly "
+    "spaced series average by TIME COVERED, not by sample count — a "
+    "sensor that reports once an hour at 10.0 and once a second at "
+    "0.0 has a plain avg near 0 but a TWA near 10. One lead window + "
+    "one aggregate, both keyed on user_id — a single shuffle shared "
+    "by both stages (same plan shape as q_counter_rate); at 100 TB "
+    "the window sort rides the shuffle's partition ordering.",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("ts").alias("ts_ns"),
+        "value",
+        F.lead("ts").over(w).alias("next_ns"),
+    ).where(F.col("next_ns").isNotNull())
+    span = F.greatest(
+        F.max("next_ns") - F.min("ts_ns"), F.lit(1)
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.round(
+            F.sum(F.col("value") * (F.col("next_ns") - F.col("ts_ns"))) / span,
+            6,
+        ).alias("twa"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(CAST(value AS DOUBLE)) AS med
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.user_id = e.user_id
+    ),
+    mad AS (
+      SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN m.mad > 0 AND d.adev > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.user_id = d.user_id
+    GROUP BY d.user_id
+    """,
+    doc="Robust per-key anomaly detection via median absolute "
+    "deviation (the MAD rule — resistant to the outliers it hunts, "
+    "unlike mean/stddev z-scores): per key, median, MAD, and the "
+    "count of samples beyond 3 MADs. Exact interpolated medians "
+    "(Spark median == DuckDB quantile_cont at DOUBLE) make the flag "
+    "deterministic cross-engine. Plan shape: two median aggregates "
+    "and the final rollup all shuffle on user_id — AQE reuses the "
+    "partitioning; nothing is per-row Python.",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.median(F.col("value").cast("double")).alias("med")
+    )
+    dev = ev.join(med, "user_id").select(
+        "user_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    flag = F.when(
+        (F.col("mad") > 0) & (F.col("adev") > 3 * F.col("mad")), 1
+    ).otherwise(0)
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(flag).cast("bigint").alias("n_outliers"),
+        )
+    )
