@@ -385,7 +385,13 @@ _BOILER = r"(https?://\S+)|(\S+@\S+\.\S+)"
     "rule — the df cap bounds every fp group, so the pair join is "
     "never all-pairs at any corpus size); surviving fps equi-join "
     "into pairs scored by shared-fp count and overlap vs the smaller "
-    "fingerprint set. All integer counts — exact cross-engine.",
+    "fingerprint set. All integer counts — exact cross-engine. "
+    "RECALL CONTRACT (measured, SCALING.md round-6 probe): the df cap "
+    "deliberately drops fingerprints shared by >10 docs, so this "
+    "family targets LOW-multiplicity near-dups; wholesale N-fold "
+    "duplication pushes every fp over the cap and yields zero pairs "
+    "by design — exact dedup and q_repeated_span_removal (uncapped "
+    "digest aggregates) are the right tools in that regime.",
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-based gram hash: bit-identical in DuckDB (the oracle vehicle)
