@@ -119,6 +119,7 @@ def compact_topic(
     target_rows: int = DEFAULT_TARGET_ROWS,
     min_shards: int = 2,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> Path | None:
     """Merge adjacent small shards into one time-sorted shard.
 
@@ -153,15 +154,28 @@ def compact_topic(
     analytics topics where value predicates dominate, not
     latest-window TSDB topics.
 
+    ``zorder=True`` (with 2-4 ``cluster_by`` columns) interleaves the
+    columns' 16-bit rank scales into one Morton key and sorts by THAT
+    instead of lexicographically — the Delta OPTIMIZE ZORDER idiom.
+    Lexicographic order makes file ranges disjoint only in the
+    LEADING column (a predicate on the second column hits every
+    file); the Morton curve shares locality across all interleaved
+    columns, so ``col_ranges`` skipping engages for predicates on ANY
+    of them (~sqrt-fraction file hit rate per column at 2 columns).
+    Rank normalization (not min/max scaling) keeps the curve balanced
+    under skew.
+
     Returns the new shard path, or None if nothing to do.
     """
     from ella_spark.topic import topic_arrow_schema
 
     schema = topic_arrow_schema(topic.entry.columns)
     out: Path | None = None
+    if zorder and not (cluster_by and 2 <= len(cluster_by) <= 4):
+        raise ValueError("zorder=True needs 2-4 cluster_by columns")
     for bucket_dir in topic.bucket_dirs():
         merged = _compact_dir(
-            bucket_dir, target_rows, min_shards, schema, cluster_by
+            bucket_dir, target_rows, min_shards, schema, cluster_by, zorder
         )
         if merged is not None:
             out = merged
@@ -174,6 +188,7 @@ def _compact_dir(
     min_shards: int,
     schema=None,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> Path | None:
     """Compact one time-bucket directory (compaction never crosses
     bucket boundaries — partition pruning depends on the dirs). Holds
@@ -183,7 +198,7 @@ def _compact_dir(
         if not held:
             return None
         return _compact_dir_locked(
-            bucket_dir, target_rows, min_shards, schema, cluster_by
+            bucket_dir, target_rows, min_shards, schema, cluster_by, zorder
         )
 
 
@@ -222,12 +237,43 @@ def _align_to_schema(tbl, schema):
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def _zorder_permutation(merged, cluster_by: list[str]):
+    """Morton-order row permutation for the merged table: each cluster
+    column's values map to a 16-bit dense-rank scale (skew-balanced by
+    construction, NULLs first), the scales' bits interleave into one
+    uint64 key, and the returned argsort reorders rows along the
+    curve. Pure driver-side numpy over the already-in-memory merge —
+    O(n log n), same cost class as the lexicographic sort it
+    replaces."""
+    import numpy as np
+    import pandas as pd
+
+    n = merged.num_rows
+    ncols = len(cluster_by)
+    z = np.zeros(n, dtype=np.uint64)
+    for j, c in enumerate(cluster_by):
+        s = merged.column(c).to_pandas()
+        # dense 0..65535 rank scale; method='first' keeps ties
+        # deterministic, na_option='top' pins NULLs to the low corner
+        ranks = (
+            s.rank(method="first", na_option="top").to_numpy(dtype=np.int64)
+            - 1
+        ).astype(np.uint64)
+        scaled = ranks * np.uint64(65535) // np.uint64(max(n - 1, 1))
+        for b in range(16):
+            z |= ((scaled >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                b * ncols + j
+            )
+    return np.argsort(z, kind="stable")
+
+
 def _compact_dir_locked(
     bucket_dir: Path,
     target_rows: int,
     min_shards: int,
     schema=None,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> Path | None:
     shards = sorted(bucket_dir.glob("part-*.parquet"))
     sizes = {p: pq.ParquetFile(p).metadata.num_rows for p in shards}
@@ -254,10 +300,15 @@ def _compact_dir_locked(
 
     if schema is not None:
         tables = [_align_to_schema(t, schema) for t in tables]
-    sort_keys = [(c, "ascending") for c in (cluster_by or [])] + [
-        (TIME_COLUMN, "ascending")
-    ]
-    merged = pa.concat_tables(tables).sort_by(sort_keys)
+    merged = pa.concat_tables(tables)
+    if zorder and cluster_by and merged.num_rows > 1:
+        perm = _zorder_permutation(merged, cluster_by)
+        merged = merged.take(pa.array(perm))
+    else:
+        sort_keys = [(c, "ascending") for c in (cluster_by or [])] + [
+            (TIME_COLUMN, "ascending")
+        ]
+        merged = merged.sort_by(sort_keys)
     # Name the merged shard with the EARLIEST source shard's timestamp
     # prefix (plus a 'c' compaction marker) so it sorts at the position
     # of its oldest input: an exact-offset subscriber whose watermark

@@ -2061,3 +2061,70 @@ def test_count_distinct_mv_null_handling(db, spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_zorder_compaction_skips_on_both_columns(db, spark):
+    """Z-order clustering (Morton-interleaved 16-bit rank scales):
+    after compact_topic(cluster_by=[k1,k2], zorder=True), col_ranges
+    skipping engages for predicates on EITHER column — lexicographic
+    clustering makes files disjoint only in the LEADING column (a k2
+    predicate hits every file). Both reads stay exact."""
+    import random
+
+    from ella_spark.maintenance import build_manifest, compact_topic
+
+    rng = random.Random(7)
+
+    def fill(t):
+        for base in range(4):
+            with t.publish() as pub:
+                for i in range(400):
+                    pub.write(
+                        base * 1000 + i,
+                        rng.randint(0, 9999),
+                        rng.randint(0, 9999),
+                    )
+
+    # lexicographic baseline: k2 predicate cannot skip anything
+    tl = db.create_topic(
+        "lex", [Column("k1", "int64"), Column("k2", "int64")]
+    )
+    fill(tl)
+    compact_topic(tl, min_shards=2, cluster_by=["k1", "k2"])
+    build_manifest(tl)
+    n_files = len(tl.shards())
+    assert n_files == 4
+    assert len(tl.read(spark, col_ranges={"k1": (0, 999)}).inputFiles()) == 1
+    assert (
+        len(tl.read(spark, col_ranges={"k2": (0, 999)}).inputFiles())
+        == n_files
+    )
+
+    tz = db.create_topic(
+        "zord", [Column("k1", "int64"), Column("k2", "int64")]
+    )
+    fill(tz)
+    compact_topic(tz, min_shards=2, cluster_by=["k1", "k2"], zorder=True)
+    build_manifest(tz)
+    assert len(tz.shards()) == 4
+    # the Morton curve shares locality: a narrow range on EITHER
+    # column skips at least half the files (4 slices of a 2-D curve
+    # quarter the plane: a 10% band intersects ~2 of 4 slices)
+    for col in ("k1", "k2"):
+        hit = len(tz.read(spark, col_ranges={col: (0, 999)}).inputFiles())
+        assert hit <= 2, (col, hit)
+        got = sorted(
+            (r.k1, r.k2)
+            for r in tz.read(spark, col_ranges={col: (0, 999)}).collect()
+        )
+        exp = sorted(
+            (r.k1, r.k2)
+            for r in tz.read(spark)
+            .where(f"{col} BETWEEN 0 AND 999")
+            .collect()
+        )
+        assert got == exp and got
+
+    # zorder without enough columns is refused loudly
+    with pytest.raises(ValueError, match="2-4 cluster_by"):
+        compact_topic(tz, cluster_by=["k1"], zorder=True)
