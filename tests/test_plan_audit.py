@@ -174,7 +174,9 @@ def test_bpe_merges_checkpoint_boundary_and_bounded_rounds(spark):
 
     from ella_spark.queries import textops
 
-    src = inspect.getsource(textops.q_bpe_merges)
+    # the merge loop lives in the shared _bpe_learn helper (used by
+    # both q_bpe_merges and q_bpe_encode)
+    src = inspect.getsource(textops._bpe_learn)
     assert src.count("localCheckpoint()") == 1
     # the only .collect() is the per-round 1-row winner (after limit(1))
     assert src.count(".collect()") == 1
