@@ -113,6 +113,8 @@ _NEW_R6 = {
     "q_bpe_encode",
     "q_time_weighted_avg",
     "q_mad_outliers",
+    "q_string_agg",
+    "q_token_fertility",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

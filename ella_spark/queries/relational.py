@@ -1204,3 +1204,35 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered string aggregation (listagg WITHIN GROUP / "
+    "string_agg ORDER BY): nations per region as one deterministic "
+    "comma-joined string. The WITHIN GROUP ordering is what makes the "
+    "value reproducible — an unordered listagg is partition-order-"
+    "dependent and would never hash-match cross-engine.",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

@@ -1357,3 +1357,48 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(40)
     )
+
+
+@register(
+    "q_token_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT)
+             AS n_tokens,
+           CAST(sum(len(list_filter(
+             string_split_regex(trim(text), '\\s+'), w -> w != ''))) AS BIGINT)
+             AS n_words,
+           round(CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS DOUBLE)
+                 / greatest(sum(len(list_filter(
+                     string_split_regex(trim(text), '\\s+'), w -> w != ''))), 1), 6)
+             AS fertility
+    FROM documents GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: pre-tokenizer tokens per "
+    "whitespace word — the standard metric for how hard a tokenizer "
+    "fragments a language (fertility ~1 is ideal; high fertility "
+    "inflates sequence lengths and training cost). One JVM-regexp "
+    "scan + one tiny per-lang aggregate.",
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0)))
+    words = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
+        )
+    )
+    agg = d.groupBy("lang").agg(
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+        F.sum(words).cast("bigint").alias("n_words"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_words",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("fertility"),
+    )

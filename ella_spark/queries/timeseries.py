@@ -27,17 +27,24 @@ _NS_PER_MIN = 60 * _NS_PER_SEC
     SELECT (epoch_ns(ts) // {5 * _NS_PER_MIN}) * {5 * _NS_PER_MIN // 1000} AS bucket_us,
            event_type,
            count(*)             AS n_events,
-           round(sum(value), 2) AS total_value,
-           round(avg(value), 4) AS avg_value
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+                 / count(value), 4) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
     doc="date_bin parity: fixed 5-minute buckets over ns time (the TSDB workhorse; "
-    "reference gets this from DataFusion date_bin — SURVEY.md §2.B).",
+    "reference gets this from DataFusion date_bin — SURVEY.md §2.B). "
+    "DECIMAL sums: a double sum's last-ulp order dependence flips the "
+    "2-decimal rounding once buckets grow (measured at sf0.1) — the "
+    "decimal path is exact cross-engine at any bucket size, and the "
+    "avg derives from the same exact sum.",
 )
 def q_date_bin_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bin_ns = 5 * _NS_PER_MIN
+    dec_sum = F.sum(F.col("value").cast("decimal(28,8)"))
     return (
         ev.groupBy(
             F.expr(f"(ts div {bin_ns}) * {bin_ns // 1000}").alias("bucket_us"),
@@ -45,8 +52,10 @@ def q_date_bin_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(dec_sum, 2).cast("double").alias("total_value"),
+            F.round(
+                dec_sum.cast("double") / F.count("value"), 4
+            ).alias("avg_value"),
         )
     )
 
