@@ -29,41 +29,63 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+                                                                       AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,8))), 2) AS DOUBLE)        AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(28,8))), 2) AS DOUBLE)        AS sum_charge,
            round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+                 / count(*), 4)                                        AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE)
+                 / count(*), 4)                                        AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 shape: filtered scan -> hash aggregate (map-side partial).",
+    doc="TPC-H Q1 shape: filtered scan -> hash aggregate (map-side "
+    "partial). Money sums/avgs go through DECIMAL(28,8): the groups "
+    "are ~1/4 of lineitem each, where a plain double sum's "
+    "summation-order ulp drift can flip the rounding cross-engine "
+    "(the q_date_bin_5min lesson, measured at sf0.1). l_quantity "
+    "sums stay double: integer-valued doubles sum exactly.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    price_dec = F.sum(F.col("l_extendedprice").cast("decimal(28,8)"))
+    disc_dec = F.sum(F.col("l_discount").cast("decimal(28,8)"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1999-06-30 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            F.round(price_dec, 2).cast("double").alias("sum_base_price"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(28,8)")
                 ),
                 2,
-            ).alias("sum_charge"),
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))
+                    ).cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                price_dec.cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                disc_dec.cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -154,7 +176,7 @@ def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r_name, 'ALL')  AS region_name,
            coalesce(n_name, 'ALL')  AS nation_name,
            count(*)                 AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -173,7 +195,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("total_bal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
@@ -238,7 +262,8 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -269,8 +294,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -282,7 +311,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -314,8 +344,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -717,7 +751,8 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -739,9 +774,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount"))
+                    .cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1054,8 +1093,12 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(28,8)")
+            ),
+            2,
+        ).cast("double").alias("revenue"),
     )
 
 

@@ -73,7 +73,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(round(sum(CAST(volume AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -124,8 +124,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -134,8 +138,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume
+                             ELSE 0 END AS DECIMAL(28,8))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(28,8))) AS DOUBLE), 6)
+             AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -185,8 +191,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(0.0))
-                / F.sum(volume),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", volume)
+                    .otherwise(0.0)
+                    .cast("decimal(28,8)")
+                ).cast("double")
+                / F.sum(volume.cast("decimal(28,8)")).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -315,7 +325,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
@@ -344,7 +354,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("qty_cutoff", cutoff)
         .where(F.col("l_quantity") < F.col("qty_cutoff"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,8)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -394,7 +411,8 @@ def q18_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_bracket_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -433,8 +451,12 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(bracket)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -515,7 +537,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_customers",
     oracle="""
     SELECT c_mktsegment, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                        WHERE c_acctbal > 0.0)
@@ -546,7 +568,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
         )
     )
 
