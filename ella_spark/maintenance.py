@@ -383,11 +383,17 @@ class Maintainer:
         engine,
         target_rows: int = DEFAULT_TARGET_ROWS,
         retention_ns: int | None = None,
+        cluster_by: dict[str, list[str]] | None = None,
+        zorder: bool = False,
     ):
         self.engine = engine
         self.target_rows = target_rows
         #: drop day buckets older than now - retention_ns each pass
         self.retention_ns = retention_ns
+        #: per-topic clustered compaction: topic name -> cluster cols
+        #: (zorder=True Morton-interleaves 2-4 cols, see compact_topic)
+        self.cluster_by = cluster_by or {}
+        self.zorder = zorder
 
     def run_once(self, refresh_views: bool = True) -> dict:
         compacted, cleaned, refreshed, expired, errors = [], [], [], [], []
@@ -403,7 +409,13 @@ class Maintainer:
                         t, time.time_ns() - self.retention_ns
                     )
                 )
-            out = compact_topic(t, target_rows=self.target_rows)
+            cb = self.cluster_by.get(entry.name)
+            out = compact_topic(
+                t,
+                target_rows=self.target_rows,
+                cluster_by=cb,
+                zorder=bool(cb) and self.zorder,
+            )
             if out is not None:
                 compacted.append(str(out))
             # consolidate per-shard time stats AFTER compaction so the

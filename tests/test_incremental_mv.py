@@ -2128,3 +2128,42 @@ def test_zorder_compaction_skips_on_both_columns(db, spark):
     # zorder without enough columns is refused loudly
     with pytest.raises(ValueError, match="2-4 cluster_by"):
         compact_topic(tz, cluster_by=["k1"], zorder=True)
+
+
+def test_maintainer_clustered_zorder_compaction(db, spark):
+    """The Maintainer plumbs per-topic cluster_by (+ zorder) into its
+    compaction pass, so continuously-maintained topics stay clustered
+    without manual compact_topic calls."""
+    from ella_spark.maintenance import Maintainer, build_manifest
+
+    t = db.create_topic(
+        "mz", [Column("k1", "int64"), Column("k2", "int64")]
+    )
+    import random
+
+    rng = random.Random(3)
+    for base in range(3):
+        with t.publish() as pub:
+            for i in range(200):
+                pub.write(
+                    base * 1000 + i, rng.randint(0, 999), rng.randint(0, 999)
+                )
+    m = Maintainer(
+        db, cluster_by={"mz": ["k1", "k2"]}, zorder=True
+    )
+    report = m.run_once(refresh_views=False)
+    assert report["compacted"], report
+    build_manifest(t)
+    # every surviving shard carries k1 AND k2 ranges in the manifest
+    stats = t.manifest()
+    for p in t.shards():
+        assert set(stats[p.name]["c"]) >= {"k1", "k2"}, stats[p.name]
+    # reads stay exact through the maintainer-clustered layout
+    got = sorted(
+        (r.k1, r.k2) for r in t.read(spark, col_ranges={"k2": (0, 99)}).collect()
+    )
+    exp = sorted(
+        (r.k1, r.k2)
+        for r in t.read(spark).where("k2 BETWEEN 0 AND 99").collect()
+    )
+    assert got == exp and got
