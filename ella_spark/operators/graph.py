@@ -215,3 +215,84 @@ def connected_components(
         .join(labels, "id", "left_outer")
         .select("id", F.coalesce("component", "id").alias("component"))
     )
+
+
+# ── PageRank ─────────────────────────────────────────────────────────
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, computed in
+    integer fixed-point (BIGINT units of 1/``scale``) so results are
+    bit-reproducible across engines and across partition layouts.
+
+    The reference engine has no graph operator; this serves the
+    LLM-pipeline uses of link analysis (domain quality weighting for
+    web corpora — CCNet/RefinedWeb-style curation ranks domains by
+    centrality before filtering).
+
+    Determinism design (the decimal-sums lesson, one step further): a
+    plain double implementation is partition-order dependent because
+    the per-node SUM of incoming contributions is a float reduction.
+    Here the rank vector is held as BIGINT micro-units. Every step is
+    either (a) exact int64 arithmetic — the shuffle-side SUM — or
+    (b) one correctly-rounded IEEE double op followed by floor(), which
+    every engine computes identically (all intermediates < 2^53, so
+    the int->double conversions are exact). No decimal types, no
+    round(): nothing engine-specific anywhere, which is what lets the
+    DuckDB oracle replay all iterations as chained CTEs
+    (queries/graphalgo.py) and hash-match bit-for-bit.
+
+        pr0      = floor(scale / N)
+        contrib  = floor(pr / outdeg)           per edge
+        s(v)     = SUM(contrib over in-edges)   exact int64
+        pr_next  = floor(0.15 * scale / N) + floor(0.85 * s(v))
+
+    Scale shape (1000-executor / billions of edges):
+    - per iteration: one equi-join of the rank vector onto the edge
+      list (both hash-partitioned on src — at scale you bucket the
+      edge list by src once and every iteration reuses the layout) +
+      one groupBy(dst) whose partial sums are plain map-side int64;
+    - `localCheckpoint` per iteration truncates lineage (same
+      rationale as connected_components): round k+1 never replays
+      1..k;
+    - only the node count reaches the driver (one scalar, once);
+    - dangling nodes: callers pass a symmetrized or self-looped edge
+      list (every node needs outdeg >= 1); mass distributes only
+      along present edges, matching the oracle semantics exactly.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Edge list + out-degree, materialized once, reused every round.
+    edeg = e.join(deg, "src").localCheckpoint(eager=True)
+    n = deg.count()  # one scalar to the driver (bounded by design)
+
+    pr = deg.select(
+        F.col("src").alias("node"),
+        F.floor(F.lit(float(scale)) / F.lit(float(n))).alias("pr"),
+    )
+    # floor((1-d)*scale/N): python float ops == SQL DOUBLE ops.
+    base = int((1.0 - damping) * float(scale) / float(n))
+    for _ in range(iters):
+        contrib = edeg.join(pr, edeg["src"] == pr["node"]).select(
+            F.col("dst"),
+            F.floor(F.col("pr").cast("double") / F.col("outdeg")).alias("c"),
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = s.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base)
+                + F.floor(F.lit(damping) * F.col("s").cast("double"))
+            ).alias("pr"),
+        ).localCheckpoint(eager=True)
+    return pr

@@ -695,3 +695,73 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(cand, df, queries, vec_col, id_col, k, q_collected=(q_ids, Q))
+
+
+def knn_join(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_centroids: int = 16,
+    centroids=None,
+) -> DataFrame:
+    """All-pairs k-nearest-neighbor self-join, blocked by IVF cells.
+
+    The corpus-wide companion of ``ivf_topk`` (which serves a small
+    query set): EVERY vector gets its top-``k`` cosine neighbors from
+    within its own coarse-quantization cell. This is the standard
+    candidate generator for SemDeDup-style semantic dedup and for
+    kNN-graph construction, where brute force is O(n^2) and blocked
+    search is O(sum cell^2) ~= O(n^2 / n_centroids) with balanced
+    cells.
+
+    Scale shape: one narrow map stage assigns cells (Arrow-batched
+    matmul, centroids in the UDF closure), then ONE shuffle keys both
+    join sides on the cell id — Catalyst reuses the exchange for the
+    self-join (both sides are the identical subplan), so the corpus is
+    scanned and shuffled once. The within-cell pair join is the only
+    quadratic step and is bounded by the cell size; hot cells at 100 TB
+    get the same driver-gated split treatment as semantic_dedup
+    (clustering.py) — cell counts are an O(n_centroids) artifact.
+    Ties break toward the smaller neighbor id (deterministic).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, dim, vec_col, id_col, n_centroids=n_centroids
+        )
+    cu = _cells_udf(centroids, 1)
+    v = df.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.element_at(cu(F.col(vec_col)), 1).alias("cell"),
+    ).withColumn("n", l2_norm(F.col("v")))
+    a = v.select(
+        F.col("id").alias("vec_id"),
+        F.col("v").alias("_av"),
+        F.col("n").alias("_an"),
+        "cell",
+    )
+    b = v.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("_bv"),
+        F.col("n").alias("_bn"),
+        "cell",
+    )
+    scored = (
+        a.join(b, "cell")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias(
+                "_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cosine"))
+    )

@@ -79,6 +79,7 @@ def _load() -> None:
         similarity,
         textops,
         curation,
+        graphalgo,
         relational,
         tpch_full,
         window,
@@ -115,6 +116,11 @@ _NEW_R6 = {
     "q_mad_outliers",
     "q_string_agg",
     "q_token_fertility",
+    # second wave (added after the mid-round rotation freeze)
+    "q_pagerank",
+    "q_knn_join",
+    "q_weighted_sample",
+    "q_mode_per_group",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

@@ -1025,3 +1025,52 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
     )
+
+
+# ── weighted sampling without replacement (priority sampling) ────────
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             CAST((doc_id * 2654435761) % 1000003 AS DOUBLE)
+               / n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars, round(priority, 6) AS priority
+    FROM pri
+    ORDER BY priority, doc_id
+    LIMIT 50
+    """,
+    doc="Weighted sampling WITHOUT replacement (Duffield-Lund-Thorup "
+    "priority sampling): inclusion odds proportional to document "
+    "weight (n_chars), via the k smallest hash/weight priorities. The "
+    "uniform draw is a deterministic multiplicative hash (Knuth "
+    "constant, int64-exact in both engines) so — unlike rand()-keyed "
+    "A-ES — the sample is reproducible and the oracle replays it "
+    "exactly: one int64 hash + one correctly-rounded double division "
+    "per row, then a global top-k. At scale: map-only scoring + "
+    "TakeOrderedAndProject (per-partition partial top-k, single "
+    "O(k) driver merge — no full sort, no shuffle of the corpus).",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pri = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)
+    ).cast("double") / F.col("n_chars")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            pri.alias("_p"),
+        )
+        .orderBy("_p", "doc_id")
+        .limit(50)
+        .select(
+            "doc_id", "source", "n_chars", F.round("_p", 6).alias("priority")
+        )
+    )

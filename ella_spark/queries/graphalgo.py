@@ -1,0 +1,119 @@
+"""Graph-analytics queries over the events stream: link-analysis
+scoring as a curation signal (SURVEY.md §7 Phase 5 beyond-reference
+surface; the reference has no graph operator).
+
+q_pagerank runs integer fixed-point PageRank
+(ella_spark.operators.graph.pagerank) over a co-activity graph derived
+from events, and — because every arithmetic step is either exact int64
+or one correctly-rounded IEEE double op + floor() — the DuckDB oracle
+can replay all iterations as chained CTEs and hash-match bit-for-bit.
+The co-activity edge derivation is deliberately linear: one
+min/max pair per (event_type, hour) group, so the edge list is
+O(groups), never a within-group pair explosion.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ella_spark.operators.graph import pagerank
+from ella_spark.queries import register
+from ella_spark.sources import load_table
+
+_ITERS = 5
+_DAMPING = 0.85
+_SCALE = 10**12
+_TOP = 20
+
+
+def _pagerank_oracle() -> str:
+    # IMPORTANT: (1.0 - 0.85) != 0.15 in binary doubles — the oracle
+    # must spell the damping-complement EXACTLY as the Spark side
+    # computes it (1.0 - d), not as the algebraic constant.
+    one_minus_d = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    scale_d = f"CAST({_SCALE} AS DOUBLE)"
+    ctes = [
+        """g0 AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             min(user_id) AS u, max(user_id) AS v
+      FROM events GROUP BY event_type, epoch_ns(ts) // 3600000000000)""",
+        "e0 AS (SELECT DISTINCT u, v FROM g0 WHERE u <> v)",
+        """edges AS (
+      SELECT u AS src, v AS dst FROM e0
+      UNION
+      SELECT v AS src, u AS dst FROM e0)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        f"""pr0 AS (
+      SELECT src AS node,
+             CAST(floor({scale_d} / (SELECT n FROM nn)) AS BIGINT) AS pr
+      FROM deg)""",
+    ]
+    for i in range(1, _ITERS + 1):
+        ctes.append(
+            f"""s{i} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(floor(CAST(p.pr AS DOUBLE) / d.outdeg) AS BIGINT)) AS s
+      FROM pr{i - 1} p
+      JOIN edges e ON e.src = p.node
+      JOIN deg d ON d.src = p.node
+      GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""pr{i} AS (
+      SELECT node,
+             CAST(floor({one_minus_d} * {scale_d} / (SELECT n FROM nn))
+                  AS BIGINT)
+             + CAST(floor(CAST(0.85 AS DOUBLE) * CAST(s AS DOUBLE)) AS BIGINT)
+               AS pr
+      FROM s{i})"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node, pr AS rank_fp,
+           CAST(pr AS DOUBLE) / {scale_d} AS score
+    FROM pr{_ITERS}
+    ORDER BY pr DESC, node
+    LIMIT {_TOP}
+    """
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="Integer fixed-point PageRank (5 iterations, d=0.85) over the "
+    "events co-activity graph: one (min_user, max_user) edge per "
+    "(event_type, hour) group — O(groups) edges, no pair explosion — "
+    "symmetrized so every node has outdeg >= 1. All state is BIGINT "
+    "micro-units (1e-12): shuffle-side SUMs are exact int64, every "
+    "float step is one correctly-rounded double op + floor, so the "
+    "DuckDB oracle replays all 5 iterations as chained CTEs and the "
+    "result hash-matches exactly. At scale: per-iteration equi-join + "
+    "int64 groupBy keyed on node id, lineage cut by localCheckpoint "
+    "per round, only the node count collected (graph.py pagerank).",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # ts surfaces as int64 nanoseconds (SURVEY §1.4 shim): the hour
+    # bucket is integer division, mirrored as epoch_ns(ts) // in DuckDB.
+    g0 = ev.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.min("user_id").alias("u"), F.max("user_id").alias("v"))
+    e0 = g0.where(F.col("u") != F.col("v")).select("u", "v").distinct()
+    edges = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+    )
+    pr = pagerank(edges, iters=_ITERS, damping=_DAMPING, scale=_SCALE)
+    return (
+        pr.select(
+            "node",
+            F.col("pr").alias("rank_fp"),
+            (F.col("pr").cast("double") / F.lit(float(_SCALE))).alias("score"),
+        )
+        .orderBy(F.col("rank_fp").desc(), "node")
+        .limit(_TOP)
+    )

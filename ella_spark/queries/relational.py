@@ -1279,3 +1279,40 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS cnt
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang AS mode_lang, cnt AS mode_count
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+      FROM c)
+    WHERE rn = 1
+    """,
+    doc="mode() aggregate with a PINNED tie contract: the most frequent "
+    "lang per source, ties to the lexicographically smallest value. "
+    "Native mode() leaves ties implementation-defined in both engines, "
+    "so the portable form is count-group + per-group top-1 window — "
+    "two map-side-partial shuffles on (source[, lang]), never a "
+    "value-set collect.",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "lang")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("mode_lang"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

@@ -763,3 +763,65 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return out.drop("_c")
+
+
+# ── corpus-wide kNN join ─────────────────────────────────────────────
+
+
+def _knn_join_oracle() -> str | None:
+    cent = _oracle_centroids(16)
+    if cent is None:
+        return None
+    # Assignment ties -> smaller cluster id (stable argsort contract),
+    # exactly like the IVF oracle; then a within-cell self-join and a
+    # per-vector top-3 window. Same cosine form as the other oracles.
+    return f"""
+    WITH cent AS ({_cent_cte(cent)}),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    cscore AS (
+      SELECT v.vec_id, c.cluster, {_dot_sql('v.ve', 'c.cv')} AS d
+      FROM v CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, cluster AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cluster) AS rn
+        FROM cscore) s
+      WHERE rn = 1),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             {_dot_sql('av.ve', 'bv.ve')} / (av.nrm * bv.nrm) AS cos
+      FROM assigned a
+      JOIN assigned b ON b.cell = a.cell AND b.vec_id != a.vec_id
+      JOIN v av ON av.vec_id = a.vec_id
+      JOIN v bv ON bv.vec_id = b.vec_id)
+    SELECT vec_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           round(cos, 6) AS cosine
+    FROM (
+      SELECT vec_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """
+
+
+@register(
+    "q_knn_join",
+    oracle=_knn_join_oracle(),
+    doc="Corpus-wide approximate kNN JOIN: every vector's top-3 cosine "
+    "neighbors from within its IVF cell (pinned train-once centroids, "
+    "so the DuckDB oracle replays assignment + within-cell self-join "
+    "exactly). The SemDeDup/kNN-graph candidate generator: one Arrow "
+    "matmul assignment pass, ONE cell-keyed shuffle reused for both "
+    "self-join sides, quadratic work confined to each cell "
+    "(operators/similarity.py knn_join).",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_join(
+        emb, dim=_DIM, k=3, centroids=corpus_centroids(sf_dir, 16)
+    ).orderBy("vec_id", "rank")

@@ -78,3 +78,71 @@ def test_random_graph(spark, seed, sge):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     _run(spark, nodes, edges, sge)
+
+
+# ── PageRank ─────────────────────────────────────────────────────────
+
+
+def _numpy_pagerank_fp(edges, iters=5, damping=0.85, scale=10**12):
+    """Reference implementation of the integer fixed-point recipe."""
+    import math
+
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    n = len(out)
+    pr = {u: math.floor(scale / n) for u in out}
+    base = math.floor((1.0 - damping) * float(scale) / float(n))
+    for _ in range(iters):
+        s = {}
+        for u, nbrs in out.items():
+            c = math.floor(pr[u] / len(nbrs))
+            for v in nbrs:
+                s[v] = s.get(v, 0) + c
+        pr = {v: base + math.floor(damping * float(sv)) for v, sv in s.items()}
+    return pr
+
+
+def test_pagerank_matches_reference_fixed_point(spark):
+    from ella_spark.operators.graph import pagerank
+
+    # Directed, symmetrized ring + chords: every node has outdeg >= 1.
+    raw = [(i, (i + 1) % 20) for i in range(20)] + [(0, 10), (5, 15), (3, 7)]
+    edges = sorted(set(raw + [(b, a) for a, b in raw]))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(edf, iters=5).collect()}
+    assert got == _numpy_pagerank_fp(edges)
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    from ella_spark.operators.graph import pagerank
+
+    # Fixed-point floors only ever LOSE mass: total rank stays within
+    # n floors-per-iteration of the ideal total `scale`.
+    raw = [(i, (i * 7 + 3) % 50) for i in range(50) if i != (i * 7 + 3) % 50]
+    edges = sorted(set(raw + [(b, a) for a, b in raw]))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(edf, iters=5).collect()
+    total = sum(r["pr"] for r in rows)
+    n = len({u for u, _ in edges})
+    assert total <= 10**12
+    # each of the 5 iterations floors once per edge (contributions)
+    # and twice per node (base + damping); pr0 floors once per node
+    assert total >= 10**12 - 5 * (len(edges) + 2 * n) - n
+    assert all(r["pr"] > 0 for r in rows)
+
+
+def test_pagerank_partition_layout_invariance(spark):
+    """The determinism claim: the same graph under a different
+    partitioning / input order yields bit-identical fixed-point ranks
+    (int sums are exact; a double implementation would drift)."""
+    from ella_spark.operators.graph import pagerank
+
+    raw = [(i, (i * 13 + 5) % 97) for i in range(97) if i != (i * 13 + 5) % 97]
+    edges = sorted(set(raw + [(b, a) for a, b in raw]))
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    shuffled = list(reversed(edges))
+    b = spark.createDataFrame(shuffled, "src long, dst long").repartition(17)
+    ra = {r["node"]: r["pr"] for r in pagerank(a, iters=4).collect()}
+    rb = {r["node"]: r["pr"] for r in pagerank(b, iters=4).collect()}
+    assert ra == rb

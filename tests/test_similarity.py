@@ -285,3 +285,56 @@ def test_ivfpq_extend_index(spark, tmp_path):
     q = emb.where(F.col("vec_id") == 150)
     rows = db.vector_search("vecs", q, k=5, n_probe=8).collect()
     assert len(rows) == 5 and all(r.query_id == 150 for r in rows)
+
+
+# ── kNN self-join ────────────────────────────────────────────────────
+
+
+def test_knn_join_within_cell_exact(spark):
+    """knn_join == brute-force kNN restricted to each vector's cell."""
+    import numpy as np
+
+    from ella_spark.operators.similarity import knn_join, lloyd_spherical
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 60
+    X = rng.normal(size=(n, dim)).astype(np.float64)
+    cent = lloyd_spherical(X, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join(df, dim=dim, k=3, centroids=cent).collect()
+    }
+    # Oracle: stable argmax cell assignment, exact cosine within cell.
+    Xf = np.stack(
+        [np.asarray([np.float32(x) for x in X[i]], dtype=np.float64) for i in range(n)]
+    )
+    cells = np.argsort(-(Xf @ np.asarray(cent).T), axis=1, kind="stable")[:, 0]
+    norms = np.linalg.norm(Xf, axis=1)
+    for i in range(n):
+        mates = [j for j in range(n) if j != i and cells[j] == cells[i]]
+        cos = [(-(Xf[i] @ Xf[j]) / (norms[i] * norms[j]), j) for j in mates]
+        for rank, (_, j) in enumerate(sorted(cos)[:3], start=1):
+            assert got[(i, rank)] == j, (i, rank)
+
+
+def test_knn_join_excludes_self_and_caps_k(spark):
+    import numpy as np
+
+    from ella_spark.operators.similarity import knn_join, lloyd_spherical
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(10, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = knn_join(df, dim=4, k=2, centroids=lloyd_spherical(X, 2)).collect()
+    assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
+    from collections import Counter
+
+    per = Counter(r["vec_id"] for r in rows)
+    assert max(per.values()) <= 2
