@@ -385,6 +385,7 @@ class Maintainer:
         retention_ns: int | None = None,
         cluster_by: dict[str, list[str]] | None = None,
         zorder: bool = False,
+        bloom_cols: dict[str, list[str]] | None = None,
     ):
         self.engine = engine
         self.target_rows = target_rows
@@ -394,6 +395,9 @@ class Maintainer:
         #: (zorder=True Morton-interleaves 2-4 cols, see compact_topic)
         self.cluster_by = cluster_by or {}
         self.zorder = zorder
+        #: per-topic manifest Bloom filters: topic name -> point-lookup
+        #: columns (build_manifest bloom_cols; Topic.read(col_eq=...))
+        self.bloom_cols = bloom_cols or {}
 
     def run_once(self, refresh_views: bool = True) -> dict:
         compacted, cleaned, refreshed, expired, errors = [], [], [], [], []
@@ -420,7 +424,9 @@ class Maintainer:
                 compacted.append(str(out))
             # consolidate per-shard time stats AFTER compaction so the
             # manifest reflects the surviving shard set
-            manifest_entries += build_manifest(t)
+            manifest_entries += build_manifest(
+                t, bloom_cols=self.bloom_cols.get(entry.name)
+            )
         cleaned = [str(p) for p in cleanup_orphans(self.engine.store)]
         if refresh_views:
             # Materialized views ride the maintenance loop (the
@@ -575,7 +581,31 @@ def expire_topic(topic: Topic, before_ns: int) -> list[Path]:
     return removed
 
 
-def build_manifest(topic: Topic) -> int:
+def _shard_blooms(path, cols: list[str], col_dtypes: dict, fpp: float) -> dict:
+    """Per-column Bloom filters from a full column read of one shard;
+    {} when the file vanished mid-pass (compaction race — next pass
+    rebuilds). Values funnel through coerce_for so probe-time SQL
+    equality semantics match (bloom.py)."""
+    from ella_spark.bloom import bloom_build, coerce_for
+
+    try:
+        tbl = pq.read_table(path, columns=cols)
+    except (OSError, ValueError, KeyError):
+        return {}
+    out = {}
+    for c in cols:
+        vals = tbl.column(c).to_pylist()
+        out[c] = bloom_build(
+            (coerce_for(col_dtypes[c], v) for v in vals), fpp
+        )
+    return out
+
+
+def build_manifest(
+    topic: Topic,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float | None = None,
+) -> int:
     """Consolidate per-shard min/max stats into a single manifest
     (``<topic>/_manifest/stats.json``) for DRIVER-side file skipping.
 
@@ -599,6 +629,17 @@ def build_manifest(topic: Topic) -> int:
     correlation with publish order, or ``compact_topic(...,
     cluster_by=[col])``); the stats themselves are always sound. v1
     entries (``basename -> [lo, hi]``) are upgraded in place.
+
+    ``bloom_cols`` opts columns into per-shard Bloom filters
+    (``"b": {col: {m, k, h}}``) for POINT-lookup skipping via
+    ``Topic.read(col_eq=...)`` — the regime where min/max ranges stop
+    discriminating (high-cardinality unclustered keys). Blooms are
+    built from a full column read of the shard (not footer stats), so
+    they are complete by construction; a shard whose entry predates
+    the bloom opt-in gains its filters on the next pass without
+    recomputing footer stats. Cost is ~9.6 bits/distinct value at the
+    default 1% fpp (ella_spark/bloom.py) — opt-in per topic for that
+    reason.
 
     Returns the number of newly-added entries.
     """
@@ -637,10 +678,23 @@ def build_manifest(topic: Topic) -> int:
         if c.dtype in ("int8", "int16", "int32", "int64", "uint8", "uint16",
                        "uint32", "uint64", "float32", "float64")
     }
+    from ella_spark.bloom import DEFAULT_FPP
+
+    col_dtypes = {c.name: c.dtype for c in topic.entry.columns}
+    bloomable = [c for c in (bloom_cols or []) if c in col_dtypes]
+    fpp = DEFAULT_FPP if bloom_fpp is None else bloom_fpp
     added = 0
     for name, path in live.items():
         ent = stats.get(name)
-        if ent is not None and (ent.get("c") or not numeric):
+        need_stats = not (ent is not None and (ent.get("c") or not numeric))
+        need_blooms = [
+            c for c in bloomable if c not in (ent or {}).get("b", {})
+        ]
+        if not need_stats:
+            if need_blooms:
+                blooms = _shard_blooms(path, need_blooms, col_dtypes, fpp)
+                if blooms:
+                    ent.setdefault("b", {}).update(blooms)
             continue
         # new shard, or a v1-era entry with no column stats yet: (re)read
         # the footer so pre-upgrade shards gain col_ranges skipping too
@@ -679,6 +733,10 @@ def build_manifest(topic: Topic) -> int:
                 if cn != TIME_COLUMN
             },
         }
+        if bloomable:
+            blooms = _shard_blooms(path, bloomable, col_dtypes, fpp)
+            if blooms:
+                stats[name]["b"] = blooms
         added += 1
     mdir.mkdir(exist_ok=True)
     if len(stats) > MANIFEST_PARQUET_THRESHOLD:
@@ -695,6 +753,7 @@ def build_manifest(topic: Topic) -> int:
                 "tmin": [int(stats[n]["t"][0]) for n in names],
                 "tmax": [int(stats[n]["t"][1]) for n in names],
                 "c": [json.dumps(stats[n].get("c") or {}) for n in names],
+                "b": [json.dumps(stats[n].get("b") or {}) for n in names],
             }
         )
         tmp = mdir / f".stats-{uuid.uuid4().hex}.tmp"

@@ -130,13 +130,20 @@ class Topic:
             # ONE C-level parse for all column-stat payloads: 10⁵
             # individual json.loads calls dominate the load time
             cols = json.loads("[" + ",".join(c or "{}" for c in cjson) + "]")
+            n_rows = len(cjson)
+            if "b" in tbl.schema.names:
+                bjson = tbl.column("b").to_pylist()
+                blooms = json.loads("[" + ",".join(b or "{}" for b in bjson) + "]")
+            else:  # pre-bloom parquet manifest
+                blooms = [{}] * n_rows
             return {
-                name: {"t": [tmin, tmax], "c": c}
-                for name, tmin, tmax, c in zip(
+                name: {"t": [tmin, tmax], "c": c, "b": b}
+                for name, tmin, tmax, c, b in zip(
                     tbl.column("name").to_pylist(),
                     tbl.column("tmin").to_pylist(),
                     tbl.column("tmax").to_pylist(),
                     cols,
+                    blooms,
                 )
             }
         mpath = mdir / "stats.json"
@@ -155,11 +162,17 @@ class Topic:
         # drop 'c' for pre-v3 manifests, keep the conservative time
         # ranges (those were always whole-file).
         sound_cols = (raw.get("_v") or 0) >= 3
+        # blooms are always value-complete (built from a full column
+        # read, never footer stats), so no v3 gate applies to "b"
         return {
             k: (
-                {"t": v["t"], "c": (v.get("c", {}) if sound_cols else {})}
+                {
+                    "t": v["t"],
+                    "c": (v.get("c", {}) if sound_cols else {}),
+                    "b": v.get("b", {}),
+                }
                 if isinstance(v, dict)
-                else {"t": v, "c": {}}
+                else {"t": v, "c": {}, "b": {}}
             )
             for k, v in raw.items()
             if not k.startswith("_")  # meta keys (_v format stamp)
@@ -171,6 +184,7 @@ class Topic:
         start_ns: int | None = None,
         end_ns: int | None = None,
         col_ranges: dict[str, tuple] | None = None,
+        col_eq: dict | None = None,
     ) -> DataFrame:
         """Batch scan of all durable shards (history tier).
 
@@ -197,6 +211,17 @@ class Topic:
         the column — publish-order correlation or
         ``compact_topic(cluster_by=["k"])``; always correct
         regardless.
+
+        ``col_eq`` (``{"k": value}``) is the POINT-lookup analog:
+        shards whose manifest Bloom filter (opt-in via
+        ``build_manifest(bloom_cols=...)`` / Maintainer
+        ``bloom_cols``) proves the value absent are skipped — the
+        regime where ranges stop discriminating because every
+        unclustered shard's [min, max] straddles the probe. No bloom
+        for a shard/column ⇒ the shard is read (skipping stays
+        proven-absent only); the residual equality filter applies to
+        surviving rows either way, so results never depend on bloom
+        coverage.
         """
         from pyspark.sql import functions as F
 
@@ -204,8 +229,21 @@ class Topic:
 
         configure(spark)
         bounded = (
-            start_ns is not None or end_ns is not None or bool(col_ranges)
+            start_ns is not None
+            or end_ns is not None
+            or bool(col_ranges)
+            or bool(col_eq)
         )
+        eq_probe = {}
+        if col_eq:
+            from ella_spark.bloom import coerce_for
+
+            dtypes = {c.name: c.dtype for c in self.entry.columns}
+            eq_probe = {
+                c: coerce_for(dtypes.get(c, ""), v)
+                for c, v in col_eq.items()
+                if v is not None
+            }
         if bounded and (stats := self.manifest()):
             files = self.shards()
             keep = []
@@ -219,6 +257,8 @@ class Topic:
                         continue
                     if col_ranges and self._misses_ranges(ent, col_ranges):
                         continue
+                    if eq_probe and self._misses_blooms(ent, eq_probe):
+                        continue
                 keep.append(p)
             if len(keep) < len(files):
                 df = self.read_files(spark, keep)
@@ -226,7 +266,9 @@ class Topic:
                     df = df.where(F.col(TIME_COLUMN) >= start_ns)
                 if end_ns is not None:
                     df = df.where(F.col(TIME_COLUMN) < end_ns)
-                return self._apply_col_ranges(df, col_ranges)
+                return self._apply_col_eq(
+                    self._apply_col_ranges(df, col_ranges), col_eq
+                )
         df = (
             spark.read.schema(self._partitioned_schema())
             .option("basePath", str(self.path))
@@ -242,7 +284,31 @@ class Topic:
                 (F.col(PARTITION_COL) <= time_bucket(end_ns - 1))
                 & (F.col(TIME_COLUMN) < end_ns)
             )
-        return self._apply_col_ranges(df.drop(PARTITION_COL), col_ranges)
+        return self._apply_col_eq(
+            self._apply_col_ranges(df.drop(PARTITION_COL), col_ranges), col_eq
+        )
+
+    @staticmethod
+    def _misses_blooms(ent: dict, eq_probe: dict) -> bool:
+        """True when some per-shard Bloom filter PROVES a probe value
+        absent (no filter for a column never skips; a malformed
+        filter degrades to 'read' inside bloom_might_contain)."""
+        from ella_spark.bloom import bloom_might_contain
+
+        blooms = ent.get("b") or {}
+        for col, v in eq_probe.items():
+            b = blooms.get(col)
+            if b is not None and not bloom_might_contain(b, v):
+                return True
+        return False
+
+    @staticmethod
+    def _apply_col_eq(df: DataFrame, col_eq: dict | None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for col, v in (col_eq or {}).items():
+            df = df.where(F.col(col) == F.lit(v))
+        return df
 
     @staticmethod
     def _misses_ranges(ent: dict, col_ranges: dict) -> bool:

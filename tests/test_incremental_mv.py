@@ -701,7 +701,10 @@ def test_manifest_parquet_format(db, spark, monkeypatch):
     elapsed = _time.monotonic() - t0
     assert len(big) == n
     assert big["shard-000007.parquet"]["t"] == [70, 79]
-    assert elapsed < 1.0, f"manifest load took {elapsed:.2f}s"
+    # quiet-host load is ~0.15 s; the bar guards against a return to
+    # per-entry json.loads (~10 s at 10⁵), not against host-contention
+    # noise — observed a >1 s flake with a foreign JVM shutting down
+    assert elapsed < 3.0, f"manifest load took {elapsed:.2f}s"
 
 
 def test_mv_time_travel(db, spark):
