@@ -773,6 +773,7 @@ class Ella:
                 | {h for _, h in analysis.argmaxs.values()}
                 | {h for _, _, h in analysis.klls.values()}
                 | set(analysis.dists.values())
+                | {h for _, h in analysis.modes.values()}
             )
         bad = [
             c
@@ -884,6 +885,92 @@ class Ella:
             )
         return df
 
+    def _attach_mode_state(self, df: DataFrame, analysis) -> DataFrame:
+        """Join the mode() hidden state (per-group value -> count
+        maps) onto the hidden-partials frame. A count-per-value needs
+        a second grouping level, inexpressible in the one-pass hidden
+        SQL, so — the KLL-state pattern — a side-query over the SAME
+        FROM/WHERE binding builds it; unlike KLL it is pure SQL (no
+        pandas). Two shuffles per mode column ((keys, value) counts,
+        then (keys) map assembly); the state rows are O(groups), each
+        O(distinct values in the group) — the count-map any exact mode
+        computation holds."""
+        import functools
+
+        from pyspark.sql import functions as F
+
+        if not analysis.modes:
+            return df
+        for _alias, (arg, h) in analysis.modes.items():
+            sel = ", ".join(analysis.key_items + [f"({arg}) AS __mv_x"])
+            q = f"SELECT {sel} FROM {analysis.from_text}"
+            q += f" WHERE {analysis.where}" if analysis.where else ""
+            src = self.spark.sql(q).where(F.col("__mv_x").isNotNull())
+            if analysis.keys:
+                cnt = src.groupBy(*analysis.keys, "__mv_x").agg(
+                    F.count(F.lit(1)).alias("__mv_n")
+                )
+                state = cnt.groupBy(*analysis.keys).agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__mv_x", "__mv_n"))
+                    ).alias(h)
+                )
+                # RENAME the state keys before joining: df and state
+                # both descend from the same base relation here (both
+                # are spark.sql over the topic view), so df[k] and
+                # state[k] can resolve to the SAME attribute and the
+                # equality folds to trivially-true (observed: Spark's
+                # 'trivially true equals predicate' warning + a cross-
+                # join-shaped result). The applyInPandas KLL state
+                # never hits this (its plan breaks the lineage).
+                ren = {kk: f"__mv_modek_{kk}" for kk in analysis.keys}
+                state = state.select(
+                    *[F.col(kk).alias(rn) for kk, rn in ren.items()],
+                    F.col(h),
+                )
+                # NULL-SAFE key join (the KLL rationale: NULL keys are
+                # real groups); groups whose arg is all-NULL are
+                # absent from the state frame -> NULL state -> NULL
+                # mode, matching plain mode() over zero non-null rows
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        df[kk].eqNullSafe(F.col(rn))
+                        for kk, rn in ren.items()
+                    ],
+                )
+                df = df.join(state, cond, "left").drop(*ren.values())
+            else:
+                state = src.groupBy(F.col("__mv_x")).agg(
+                    F.count(F.lit(1)).alias("__mv_n")
+                ).agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__mv_x", "__mv_n"))
+                    ).alias(h)
+                )
+                # LEFT join on true (not crossJoin): an all-NULL/empty
+                # source leaves the state frame empty and must not
+                # wipe the global aggregate's single row
+                df = df.join(F.broadcast(state), F.lit(True), "left")
+        return df
+
+    @staticmethod
+    def _mode_visible_expr(h: str):
+        """Visible mode from the count-map state: the entry with the
+        highest count, ties to the SMALLEST value (deterministic in
+        both refresh paths — a documented deviation from plain
+        Spark's implementation-chosen tied pick). NULL/empty state ->
+        NULL, matching mode() over zero non-null rows."""
+        from pyspark.sql import functions as F
+
+        return F.expr(
+            f"try_element_at(array_sort(map_entries({h}), "
+            "(a, b) -> CASE WHEN a.value > b.value THEN -1 "
+            "WHEN a.value < b.value THEN 1 "
+            "WHEN a.key < b.key THEN -1 "
+            "WHEN a.key > b.key THEN 1 ELSE 0 END), 1).key"
+        )
+
     @staticmethod
     def _kll_quantile_expr(h, prob: float, dtype):
         """Visible percentile column from serialized KLL levels
@@ -904,6 +991,7 @@ class Ella:
         orig_fields = {f.name: f.dataType for f in self.spark.sql(orig_sql).schema}
         df = self.spark.sql(analysis.hidden_sql)
         df = self._attach_kll_state(df, analysis)
+        df = self._attach_mode_state(df, analysis)
         return self._derive_visible(df, analysis, orig_fields)
 
     @staticmethod
@@ -1011,6 +1099,10 @@ class Ella:
                 .otherwise(F.size(F.col(h)))
                 .cast(dtypes[alias]),
             )
+        for alias, (_arg, h) in analysis.modes.items():
+            df = df.withColumn(
+                alias, Ella._mode_visible_expr(h).cast(dtypes[alias])
+            )
         hidden = (
             [c for pair in analysis.avgs.values() for c in pair]
             + [c for tup in analysis.stats.values() for c in tup[1:]]
@@ -1019,6 +1111,7 @@ class Ella:
             + [h for _, h in analysis.argmaxs.values()]
             + [h for _, _, h in analysis.klls.values()]
             + list(analysis.dists.values())
+            + [h for _, h in analysis.modes.values()]
         )
         return df.select(*analysis.out_cols, *hidden)
 
@@ -1049,6 +1142,7 @@ class Ella:
             delta_df = self.spark.sql(analysis.hidden_sql or entry.sql)
             if analysis.mode == "agg":
                 delta_df = self._attach_kll_state(delta_df, analysis)
+                delta_df = self._attach_mode_state(delta_df, analysis)
             if analysis.mode == "spf":
                 # structural guard behind the regex analyzer: an
                 # aggregate the blacklist does not know must NEVER be
@@ -1104,6 +1198,7 @@ class Ella:
             | set(analysis.klls)
             | set(analysis.argmaxs)
             | set(analysis.dists)
+            | set(analysis.modes)
         )
         if derived:
             # the snapshot's visible avg/variance columns are derived,
@@ -1149,6 +1244,16 @@ class Ella:
             for alias, (_arg, _prob, h) in analysis.klls.items():
                 tmp = f"__mv_klltmp__{alias}"
                 kll_tmps.append(tmp)
+                aggs.append(F.collect_list(F.col(h)).alias(tmp))
+            # mode() count-map state: collect the per-partial maps
+            # (bounded: one map per partial), then fold them with
+            # map_zip_with summing counts — exact and order-free, so
+            # delta merge ≡ full recompute; the state never grows
+            # beyond O(distinct values per group)
+            mode_tmps: list[str] = []
+            for alias, (_arg, h) in analysis.modes.items():
+                tmp = f"__mv_modetmp__{alias}"
+                mode_tmps.append(tmp)
                 aggs.append(F.collect_list(F.col(h)).alias(tmp))
             # Welford state (variance/corr families): counts merge
             # exactly via SUM; means and centered moments merge via
@@ -1257,8 +1362,24 @@ class Ella:
                 merged = merged.withColumn(
                     h, self._kll_merge_udf()(F.col(f"__mv_klltmp__{alias}"))
                 )
-            if tmps or kll_tmps:
-                merged = merged.drop(*tmps, *kll_tmps)
+            for alias, (_arg, h) in analysis.modes.items():
+                tmp = f"__mv_modetmp__{alias}"
+                # collect_list skips NULL maps; guard the empty list
+                # (a group whose every partial had NULL state) to a
+                # NULL map rather than ANSI-error on element_at
+                merged = merged.withColumn(
+                    h,
+                    F.expr(
+                        f"CASE WHEN size({tmp}) = 0 THEN NULL ELSE "
+                        f"aggregate(slice({tmp}, 2, size({tmp})), "
+                        f"element_at({tmp}, 1), "
+                        "(acc, m) -> map_zip_with(acc, m, "
+                        "(k, a, b) -> coalesce(a, 0L) + coalesce(b, 0L))) "
+                        "END"
+                    ),
+                )
+            if tmps or kll_tmps or mode_tmps:
+                merged = merged.drop(*tmps, *kll_tmps, *mode_tmps)
             if derived:
                 merged = self._derive_visible(merged, analysis, dtypes)
         else:

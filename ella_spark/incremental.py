@@ -72,6 +72,18 @@ of O(history) for the common single-topic shapes:
   approx_count_distinct instead (bounded ~4 KB HLL state, below).
   `sum(DISTINCT)` / multi-argument `count(DISTINCT a, b)` disqualify
   (full recompute).
+- **mode()** (single argument): EXACT via a hidden value -> count MAP
+  column `__mv_cmap__a`. The count-per-value partial needs a second
+  grouping level, inexpressible in the one-pass hidden SQL, so a
+  pure-SQL side-query over the same FROM/WHERE binding builds it
+  (the KLL-state pattern, engine._attach_mode_state); snapshot ∪
+  delta maps fold with `map_zip_with` count sums — exact, order-free,
+  state bounded at O(distinct values per group) forever (Spark's own
+  Mode aggregate holds the same map per group). The visible value is
+  the highest-count entry, count ties to the SMALLEST value —
+  deterministic in both refresh paths, a documented deviation from
+  plain mode()'s implementation-chosen tied pick (the max_by rule).
+  `mode(x, deterministic)` 2-arg form disqualifies.
 - **approx_count_distinct** rides the rewrite as a hidden DataSketches
   HLL sketch column `__mv_hll__a` (binary): delta partials compute
   `hll_sketch_agg`, snapshots merge via `hll_union_agg`, and the
@@ -162,7 +174,7 @@ _AGG_ITEM = re.compile(
     r"^(?P<fn>sum|count|min|max|avg|stddev_samp|stddev_pop|stddev|"
     r"var_samp|var_pop|variance|corr|covar_samp|covar_pop|"
     r"approx_count_distinct|approx_percentile|percentile_approx|"
-    r"max_by|min_by|"
+    r"max_by|min_by|mode|"
     r"regr_(?:count|avgx|avgy|slope|intercept|r2|sxx|syy|sxy))"
     r"\s*\((?P<arg>.+)\)\s+as\s+"
     r"(?P<alias>[A-Za-z0-9_]+)$",
@@ -270,6 +282,14 @@ def set_hidden_col(alias: str) -> str:
     return f"__mv_set__{alias}"
 
 
+def mode_hidden_col(alias: str) -> str:
+    """Snapshot column carrying a mode()'s mergeable state: the
+    group's value -> count map (O(distinct values), the count-map any
+    exact mode computation holds; Spark's own Mode aggregate keeps the
+    same map in an OpenHashMap per group)."""
+    return f"__mv_cmap__{alias}"
+
+
 def approx_hidden_col(alias: str) -> str:
     """Snapshot column carrying an approx_count_distinct's mergeable
     state: a DataSketches HLL sketch (binary)."""
@@ -312,6 +332,8 @@ class MvAnalysis:
     klls: dict[str, tuple[str, float, str]] = field(default_factory=dict)
     #: visible count(DISTINCT x) alias -> hidden distinct-set col
     dists: dict[str, str] = field(default_factory=dict)
+    #: visible mode() alias -> (arg SQL, hidden count-map col)
+    modes: dict[str, tuple[str, str]] = field(default_factory=dict)
     #: raw SELECT items for the group keys (the kll state side-query
     #: re-selects them next to the percentile argument)
     key_items: list[str] = field(default_factory=list)
@@ -375,23 +397,26 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     klls, dists, key_items, hidden_items) = parsed
+     klls, dists, modes, key_items, hidden_items) = parsed
     if group is None and not aggs:
         return None
-    if klls and not hidden_items:
-        # a GLOBAL percentile with no sibling aggregate/key leaves the
-        # hidden partial SQL with an empty select list — full
-        # recompute (add e.g. count(*) to the view to make it delta)
+    if (klls or modes) and not hidden_items:
+        # a GLOBAL percentile/mode with no sibling aggregate/key
+        # leaves the hidden partial SQL with an empty select list —
+        # full recompute (add e.g. count(*) to the view to make it
+        # delta)
         return None
     alias = m.group("alias")
     from_text = table + (f" {alias}" if alias else "")
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
         avgs=avgs, stats=stats, corrs=corrs, approxs=approxs,
-        argmaxs=argmaxs, klls=klls, dists=dists, key_items=key_items,
+        argmaxs=argmaxs, klls=klls, dists=dists, modes=modes,
+        key_items=key_items,
         from_text=from_text, where=m.group("where"),
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
-        if (avgs or stats or corrs or approxs or argmaxs or klls or dists)
+        if (avgs or stats or corrs or approxs or argmaxs or klls or dists
+            or modes)
         else None,
     )
 
@@ -422,6 +447,7 @@ def _classify_agg_select(select_items, group_exprs):
     argmaxs: dict[str, tuple[str, str]] = {}
     klls: dict[str, tuple[str, float, str]] = {}
     dists: dict[str, str] = {}
+    modes: dict[str, tuple[str, str]] = {}
     key_items: list[str] = []
     hidden_items: list[str] = []
     for item in select_items:
@@ -512,6 +538,20 @@ def _classify_agg_select(select_items, group_exprs):
                     f"named_struct('o', ({parts[1]}), 'a', ({parts[0]})) "
                     f"END) AS {h}"
                 )
+            elif fn == "mode":
+                if len(_split_top_level(arg)) != 1:
+                    return None  # mode(x, deterministic): full recompute
+                h = mode_hidden_col(alias)
+                modes[alias] = (arg.strip(), h)
+                # mergeable state: the group's value -> count map,
+                # built by a SQL side-query over the same FROM/WHERE
+                # binding (a count-per-value needs a second grouping
+                # level, inexpressible in the one-pass hidden SQL —
+                # the KLL-state pattern, engine._attach_mode_state).
+                # Deliberate deviation (documented): count ties
+                # resolve to the SMALLEST value in both refresh
+                # paths, where plain Spark's mode leaves the tied
+                # pick implementation-defined.
             elif fn == "approx_count_distinct":
                 parts = _split_top_level(arg)
                 if len(parts) != 1:
@@ -577,7 +617,7 @@ def _classify_agg_select(select_items, group_exprs):
         key_items.append(item.strip())
         hidden_items.append(item.strip())
     return (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-            klls, dists, key_items, hidden_items)
+            klls, dists, modes, key_items, hidden_items)
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -635,12 +675,12 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     klls, dists, key_items, hidden_items) = parsed
+     klls, dists, modes, key_items, hidden_items) = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
-    if klls:
-        return None  # percentile-over-join: full recompute (no state
-        # side-query over a join chain yet)
+    if klls or modes:
+        return None  # percentile/mode over a join: full recompute (no
+        # state side-query over a join chain yet)
     return MvAnalysis(
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,

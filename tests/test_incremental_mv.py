@@ -2170,3 +2170,111 @@ def test_maintainer_clustered_zorder_compaction(db, spark):
         for r in t.read(spark).where("k2 BETWEEN 0 AND 99").collect()
     )
     assert got == exp and got
+
+
+# ── mode(): exact count-map incremental state ────────────────────────
+
+
+def test_mode_mv_delta_matches_full(db, spark):
+    """mode() MV: the hidden value->count map merges across batches
+    (map_zip_with count sums), so a value that trails in batch 1 and
+    overtakes in batch 2 becomes the mode — something no single-batch
+    state could get right. Delta refresh == direct SQL == a fresh MV
+    built over all data (full-recompute path)."""
+    t = db.create_topic("mo", [Column("k", "int64"), Column("v", "int64")])
+    # batch 1: group 0 -> {10:3, 11:2}; group 1 -> {20:4, 21:1}
+    rows1 = [(0, 10)] * 3 + [(0, 11)] * 2 + [(1, 20)] * 4 + [(1, 21)]
+    t.insert(
+        spark.createDataFrame(
+            [(i * 1000, k, v) for i, (k, v) in enumerate(rows1)],
+            "time long, k long, v long",
+        )
+    )
+    sql = "SELECT k, mode(v) AS md, count(*) AS n FROM mo GROUP BY k"
+    db.create_materialized_view("mo_mv", sql)
+    entry = db.store.resolve("mo_mv")
+    assert entry.refresh_state is not None  # delta-refreshable
+    got0 = {r.k: r.md for r in db.query("SELECT * FROM mo_mv").df.collect()}
+    assert got0 == {0: 10, 1: 20}
+
+    # batch 2: 11 overtakes 10 in group 0 (now 3 vs 4); group 1 keeps 20
+    rows2 = [(0, 11)] * 2 + [(1, 22)] * 2
+    t.insert(
+        spark.createDataFrame(
+            [((100 + i) * 1000, k, v) for i, (k, v) in enumerate(rows2)],
+            "time long, k long, v long",
+        )
+    )
+    db.refresh_materialized("mo_mv")
+    got = {r.k: (r.md, r.n) for r in db.query("SELECT * FROM mo_mv").df.collect()}
+    assert got == {0: (11, 7), 1: (20, 7)}
+
+    # full-recompute path over the same data agrees exactly
+    db.create_materialized_view("mo_mv2", sql)
+    got2 = {r.k: (r.md, r.n) for r in db.query("SELECT * FROM mo_mv2").df.collect()}
+    assert got2 == got
+
+
+def test_mode_mv_tie_determinism_and_nulls(db, spark):
+    """Count ties resolve to the SMALLEST value in BOTH refresh paths
+    (documented deviation from plain mode()'s arbitrary tied pick);
+    an all-NULL group yields NULL; a cross-batch tie built 1+1 vs 2
+    still resolves identically."""
+    t = db.create_topic("mt2", [Column("k", "int64"), Column("v", "int64")])
+    # group 0: tie {5:2, 7:2} split across batches; group 1: all NULL
+    t.insert(
+        spark.createDataFrame(
+            [(0, 0, 5), (1000, 0, 5), (2000, 0, 7), (3000, 1, None)],
+            "time long, k long, v long",
+        )
+    )
+    sql = "SELECT k, mode(v) AS md, count(*) AS n FROM mt2 GROUP BY k"
+    db.create_materialized_view("mt2_mv", sql)
+    t.insert(
+        spark.createDataFrame(
+            [(4000, 0, 7), (5000, 1, None)], "time long, k long, v long"
+        )
+    )
+    db.refresh_materialized("mt2_mv")
+    got = {r.k: r.md for r in db.query("SELECT * FROM mt2_mv").df.collect()}
+    assert got == {0: 5, 1: None}  # tie 2-2 -> smallest; all-NULL -> NULL
+
+    db.create_materialized_view("mt2_mv2", sql)
+    got2 = {r.k: r.md for r in db.query("SELECT * FROM mt2_mv2").df.collect()}
+    assert got2 == got
+
+
+def test_mode_mv_global_and_string(db, spark):
+    """Global (no GROUP BY) mode over a string column, with a sibling
+    aggregate carrying the hidden SQL."""
+    t = db.create_topic("mg", [Column("s", "string")])
+    t.insert(
+        spark.createDataFrame(
+            [(i * 1000, x) for i, x in enumerate(["a", "b", "b", "c"])],
+            "time long, s string",
+        )
+    )
+    sql = "SELECT mode(s) AS md, count(*) AS n FROM mg"
+    db.create_materialized_view("mg_mv", sql)
+    assert db.store.resolve("mg_mv").refresh_state is not None
+    t.insert(
+        spark.createDataFrame(
+            [(9000, "c"), (10000, "c")], "time long, s string"
+        )
+    )
+    db.refresh_materialized("mg_mv")
+    [r] = db.query("SELECT * FROM mg_mv").df.collect()
+    assert (r.md, r.n) == ("c", 6)
+
+
+def test_mode_disqualifiers(db):
+    """mode over a join chain and 2-arg mode fall back to full
+    recompute (no state side-query there)."""
+    assert (
+        analyze_mv_sql(
+            "SELECT a.k, mode(a.v) AS md FROM t1 a JOIN t2 b ON a.k = b.k "
+            "GROUP BY a.k"
+        )
+        is None
+    )
+    assert analyze_mv_sql("SELECT k, mode(v, true) AS md FROM t GROUP BY k") is None
