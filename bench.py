@@ -100,6 +100,10 @@ EXTRAS = [
     "q_repeated_span_removal",
     "q_span_cleaned_text",
     "q_bpe_encode",
+    # round-6 second wave
+    "q_pagerank",
+    "q_knn_join",
+    "q_weighted_sample",
 ]
 
 

@@ -731,10 +731,16 @@ def knn_join(
             df, dim, vec_col, id_col, n_centroids=n_centroids
         )
     cu = _cells_udf(centroids, 1)
+    # explode (a Generator) is a deliberate expression barrier: with a
+    # plain element_at projection Catalyst duplicates the pandas UDF
+    # into both the join-key expression and the output projection (two
+    # ArrowEvalPython nodes per side — measured; the NOTES "double-
+    # evaluated compound expressions" failure mode). probe=1 makes the
+    # explode exactly one row per vector.
     v = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
-        F.element_at(cu(F.col(vec_col)), 1).alias("cell"),
+        F.explode(cu(F.col(vec_col))).alias("cell"),
     ).withColumn("n", l2_norm(F.col("v")))
     a = v.select(
         F.col("id").alias("vec_id"),

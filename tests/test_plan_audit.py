@@ -181,3 +181,53 @@ def test_bpe_merges_checkpoint_boundary_and_bounded_rounds(spark):
     # the only .collect() is the per-round 1-row winner (after limit(1))
     assert src.count(".collect()") == 1
     assert ".limit(1)" in src.split(".collect()")[0].rsplit("best", 1)[-1]
+
+
+def test_knn_join_single_udf_pass_and_reused_exchange(spark):
+    """knn_join's scale contract: the corpus is scanned and
+    cell-assigned ONCE (one ArrowEvalPython — the explode Generator
+    barrier stops Catalyst duplicating the pandas UDF into the
+    join-key expression), and the cell-keyed shuffle is REUSED for
+    both self-join sides (ReusedExchange + one SortMergeJoin) once the
+    sides outgrow the broadcast threshold."""
+    import numpy as np
+
+    from ella_spark.operators.similarity import knn_join, lloyd_spherical
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_a = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(200, 8))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        out = knn_join(df, dim=8, k=3, centroids=lloyd_spherical(X, 4))
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert final.count("ArrowEvalPython") == 1, final
+        assert final.count("ReusedExchange") == 1, final
+        assert "SortMergeJoin" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_a is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_a
+            )
+
+
+def test_pagerank_lineage_cut_and_topk(spark):
+    """q_pagerank's final plan reads the LAST checkpoint only (the
+    5-iteration lineage is cut — ExistingRDD scan, no join/exchange
+    replay) and the top-20 is TakeOrderedAndProject (per-partition
+    partial top-k), never a global sort."""
+    plan = _plan(spark, "q_pagerank")
+    assert "TakeOrderedAndProject" in plan
+    assert "ExistingRDD" in plan
+    assert "Join" not in plan and "Sort " not in plan.replace(
+        "TakeOrderedAndProject", ""
+    )
