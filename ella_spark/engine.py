@@ -110,6 +110,14 @@ _ANN_SEARCH_RE = re.compile(
     r"(?:\s*,\s*(\d+))?(?:\s*,\s*(\d+))?\s*\)",
     re.I,
 )
+#: table-valued `point_lookup('<topic>', '<col>', <literal>)` —
+#: manifest/bloom-backed point lookup from plain SQL (the shards the
+#: Bloom filters prove value-free never enter the scan's file list).
+_POINT_LOOKUP_RE = re.compile(
+    r"\bpoint_lookup\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*"
+    r"('[^']*'|-?\d+(?:\.\d+)?)\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -280,6 +288,8 @@ class Ella:
         sql = entry.sql
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
+        if _POINT_LOOKUP_RE.search(sql):
+            sql = self._rewrite_point_lookup(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         return self.spark.sql(sql)
@@ -720,6 +730,8 @@ class Ella:
             sql = entry.sql
             if _ANN_SEARCH_RE.search(sql):
                 sql = self._rewrite_ann_search(sql)
+            if _POINT_LOOKUP_RE.search(sql):
+                sql = self._rewrite_point_lookup(sql)
             if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.hidden_sql:
@@ -1470,6 +1482,8 @@ class Ella:
         sql = analysis.hidden_sql or entry.sql
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
+        if _POINT_LOOKUP_RE.search(sql):
+            sql = self._rewrite_point_lookup(sql)
         try:
             terms = []
             for i in range(n_tables):
@@ -1645,6 +1659,8 @@ class Ella:
         durable_sql = sql
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
+        if _POINT_LOOKUP_RE.search(sql):
+            sql = self._rewrite_point_lookup(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         m = _INSERT_RE.match(sql)
@@ -1698,6 +1714,44 @@ class Ella:
                 n_probe=int(n_probe) if n_probe else 4,
             )
             view = f"__ann_search_{i}"
+            res.createOrReplaceTempView(view)
+            out = out.replace(m.group(0), view)
+        return out
+
+    def _rewrite_point_lookup(self, sql: str) -> str:
+        """Table-valued bloom-backed point lookup in plain SQL:
+
+            SELECT * FROM point_lookup('events_t', 'user_id', 42)
+
+        args: a topic, a column, an equality literal (number or
+        'string'). Substituted with a temp view over
+        ``Topic.read(col_eq=...)`` so the scan's FILE LIST already
+        excludes every shard whose manifest Bloom filter proves the
+        value absent (build_manifest(bloom_cols=...)) — the high-
+        cardinality-key fetch where min/max pruning never skips. The
+        residual equality filter rides along, so the result is correct
+        with or without filters (un-bloomed shards are just read). The
+        surrounding statement stays ordinary Spark SQL, and stored
+        views keep the durable point_lookup(...) text (the ann_search
+        re-rewrite-per-read contract)."""
+        out = sql
+        for i, m in enumerate(_POINT_LOOKUP_RE.finditer(sql)):
+            table, column, lit = m.groups()
+            if lit.startswith("'"):
+                value: object = lit[1:-1]
+            elif "." in lit:
+                value = float(lit)
+            else:
+                value = int(lit)
+            entry = self.store.resolve(table)
+            if entry is None or entry.kind != "topic":
+                raise ValueError(
+                    f"point_lookup: {table!r} is not a topic"
+                )
+            res = Topic(self.store, entry).read(
+                self.spark, col_eq={column: value}
+            )
+            view = f"__point_lookup_{i}"
             res.createOrReplaceTempView(view)
             out = out.replace(m.group(0), view)
         return out

@@ -182,3 +182,55 @@ def test_maintainer_plumbs_bloom_cols(db, spark):
     Maintainer(db, bloom_cols={"mt": ["k"]}).run_once(refresh_views=False)
     m = t.manifest()
     assert m and all("k" in e.get("b", {}) for e in m.values())
+
+
+# ── SQL surface: point_lookup TVF ────────────────────────────────────
+
+
+def test_point_lookup_sql_tvf(db, spark):
+    """SELECT * FROM point_lookup('t', 'k', v) routes through
+    Topic.read(col_eq=...): the file list excludes bloom-proven-absent
+    shards, the residual filter keeps results exact, and the
+    surrounding statement stays ordinary SQL."""
+    from ella_spark.maintenance import build_manifest
+
+    t = _mk(db, spark, name="pl")
+    build_manifest(t, bloom_cols=["k"])
+    lz = db.query(
+        "SELECT k, v FROM point_lookup('pl', 'k', 42) ORDER BY k"
+    )
+    rows = lz.df.collect()
+    assert [(r.k, float(r.v)) for r in rows] == [(42, 10.0)]
+    assert len(lz.df.inputFiles()) <= 2  # 1 true shard + fp slack
+
+    # joins around the TVF work
+    n = db.query(
+        "SELECT count(*) AS n FROM point_lookup('pl', 'k', 42) a "
+        "JOIN point_lookup('pl', 'k', 46) b ON a.v = b.v"
+    ).df.collect()[0].n
+    assert n == 0  # 42 -> v=10, 46 -> v=11
+
+
+def test_point_lookup_string_and_errors(db, spark):
+    import pytest as _pytest
+
+    from ella_spark.maintenance import build_manifest
+
+    t = db.create_topic("ps", [Column("s", "string")])
+    t.insert(
+        spark.range(10)
+        .coalesce(1)
+        .selectExpr("id * 1000 AS time", "concat('u', id) AS s")
+    )
+    t.insert(
+        spark.range(10)
+        .coalesce(1)
+        .selectExpr("(id+50) * 1000 AS time", "concat('v', id) AS s")
+    )
+    build_manifest(t, bloom_cols=["s"])
+    df = db.query("SELECT s FROM point_lookup('ps', 's', 'v3')").df
+    assert [r.s for r in df.collect()] == ["v3"]
+    assert len(df.inputFiles()) == 1
+
+    with _pytest.raises(ValueError, match="not a topic"):
+        db.query("SELECT * FROM point_lookup('nosuch', 'k', 1)")
