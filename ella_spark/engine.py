@@ -785,6 +785,7 @@ class Ella:
                 | {h for _, h in analysis.argmaxs.values()}
                 | {h for _, _, h in analysis.klls.values()}
                 | set(analysis.dists.values())
+                | {h for _, h in analysis.dsums.values()}
                 | {h for _, h in analysis.modes.values()}
             )
         bad = [
@@ -1111,6 +1112,28 @@ class Ella:
                 .otherwise(F.size(F.col(h)))
                 .cast(dtypes[alias]),
             )
+        for alias, (fn, h) in analysis.dsums.items():
+            # sum/avg(DISTINCT): fold the SORTED distinct set so float
+            # folds are order-deterministic (delta merge == full
+            # recompute bit-for-bit); empty/NULL set -> NULL, matching
+            # sum/avg over zero non-null rows
+            t = dtypes[alias].simpleString()
+            if fn == "sum":
+                val = F.expr(
+                    f"aggregate(array_sort({h}), CAST(0 AS {t}), "
+                    f"(acc, x) -> acc + CAST(x AS {t}))"
+                )
+            else:  # avg: fold in double, divide by the set size
+                val = F.expr(
+                    f"aggregate(array_sort({h}), CAST(0 AS DOUBLE), "
+                    f"(acc, x) -> acc + CAST(x AS DOUBLE))"
+                ) / F.size(F.col(h))
+            df = df.withColumn(
+                alias,
+                F.when(
+                    F.col(h).isNotNull() & (F.size(F.col(h)) > 0), val
+                ).cast(dtypes[alias]),
+            )
         for alias, (_arg, h) in analysis.modes.items():
             df = df.withColumn(
                 alias, Ella._mode_visible_expr(h).cast(dtypes[alias])
@@ -1123,6 +1146,7 @@ class Ella:
             + [h for _, h in analysis.argmaxs.values()]
             + [h for _, _, h in analysis.klls.values()]
             + list(analysis.dists.values())
+            + [h for _, h in analysis.dsums.values()]
             + [h for _, h in analysis.modes.values()]
         )
         return df.select(*analysis.out_cols, *hidden)
@@ -1210,6 +1234,7 @@ class Ella:
             | set(analysis.klls)
             | set(analysis.argmaxs)
             | set(analysis.dists)
+            | set(analysis.dsums)
             | set(analysis.modes)
         )
         if derived:
@@ -1249,6 +1274,11 @@ class Ella:
             aggs += [
                 F.array_distinct(F.flatten(F.collect_list(F.col(h)))).alias(h)
                 for h in analysis.dists.values()
+            ]
+            # sum/avg(DISTINCT) share the distinct-set merge
+            aggs += [
+                F.array_distinct(F.flatten(F.collect_list(F.col(h)))).alias(h)
+                for _, h in analysis.dsums.values()
             ]
             # approx_percentile KLL state: fold snapshot ∪ delta
             # sketches per group (bounded: one struct per partial)

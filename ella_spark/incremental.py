@@ -70,8 +70,15 @@ of O(history) for the common single-topic shapes:
   count-distinct job holds the same set in its hash aggregate);
   when the cardinality is too large to store, use
   approx_count_distinct instead (bounded ~4 KB HLL state, below).
-  `sum(DISTINCT)` / multi-argument `count(DISTINCT a, b)` disqualify
-  (full recompute).
+  Multi-argument `count(DISTINCT a, b)` disqualifies (full
+  recompute).
+- **sum(DISTINCT x) / avg(DISTINCT x)**: EXACT via the SAME hidden
+  distinct-set state; the visible value folds the set — SORTED first,
+  so a float fold is order-deterministic and delta merge ≡ full
+  recompute bit-for-bit (sum folds in the result dtype: exact for
+  int/decimal; avg folds in double — a documented hair of deviation
+  from Spark's decimal-avg rounding, self-consistent across both
+  refresh paths). Other DISTINCT aggregates disqualify.
 - **mode()** (single argument): EXACT via a hidden value -> count MAP
   column `__mv_cmap__a`. The count-per-value partial needs a second
   grouping level, inexpressible in the one-pass hidden SQL, so a
@@ -156,7 +163,9 @@ _BANNED = re.compile(
 
 #: the one DISTINCT form the agg rewrite supports (masked out before
 #: the banned-token scan; see analyze_mv_sql)
-_COUNT_DISTINCT = re.compile(r"\bcount\s*\(\s*distinct\b", re.I)
+_COUNT_DISTINCT = re.compile(
+    r"\b(?:count|sum|avg)\s*\(\s*distinct\b", re.I
+)
 
 _SHAPE = re.compile(
     r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<table>[A-Za-z0-9_]+)"
@@ -332,6 +341,8 @@ class MvAnalysis:
     klls: dict[str, tuple[str, float, str]] = field(default_factory=dict)
     #: visible count(DISTINCT x) alias -> hidden distinct-set col
     dists: dict[str, str] = field(default_factory=dict)
+    #: visible sum/avg(DISTINCT x) alias -> (fn, hidden set col)
+    dsums: dict[str, tuple[str, str]] = field(default_factory=dict)
     #: visible mode() alias -> (arg SQL, hidden count-map col)
     modes: dict[str, tuple[str, str]] = field(default_factory=dict)
     #: raw SELECT items for the group keys (the kll state side-query
@@ -397,7 +408,7 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     klls, dists, modes, key_items, hidden_items) = parsed
+     klls, dists, dsums, modes, key_items, hidden_items) = parsed
     if group is None and not aggs:
         return None
     if (klls or modes) and not hidden_items:
@@ -411,12 +422,12 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
         avgs=avgs, stats=stats, corrs=corrs, approxs=approxs,
-        argmaxs=argmaxs, klls=klls, dists=dists, modes=modes,
+        argmaxs=argmaxs, klls=klls, dists=dists, dsums=dsums, modes=modes,
         key_items=key_items,
         from_text=from_text, where=m.group("where"),
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
         if (avgs or stats or corrs or approxs or argmaxs or klls or dists
-            or modes)
+            or dsums or modes)
         else None,
     )
 
@@ -447,6 +458,7 @@ def _classify_agg_select(select_items, group_exprs):
     argmaxs: dict[str, tuple[str, str]] = {}
     klls: dict[str, tuple[str, float, str]] = {}
     dists: dict[str, str] = {}
+    dsums: dict[str, tuple[str, str]] = {}
     modes: dict[str, tuple[str, str]] = {}
     key_items: list[str] = []
     hidden_items: list[str] = []
@@ -469,10 +481,19 @@ def _classify_agg_select(select_items, group_exprs):
                 # aggregates stay disqualified (full recompute).
                 alias, fn = am.group("alias"), am.group("fn").lower()
                 inner = dm.group("inner").strip()
-                if fn != "count" or len(_split_top_level(inner)) != 1:
-                    return None  # sum(DISTINCT)/multi-arg: full recompute
+                if fn not in ("count", "sum", "avg") or len(
+                    _split_top_level(inner)
+                ) != 1:
+                    return None  # other DISTINCT/multi-arg: full recompute
                 h = set_hidden_col(alias)
-                dists[alias] = h
+                if fn == "count":
+                    dists[alias] = h
+                else:
+                    # sum/avg(DISTINCT x): SAME distinct-set state; the
+                    # visible value folds the set (sorted, so float
+                    # folds are order-deterministic: delta merge ≡ full
+                    # recompute bit-for-bit) — engine._derive_visible
+                    dsums[alias] = (fn, h)
                 aggs[alias] = fn
                 out_cols.append(alias)
                 hidden_items.append(f"collect_set({inner}) AS {h}")
@@ -617,7 +638,7 @@ def _classify_agg_select(select_items, group_exprs):
         key_items.append(item.strip())
         hidden_items.append(item.strip())
     return (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-            klls, dists, modes, key_items, hidden_items)
+            klls, dists, dsums, modes, key_items, hidden_items)
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -675,7 +696,7 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     klls, dists, modes, key_items, hidden_items) = parsed
+     klls, dists, dsums, modes, key_items, hidden_items) = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
     if klls or modes:
@@ -685,10 +706,11 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,
         corrs=corrs, approxs=approxs, argmaxs=argmaxs, dists=dists,
+        dsums=dsums,
         hidden_sql=_rebuild(
             hidden_items, m.group("chain"), m.group("where"), group
         )
-        if (avgs or stats or corrs or approxs or argmaxs or dists)
+        if (avgs or stats or corrs or approxs or argmaxs or dists or dsums)
         else None,
     )
 

@@ -248,12 +248,14 @@ def test_analyzer_shapes():
     # must be case-insensitive like the rest of the analyzer)
     up = analyze_mv_sql("SELECT x.v FROM a AS x JOIN b ON x.k = b.k")
     assert up is not None and up.mode == "spf_join" and up.tables == ["a", "b"]
-    # count(DISTINCT x) became mergeable in round 6 (hidden
+    # count/sum/avg(DISTINCT x) became mergeable in round 6 (hidden
     # distinct-set state); every OTHER distinct form still disqualifies
     cd = analyze_mv_sql("SELECT k, count(DISTINCT v) AS d FROM t GROUP BY k")
     assert cd is not None and cd.dists == {"d": "__mv_set__d"}
+    ad = analyze_mv_sql("SELECT k, avg(DISTINCT v) AS m FROM t GROUP BY k")
+    assert ad is not None and ad.dsums == {"m": ("avg", "__mv_set__m")}
     for bad in (
-        "SELECT k, avg(DISTINCT v) AS m FROM t GROUP BY k",
+        "SELECT k, max(DISTINCT v) AS m FROM t GROUP BY k",
         "SELECT a.v FROM a JOIN b ON a.k = b.k JOIN a x ON b.k = x.k",
         "SELECT a.v FROM a LEFT JOIN b ON a.k = b.k",  # outer: retracts
         "SELECT a.v FROM a JOIN a x ON a.k = x.k",  # self-join
@@ -2025,15 +2027,22 @@ def test_count_distinct_mv_delta(db, spark):
 
 
 def test_count_distinct_mv_disqualifiers():
-    """sum(DISTINCT) and multi-arg count(DISTINCT a, b) must NOT be
-    treated as mergeable (full recompute), while count(DISTINCT x)
-    analyzes with the hidden set state."""
+    """count/sum/avg(DISTINCT x) analyze with the hidden set state;
+    multi-arg count(DISTINCT a, b) and other DISTINCT aggregates
+    (min/max/collect) fall back to full recompute."""
     ok = analyze_mv_sql("SELECT k, count(DISTINCT v) AS dv FROM t GROUP BY k")
     assert ok is not None and ok.dists == {"dv": "__mv_set__dv"}
     assert "collect_set" in ok.hidden_sql
-    assert analyze_mv_sql("SELECT k, sum(DISTINCT v) AS s FROM t GROUP BY k") is None
+    ok2 = analyze_mv_sql("SELECT k, sum(DISTINCT v) AS s FROM t GROUP BY k")
+    assert ok2 is not None and ok2.dsums == {"s": ("sum", "__mv_set__s")}
+    ok3 = analyze_mv_sql("SELECT k, avg(DISTINCT v) AS a FROM t GROUP BY k")
+    assert ok3 is not None and ok3.dsums == {"a": ("avg", "__mv_set__a")}
     assert (
         analyze_mv_sql("SELECT k, count(DISTINCT v, w) AS c FROM t GROUP BY k")
+        is None
+    )
+    assert (
+        analyze_mv_sql("SELECT k, min(DISTINCT v) AS m FROM t GROUP BY k")
         is None
     )
 
@@ -2278,3 +2287,70 @@ def test_mode_disqualifiers(db):
         is None
     )
     assert analyze_mv_sql("SELECT k, mode(v, true) AS md FROM t GROUP BY k") is None
+
+
+# ── sum/avg(DISTINCT): shared distinct-set incremental state ─────────
+
+
+def test_sum_avg_distinct_mv_delta_matches_full(db, spark):
+    """sum(DISTINCT)/avg(DISTINCT) ride the count(DISTINCT) set state:
+    a value seen in BOTH batches counts once, delta == direct ==
+    fresh-MV full recompute."""
+    t = db.create_topic("sd", [Column("k", "int64"), Column("v", "int64")])
+    t.insert(
+        spark.createDataFrame(
+            [(i * 1000, i % 2, v) for i, v in enumerate([10, 20, 30, 10, 20])],
+            "time long, k long, v long",
+        )
+    )
+    sql = (
+        "SELECT k, sum(DISTINCT v) AS sd, avg(DISTINCT v) AS ad, "
+        "count(DISTINCT v) AS cd, count(*) AS n FROM sd GROUP BY k"
+    )
+    db.create_materialized_view("sd_mv", sql)
+    assert db.store.resolve("sd_mv").refresh_state is not None
+    # batch 2 re-sends 10/30 (cross-batch dups) and adds 40
+    t.insert(
+        spark.createDataFrame(
+            [(9000, 0, 30), (10000, 0, 40), (11000, 1, 10)],
+            "time long, k long, v long",
+        )
+    )
+    db.refresh_materialized("sd_mv")
+    got = {
+        r.k: (r.sd, r.ad, r.cd, r.n)
+        for r in db.query("SELECT * FROM sd_mv").df.collect()
+    }
+    # k=0 saw {10, 20, 30, 40} over 5 rows; k=1 saw {10, 20} over 3
+    assert got == {0: (100, 25.0, 4, 5), 1: (30, 15.0, 2, 3)}
+    db.create_materialized_view("sd_mv2", sql)
+    got2 = {
+        r.k: (r.sd, r.ad, r.cd, r.n)
+        for r in db.query("SELECT * FROM sd_mv2").df.collect()
+    }
+    assert got2 == got
+
+
+def test_sum_distinct_mv_double_and_nulls(db, spark):
+    """Double values fold in sorted order (deterministic) and an
+    all-NULL group yields NULL for sum/avg but 0 for count."""
+    t = db.create_topic("sdd", [Column("k", "int64"), Column("v", "float64")])
+    t.insert(
+        spark.createDataFrame(
+            [(0, 0, 1.5), (1000, 0, 2.5), (2000, 0, 1.5), (3000, 1, None)],
+            "time long, k long, v double",
+        )
+    )
+    sql = (
+        "SELECT k, sum(DISTINCT v) AS sd, avg(DISTINCT v) AS ad, "
+        "count(*) AS n FROM sdd GROUP BY k"
+    )
+    db.create_materialized_view("sdd_mv", sql)
+    t.insert(
+        spark.createDataFrame(
+            [(4000, 1, None), (5000, 0, 4.0)], "time long, k long, v double"
+        )
+    )
+    db.refresh_materialized("sdd_mv")
+    got = {r.k: (r.sd, r.ad) for r in db.query("SELECT * FROM sdd_mv").df.collect()}
+    assert got == {0: (8.0, 8.0 / 3), 1: (None, None)}
