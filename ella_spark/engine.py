@@ -1246,7 +1246,19 @@ class Ella:
         schema = StructType.fromJson(_json.loads(entry.result_schema))
         dtypes = {f.name: f.dataType for f in schema.fields}
         if analysis.aggs:
-            merge_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+            # self-mergeable aggregates: re-aggregating partials with
+            # the listed fn gives the total (sum/count via SUM; min/
+            # max, bool and bit families are associative+idempotent —
+            # bit_xor is associative and each input row lands in
+            # exactly one partial, so partial-xor folds exactly)
+            merge_fns = {
+                "sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+                "count_if": F.sum,
+                "bool_and": F.bool_and, "every": F.bool_and,
+                "bool_or": F.bool_or,
+                "bit_and": F.bit_and, "bit_or": F.bit_or,
+                "bit_xor": F.bit_xor,
+            }
             aggs = [
                 merge_fns[fn](c).alias(c)
                 for c, fn in analysis.aggs.items()

@@ -10,7 +10,11 @@ of O(history) for the common single-topic shapes:
   scans the shards published since the last snapshot and appends their
   projected rows.
 - **Mergeable aggregate** (`SELECT keys…, agg(expr) AS a… FROM topic
-  [WHERE …] [GROUP BY keys…]` with agg ∈ {sum, count, min, max}):
+  [WHERE …] [GROUP BY keys…]` with agg ∈ {sum, count, min, max,
+  count_if, bool_and, bool_or, every, bit_and, bit_or, bit_xor — the
+  self-mergeable set: re-aggregating partials with the same fn (SUM
+  for the counts) is exact; bit_xor because every input row lands in
+  exactly one partial}):
   partial aggregates over the delta shards merge with the stored
   snapshot by re-aggregating snapshot ∪ delta-partials — sum/count via
   SUM, min via MIN, max via MAX. A GROUP BY with no aggregates (a
@@ -180,7 +184,9 @@ _SHAPE = re.compile(
 #: sum/count[/sum-of-squares] columns; longest alternatives first so
 #: stddev_samp is not half-matched as stddev)
 _AGG_ITEM = re.compile(
-    r"^(?P<fn>sum|count|min|max|avg|stddev_samp|stddev_pop|stddev|"
+    r"^(?P<fn>sum|count_if|count|min|max|avg|"
+    r"bool_and|bool_or|every|bit_and|bit_or|bit_xor|"
+    r"stddev_samp|stddev_pop|stddev|"
     r"var_samp|var_pop|variance|corr|covar_samp|covar_pop|"
     r"approx_count_distinct|approx_percentile|percentile_approx|"
     r"max_by|min_by|mode|"

@@ -2354,3 +2354,39 @@ def test_sum_distinct_mv_double_and_nulls(db, spark):
     db.refresh_materialized("sdd_mv")
     got = {r.k: (r.sd, r.ad) for r in db.query("SELECT * FROM sdd_mv").df.collect()}
     assert got == {0: (8.0, 8.0 / 3), 1: (None, None)}
+
+
+def test_self_mergeable_bool_bit_countif_mv(db, spark):
+    """count_if / bool_and / bool_or / every / bit_and / bit_or /
+    bit_xor are self-mergeable: re-aggregating partials with the same
+    fn is exact (bit_xor because each row lands in exactly one
+    partial). Delta refresh == direct SQL across a flipping batch."""
+    t = db.create_topic("bb", [Column("k", "int64"), Column("v", "int64")])
+    t.insert(
+        spark.createDataFrame(
+            [(0, 0, 12), (1000, 0, 10), (2000, 1, 7)],
+            "time long, k long, v long",
+        )
+    )
+    sql = (
+        "SELECT k, count_if(v > 10) AS ci, bool_and(v > 5) AS ba, "
+        "bool_or(v > 11) AS bo, every(v < 100) AS ev, "
+        "bit_and(v) AS band, bit_or(v) AS bor, bit_xor(v) AS bx, "
+        "count(*) AS n FROM bb GROUP BY k"
+    )
+    db.create_materialized_view("bb_mv", sql)
+    assert db.store.resolve("bb_mv").refresh_state is not None
+    # batch 2 flips bool_and for k=0 (v=2 <= 5) and xors more bits
+    t.insert(
+        spark.createDataFrame(
+            [(9000, 0, 2), (10000, 1, 9)], "time long, k long, v long"
+        )
+    )
+    db.refresh_materialized("bb_mv")
+    got = _normalize_rows(db.query("SELECT * FROM bb_mv").df.collect())
+    exp = _normalize_rows(spark.sql(sql.replace("FROM bb", "FROM bb")).collect())
+    assert got == exp
+    # and the values are what hand-arithmetic says
+    by_k = {r.k: r for r in db.query("SELECT * FROM bb_mv").df.collect()}
+    assert (by_k[0].ci, by_k[0].ba, by_k[0].bx) == (1, False, 12 ^ 10 ^ 2)
+    assert (by_k[1].bor, by_k[1].bx) == (7 | 9, 7 ^ 9)
