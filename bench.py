@@ -104,6 +104,9 @@ EXTRAS = [
     "q_pagerank",
     "q_knn_join",
     "q_weighted_sample",
+    "q_ewma",
+    "q_readability",
+    "q_collocations",
 ]
 
 

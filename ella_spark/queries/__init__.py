@@ -121,6 +121,9 @@ _NEW_R6 = {
     "q_knn_join",
     "q_weighted_sample",
     "q_mode_per_group",
+    "q_ewma",
+    "q_readability",
+    "q_collocations",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

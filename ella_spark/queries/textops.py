@@ -1402,3 +1402,163 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fertility"),
     )
+
+
+@register(
+    "q_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+               AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS DOUBLE) AS sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+               AS sylls
+      FROM documents)
+    SELECT doc_id, lang, CAST(words AS BIGINT) AS n_words,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (words / sents)
+                 - CAST(84.6 AS DOUBLE) * (sylls / words), 4) AS flesch
+    FROM m
+    WHERE words > 0
+    ORDER BY doc_id
+    """,
+    doc="Flesch reading-ease per document — the classic readability "
+    "quality signal (FineWeb/Dolma-style filters gate on it). Words, "
+    "sentences and syllables are regex-group counts (syllable ~ vowel "
+    "run — the standard cheap heuristic), so both engines count with "
+    "the same pattern semantics and the arithmetic is identical IEEE "
+    "ops: exact oracle. Map-only over the corpus: no shuffle at all "
+    "at any scale (the filter consuming it is a narrow WHERE).",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # idx=0: Spark's regexp_extract_all defaults to capture group 1,
+    # DuckDB's to the whole match — pin group 0 so both count matches
+    words = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    ).cast("double")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("double")
+    sylls = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("double")
+    m = d.select("doc_id", "lang", words.alias("words"), sents.alias("sents"), sylls.alias("sylls"))
+    return (
+        m.where(F.col("words") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("words").cast("bigint").alias("n_words"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("words") / F.col("sents"))
+                - F.lit(84.6) * (F.col("sylls") / F.col("words")),
+                4,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_collocations",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(
+               list_transform(
+                 string_split_regex(trim(text), '[^A-Za-z0-9]+'),
+                 t -> lower(t)),
+               t -> length(t) > 0) AS ts
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, count(*) AS cw FROM (
+        SELECT unnest(ts) AS w FROM toks) GROUP BY w
+    ),
+    nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS n_uni FROM uni),
+    bg AS (
+      SELECT a, b, count(*) AS cab FROM (
+        SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS b
+        FROM toks WHERE len(ts) >= 2)
+      GROUP BY a, b
+    ),
+    nb AS (SELECT CAST(sum(cab) AS DOUBLE) AS n_bi FROM bg)
+    SELECT a || ' ' || b AS bigram, cab,
+           round(CAST(cab AS DOUBLE) * (SELECT n_uni FROM nu)
+                 * (SELECT n_uni FROM nu)
+                 / ((SELECT n_bi FROM nb) * CAST(ua.cw AS DOUBLE)
+                    * CAST(ub.cw AS DOUBLE)), 6) AS lift
+    FROM bg
+    JOIN uni ua ON ua.w = a
+    JOIN uni ub ON ub.w = b
+    WHERE cab >= 5
+    ORDER BY lift DESC, bigram
+    LIMIT 20
+    """,
+    doc="Collocation mining by LIFT — p(ab)/(p(a)p(b)), i.e. exp(PMI): "
+    "the monotone-in-PMI association score, chosen over log-PMI so the "
+    "oracle needs NO transcendental functions (cross-engine ln can "
+    "differ in the last ulp; ratios of counts are identical IEEE "
+    "ops). The standard phrase/term extractor for corpus analysis. "
+    "Plan: one tokenize pass feeds both the unigram and bigram "
+    "counts, 1-row totals broadcast, the scoring join keys on the "
+    "head word — O(distinct bigrams) shuffle, min-support cab >= 5 "
+    "bounds the scored set.",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.transform(
+            F.split(F.trim(F.col("text")), "[^A-Za-z0-9]+"),
+            lambda t: F.lower(t),
+        ),
+        lambda t: F.length(t) > 0,
+    )
+    tdf = d.select(toks.alias("ts")).localCheckpoint(eager=False)
+    uni = (
+        tdf.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    a = F.col("ts")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(a) - 1),
+        lambda i: F.struct(
+            F.element_at(a, i).alias("a"), F.element_at(a, i + 1).alias("b")
+        ),
+    )
+    bg = (
+        tdf.where(F.size("ts") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    n_uni = uni.agg(F.sum("cw").cast("double").alias("n_uni"))
+    n_bi = bg.agg(F.sum("cab").cast("double").alias("n_bi"))
+    ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    lift = F.round(
+        F.col("cab").cast("double") * F.col("n_uni") * F.col("n_uni")
+        / (F.col("n_bi") * F.col("ca").cast("double") * F.col("cb").cast("double")),
+        6,
+    )
+    return (
+        bg.where(F.col("cab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("bigram"),
+            "cab",
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "bigram")
+        .limit(20)
+    )

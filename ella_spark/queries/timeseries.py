@@ -878,3 +878,58 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(flag).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE)
+                  ORDER BY epoch_ns(ts), event_id) AS vs,
+             count(*) AS n
+      FROM events GROUP BY user_id)
+    SELECT user_id, n,
+           round(list_reduce(vs,
+                 (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ewma
+    FROM seq
+    ORDER BY user_id
+    """,
+    doc="Exponentially weighted moving average per key (the TSDB "
+    "smoothing workhorse; alpha=1/2 so every weight is a power of two "
+    "— EXACTLY representable in binary, and the fold is the identical "
+    "IEEE op sequence in both engines, so the oracle hash-matches "
+    "without estimator slop). EWMA is order-recursive (acc = acc/2 + "
+    "x/2), inexpressible as a plain window aggregate: the portable "
+    "form is an ordered per-key collect + one left fold, determinized "
+    "by the (time, event_id) sort. At scale: one shuffle on the key; "
+    "per-key state is the value sequence — for unbounded streams the "
+    "same recurrence runs as a stateful streaming fold instead.",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select("user_id", "ts", "event_id", F.col("value").cast("double").alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "v"))
+            ).alias("rows"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.transform(F.col("rows"), lambda r: r["v"]).alias("vs"),
+        )
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.size(F.col("vs")) - 1),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return (
+        seq.where(F.size(F.col("vs")) > 0)
+        .select("user_id", "n", F.round(fold, 6).alias("ewma"))
+        .orderBy("user_id")
+    )
