@@ -61,6 +61,27 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="drop day buckets older than this many days",
     )
+    sm.add_argument(
+        "--cluster-by",
+        action="append",
+        default=[],
+        metavar="TOPIC=COL[,COL...]",
+        help="value-sort compacted shards of TOPIC on the listed "
+        "columns (repeatable; enables col_ranges file skipping)",
+    )
+    sm.add_argument(
+        "--zorder",
+        action="store_true",
+        help="Morton-interleave the --cluster-by columns (2-4 cols)",
+    )
+    sm.add_argument(
+        "--bloom",
+        action="append",
+        default=[],
+        metavar="TOPIC=COL[,COL...]",
+        help="build per-shard Bloom filters for point-lookup skipping "
+        "on the listed columns (repeatable; see point_lookup())",
+    )
     args = p.parse_args(argv)
 
     from ella_spark import Ella
@@ -82,7 +103,25 @@ def main(argv: list[str] | None = None) -> int:
                 if args.retention_days is not None
                 else None
             )
-            out = Maintainer(db, retention_ns=retention).run_once()
+
+            def _topic_cols(specs: list[str]) -> dict[str, list[str]]:
+                out: dict[str, list[str]] = {}
+                for spec in specs:
+                    topic, _, cols = spec.partition("=")
+                    if not cols:
+                        raise SystemExit(
+                            f"expected TOPIC=COL[,COL...], got {spec!r}"
+                        )
+                    out[topic] = [c for c in cols.split(",") if c]
+                return out
+
+            out = Maintainer(
+                db,
+                retention_ns=retention,
+                cluster_by=_topic_cols(args.cluster_by),
+                zorder=args.zorder,
+                bloom_cols=_topic_cols(args.bloom),
+            ).run_once()
             print(_json.dumps(out))
         else:
             _repl(db)

@@ -117,3 +117,83 @@ def running_stats_per_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ── streaming EWMA ───────────────────────────────────────────────────
+
+_EWMA_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("last_time", LongType()),
+    ]
+)
+
+_EWMA_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("last_time", LongType()),
+    ]
+)
+
+
+def _ewma_update(alpha: float):
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, acc, last_time = 0, None, -1
+        if state.exists:
+            n, acc, last_time = state.get
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # fold in (time, then input order) — the SAME order the
+            # batch q_ewma fold uses, so stream-through == one batch
+            pdf = pdf.sort_values(["_t", "_i"], kind="stable")
+            for t, x in zip(pdf["_t"].astype("int64"), pdf["_v"].astype("float64")):
+                acc = float(x) if acc is None else acc * (1.0 - alpha) + float(x) * alpha
+                last_time = int(t)
+                n += 1
+        state.update((n, acc, last_time))
+        yield pd.DataFrame(
+            [{"key": key[0], "n": n, "ewma": acc, "last_time": last_time}]
+        )
+
+    return update
+
+
+def ewma_per_key(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    time_col: str = TIME_COLUMN,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key streaming EWMA (acc = (1-a)*acc + a*x), the incremental
+    form of the batch q_ewma fold: state is THREE scalars per key —
+    the recurrence never re-reads history, which is exactly why EWMA
+    is the streaming-native smoother where a windowed mean is not.
+
+    Caveat (documented, inherent to the recurrence): EWMA is
+    order-sensitive, so stream == batch only when rows arrive in
+    nondecreasing time order per key; within a micro-batch rows are
+    sorted by (time, order_col) to make the fold deterministic, but a
+    LATE row landing in a later micro-batch folds late. The batch
+    query is the ground truth for a quiesced topic
+    (test_streaming.py::test_ewma_stream_matches_batch)."""
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(order_col).cast("long").alias("_i"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _ewma_update(alpha),
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

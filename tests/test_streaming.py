@@ -422,3 +422,67 @@ def test_curate_stream_matches_batch(db, spark):
     assert 41 not in got            # char gate
     assert not ({0, 1, 2} & got)    # decontaminated
     assert 3 in got and 33 not in got  # dup of 3 dropped, original kept
+
+
+def test_ewma_stream_matches_batch(db, spark):
+    """Streaming EWMA (3-scalar state per key) across TWO micro-batches
+    equals the batch ordered fold over the quiesced topic — the
+    incremental-form contract of q_ewma."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.streaming.stateful import ewma_per_key
+
+    topic = db.create_topic(
+        "ewt",
+        [
+            Column("k", "string", required=True),
+            Column("i", "int64"),
+            Column("v", "float64"),
+        ],
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:
+        pub.write(1 * ns, "a", 1, 10.0)
+        pub.write(2 * ns, "a", 2, 20.0)
+        pub.write(1 * ns, "b", 3, 4.0)
+
+    out = ewma_per_key(db.subscribe("ewt"), "k", "v", order_col="i")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "ewma_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:  # micro-batch 2: state must carry
+            pub.write(3 * ns, "a", 4, 40.0)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM ewma_out").toPandas()
+        last = pdf.sort_index().groupby("key").last()
+        # batch ground truth: fold acc = acc/2 + x/2 in time order
+        # a: 10 -> 15 -> 27.5 ; b: 4
+        assert last.loc["a", "n"] == 3 and last.loc["a", "ewma"] == 27.5
+        assert last.loc["b", "ewma"] == 4.0
+        # and equals the batch fold computed over the quiesced topic
+        df = topic.read(db.spark)
+        batch = (
+            df.groupBy("k")
+            .agg(F.array_sort(F.collect_list(F.struct("time", "i", "v"))).alias("r"))
+            .select(
+                "k",
+                F.aggregate(
+                    F.expr("slice(transform(r, x -> x.v), 2, size(r) - 1)"),
+                    F.expr("element_at(transform(r, x -> x.v), 1)"),
+                    lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+                ).alias("ewma"),
+            )
+        )
+        got = {r["k"]: r["ewma"] for r in batch.collect()}
+        assert got == {k: last.loc[k, "ewma"] for k in got}
+    finally:
+        q.stop()
