@@ -107,6 +107,7 @@ EXTRAS = [
     "q_ewma",
     "q_readability",
     "q_collocations",
+    "q_triangle_count",
 ]
 
 

@@ -296,3 +296,80 @@ def pagerank(
             ).alias("pr"),
         ).localCheckpoint(eager=True)
     return pr
+
+
+# ── triangle counting ────────────────────────────────────────────────
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list, via the
+    classic degree-ordered orientation (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+
+    Every edge is oriented from its (degree, id)-lower endpoint to the
+    higher one; wedges are generated only at each edge's LOWER
+    endpoint, so a degree-d hub produces O(d_low²) wedge pairs
+    bounded by the orientation instead of O(d²) at the hub — the
+    total wedge count is O(E^{3/2}) on any graph, which is what makes
+    the plan survive power-law degree distributions at 100 TB scale.
+    Orientation changes only the intermediate sizes, never the
+    triangle SET, so an id-ordered oracle (a < b < c joins) produces
+    identical results.
+
+    Plan: canonicalize (min, max) pairs -> degree join -> one
+    self-join on the wedge apex -> one equi-join closing the wedge
+    against the oriented edge list -> explode the 3 corners ->
+    count per node. Three shuffles, all keyed; no driver collection.
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_is_u, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    o1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddst").alias("dc")
+    )
+    # wedge (b, c) at apex a, deduped by the (deg, id) order of the
+    # two far corners; the closing edge key follows the SAME order,
+    # because that is how `oriented` directed it
+    b_first = (F.col("db") < F.col("dc")) | (
+        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c"))
+    )
+    wedges = (
+        o1.join(o2, "a")
+        .where((F.col("b") != F.col("c")) & b_first)
+        .select("a", "b", "c")
+    )
+    close = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(close, ["b", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )

@@ -124,6 +124,7 @@ _NEW_R6 = {
     "q_ewma",
     "q_readability",
     "q_collocations",
+    "q_triangle_count",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

@@ -146,3 +146,40 @@ def test_pagerank_partition_layout_invariance(spark):
     ra = {r["node"]: r["pr"] for r in pagerank(a, iters=4).collect()}
     rb = {r["node"]: r["pr"] for r in pagerank(b, iters=4).collect()}
     assert ra == rb
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered triangle counting vs itertools brute force on a
+    random graph with hubs (the case the orientation exists for)."""
+    import itertools
+    import random
+
+    from ella_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = {(0, v) for v in range(1, 20)}  # hub
+    for _ in range(120):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(edf).collect()}
+    assert got == expected
+
+
+def test_triangle_count_none_and_duplicate_edges(spark):
+    from ella_spark.operators.graph import triangle_count
+
+    # star graph: no triangles; duplicate/reversed edges collapse
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(edf).count() == 0
