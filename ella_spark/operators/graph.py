@@ -275,6 +275,8 @@ def pagerank(
     # Edge list + out-degree, materialized once, reused every round.
     edeg = e.join(deg, "src").localCheckpoint(eager=True)
     n = deg.count()  # one scalar to the driver (bounded by design)
+    if n == 0:  # empty graph: no nodes, no ranks (avoid 0-division)
+        return edeg.sparkSession.createDataFrame([], "node long, pr long")
 
     pr = deg.select(
         F.col("src").alias("node"),

@@ -183,3 +183,10 @@ def test_triangle_count_none_and_duplicate_edges(spark):
     edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
     edf = spark.createDataFrame(edges, "src long, dst long")
     assert triangle_count(edf).count() == 0
+
+
+def test_pagerank_empty_graph(spark):
+    from ella_spark.operators.graph import pagerank
+
+    edf = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edf, iters=3).count() == 0
