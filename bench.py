@@ -108,6 +108,7 @@ EXTRAS = [
     "q_readability",
     "q_collocations",
     "q_triangle_count",
+    "q_m4_downsample",
 ]
 
 

@@ -125,6 +125,7 @@ _NEW_R6 = {
     "q_readability",
     "q_collocations",
     "q_triangle_count",
+    "q_m4_downsample",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

@@ -933,3 +933,77 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n", F.round(fold, 6).alias("ewma"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_m4_downsample",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             epoch_ns(ts) // 86400000000000 AS bkt,
+             epoch_ns(ts) // 1000 AS ts_us,
+             event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id, bkt
+                           ORDER BY ts_us, event_id) AS rf,
+        row_number() OVER (PARTITION BY user_id, bkt
+                           ORDER BY ts_us DESC, event_id DESC) AS rl,
+        row_number() OVER (PARTITION BY user_id, bkt
+                           ORDER BY value, ts_us, event_id) AS rmin,
+        row_number() OVER (PARTITION BY user_id, bkt
+                           ORDER BY value DESC, ts_us, event_id) AS rmax
+      FROM b)
+    SELECT user_id, bkt, ts_us, round(value, 6) AS v
+    FROM r
+    WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+    ORDER BY user_id, bkt, ts_us, v
+    """,
+    doc="M4 downsampling (Jugel et al., VLDB'14): per series per time "
+    "bucket keep exactly the first/last/min/max points — the "
+    "error-free aggregation for line-chart rendering every TSDB "
+    "visualization layer uses (Grafana/Timescale idiom). Four "
+    "row_number windows over ONE (series, bucket) partitioning = one "
+    "shuffle; deterministic tie-breaks by (time, event_id). Output "
+    "is the union of the four extremal rows (a row can be several "
+    "at once — emitted once).",
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.expr("ts div 86400000000000").alias("bkt"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    part = ["user_id", "bkt"]
+    wf = Window.partitionBy(*part).orderBy("ts_us", "event_id")
+    wl = Window.partitionBy(*part).orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    wmin = Window.partitionBy(*part).orderBy("value", "ts_us", "event_id")
+    wmax = Window.partitionBy(*part).orderBy(
+        F.col("value").desc(), "ts_us", "event_id"
+    )
+    r = (
+        b.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .withColumn("rmin", F.row_number().over(wmin))
+        .withColumn("rmax", F.row_number().over(wmax))
+    )
+    return (
+        r.where(
+            (F.col("rf") == 1)
+            | (F.col("rl") == 1)
+            | (F.col("rmin") == 1)
+            | (F.col("rmax") == 1)
+        )
+        .select(
+            "user_id", "bkt", "ts_us", F.round("value", 6).alias("v")
+        )
+        .orderBy("user_id", "bkt", "ts_us", "v")
+    )

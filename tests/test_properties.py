@@ -209,3 +209,45 @@ def test_connected_components_matches_union_find(spark, edges):
         r["id"]: r["component"] for r in connected_components(ndf, edf).collect()
     }
     assert got == expected
+
+
+# ── Bloom filters (pure python, no Spark) ────────────────────────────
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=12),
+            st.floats(allow_nan=False, allow_infinity=False),
+        ),
+        max_size=80,
+    ),
+    probe=st.one_of(st.integers(), st.text(max_size=12)),
+)
+def test_bloom_never_false_negative(vals, probe):
+    """The soundness contract skipping relies on: every inserted value
+    (any supported type, any fpp sizing) ALWAYS probes positive."""
+    from ella_spark.bloom import bloom_build, bloom_might_contain
+
+    b = bloom_build(vals)
+    for v in vals:
+        if v is not None:
+            assert bloom_might_contain(b, v)
+    # arbitrary probes must never crash (True or False both fine)
+    assert bloom_might_contain(b, probe) in (True, False)
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(
+    ints=st.lists(st.integers(min_value=-(10**9), max_value=10**9), max_size=40)
+)
+def test_bloom_coercion_is_equality_compatible(ints):
+    """coerce_for funnels int probes into a float column's value set:
+    v and float(v) must land on the same bloom key."""
+    from ella_spark.bloom import bloom_build, bloom_might_contain, coerce_for
+
+    b = bloom_build([coerce_for("float64", v) for v in ints])
+    for v in ints:
+        assert bloom_might_contain(b, coerce_for("float64", v))
