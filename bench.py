@@ -109,6 +109,8 @@ EXTRAS = [
     "q_collocations",
     "q_triangle_count",
     "q_m4_downsample",
+    "q_kcore",
+    "q_clustering_coefficient",
 ]
 
 

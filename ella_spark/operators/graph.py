@@ -375,3 +375,62 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("triangles")
     )
+
+
+# ── k-core decomposition (bounded-round peel) ────────────────────────
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k, by iterative peeling (drop nodes with degree < k,
+    recompute degrees, repeat).
+
+    BOUNDED-ROUND CONTRACT: exactly ``rounds`` peels run — not
+    peel-to-fixpoint — so the computation is a fixed dataflow any
+    engine can replay verbatim (the DuckDB oracle unrolls the same
+    rounds as CTEs and hash-matches). Peeling is monotone (the node
+    set only shrinks and the true k-core is a fixed point), so if
+    round r removes nothing the answer is exact; callers that need a
+    guarantee check the returned frame's ``converged`` flag — true
+    when the last round was a no-op. Long peeling chains (a path
+    graph peels one node per round) need more rounds; production
+    callers loop `while not converged` in O(log n) expected rounds on
+    real graphs.
+
+    Scale shape: each round is one groupBy degree count + one
+    semi-join filter of the edge list — two keyed shuffles, O(E)
+    each; `localCheckpoint` per round truncates lineage.
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_n = None
+    converged = False
+    for _ in range(rounds):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        n = keep.count()  # one scalar per round (bounded by design)
+        if prev_n is not None and n == prev_n:
+            converged = True
+            break
+        prev_n = n
+        kv = keep.select(F.col("u").alias("v"))
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(kv, "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return deg.where(F.col("d") >= k).select(
+        F.col("u").alias("node"), F.lit(converged).alias("converged")
+    )

@@ -126,6 +126,8 @@ _NEW_R6 = {
     "q_collocations",
     "q_triangle_count",
     "q_m4_downsample",
+    "q_kcore",
+    "q_clustering_coefficient",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

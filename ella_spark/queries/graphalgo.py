@@ -162,3 +162,149 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     return tc.orderBy(F.col("triangles").desc(), "node").limit(20)
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """g0 AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             min(user_id) AS u, max(user_id) AS v
+      FROM events GROUP BY event_type, epoch_ns(ts) // 3600000000000)""",
+        "e0 AS (SELECT DISTINCT u, v FROM g0 WHERE u <> v)",
+        """s0 AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e0
+      UNION ALL SELECT v AS a, u AS b FROM e0)""",
+    ]
+    # AS MATERIALIZED: each s_i is referenced multiple times by the
+    # next level; DuckDB's default CTE inlining makes the 8-round
+    # chain exponential (measured: the un-materialized form does not
+    # finish), materialization makes it the same linear dataflow
+    # Spark runs
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+      SELECT a FROM s{p} GROUP BY a HAVING count(*) >= {_KCORE_K})"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT s.a, s.b FROM s{p} s
+      JOIN k{i} ka ON ka.a = s.a
+      JOIN k{i} kb ON kb.a = s.b)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT a AS node FROM s{_KCORE_ROUNDS}
+    GROUP BY a HAVING count(*) >= {_KCORE_K}
+    ORDER BY node
+    """
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"{_KCORE_K}-core of the events co-activity graph by "
+    f"bounded-round peeling ({_KCORE_ROUNDS} rounds): each round "
+    "drops nodes of degree < k and re-filters the edge list — a "
+    "FIXED dataflow (not peel-to-fixpoint), so the DuckDB oracle "
+    "unrolls the identical rounds as CTEs; peeling is monotone, so "
+    "extra rounds past the fixpoint are no-ops and early Spark "
+    "convergence (the operator's break + converged flag) cannot "
+    "diverge from the unrolled replay. Per round: one degree count + "
+    "one semi-join filter, O(E) keyed shuffles, localCheckpoint "
+    "lineage cut (operators/graph.py kcore).",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators.graph import kcore
+
+    ev = load_table(spark, sf_dir, "events")
+    g0 = ev.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.min("user_id").alias("u"), F.max("user_id").alias("v"))
+    e0 = g0.where(F.col("u") != F.col("v")).select("u", "v").distinct()
+    out = kcore(
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+    )
+    return out.select("node").orderBy("node")
+
+
+@register(
+    "q_clustering_coefficient",
+    oracle="""
+    WITH g0 AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             min(user_id) AS u, max(user_id) AS v
+      FROM events GROUP BY event_type, epoch_ns(ts) // 3600000000000),
+    e0 AS (SELECT DISTINCT u, v FROM g0 WHERE u <> v),
+    deg AS (
+      SELECT a AS node, count(*) AS d FROM (
+        SELECT u AS a FROM e0 UNION ALL SELECT v FROM e0)
+      GROUP BY a),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1
+      JOIN e0 e2 ON e2.u = e1.v
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tcnt AS (
+      SELECT node, count(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node)
+    SELECT d.node, d.d AS degree,
+           coalesce(t.t, 0) AS triangles,
+           round(CAST(2 * coalesce(t.t, 0) AS DOUBLE)
+                 / (d.d * (d.d - 1)), 6) AS coeff
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    WHERE d.d >= 3
+    ORDER BY coeff DESC, d.node
+    LIMIT 20
+    """,
+    doc="Local clustering coefficient 2T/(d(d-1)) per node (degree >= "
+    "3), top-20: the standard graph-cohesion metric, composed from "
+    "the degree count and the triangle-membership counts "
+    "(operators/graph.triangle_count — degree-ordered, hub-safe). "
+    "One extra keyed join over the triangle plan; exact integer "
+    "counts, one deterministic double division.",
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators.graph import triangle_count
+
+    ev = load_table(spark, sf_dir, "events")
+    g0 = ev.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.min("user_id").alias("u"), F.max("user_id").alias("v"))
+    e0 = g0.where(F.col("u") != F.col("v")).select("u", "v").distinct()
+    edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = triangle_count(edges).select(
+        "node", F.col("triangles").alias("triangles")
+    )
+    return (
+        deg.join(t, "node", "left_outer")
+        .where(F.col("degree") >= 3)
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                (F.lit(2) * F.coalesce("triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("coeff"),
+        )
+        .orderBy(F.col("coeff").desc(), "node")
+        .limit(20)
+    )

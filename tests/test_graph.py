@@ -190,3 +190,47 @@ def test_pagerank_empty_graph(spark):
 
     edf = spark.createDataFrame([], "src long, dst long")
     assert pagerank(edf, iters=3).count() == 0
+
+
+def test_kcore_matches_bruteforce_peel(spark):
+    from ella_spark.operators.graph import kcore
+
+    import random
+
+    rng = random.Random(5)
+    edges = set()
+    # a 4-clique (survives k=3) + a long tail of degree-1/2 nodes
+    for a in range(4):
+        for b in range(a + 1, 4):
+            edges.add((a, b))
+    for i in range(4, 30):
+        edges.add((rng.randrange(i), i))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # reference peel to fixpoint
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if sum(m in alive for m in adj[n]) < 3}
+        if not drop:
+            break
+        alive -= drop
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    rows = kcore(edf, k=3, rounds=8).collect()
+    assert {r["node"] for r in rows} == alive == {0, 1, 2, 3}
+    assert all(r["converged"] for r in rows)
+
+
+def test_kcore_bounded_rounds_contract(spark):
+    """A long path peels ONE endpoint pair per round: with too few
+    rounds the result over-approximates (documented bounded-round
+    contract) and converged is False."""
+    from ella_spark.operators.graph import kcore
+
+    edges = [(i, i + 1) for i in range(12)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    rows = kcore(edf, k=2, rounds=2).collect()
+    assert rows and not rows[0]["converged"]  # 2 rounds not enough
+    done = kcore(edf, k=2, rounds=12).collect()
+    assert done == []  # a path has no 2-core
