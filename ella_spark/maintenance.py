@@ -733,10 +733,18 @@ def build_manifest(
                 if cn != TIME_COLUMN
             },
         }
+        # shards are immutable, so blooms built for this file by an
+        # earlier pass stay valid across a stats rebuild (v1-era
+        # entries gaining column ranges) — carry them over
+        if ent and ent.get("b"):
+            stats[name]["b"] = ent["b"]
         if bloomable:
-            blooms = _shard_blooms(path, bloomable, col_dtypes, fpp)
-            if blooms:
-                stats[name]["b"] = blooms
+            have_b = stats[name].get("b", {})
+            need = [c for c in bloomable if c not in have_b]
+            if need:
+                blooms = _shard_blooms(path, need, col_dtypes, fpp)
+                if blooms:
+                    stats[name].setdefault("b", {}).update(blooms)
         added += 1
     mdir.mkdir(exist_ok=True)
     if len(stats) > MANIFEST_PARQUET_THRESHOLD:

@@ -234,3 +234,31 @@ def test_point_lookup_string_and_errors(db, spark):
 
     with _pytest.raises(ValueError, match="not a topic"):
         db.query("SELECT * FROM point_lookup('nosuch', 'k', 1)")
+
+
+def test_bloom_survives_stats_rebuild(db, spark):
+    """Shards are immutable, so a stats rebuild (v1-era entry gaining
+    column ranges) must carry existing blooms over instead of
+    dropping them until the next bloom-enabled pass."""
+    import json
+
+    from ella_spark.maintenance import build_manifest
+
+    t = _mk(db, spark, name="sr", n_batches=2)
+    build_manifest(t, bloom_cols=["k"])
+    m = t.manifest()
+    assert all("k" in e["b"] for e in m.values())
+    # age one entry back to v1 shape (bare time list, no c/b) — the
+    # rebuild path must restore stats AND keep the other entries'
+    # blooms; the aged entry re-reads its footer and, because this
+    # pass passes no bloom_cols, keeps NO bloom (none existed in v1)
+    mpath = t.path / "_manifest" / "stats.json"
+    raw = json.loads(mpath.read_text())
+    aged = next(k for k in raw if not k.startswith("_"))
+    saved_bloom = raw[aged]["b"]
+    raw[aged] = {"t": raw[aged]["t"], "b": saved_bloom}  # no "c": v1-ish
+    mpath.write_text(json.dumps(raw))
+    build_manifest(t)  # stats-only pass
+    m2 = t.manifest()
+    assert m2[aged]["c"]  # ranges restored
+    assert m2[aged]["b"] == saved_bloom  # blooms carried over
