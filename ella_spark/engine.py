@@ -48,6 +48,23 @@ _CREATE_MATVIEW_RE = re.compile(
 _REFRESH_MATVIEW_RE = re.compile(
     r"^\s*refresh\s+materialized\s+view\s+([A-Za-z0-9_.]+)\s*$", re.I
 )
+#: `CREATE TOPIC <t> AS SELECT ...` — CTAS into a topic: schema derives
+#: from the SELECT (which must produce the epoch-ns `time` column) and
+#: the rows flow through the distributed INSERT sink in the same
+#: statement. Beyond-reference SQL-surface convenience.
+_CTAS_RE = re.compile(
+    r"^\s*create\s+topic\s+(if\s+not\s+exists\s+)?([A-Za-z0-9_.]+)"
+    r"\s+as\s+(select\b.+)$",
+    re.I | re.S,
+)
+#: `COPY (<query>) TO '<path>' [(FORMAT PARQUET|CSV)]` — query-result
+#: export through Spark's distributed writers (the DuckDB/Postgres
+#: COPY idiom; default parquet).
+_COPY_RE = re.compile(
+    r"^\s*copy\s*\((?P<q>.+)\)\s*to\s*'(?P<path>[^']+)'\s*"
+    r"(?:\(\s*format\s+(?P<fmt>parquet|csv)\s*\))?\s*;?\s*$",
+    re.I | re.S,
+)
 #: `ALTER TABLE <t> ADD COLUMN <name> <type>` — topic schema evolution
 #: (beyond-reference: the reference has no ALTER; at 100 TB adding a
 #: column must not rewrite history, which explicit-schema reads give
@@ -1863,6 +1880,52 @@ class Ella:
             n = self.refresh_materialized(m.group(1))
             return Lazy(
                 self.spark.createDataFrame([(n,)], "count long"), engine=self, sql=sql
+            )
+        if m := _CTAS_RE.match(sql):
+            from pyspark.sql import functions as F
+
+            df = self.spark.sql(m.group(3).strip())
+            if TIME_COLUMN not in df.columns:
+                raise ValueError(
+                    "CREATE TOPIC ... AS SELECT requires the SELECT to "
+                    f"produce an epoch-ns '{TIME_COLUMN}' column "
+                    "(topics are time-indexed; add e.g. "
+                    "`now() AS time`)"
+                )
+            cols = [
+                Column.from_struct_field(f)
+                for f in df.schema.fields
+                if f.name != TIME_COLUMN
+            ]
+            t = self.create_topic(
+                m.group(2), cols, if_not_exists=bool(m.group(1))
+            )
+            n = t.insert(
+                df.withColumn(
+                    TIME_COLUMN, F.col(TIME_COLUMN).cast("long")
+                )
+            )
+            self._register(t.entry)
+            return Lazy(
+                self.spark.createDataFrame([(n,)], "count long"),
+                engine=self,
+                sql=sql,
+            )
+        if m := _COPY_RE.match(sql):
+            out = self.query(m.group("q").strip()).df
+            fmt = (m.group("fmt") or "parquet").lower()
+            writer = out.write.mode("errorifexists")
+            if fmt == "csv":
+                writer.option("header", "true").csv(m.group("path"))
+            else:
+                writer.parquet(m.group("path"))
+            n = self.spark.read.format(fmt).option("header", "true").load(
+                m.group("path")
+            ).count()
+            return Lazy(
+                self.spark.createDataFrame([(n,)], "count long"),
+                engine=self,
+                sql=sql,
             )
         if m := _ALTER_ADD_RE.match(sql):
             name, col, typ = m.group(1), m.group(2), m.group(3).lower()

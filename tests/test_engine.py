@@ -781,3 +781,39 @@ def test_create_mv_refuses_replacing_non_mv_entry(db):
     with pytest.raises(ValueError, match="kind 'view'"):
         db.create_materialized_view("protv", "SELECT count(*) AS n FROM prot")
     assert db.store.resolve("protv").kind == "view"
+
+
+def test_create_topic_as_select(db, spark):
+    """CTAS: schema derives from the SELECT (must carry the epoch-ns
+    time column), rows flow through the distributed sink, and the new
+    topic is immediately queryable."""
+    import pytest as _pytest
+
+    src = db.create_topic("ctas_src", [Column("v", "float64")])
+    src.insert(spark.range(10).selectExpr("id * 1000 AS time", "CAST(id AS double) AS v"))
+    out = db.query(
+        "CREATE TOPIC ctas_dst AS "
+        "SELECT time, v * 2 AS dv FROM ctas_src WHERE v >= 5"
+    ).df.collect()
+    assert out[0]["count"] == 5
+    got = db.query("SELECT dv FROM ctas_dst ORDER BY dv").df.collect()
+    assert [r.dv for r in got] == [10.0, 12.0, 14.0, 16.0, 18.0]
+    # missing time column -> clear error
+    with _pytest.raises(ValueError, match="time"):
+        db.query("CREATE TOPIC bad_ctas AS SELECT v FROM ctas_src")
+
+
+def test_copy_to_parquet_and_csv(db, spark, tmp_path):
+    t = db.create_topic("cp", [Column("v", "int64")])
+    t.insert(spark.range(7).selectExpr("id * 1000 AS time", "id AS v"))
+    p1 = str(tmp_path / "out_parquet")
+    n = db.query(
+        f"COPY (SELECT v FROM cp WHERE v < 5) TO '{p1}'"
+    ).df.collect()[0]["count"]
+    assert n == 5
+    assert spark.read.parquet(p1).count() == 5
+    p2 = str(tmp_path / "out_csv")
+    n2 = db.query(
+        f"COPY (SELECT v FROM cp) TO '{p2}' (FORMAT CSV)"
+    ).df.collect()[0]["count"]
+    assert n2 == 7
