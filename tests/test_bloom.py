@@ -262,3 +262,28 @@ def test_bloom_survives_stats_rebuild(db, spark):
     m2 = t.manifest()
     assert m2[aged]["c"]  # ranges restored
     assert m2[aged]["b"] == saved_bloom  # blooms carried over
+
+
+def test_point_lookup_view_durable_across_reopen(db, spark, tmp_path):
+    """A stored view keeps the durable point_lookup(...) text (never a
+    session temp-view name) and re-applies the rewrite at every read —
+    including after engine reopen (the ann_search contract)."""
+    from ella_spark.engine import Ella
+    from ella_spark.maintenance import build_manifest
+
+    t = _mk(db, spark, name="pv")
+    build_manifest(t, bloom_cols=["k"])
+    db.query(
+        "CREATE VIEW pv_view AS "
+        "SELECT k, v FROM point_lookup('pv', 'k', 42)"
+    )
+    assert "point_lookup" in db.store.resolve("pv_view").sql
+    assert [r.k for r in db.query("SELECT * FROM pv_view").df.collect()] == [42]
+
+    db.shutdown()
+    db2 = Ella.open(db.store.root, spark)
+    try:
+        rows = db2.query("SELECT * FROM pv_view").df.collect()
+        assert [r.k for r in rows] == [42]
+    finally:
+        db2.shutdown()
