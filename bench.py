@@ -111,6 +111,7 @@ EXTRAS = [
     "q_m4_downsample",
     "q_kcore",
     "q_clustering_coefficient",
+    "q_weighted_median",
 ]
 
 

@@ -128,6 +128,7 @@ _NEW_R6 = {
     "q_m4_downsample",
     "q_kcore",
     "q_clustering_coefficient",
+    "q_weighted_median",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

@@ -1074,3 +1074,57 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "n_chars", F.round("_p", 6).alias("priority")
         )
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT lang, n_chars,
+             CAST(n_chars AS DOUBLE) AS wt
+      FROM documents WHERE n_chars > 0),
+    c AS (
+      SELECT lang, n_chars, wt,
+             sum(wt) OVER (PARTITION BY lang
+                           ORDER BY n_chars, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw,
+             sum(wt) OVER (PARTITION BY lang) AS tw
+      FROM w)
+    SELECT lang, min(n_chars) AS wmedian
+    FROM c
+    WHERE cw >= tw / 2
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Exact WEIGHTED median per group (weight = n_chars — the "
+    "'median document length weighted by mass' curation statistic): "
+    "cumulative-weight window over the sorted values, first value "
+    "whose running weight reaches half the total. Integer weights "
+    "summed in a fixed window order keep the comparison exact and "
+    "deterministic cross-engine. One shuffle on the group key; the "
+    "window sort is per-group.",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.where(F.col("n_chars") > 0).select(
+        "lang", "n_chars", F.col("n_chars").cast("double").alias("wt")
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("lang")
+    c = w.select(
+        "lang",
+        "n_chars",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("wmedian"))
+        .orderBy("lang")
+    )
