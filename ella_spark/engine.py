@@ -118,6 +118,20 @@ _DROP_CATALOG_RE = re.compile(
 _DESCRIBE_RE = re.compile(
     r"^\s*(?:describe|desc)\s+(?:table\s+)?([A-Za-z0-9_.]+)\s*$", re.I
 )
+#: `VACUUM [<topic>]` — one maintenance pass (compact + manifest +
+#: orphan cleanup; all topics without a name). `ANALYZE <topic>
+#: [(col, ...)]` — (re)build the shard-stats manifest, with optional
+#: Bloom columns. The Postgres/DuckDB housekeeping verbs mapped onto
+#: ella_spark.maintenance.
+_VACUUM_RE = re.compile(r"^\s*vacuum(?:\s+([A-Za-z0-9_.]+))?\s*;?\s*$", re.I)
+_ANALYZE_RE = re.compile(
+    r"^\s*analyze\s+([A-Za-z0-9_.]+)"
+    r"(?:\s*\(\s*([A-Za-z0-9_,\s]+)\))?\s*;?\s*$",
+    re.I,
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*show\s+create\s+table\s+([A-Za-z0-9_.]+)\s*;?\s*$", re.I
+)
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+(analyze\s+)?(select\b.+)$", re.I | re.S)
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", re.I)
 #: table-valued `ann_search('<table>', '<column>', '<queries>', [k],
@@ -1989,6 +2003,69 @@ class Ella:
                 self.spark.createDataFrame(
                     rows, "catalog string, schema string, name string, kind string"
                 ),
+                engine=self,
+                sql=sql,
+            )
+        if m := _VACUUM_RE.match(sql):
+            from ella_spark.maintenance import (
+                Maintainer,
+                build_manifest,
+                compact_topic,
+            )
+
+            if m.group(1):
+                t = self.topic(m.group(1))
+                out = compact_topic(t)
+                n = build_manifest(t)
+                report = {
+                    "compacted": [str(out)] if out is not None else [],
+                    "manifest_entries": n,
+                }
+            else:
+                report = Maintainer(self).run_once(refresh_views=False)
+                report.pop("refreshed", None)
+            import json as _json
+
+            return Lazy(
+                self.spark.createDataFrame(
+                    [(_json.dumps(report),)], "report string"
+                ),
+                engine=self,
+                sql=sql,
+            )
+        if m := _ANALYZE_RE.match(sql):
+            from ella_spark.maintenance import build_manifest
+
+            cols = (
+                [c.strip() for c in m.group(2).split(",") if c.strip()]
+                if m.group(2)
+                else None
+            )
+            n = build_manifest(self.topic(m.group(1)), bloom_cols=cols)
+            return Lazy(
+                self.spark.createDataFrame([(n,)], "count long"),
+                engine=self,
+                sql=sql,
+            )
+        if m := _SHOW_CREATE_RE.match(sql):
+            entry = self.store.resolve(m.group(1))
+            if entry is None:
+                raise ValueError(f"unknown table {m.group(1)!r}")
+            if entry.kind == "topic":
+                cols = ", ".join(
+                    f"{c.name} {c.dtype}"
+                    + (" NOT NULL" if c.required else "")
+                    for c in entry.columns
+                )
+                ddl = f"CREATE TOPIC {entry.name} ({cols})"
+            elif entry.kind == "materialized_view":
+                ddl = (
+                    f"CREATE MATERIALIZED VIEW {entry.name} AS {entry.sql}"
+                )
+            else:
+                ddl = f"CREATE VIEW {entry.name} AS {entry.sql}"
+            return Lazy(
+                self.spark.createDataFrame([(ddl,)], "ddl string"),
                 engine=self,
                 sql=sql,
             )

@@ -817,3 +817,38 @@ def test_copy_to_parquet_and_csv(db, spark, tmp_path):
         f"COPY (SELECT v FROM cp) TO '{p2}' (FORMAT CSV)"
     ).df.collect()[0]["count"]
     assert n2 == 7
+
+
+def test_vacuum_analyze_show_create_sql(db, spark):
+    """Housekeeping verbs: VACUUM <topic> compacts + rebuilds the
+    manifest; ANALYZE <topic> (cols) builds blooms; SHOW CREATE TABLE
+    prints reconstructable DDL for topics and views."""
+    import json
+
+    from ella_spark.topic import Topic
+
+    t = db.create_topic("hk", [Column("k", "int64"), Column("v", "float64")])
+    for b in range(3):
+        t.insert(
+            spark.range(10)
+            .coalesce(1)
+            .selectExpr(f"(id + {b*10}) * 1000 AS time", "id AS k", "CAST(id AS double) AS v")
+        )
+    rep = json.loads(
+        db.query("VACUUM hk").df.collect()[0]["report"]
+    )
+    assert "manifest_entries" in rep
+    n = db.query("ANALYZE hk (k)").df.collect()[0]["count"]
+    assert n >= 0
+    m = Topic(db.store, db.store.resolve("hk")).manifest()
+    assert m and all("k" in e.get("b", {}) for e in m.values())
+
+    [r] = db.query("SHOW CREATE TABLE hk").df.collect()
+    assert r.ddl.startswith("CREATE TOPIC hk (time timestamp NOT NULL")
+    assert "k int64" in r.ddl
+    db.query("CREATE VIEW hk_v AS SELECT k FROM hk")
+    [rv] = db.query("SHOW CREATE TABLE hk_v").df.collect()
+    assert rv.ddl == "CREATE VIEW hk_v AS SELECT k FROM hk"
+    # global VACUUM runs a full maintenance pass
+    rep2 = json.loads(db.query("VACUUM").df.collect()[0]["report"])
+    assert "errors" in rep2
