@@ -232,3 +232,43 @@ def test_pagerank_lineage_cut_and_topk(spark):
     assert "Join" not in plan and "Sort " not in plan.replace(
         "TakeOrderedAndProject", ""
     )
+
+
+def _final_plan(spark, name: str) -> str:
+    from ella_spark.queries import REGISTRY, _load
+
+    _load()
+    df = REGISTRY[name].spark(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("+- == Initial Plan ==")[0]
+
+
+def test_m4_four_windows_share_one_shuffle(spark):
+    """q_m4_downsample's four row_number windows all run over the same
+    (series, bucket) partitioning: exactly ONE hash exchange and one
+    corpus scan — the M4 single-shuffle contract."""
+    final = _final_plan(spark, "q_m4_downsample")
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("Scan parquet") == 1
+
+
+def test_ewma_single_key_shuffle(spark):
+    final = _final_plan(spark, "q_ewma")
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_weighted_median_windows_share_group_shuffle(spark):
+    """Both cumulative-weight windows AND the final groupBy ride one
+    partitioning on the group key — no re-shuffle between stages."""
+    final = _final_plan(spark, "q_weighted_median")
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_collocations_single_tokenize_pass(spark):
+    """The unigram and bigram branches read the checkpointed token
+    table (ExistingRDD), never re-running the tokenize scan: zero
+    parquet scans in the final plan."""
+    final = _final_plan(spark, "q_collocations")
+    assert final.count("Scan parquet") == 0, final
+    assert "ExistingRDD" in final
