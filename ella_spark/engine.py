@@ -818,6 +818,7 @@ class Ella:
                 | set(analysis.dists.values())
                 | {h for _, h in analysis.dsums.values()}
                 | {h for _, h in analysis.modes.values()}
+                | {h for _, _, h in analysis.topks.values()}
             )
         bad = [
             c
@@ -1169,6 +1170,17 @@ class Ella:
             df = df.withColumn(
                 alias, Ella._mode_visible_expr(h).cast(dtypes[alias])
             )
+        for alias, (kk, _mm, h) in analysis.topks.items():
+            # DataSketches frequent-items estimate from the mergeable
+            # sketch state (exact while distinct items fit
+            # maxItemsTracked; the HLL drift-band caveat applies
+            # beyond it — both refresh paths use the same estimator)
+            df = df.withColumn(
+                alias,
+                F.expr(f"approx_top_k_estimate({h}, {kk})").cast(
+                    dtypes[alias]
+                ),
+            )
         hidden = (
             [c for pair in analysis.avgs.values() for c in pair]
             + [c for tup in analysis.stats.values() for c in tup[1:]]
@@ -1179,6 +1191,7 @@ class Ella:
             + list(analysis.dists.values())
             + [h for _, h in analysis.dsums.values()]
             + [h for _, h in analysis.modes.values()]
+            + [h for _, _, h in analysis.topks.values()]
         )
         return df.select(*analysis.out_cols, *hidden)
 
@@ -1267,6 +1280,7 @@ class Ella:
             | set(analysis.dists)
             | set(analysis.dsums)
             | set(analysis.modes)
+            | set(analysis.topks)
         )
         if derived:
             # the snapshot's visible avg/variance columns are derived,
@@ -1310,6 +1324,12 @@ class Ella:
             aggs += [
                 F.hll_union_agg(h).alias(h)
                 for h in analysis.approxs.values()
+            ]
+            # approx_top_k frequent-items state: combine snapshot ∪
+            # delta sketches (same maxItemsTracked by construction)
+            aggs += [
+                F.expr(f"approx_top_k_combine({h}, {mm})").alias(h)
+                for _kk, mm, h in analysis.topks.values()
             ]
             # count(DISTINCT) set state: distinct-flatten of the
             # per-partial sets (snapshot + delta(s) — one array per

@@ -110,6 +110,14 @@ of O(history) for the common single-topic shapes:
   the MV is self-consistent (same pattern as the corr → NULL
   deviation). An explicit rsd argument disqualifies (the rewrite
   cannot honor it).
+- **approx_top_k** (`approx_top_k(x[, k[, maxItemsTracked]])`,
+  literal args): hidden DataSketches frequent-items sketch column
+  `__mv_topk__a` — delta partials `approx_top_k_accumulate`,
+  snapshots merge via `approx_top_k_combine`, visible value
+  `approx_top_k_estimate` at every commit (the HLL pattern verbatim).
+  EXACT while distinct items fit maxItemsTracked (default 10000);
+  beyond it the documented sketch error band applies to both refresh
+  paths identically. Non-literal k/maxItemsTracked disqualify.
 - **approx_percentile / percentile_approx** (`approx_percentile(e,
   p) AS a`, scalar literal p): hidden state `__mv_kll__a` is a
   mergeable KLL sketch (operators.sketch — derandomized compaction,
@@ -188,7 +196,7 @@ _AGG_ITEM = re.compile(
     r"bool_and|bool_or|every|bit_and|bit_or|bit_xor|"
     r"stddev_samp|stddev_pop|stddev|"
     r"var_samp|var_pop|variance|corr|covar_samp|covar_pop|"
-    r"approx_count_distinct|approx_percentile|percentile_approx|"
+    r"approx_top_k|approx_count_distinct|approx_percentile|percentile_approx|"
     r"max_by|min_by|mode|"
     r"regr_(?:count|avgx|avgy|slope|intercept|r2|sxx|syy|sxy))"
     r"\s*\((?P<arg>.+)\)\s+as\s+"
@@ -297,6 +305,14 @@ def set_hidden_col(alias: str) -> str:
     return f"__mv_set__{alias}"
 
 
+def topk_hidden_col(alias: str) -> str:
+    """Snapshot column carrying an approx_top_k's mergeable state: a
+    DataSketches frequent-items sketch (approx_top_k_accumulate),
+    merged with approx_top_k_combine — the same bounded-state pattern
+    as the HLL approx_count_distinct family."""
+    return f"__mv_topk__{alias}"
+
+
 def mode_hidden_col(alias: str) -> str:
     """Snapshot column carrying a mode()'s mergeable state: the
     group's value -> count map (O(distinct values), the count-map any
@@ -351,6 +367,8 @@ class MvAnalysis:
     dsums: dict[str, tuple[str, str]] = field(default_factory=dict)
     #: visible mode() alias -> (arg SQL, hidden count-map col)
     modes: dict[str, tuple[str, str]] = field(default_factory=dict)
+    #: visible approx_top_k alias -> (k, maxItemsTracked, hidden col)
+    topks: dict[str, tuple[int, int, str]] = field(default_factory=dict)
     #: raw SELECT items for the group keys (the kll state side-query
     #: re-selects them next to the percentile argument)
     key_items: list[str] = field(default_factory=list)
@@ -414,7 +432,7 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     klls, dists, dsums, modes, key_items, hidden_items) = parsed
+     klls, dists, dsums, modes, topks, key_items, hidden_items) = parsed
     if group is None and not aggs:
         return None
     if (klls or modes) and not hidden_items:
@@ -429,11 +447,12 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
         avgs=avgs, stats=stats, corrs=corrs, approxs=approxs,
         argmaxs=argmaxs, klls=klls, dists=dists, dsums=dsums, modes=modes,
+        topks=topks,
         key_items=key_items,
         from_text=from_text, where=m.group("where"),
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
         if (avgs or stats or corrs or approxs or argmaxs or klls or dists
-            or dsums or modes)
+            or dsums or modes or topks)
         else None,
     )
 
@@ -466,6 +485,7 @@ def _classify_agg_select(select_items, group_exprs):
     dists: dict[str, str] = {}
     dsums: dict[str, tuple[str, str]] = {}
     modes: dict[str, tuple[str, str]] = {}
+    topks: dict[str, tuple[int, int, str]] = {}
     key_items: list[str] = []
     hidden_items: list[str] = []
     for item in select_items:
@@ -579,6 +599,25 @@ def _classify_agg_select(select_items, group_exprs):
                 # resolve to the SMALLEST value in both refresh
                 # paths, where plain Spark's mode leaves the tied
                 # pick implementation-defined.
+            elif fn == "approx_top_k":
+                parts = _split_top_level(arg)
+                if len(parts) > 3:
+                    return None
+                try:
+                    kk = int(parts[1]) if len(parts) > 1 else 5
+                    mm = int(parts[2]) if len(parts) > 2 else 10000
+                except ValueError:
+                    return None  # non-literal k / maxItemsTracked
+                h = topk_hidden_col(alias)
+                topks[alias] = (kk, mm, h)
+                # DataSketches frequent-items state: partials
+                # accumulate, snapshots merge with
+                # approx_top_k_combine — the HLL pattern. Exact while
+                # distinct items fit maxItemsTracked (default 10000);
+                # beyond that, the documented sketch error band.
+                hidden_items.append(
+                    f"approx_top_k_accumulate(({parts[0]}), {mm}) AS {h}"
+                )
             elif fn == "approx_count_distinct":
                 parts = _split_top_level(arg)
                 if len(parts) != 1:
@@ -644,7 +683,7 @@ def _classify_agg_select(select_items, group_exprs):
         key_items.append(item.strip())
         hidden_items.append(item.strip())
     return (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-            klls, dists, dsums, modes, key_items, hidden_items)
+            klls, dists, dsums, modes, topks, key_items, hidden_items)
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -702,7 +741,7 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     if parsed is None:
         return None
     (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-     klls, dists, dsums, modes, key_items, hidden_items) = parsed
+     klls, dists, dsums, modes, topks, key_items, hidden_items) = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
     if klls or modes:
@@ -712,11 +751,12 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,
         corrs=corrs, approxs=approxs, argmaxs=argmaxs, dists=dists,
-        dsums=dsums,
+        dsums=dsums, topks=topks,
         hidden_sql=_rebuild(
             hidden_items, m.group("chain"), m.group("where"), group
         )
-        if (avgs or stats or corrs or approxs or argmaxs or dists or dsums)
+        if (avgs or stats or corrs or approxs or argmaxs or dists or dsums
+            or topks)
         else None,
     )
 

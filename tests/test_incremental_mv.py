@@ -2390,3 +2390,57 @@ def test_self_mergeable_bool_bit_countif_mv(db, spark):
     by_k = {r.k: r for r in db.query("SELECT * FROM bb_mv").df.collect()}
     assert (by_k[0].ci, by_k[0].ba, by_k[0].bx) == (1, False, 12 ^ 10 ^ 2)
     assert (by_k[1].bor, by_k[1].bx) == (7 | 9, 7 ^ 9)
+
+
+def test_approx_top_k_mv_delta_matches_full(db, spark):
+    """approx_top_k rides the frequent-items sketch pipeline
+    (accumulate partials, combine merge, estimate visible) — exact
+    while distinct items fit maxItemsTracked, so at test scale the
+    delta-refreshed MV equals direct SQL as a multiset."""
+    t = db.create_topic("tk", [Column("k", "int64"), Column("v", "int64")])
+    rows1 = [(0, 7)] * 4 + [(0, 8)] * 2 + [(0, 9)] + [(1, 5)] * 3
+    t.insert(
+        spark.createDataFrame(
+            [(i * 1000, k, v) for i, (k, v) in enumerate(rows1)],
+            "time long, k long, v long",
+        )
+    )
+    sql = "SELECT k, approx_top_k(v, 2) AS tk, count(*) AS n FROM tk GROUP BY k"
+    db.create_materialized_view("tk_mv", sql)
+    assert db.store.resolve("tk_mv").refresh_state is not None
+    # batch 2: 8 overtakes 7 in group 0
+    rows2 = [(0, 8)] * 5 + [(1, 6)] * 4
+    t.insert(
+        spark.createDataFrame(
+            [((100 + i) * 1000, k, v) for i, (k, v) in enumerate(rows2)],
+            "time long, k long, v long",
+        )
+    )
+    db.refresh_materialized("tk_mv")
+
+    def norm(rows):
+        return {
+            r.k: (sorted((e["item"], e["count"]) for e in r.tk), r.n)
+            for r in rows
+        }
+
+    got = norm(db.query("SELECT * FROM tk_mv").df.collect())
+    exp = norm(spark.sql(sql).collect())
+    assert got == exp
+    assert got[0] == ([(7, 4), (8, 7)], 12)
+    assert got[1] == ([(5, 3), (6, 4)], 7)
+
+
+def test_approx_top_k_mv_disqualifiers(db):
+    # non-literal k: full recompute
+    assert (
+        analyze_mv_sql(
+            "SELECT k, approx_top_k(v, n) AS tk FROM t GROUP BY k"
+        )
+        is None
+    )
+    ok = analyze_mv_sql(
+        "SELECT k, approx_top_k(v, 3, 500) AS tk FROM t GROUP BY k"
+    )
+    assert ok is not None and ok.topks == {"tk": (3, 500, "__mv_topk__tk")}
+    assert "approx_top_k_accumulate((v), 500)" in ok.hidden_sql
