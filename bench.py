@@ -112,6 +112,7 @@ EXTRAS = [
     "q_kcore",
     "q_clustering_coefficient",
     "q_weighted_median",
+    "q_approx_top_k",
 ]
 
 

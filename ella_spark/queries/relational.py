@@ -1316,3 +1316,35 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q_approx_top_k",
+    oracle="""
+    SELECT source, lang AS item, count(*) AS cnt
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, item
+    """,
+    doc="approx_top_k end-to-end with an EXACT oracle: k (5) covers "
+    "every distinct lang, so the DataSketches frequent-items sketch "
+    "is in its exact regime and the exploded (item, count) rows equal "
+    "a plain count group-by — the hash-green representative of the "
+    "approximate-aggregate family (q_approx_aggs stays the rows-only "
+    "estimator-behavior probe). Map-side sketch partials merge like "
+    "any aggregate; the explode is O(groups * k).",
+)
+def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sk = d.groupBy("source").agg(
+        F.expr("approx_top_k(lang, 5, 100)").alias("tk")
+    )
+    return (
+        sk.select("source", F.explode("tk").alias("e"))
+        .select(
+            "source",
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("cnt"),
+        )
+        .orderBy("source", "item")
+    )
