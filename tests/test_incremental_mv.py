@@ -1825,6 +1825,14 @@ def test_mv_randomized_family_equivalence(db, spark):
         # the distinct-set merge (a value must count once per group
         # no matter how batches split it)
         ("count(DISTINCT u % 97) AS cd", "cd", "exact"),
+        # round-6 families: sum(DISTINCT) shares the set state (v is
+        # integer-valued ⇒ the sorted fold is exact); the
+        # self-mergeable predicates/bit ops are exact by construction
+        ("sum(DISTINCT u % 97) AS sdv", "sdv", "exact"),
+        ("count_if(v > 10) AS ci", "ci", "exact"),
+        ("bool_and(v >= 0) AS ba", "ba", "exact"),
+        ("bool_or(v > 1000) AS bo", "bo", "exact"),
+        ("bit_xor(u) AS bx", "bx", "exact"),
     ]
     counter = {"i": 0}
 
