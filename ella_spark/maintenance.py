@@ -423,10 +423,18 @@ class Maintainer:
             if out is not None:
                 compacted.append(str(out))
             # consolidate per-shard time stats AFTER compaction so the
-            # manifest reflects the surviving shard set
-            manifest_entries += build_manifest(
-                t, bloom_cols=self.bloom_cols.get(entry.name)
-            )
+            # manifest reflects the surviving shard set. Bloom columns:
+            # explicit config wins; otherwise a topic's DECLARED
+            # secondary indexes opt in automatically — declaring an
+            # index on a column is exactly the "I will point-look-up
+            # this" signal the bloom cost model wants (time itself is
+            # range-pruned by the manifest and never bloomed).
+            blooms = self.bloom_cols.get(entry.name)
+            if blooms is None:
+                blooms = [
+                    c for c, _asc in entry.indexes if c != TIME_COLUMN
+                ] or None
+            manifest_entries += build_manifest(t, bloom_cols=blooms)
         cleaned = [str(p) for p in cleanup_orphans(self.engine.store)]
         if refresh_views:
             # Materialized views ride the maintenance loop (the

@@ -287,3 +287,34 @@ def test_point_lookup_view_durable_across_reopen(db, spark, tmp_path):
         assert [r.k for r in rows] == [42]
     finally:
         db2.shutdown()
+
+
+def test_declared_index_auto_blooms(db, spark):
+    """A topic's DECLARED secondary index columns opt into manifest
+    blooms automatically (declaring the index IS the point-lookup
+    signal); explicit Maintainer bloom_cols still overrides, and the
+    time index never blooms."""
+    from ella_spark.maintenance import Maintainer
+    from ella_spark.topic import Topic
+
+    t = db.create_topic(
+        "ix",
+        [Column("k", "int64"), Column("v", "float64")],
+        indexes=[("k", False)],
+    )
+    t.insert(
+        spark.range(30).coalesce(1).selectExpr(
+            "id*1000 AS time", "id AS k", "CAST(id AS double) AS v"
+        )
+    )
+    Maintainer(db).run_once(refresh_views=False)
+    m = Topic(db.store, db.store.resolve("ix")).manifest()
+    assert m and all(set(e.get("b", {})) == {"k"} for e in m.values())
+    # explicit config overrides the declaration
+    t2 = db.create_topic(
+        "ix2", [Column("k", "int64")], indexes=[("k", False)]
+    )
+    t2.insert(spark.range(5).coalesce(1).selectExpr("id*1000 AS time", "id AS k"))
+    Maintainer(db, bloom_cols={"ix2": []}).run_once(refresh_views=False)
+    m2 = Topic(db.store, db.store.resolve("ix2")).manifest()
+    assert m2 and all(not e.get("b") for e in m2.values())
