@@ -2056,12 +2056,16 @@ class Ella:
         if m := _ANALYZE_RE.match(sql):
             from ella_spark.maintenance import build_manifest
 
-            cols = (
-                [c.strip() for c in m.group(2).split(",") if c.strip()]
-                if m.group(2)
-                else None
-            )
-            n = build_manifest(self.topic(m.group(1)), bloom_cols=cols)
+            t = self.topic(m.group(1))
+            if m.group(2):
+                cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+            else:
+                # no explicit columns: declared secondary indexes opt
+                # in, matching the Maintainer's auto-bloom rule
+                cols = [
+                    c for c, _asc in t.entry.indexes if c != TIME_COLUMN
+                ] or None
+            n = build_manifest(t, bloom_cols=cols)
             return Lazy(
                 self.spark.createDataFrame([(n,)], "count long"),
                 engine=self,

@@ -318,3 +318,15 @@ def test_declared_index_auto_blooms(db, spark):
     Maintainer(db, bloom_cols={"ix2": []}).run_once(refresh_views=False)
     m2 = Topic(db.store, db.store.resolve("ix2")).manifest()
     assert m2 and all(not e.get("b") for e in m2.values())
+
+
+def test_analyze_defaults_to_declared_index_blooms(db, spark):
+    from ella_spark.topic import Topic
+
+    t = db.create_topic(
+        "ax", [Column("k", "int64")], indexes=[("k", False)]
+    )
+    t.insert(spark.range(8).coalesce(1).selectExpr("id*1000 AS time", "id AS k"))
+    db.query("ANALYZE ax")
+    m = Topic(db.store, db.store.resolve("ax")).manifest()
+    assert m and all("k" in e.get("b", {}) for e in m.values())
