@@ -113,6 +113,7 @@ EXTRAS = [
     "q_clustering_coefficient",
     "q_weighted_median",
     "q_approx_top_k",
+    "q_gini_concentration",
 ]
 
 

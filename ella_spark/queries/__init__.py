@@ -130,6 +130,7 @@ _NEW_R6 = {
     "q_clustering_coefficient",
     "q_weighted_median",
     "q_approx_top_k",
+    "q_gini_concentration",
 }
 
 # newest hash-green = r3 (computed from CORRECTNESS_r0{1..5}.json):

@@ -1128,3 +1128,55 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n_chars").alias("wmedian"))
         .orderBy("lang")
     )
+
+
+@register(
+    "q_gini_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents WHERE n_chars > 0),
+    a AS (
+      SELECT lang, count(*) AS n,
+             sum(n_chars) AS tot,
+             sum(i * n_chars) AS iw
+      FROM r GROUP BY lang)
+    SELECT lang, n,
+           round(CAST(2 * iw AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM a
+    ORDER BY lang
+    """,
+    doc="Gini coefficient of document mass per language — the "
+    "concentration diagnostic ('is this slice dominated by a few "
+    "huge documents?') corpus-curation dashboards track per source. "
+    "Computed from the sorted-rank identity G = 2*Σ(i*x_i)/(n*Σx) - "
+    "(n+1)/n: every sum is EXACT int64 (ranks deterministic via a "
+    "(value, doc_id) tie-break), so only the final two double "
+    "divisions touch floats — identical IEEE ops cross-engine. One "
+    "shuffle on the group key; the rank sort is per-group.",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = (
+        docs.where(F.col("n_chars") > 0)
+        .select("lang", "n_chars", F.row_number().over(w).alias("i"))
+    )
+    a = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("tot"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("iw"),
+    )
+    return a.select(
+        "lang",
+        "n",
+        F.round(
+            (F.lit(2) * F.col("iw")).cast("double")
+            / (F.col("n").cast("double") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("lang")
