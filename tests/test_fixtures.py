@@ -150,3 +150,20 @@ def test_quality_classifier_direction(spark):
     m = pdf.merge(langs, on="doc_id")
     assert m[m.lang == "en"].p_quality.mean() > m[m.lang != "en"].p_quality.mean()
     assert (m.p_quality.between(0, 1)).all()
+
+
+def test_bench_lists_resolve_in_registry():
+    """Every HEADLINE/EXTRAS name in bench.py must be a registered
+    query — a typo here would crash the driver's per-round bench."""
+    import bench
+
+    from ella_spark.queries import REGISTRY, _load
+
+    _load()
+    missing = [
+        n for n in bench.HEADLINE + bench.EXTRAS if n not in REGISTRY
+    ]
+    assert not missing, missing
+    # and the lists stay duplicate-free
+    allq = bench.HEADLINE + bench.EXTRAS
+    assert len(allq) == len(set(allq))
