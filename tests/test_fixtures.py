@@ -167,3 +167,18 @@ def test_bench_lists_resolve_in_registry():
     # and the lists stay duplicate-free
     allq = bench.HEADLINE + bench.EXTRAS
     assert len(allq) == len(set(allq))
+
+
+def test_rotation_tier_names_resolve_in_registry():
+    """Rotation tier sets must reference real queries — a stale name
+    silently mis-ranks the checked-50 prefix."""
+    from ella_spark import queries as Q
+
+    Q._load()
+    for tier in (Q._NEW_R6, Q._R3_LATEST, Q._R5_GREEN):
+        missing = [n for n in tier if n not in Q.REGISTRY]
+        assert not missing, missing
+    # tiers are disjoint (a name in two tiers would rank ambiguously)
+    assert not (Q._NEW_R6 & Q._R3_LATEST)
+    assert not (Q._NEW_R6 & Q._R5_GREEN)
+    assert not (Q._R3_LATEST & Q._R5_GREEN)
