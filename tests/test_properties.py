@@ -251,3 +251,50 @@ def test_bloom_coercion_is_equality_compatible(ints):
     b = bloom_build([coerce_for("float64", v) for v in ints])
     for v in ints:
         assert bloom_might_contain(b, coerce_for("float64", v))
+
+
+# ── PageRank fixed-point (random graphs vs python reference) ─────────
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=3, max_value=40),
+    extra=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=30
+    ),
+    iters=st.integers(min_value=1, max_value=5),
+)
+def test_pagerank_fixed_point_matches_reference(spark, n, extra, iters):
+    """Random symmetrized graphs: the distributed integer fixed-point
+    PageRank equals the sequential python reference bit-for-bit (the
+    determinism contract the chained-CTE oracle relies on)."""
+    import math
+
+    from ella_spark.operators.graph import pagerank
+
+    raw = {(i, (i + 1) % n) for i in range(n)}
+    raw |= {(a % n, b % n) for a, b in extra if a % n != b % n}
+    edges = sorted(raw | {(b, a) for a, b in raw})
+
+    out: dict[int, list[int]] = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    nn = len(out)
+    pr = {u: math.floor(10**12 / nn) for u in out}
+    base = math.floor((1.0 - 0.85) * float(10**12) / float(nn))
+    for _ in range(iters):
+        s: dict[int, int] = {}
+        for u, nbrs in out.items():
+            c = math.floor(pr[u] / len(nbrs))
+            for v in nbrs:
+                s[v] = s.get(v, 0) + c
+        pr = {v: base + math.floor(0.85 * float(sv)) for v, sv in s.items()}
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(edf, iters=iters).collect()}
+    assert got == pr
