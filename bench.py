@@ -220,6 +220,31 @@ def main() -> None:
         "extra_queries": extras,
     }
     print(json.dumps(out))
+    # The driver records only the last ~2 KB of stdout; the full dict
+    # above (55+ extras and growing) can exceed that window, which cost
+    # BENCH_r06 its headline ("parsed": null). Emit a SHORT final
+    # summary line (< 1 KB) so the tail capture always contains one
+    # complete, parseable headline record. Keys mirror the full dict;
+    # the 16 pre-r4 queries' subtotal is the BASELINE.md-comparable
+    # number.
+    comparable = [n for n in HEADLINE if n not in (
+        "q2_min_cost_supplier", "q9_product_type_profit",
+        "q18_large_volume_cust", "q21_waiting_suppliers")]
+    summary = {
+        "metric": "headline_total_sec",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "comparable_16_sec": round(sum(timings[n] for n in comparable), 4),
+        "sf": out["sf"],
+        "runs": RUNS,
+        "spark": spark.version,
+        "cpus": out["cpus"],
+        "load_avg_1m": out["load_avg_1m"],
+        "ingest_rows_per_sec": ingest_rps,
+        "freshness_sec": freshness,
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -74,6 +74,12 @@ def bloom_build(values, fpp: float = DEFAULT_FPP) -> dict:
             distinct.add(v)
     n = max(1, len(distinct))
     m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    # Round m up to a power of two: h2 is forced odd, and odd is
+    # coprime with 2^j, so the Kirsch-Mitzenmacher probe sequence
+    # (h1 + i*h2) % m is full-cycle for every filter size. With odd m
+    # the residue could share a factor with m, shortening the cycle
+    # and inflating the effective false-positive rate past the target.
+    m = 1 << (m - 1).bit_length()
     k = max(1, round(m / n * math.log(2)))
     bits = bytearray((m + 7) // 8)
     for v in distinct:

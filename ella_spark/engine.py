@@ -1917,14 +1917,41 @@ class Ella:
             )
         if m := _CTAS_RE.match(sql):
             from pyspark.sql import functions as F
+            from pyspark.sql import types as T
 
+            if m.group(1) and self.store.resolve(m.group(2)) is not None:
+                # IF NOT EXISTS on a pre-existing topic is a no-op
+                # (Spark/Postgres CTAS semantics): re-running the
+                # statement must not append a second copy of the data.
+                return Lazy(
+                    self.spark.createDataFrame([(0,)], "count long"),
+                    engine=self,
+                    sql=sql,
+                )
             df = self.spark.sql(m.group(3).strip())
             if TIME_COLUMN not in df.columns:
                 raise ValueError(
                     "CREATE TOPIC ... AS SELECT requires the SELECT to "
                     f"produce an epoch-ns '{TIME_COLUMN}' column "
                     "(topics are time-indexed; add e.g. "
-                    "`now() AS time`)"
+                    "`unix_micros(now()) * 1000 AS time`)"
+                )
+            time_type = df.schema[TIME_COLUMN].dataType
+            if isinstance(time_type, T.TimestampType):
+                # cast(timestamp AS long) yields epoch SECONDS; topics
+                # index epoch NANOSECONDS — convert explicitly so rows
+                # land in the right day buckets.
+                df = df.withColumn(
+                    TIME_COLUMN, F.unix_micros(F.col(TIME_COLUMN)) * F.lit(1000)
+                )
+            elif isinstance(
+                time_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                df = df.withColumn(TIME_COLUMN, F.col(TIME_COLUMN).cast("long"))
+            else:
+                raise ValueError(
+                    f"CTAS '{TIME_COLUMN}' column must be integral epoch-ns "
+                    f"or TIMESTAMP, got {time_type.simpleString()}"
                 )
             cols = [
                 Column.from_struct_field(f)
@@ -1934,11 +1961,7 @@ class Ella:
             t = self.create_topic(
                 m.group(2), cols, if_not_exists=bool(m.group(1))
             )
-            n = t.insert(
-                df.withColumn(
-                    TIME_COLUMN, F.col(TIME_COLUMN).cast("long")
-                )
-            )
+            n = t.insert(df)
             self._register(t.entry)
             return Lazy(
                 self.spark.createDataFrame([(n,)], "count long"),
@@ -1946,16 +1969,24 @@ class Ella:
                 sql=sql,
             )
         if m := _COPY_RE.match(sql):
-            out = self.query(m.group("q").strip()).df
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            # Count rows with an Observation attached to the write job
+            # itself (the Topic.insert pattern): one job total, and no
+            # re-read miscounts (CSV re-reads without schema/multiLine
+            # can split on quoted newlines).
+            obs = Observation("copy_to_count")
+            out = self.query(m.group("q").strip()).df.observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             fmt = (m.group("fmt") or "parquet").lower()
             writer = out.write.mode("errorifexists")
             if fmt == "csv":
                 writer.option("header", "true").csv(m.group("path"))
             else:
                 writer.parquet(m.group("path"))
-            n = self.spark.read.format(fmt).option("header", "true").load(
-                m.group("path")
-            ).count()
+            n = obs.get["n"]
             return Lazy(
                 self.spark.createDataFrame([(n,)], "count long"),
                 engine=self,

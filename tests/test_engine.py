@@ -819,6 +819,71 @@ def test_copy_to_parquet_and_csv(db, spark, tmp_path):
     assert n2 == 7
 
 
+def test_ctas_if_not_exists_noop_on_existing(db, spark):
+    """Re-running CREATE TOPIC IF NOT EXISTS ... AS SELECT must be a
+    no-op when the topic already exists (Spark/Postgres CTAS
+    semantics) — not a silent second append."""
+    src = db.create_topic("ctas_ine_src", [Column("v", "float64")])
+    src.insert(
+        spark.range(4).selectExpr("id * 1000 AS time", "CAST(id AS double) AS v")
+    )
+    stmt = (
+        "CREATE TOPIC IF NOT EXISTS ctas_ine_dst AS "
+        "SELECT time, v FROM ctas_ine_src"
+    )
+    assert db.query(stmt).df.collect()[0]["count"] == 4
+    assert db.query(stmt).df.collect()[0]["count"] == 0
+    n = db.query("SELECT count(*) AS n FROM ctas_ine_dst").df.collect()[0]["n"]
+    assert n == 4
+
+
+def test_ctas_timestamp_time_converts_to_epoch_ns(db, spark):
+    """A TIMESTAMP time column in the CTAS SELECT lands as epoch-NS
+    longs (not cast-to-seconds, which would bucket rows in 1970)."""
+    import pytest as _pytest
+
+    src = db.create_topic("ctas_ts_src", [Column("v", "float64")])
+    src.insert(
+        spark.range(3).selectExpr("id * 1000 AS time", "CAST(id AS double) AS v")
+    )
+    db.query(
+        "CREATE TOPIC ctas_ts AS SELECT "
+        "timestamp'2024-05-01 00:00:00' + make_interval(0,0,0,0,0,0,v) AS time, "
+        "v FROM ctas_ts_src"
+    )
+    times = sorted(
+        r.time for r in db.query("SELECT time FROM ctas_ts").df.collect()
+    )
+    # epoch-ns magnitude (year >= 2020), not epoch-seconds
+    assert all(t > 1_600_000_000 * 10**9 for t in times)
+    # 1-second source steps survive as exactly 1e9 ns
+    assert times[1] - times[0] == 10**9 and times[2] - times[1] == 10**9
+    # non-integral, non-timestamp time -> clear error, no topic created
+    with _pytest.raises(ValueError, match="epoch-ns or TIMESTAMP"):
+        db.query(
+            "CREATE TOPIC ctas_bad_time AS "
+            "SELECT CAST(time AS double) AS time, v FROM ctas_ts_src"
+        )
+
+
+def test_copy_to_csv_quoted_newline_count(db, spark, tmp_path):
+    """COPY TO counts via an Observation on the write job itself; a
+    naive CSV re-read would split exported quoted-newline values into
+    two records each and miscount."""
+    t = db.create_topic("cp_nl", [Column("s", "string")])
+    t.insert(
+        spark.createDataFrame(
+            [(i * 1000, f"first\nsecond-{i}") for i in range(5)],
+            "time long, s string",
+        )
+    )
+    p = str(tmp_path / "out_nl_csv")
+    n = db.query(
+        f"COPY (SELECT s FROM cp_nl) TO '{p}' (FORMAT CSV)"
+    ).df.collect()[0]["count"]
+    assert n == 5
+
+
 def test_vacuum_analyze_show_create_sql(db, spark):
     """Housekeeping verbs: VACUUM <topic> compacts + rebuilds the
     manifest; ANALYZE <topic> (cols) builds blooms; SHOW CREATE TABLE
