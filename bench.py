@@ -155,6 +155,47 @@ def _ingest_bench(spark, n_rows: int = 200_000) -> tuple[float, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _point_lookup_bench(spark) -> dict[str, float]:
+    """Bloom-index point-lookup latency through the SQL TVF: a hit
+    (one shard read) and a miss (every shard bloom-skipped). Regressions
+    in the driver-side manifest probe path show up here as BENCH deltas
+    — correctness lives in tests/test_bloom.py."""
+    import shutil
+    import tempfile
+
+    from ella_spark.engine import Ella
+    from ella_spark.maintenance import build_manifest
+    from ella_spark.types import Column
+
+    root = tempfile.mkdtemp(prefix="ella_bench_bloom_")
+    try:
+        db = Ella.create(root + "/db", spark)
+        t = db.create_topic("pl", [Column("k", "int64"), Column("v", "float64")])
+        n_shards, rows = 16, 4000
+        for b in range(n_shards):
+            t.insert(
+                spark.range(rows).coalesce(1).selectExpr(
+                    f"(id * {n_shards} + {b}) * 1000 AS time",
+                    f"id * {n_shards} + {b} AS k",
+                    "CAST(id AS double) AS v",
+                )
+            )
+        build_manifest(t, bloom_cols=["k"])
+        # warm the TVF path once (manifest JSON load + view registration)
+        db.query("SELECT * FROM point_lookup('pl', 'k', 1)").df.collect()
+        out = {}
+        for label, probe in (("hit", 12345), ("miss", 10**12)):
+            t0 = time.perf_counter()
+            rows_out = db.query(
+                f"SELECT k, v FROM point_lookup('pl', 'k', {probe})"
+            ).df.collect()
+            out[f"point_lookup_{label}"] = round(time.perf_counter() - t0, 4)
+            assert len(rows_out) == (1 if label == "hit" else 0)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from ella_spark.queries import all_queries
     from ella_spark.session import get_session
@@ -199,6 +240,7 @@ def main() -> None:
     extras = {n: round(statistics.median(samples[n]), 4) for n in EXTRAS}
 
     ingest_rps, freshness = _ingest_bench(spark)
+    extras.update(_point_lookup_bench(spark))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

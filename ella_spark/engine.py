@@ -169,6 +169,26 @@ _TIMESTAMP_ASOF_RE = re.compile(
 )
 
 
+#: Test hook simulating a Spark Connect session, where DataFrames
+#: carry no ``_jdf`` and query plans are not driver-inspectable. When
+#: True, ``_jdf_qe`` raises exactly as Connect would, so the degraded-
+#: mode fallbacks (fail-closed full MV recompute; captured-explain
+#: EXPLAIN output) execute for real on a classic session — the only
+#: way to run them here, since grpcio is absent and the full Connect
+#: matrix (test_connect.py) skips.
+FORCE_PLAN_OPAQUE = False
+
+
+def _jdf_qe(df):
+    """``df._jdf.queryExecution()``, raising where the plan is not
+    inspectable (Spark Connect has no ``_jdf``; see FORCE_PLAN_OPAQUE).
+    Callers keep their own except-arms: each site's fallback policy
+    (fail closed vs. degrade output) is part of its contract."""
+    if FORCE_PLAN_OPAQUE:
+        raise AttributeError("simulated Spark Connect session: no _jdf")
+    return df._jdf.queryExecution()
+
+
 def _state_key(prefix: str, i: int) -> str:
     """refresh_state key for the i-th FROM table ("topic"/"shards" for
     the first, "topic2"/"shards2" for the second, … — the numbered
@@ -1232,7 +1252,7 @@ class Ella:
                 # (Spark Connect has no _jdf), fail CLOSED to a full
                 # recompute rather than trust the regex alone.
                 try:
-                    plan = delta_df._jdf.queryExecution().analyzed().toString()
+                    plan = _jdf_qe(delta_df).analyzed().toString()
                 except Exception:
                     return None
                 if "Aggregate" in plan:
@@ -1609,7 +1629,7 @@ class Ella:
             # structural guard, same as the single-topic SPF path
             # (fail closed when the plan is not inspectable — Connect)
             try:
-                plan = delta_df._jdf.queryExecution().analyzed().toString()
+                plan = _jdf_qe(delta_df).analyzed().toString()
             except Exception:
                 return None
             if "Aggregate" in plan:
@@ -2131,7 +2151,7 @@ class Ella:
             # first so the reported physical plan is the AQE-final one.
             df = self.spark.sql(m.group(2))
             try:
-                qe = df._jdf.queryExecution()
+                qe = _jdf_qe(df)
                 logical = qe.optimizedPlan().toString()
                 physical = qe.executedPlan().toString()
             except Exception:

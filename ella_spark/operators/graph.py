@@ -434,3 +434,58 @@ def kcore(
     return deg.where(F.col("d") >= k).select(
         F.col("u").alias("node"), F.lit(converged).alias("converged")
     )
+
+
+def kcore_converged(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Production k-core: peel until fixpoint (the docstring loop of
+    :func:`kcore`, lifted into a callable).
+
+    Peels until a round removes nothing — the exact k-core — with
+    ``max_rounds`` as a runaway backstop only (peeling strictly
+    shrinks the node set, so the loop terminates in <= |V| rounds
+    regardless; real graphs converge in O(log n)). Returns
+    ``(node, converged)``; ``converged`` is false only if the backstop
+    fired first, which callers should treat as an error on graphs
+    they control. Same per-round shape as the bounded variant: one
+    degree count + two semi-joins, O(E) keyed shuffles,
+    localCheckpoint truncating lineage each round. Only one scalar
+    (the surviving-node count) reaches the driver per round.
+
+    The bounded-round :func:`kcore` stays as the oracle vehicle (a
+    fixed dataflow DuckDB can replay as unrolled CTEs); this variant
+    is pinned equal to it on converged inputs by
+    tests/test_graph.py::test_kcore_converged_long_chain.
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_n = None
+    converged = False
+    for _ in range(max_rounds):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        n = keep.count()
+        if n == 0 or (prev_n is not None and n == prev_n):
+            converged = True
+            break
+        prev_n = n
+        kv = keep.select(F.col("u").alias("v"))
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(kv, "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return deg.where(F.col("d") >= k).select(
+        F.col("u").alias("node"), F.lit(converged).alias("converged")
+    )

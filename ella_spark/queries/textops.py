@@ -421,11 +421,27 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "run at 100 TB.",
 )
 def q_dedup_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w, df_cap, min_shared = 8, 4, 10, 3
+    e = winnow_fingerprints_fast(spark, sf_dir, k=k, w=w)
+    nf = e.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
+    return _winnow_tail(e, nf, df_cap, min_shared)
+
+
+def winnow_fingerprints_fast(
+    spark: SparkSession, sf_dir: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """The fast vehicle's fingerprint stage: distinct winnowed
+    (doc_id, fp) rows from ONE Arrow mapInPandas pass (batch-
+    concatenated bytes, Horner rolling hash, stride-tricks sliding
+    min, doc-boundary masking). Split out of q_dedup_winnow_fast so
+    tests/test_textops.py can pin it doc-by-doc against a pure-Python
+    per-document reference — the standing guard that a numpy refactor
+    cannot silently drift the batched machinery (boundary masks,
+    lexsort dedup) away from winnowing semantics."""
     import numpy as np
     import pandas as pd
     from numpy.lib.stride_tricks import sliding_window_view
 
-    k, w, df_cap, min_shared = 8, 4, 10, 3
     d = load_table(spark, sf_dir, "documents")
     n = d.select(
         "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
@@ -475,11 +491,9 @@ def q_dedup_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table feeds 5 downstream references — one bounded
     # materialization keeps the Python stage from re-running per
     # self-join branch
-    e = n.mapInPandas(
+    return n.mapInPandas(
         fp_batches, schema="doc_id long, fp long"
     ).localCheckpoint()
-    nf = e.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
-    return _winnow_tail(e, nf, df_cap, min_shared)
 
 
 def _winnow_pairs(

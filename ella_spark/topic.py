@@ -433,7 +433,19 @@ class Topic:
 
         configure(spark)
         if not paths:
-            return spark.createDataFrame([], self.spark_schema())
+            # JVM-side empty relation (Range 0 + typed NULL projection):
+            # createDataFrame([], schema) builds an RDD-backed frame
+            # whose every action pays a Python-RDD job (~1 s measured —
+            # it dominated the bloom-skip point-lookup MISS, the case
+            # where skipping works best and the scan reads nothing)
+            from pyspark.sql import functions as F
+
+            return spark.range(0).select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in self.spark_schema().fields
+                ]
+            )
         df = (
             spark.read.schema(self._partitioned_schema())
             .option("basePath", str(self.path))

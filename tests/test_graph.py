@@ -234,3 +234,34 @@ def test_kcore_bounded_rounds_contract(spark):
     assert rows and not rows[0]["converged"]  # 2 rounds not enough
     done = kcore(edf, k=2, rounds=12).collect()
     assert done == []  # a path has no 2-core
+
+
+def test_kcore_converged_long_chain(spark):
+    """kcore_converged peels to the true fixpoint on a pathological
+    long-chain graph where the bounded variant's 8 rounds fall short,
+    and agrees with the bounded variant when that one converges."""
+    from ella_spark.operators.graph import kcore, kcore_converged
+
+    # triangle {0,1,2} + a 25-node tail hanging off node 2: with k=2
+    # the tail peels exactly one node per round (25 rounds needed)
+    edges = [(0, 1), (0, 2), (1, 2)] + [(i, i + 1) for i in range(2, 27)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    bounded = kcore(edf, k=2, rounds=8).collect()
+    assert bounded and not bounded[0]["converged"]
+    assert len(bounded) > 3  # over-approximates: tail not fully peeled
+
+    rows = kcore_converged(edf, k=2).collect()
+    assert {r["node"] for r in rows} == {0, 1, 2}
+    assert all(r["converged"] for r in rows)
+
+    # empty k-core converges too (and agrees with the bounded oracle)
+    assert kcore_converged(edf, k=3).collect() == []
+
+    # on an input where the bounded variant converges, both agree
+    small = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    a = {r["node"] for r in kcore(small, k=2, rounds=8).collect()}
+    b = {r["node"] for r in kcore_converged(small, k=2).collect()}
+    assert a == b == {0, 1, 2}

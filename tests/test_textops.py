@@ -75,6 +75,52 @@ def test_winnow_variants_agree_on_planted_pair(spark, winnow_dir):
     assert md5_pairs == xx_pairs == {(1, 2)}
 
 
+def _ref_winnow_fps(t: str, k: int = 8, w: int = 4) -> set[int]:
+    """Per-document winnowing reference: naive Horner rolling hash +
+    naive sliding min over one doc's (already lower/trimmed) text.
+    Deliberately scalar Python — the ground truth the batched numpy
+    pipeline (batch concat, boundary masks, lexsort dedup) must match
+    exactly, doc by doc."""
+    b = t.encode("utf-8")
+    B, mask = 1099511628211, (1 << 64) - 1
+    hs = []
+    for i in range(len(b) - k + 1):
+        h = 0
+        for byte in b[i : i + k]:
+            h = (h * B + byte) & mask
+        hs.append(h)
+    mins = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+    return {m - (1 << 64) if m >= (1 << 63) else m for m in mins}
+
+
+@pytest.mark.parametrize("corpus", ["planted", "sf"])
+def test_winnow_fast_fingerprints_match_reference(spark, winnow_dir, corpus):
+    """Standing doc-by-doc equivalence pin for the numpy fast path
+    (VERDICT r6 #6), at two corpus sizes: the tiny planted corpus and
+    the real sf0.001 documents table. Any refactor of the batched
+    rolling hash / sliding min / boundary masking that drifts from
+    winnowing semantics fails here."""
+    from ella_spark.queries.textops import winnow_fingerprints_fast
+    from ella_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf_dir = winnow_dir if corpus == "planted" else "/root/testdata/sf0.001"
+    k, w = 8, 4
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints_fast(spark, sf_dir, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+
+    texts = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+        .where(F.length("t") >= k + w - 1)
+        .collect()
+    )
+    assert texts and set(got) == {r.doc_id for r in texts}
+    for r in texts:
+        assert got[r.doc_id] == _ref_winnow_fps(r.t, k, w), r.doc_id
+
+
 def test_spark_sql_quote_backslash_roundtrip(spark):
     """Tokens interpolated into Spark F.expr must survive backslashes:
     Spark's parser treats \\ as an escape inside string literals where
