@@ -114,6 +114,15 @@ EXTRAS = [
     "q_weighted_median",
     "q_approx_top_k",
     "q_gini_concentration",
+    # round-7 additions
+    "q_interpolate_linear",
+    "q_sessionize_stats",
+    "q_cumulative_distinct",
+    "q_event_transitions",
+    "q_first_touch_attribution",
+    "q_data_profile",
+    "q_minmax_scale",
+    "q_kcore_converged",
 ]
 
 

@@ -107,7 +107,16 @@ def _load() -> None:
 # r3:10; never-green = exactly the 4 no-oracle names).
 
 # Queries added in round 7 (no driver row can exist yet).
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    "q_interpolate_linear",
+    "q_sessionize_stats",
+    "q_cumulative_distinct",
+    "q_event_transitions",
+    "q_first_touch_attribution",
+    "q_data_profile",
+    "q_minmax_scale",
+    "q_kcore_converged",
+}
 
 # newest hash-green = r3 — the 10 names that overflowed the r6
 # prefix (VERDICT r6 #2): promote first.

@@ -168,7 +168,7 @@ _KCORE_K = 3
 _KCORE_ROUNDS = 8
 
 
-def _kcore_oracle() -> str:
+def _kcore_oracle(rounds: int = _KCORE_ROUNDS) -> str:
     ctes = [
         """g0 AS (
       SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
@@ -184,7 +184,7 @@ def _kcore_oracle() -> str:
     # chain exponential (measured: the un-materialized form does not
     # finish), materialization makes it the same linear dataflow
     # Spark runs
-    for i in range(1, _KCORE_ROUNDS + 1):
+    for i in range(1, rounds + 1):
         p = i - 1
         ctes.append(
             f"""k{i} AS MATERIALIZED (
@@ -199,7 +199,7 @@ def _kcore_oracle() -> str:
     body = ",\n    ".join(ctes)
     return f"""
     WITH {body}
-    SELECT a AS node FROM s{_KCORE_ROUNDS}
+    SELECT a AS node FROM s{rounds}
     GROUP BY a HAVING count(*) >= {_KCORE_K}
     ORDER BY node
     """
@@ -308,3 +308,38 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("coeff").desc(), "node")
         .limit(20)
     )
+
+
+# ── round-7 additions ────────────────────────────────────────────────
+
+_KCORE_FIXPOINT_UNROLL = 12
+
+
+@register(
+    "q_kcore_converged",
+    oracle=_kcore_oracle(rounds=_KCORE_FIXPOINT_UNROLL),
+    doc=f"Production k-core (VERDICT r6 #4): operators.graph."
+    "kcore_converged peels to the TRUE fixpoint (while-not-converged, "
+    "runaway backstop only) instead of the bounded-round dataflow. "
+    f"The oracle unrolls {_KCORE_FIXPOINT_UNROLL} peel rounds as "
+    "CTEs — peeling is monotone, so once the fixpoint is reached "
+    "extra unrolled rounds are no-ops and the two agree EXACTLY "
+    "whenever the data converges within the unroll (verified at "
+    "sf0.001/0.01/0.1; the events co-activity graph peels in <= 3 "
+    "rounds — a pathological chain needing more would fail parity "
+    "loudly, not silently). Per round: one degree count + two "
+    "semi-joins, O(E) keyed shuffles, localCheckpoint lineage cut.",
+)
+def q_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators.graph import kcore_converged
+
+    ev = load_table(spark, sf_dir, "events")
+    g0 = ev.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.min("user_id").alias("u"), F.max("user_id").alias("v"))
+    e0 = g0.where(F.col("u") != F.col("v")).select("u", "v").distinct()
+    out = kcore_converged(
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        k=_KCORE_K,
+    )
+    return out.select("node").orderBy("node")

@@ -12,7 +12,7 @@ aggregations use built-in JVM functions (whole-stage codegen).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ella_spark.queries import register
 from ella_spark.sources import load_table
@@ -1347,4 +1347,102 @@ def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("cnt"),
         )
         .orderBy("source", "item")
+    )
+
+
+# ── round-7 additions ────────────────────────────────────────────────
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q_data_profile",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS vmin,
+           CAST(max({c}) AS DOUBLE) AS vmax
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    doc="Column profiling (the data-quality pass every ingestion "
+    "pipeline runs first): per-column row/null/exact-distinct counts "
+    "and min/max, for several columns in ONE scan — Spark computes "
+    "all metrics in a single multi-count-distinct aggregate (Catalyst "
+    "expands it via one Expand node, not N scans) and unpivots the "
+    "20 scalars driver-side; the oracle spells it as a UNION ALL.",
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__dist").alias("n_distinct"),
+                F.col(f"{c}__min").alias("vmin"),
+                F.col(f"{c}__max").alias("vmax"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@register(
+    "q_minmax_scale",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    ext AS (
+      SELECT user_id, event_id, vc,
+             min(vc) OVER (PARTITION BY user_id) AS lo,
+             max(vc) OVER (PARTITION BY user_id) AS hi
+      FROM c)
+    SELECT user_id, event_id,
+           CAST(CASE WHEN hi > lo
+                     THEN ((vc - lo) * 1000000) // (hi - lo)
+                     ELSE 500000 END AS DOUBLE) / 1000000 AS scaled
+    FROM ext
+    """,
+    doc="Per-group min-max feature scaling to [0, 1] (degenerate "
+    "single-value groups pin to 0.5): one unordered partition window "
+    "computes both extrema in a single user_id shuffle — the "
+    "normalize-before-training primitive. The ratio is carried as "
+    "exact integer parts-per-million over centi-unit values "
+    "(events.value is 2-decimal, non-negative): a double divide + "
+    "round lands on ties where Spark's shortest-repr HALF_UP and "
+    "DuckDB's binary rounding legally disagree; integer floor "
+    "division cannot.",
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    c = ev.select("user_id", "event_id", vc.alias("vc"))
+    lo, hi = F.min("vc").over(w), F.max("vc").over(w)
+    ext = c.withColumns({"_lo": lo, "_hi": hi})
+    ppm = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.expr("((vc - _lo) * 1000000) div (_hi - _lo)"),
+    ).otherwise(F.lit(500000))
+    return ext.select(
+        "user_id", "event_id", (ppm.cast("double") / 1000000).alias("scaled")
     )

@@ -1007,3 +1007,302 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bkt", "ts_us", "v")
     )
+
+
+# ── round-7 additions ────────────────────────────────────────────────
+
+
+@register(
+    "q_interpolate_linear",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // {10 * _NS_PER_MIN} AS b, value, event_id
+      FROM events WHERE user_id < 5),
+    binned AS (
+      SELECT user_id, b, max_by(value, event_id) AS v
+      FROM e GROUP BY user_id, b),
+    bounds AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM binned GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM bounds),
+    j AS (
+      SELECT g.user_id, g.b, binned.v
+      FROM grid g LEFT JOIN binned ON g.user_id = binned.user_id AND g.b = binned.b),
+    ctx AS (
+      SELECT user_id, b, v,
+             last_value(CASE WHEN v IS NOT NULL THEN
+                 CAST(floor(v * 100 + 0.5) AS BIGINT) END IGNORE NULLS)
+               OVER w_prec AS pc,
+             last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER w_prec AS pb,
+             first_value(CASE WHEN v IS NOT NULL THEN
+                 CAST(floor(v * 100 + 0.5) AS BIGINT) END IGNORE NULLS)
+               OVER w_foll AS nc,
+             first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER w_foll AS nb
+      FROM j
+      WINDOW
+        w_prec AS (PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_foll AS (PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id,
+           b * {10 * _NS_PER_MIN // 1000} AS bucket_us,
+           CAST(CASE
+             WHEN v IS NOT NULL THEN CAST(floor(v * 100 + 0.5) AS BIGINT)
+             WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+               (pc * (nb - b) + nc * (b - pb)) // (nb - pb)
+             WHEN pc IS NOT NULL THEN pc
+             ELSE nc
+           END AS DOUBLE) / 100 AS v_interp
+    FROM ctx
+    """,
+    doc="Linear interpolation onto a fixed 10-minute grid — the TSDB "
+    "interpolate() companion to q_gap_fill's forward fill. Missing "
+    "buckets take the exact-rational lerp (pc*(nb-b) + nc*(b-pb)) "
+    "div (nb-pb) from the nearest known neighbors, carried in "
+    "integer CENTI-units (events.value is 2-decimal; values are "
+    "non-negative so floor==trunc) — a double lerp lands on "
+    ".xxx5 rounding ties where Spark (shortest-repr HALF_UP) and "
+    "DuckDB (binary-value rounding) legally disagree. Two "
+    "mirror-image IGNORE NULLS windows over the SAME user_id "
+    "partitioning: one shuffle; leading/trailing gaps degrade to "
+    "nearest-known.",
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bin_ns = 10 * _NS_PER_MIN
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    binned = ev.groupBy(
+        "user_id", F.expr(f"ts div {bin_ns}").alias("b")
+    ).agg(F.max_by("value", "event_id").alias("v"))
+    grid = (
+        binned.groupBy("user_id")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("b"),
+        )
+    )
+    j = grid.join(binned, ["user_id", "b"], "left")
+    w_prec = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_foll = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_b = F.when(F.col("v").isNotNull(), F.col("b"))
+    # integer centi-units: exact lerp, no double-rounding tie traps
+    centi = F.when(
+        F.col("v").isNotNull(),
+        F.floor(F.col("v") * 100 + 0.5).cast("bigint"),
+    )
+    pc = F.last(centi, ignorenulls=True).over(w_prec)
+    pb = F.last(known_b, ignorenulls=True).over(w_prec)
+    nc = F.first(centi, ignorenulls=True).over(w_foll)
+    nb = F.first(known_b, ignorenulls=True).over(w_foll)
+    b = F.col("b")
+    ctx = j.withColumns(
+        {"_pc": pc, "_pb": pb, "_nc": nc, "_nb": nb}
+    )
+    interp_centi = (
+        F.when(
+            F.col("v").isNotNull(),
+            F.floor(F.col("v") * 100 + 0.5).cast("bigint"),
+        )
+        .when(
+            F.col("_pc").isNotNull() & F.col("_nc").isNotNull(),
+            F.expr("(_pc * (_nb - b) + _nc * (b - _pb)) div (_nb - _pb)"),
+        )
+        .when(F.col("_pc").isNotNull(), F.col("_pc"))
+        .otherwise(F.col("_nc"))
+    )
+    return ctx.select(
+        "user_id",
+        (b * (bin_ns // 1000)).alias("bucket_us"),
+        (interp_centi.cast("double") / 100).alias("v_interp"),
+    )
+
+
+@register(
+    "q_sessionize_stats",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value,
+             lag(epoch_ns(ts)) OVER w AS prev_ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+    marked AS (
+      SELECT *, CASE WHEN prev_ns IS NULL
+                       OR ts_ns - prev_ns > {30 * _NS_PER_MIN} THEN 1
+                     ELSE 0 END AS is_new
+      FROM seq),
+    sess AS (
+      SELECT user_id, ts_ns, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM marked)
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           min(ts_ns) // 1000 AS start_us,
+           (max(ts_ns) - min(ts_ns)) // 1000 AS duration_us,
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS value_sum
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    doc="Full sessionization: 30-min-inactivity session IDs assigned "
+    "by a cumulative sum of session-start flags, then per-session "
+    "stats (count, start, duration, decimal-exact value sum). The "
+    "lag, the running sum, AND the final aggregate all share ONE "
+    "user_id partitioning — Catalyst plans a single shuffle; "
+    "q_session_gaps only counts sessions, this materializes them.",
+)
+def q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap_ns = 30 * _NS_PER_MIN
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("session_seq", F.sum(is_new).over(wc))
+    return sess.groupBy(
+        "user_id", F.col("session_seq").cast("bigint").alias("session_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("min(ts) div 1000").alias("start_us"),
+        F.expr("(max(ts) - min(ts)) div 1000").alias("duration_us"),
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
+@register(
+    "q_cumulative_distinct",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, min(epoch_ns(ts) // {24 * 3600 * _NS_PER_SEC}) AS day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT day, count(*) AS new_users FROM first_seen GROUP BY day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+    doc="Cumulative distinct-user count by day via the first-occurrence "
+    "identity: COUNT(DISTINCT) over a growing window is quadratic, "
+    "but min-day-per-user + daily counts + one running sum is two "
+    "keyed aggregations and an O(days) window — the scalable form of "
+    "'cumulative uniques', exact at any scale.",
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_ns = 24 * 3600 * _NS_PER_SEC
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts div {day_ns})").alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ns(ts), event_id)
+               AS prev_type
+      FROM events)
+    SELECT prev_type AS from_type, event_type AS to_type,
+           count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc="Event-type transition matrix (per-user Markov bigrams): lag "
+    "window + group count. One user_id shuffle for the lag, one "
+    "transition-pair shuffle for the count — the funnel-adjacent "
+    "'what happens after X' product-analytics primitive.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_first_touch_attribution",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events),
+    first_touch AS (
+      SELECT user_id, event_type AS first_type FROM ranked WHERE rn = 1),
+    conv AS (
+      SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase')
+               AS purchases
+      FROM events GROUP BY user_id)
+    SELECT f.first_type,
+           count(*) AS n_users,
+           CAST(sum(c.purchases) AS BIGINT) AS n_purchases
+    FROM first_touch f JOIN conv c ON c.user_id = f.user_id
+    GROUP BY f.first_type
+    """,
+    doc="First-touch attribution: each user's FIRST event type "
+    "(row_number window, deterministic (ts, event_id) order) credited "
+    "with their later purchase count. The window and the per-user "
+    "conversion aggregate share the user_id partitioning; the final "
+    "rollup groups a user-sized frame by first_type.",
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_touch = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        )
+    )
+    return (
+        first_touch.join(conv, "user_id")
+        .groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("purchases").cast("bigint").alias("n_purchases"),
+        )
+    )

@@ -175,10 +175,18 @@ def test_rotation_tier_names_resolve_in_registry():
     from ella_spark import queries as Q
 
     Q._load()
-    for tier in (Q._NEW_R6, Q._R3_LATEST, Q._R5_GREEN):
+    tiers = (Q._NEW_THIS_ROUND, Q._STALE_R3, Q._R4_GREEN, Q._R6_GREEN)
+    for tier in tiers:
         missing = [n for n in tier if n not in Q.REGISTRY]
         assert not missing, missing
     # tiers are disjoint (a name in two tiers would rank ambiguously)
-    assert not (Q._NEW_R6 & Q._R3_LATEST)
-    assert not (Q._NEW_R6 & Q._R5_GREEN)
-    assert not (Q._R3_LATEST & Q._R5_GREEN)
+    for i, a in enumerate(tiers):
+        for b in tiers[i + 1 :]:
+            assert not (a & b), a & b
+    # the checked-50 prefix starts with every new + r3-stale name and
+    # contains no no-oracle name (they can never hash-verify)
+    names = list(Q.all_queries())[:50]
+    oracles = Q.all_oracles()
+    assert Q._NEW_THIS_ROUND <= set(names)
+    assert Q._STALE_R3 <= set(names)
+    assert all(n in oracles for n in names)

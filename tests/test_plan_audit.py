@@ -272,3 +272,39 @@ def test_collocations_single_tokenize_pass(spark):
     final = _final_plan(spark, "q_collocations")
     assert final.count("Scan parquet") == 0, final
     assert "ExistingRDD" in final
+
+
+def test_sessionize_single_shuffle(spark):
+    """q_sessionize_stats: the lag, the running session-seq sum, AND
+    the final per-session aggregate all cluster on user_id — Catalyst
+    must plan exactly ONE Exchange over ONE events scan (hash
+    partitioning on user_id satisfies the (user_id, session_seq)
+    clustering of the final aggregate)."""
+    plan = _plan(spark, "q_sessionize_stats")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan") == 1
+
+
+def test_minmax_scale_single_shuffle(spark):
+    """q_minmax_scale: both extrema come from one unordered partition
+    window — one Exchange, one scan."""
+    plan = _plan(spark, "q_minmax_scale")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan") == 1
+
+
+def test_data_profile_single_scan_expand(spark):
+    """q_data_profile: all 20 per-column metrics (incl. 4 exact
+    count-distincts) come from ONE lineitem scan via Catalyst's Expand
+    rewrite — N profiled columns must not become N scans."""
+    plan = _plan(spark, "q_data_profile")
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" in plan
+
+
+def test_first_touch_rank1_is_window_group_limit(spark):
+    """q_first_touch_attribution: the rn=1 first-event filter must run
+    as WindowGroupLimit (partial before the shuffle, final after) —
+    the rank-limit pushdown, not a full materialized row_number."""
+    plan = _plan(spark, "q_first_touch_attribution")
+    assert "WindowGroupLimit" in plan, plan
