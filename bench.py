@@ -123,6 +123,8 @@ EXTRAS = [
     "q_data_profile",
     "q_minmax_scale",
     "q_kcore_converged",
+    "q_semantic_decontaminate",
+    "q_pareto_cut",
 ]
 
 

@@ -116,6 +116,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_data_profile",
     "q_minmax_scale",
     "q_kcore_converged",
+    "q_semantic_decontaminate",
+    "q_pareto_cut",
 }
 
 # newest hash-green = r3 — the 10 names that overflowed the r6

@@ -1180,3 +1180,55 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("lang")
+
+
+@register(
+    "q_pareto_cut",
+    oracle="""
+    WITH src AS (
+      SELECT lang, source, sum(n_chars) AS src_chars
+      FROM documents GROUP BY lang, source),
+    tot AS (
+      SELECT lang, source, src_chars,
+             sum(src_chars) OVER (PARTITION BY lang) AS total_chars,
+             sum(src_chars) OVER (PARTITION BY lang
+               ORDER BY src_chars DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_chars
+      FROM src)
+    SELECT lang, source, src_chars, cum_chars
+    FROM tot
+    WHERE (cum_chars - src_chars) * 10 < total_chars * 9
+    """,
+    doc="Pareto coverage cut per language: the smallest prefix of "
+    "sources (largest first) whose cumulative characters reach 90% "
+    "of the stratum — 'which sources do we actually need'. The "
+    "90% test is pure int64 ((cum-src)*10 < total*9): exact on any "
+    "engine, no double division. Both windows and the final filter "
+    "share ONE lang partitioning; the windowed frame is "
+    "O(sources-per-lang), tiny at any corpus size.",
+)
+def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("src_chars")
+    )
+    w_tot = Window.partitionBy("lang")
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("src_chars").desc(), "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = src.withColumns(
+        {
+            "total_chars": F.sum("src_chars").over(w_tot),
+            "cum_chars": F.sum("src_chars").over(w_cum),
+        }
+    )
+    return tot.where(
+        (F.col("cum_chars") - F.col("src_chars")) * 10
+        < F.col("total_chars") * 9
+    ).select("lang", "source", "src_chars", "cum_chars")

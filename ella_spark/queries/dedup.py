@@ -816,3 +816,75 @@ def q_span_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("words") - F.size(keep)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+@register(
+    "q_semantic_decontaminate",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 24),
+    c AS (SELECT * FROM v WHERE vec_id >= 24),
+    scored AS (
+      SELECT c.vec_id,
+             max(round(list_sum(list_transform(range(1, 65),
+                   i -> c.ve[CAST(i AS INTEGER)] * q.ve[CAST(i AS INTEGER)]))
+                 / (c.nrm * q.nrm), 6)) AS max_cosine
+      FROM c, q
+      GROUP BY c.vec_id)
+    SELECT vec_id, max_cosine
+    FROM scored
+    ORDER BY max_cosine DESC, vec_id
+    LIMIT 50
+    """,
+    doc="SEMANTIC decontamination (the embedding companion to the "
+    "n-gram q_decontaminate / q_ngram_decontaminate): rank training "
+    "vectors by their max cosine to a FIXED held-out eval set "
+    "(vec_id < 24 — bounded by construction, so the cross join is a "
+    "24-row broadcast at any corpus size) and surface the top-50 "
+    "candidates for removal. Per-pair cosine follows the "
+    "q_dedup_embedding idiom (in-order zip_with/aggregate fold = "
+    "DuckDB list_transform/list_sum, round 6). At 100 TB with a "
+    "LARGE eval set, the same max-cosine reduces over the IVF-cell "
+    "blocked kNN join instead of the broadcast.",
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    q = v.where(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("qid"),
+        F.col("ve").alias("qve"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = v.where(F.col("vec_id") >= 24)
+    dot = F.aggregate(
+        F.zip_with("ve", "qve", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("nrm") * F.col("qnrm")), 6)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("max_cosine"))
+        .orderBy(F.col("max_cosine").desc(), "vec_id")
+        .limit(50)
+    )

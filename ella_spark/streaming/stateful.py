@@ -197,3 +197,110 @@ def ewma_per_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ── streaming sessionization ─────────────────────────────────────────
+
+_SESS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_seq", LongType()),
+        StructField("start_ns", LongType()),
+        StructField("end_ns", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+_SESS_STATE = StructType(
+    [
+        StructField("session_seq", LongType()),
+        StructField("start_ns", LongType()),
+        StructField("last_ns", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def sessionize_per_key(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    gap_ns: int,
+    time_col: str = TIME_COLUMN,
+) -> DataFrame:
+    """Streaming sessionization: the incremental form of the batch
+    q_sessionize_stats query (queries/timeseries.py). Per key, events
+    separated by more than ``gap_ns`` start a new session; a session
+    is EMITTED when a later event closes it (append mode — closed
+    sessions are final and never retracted), while the currently-open
+    session lives in the state store across micro-batches.
+
+    Contract mirrors the batch identity: on a quiesced topic, the
+    emitted closed sessions equal the batch query's sessions minus
+    each key's final (still-open) one — pinned by
+    tests/test_streaming.py. Same ordering caveat as ewma_per_key:
+    rows are folded in time order WITHIN each micro-batch and batches
+    are folded in arrival order; an event older than the state's
+    last_ns (cross-batch late data) extends the open session rather
+    than rewriting a closed one, because closed emissions are final
+    (the at-scale alternative — watermark + retraction — is Spark's
+    built-in session_window, streaming/__init__.py, when retraction
+    semantics are wanted).
+
+    Scale shape: state is 5 scalars per key in the state store; each
+    micro-batch shuffles only its own rows by key.
+    """
+    import pyspark.sql.functions as F
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            seq, start, last, n, vsum = state.get
+        else:
+            seq, start, last, n, vsum = 0, None, None, 0, 0.0
+        parts = [p for p in pdfs if len(p)]
+        closed: list[tuple] = []
+        if parts:
+            rows = pd.concat(parts, ignore_index=True).sort_values(
+                "_t", kind="stable", ignore_index=True
+            )
+            for t, v in zip(
+                rows["_t"].astype("int64"), rows["_v"].astype("float64")
+            ):
+                t = int(t)
+                if start is None:
+                    seq, start, last, n, vsum = seq + 1, t, t, 1, float(v)
+                elif t - last > gap_ns:
+                    closed.append((key[0], seq, start, last, n, vsum))
+                    seq, start, last, n, vsum = seq + 1, t, t, 1, float(v)
+                else:
+                    last = max(last, t)
+                    n += 1
+                    vsum += float(v)
+        state.update((seq, start, last, n, vsum))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "key",
+                    "session_seq",
+                    "start_ns",
+                    "end_ns",
+                    "n_events",
+                    "value_sum",
+                ],
+            )
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(time_col).cast("long").alias("_t"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -39,6 +39,7 @@ BNLJ_BOUNDED = {
     "q_bpe_merges",   # per-round 1-row winning-pair cross join
     "q_ann_recall",   # contains the brute-force exact baseline (fixed query set)
     "q_collocations",  # two 1-row corpus-total aggregates (n_uni, n_bi)
+    "q_semantic_decontaminate",  # fixed 24-row eval set x corpus (vec_id < 24)
 }
 
 

@@ -486,3 +486,87 @@ def test_ewma_stream_matches_batch(db, spark):
         assert got == {k: last.loc[k, "ewma"] for k in got}
     finally:
         q.stop()
+
+
+def test_sessionize_stream_matches_batch(db, spark):
+    """Streaming sessionization across TWO micro-batches: closed
+    sessions emitted by the stateful operator equal the batch
+    q_sessionize_stats identity over the quiesced topic, minus each
+    key's final (still-open) session — the incremental-form contract
+    of the round-7 batch query."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ella_spark.streaming.stateful import sessionize_per_key
+
+    topic = db.create_topic(
+        "sst",
+        [Column("k", "string", required=True), Column("v", "float64")],
+    )
+    mn = 60 * 1_000_000_000  # ns per minute
+    with topic.publish() as pub:
+        # key a: events at t=0,10 | gap>30min | 50,55 (batch 1)
+        pub.write(0 * mn, "a", 1.0)
+        pub.write(10 * mn, "a", 2.0)
+        pub.write(50 * mn, "a", 3.0)
+        pub.write(55 * mn, "a", 4.0)
+        # key b: one lone event
+        pub.write(5 * mn, "b", 10.0)
+
+    out = sessionize_per_key(db.subscribe("sst"), "k", "v", gap_ns=30 * mn)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "sess_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:  # batch 2: closes a's 2nd session
+            pub.write(100 * mn, "a", 5.0)  # gap 45min > 30min
+            pub.write(40 * mn, "b", 20.0)  # closes b's lone session
+        q.processAllAvailable()
+        got = {
+            (r.key, r.session_seq): (r.start_ns, r.end_ns, r.n_events, r.value_sum)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        # closed sessions only: a1 (0-10min), a2 (50-55min), b1 (5min)
+        assert got == {
+            ("a", 1): (0, 10 * mn, 2, 3.0),
+            ("a", 2): (50 * mn, 55 * mn, 2, 7.0),
+            ("b", 1): (5 * mn, 5 * mn, 1, 10.0),
+        }
+
+        # batch ground truth over the quiesced topic (the registry
+        # query's exact construction), minus each key's last session
+        df = topic.read(db.spark)
+        w = Window.partitionBy("k").orderBy("time")
+        wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        is_new = F.when(
+            F.lag("time").over(w).isNull()
+            | ((F.col("time") - F.lag("time").over(w)) > 30 * mn),
+            1,
+        ).otherwise(0)
+        sess = (
+            df.withColumn("seq", F.sum(is_new).over(wc))
+            .groupBy("k", "seq")
+            .agg(
+                F.min("time").alias("start_ns"),
+                F.max("time").alias("end_ns"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("v").alias("value_sum"),
+            )
+        )
+        last_seq = sess.groupBy("k").agg(F.max("seq").alias("seq"))
+        closed_batch = sess.join(last_seq, ["k", "seq"], "left_anti")
+        want = {
+            (r.k, r.seq): (r.start_ns, r.end_ns, r.n_events, r.value_sum)
+            for r in closed_batch.collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
