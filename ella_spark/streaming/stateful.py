@@ -254,6 +254,29 @@ def sessionize_per_key(
     """
     import pyspark.sql.functions as F
 
+    update = make_session_updater(gap_ns)
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(time_col).cast("long").alias("_t"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def make_session_updater(gap_ns: int):
+    """The sessionize fold as a standalone updater factory, so the
+    machinery (batch concat, stable time sort, close/extend
+    transitions, state tuple layout) is directly testable against a
+    sequential reference with a fake GroupState
+    (tests/test_properties.py) — the same expose-the-fold pattern as
+    winnow_fingerprints_fast."""
+
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             seq, start, last, n, vsum = state.get
@@ -292,15 +315,4 @@ def sessionize_per_key(
                 ],
             )
 
-    keyed = stream.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(value_col).cast("double").alias("_v"),
-        F.col(time_col).cast("long").alias("_t"),
-    )
-    return keyed.groupBy("key").applyInPandasWithState(
-        update,
-        outputStructType=_SESS_OUT,
-        stateStructType=_SESS_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return update

@@ -298,3 +298,93 @@ def test_pagerank_fixed_point_matches_reference(spark, n, extra, iters):
     edf = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["pr"] for r in pagerank(edf, iters=iters).collect()}
     assert got == pr
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving stateful updaters
+    outside a streaming query (exists/get/update are the only members
+    the updaters touch)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.floats(
+                allow_nan=False, allow_infinity=False,
+                min_value=-1e6, max_value=1e6,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=60), max_size=5
+    ),
+    gap=st.integers(min_value=1, max_value=50),
+)
+def test_sessionize_fold_matches_sequential_reference(events, cuts, gap):
+    """Random event streams split at random points into 'micro-batches'
+    (fed in time order, the operator's documented contract): the
+    stateful sessionize fold's closed sessions + final open state must
+    equal a sequential one-pass sessionization of the full stream —
+    across every batch boundary placement, duplicate timestamps, and
+    gap size. Pure pandas: no Spark job per example."""
+    import pandas as pd
+
+    from ella_spark.streaming.stateful import make_session_updater
+
+    events = sorted(events, key=lambda e: e[0])
+
+    # sequential reference over the whole stream
+    want = []
+    for t, v in events:
+        if not want or t - want[-1][2] > gap:
+            want.append([len(want) + 1, t, t, 1, float(v)])
+        else:
+            s = want[-1]
+            s[2] = max(s[2], t)
+            s[3] += 1
+            s[4] += float(v)
+
+    # stream fold over arbitrary time-ordered batch splits
+    bounds = sorted({c for c in cuts if c < len(events)})
+    idx = [0] + bounds + [len(events)]
+    update = make_session_updater(gap)
+    state = _FakeGroupState()
+    closed = []
+    for a, b in zip(idx, idx[1:]):
+        chunk = events[a:b]
+        pdf = pd.DataFrame(
+            {"_t": [t for t, _ in chunk], "_v": [v for _, v in chunk]}
+        )
+        for out in update(("k",), iter([pdf]), state):
+            closed.extend(
+                [
+                    (int(r.session_seq), int(r.start_ns), int(r.end_ns),
+                     int(r.n_events), float(r.value_sum))
+                    for r in out.itertuples()
+                ]
+            )
+    seq, start, last, n, vsum = state.get
+    got = closed + (
+        [(int(seq), int(start), int(last), int(n), float(vsum))]
+        if start is not None
+        else []
+    )
+    assert got == [tuple(s) for s in want]
