@@ -189,6 +189,38 @@ def _jdf_qe(df):
     return df._jdf.queryExecution()
 
 
+def _plan_with_metrics(executed_plan) -> str:
+    """Render the executed physical plan as one line per operator with
+    its populated SQLMetric values — the Spark analog of DataFusion's
+    EXPLAIN ANALYZE "Plan with Metrics" annotation. Walks the JVM plan
+    tree via py4j (AQE-final after execution); adaptive/reused
+    subtrees are expanded through their child plans."""
+    lines: list[str] = []
+
+    def walk(node, depth: int) -> None:
+        name = node.nodeName()
+        mets = []
+        it = node.metrics().iterator()
+        while it.hasNext():
+            e = it.next()
+            mets.append(f"{e._1()}={e._2().value()}")
+        lines.append("  " * depth + name + (": " + ", ".join(sorted(mets)) if mets else ""))
+        # AdaptiveSparkPlan/QueryStage hide the real tree behind
+        # accessor methods rather than children()
+        for accessor in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, accessor)(), depth + 1)
+                return
+            except Exception:
+                pass
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next(), depth + 1)
+
+    walk(executed_plan, 0)
+    return "\n".join(lines)
+
+
 def _state_key(prefix: str, i: int) -> str:
     """refresh_state key for the i-th FROM table ("topic"/"shards" for
     the first, "topic2"/"shards2" for the second, … — the numbered
@@ -2165,8 +2197,24 @@ class Ella:
                 logical = physical = buf.getvalue()
             rows = [("logical_plan", logical)]
             if m.group(1):
-                n = df.count()
-                rows.append(("row_count", str(n)))
+                # DataFusion's ANALYZE annotates the executed plan with
+                # runtime metrics ("Plan with Metrics"); surface Spark's
+                # per-operator SQLMetrics the same way. The plan must be
+                # executed through THIS QueryExecution instance —
+                # df.count() builds a different plan whose run leaves
+                # these metrics zero — so drive qe.toRdd().count(): a
+                # distributed row count, nothing collected to the
+                # driver beyond the scalar.
+                try:
+                    qe = _jdf_qe(df)
+                    n = qe.toRdd().count()
+                    rows.append(("row_count", str(n)))
+                    rows.append(
+                        ("plan_with_metrics", _plan_with_metrics(qe.executedPlan()))
+                    )
+                except Exception:
+                    # Connect: metrics not driver-inspectable
+                    rows.append(("row_count", str(df.count())))
             rows.append(("physical_plan", physical))
             return Lazy(
                 self.spark.createDataFrame(rows, "plan_type string, plan string"),

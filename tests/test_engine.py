@@ -623,8 +623,18 @@ def test_explain_sql(db):
 
     out = db.query("EXPLAIN ANALYZE SELECT v FROM expl_t").execute()
     kinds = list(out["plan_type"])
-    assert kinds == ["logical_plan", "row_count", "physical_plan"]
+    assert kinds == [
+        "logical_plan",
+        "row_count",
+        "plan_with_metrics",
+        "physical_plan",
+    ]
     assert out["plan"][kinds.index("row_count")] == "1"
+    # DataFusion "Plan with Metrics" analog: per-operator SQLMetrics
+    # populated from executing THIS QueryExecution (a numOutputRows of
+    # the scan must reflect the actual run, not sit at zero)
+    metrics = out["plan"][kinds.index("plan_with_metrics")]
+    assert "numOutputRows=1" in metrics, metrics
 
 
 def test_information_schema(db):
