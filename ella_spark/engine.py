@@ -133,6 +133,17 @@ _SHOW_CREATE_RE = re.compile(
     r"^\s*show\s+create\s+table\s+([A-Za-z0-9_.]+)\s*;?\s*$", re.I
 )
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+(analyze\s+)?(select\b.+)$", re.I | re.S)
+#: DataFusion-dialect `CREATE EXTERNAL TABLE t STORED AS fmt
+#: [WITH HEADER ROW] LOCATION 'path'` — the reference declares this
+#: verb but `todo!()`s it (lazy/backend.rs:81-83); implemented here
+#: like materialized views: catalog-registered, schema inferred at
+#: registration, data stays in place and is never deleted on DROP.
+_CREATE_EXTERNAL_RE = re.compile(
+    r"^\s*create\s+external\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)\s+"
+    r"stored\s+as\s+(parquet|csv|json)\s+(with\s+header\s+row\s+)?"
+    r"location\s+'([^']+)'\s*;?\s*$",
+    re.I,
+)
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", re.I)
 #: table-valued `ann_search('<table>', '<column>', '<queries>', [k],
 #: [n_probe])` — index-backed similarity search from plain SQL.
@@ -351,6 +362,8 @@ class Ella:
     def _frame_for(self, entry: TableEntry, include_hidden: bool = False) -> DataFrame:
         if entry.kind == "topic":
             return Topic(self.store, entry).read(self.spark)
+        if entry.kind == "external":
+            return self._external_frame(entry)
         if entry.kind == "materialized_view" and entry.version > 0:
             import json as _json
 
@@ -442,6 +455,55 @@ class Ella:
         )
         self.store.put_table(entry, replace=replace)
         self._register(entry)
+
+    def create_external_table(
+        self,
+        name: str,
+        fmt: str,
+        path: str,
+        *,
+        header: bool = True,
+        if_not_exists: bool = False,
+    ) -> TableEntry:
+        """External table over files already on storage (DataFusion's
+        CREATE EXTERNAL TABLE, which the reference parses but
+        `todo!()`s — lazy/backend.rs:81-83). The catalog records only
+        (format, path, header); the data is read in place through the
+        ordinary Spark source (predicate pushdown / partition pruning
+        apply as for any scan) and is NEVER deleted by DROP TABLE.
+        The schema is whatever the source infers at read time, so new
+        files appearing under the location are picked up on the next
+        query — the DataFusion listing-table behavior."""
+        fmt = fmt.lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(f"external table format {fmt!r} not supported")
+        catalog, schema, base = self._split(name)
+        existing = self.store.resolve(name)
+        if existing is not None:
+            if if_not_exists and existing.kind == "external":
+                return existing
+            raise ValueError(f"table {name!r} already exists")
+        entry = TableEntry(
+            catalog=catalog,
+            schema=schema,
+            name=base,
+            kind="external",
+            refresh_state={"format": fmt, "path": path, "header": header},
+        )
+        # fail fast on an unreadable location (and cache nothing)
+        self._external_frame(entry).schema
+        self.store.put_table(entry)
+        self._register(entry)
+        return entry
+
+    def _external_frame(self, entry: TableEntry) -> DataFrame:
+        spec = entry.refresh_state or {}
+        reader = self.spark.read.format(spec.get("format", "parquet"))
+        if spec.get("format") == "csv":
+            reader = reader.option(
+                "header", "true" if spec.get("header", True) else "false"
+            ).option("inferSchema", "true")
+        return reader.load(spec.get("path", ""))
 
     def create_materialized_view(
         self,
@@ -2044,6 +2106,15 @@ class Ella:
                 engine=self,
                 sql=sql,
             )
+        if m := _CREATE_EXTERNAL_RE.match(sql):
+            self.create_external_table(
+                m.group(2),
+                m.group(3),
+                m.group(5),
+                header=bool(m.group(4)),
+                if_not_exists=bool(m.group(1)),
+            )
+            return empty()
         if m := _ALTER_ADD_RE.match(sql):
             name, col, typ = m.group(1), m.group(2), m.group(3).lower()
             topic = self.topic(name)
@@ -2169,6 +2240,18 @@ class Ella:
                 ddl = (
                     f"CREATE MATERIALIZED VIEW {entry.name} AS {entry.sql}"
                 )
+            elif entry.kind == "external":
+                spec = entry.refresh_state or {}
+                hdr = (
+                    " WITH HEADER ROW"
+                    if spec.get("format") == "csv" and spec.get("header", True)
+                    else ""
+                )
+                ddl = (
+                    f"CREATE EXTERNAL TABLE {entry.name} STORED AS "
+                    f"{spec.get('format', 'parquet').upper()}{hdr} "
+                    f"LOCATION '{spec.get('path', '')}'"
+                )
             else:
                 ddl = f"CREATE VIEW {entry.name} AS {entry.sql}"
             return Lazy(
@@ -2232,6 +2315,11 @@ class Ella:
                         not c.required,
                     )
                     for c in entry.columns
+                ]
+            elif entry.kind == "external":
+                rows = [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in self._external_frame(entry).schema.fields
                 ]
             else:  # view: describe the resolved plan's schema
                 rows = [

@@ -927,3 +927,74 @@ def test_vacuum_analyze_show_create_sql(db, spark):
     # global VACUUM runs a full maintenance pass
     rep2 = json.loads(db.query("VACUUM").df.collect()[0]["report"])
     assert "errors" in rep2
+
+
+def test_create_external_table_sql(db, spark, tmp_path):
+    """CREATE EXTERNAL TABLE (the reference parses this DataFusion
+    verb but todo!()s it — lazy/backend.rs:81-83): files queried in
+    place, schema inferred, new files visible on the next query, DROP
+    never deletes the external data, and the entry survives reopen."""
+    ext = str(tmp_path / "ext_parquet")
+    spark.range(10).selectExpr("id", "id * 2 AS y").write.parquet(ext)
+
+    db.query(
+        f"CREATE EXTERNAL TABLE extp STORED AS PARQUET LOCATION '{ext}'"
+    )
+    got = db.query("SELECT sum(y) AS s, count(*) AS n FROM extp").df.collect()[0]
+    assert (got.s, got.n) == (90, 10)
+
+    # joins against engine-native topics work like any view
+    t = db.create_topic("ext_join_t", [Column("k", "int64")])
+    t.insert(spark.range(5).selectExpr("id * 1000 AS time", "id AS k"))
+    j = db.query(
+        "SELECT count(*) AS n FROM extp JOIN ext_join_t ON extp.id = ext_join_t.k"
+    ).df.collect()[0]
+    assert j.n == 5
+
+    # listing-table behavior: files added later are picked up
+    spark.range(10, 15).selectExpr("id", "id * 2 AS y").write.mode(
+        "append"
+    ).parquet(ext)
+    assert db.query("SELECT count(*) AS n FROM extp").df.collect()[0].n == 15
+
+    # DESCRIBE + SHOW CREATE TABLE round-trip
+    desc = {r.col_name: r.data_type for r in db.query("DESCRIBE extp").df.collect()}
+    assert desc == {"id": "bigint", "y": "bigint"}
+    ddl = db.query("SHOW CREATE TABLE extp").df.collect()[0].ddl
+    assert ddl == f"CREATE EXTERNAL TABLE extp STORED AS PARQUET LOCATION '{ext}'"
+
+    # IF NOT EXISTS is a no-op; plain re-create errors
+    db.query(f"CREATE EXTERNAL TABLE IF NOT EXISTS extp STORED AS PARQUET LOCATION '{ext}'")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        db.create_external_table("extp", "parquet", ext)
+
+    # durability: a reopened engine resolves and queries the entry
+    from ella_spark.engine import Ella
+
+    db2 = Ella.open(str(db.store.root), spark)
+    assert db2.query("SELECT count(*) AS n FROM extp").df.collect()[0].n == 15
+
+    # DROP removes the catalog entry but NEVER the external files
+    db.query("DROP TABLE extp")
+    assert db.store.resolve("extp") is None
+    assert spark.read.parquet(ext).count() == 15
+
+
+def test_create_external_table_csv_header(db, spark, tmp_path):
+    import csv
+
+    d = tmp_path / "ext_csv"
+    d.mkdir()
+    with open(d / "part.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "score"])
+        w.writerows([["a", 1], ["b", 2], ["c", 3]])
+    db.query(
+        f"CREATE EXTERNAL TABLE extc STORED AS CSV WITH HEADER ROW LOCATION '{d}'"
+    )
+    rows = db.query(
+        "SELECT name, score FROM extc ORDER BY score"
+    ).df.collect()
+    assert [(r.name, r.score) for r in rows] == [("a", 1), ("b", 2), ("c", 3)]
