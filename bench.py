@@ -125,6 +125,7 @@ EXTRAS = [
     "q_kcore_converged",
     "q_semantic_decontaminate",
     "q_pareto_cut",
+    "q_dedup_keep_best",
 ]
 
 

@@ -118,6 +118,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_kcore_converged",
     "q_semantic_decontaminate",
     "q_pareto_cut",
+    "q_dedup_keep_best",
 }
 
 # newest hash-green = r3 — the 10 names that overflowed the r6

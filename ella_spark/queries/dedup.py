@@ -888,3 +888,80 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_cosine").desc(), "vec_id")
         .limit(50)
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(trim(text))) - 2, 0) + 1),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 3))) AS grams
+      FROM documents
+      WHERE length(lower(trim(text))) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+      WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                 THEN round(
+                   CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+                 ELSE 0.0 END >= 0.6
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS known FROM documents
+      UNION
+      SELECT e.dst AS id, r.known
+      FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, min(known) AS cluster_id FROM reach GROUP BY id
+    ), ranked AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk = 1 AS BOOLEAN) AS keep
+    FROM ranked
+    """,
+    doc="Keep-best dedup: the q_dedup_cluster pipeline (windowed "
+    "3-gram Jaccard pairs -> connected components), but the survivor "
+    "of each near-dup cluster is chosen by QUALITY (longest n_chars, "
+    "ties to smallest doc_id) instead of smallest id — the standard "
+    "'dedup but keep the best copy' curation recipe. One extra "
+    "cluster-keyed row_number window over the component frame; the "
+    "quality signal is swappable for any scoring column.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ella_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.where(F.length(F.lower(F.trim("text"))) >= 3)
+    pairs = D.ngram_jaccard_pairs(
+        eligible, shingle_k=3, window=3, partition_col="lang", min_jaccard=0.6
+    )
+    comp = connected_components(
+        docs, pairs, id_col="doc_id", src="id_a", dst="id_b"
+    )
+    ranked = comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
