@@ -1975,7 +1975,8 @@ class Ella:
         statement is rewritten to reference them.
         """
         entries = sorted(self.store.tables.values(), key=lambda e: e.ident)
-        kind_to_type = {"topic": "BASE TABLE", "view": "VIEW",
+        kind_to_type = {"topic": "BASE TABLE", "external": "BASE TABLE",
+                        "view": "VIEW",
                         "materialized_view": "VIEW"}
         tables = [
             (e.catalog, e.schema, e.name, kind_to_type.get(e.kind, e.kind.upper()))
