@@ -126,6 +126,8 @@ EXTRAS = [
     "q_semantic_decontaminate",
     "q_pareto_cut",
     "q_dedup_keep_best",
+    "q_rolling_zscore",
+    "q_dedup_soft_weight",
 ]
 
 

@@ -119,6 +119,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_semantic_decontaminate",
     "q_pareto_cut",
     "q_dedup_keep_best",
+    "q_rolling_zscore",
+    "q_dedup_soft_weight",
 }
 
 # newest hash-green = r3 — the 10 names that overflowed the r6

@@ -965,3 +965,74 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+@register(
+    "q_dedup_soft_weight",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(trim(text))) - 2, 0) + 1),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 3))) AS grams
+      FROM documents
+      WHERE length(lower(trim(text))) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+      WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                 THEN round(
+                   CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+                 ELSE 0.0 END >= 0.6
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS known FROM documents
+      UNION
+      SELECT e.dst AS id, r.known
+      FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, min(known) AS cluster_id FROM reach GROUP BY id
+    ), sized AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id,
+           s.cluster_size,
+           CAST(1.0 AS DOUBLE) / s.cluster_size AS weight
+    FROM comp c JOIN sized s ON s.cluster_id = c.cluster_id
+    """,
+    doc="SOFT dedup: instead of dropping near-duplicates, every "
+    "member of a near-dup cluster gets sampling weight 1/cluster_size "
+    "— total cluster mass stays 1, so repeated content is downweighted "
+    "rather than lost (the mixture-weighting alternative to hard "
+    "dedup in training-data recipes). Same CC pipeline as "
+    "q_dedup_cluster + one cluster-keyed count; the weight is one "
+    "deterministic double division of exact integers.",
+)
+def q_dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.where(F.length(F.lower(F.trim("text"))) >= 3)
+    pairs = D.ngram_jaccard_pairs(
+        eligible, shingle_k=3, window=3, partition_col="lang", min_jaccard=0.6
+    )
+    comp = connected_components(
+        docs, pairs, id_col="doc_id", src="id_a", dst="id_b"
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    sized = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sized, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )

@@ -1306,3 +1306,67 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("purchases").cast("bigint").alias("n_purchases"),
         )
     )
+
+
+@register(
+    "q_rolling_zscore",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, ts_ns, value,
+             vc,
+             count(*) OVER win AS n,
+             sum(vc) OVER win AS s,
+             sum(vc * vc) OVER win AS sq
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns
+                     RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           (value - CAST(s AS DOUBLE) / (100 * n))
+             / sqrt(CAST(n * sq - s * s AS DOUBLE) / (10000.0 * n * (n - 1)))
+             AS z
+    FROM w
+    WHERE n >= 5 AND n * sq > s * s
+    """,
+    doc="Rolling 1-hour z-score per key (anomaly detection): count / "
+    "sum / sum-of-squares over ONE RANGE event-time window, carried "
+    "as exact int64 centi-units (sum <= 5.6e8, n*sq <= ~5e16 — no "
+    "overflow, no float accumulation-order drift), then mean/std/z "
+    "derived in a fixed sequence of correctly-rounded double ops "
+    "(div, sub, sqrt — all IEEE-deterministic, no in-query rounding). "
+    "Ties in ts are RANGE peers on both engines. Emitted unrounded: "
+    "bit-identical doubles cross-engine.",
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("ts_ns"),
+        "value",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-3600 * _NS_PER_SEC, 0)
+    )
+    w = c.withColumns(
+        {
+            "n": F.count(F.lit(1)).over(win),
+            "s": F.sum("vc").over(win),
+            "sq": F.sum(F.col("vc") * F.col("vc")).over(win),
+        }
+    )
+    n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+    mean = s.cast("double") / (100 * n)
+    var = (n * sq - s * s).cast("double") / (
+        F.lit(10000.0) * n * (n - 1)
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return w.where((n >= 5) & (n * sq > s * s)).select(
+        "user_id", "event_id", z.alias("z")
+    )
