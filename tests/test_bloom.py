@@ -330,3 +330,25 @@ def test_analyze_defaults_to_declared_index_blooms(db, spark):
     db.query("ANALYZE ax")
     m = Topic(db.store, db.store.resolve("ax")).manifest()
     assert m and all("k" in e.get("b", {}) for e in m.values())
+
+
+def test_bloom_survives_compaction_soundly(db, spark):
+    """Compaction renames shards, so old bloom entries dangle and the
+    merged shard has no filter yet: lookups must stay CORRECT (read
+    the unbloomed shard), and a re-ANALYZE restores skipping."""
+    from ella_spark.maintenance import build_manifest, compact_topic
+
+    t = _mk(db, spark)
+    build_manifest(t, bloom_cols=["k"])
+    assert t.read(spark, col_eq={"k": 42}).count() == 1
+
+    compact_topic(t)
+    # post-compaction: no filter for the merged shard -> read, correct
+    df = t.read(spark, col_eq={"k": 42})
+    assert [r.k for r in df.collect()] == [42]
+
+    build_manifest(t, bloom_cols=["k"])
+    df2 = t.read(spark, col_eq={"k": 42})
+    assert [r.k for r in df2.collect()] == [42]
+    # absent key proves skippable again after the rebuild
+    assert t.read(spark, col_eq={"k": 10**9}).count() == 0

@@ -998,3 +998,27 @@ def test_create_external_table_csv_header(db, spark, tmp_path):
         "SELECT name, score FROM extc ORDER BY score"
     ).df.collect()
     assert [(r.name, r.score) for r in rows] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_ctas_from_external_table(db, spark, tmp_path):
+    """External-source ingest: CREATE TOPIC ... AS SELECT over an
+    external table pulls files into the engine's native shard layout
+    in one statement (timestamp time converts to epoch-ns)."""
+    ext = str(tmp_path / "ingest_src")
+    spark.range(6).selectExpr(
+        "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS t",
+        "id AS k",
+        "CAST(id AS double) * 1.5 AS v",
+    ).write.parquet(ext)
+    db.query(f"CREATE EXTERNAL TABLE ing_ext STORED AS PARQUET LOCATION '{ext}'")
+    n = db.query(
+        "CREATE TOPIC ing_topic AS SELECT t AS time, k, v FROM ing_ext"
+    ).df.collect()[0]["count"]
+    assert n == 6
+    got = db.query(
+        "SELECT k, v FROM ing_topic ORDER BY k"
+    ).df.collect()
+    assert [(r.k, r.v) for r in got] == [(i, i * 1.5) for i in range(6)]
+    # time landed as epoch-ns (2024 magnitude, 1-second steps)
+    ts = sorted(r.time for r in db.query("SELECT time FROM ing_topic").df.collect())
+    assert ts[0] > 1_600_000_000 * 10**9 and ts[1] - ts[0] == 10**9
