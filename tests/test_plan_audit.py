@@ -309,3 +309,21 @@ def test_first_touch_rank1_is_window_group_limit(spark):
     the rank-limit pushdown, not a full materialized row_number."""
     plan = _plan(spark, "q_first_touch_attribution")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_external_table_scan_pushes_filters(spark, tmp_path):
+    """External tables read through the ordinary Spark source, so
+    predicate pushdown and column pruning must reach the parquet scan
+    exactly as for native topics."""
+    from ella_spark.engine import Ella
+
+    ext = str(tmp_path / "extpd")
+    spark.range(1000).selectExpr(
+        "id", "id * 2 AS y", "CAST(id AS string) AS s"
+    ).write.parquet(ext)
+    db = Ella.create(str(tmp_path / "db"), spark)
+    db.query(f"CREATE EXTERNAL TABLE pd STORED AS PARQUET LOCATION '{ext}'")
+    df = db.query("SELECT y FROM pd WHERE id > 990").df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)]" in plan, plan
+    assert "ReadSchema: struct<id:bigint,y:bigint>" in plan, plan  # s pruned
