@@ -121,6 +121,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_dedup_keep_best",
     "q_rolling_zscore",
     "q_dedup_soft_weight",
+    "q_recursive_reachability",
 }
 
 # newest hash-green = r3 — the 10 names that overflowed the r6

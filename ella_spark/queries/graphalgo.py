@@ -343,3 +343,64 @@ def q_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KCORE_K,
     )
     return out.select("node").orderBy("node")
+
+
+_BFS_CAP = 8
+
+
+@register(
+    "q_recursive_reachability",
+    oracle="""
+    WITH RECURSIVE g0 AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             min(user_id) AS u, max(user_id) AS v
+      FROM events GROUP BY event_type, epoch_ns(ts) // 3600000000000),
+    e0 AS (SELECT DISTINCT u, v FROM g0 WHERE u <> v),
+    edges AS (SELECT u AS src, v AS dst FROM e0 UNION SELECT v, u FROM e0),
+    r(node, depth) AS (
+      SELECT min(src), 0 FROM edges
+      UNION ALL
+      SELECT DISTINCT e.dst, r.depth + 1
+      FROM r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 8
+    )
+    SELECT node, CAST(min(depth) AS INT) AS depth
+    FROM r GROUP BY node ORDER BY node
+    """,
+    doc="Recursive-CTE BFS (WITH RECURSIVE, Spark 4's UNION ALL "
+    "recursion) over the events co-activity graph: levels from the "
+    "minimum node, depth-capped at 8. The reference's SQL layer is "
+    "DataFusion, which ships recursive CTEs (datafusion/sqllogictest "
+    "cte.slt recursive cases) — this pins the same verb on the Spark "
+    "side. Cycle-safe WITHOUT set-recursion (Spark supports only "
+    "UNION ALL): the recursive term is SELECT DISTINCT over "
+    "(node, depth) and depth strictly increases, so each iteration "
+    "emits at most one row per node — BFS-frontier bounds, O(n) rows "
+    "per level, never path enumeration. min(depth) GROUP BY collapses "
+    "re-visits to the true BFS level. At scale each level is one "
+    "equi-join + distinct on the node key; the working set never "
+    "exceeds the node count.",
+)
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g0 = ev.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.min("user_id").alias("u"), F.max("user_id").alias("v"))
+    e0 = g0.where(F.col("u") != F.col("v")).select("u", "v").distinct()
+    edges = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+    )
+    edges.createOrReplaceTempView("__reach_edges")
+    return spark.sql(f"""
+      WITH RECURSIVE r(node, depth) AS (
+        SELECT min(src), 0 FROM __reach_edges
+        UNION ALL
+        SELECT DISTINCT e.dst, r.depth + 1
+        FROM r JOIN __reach_edges e ON e.src = r.node
+        WHERE r.depth < {_BFS_CAP}
+      )
+      SELECT node, CAST(min(depth) AS INT) AS depth
+      FROM r GROUP BY node ORDER BY node
+    """)
