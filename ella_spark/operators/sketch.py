@@ -340,3 +340,141 @@ def kll_merge_states_udf(k: int):
         return pd.Series(out)
 
     return _m
+
+
+# ── KMV (bottom-k) distinct-value sketches ───────────────────────────
+#
+# The one distinct-cardinality shape HLL cannot serve: set INTERSECTION
+# estimates (HLL unions losslessly but inclusion-exclusion error blows
+# up for small overlaps). A KMV sketch keeps the k smallest hash values
+# of a set (Bar-Yossef et al. '02; Beyer et al., SIGMOD'07 for the
+# unbiased (k-1)/h_(k) estimator and the bottom-k union/Jaccard form).
+# Mergeable: bottom-k of a union of bottom-k sketches is the union's
+# bottom-k. Entirely JVM-side here — hash + distinct + per-group
+# row_number window, no Python in the pipeline.
+
+_KMV_TWO64 = float(2**64)
+_KMV_SHIFT = float(2**63) + 1.0  # int64 hash -> (0, 1] uniform
+
+
+def _kmv_unit(col: Column) -> Column:
+    """Map a signed-int64 hash to a uniform double in (0, 1]."""
+    return (col.cast("double") + F.lit(_KMV_SHIFT)) / F.lit(_KMV_TWO64)
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 4096
+) -> DataFrame:
+    """Per-group bottom-k sketch of ``value_col``'s distinct values.
+
+    Plan shape: project + hash (xxhash64, whole-stage codegen), one
+    distinct on (group, hash), one window row_number over the same
+    (group)-partitioning — at 100 TB this is ONE shuffle keyed on the
+    group; output is ≤ k rows per group regardless of input size.
+    When a group has < k distinct values the sketch holds ALL of them
+    and every downstream estimate is exact (the registry query's
+    oracle relies on this, same exact-when-fits contract as
+    quantile_rollup / approx_top_k).
+
+    Returns (grp, h) rows, ≤ k per group, h ascending-dense per group.
+    """
+    from pyspark.sql import Window
+
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.xxhash64(F.col(value_col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return src.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    ).drop("rn")
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate per group from a kmv_sketch result:
+    exact count when the group kept < k hashes (nothing was evicted),
+    else the unbiased (k-1)/h_(k) estimator. Returns (grp, cnt, est)."""
+    agg = sketch.groupBy("grp").agg(
+        F.count("h").alias("cnt"), F.max("h").alias("kth")
+    )
+    return agg.select(
+        "grp",
+        "cnt",
+        F.when(F.col("cnt") < k, F.col("cnt").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / _kmv_unit(F.col("kth")))
+        .alias("est"),
+    )
+
+
+def kmv_overlap(
+    df: DataFrame, group_col: str, value_col: str, k: int = 4096
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates between every pair of
+    groups: distinct |A|, |B|, |A ∪ B|, Jaccard, and |A ∩ B|.
+
+    Method (Beyer et al., SIGMOD'07): merge the two bottom-k sketches
+    and re-cut at k; the merged bottom-k is a uniform sample of
+    A ∪ B, so shared/|merged| estimates Jaccard and
+    jaccard x union_est estimates the intersection. Exact whenever
+    the UNION still fits in k.
+
+    Plan shape: the sketch build is one shuffle on the group key; the
+    pair stage joins sketch rows against the (G choose 2) pair
+    dimension — every later shuffle is keyed on the pair and bounded
+    by 2k rows per pair. Meant for group-overlap profiling (sources,
+    languages, event types): G is dozens-to-hundreds, never a
+    high-cardinality id. Restrict ``df`` first if G is large.
+
+    Returns (grp_a, grp_b, est_a, est_b, union_est, jaccard,
+    inter_est) for grp_a < grp_b, all estimates double.
+    """
+    from pyspark.sql import Window
+
+    sk = kmv_sketch(df, group_col, value_col, k).localCheckpoint()
+    per = kmv_estimate(sk, k)
+    pairs = (
+        per.select(F.col("grp").alias("ga"), F.col("est").alias("est_a"))
+        .join(
+            per.select(F.col("grp").alias("gb"), F.col("est").alias("est_b")),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    ua = pairs.select("ga", "gb").join(
+        sk, F.col("ga") == F.col("grp")
+    ).select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    ub = pairs.select("ga", "gb").join(
+        sk, F.col("gb") == F.col("grp")
+    ).select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        ua.unionAll(ub)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    merged = u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    m = merged.groupBy("ga", "gb").agg(
+        F.count("h").alias("m"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("shared"),
+    )
+    est = m.select(
+        "ga",
+        "gb",
+        "shared",
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / _kmv_unit(F.col("kth")))
+        .alias("union_est"),
+        (F.col("shared").cast("double") / F.col("m")).alias("jaccard"),
+    )
+    return (
+        est.join(pairs, ["ga", "gb"])
+        .select(
+            F.col("ga").alias("grp_a"),
+            F.col("gb").alias("grp_b"),
+            "est_a",
+            "est_b",
+            "union_est",
+            "jaccard",
+            (F.col("jaccard") * F.col("union_est")).alias("inter_est"),
+        )
+    )

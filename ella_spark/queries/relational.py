@@ -1446,3 +1446,61 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ext.select(
         "user_id", "event_id", (ppm.cast("double") / 1000000).alias("scaled")
     )
+
+
+_KMV_K = 65536
+
+
+@register(
+    "q_distinct_overlap",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    cnt AS (SELECT event_type, count(*) AS c FROM du GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, a.c AS ca, b.c AS cb
+      FROM cnt a JOIN cnt b ON a.event_type < b.event_type),
+    inter AS (
+      SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS shared
+      FROM du x JOIN du y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY x.event_type, y.event_type),
+    j AS (
+      SELECT p.ta, p.tb, p.ca, p.cb, COALESCE(i.shared, 0) AS shared,
+             p.ca + p.cb - COALESCE(i.shared, 0) AS u
+      FROM pairs p LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb)
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(ca AS DOUBLE) AS users_a, CAST(cb AS DOUBLE) AS users_b,
+           CAST(u AS DOUBLE) AS union_users,
+           CAST(shared AS DOUBLE) / u AS jaccard,
+           CAST(shared AS DOUBLE) / u * CAST(u AS DOUBLE) AS shared_est
+    FROM j ORDER BY type_a, type_b
+    """,
+    doc="KMV (bottom-k) distinct-overlap sketch between event types "
+    "(operators.sketch.kmv_overlap, Beyer et al. SIGMOD'07): per-type "
+    "bottom-k of xxhash64(user_id), pairwise merge-and-recut, "
+    "shared/|merged| Jaccard, jaccard x union_est intersection — the "
+    "distinct-INTERSECTION shape HLL cannot express. k=65536 exceeds "
+    "the distinct-user count at recorded SFs, so every sketch holds "
+    "its full set and the DuckDB oracle is the exact overlap with the "
+    "estimator formula mirrored step-for-step (each double op is one "
+    "correctly-rounded IEEE op on exact integers — bit-identical; "
+    "same exact-when-fits contract as quantile_rollup/approx_top_k). "
+    "Entirely JVM-side: hash + distinct + per-group row_number, one "
+    "group-keyed shuffle to build, pair-keyed bounded (≤2k rows) "
+    "stages after; approximate-regime error bounds are pinned in "
+    "tests/test_sketch.py.",
+)
+def q_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators.sketch import kmv_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    out = kmv_overlap(ev, "event_type", "user_id", k=_KMV_K)
+    return out.select(
+        F.col("grp_a").alias("type_a"),
+        F.col("grp_b").alias("type_b"),
+        F.col("est_a").alias("users_a"),
+        F.col("est_b").alias("users_b"),
+        F.col("union_est").alias("union_users"),
+        "jaccard",
+        F.col("inter_est").alias("shared_est"),
+    ).orderBy("type_a", "type_b")

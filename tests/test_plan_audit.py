@@ -40,6 +40,9 @@ BNLJ_BOUNDED = {
     "q_ann_recall",   # contains the brute-force exact baseline (fixed query set)
     "q_collocations",  # two 1-row corpus-total aggregates (n_uni, n_bi)
     "q_semantic_decontaminate",  # fixed 24-row eval set x corpus (vec_id < 24)
+    "q_distinct_overlap",  # grp_a < grp_b pair cross of the per-GROUP
+    # estimate table (≤ G rows, G = event types — an enumerable
+    # profiling dimension, never an id); sketch rows join equi on grp
 }
 
 

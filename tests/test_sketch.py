@@ -174,3 +174,44 @@ def test_quantile_rollup_range_merge(spark):
     )
     for p, est in zip([0.5, 0.99], got):
         assert est == exact[max(1, math.ceil(p * len(exact))) - 1], p
+
+
+def test_kmv_exact_regime_matches_truth(spark):
+    """When every group's distinct count fits in k, the sketch holds
+    the full set: per-group estimates, union, Jaccard, and
+    intersection are all exact."""
+    from ella_spark.operators.sketch import kmv_overlap
+
+    # A = {0..999}, B = {600..1599}: |A|=|B|=1000, inter=400, union=1600
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        F.when(F.col("id") < 1000, F.col("id"))
+        .otherwise(F.col("id") - 400)
+        .alias("v"),
+    )
+    row = kmv_overlap(df, "g", "v", k=4096).collect()[0]
+    assert (row.grp_a, row.grp_b) == ("a", "b")
+    assert row.est_a == 1000.0 and row.est_b == 1000.0
+    assert row.union_est == 1600.0
+    assert row.jaccard == 400.0 / 1600.0
+    assert row.inter_est == (400.0 / 1600.0) * 1600.0
+
+
+def test_kmv_approx_regime_error_bounds(spark):
+    """Approximate regime (distinct >> k): relative error of the
+    (k-1)/h_(k) estimator has sd ~ 1/sqrt(k-2) (Beyer et al.
+    SIGMOD'07) — assert within 5 sd. Deterministic: xxhash64 is a
+    fixed function, so this pins one concrete draw, not a flake."""
+    from ella_spark.operators.sketch import kmv_overlap
+
+    k = 512
+    # A = {0..19999}, B = {10000..29999}: inter=10000, union=30000
+    a = spark.range(0, 20_000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(10_000, 30_000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    row = kmv_overlap(a.unionAll(b), "g", "v", k=k).collect()[0]
+    sd = 1.0 / (k - 2) ** 0.5
+    assert abs(row.est_a - 20_000) / 20_000 < 5 * sd
+    assert abs(row.est_b - 20_000) / 20_000 < 5 * sd
+    assert abs(row.union_est - 30_000) / 30_000 < 5 * sd
+    assert abs(row.jaccard - 1 / 3) < 0.1
+    assert abs(row.inter_est - 10_000) / 10_000 < 0.25
