@@ -467,13 +467,17 @@ class Ella:
     ) -> TableEntry:
         """External table over files already on storage (DataFusion's
         CREATE EXTERNAL TABLE, which the reference parses but
-        `todo!()`s — lazy/backend.rs:81-83). The catalog records only
-        (format, path, header); the data is read in place through the
-        ordinary Spark source (predicate pushdown / partition pruning
-        apply as for any scan) and is NEVER deleted by DROP TABLE.
-        The schema is whatever the source infers at read time, so new
-        files appearing under the location are picked up on the next
-        query — the DataFusion listing-table behavior."""
+        `todo!()`s — lazy/backend.rs:81-83). The catalog records
+        (format, path, header) plus the schema INFERRED ONCE at
+        registration — DataFusion's fixed-at-creation contract, and
+        the only scale-sane choice: csv/json inference is a full data
+        scan, so re-inferring per query would read the whole location
+        twice every time. Data is read in place through the ordinary
+        Spark source (predicate pushdown / partition pruning apply as
+        for any scan) and is NEVER deleted by DROP TABLE. New files
+        appearing under the location are picked up on the next query
+        (the listing-table behavior); they must match the registered
+        schema."""
         fmt = fmt.lower()
         if fmt not in ("parquet", "csv", "json"):
             raise ValueError(f"external table format {fmt!r} not supported")
@@ -490,19 +494,35 @@ class Ella:
             kind="external",
             refresh_state={"format": fmt, "path": path, "header": header},
         )
-        # fail fast on an unreadable location (and cache nothing)
-        self._external_frame(entry).schema
+        # fail fast on an unreadable location, and pin the inferred
+        # schema (one inference at registration, never per query)
+        entry.refresh_state["schema_json"] = self._external_frame(
+            entry
+        ).schema.json()
         self.store.put_table(entry)
         self._register(entry)
         return entry
 
     def _external_frame(self, entry: TableEntry) -> DataFrame:
+        from pyspark.sql import types as T
+
         spec = entry.refresh_state or {}
         reader = self.spark.read.format(spec.get("format", "parquet"))
         if spec.get("format") == "csv":
             reader = reader.option(
                 "header", "true" if spec.get("header", True) else "false"
-            ).option("inferSchema", "true")
+            )
+        if spec.get("schema_json"):
+            import json as _json
+
+            reader = reader.schema(
+                T.StructType.fromJson(_json.loads(spec["schema_json"]))
+            )
+        elif spec.get("format") in ("csv", "json"):
+            # registration-time path (and pre-pin catalog entries):
+            # infer from the files — a full scan for these formats,
+            # which is exactly why the result is pinned above
+            reader = reader.option("inferSchema", "true")
         return reader.load(spec.get("path", ""))
 
     def create_materialized_view(
@@ -2052,12 +2072,17 @@ class Ella:
                     "`unix_micros(now()) * 1000 AS time`)"
                 )
             time_type = df.schema[TIME_COLUMN].dataType
-            if isinstance(time_type, T.TimestampType):
+            if isinstance(time_type, (T.TimestampType, T.TimestampNTZType)):
                 # cast(timestamp AS long) yields epoch SECONDS; topics
                 # index epoch NANOSECONDS — convert explicitly so rows
-                # land in the right day buckets.
+                # land in the right day buckets. TIMESTAMP_NTZ (what a
+                # raw-parquet external table surfaces) first casts to
+                # TIMESTAMP: the session tz is pinned UTC by
+                # configure(), so the wall time IS the instant.
                 df = df.withColumn(
-                    TIME_COLUMN, F.unix_micros(F.col(TIME_COLUMN)) * F.lit(1000)
+                    TIME_COLUMN,
+                    F.unix_micros(F.col(TIME_COLUMN).cast("timestamp"))
+                    * F.lit(1000),
                 )
             elif isinstance(
                 time_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)

@@ -1022,3 +1022,55 @@ def test_ctas_from_external_table(db, spark, tmp_path):
     # time landed as epoch-ns (2024 magnitude, 1-second steps)
     ts = sorted(r.time for r in db.query("SELECT time FROM ing_topic").df.collect())
     assert ts[0] > 1_600_000_000 * 10**9 and ts[1] - ts[0] == 10**9
+
+
+def test_external_table_schema_pinned_at_creation(db, spark, tmp_path):
+    """External-table schema is inferred ONCE at registration and
+    pinned (DataFusion's fixed-at-creation contract — and csv/json
+    inference is a full scan, so per-query re-inference would read
+    the location twice every query). A later file that contradicts
+    the pinned column type reads as NULL under the pinned schema; it
+    must NOT flip the whole column to string via re-inference."""
+    import csv
+
+    d = tmp_path / "ext_pin"
+    d.mkdir()
+    with open(d / "a.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "score"])
+        w.writerows([["a", 1], ["b", 2]])
+    db.query(
+        f"CREATE EXTERNAL TABLE extpin STORED AS CSV WITH HEADER ROW LOCATION '{d}'"
+    )
+    entry = db.store.resolve("extpin")
+    assert entry.refresh_state.get("schema_json"), "schema not pinned"
+    with open(d / "b.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "score"])
+        w.writerow(["c", "xyz"])
+    rows = db.query(
+        "SELECT name, score FROM extpin ORDER BY name"
+    ).df.collect()
+    assert dict(db.query("SELECT * FROM extpin").df.dtypes)["score"] == "int"
+    assert [(r.name, r.score) for r in rows] == [
+        ("a", 1), ("b", 2), ("c", None)]
+
+
+def test_ctas_from_ntz_timestamp(db, spark, tmp_path):
+    """Raw parquet surfaces TIMESTAMP_NTZ; CTAS must convert it to
+    epoch-ns like TIMESTAMP (session tz is pinned UTC) instead of
+    rejecting it."""
+    ext = str(tmp_path / "ntz_src")
+    spark.range(3).selectExpr(
+        "CAST(timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS timestamp_ntz) AS t",
+        "id AS k",
+    ).write.parquet(ext)
+    db.query(f"CREATE EXTERNAL TABLE ntz_ext STORED AS PARQUET LOCATION '{ext}'")
+    assert dict(db.query("SELECT t FROM ntz_ext").df.dtypes)["t"] == "timestamp_ntz"
+    n = db.query(
+        "CREATE TOPIC ntz_topic AS SELECT t AS time, k FROM ntz_ext"
+    ).df.collect()[0]["count"]
+    assert n == 3
+    ts = sorted(r.time for r in db.query("SELECT time FROM ntz_topic").df.collect())
+    assert ts[0] == 1709251200 * 10**9 and ts[1] - ts[0] == 10**9
