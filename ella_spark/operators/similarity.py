@@ -705,8 +705,17 @@ def knn_join(
     k: int = 3,
     n_centroids: int = 16,
     centroids=None,
+    exclude_match_col: str | None = None,
 ) -> DataFrame:
     """All-pairs k-nearest-neighbor self-join, blocked by IVF cells.
+
+    With ``exclude_match_col`` set, neighbors sharing that column's
+    value with the anchor are excluded before ranking — hard-NEGATIVE
+    mining for contrastive embedding training (per anchor: the most
+    similar vectors of a DIFFERENT class, the negatives that actually
+    move the loss). Rows whose column value is NULL never match
+    anything (SQL inequality semantics) and so are dropped from both
+    sides' candidacy; output gains (label, neighbor_label).
 
     The corpus-wide companion of ``ivf_topk`` (which serves a small
     query set): EVERY vector gets its top-``k`` cosine neighbors from
@@ -737,37 +746,52 @@ def knn_join(
     # ArrowEvalPython nodes per side — measured; the NOTES "double-
     # evaluated compound expressions" failure mode). probe=1 makes the
     # explode exactly one row per vector.
+    extra = [F.col(exclude_match_col).alias("lab")] if exclude_match_col else []
     v = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         F.explode(cu(F.col(vec_col))).alias("cell"),
+        *extra,
     ).withColumn("n", l2_norm(F.col("v")))
     a = v.select(
         F.col("id").alias("vec_id"),
         F.col("v").alias("_av"),
         F.col("n").alias("_an"),
         "cell",
+        *([F.col("lab").alias("_al")] if exclude_match_col else []),
     )
     b = v.select(
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("_bv"),
         F.col("n").alias("_bn"),
         "cell",
+        *([F.col("lab").alias("_bl")] if exclude_match_col else []),
     )
-    scored = (
-        a.join(b, "cell")
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            (dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias(
-                "_cos"
-            ),
-        )
+    joined = a.join(b, "cell").where(F.col("vec_id") != F.col("neighbor_id"))
+    if exclude_match_col:
+        joined = joined.where(F.col("_al") != F.col("_bl"))
+    scored = joined.select(
+        "vec_id",
+        "neighbor_id",
+        (dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias(
+            "_cos"
+        ),
+        *(["_al", "_bl"] if exclude_match_col else []),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    out_extra = (
+        [F.col("_al").alias("label"), F.col("_bl").alias("neighbor_label")]
+        if exclude_match_col
+        else []
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cosine"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "rank",
+            F.round("_cos", 6).alias("cosine"),
+            *out_extra,
+        )
     )

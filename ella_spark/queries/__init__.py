@@ -123,6 +123,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_dedup_soft_weight",
     "q_recursive_reachability",
     "q_distinct_overlap",
+    "q_hard_negatives",
 }
 
 # newest hash-green = r3 — the 10 names that overflowed the r6

@@ -768,17 +768,23 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── corpus-wide kNN join ─────────────────────────────────────────────
 
 
-def _knn_join_oracle() -> str | None:
+def _knn_join_oracle(negatives: bool = False) -> str | None:
     cent = _oracle_centroids(16)
     if cent is None:
         return None
     # Assignment ties -> smaller cluster id (stable argsort contract),
     # exactly like the IVF oracle; then a within-cell self-join and a
     # per-vector top-3 window. Same cosine form as the other oracles.
+    # negatives=True adds the label-inequality filter and label output
+    # columns (the hard-negative mining variant).
+    neg_cond = " AND bv.label <> av.label" if negatives else ""
+    neg_cols = ", av.label AS label, bv.label AS neighbor_label" if negatives else ""
+    neg_out = ", label, neighbor_label" if negatives else ""
     return f"""
     WITH cent AS ({_cent_cte(cent)}),
     v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
              sqrt(list_sum(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings),
@@ -793,17 +799,17 @@ def _knn_join_oracle() -> str | None:
       WHERE rn = 1),
     scored AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
-             {_dot_sql('av.ve', 'bv.ve')} / (av.nrm * bv.nrm) AS cos
+             {_dot_sql('av.ve', 'bv.ve')} / (av.nrm * bv.nrm) AS cos{neg_cols}
       FROM assigned a
       JOIN assigned b ON b.cell = a.cell AND b.vec_id != a.vec_id
       JOIN v av ON av.vec_id = a.vec_id
-      JOIN v bv ON bv.vec_id = b.vec_id)
+      JOIN v bv ON bv.vec_id = b.vec_id{neg_cond})
     SELECT vec_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-           round(cos, 6) AS cosine
+           round(cos, 6) AS cosine{neg_out}
     FROM (
       SELECT vec_id, neighbor_id, cos,
              row_number() OVER (
-               PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+               PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank{neg_out}
       FROM scored)
     WHERE rank <= 3
     """
@@ -824,4 +830,27 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_join(
         emb, dim=_DIM, k=3, centroids=corpus_centroids(sf_dir, 16)
+    ).orderBy("vec_id", "rank")
+
+
+@register(
+    "q_hard_negatives",
+    oracle=_knn_join_oracle(negatives=True),
+    doc="Hard-negative mining for contrastive embedding training: per "
+    "anchor, the top-3 most-similar vectors of a DIFFERENT label "
+    "(knn_join exclude_match_col) — the negatives that actually move "
+    "an InfoNCE/triplet loss. Same IVF-cell blocking and single "
+    "cell-keyed shuffle as q_knn_join; the label filter rides the "
+    "within-cell pair join, so no extra shuffle. Pinned centroids "
+    "make the DuckDB oracle replay assignment + filtered self-join "
+    "exactly.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_join(
+        emb,
+        dim=_DIM,
+        k=3,
+        centroids=corpus_centroids(sf_dir, 16),
+        exclude_match_col="label",
     ).orderBy("vec_id", "rank")
