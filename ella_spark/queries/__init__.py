@@ -124,6 +124,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_recursive_reachability",
     "q_distinct_overlap",
     "q_hard_negatives",
+    "q_seasonal_baseline",
 }
 
 # newest hash-green = r3 — the 10 names that overflowed the r6

@@ -1370,3 +1370,64 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.where((n >= 5) & (n * sq > s * s)).select(
         "user_id", "event_id", z.alias("z")
     )
+
+
+@register(
+    "q_seasonal_baseline",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type, hour, sum(cents) AS s, count(*) AS c
+      FROM e GROUP BY event_type, hour),
+    d AS (
+      SELECT e.event_type, e.hour,
+             abs(CAST(e.cents AS DOUBLE) - CAST(g.s AS DOUBLE) / g.c) AS dev
+      FROM e JOIN g ON g.event_type = e.event_type AND g.hour = e.hour)
+    SELECT g.event_type, CAST(g.hour AS INT) AS hour, g.c AS n,
+           CAST(g.s AS DOUBLE) / (g.c * 100) AS mean_value,
+           max(d.dev) / 100 AS max_dev_value
+    FROM g JOIN d ON d.event_type = g.event_type AND d.hour = g.hour
+    GROUP BY g.event_type, g.hour, g.c, g.s
+    ORDER BY g.event_type, hour
+    """,
+    doc="Seasonal (hour-of-day) baseline profile + worst residual per "
+    "(event_type, hour): the seasonal-anomaly companion to "
+    "q_rolling_zscore (global periodic profile vs trailing window). "
+    "Single-scan, SINGLE-SHUFFLE plan: the per-group mean is a "
+    "whole-partition window over the (event_type, hour) key and the "
+    "residual max reuses the same partitioning — no profile re-join, "
+    "no second scan. Exactness: values in int64 cents, mean = one "
+    "double division of exact ints, residual = one subtraction — "
+    "every float op correctly rounded and order-independent, so the "
+    "DuckDB oracle (spelled as the equivalent join) hash-matches.",
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("(ts div 3600000000000) % 24").cast("int").alias("hour"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "hour")
+    d = e.withColumns(
+        {"s": F.sum("cents").over(w), "c": F.count(F.lit(1)).over(w)}
+    ).withColumn(
+        "dev",
+        F.abs(
+            F.col("cents").cast("double")
+            - F.col("s").cast("double") / F.col("c")
+        ),
+    )
+    return (
+        d.groupBy("event_type", "hour")
+        .agg(
+            F.max("c").alias("n"),
+            (F.max("s").cast("double") / (F.max("c") * 100)).alias("mean_value"),
+            (F.max("dev") / 100).alias("max_dev_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
