@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -316,3 +317,87 @@ def make_session_updater(gap_ns: int):
             )
 
     return update
+
+
+# ── streaming heavy hitters (Misra-Gries) ────────────────────────────
+
+_HH_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("value", StringType()),
+        StructField("approx_count", LongType()),
+    ]
+)
+
+_HH_STATE = StructType(
+    [
+        StructField("values", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def heavy_hitters_per_key(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    counters: int = 256,
+) -> DataFrame:
+    """Streaming per-key heavy hitters: the incremental form of
+    operators.sketch.heavy_hitters (same Misra-Gries summary, same
+    guarantees) with the summary carried across micro-batches in the
+    state store instead of merged across partitions.
+
+    Per (key) the state is ≤ ``counters`` (value, count) pairs plus
+    the rows-seen total; each micro-batch folds its rows' exact batch
+    counts into the summary (the batched MG decrement). Emitted rows
+    (update mode) are the CURRENT summary after the batch — counts are
+    lower bounds that undercount by at most n_seen/(counters+1), and
+    are EXACT while the key's distinct-value count stays ≤ counters
+    (the stream==batch identity pinned in tests runs in that regime;
+    the eviction-regime bound is pinned against a sequential
+    reference in the same test module).
+
+    Scale shape: state is O(counters) per key; each micro-batch
+    shuffles only its own rows by key — trending-items dashboards at
+    topic scale without a second storage system.
+    """
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.sketch import _mg_update
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("_v"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            values, counts, n_seen = state.get
+            summary = dict(zip(list(values), [int(c) for c in counts]))
+        else:
+            summary, n_seen = {}, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_seen += int(pdf["_v"].notna().sum())
+            _mg_update(summary, pdf["_v"].value_counts(dropna=True).to_dict(), counters)
+        state.update((list(summary.keys()), [int(c) for c in summary.values()], n_seen))
+        if summary:
+            items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(items),
+                    "value": [v for v, _ in items],
+                    "approx_count": [c for _, c in items],
+                }
+            )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_HH_OUT,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

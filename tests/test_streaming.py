@@ -570,3 +570,86 @@ def test_sessionize_stream_matches_batch(db, spark):
         assert got == want
     finally:
         q.stop()
+
+
+def test_heavy_hitters_stream_matches_batch_exact_regime(db, spark):
+    """Streaming Misra-Gries heavy hitters across TWO micro-batches:
+    with distinct values per key <= counters nothing evicts, so the
+    final emitted summary equals an exact groupBy count over the
+    quiesced topic (the stream==batch identity, exact regime)."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.streaming.stateful import heavy_hitters_per_key
+
+    topic = db.create_topic(
+        "hht",
+        [Column("k", "string", required=True), Column("item", "string")],
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:
+        for i, item in enumerate(["x", "x", "y", "z", "x"]):
+            pub.write((i + 1) * ns, "a", item)
+        pub.write(6 * ns, "b", "q")
+
+    out = heavy_hitters_per_key(db.subscribe("hht"), "k", "item", counters=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "hh_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:  # batch 2: state must carry
+            pub.write(7 * ns, "a", "y")
+            pub.write(8 * ns, "b", "q")
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM hh_out").toPandas()
+        # last emission per (key, value)
+        last = (
+            pdf.reset_index()
+            .sort_values("index")
+            .groupby(["key", "value"])
+            .last()["approx_count"]
+        )
+        got = {(k, v): int(c) for (k, v), c in last.items()}
+        exact = {
+            (r.k, r.item): r.c
+            for r in topic.read(db.spark)
+            .groupBy("k", "item")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert got == exact
+    finally:
+        q.stop()
+
+
+def test_heavy_hitters_stream_eviction_bound():
+    """Eviction regime: fold a value stream through the MG updater
+    with a fake state and check the classic undercount bound — every
+    reported count within n_seen/(counters+1) of the true count, and
+    every value with true count > n_seen/(counters+1) present."""
+    import pandas as pd
+
+    from ella_spark.streaming.stateful import heavy_hitters_per_key  # noqa: F401
+    from ella_spark.operators.sketch import _mg_update
+
+    c = 4
+    vals = (["hot"] * 40 + ["warm"] * 12 + [f"v{i}" for i in range(30)] * 2)
+    true = pd.Series(vals).value_counts().to_dict()
+    summary: dict = {}
+    # two "micro-batches", like the streaming fold
+    for chunk in (vals[:50], vals[50:]):
+        _mg_update(summary, pd.Series(chunk).value_counts().to_dict(), c)
+    n = len(vals)
+    bound = n / (c + 1)
+    for v, cnt in summary.items():
+        assert true[v] - cnt <= bound and cnt <= true[v]
+    for v, t in true.items():
+        if t > bound:
+            assert v in summary, v
