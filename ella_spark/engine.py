@@ -133,6 +133,12 @@ _SHOW_CREATE_RE = re.compile(
     r"^\s*show\s+create\s+table\s+([A-Za-z0-9_.]+)\s*;?\s*$", re.I
 )
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+(analyze\s+)?(select\b.+)$", re.I | re.S)
+#: `SET <key> = <value>` / `SET <key> TO <value>` — DataFusion's
+#: Statement plan (the reference `unimplemented!()`s it); routed to
+#: the Spark session conf.
+_SET_RE = re.compile(
+    r"^\s*set\s+([A-Za-z0-9_.]+)\s*(?:=|\s+to\s+)\s*(.+?)\s*;?\s*$", re.I
+)
 #: DataFusion-dialect `CREATE EXTERNAL TABLE t STORED AS fmt
 #: [WITH HEADER ROW] LOCATION 'path'` — the reference declares this
 #: verb but `todo!()`s it (lazy/backend.rs:81-83); implemented here
@@ -2035,6 +2041,15 @@ class Ella:
         empty = lambda: Lazy(  # noqa: E731 — DDL yields an empty frame
             self.spark.createDataFrame([], "ok boolean"), engine=self, sql=sql
         )
+        if m := _SET_RE.match(sql):
+            # DataFusion `SET <key> = <value>` (a Statement plan, which
+            # the reference `unimplemented!()`s — backend.rs:163).
+            # Routed to the Spark session conf: runtime-settable SQL
+            # confs apply immediately; static/core confs raise Spark's
+            # own CANNOT_MODIFY_CONFIG error, surfaced as-is.
+            value = m.group(2).strip().strip("'\"")
+            self.spark.conf.set(m.group(1), value)
+            return empty()
         if m := _CREATE_MATVIEW_RE.match(sql):
             n = self.create_materialized_view(
                 m.group(2),

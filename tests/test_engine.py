@@ -1074,3 +1074,21 @@ def test_ctas_from_ntz_timestamp(db, spark, tmp_path):
     assert n == 3
     ts = sorted(r.time for r in db.query("SELECT time FROM ntz_topic").df.collect())
     assert ts[0] == 1709251200 * 10**9 and ts[1] - ts[0] == 10**9
+
+
+def test_set_statement(db, spark):
+    """DataFusion `SET k = v` / `SET k TO v` (a Statement plan the
+    reference unimplemented!()s, backend.rs:163) routes to the Spark
+    session conf; static confs surface Spark's own error."""
+    import pytest as _pytest
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        db.query("SET spark.sql.shuffle.partitions = 7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        db.query("SET spark.sql.shuffle.partitions TO '9'")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "9"
+        with _pytest.raises(Exception, match="(?i)cannot|static"):
+            db.query("SET spark.executor.cores = 4")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
