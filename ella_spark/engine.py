@@ -1850,8 +1850,15 @@ class Ella:
 
     # -- query (state.rs:151-154) ---------------------------------------------
 
-    def query(self, sql: str) -> Lazy:
+    def query(self, sql: str, params: dict | list | None = None) -> Lazy:
         """Parse + plan, deferred: `ella.query(sql)` → Lazy.
+
+        ``params`` binds named (``:name`` with a dict) or positional
+        (``?`` with a list) markers via Spark's parameterized SQL —
+        the Flight SQL prepared-statement analog, with literals kept
+        out of the query text (no injection, stable plan cache keys).
+        Parameters apply to relational statements (and the source
+        query of INSERT INTO); DDL verbs take none and raise.
 
         Topic views are re-registered first: Spark's parquet file index
         is frozen per DataFrame, so shards published since registration
@@ -1883,6 +1890,10 @@ class Ella:
         # every read/refresh instead.
         ddl = self._dispatch_ddl(sql)
         if ddl is not None:
+            if params is not None:
+                raise ValueError(
+                    "params apply to relational statements, not DDL"
+                )
             return ddl
         # Lazy keeps the PRE-rewrite text: creating a view/MV from a
         # Lazy must persist durable ann_search(...) / VERSION AS OF
@@ -1899,7 +1910,11 @@ class Ella:
         m = _INSERT_RE.match(sql)
         if m:
             topic = self.topic(m.group(1))
-            src = self.spark.sql(m.group(2))
+            src = (
+                self.spark.sql(m.group(2), args=params)
+                if params is not None
+                else self.spark.sql(m.group(2))
+            )
             names = [c.name for c in topic.entry.columns]
             if len(src.columns) == len(names) - 1:
                 # time omitted: auto-fill now() like the publisher
@@ -1920,7 +1935,12 @@ class Ella:
                 engine=self,
                 sql=durable_sql,
             )
-        return Lazy(self.spark.sql(sql), engine=self, sql=durable_sql)
+        df = (
+            self.spark.sql(sql, args=params)
+            if params is not None
+            else self.spark.sql(sql)
+        )
+        return Lazy(df, engine=self, sql=durable_sql)
 
     def _rewrite_ann_search(self, sql: str) -> str:
         """Table-valued ANN search in plain SQL:

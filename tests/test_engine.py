@@ -1092,3 +1092,34 @@ def test_set_statement(db, spark):
             db.query("SET spark.executor.cores = 4")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_parameterized_query(db, spark):
+    """Named (:name) and positional (?) parameter binding through
+    engine.query — the Flight SQL prepared-statement analog; DDL
+    takes no params and fails loud."""
+    import pytest as _pytest
+
+    t = db.create_topic(
+        "pq_t", [Column("k", "int64", required=True), Column("v", "float64")]
+    )
+    with t.publish() as pub:
+        for i in range(5):
+            pub.write(i + 1, i, float(i) * 2)
+    rows = db.query(
+        "SELECT k, v FROM pq_t WHERE k >= :lo AND k < :hi ORDER BY k",
+        params={"lo": 1, "hi": 4},
+    ).df.collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 2.0), (2, 4.0), (3, 6.0)]
+    rows = db.query(
+        "SELECT k FROM pq_t WHERE k = ? OR k = ? ORDER BY k", params=[0, 4]
+    ).df.collect()
+    assert [r.k for r in rows] == [0, 4]
+    n = db.query(
+        "INSERT INTO pq_t SELECT 100 AS time, :k AS k, :v AS v",
+        params={"k": 99, "v": 1.5},
+    ).df.collect()[0]["count"]
+    assert n == 1
+    assert db.query("SELECT v FROM pq_t WHERE k = 99").df.collect()[0].v == 1.5
+    with _pytest.raises(ValueError, match="params"):
+        db.query("DROP TABLE pq_t", params={"x": 1})
