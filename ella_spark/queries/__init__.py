@@ -125,6 +125,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_distinct_overlap",
     "q_hard_negatives",
     "q_seasonal_baseline",
+    "q_winsorize",
 }
 
 # newest hash-green = r3 — the 10 names that overflowed the r6

@@ -1232,3 +1232,78 @@ def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_chars") - F.col("src_chars")) * 10
         < F.col("total_chars") * 9
     ).select("lang", "source", "src_chars", "cum_chars")
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    b AS (
+      SELECT *,
+             max(CASE WHEN rn <= CAST(ceil(n * 0.05) AS BIGINT)
+                 THEN value END) OVER (PARTITION BY event_type) AS p05,
+             min(CASE WHEN rn > n - CAST(ceil(n * 0.05) AS BIGINT)
+                 THEN value END) OVER (PARTITION BY event_type) AS p95
+      FROM e)
+    SELECT event_id, event_type,
+           CASE WHEN value < p05 THEN p05
+                WHEN value > p95 THEN p95
+                ELSE value END AS v_clipped,
+           CAST(value < p05 OR value > p95 AS BOOLEAN) AS clipped
+    FROM b
+    WHERE clipped
+    ORDER BY event_type, event_id
+    """,
+    doc="Winsorization: per-group 5%/95% EXACT order-statistic clip "
+    "(the outlier-capping transform run before normalization in a "
+    "feature/curation pipeline — the order-stat TRANSFORM counterpart "
+    "of q_percentile_exact's aggregate). Deterministic ties via "
+    "(value, event_id) ordering; thresholds as windowed max/min over "
+    "the rank prefix/suffix so BOTH window layers share the ONE "
+    "event_type partitioning — a single shuffle end-to-end. Only "
+    "clipped rows are returned (the exception report; at 100 TB the "
+    "full clipped output would be written, not compared). Every "
+    "returned value is an input value verbatim — no float arithmetic "
+    "— so the DuckDB oracle hash-matches exactly.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    w_rn = wp.orderBy("value", "event_id")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo_cut = F.ceil(F.col("n") * 0.05).cast("long")
+    b = e.withColumns(
+        {
+            "p05": F.max(
+                F.when(F.col("rn") <= lo_cut, F.col("value"))
+            ).over(wp),
+            "p95": F.min(
+                F.when(F.col("rn") > F.col("n") - lo_cut, F.col("value"))
+            ).over(wp),
+        }
+    )
+    clipped = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return (
+        b.select(
+            "event_id",
+            "event_type",
+            F.when(F.col("value") < F.col("p05"), F.col("p05"))
+            .when(F.col("value") > F.col("p95"), F.col("p95"))
+            .otherwise(F.col("value"))
+            .alias("v_clipped"),
+            clipped.alias("clipped"),
+        )
+        .where(F.col("clipped"))
+        .orderBy("event_type", "event_id")
+    )
