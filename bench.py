@@ -128,6 +128,16 @@ EXTRAS = [
     "q_dedup_keep_best",
     "q_rolling_zscore",
     "q_dedup_soft_weight",
+    # round-7 names that were correctness-tracked but missing from
+    # BENCH_r07 (VERDICT r7 #5). q_recursive_reachability is the
+    # known-expensive one (8 sequential recursion levels of fixed
+    # stage latency, ~3-3.5 s at sf0.1, ratio 0.9 at 10× — watch,
+    # not weak).
+    "q_seasonal_baseline",
+    "q_winsorize",
+    "q_recursive_reachability",
+    "q_distinct_overlap",
+    "q_hard_negatives",
 ]
 
 

@@ -223,13 +223,20 @@ def _plan_with_metrics(executed_plan) -> str:
             mets.append(f"{e._1()}={e._2().value()}")
         lines.append("  " * depth + name + (": " + ", ".join(sorted(mets)) if mets else ""))
         # AdaptiveSparkPlan/QueryStage hide the real tree behind
-        # accessor methods rather than children()
+        # accessor methods rather than children(). Resolve the child
+        # BEFORE recursing: recursing inside the probe's try would
+        # swallow a failure from deep in the subtree and re-walk it
+        # through the next accessor / children(), duplicating lines.
+        child = None
         for accessor in ("executedPlan", "plan"):
             try:
-                walk(getattr(node, accessor)(), depth + 1)
-                return
+                child = getattr(node, accessor)()
+                break
             except Exception:
-                pass
+                child = None
+        if child is not None:
+            walk(child, depth + 1)
+            return
         cit = node.children().iterator()
         while cit.hasNext():
             walk(cit.next(), depth + 1)
@@ -2067,7 +2074,12 @@ class Ella:
             # Routed to the Spark session conf: runtime-settable SQL
             # confs apply immediately; static/core confs raise Spark's
             # own CANNOT_MODIFY_CONFIG error, surfaced as-is.
-            value = m.group(2).strip().strip("'\"")
+            # Unwrap exactly ONE matching pair of quotes: .strip("'\"")
+            # would eat any RUN of quote chars from both ends, mangling
+            # values that legitimately start/end with a quote.
+            value = m.group(2).strip()
+            if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
+                value = value[1:-1]
             self.spark.conf.set(m.group(1), value)
             return empty()
         if m := _CREATE_MATVIEW_RE.match(sql):
@@ -2089,10 +2101,18 @@ class Ella:
             from pyspark.sql import functions as F
             from pyspark.sql import types as T
 
-            if m.group(1) and self.store.resolve(m.group(2)) is not None:
-                # IF NOT EXISTS on a pre-existing topic is a no-op
+            if m.group(1) and (existing := self.store.resolve(m.group(2))) is not None:
+                # IF NOT EXISTS on a pre-existing TOPIC is a no-op
                 # (Spark/Postgres CTAS semantics): re-running the
                 # statement must not append a second copy of the data.
+                # A same-named view/MV/external is a KIND conflict and
+                # raises, exactly as plain create_topic would — the
+                # no-op must not silently mask it.
+                if existing.kind != "topic":
+                    raise ValueError(
+                        f"cannot CREATE TOPIC {m.group(2)!r}: a "
+                        f"{existing.kind} with that name already exists"
+                    )
                 return Lazy(
                     self.spark.createDataFrame([(0,)], "count long"),
                     engine=self,
@@ -2356,6 +2376,11 @@ class Ella:
                     rows.append(
                         ("plan_with_metrics", _plan_with_metrics(qe.executedPlan()))
                     )
+                    # Re-capture AFTER execution: under AQE the
+                    # pre-run executedPlan stringifies with
+                    # isFinalPlan=false; only the post-run walk shows
+                    # the plan that actually executed.
+                    physical = qe.executedPlan().toString()
                 except Exception:
                     # Connect: metrics not driver-inspectable
                     rows.append(("row_count", str(df.count())))

@@ -1186,15 +1186,16 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pareto_cut",
     oracle="""
     WITH src AS (
-      SELECT lang, source, sum(n_chars) AS src_chars
+      SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS src_chars
       FROM documents GROUP BY lang, source),
     tot AS (
       SELECT lang, source, src_chars,
-             sum(src_chars) OVER (PARTITION BY lang) AS total_chars,
-             sum(src_chars) OVER (PARTITION BY lang
+             CAST(sum(src_chars) OVER (PARTITION BY lang) AS BIGINT)
+               AS total_chars,
+             CAST(sum(src_chars) OVER (PARTITION BY lang
                ORDER BY src_chars DESC, source
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_chars
+               AS BIGINT) AS cum_chars
       FROM src)
     SELECT lang, source, src_chars, cum_chars
     FROM tot

@@ -440,6 +440,12 @@ class Topic:
             # where skipping works best and the scan reads nothing)
             from pyspark.sql import functions as F
 
+            # All-nullable lit(NULL) projection MATCHES the non-empty
+            # path's nullability: Spark file sources force the read
+            # schema nullable (a file may omit any column), so a
+            # populated parquet scan of this topic also reports every
+            # field nullable — verified: required topic columns read
+            # back nullable=true either way.
             return spark.range(0).select(
                 *[
                     F.lit(None).cast(f.dataType).alias(f.name)

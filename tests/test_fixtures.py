@@ -175,7 +175,7 @@ def test_rotation_tier_names_resolve_in_registry():
     from ella_spark import queries as Q
 
     Q._load()
-    tiers = (Q._NEW_THIS_ROUND, Q._STALE_R3, Q._R4_GREEN, Q._R6_GREEN)
+    tiers = (Q._NEW_THIS_ROUND, Q._STALE_R4, Q._R5_GREEN, Q._R7_GREEN)
     for tier in tiers:
         missing = [n for n in tier if n not in Q.REGISTRY]
         assert not missing, missing
@@ -183,10 +183,28 @@ def test_rotation_tier_names_resolve_in_registry():
     for i, a in enumerate(tiers):
         for b in tiers[i + 1 :]:
             assert not (a & b), a & b
-    # the checked-50 prefix starts with every new + r3-stale name and
-    # contains no no-oracle name (they can never hash-verify)
+    # the checked-50 prefix starts with every pinned/new + r4-stale
+    # name and contains no no-oracle name (they can never hash-verify)
     names = list(Q.all_queries())[:50]
     oracles = Q.all_oracles()
     assert Q._NEW_THIS_ROUND <= set(names)
-    assert Q._STALE_R3 <= set(names)
+    assert Q._STALE_R4 <= set(names)
     assert all(n in oracles for n in names)
+
+
+def test_readme_counts_match_registry():
+    """README's '<N> registry queries, <M> of them hash-checked'
+    claim must track len(all_queries())/len(all_oracles()) — the
+    round-7 verdict flagged a 180/175-vs-179/174 docs drift."""
+    import re
+    from pathlib import Path
+
+    from ella_spark.queries import all_oracles, all_queries
+
+    text = Path(__file__).resolve().parents[1].joinpath("README.md").read_text()
+    m = re.search(r"\((\d+) registry\s+queries, (\d+) of them hash-checked", text)
+    assert m, "README registry-count sentence not found"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(all_queries()),
+        len(all_oracles()),
+    ), "README counts drifted from the registry — update README.md"
