@@ -115,6 +115,9 @@ def _load() -> None:
 _NEW_THIS_ROUND: set[str] = {
     "q_pareto_cut",
     "q_rolling_zscore",
+    # added in round 8
+    "q_psi_drift",
+    "q_chi2_drift",
 }
 
 # newest hash-green = r4 — the oldest hard records (the names that

@@ -1504,3 +1504,177 @@ def q_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.col("inter_est").alias("shared_est"),
     ).orderBy("type_a", "type_b")
+
+
+_PSI_BUCKETS = 10
+
+
+@register(
+    "q_psi_drift",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    ext AS (SELECT min(vc) AS lo, max(vc) AS hi FROM c),
+    b AS (
+      SELECT c.event_type,
+             CASE WHEN ext.hi > ext.lo
+                  THEN least(((c.vc - ext.lo) * {_PSI_BUCKETS})
+                             // (ext.hi - ext.lo), {_PSI_BUCKETS - 1})
+                  ELSE 0 END AS bucket
+      FROM c, ext),
+    tb AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c_tb
+      FROM b GROUP BY event_type, bucket),
+    tot AS (
+      SELECT event_type, CAST(sum(c_tb) AS BIGINT) AS n_t
+      FROM tb GROUP BY event_type),
+    bk AS (
+      SELECT bucket, CAST(sum(c_tb) AS BIGINT) AS c_b
+      FROM tb GROUP BY bucket),
+    n AS (SELECT CAST(sum(c_tb) AS BIGINT) AS big_n FROM tb)
+    SELECT tb.event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(sum(
+             (CAST(c_tb AS DOUBLE) / n_t - CAST(c_b AS DOUBLE) / big_n)
+             * ln((CAST(c_tb AS DOUBLE) * big_n)
+                  / (CAST(c_b AS DOUBLE) * n_t))), 6) AS psi
+    FROM tb
+    JOIN tot ON tot.event_type = tb.event_type
+    JOIN bk ON bk.bucket = tb.bucket
+    CROSS JOIN n
+    GROUP BY tb.event_type
+    ORDER BY tb.event_type
+    """,
+    doc="Population Stability Index per event_type vs the pooled value "
+    "distribution — the standard drift monitor a training-data "
+    "pipeline runs between corpus snapshots ('did this slice's "
+    "feature distribution move?'). Values land in 10 equal-width "
+    "buckets of the global centi-unit range (bucket index is exact "
+    "int64 floor-division), counts aggregate in ONE (type, bucket) "
+    "shuffle, and the reference/bucket marginals come from the "
+    "ALREADY-AGGREGATED ≤ types×10-row frame (window-sized joins, "
+    "never a second scan). PSI terms use only buckets where the type "
+    "has mass (q > 0 follows); round(6) absorbs summation-order ulps. "
+    "At 100 TB: one scan + one tiny shuffle — the marginals frame is "
+    "O(types·buckets) regardless of row count.",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    B = _PSI_BUCKETS
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    ext = c.agg(F.min("vc").alias("lo"), F.max("vc").alias("hi"))
+    b = c.crossJoin(F.broadcast(ext)).select(
+        "event_type",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.expr(f"((vc - lo) * {B}) div (hi - lo)"),
+                F.lit(B - 1).cast("bigint"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bucket"),
+    )
+    tb = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("c_tb")
+    )
+    w_t = Window.partitionBy("event_type")
+    w_b = Window.partitionBy("bucket")
+    w_all = Window.partitionBy()
+    m = tb.withColumns(
+        {
+            "n_t": F.sum("c_tb").over(w_t),
+            "c_b": F.sum("c_tb").over(w_b),
+            "big_n": F.sum("c_tb").over(w_all),
+        }
+    )
+    term = (
+        F.col("c_tb").cast("double") / F.col("n_t")
+        - F.col("c_b").cast("double") / F.col("big_n")
+    ) * F.log(
+        (F.col("c_tb").cast("double") * F.col("big_n"))
+        / (F.col("c_b").cast("double") * F.col("n_t"))
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_chi2_drift",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY lang),
+    s AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY source),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS big_n,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_src
+          FROM o)
+    SELECT o.lang,
+           CAST(n.n_src - 1 AS BIGINT) AS dof,
+           round(CAST(r.rt AS DOUBLE) + sum(
+             (CAST(obs AS DOUBLE)
+              - CAST(r.rt AS DOUBLE) * s.ct / n.big_n)
+             * (CAST(obs AS DOUBLE)
+                - CAST(r.rt AS DOUBLE) * s.ct / n.big_n)
+             / (CAST(r.rt AS DOUBLE) * s.ct / n.big_n)
+             - CAST(r.rt AS DOUBLE) * s.ct / n.big_n), 6) AS chi2
+    FROM o
+    JOIN r ON r.lang = o.lang
+    JOIN s ON s.source = o.source
+    CROSS JOIN n
+    GROUP BY o.lang, r.rt, n.n_src
+    ORDER BY o.lang
+    """,
+    doc="Chi-squared source-mix drift per language: is this language's "
+    "source distribution consistent with the corpus-wide source "
+    "marginals? (The contingency-table independence statistic corpus "
+    "dashboards track per slice.) Expected cell e = rt*ct/N; cells "
+    "the language never observed still contribute (0-e)^2/e = e, "
+    "folded in WITHOUT materializing the empty cells via the "
+    "identity sum_all e = rt: chi2_l = rt_l + sum_observed((o-e)^2/e "
+    "- e). ONE (lang, source) groupBy shuffle over the scan; the "
+    "marginals frames are O(langs)+O(sources) rows, broadcast-joined "
+    "back onto the ≤ langs×sources aggregated frame. Double math is "
+    "the same op sequence both engines; round(6) absorbs "
+    "summation-order ulps.",
+)
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    s = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(
+        F.sum("obs").alias("big_n"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("big_n")
+    term = (
+        (F.col("obs").cast("double") - e) * (F.col("obs").cast("double") - e) / e
+        - e
+    )
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("lang", "rt", "n_src")
+        .agg(
+            F.round(F.col("rt").cast("double") + F.sum(term), 6).alias("chi2")
+        )
+        .select(
+            "lang",
+            (F.col("n_src") - 1).cast("bigint").alias("dof"),
+            "chi2",
+        )
+        .orderBy("lang")
+    )

@@ -401,3 +401,282 @@ def heavy_hitters_per_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ── streaming rolling z-score ────────────────────────────────────────
+
+_RZ_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+_RZ_STATE = StructType(
+    [
+        StructField("ts", ArrayType(LongType())),
+        StructField("vc", ArrayType(LongType())),
+    ]
+)
+
+
+def rolling_zscore_per_key(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    time_col: str = TIME_COLUMN,
+    window_ns: int = 3600 * 1_000_000_000,
+    min_n: int = 3,
+) -> DataFrame:
+    """Streaming per-key trailing-window z-score — the incremental form
+    of the batch q_rolling_zscore query (queries/timeseries.py), with
+    the SAME exact-arithmetic contract: values carried as int64
+    centi-units (count / sum / sum-of-squares are exact integers), the
+    final mean/std/z a fixed sequence of correctly-rounded double ops.
+
+    State per key is the (ts, centi-value) pairs inside the trailing
+    ``window_ns`` of the newest event seen — O(window density), the
+    same bound the batch RANGE frame holds per row. Each new row's
+    window [ts - W, ts] is answered from a prefix-sum + binary search
+    over the retained events, so a micro-batch costs
+    O((state+batch) log(state+batch)) per key.
+
+    Assumes per-key arrival in event-time order (what topic subscribe
+    delivers: shards are time-sorted and the unified scan replays them
+    in order). A row arriving late by more than ``window_ns`` would
+    have its window under-counted — the standard streaming caveat; the
+    batch query is the replayable ground truth.
+
+    Emits (append mode) one row per qualifying event: ``n >= min_n``
+    in-window events with positive variance — identical gates to the
+    batch query.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            st_ts, st_vc = state.get
+            old_ts = np.asarray(list(st_ts), dtype=np.int64)
+            old_vc = np.asarray(list(st_vc), dtype=np.int64)
+        else:
+            old_ts = np.array([], dtype=np.int64)
+            old_vc = np.array([], dtype=np.int64)
+
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("_t", kind="stable")
+            b_ts = pdf["_t"].to_numpy(dtype=np.int64)
+            b_v = pdf["_v"].to_numpy(dtype=np.float64)
+            # identical rounding to the batch query's centi-unit cast
+            b_vc = np.floor(b_v * 100 + 0.5).astype(np.int64)
+
+            all_ts = np.concatenate([old_ts, b_ts])
+            all_vc = np.concatenate([old_vc, b_vc])
+            order = np.argsort(all_ts, kind="stable")
+            all_ts, all_vc = all_ts[order], all_vc[order]
+            cs = np.cumsum(all_vc)
+            cq = np.cumsum(all_vc * all_vc)
+
+            # per new row: events with ts in [row_ts - W, row_ts]
+            lo = np.searchsorted(all_ts, b_ts - window_ns, side="left")
+            hi = np.searchsorted(all_ts, b_ts, side="right")
+            n = (hi - lo).astype(np.int64)
+            s = cs[hi - 1] - np.where(lo > 0, cs[lo - 1], 0)
+            sq = cq[hi - 1] - np.where(lo > 0, cq[lo - 1], 0)
+
+            ok = (n >= min_n) & (n * sq > s * s)
+            if ok.any():
+                nn, ss, qq = n[ok], s[ok], sq[ok]
+                mean = ss.astype(np.float64) / (100.0 * nn)
+                var = (nn * qq - ss * ss).astype(np.float64) / (
+                    10000.0 * nn * (nn - 1)
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "key": key[0],
+                            "ts": b_ts[ok],
+                            "value": b_v[ok],
+                            "z": (b_v[ok] - mean) / np.sqrt(var),
+                        }
+                    )
+                )
+
+            # evict events that can never enter a future row's window
+            # (ordered arrival ⇒ future ts >= max ts seen)
+            horizon = int(all_ts[-1]) - window_ns
+            keep = all_ts >= horizon
+            old_ts, old_vc = all_ts[keep], all_vc[keep]
+
+        state.update(([int(t) for t in old_ts], [int(c) for c in old_vc]))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_RZ_OUT,
+        stateStructType=_RZ_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ── streaming winsorize (KLL-state admission clip) ───────────────────
+
+_WZ_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("v_clipped", DoubleType()),
+        StructField("lo_bound", DoubleType()),
+        StructField("hi_bound", DoubleType()),
+    ]
+)
+
+_WZ_STATE = StructType(
+    [
+        StructField("levels", ArrayType(ArrayType(DoubleType()))),
+        StructField("parity", LongType()),
+    ]
+)
+
+
+def _kll_rank_value(levels: list, target_rank: int) -> float:
+    """Smallest value whose cumulative weight reaches ``target_rank``
+    (1-based) — the order-statistic query both winsorize cut points
+    reduce to (kll_quantiles expressed for an explicit rank)."""
+    import numpy as np
+
+    vals = np.concatenate([np.asarray(l, dtype=np.float64) for l in levels])
+    wts = np.concatenate(
+        [np.full(len(l), 1 << i, dtype=np.int64) for i, l in enumerate(levels)]
+    )
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    idx = int(np.searchsorted(cum, max(1, target_rank), side="left"))
+    return float(vals[min(idx, len(vals) - 1)])
+
+
+def winsorize_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo: float = 0.05,
+    k: int = 256,
+) -> DataFrame:
+    """Streaming winsorize — the incremental admission-gate form of the
+    batch q_winsorize query (queries/curation.py): per group, clip each
+    arriving value at the lo/1-lo order statistics of ALL values seen
+    so far, carrying a mergeable KLL sketch (operators/sketch.py) in
+    the state store instead of re-scanning history.
+
+    Cut-point contract matches the batch query exactly: with n values
+    seen and ``c = ceil(n·lo)``, the low cut is the c-th smallest and
+    the high cut the (n−c+1)-th smallest. While a group's values fit
+    level 0 (n ≤ k) the sketch IS the sorted data and the bounds are
+    EXACT — the stream==batch identity regime pinned in tests; beyond
+    that the bounds carry KLL's O(n/k) rank-error guarantee.
+
+    Bounds fold the current batch in BEFORE clipping, so a stream that
+    delivers the corpus in one batch reproduces the batch query
+    verbatim. Emits (append) only rows that were clipped, with the
+    bounds used.
+
+    Scale shape: state is O(k·log(n/k)) doubles per group; each
+    micro-batch shuffles only its own rows by group — the per-group
+    clip a 100 TB ingest gate needs without a second pass.
+    """
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.sketch import _kll_compact
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            st_levels, parity = state.get
+            levels = [np.asarray(list(l), dtype=np.float64) for l in st_levels]
+            parity = int(parity)
+        else:
+            levels, parity = [], 0
+
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vals = pdf["_v"].to_numpy(dtype=np.float64)
+            # fold the batch in first (batch-query parity: bounds are
+            # computed over everything seen INCLUDING this batch).
+            # Carry the derandomized parity counter across batches so
+            # the sketch stays a pure function of the arrival sequence.
+            pstate = {"c": parity}
+            batch_lvl = [np.sort(vals[~np.isnan(vals)])]
+            depth = max(len(levels), 1)
+            merged = []
+            for i in range(depth):
+                xs = levels[i] if i < len(levels) else np.array([])
+                ys = batch_lvl[i] if i < len(batch_lvl) else np.array([])
+                merged.append(np.sort(np.concatenate([
+                    np.asarray(xs, dtype=np.float64),
+                    np.asarray(ys, dtype=np.float64),
+                ])))
+            levels = _kll_compact(merged, k, pstate)
+            parity = pstate["c"]
+
+            n = sum(len(l) * (1 << i) for i, l in enumerate(levels))
+            c = math.ceil(n * lo)
+            if c < 1:
+                continue
+            lo_b = _kll_rank_value(levels, c)
+            hi_b = _kll_rank_value(levels, n - c + 1)
+            clipped = (vals < lo_b) | (vals > hi_b)
+            if clipped.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "group": key[0],
+                            "id": pdf["_id"].to_numpy(dtype=np.int64)[clipped],
+                            "value": vals[clipped],
+                            "v_clipped": np.clip(vals[clipped], lo_b, hi_b),
+                            "lo_bound": lo_b,
+                            "hi_bound": hi_b,
+                        }
+                    )
+                )
+
+        state.update(
+            ([[float(v) for v in l] for l in levels], parity)
+        )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_WZ_OUT,
+        stateStructType=_WZ_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -43,6 +43,9 @@ BNLJ_BOUNDED = {
     "q_distinct_overlap",  # grp_a < grp_b pair cross of the per-GROUP
     # estimate table (≤ G rows, G = event types — an enumerable
     # profiling dimension, never an id); sketch rows join equi on grp
+    "q_psi_drift",   # 1-row global (lo, hi) extrema broadcast onto the scan
+    "q_chi2_drift",  # 1-row (N, n_src) totals broadcast onto the
+    # ≤ langs×sources aggregated contingency frame
 }
 
 

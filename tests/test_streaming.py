@@ -653,3 +653,162 @@ def test_heavy_hitters_stream_eviction_bound():
     for v, t in true.items():
         if t > bound:
             assert v in summary, v
+
+
+def test_rolling_zscore_stream_matches_batch(db, spark):
+    """Streaming rolling z-score across TWO micro-batches equals the
+    batch RANGE-window computation over the quiesced topic — the
+    incremental-form contract of q_rolling_zscore, same int64
+    centi-unit arithmetic, same n>=3 / positive-variance gates."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ella_spark.streaming.stateful import rolling_zscore_per_key
+
+    topic = db.create_topic(
+        "rzt",
+        [Column("k", "string", required=True), Column("v", "float64")],
+    )
+    mn = 60 * 1_000_000_000
+    hour = 3600 * 1_000_000_000
+    # key a: a dense hour, then a far event whose window excludes the
+    # start; key b: too sparse to ever fire
+    batch1 = [
+        (0 * mn, "a", 10.0), (10 * mn, "a", 12.5), (20 * mn, "a", 11.0),
+        (30 * mn, "a", 55.5), (0 * mn, "b", 1.0),
+    ]
+    with topic.publish() as pub:
+        for t, k, v in batch1:
+            pub.write(t, k, v)
+
+    out = rolling_zscore_per_key(
+        db.subscribe("rzt"), "k", "v", window_ns=hour, min_n=3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rz_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "rz_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:  # batch 2: state must carry
+            pub.write(70 * mn, "a", 13.0)   # window drops the t=0 event
+            pub.write(120 * mn, "b", 2.0)
+        q.processAllAvailable()
+        got = (
+            spark.sql("SELECT key, ts, z FROM rz_out")
+            .toPandas()
+            .sort_values(["key", "ts"])
+            .reset_index(drop=True)
+        )
+        # batch ground truth: the q_rolling_zscore window shape
+        df = topic.read(db.spark).select(
+            F.col("k").alias("key"),
+            F.col("time").alias("ts"),
+            "v",
+            F.floor(F.col("v") * 100 + 0.5).cast("bigint").alias("vc"),
+        )
+        win = Window.partitionBy("key").orderBy("ts").rangeBetween(-hour, 0)
+        w = df.withColumns(
+            {
+                "n": F.count(F.lit(1)).over(win),
+                "s": F.sum("vc").over(win),
+                "sq": F.sum(F.col("vc") * F.col("vc")).over(win),
+            }
+        )
+        n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+        z = (F.col("v") - s.cast("double") / (100 * n)) / F.sqrt(
+            (n * sq - s * s).cast("double") / (F.lit(10000.0) * n * (n - 1))
+        )
+        want = (
+            w.where((n >= 3) & (n * sq > s * s))
+            .select("key", "ts", z.alias("z"))
+            .toPandas()
+            .sort_values(["key", "ts"])
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0  # the scenario actually fires
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want)  # bit-identical doubles
+    finally:
+        q.stop()
+
+
+def test_winsorize_stream_matches_batch_exact_regime(db, spark):
+    """Streaming KLL-state winsorize: with all of a group's values in
+    one micro-batch and n <= k (no compaction), the emitted clips equal
+    the batch q_winsorize order-statistic clip exactly; a second
+    micro-batch updates the bounds over ALL seen values (state carry)."""
+    import math
+
+    import pandas as pd
+
+    from ella_spark.streaming.stateful import winsorize_per_group
+
+    topic = db.create_topic(
+        "wzt",
+        [Column("g", "string", required=True), Column("i", "int64"),
+         Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    vals = [float(x) for x in range(1, 41)]  # 1..40: c=2, bounds 2 and 39
+    with topic.publish() as pub:
+        for i, v in enumerate(vals):
+            pub.write((i + 1) * ns, "g1", i, v)
+
+    out = winsorize_per_group(
+        db.subscribe("wzt"), "g", "v", id_col="i", lo=0.05, k=256
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wz_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "wz_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM wz_out").toPandas()
+
+        def exact_clips(seen, batch_ids, batch_vals):
+            s = sorted(seen)
+            n = len(s)
+            c = math.ceil(n * 0.05)
+            lo_b, hi_b = s[c - 1], s[n - c]
+            return {
+                i: (max(min(v, hi_b), lo_b), lo_b, hi_b)
+                for i, v in zip(batch_ids, batch_vals)
+                if v < lo_b or v > hi_b
+            }
+
+        want1 = exact_clips(vals, range(len(vals)), vals)
+        got1 = {
+            int(r.id): (r.v_clipped, r.lo_bound, r.hi_bound)
+            for r in pdf.itertuples()
+        }
+        assert got1 == want1  # 1.0 clipped to 2.0, 40.0 clipped to 39.0
+
+        # batch 2: outliers against bounds over ALL 42 values seen
+        with topic.publish() as pub:
+            pub.write(100 * ns, "g1", 100, 0.5)
+            pub.write(101 * ns, "g1", 101, 20.0)
+        q.processAllAvailable()
+        pdf2 = spark.sql("SELECT * FROM wz_out").toPandas()
+        new = pdf2[pdf2.id >= 100]
+        want2 = exact_clips(vals + [0.5, 20.0], [100, 101], [0.5, 20.0])
+        got2 = {
+            int(r.id): (r.v_clipped, r.lo_bound, r.hi_bound)
+            for r in new.itertuples()
+        }
+        assert got2 == want2  # only id=100 clipped, at the n=42 bounds
+    finally:
+        q.stop()
