@@ -118,6 +118,8 @@ _NEW_THIS_ROUND: set[str] = {
     # added in round 8
     "q_psi_drift",
     "q_chi2_drift",
+    "q_zipf_slope",
+    "q_neyman_allocation",
 }
 
 # newest hash-green = r4 — the oldest hard records (the names that

@@ -1308,3 +1308,81 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("clipped"))
         .orderBy("event_type", "event_id")
     )
+
+
+_NEYMAN_BUDGET = 10000
+
+
+@register(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(vc) AS BIGINT) AS s,
+             CAST(sum(vc * vc) AS BIGINT) AS sq
+      FROM c GROUP BY event_type),
+    sd AS (
+      SELECT event_type, n_h,
+             sqrt(CAST(n_h * sq - s * s AS DOUBLE)
+                  / (10000.0 * n_h * (n_h - 1))) AS s_h
+      FROM g WHERE n_h >= 2),
+    w AS (
+      SELECT event_type, n_h, s_h, n_h * s_h AS w_h,
+             sum(n_h * s_h) OVER () AS w_tot
+      FROM sd)
+    SELECT event_type, n_h,
+           round(s_h, 6) AS s_h,
+           round(w_h / w_tot, 6) AS alloc_share,
+           round({_NEYMAN_BUDGET} * w_h / w_tot, 2) AS alloc_n
+    FROM w
+    ORDER BY event_type
+    """,
+    doc="Neyman-optimal sample allocation across strata (event types): "
+    "n_h proportional to N_h*S_h — how to split a labeling/eval budget "
+    "so the stratified estimator's variance is minimal (Neyman 1934; "
+    "the budget-allocation step of every eval-set construction). "
+    "Per-stratum stddev is derived from EXACT int64 centi-unit "
+    "n/sum/sum-of-squares (one groupBy shuffle, the q_rolling_zscore "
+    "arithmetic contract), so both engines compute sqrt on identical "
+    "integers; the share denominator is a window-sum over the "
+    "≤ |strata|-row aggregated frame. round(6/2) absorbs the final "
+    "double ulps. 100 TB: one scan, one keyed shuffle, O(strata) "
+    "rows after.",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sq"),
+    )
+    n_h, s, sq = F.col("n_h"), F.col("s"), F.col("sq")
+    sd = g.where(n_h >= 2).select(
+        "event_type",
+        "n_h",
+        F.sqrt(
+            (n_h * sq - s * s).cast("double")
+            / (F.lit(10000.0) * n_h * (n_h - 1))
+        ).alias("s_h"),
+    )
+    w_h = F.col("n_h") * F.col("s_h")
+    w = sd.withColumns(
+        {"w_h": w_h, "w_tot": F.sum(w_h).over(Window.partitionBy())}
+    )
+    return w.select(
+        "event_type",
+        "n_h",
+        F.round("s_h", 6).alias("s_h"),
+        F.round(F.col("w_h") / F.col("w_tot"), 6).alias("alloc_share"),
+        F.round(F.lit(_NEYMAN_BUDGET) * F.col("w_h") / F.col("w_tot"), 2).alias(
+            "alloc_n"
+        ),
+    ).orderBy("event_type")

@@ -1576,3 +1576,76 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "q_zipf_slope",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, unnest(list_filter(
+               list_transform(
+                 string_split_regex(trim(text), '[^A-Za-z0-9]+'),
+                 t -> lower(t)),
+               t -> length(t) > 0)) AS w
+      FROM documents),
+    tf AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY lang, w),
+    ranked AS (
+      SELECT lang, f,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY f DESC, w) AS r
+      FROM tf)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_ranks,
+           round(regr_slope(ln(CAST(f AS DOUBLE)),
+                            ln(CAST(r AS DOUBLE))), 6) AS zipf_slope
+    FROM ranked
+    WHERE r <= 100
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Zipf-law exponent per language: OLS slope of ln(freq) on "
+    "ln(rank) over each language's top-100 tokens — the "
+    "distributional-health diagnostic for generated/boilerplate "
+    "corpora (natural text ≈ -1; templated text flattens, spam "
+    "steepens). Token census is the same explode → (lang, tok) "
+    "groupBy as the TF-IDF family (shuffle carries partial counts); "
+    "ranks are deterministic ((freq DESC, token) tie-break) and the "
+    "regression runs on ≤100 exact-integer points per lang, so both "
+    "engines feed identical (ln r, ln f) pairs to regr_slope; "
+    "round(6) absorbs accumulation-order ulps. 100 TB shape: one "
+    "token shuffle + a WindowGroupLimit-able rank per lang.",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.transform(
+            F.split(F.trim(F.col("text")), "[^A-Za-z0-9]+"),
+            lambda t: F.lower(t),
+        ),
+        lambda t: F.length(t) > 0,
+    )
+    tf = (
+        d.select("lang", F.explode(toks).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.col("f").desc(), "w")
+    ranked = tf.select(
+        "lang", "f", F.row_number().over(w_rank).alias("r")
+    ).where(F.col("r") <= 100)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranks"),
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("f").cast("double")),
+                    F.log(F.col("r").cast("double")),
+                ),
+                6,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("lang")
+    )

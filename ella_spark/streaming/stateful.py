@@ -680,3 +680,106 @@ def winsorize_per_group(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ── streaming PSI drift monitor ──────────────────────────────────────
+
+_PSI_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_ref", LongType()),
+        StructField("n_buckets", LongType()),
+        StructField("psi", DoubleType()),
+    ]
+)
+
+_PSI_STATE = StructType(
+    [
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def psi_drift_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_edge: float,
+    hi_edge: float,
+    buckets: int = 10,
+) -> DataFrame:
+    """Streaming PSI drift monitor — the incremental form of the batch
+    q_psi_drift query (queries/relational.py): per group, score each
+    arriving micro-batch's value distribution against the reference
+    histogram of EVERYTHING seen before it, then fold the batch into
+    the reference. The canonical "is today's ingest shaped like the
+    corpus?" gate, evaluated continuously.
+
+    Bucket edges are FIXED arguments (``[lo_edge, hi_edge)`` split into
+    ``buckets`` equal widths, outliers clamped to the end buckets) —
+    at 100 TB the edges come from a one-time profile pass, and fixing
+    them is what makes per-group state O(buckets) longs instead of a
+    quantile sketch. PSI terms use buckets where BOTH sides have mass
+    (same zero-handling contract as the batch query); ``n_buckets``
+    reports how many contributed.
+
+    Emits (append) one row per group per micro-batch once a reference
+    exists; the first batch of a group seeds the reference silently.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    width = (hi_edge - lo_edge) / buckets
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        ref = (
+            np.asarray(list(state.get[0]), dtype=np.int64)
+            if state.exists
+            else np.zeros(buckets, dtype=np.int64)
+        )
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            v = pdf["_v"].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            idx = np.clip(
+                np.floor((v - lo_edge) / width).astype(np.int64), 0, buckets - 1
+            )
+            cur = np.bincount(idx, minlength=buckets).astype(np.int64)
+            n_ref, n_cur = int(ref.sum()), int(cur.sum())
+            if n_ref > 0 and n_cur > 0:
+                both = (ref > 0) & (cur > 0)
+                p = cur[both].astype(np.float64) / n_cur
+                q = ref[both].astype(np.float64) / n_ref
+                outs.append(
+                    pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": n_cur,
+                                "n_ref": n_ref,
+                                "n_buckets": int(both.sum()),
+                                "psi": float(((p - q) * np.log(p / q)).sum()),
+                            }
+                        ]
+                    )
+                )
+            ref = ref + cur
+        state.update(([int(c) for c in ref],))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_PSI_OUT,
+        stateStructType=_PSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

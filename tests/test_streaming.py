@@ -812,3 +812,61 @@ def test_winsorize_stream_matches_batch_exact_regime(db, spark):
         assert got2 == want2  # only id=100 clipped, at the n=42 bounds
     finally:
         q.stop()
+
+
+def test_psi_drift_stream_scores_batch_vs_reference(db, spark):
+    """Streaming PSI monitor: the first micro-batch seeds the
+    reference silently; the second batch's emitted PSI equals the
+    hand-computed PSI of (batch2 histogram || batch1 histogram) with
+    the q_psi_drift zero-bucket contract."""
+    import numpy as np
+
+    from ella_spark.streaming.stateful import psi_drift_per_group
+
+    topic = db.create_topic(
+        "psit",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    batch1 = [5.0, 15.0, 15.0, 25.0, 35.0, 45.0, 55.0, 65.0]
+    batch2 = [5.0, 5.0, 75.0, 85.0]
+    with topic.publish() as pub:
+        for i, v in enumerate(batch1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = psi_drift_per_group(
+        db.subscribe("psit"), "g", "v", lo_edge=0.0, hi_edge=100.0, buckets=10
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psi_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "psi_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM psi_out").count() == 0  # seeding
+
+        with topic.publish() as pub:
+            for i, v in enumerate(batch2):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM psi_out").toPandas()
+        assert len(pdf) == 1
+        row = pdf.iloc[0]
+
+        ref = np.bincount([int(v // 10) for v in batch1], minlength=10)
+        cur = np.bincount([int(v // 10) for v in batch2], minlength=10)
+        both = (ref > 0) & (cur > 0)
+        p = cur[both] / cur.sum()
+        qq = ref[both] / ref.sum()
+        want = float(((p - qq) * np.log(p / qq)).sum())
+        assert row.n_batch == 4 and row.n_ref == 8
+        assert row.n_buckets == int(both.sum())
+        assert abs(row.psi - want) < 1e-12
+    finally:
+        q.stop()
