@@ -138,6 +138,11 @@ EXTRAS = [
     "q_recursive_reachability",
     "q_distinct_overlap",
     "q_hard_negatives",
+    # round-8 additions
+    "q_psi_drift",
+    "q_chi2_drift",
+    "q_zipf_slope",
+    "q_neyman_allocation",
 ]
 
 

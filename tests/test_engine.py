@@ -635,6 +635,11 @@ def test_explain_sql(db):
     # the scan must reflect the actual run, not sit at zero)
     metrics = out["plan"][kinds.index("plan_with_metrics")]
     assert "numOutputRows=1" in metrics, metrics
+    # ADVICE r7: ANALYZE must report the AQE-FINAL physical plan
+    # (re-captured after execution, not the isFinalPlan=false preview)
+    phys = out["plan"][kinds.index("physical_plan")]
+    if "AdaptiveSparkPlan" in phys:
+        assert "isFinalPlan=true" in phys, phys
 
 
 def test_information_schema(db):
@@ -845,6 +850,17 @@ def test_ctas_if_not_exists_noop_on_existing(db, spark):
     assert db.query(stmt).df.collect()[0]["count"] == 0
     n = db.query("SELECT count(*) AS n FROM ctas_ine_dst").df.collect()[0]["n"]
     assert n == 4
+    # ADVICE r7: the no-op only applies to an existing TOPIC — a
+    # same-named view is a KIND conflict and must raise, exactly as
+    # plain create_topic would
+    import pytest as _pytest
+
+    db.query("CREATE VIEW ctas_ine_view AS SELECT 1 AS x")
+    with _pytest.raises(ValueError, match="view"):
+        db.query(
+            "CREATE TOPIC IF NOT EXISTS ctas_ine_view AS "
+            "SELECT time, v FROM ctas_ine_src"
+        )
 
 
 def test_ctas_timestamp_time_converts_to_epoch_ns(db, spark):
@@ -1088,6 +1104,12 @@ def test_set_statement(db, spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
         db.query("SET spark.sql.shuffle.partitions TO '9'")
         assert spark.conf.get("spark.sql.shuffle.partitions") == "9"
+        # ADVICE r7: unwrap exactly ONE matching quote pair — a value
+        # that legitimately starts/ends with a quote survives
+        db.query("SET spark.ella.test.quoted = '''inner'''")
+        assert spark.conf.get("spark.ella.test.quoted") == "''inner''"
+        db.query("SET spark.ella.test.mixed = \"don't\"")
+        assert spark.conf.get("spark.ella.test.mixed") == "don't"
         with _pytest.raises(Exception, match="(?i)cannot|static"):
             db.query("SET spark.executor.cores = 4")
     finally:
