@@ -143,6 +143,7 @@ EXTRAS = [
     "q_chi2_drift",
     "q_zipf_slope",
     "q_neyman_allocation",
+    "q_benford_deviation",
 ]
 
 

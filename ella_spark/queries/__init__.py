@@ -120,6 +120,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_chi2_drift",
     "q_zipf_slope",
     "q_neyman_allocation",
+    "q_benford_deviation",
 }
 
 # newest hash-green = r4 — the oldest hard records (the names that

@@ -1678,3 +1678,79 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_benford_deviation",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events
+      WHERE floor(value * 100 + 0.5) >= 1),
+    o AS (
+      SELECT event_type, d, CAST(count(*) AS BIGINT) AS c
+      FROM c GROUP BY event_type, d),
+    grid AS (
+      SELECT t.event_type, CAST(g.d AS BIGINT) AS d
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT unnest(range(1, 10)) AS d) g),
+    f AS (
+      SELECT grid.event_type, grid.d,
+             COALESCE(o.c, 0) AS c
+      FROM grid LEFT JOIN o
+        ON o.event_type = grid.event_type AND o.d = grid.d),
+    n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_t
+          FROM f GROUP BY event_type)
+    SELECT f.event_type, n.n_t AS n,
+           round(max(abs(CAST(c AS DOUBLE) / n.n_t
+                         - log10(1.0 + 1.0 / d))), 6) AS max_abs_dev,
+           round(sum(abs(CAST(c AS DOUBLE) / n.n_t
+                         - log10(1.0 + 1.0 / d))), 6) AS total_abs_dev
+    FROM f JOIN n ON n.event_type = f.event_type
+    GROUP BY f.event_type, n.n_t
+    ORDER BY f.event_type
+    """,
+    doc="Benford first-digit deviation per event_type: compare each "
+    "slice's leading-digit distribution (of the exact centi-unit "
+    "int64) against Benford's law log10(1+1/d) — the classic "
+    "synthetic/fabricated-numeric-data detector a corpus-quality "
+    "pass runs on numeric columns. The first digit comes from the "
+    "decimal string of an exact integer (portable, no float log "
+    "thresholds); digits a slice never produced still contribute "
+    "|0 - e_d| via a 9-row digit grid per type (generated from the "
+    "aggregated type list, never a scan). One (type, digit) groupBy "
+    "shuffle; everything after runs on <= 9x|types| rows. round(6) "
+    "absorbs summation-order ulps.",
+)
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    c = ev.select(
+        "event_type",
+        F.substring(vc.cast("string"), 1, 1).cast("bigint").alias("d"),
+    ).where(vc >= 1)
+    o = c.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    digits = spark.range(1, 10).select(F.col("id").alias("d"))
+    grid = c.select("event_type").distinct().crossJoin(F.broadcast(digits))
+    f = grid.join(o, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w_t = Window.partitionBy("event_type")
+    f = f.withColumn("n_t", F.sum("c").over(w_t))
+    dev = F.abs(
+        F.col("c").cast("double") / F.col("n_t")
+        - F.log10(1.0 + 1.0 / F.col("d"))
+    )
+    return (
+        f.groupBy("event_type", "n_t")
+        .agg(
+            F.round(F.max(dev), 6).alias("max_abs_dev"),
+            F.round(F.sum(dev), 6).alias("total_abs_dev"),
+        )
+        .select(
+            "event_type", F.col("n_t").alias("n"), "max_abs_dev", "total_abs_dev"
+        )
+        .orderBy("event_type")
+    )

@@ -46,6 +46,8 @@ BNLJ_BOUNDED = {
     "q_psi_drift",   # 1-row global (lo, hi) extrema broadcast onto the scan
     "q_chi2_drift",  # 1-row (N, n_src) totals broadcast onto the
     # ≤ langs×sources aggregated contingency frame
+    "q_benford_deviation",  # constant 9-row digit grid x distinct
+    # event types (an enumerable profiling dimension)
 }
 
 
