@@ -429,6 +429,7 @@ def rolling_zscore_per_key(
     time_col: str = TIME_COLUMN,
     window_ns: int = 3600 * 1_000_000_000,
     min_n: int = 3,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming per-key trailing-window z-score — the incremental form
     of the batch q_rolling_zscore query (queries/timeseries.py), with
@@ -452,6 +453,18 @@ def rolling_zscore_per_key(
     Emits (append mode) one row per qualifying event: ``n >= min_n``
     in-window events with positive variance — identical gates to the
     batch query.
+
+    ``idle_timeout_ms`` opts into per-key state GC: a key that
+    receives no rows for that long has its retained window DROPPED
+    from the state store (ProcessingTimeTimeout). Correctness-neutral
+    whenever the timeout exceeds ``window_ns`` in wall time — a window
+    that stale could never contribute to a future row — and the
+    100 TB hygiene that stops a high-churn key space (user ids,
+    session ids) from growing state without bound. Caveat: with a
+    timeout configured the micro-batch engine never goes idle (sweeps
+    are pending work), so ``query.processAllAvailable()`` blocks
+    forever — drive such queries with a real trigger and poll
+    progress (see test_rolling_zscore_idle_state_gc).
     """
     import pyspark.sql.functions as F
 
@@ -464,6 +477,12 @@ def rolling_zscore_per_key(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         import numpy as np
 
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle key: the retained window is older than the timeout
+            # (> window_ns by contract) — nothing it holds can affect
+            # a future row; drop the state entirely.
+            state.remove()
+            return
         if state.exists:
             st_ts, st_vc = state.get
             old_ts = np.asarray(list(st_ts), dtype=np.int64)
@@ -521,6 +540,8 @@ def rolling_zscore_per_key(
             old_ts, old_vc = all_ts[keep], all_vc[keep]
 
         state.update(([int(t) for t in old_ts], [int(c) for c in old_vc]))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
@@ -529,7 +550,11 @@ def rolling_zscore_per_key(
         outputStructType=_RZ_OUT,
         stateStructType=_RZ_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -870,3 +870,75 @@ def test_psi_drift_stream_scores_batch_vs_reference(db, spark):
         assert abs(row.psi - want) < 1e-12
     finally:
         q.stop()
+
+
+def test_rolling_zscore_idle_state_gc(db, spark):
+    """idle_timeout_ms drops an idle key's retained window from the
+    state store: after key a goes quiet past the timeout, the
+    ProcessingTimeTimeout sweep removes its state, so a LATER event
+    for key a that is INSIDE the event-time window of a's old rows
+    starts from empty state and cannot fire (n resets below min_n).
+
+    NOTE: with ProcessingTimeTimeout the micro-batch engine never goes
+    idle (timeout sweeps are pending work), so processAllAvailable()
+    would block forever — this test polls the sink instead.
+    """
+    from ella_spark.streaming.stateful import rolling_zscore_per_key
+
+    topic = db.create_topic(
+        "rzgc",
+        [Column("k", "string", required=True), Column("v", "float64")],
+    )
+    mn = 60 * 1_000_000_000
+    with topic.publish() as pub:
+        for i, v in enumerate([10.0, 12.0, 14.0]):
+            pub.write(i * mn, "a", v)  # n=3 at the third event -> fires
+
+    out = rolling_zscore_per_key(
+        db.subscribe("rzgc"), "k", "v",
+        window_ns=3600 * 1_000_000_000, min_n=3, idle_timeout_ms=500,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rzgc_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "rzgc_out"),
+        )
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM rzgc_out").collect()[0][0] >= n:
+                return True
+            time.sleep(0.5)
+        return False
+
+    def batches_done():
+        p = q.lastProgress
+        return p["batchId"] if p else -1
+
+    try:
+        assert wait_rows(1), "initial firing never arrived"
+        # idle past the timeout; the continuously-running sweep drops
+        # a's state (several batch ids must elapse to be sure)
+        b0 = batches_done()
+        deadline = time.time() + 60
+        while batches_done() < b0 + 3 and time.time() < deadline:
+            time.sleep(0.5)
+        # a's next event is inside the event-time window of its old
+        # rows — only state GC can explain it not firing
+        with topic.publish() as pub:
+            pub.write(3 * mn, "a", 16.0)
+        b1 = batches_done()
+        deadline = time.time() + 60
+        while batches_done() < b1 + 3 and time.time() < deadline:
+            time.sleep(0.5)
+        rows = spark.sql("SELECT key, ts FROM rzgc_out").toPandas()
+        assert len(rows) == 1, rows  # still only the original firing
+        assert (rows.key == "a").all() and int(rows.ts.iloc[0]) == 2 * mn
+    finally:
+        q.stop()
