@@ -144,6 +144,8 @@ EXTRAS = [
     "q_zipf_slope",
     "q_neyman_allocation",
     "q_benford_deviation",
+    "q_ngram_novelty",
+    "q_hill_tail_index",
 ]
 
 

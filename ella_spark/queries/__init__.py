@@ -121,6 +121,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_zipf_slope",
     "q_neyman_allocation",
     "q_benford_deviation",
+    "q_ngram_novelty",
+    "q_hill_tail_index",
 }
 
 # newest hash-green = r4 — the oldest hard records (the names that

@@ -1386,3 +1386,70 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_n"
         ),
     ).orderBy("event_type")
+
+
+_HILL_K = 50
+
+
+@register(
+    "q_hill_tail_index",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents WHERE n_chars > 0),
+    x1 AS (SELECT lang, n_chars AS xk1 FROM r WHERE rn = {_HILL_K + 1})
+    SELECT r.lang,
+           CAST(count(*) AS BIGINT) AS k,
+           round(sum(ln(CAST(r.n_chars AS DOUBLE) / x1.xk1))
+                 / count(*), 6) AS hill,
+           round(count(*) / sum(ln(CAST(r.n_chars AS DOUBLE) / x1.xk1)),
+                 6) AS tail_index
+    FROM r JOIN x1 ON x1.lang = r.lang
+    WHERE r.rn <= {_HILL_K}
+    GROUP BY r.lang
+    HAVING sum(ln(CAST(r.n_chars AS DOUBLE) / x1.xk1)) > 0
+    ORDER BY r.lang
+    """,
+    doc=f"Hill tail-index estimator per language over document sizes "
+    f"(top-{_HILL_K} order statistics vs the {_HILL_K + 1}-th): "
+    "alpha = k / sum(ln(x_i/x_k+1)) — 'how heavy is this slice's "
+    "big-document tail', the partition-planning diagnostic that "
+    "says whether a slice's byte mass is dominated by outliers "
+    "(alpha < 2 ⇒ infinite variance: cap or split before sharding). "
+    "Deterministic (size DESC, doc_id) ranks feed identical exact "
+    "integers to ln on both engines; one lang-keyed shuffle, the "
+    "rank filter is WindowGroupLimit-able, and the estimator runs "
+    "on k rows per lang. Languages with <= k documents are excluded "
+    "by construction (no x_k+1).",
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    r = (
+        docs.where(F.col("n_chars") > 0)
+        .select("lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _HILL_K + 1)
+    )
+    x1 = r.where(F.col("rn") == _HILL_K + 1).select(
+        "lang", F.col("n_chars").alias("xk1")
+    )
+    top = r.where(F.col("rn") <= _HILL_K)
+    lnsum = F.sum(F.log(F.col("n_chars").cast("double") / F.col("xk1")))
+    return (
+        top.join(x1, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            lnsum.alias("_s"),
+        )
+        .where(F.col("_s") > 0)  # matches the oracle's HAVING (unrounded)
+        .select(
+            "lang",
+            "k",
+            F.round(F.col("_s") / F.col("k"), 6).alias("hill"),
+            F.round(F.col("k") / F.col("_s"), 6).alias("tail_index"),
+        )
+        .orderBy("lang")
+    )

@@ -1036,3 +1036,68 @@ def q_dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
     )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                 range(1, length(lower(trim(text))) - 7 + 1),
+                 i -> substr(lower(trim(text)), CAST(i AS INTEGER), 8)))) AS g
+        FROM documents
+        WHERE length(lower(trim(text))) >= 8)),
+    gs AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sources
+           FROM sh GROUP BY g)
+    SELECT sh.source,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN gs.n_sources = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN gs.n_sources = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM sh JOIN gs ON gs.g = sh.g
+    GROUP BY sh.source
+    ORDER BY sh.source
+    """,
+    doc="N-gram novelty per source: the fraction of a source's "
+    "distinct character 8-gram shingles that appear in NO other "
+    "source — 'does this source add new text or re-serve the "
+    "corpus?', the acquisition-triage complement of the pairwise "
+    "dedup family. Plan: per-doc distinct shingles (map-side), ONE "
+    "(source, gram) distinct shuffle, a gram-keyed source-count, and "
+    "a gram-keyed join back — the shuffle carries 8-char grams, "
+    "never documents, and nothing is pairwise. At 100 TB swap the "
+    "raw gram for its 64-bit hash (identical plan shape).",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, length(lower(trim(text))) - 7), "
+            "i -> substring(lower(trim(text)), i, 8))"
+        )
+    )
+    sh = (
+        docs.where(F.length(t) >= 8)
+        .select("source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    gs = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sources"))
+    novel = F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+    return (
+        sh.join(gs, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
