@@ -1041,62 +1041,85 @@ def q_dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ngram_novelty",
     oracle="""
-    WITH sh AS (
+    WITH w AS (
+      SELECT source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
       SELECT DISTINCT source, g FROM (
         SELECT source,
                unnest(list_distinct(list_transform(
-                 range(1, length(lower(trim(text))) - 7 + 1),
-                 i -> substr(lower(trim(text)), CAST(i AS INTEGER), 8)))) AS g
-        FROM documents
-        WHERE length(lower(trim(text))) >= 8)),
-    gs AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sources
-           FROM sh GROUP BY g)
-    SELECT sh.source,
-           CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(sum(CASE WHEN gs.n_sources = 1 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel,
-           round(CAST(sum(CASE WHEN gs.n_sources = 1 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS novelty
-    FROM sh JOIN gs ON gs.g = sh.g
-    GROUP BY sh.source
-    ORDER BY sh.source
+                 range(1, len(ws) - 3),
+                 i -> array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                                                 CAST(i + 4 AS INTEGER)), ' ')))) AS g
+        FROM w WHERE len(ws) >= 5)),
+    ga AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_sources,
+             min(source) AS only_src
+      FROM sh GROUP BY g),
+    novel AS (
+      SELECT only_src AS source, CAST(count(*) AS BIGINT) AS n_novel
+      FROM ga WHERE n_sources = 1 GROUP BY only_src),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY source)
+    SELECT tot.source, tot.n_shingles,
+           COALESCE(novel.n_novel, 0) AS n_novel,
+           round(CAST(COALESCE(novel.n_novel, 0) AS DOUBLE)
+                 / tot.n_shingles, 6) AS novelty
+    FROM tot LEFT JOIN novel ON novel.source = tot.source
+    ORDER BY tot.source
     """,
     doc="N-gram novelty per source: the fraction of a source's "
-    "distinct character 8-gram shingles that appear in NO other "
+    "distinct word 5-gram shingles that appear in NO other "
     "source — 'does this source add new text or re-serve the "
     "corpus?', the acquisition-triage complement of the pairwise "
     "dedup family. Plan: per-doc distinct shingles (map-side), ONE "
-    "(source, gram) distinct shuffle, a gram-keyed source-count, and "
-    "a gram-keyed join back — the shuffle carries 8-char grams, "
-    "never documents, and nothing is pairwise. At 100 TB swap the "
-    "raw gram for its 64-bit hash (identical plan shape).",
+    "(source, gram) distinct shuffle, then two aggregations of that "
+    "frame — a gram-keyed count whose SINGLETON rows carry their "
+    "source via min(source) (so novel counts need no join back to "
+    "the gram stream), and a per-source total; the final join is "
+    "O(sources) rows. The shuffles carry 8-char grams, never "
+    "documents, and nothing is pairwise. At 100 TB swap the raw "
+    "gram for its 64-bit hash (identical plan shape).",
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    t = F.lower(F.trim(F.col("text")))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.array_distinct(
         F.expr(
-            "transform(sequence(1, length(lower(trim(text))) - 7), "
-            "i -> substring(lower(trim(text)), i, 8))"
+            "transform(sequence(1, size(ws) - 4), "
+            "i -> array_join(slice(ws, i, 5), ' '))"
         )
     )
     sh = (
-        docs.where(F.length(t) >= 8)
+        docs.where(F.length(F.trim("text")) > 0)
+        .select("source", ws.alias("ws"))
+        .where(F.size("ws") >= 5)
         .select("source", F.explode(grams).alias("g"))
         .distinct()
     )
-    gs = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sources"))
-    novel = F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+    ga = sh.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.min("source").alias("only_src"),
+    )
+    novel = (
+        ga.where(F.col("n_sources") == 1)
+        .groupBy(F.col("only_src").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
     return (
-        sh.join(gs, "g")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            novel.cast("bigint").alias("n_novel"),
+        tot.join(F.broadcast(novel), "source", "left")
+        .select(
+            "source",
+            "n_shingles",
+            n_novel.alias("n_novel"),
             F.round(
-                novel.cast("double") / F.count(F.lit(1)), 6
+                n_novel.cast("double") / F.col("n_shingles"), 6
             ).alias("novelty"),
         )
         .orderBy("source")
