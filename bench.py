@@ -146,6 +146,7 @@ EXTRAS = [
     "q_benford_deviation",
     "q_ngram_novelty",
     "q_hill_tail_index",
+    "q_event_trigrams",
 ]
 
 

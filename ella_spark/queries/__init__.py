@@ -123,6 +123,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_benford_deviation",
     "q_ngram_novelty",
     "q_hill_tail_index",
+    "q_event_trigrams",
 }
 
 # newest hash-green = r4 — the oldest hard records (the names that

@@ -1434,3 +1434,50 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "q_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+    g AS (
+      SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3)
+    SELECT e1, e2, e3, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+    FROM g
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    doc="Top-20 per-user event-type trigrams (behavioral 3-gram "
+    "census with corpus share): two lead() taps on ONE user-ordered "
+    "window — the same single user_id shuffle as the transition "
+    "matrix, extended to third-order sequences ('what three-step "
+    "paths dominate') — then a trigram-keyed count. The share "
+    "denominator is a whole-partition window over the aggregated "
+    "<= |types|^3 frame. Deterministic (ts, event_id) ordering and "
+    "(n DESC, trigram) tie-break.",
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    g = seq.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    share = F.round(
+        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 6
+    )
+    return (
+        g.withColumn("share", share)
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
