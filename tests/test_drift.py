@@ -1,0 +1,196 @@
+"""Semantic property tests for the drift / distribution-monitor family
+(round 8): each statistic is checked against a synthetic corpus whose
+ground truth is known in closed form — independent of the DuckDB
+oracle (which proves cross-engine agreement, not statistical
+correctness).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import REPO  # noqa: F401  (sys.path side effect)
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [(i, t, u, e, v, None) for (i, t, u, e, v) in rows],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _write_documents(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source, n_chars)."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_psi_zero_when_distributions_identical(spark, tmp_path):
+    """PSI is exactly 0 when every slice's value distribution equals
+    the pooled one (p == q per bucket → every term vanishes)."""
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    rows = []
+    i = 0
+    for et in ("a", "b"):
+        for v in (1.0, 11.0, 21.0, 31.0, 41.0):  # identical per type
+            rows.append((i, datetime(2024, 1, 1, 0, 0, i % 60), i, et, v))
+            i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_psi_drift"](spark, sf).toPandas()
+    assert len(out) == 2
+    assert (out.psi == 0.0).all()
+
+
+def test_chi2_zero_under_independence(spark, tmp_path):
+    """Chi-squared is 0 when the contingency table is an exact product
+    of its margins (every observed cell equals its expectation)."""
+    from ella_spark.queries import all_queries
+
+    # counts[lang][source] = rowtot * coltot / N exactly:
+    # langs weights 1:2, sources weights 1:3, N = 24
+    rows, did = [], 0
+    for lang, lw in (("en", 1), ("fr", 2)):
+        for src, sw in (("s1", 1), ("s2", 3)):
+            for _ in range(lw * sw * 2):
+                rows.append((did, "text", lang, src, 100))
+                did += 1
+    sf = _write_documents(spark, tmp_path, rows)
+    out = all_queries()["q_chi2_drift"](spark, sf).toPandas()
+    assert len(out) == 2
+    assert (out.chi2 == 0.0).all()
+    assert (out.dof == 1).all()  # 2 sources - 1
+
+
+def test_benford_uniform_single_digit(spark, tmp_path):
+    """All values sharing first digit d=1 → the digit-1 deviation is
+    |1 - log10(2)| and every other digit contributes its expectation;
+    both emitted statistics match the closed form."""
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, i % 60), i, "a", 1.0)  # vc=100, digit 1
+        for i in range(10)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_benford_deviation"](spark, sf).toPandas()
+    assert len(out) == 1 and out.n.iloc[0] == 10
+    e = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    want_max = max(abs(1.0 - e[0]), *e[1:])
+    want_tot = abs(1.0 - e[0]) + sum(e[1:])
+    assert abs(out.max_abs_dev.iloc[0] - round(want_max, 6)) < 1e-9
+    assert abs(out.total_abs_dev.iloc[0] - round(want_tot, 6)) < 1e-9
+
+
+def test_hill_recovers_pareto_exponent(spark, tmp_path):
+    """On exact Pareto order statistics x_(i) = C * (i)^(-1/alpha) the
+    Hill estimator equals (1/k)·sum ln(x_i/x_k+1) = (1/alpha)·(1/k)·
+    sum ln((k+1)/i) → alpha within a few percent for k=50."""
+    from ella_spark.queries import all_queries, curation
+
+    alpha = 2.0
+    k = curation._HILL_K
+    rows = []
+    for i in range(1, 200):
+        size = int(round(1_000_000 * i ** (-1.0 / alpha)))
+        rows.append((i, "t", "en", "s1", size))
+    sf = _write_documents(spark, tmp_path, rows)
+    out = all_queries()["q_hill_tail_index"](spark, sf).toPandas()
+    assert len(out) == 1 and out.k.iloc[0] == k
+    # closed form of the estimator on this exact sequence
+    want_hill = sum(math.log((k + 1) / i) for i in range(1, k + 1)) / (alpha * k)
+    assert abs(out.hill.iloc[0] - want_hill) < 0.02
+    assert abs(out.tail_index.iloc[0] - alpha) < 0.2
+
+
+def test_ngram_novelty_bounds(spark, tmp_path):
+    """A source whose text duplicates another's has novelty 0; a
+    source with entirely unique text has novelty 1."""
+    from ella_spark.queries import all_queries
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    unique = "one two three four five six seven eight nine"
+    rows = [
+        (1, shared, "en", "dup_src", len(shared)),
+        (2, shared, "en", "orig_src", len(shared)),
+        (3, unique, "en", "novel_src", len(unique)),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = (
+        all_queries()["q_ngram_novelty"](spark, sf)
+        .toPandas()
+        .set_index("source")
+    )
+    assert out.loc["dup_src", "novelty"] == 0.0
+    assert out.loc["orig_src", "novelty"] == 0.0
+    assert out.loc["novel_src", "novelty"] == 1.0
+
+
+def test_zipf_slope_exact_power_law(spark, tmp_path):
+    """A corpus engineered so token frequency = floor(C/rank) yields a
+    regression slope close to -1 (the Zipf exponent)."""
+    from ella_spark.queries import all_queries
+
+    # token_r appears floor(120/r) times, r = 1..30 → freq ∝ 1/rank
+    words = []
+    for r in range(1, 31):
+        words += [f"tok{r:02d}"] * (120 // r)
+    text = " ".join(words)
+    sf = _write_documents(spark, tmp_path, [(1, text, "en", "s1", len(text))])
+    out = all_queries()["q_zipf_slope"](spark, sf).toPandas()
+    assert len(out) == 1
+    assert out.n_ranks.iloc[0] == 30
+    assert -1.12 < out.zipf_slope.iloc[0] < -0.88
+
+
+def test_neyman_shares_match_closed_form(spark, tmp_path):
+    """Allocation shares equal N_h·S_h / sum(N·S) with S_h the sample
+    stddev computed from exact centi-unit sums — verified against the
+    same closed form evaluated in the test."""
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    strata = {
+        "small": [10.0, 20.0, 30.0, 40.0],
+        "big": [10.0, 10.0, 20.0, 20.0, 30.0, 30.0, 40.0, 40.0],
+    }
+    rows, i = [], 0
+    for et, vals in strata.items():
+        for v in vals:
+            rows.append((i, datetime(2024, 1, 1, 0, 0, i % 60), i, et, v))
+            i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = (
+        all_queries()["q_neyman_allocation"](spark, sf)
+        .toPandas()
+        .set_index("event_type")
+    )
+
+    def s_h(vals):
+        vc = [int(math.floor(v * 100 + 0.5)) for v in vals]
+        n, s, sq = len(vc), sum(vc), sum(c * c for c in vc)
+        return math.sqrt((n * sq - s * s) / (10000.0 * n * (n - 1)))
+
+    w = {et: len(v) * s_h(v) for et, v in strata.items()}
+    tot = sum(w.values())
+    for et in strata:
+        assert abs(out.loc[et, "alloc_share"] - w[et] / tot) < 1e-5, et
+        assert abs(out.loc[et, "s_h"] - s_h(strata[et])) < 1e-5, et
+    # more rows at equal-or-larger spread ⇒ strictly larger share
+    assert out.loc["big", "alloc_share"] > out.loc["small", "alloc_share"]
