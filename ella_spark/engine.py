@@ -166,6 +166,15 @@ _POINT_LOOKUP_RE = re.compile(
     r"('[^']*'|-?\d+(?:\.\d+)?)\s*\)",
     re.I,
 )
+#: table-valued `psi_drift('<table>', '<value_col>', '<slice_col>'
+#: [, buckets])` — Population Stability Index of a numeric column per
+#: slice vs the pooled distribution (operators/drift.py), the drift
+#: dashboard primitive from plain SQL.
+_PSI_DRIFT_RE = re.compile(
+    r"\bpsi_drift\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*(\d+))?\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -399,6 +408,8 @@ class Ella:
             sql = self._rewrite_ann_search(sql)
         if _POINT_LOOKUP_RE.search(sql):
             sql = self._rewrite_point_lookup(sql)
+        if _PSI_DRIFT_RE.search(sql):
+            sql = self._rewrite_psi_drift(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         return self.spark.sql(sql)
@@ -910,6 +921,8 @@ class Ella:
                 sql = self._rewrite_ann_search(sql)
             if _POINT_LOOKUP_RE.search(sql):
                 sql = self._rewrite_point_lookup(sql)
+            if _PSI_DRIFT_RE.search(sql):
+                sql = self._rewrite_psi_drift(sql)
             if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.hidden_sql:
@@ -1724,6 +1737,8 @@ class Ella:
             sql = self._rewrite_ann_search(sql)
         if _POINT_LOOKUP_RE.search(sql):
             sql = self._rewrite_point_lookup(sql)
+        if _PSI_DRIFT_RE.search(sql):
+            sql = self._rewrite_psi_drift(sql)
         try:
             terms = []
             for i in range(n_tables):
@@ -1912,6 +1927,8 @@ class Ella:
             sql = self._rewrite_ann_search(sql)
         if _POINT_LOOKUP_RE.search(sql):
             sql = self._rewrite_point_lookup(sql)
+        if _PSI_DRIFT_RE.search(sql):
+            sql = self._rewrite_psi_drift(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         m = _INSERT_RE.match(sql)
@@ -2012,6 +2029,38 @@ class Ella:
                 self.spark, col_eq={column: value}
             )
             view = f"__point_lookup_{i}"
+            res.createOrReplaceTempView(view)
+            out = out.replace(m.group(0), view)
+        return out
+
+    def _rewrite_psi_drift(self, sql: str) -> str:
+        """Table-valued drift monitor in plain SQL:
+
+            SELECT * FROM psi_drift('events_t', 'value', 'kind')
+            SELECT * FROM psi_drift('events_t', 'value', 'kind', 20)
+
+        args: any catalog object (topic/view/MV/external), a numeric
+        value column, a slice column, optional bucket count (default
+        10). Substituted with a temp view over
+        ``operators.drift.psi_by_slice`` on the object's resolved
+        frame; stored views keep the durable psi_drift(...) text and
+        re-rewrite per read (the ann_search/point_lookup contract), so
+        a saved drift dashboard always scores CURRENT data."""
+        from ella_spark.operators.drift import psi_by_slice
+
+        out = sql
+        for i, m in enumerate(_PSI_DRIFT_RE.finditer(sql)):
+            table, value_col, slice_col, buckets = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"psi_drift: unknown table {table!r}")
+            res = psi_by_slice(
+                self._frame_for(entry),
+                value_col,
+                slice_col,
+                buckets=int(buckets) if buckets else 10,
+            )
+            view = f"__psi_drift_{i}"
             res.createOrReplaceTempView(view)
             out = out.replace(m.group(0), view)
         return out

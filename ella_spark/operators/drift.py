@@ -1,0 +1,79 @@
+"""Distribution-drift operators over arbitrary DataFrames.
+
+The registry queries (q_psi_drift / q_chi2_drift — queries/
+relational.py) pin the cross-engine-exact forms on the test corpus;
+this module is the reusable engine surface behind the SQL
+``psi_drift('<table>', '<value_col>', '<slice_col>' [, buckets])``
+TVF (engine.py), generalized to any numeric column.
+
+Scale shape (same as the registry query): one scan for the global
+extrema (a 1-row broadcast), one (slice, bucket) groupBy shuffle,
+then marginals computed on the aggregated O(slices × buckets) frame —
+row count never touches the post-aggregation stages.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def psi_by_slice(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index of ``value_col`` per ``slice_col``
+    slice vs the pooled distribution, over ``buckets`` equal-width
+    buckets of the global [min, max] range.
+
+    Returns (slice, n, n_buckets, psi) — ``n`` the slice's row count,
+    ``n_buckets`` how many buckets carried mass for the slice (PSI
+    terms use buckets where the slice has mass; the pooled side then
+    has mass by construction). NULL values are excluded.
+    """
+    c = df.select(
+        F.col(slice_col).cast("string").alias("_slice"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    ext = c.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    b = c.crossJoin(F.broadcast(ext)).select(
+        "_slice",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("_v") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / buckets)
+                ).cast("long"),
+                F.lit(buckets - 1).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_bucket"),
+    )
+    tb = b.groupBy("_slice", "_bucket").agg(F.count(F.lit(1)).alias("_c"))
+    m = tb.withColumns(
+        {
+            "_n_s": F.sum("_c").over(Window.partitionBy("_slice")),
+            "_c_b": F.sum("_c").over(Window.partitionBy("_bucket")),
+            "_n": F.sum("_c").over(Window.partitionBy()),
+        }
+    )
+    term = (
+        F.col("_c").cast("double") / F.col("_n_s")
+        - F.col("_c_b").cast("double") / F.col("_n")
+    ) * F.log(
+        (F.col("_c").cast("double") * F.col("_n"))
+        / (F.col("_c_b").cast("double") * F.col("_n_s"))
+    )
+    return (
+        m.groupBy(F.col("_slice").alias(slice_col))
+        .agg(
+            F.max("_n_s").alias("n"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+        .orderBy(slice_col)
+    )

@@ -194,3 +194,46 @@ def test_neyman_shares_match_closed_form(spark, tmp_path):
         assert abs(out.loc[et, "s_h"] - s_h(strata[et])) < 1e-5, et
     # more rows at equal-or-larger spread ⇒ strictly larger share
     assert out.loc["big", "alloc_share"] > out.loc["small", "alloc_share"]
+
+
+def test_psi_drift_sql_tvf(spark, tmp_path):
+    """SQL surface: psi_drift('<table>', 'value', 'slice' [, buckets])
+    rewrites to the operator frame; a stored VIEW keeps the durable
+    psi_drift(...) text and re-scores CURRENT data on every read (the
+    ann_search/point_lookup contract)."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i, v in enumerate([1.0, 11.0, 21.0, 31.0]):
+            pub.write((i + 1) * ns, "a", v)
+            pub.write((100 + i) * ns, "b", v)  # identical distribution
+
+    out = db.query(
+        "SELECT * FROM psi_drift('m', 'v', 'kind') ORDER BY kind"
+    ).df.toPandas()
+    assert list(out.kind) == ["a", "b"]
+    assert (out.psi == 0.0).all() and (out.n == 4).all()
+
+    # stored view: durable text, re-scored per read
+    db.query("CREATE VIEW drift_v AS SELECT * FROM psi_drift('m', 'v', 'kind')")
+    assert "psi_drift" in db.store.resolve("drift_v").sql
+    with t.publish() as pub:  # skew kind b upward
+        for i in range(8):
+            pub.write((200 + i) * ns, "b", 31.0)
+    out2 = db.query("SELECT * FROM drift_v ORDER BY kind").df.toPandas()
+    assert out2[out2.kind == "b"].psi.iloc[0] > 0.05  # drift now visible
+    assert out2[out2.kind == "b"].n.iloc[0] == 12
+
+    # explicit bucket count arg parses
+    out3 = db.query(
+        "SELECT * FROM psi_drift('m', 'v', 'kind', 4) ORDER BY kind"
+    ).df.toPandas()
+    assert len(out3) == 2
+
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM psi_drift('nope', 'v', 'kind')")
