@@ -808,3 +808,98 @@ def psi_drift_per_group(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ── streaming quantiles (KLL state) ──────────────────────────────────
+
+_QT_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n", LongType()),
+        StructField("quantiles", ArrayType(DoubleType())),
+    ]
+)
+
+
+def quantiles_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple = (0.5, 0.95, 0.99),
+    k: int = 256,
+) -> DataFrame:
+    """Streaming per-group quantiles — the incremental form of the
+    batch quantile_rollup (operators/sketch.py): a mergeable KLL
+    sketch per group in the state store, each micro-batch folded in,
+    the CURRENT quantile estimates emitted per batch (update mode).
+    The latency-dashboard primitive (p50/p95/p99 per service) without
+    re-scanning history.
+
+    Same exactness contract as every KLL surface here: while a
+    group's values fit level 0 (n <= k) the sketch IS the sorted data
+    and the estimates are exactly ``quantile_disc``; beyond that the
+    O(n/k) rank-error bound applies (pinned in tests/test_sketch.py).
+    State is O(k log(n/k)) doubles per group; reuses the identical
+    derandomized fold as winsorize_per_group, so a restart replays to
+    the same bytes.
+    """
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.sketch import _kll_compact, kll_quantiles
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    probs = list(probs)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            st_levels, parity = state.get
+            levels = [np.asarray(list(l), dtype=np.float64) for l in st_levels]
+            parity = int(parity)
+        else:
+            levels, parity = [], 0
+
+        saw = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            saw = True
+            vals = pdf["_v"].to_numpy(dtype=np.float64)
+            pstate = {"c": parity}
+            batch_lvl = [np.sort(vals[~np.isnan(vals)])]
+            depth = max(len(levels), 1)
+            merged = []
+            for i in range(depth):
+                xs = levels[i] if i < len(levels) else np.array([])
+                ys = batch_lvl[i] if i < len(batch_lvl) else np.array([])
+                merged.append(np.sort(np.concatenate([
+                    np.asarray(xs, dtype=np.float64),
+                    np.asarray(ys, dtype=np.float64),
+                ])))
+            levels = _kll_compact(merged, k, pstate)
+            parity = pstate["c"]
+
+        state.update(([[float(v) for v in l] for l in levels], parity))
+        if saw and levels:
+            n = sum(len(l) * (1 << i) for i, l in enumerate(levels))
+            yield pd.DataFrame(
+                [
+                    {
+                        "group": key[0],
+                        "n": n,
+                        "quantiles": kll_quantiles(levels, probs),
+                    }
+                ]
+            )
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_QT_OUT,
+        stateStructType=_WZ_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

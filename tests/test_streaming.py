@@ -942,3 +942,56 @@ def test_rolling_zscore_idle_state_gc(db, spark):
         assert (rows.key == "a").all() and int(rows.ts.iloc[0]) == 2 * mn
     finally:
         q.stop()
+
+
+def test_quantiles_stream_matches_batch_exact_regime(db, spark):
+    """Streaming KLL quantiles: with n <= k nothing compacts, so the
+    final emission equals DuckDB-rule quantile_disc computed directly
+    over the quiesced topic; a second micro-batch updates the
+    estimates over ALL seen values (state carry)."""
+    from ella_spark.operators.sketch import kll_build, kll_quantiles
+    from ella_spark.streaming.stateful import quantiles_per_group
+
+    topic = db.create_topic(
+        "qtt",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    vals1 = [float(x) for x in range(1, 21)]
+    with topic.publish() as pub:
+        for i, v in enumerate(vals1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = quantiles_per_group(
+        db.subscribe("qtt"), "g", "v", probs=(0.5, 0.95), k=256
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qt_out")
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "qt_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:  # batch 2: state must carry
+            for i, v in enumerate([100.0, 200.0]):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM qt_out").toPandas()
+        last = pdf.iloc[-1]
+        all_vals = vals1 + [100.0, 200.0]
+        want = kll_quantiles(kll_build(all_vals, k=256), [0.5, 0.95])
+        assert last.n == 22
+        assert list(last.quantiles) == want
+        # exact regime: quantile_disc rule — rank ceil(p*n), 1-based
+        import math
+
+        s = sorted(all_vals)
+        for p, got in zip((0.5, 0.95), last.quantiles):
+            assert got == s[max(1, math.ceil(p * len(s))) - 1]
+    finally:
+        q.stop()
