@@ -972,6 +972,7 @@ class Ella:
                 {c for pair in analysis.avgs.values() for c in pair}
                 | {c for tup in analysis.stats.values() for c in tup[1:]}
                 | {c for tup in analysis.corrs.values() for c in tup[1:]}
+                | {c for tup in analysis.moments.values() for c in tup[1:]}
                 | set(analysis.approxs.values())
                 | {h for _, h in analysis.argmaxs.values()}
                 | {h for _, _, h in analysis.klls.values()}
@@ -1268,6 +1269,19 @@ class Ella:
             df = df.withColumn(
                 alias, F.when(guard, val).cast(dtypes[alias])
             )
+        for alias, (fn, hn, hm1, hq2, hq3, hq4) in analysis.moments.items():
+            # population central-moment forms (probed against Spark:
+            # NULL when M2 = 0 — constant or single-value groups)
+            n = F.col(hn).cast("double")
+            m2 = F.greatest(F.col(hq2), F.lit(0.0))
+            guard = (F.col(hn) >= 1) & (m2 > 0)
+            if fn == "skewness":
+                val = (F.col(hq3) / n) / F.pow(m2 / n, 1.5)
+            else:  # kurtosis (excess)
+                val = (F.col(hq4) / n) / F.pow(m2 / n, 2.0) - 3.0
+            df = df.withColumn(
+                alias, F.when(guard, val).cast(dtypes[alias])
+            )
         for alias, h in analysis.approxs.items():
             # DataSketches HLL estimate from the mergeable sketch
             # state (deliberate deviation from HyperLogLog++ — both
@@ -1345,6 +1359,7 @@ class Ella:
             [c for pair in analysis.avgs.values() for c in pair]
             + [c for tup in analysis.stats.values() for c in tup[1:]]
             + [c for tup in analysis.corrs.values() for c in tup[1:]]
+            + [c for tup in analysis.moments.values() for c in tup[1:]]
             + list(analysis.approxs.values())
             + [h for _, h in analysis.argmaxs.values()]
             + [h for _, _, h in analysis.klls.values()]
@@ -1434,6 +1449,7 @@ class Ella:
             set(analysis.avgs)
             | set(analysis.stats)
             | set(analysis.corrs)
+            | set(analysis.moments)
             | set(analysis.approxs)
             | set(analysis.klls)
             | set(analysis.argmaxs)
@@ -1545,6 +1561,21 @@ class Ella:
                         )
                     ).alias(tmp)
                 )
+            for alias, (fn, hn, hm1, hq2, hq3, hq4) in analysis.moments.items():
+                tmp = f"__mv_tmp__{alias}"
+                tmps.append(tmp)
+                aggs.append(F.sum(hn).alias(hn))
+                aggs.append(
+                    F.collect_list(
+                        F.struct(
+                            F.col(hn).cast("double").alias("n"),
+                            F.coalesce(F.col(hm1), F.lit(0.0)).alias("m"),
+                            F.coalesce(F.col(hq2), F.lit(0.0)).alias("q2"),
+                            F.coalesce(F.col(hq3), F.lit(0.0)).alias("q3"),
+                            F.coalesce(F.col(hq4), F.lit(0.0)).alias("q4"),
+                        )
+                    ).alias(tmp)
+                )
             for alias, (fn, hn, hm1, hm2a, hq1, hq2, hc) in analysis.corrs.items():
                 tmp = f"__mv_tmp__{alias}"
                 tmps.append(tmp)
@@ -1622,6 +1653,66 @@ class Ella:
                         + s["c"]
                         + s["n"] * (s["m1"] - mx) * (s["m2"] - my),
                     ),
+                )
+            for alias, (fn, hn, hm1, hq2, hq3, hq4) in analysis.moments.items():
+                arr = F.col(f"__mv_tmp__{alias}")
+                n = F.col(hn).cast("double")
+                wsum = F.aggregate(arr, zero, lambda a, s: a + s["n"] * s["m"])
+                merged = merged.withColumn(
+                    hm1, F.when(F.col(hn) > 0, wsum / n)
+                )
+                mean = F.coalesce(F.col(hm1), zero)
+                # grand-mean identities for higher central moments
+                # (d = partial mean - grand mean; sum of (x-m_i) is 0
+                # inside each partial, so the binomial expansions
+                # collapse to these closed forms):
+                #   M2 += q2 + n d^2
+                #   M3 += q3 + 3 d q2 + n d^3
+                #   M4 += q4 + 4 d q3 + 6 d^2 q2 + n d^4
+                merged = (
+                    merged.withColumn(
+                        hq2,
+                        F.aggregate(
+                            arr,
+                            zero,
+                            lambda a, s: a
+                            + s["q2"]
+                            + s["n"] * (s["m"] - mean) * (s["m"] - mean),
+                        ),
+                    )
+                    .withColumn(
+                        hq3,
+                        F.aggregate(
+                            arr,
+                            zero,
+                            lambda a, s: a
+                            + s["q3"]
+                            + F.lit(3.0) * (s["m"] - mean) * s["q2"]
+                            + s["n"]
+                            * (s["m"] - mean)
+                            * (s["m"] - mean)
+                            * (s["m"] - mean),
+                        ),
+                    )
+                    .withColumn(
+                        hq4,
+                        F.aggregate(
+                            arr,
+                            zero,
+                            lambda a, s: a
+                            + s["q4"]
+                            + F.lit(4.0) * (s["m"] - mean) * s["q3"]
+                            + F.lit(6.0)
+                            * (s["m"] - mean)
+                            * (s["m"] - mean)
+                            * s["q2"]
+                            + s["n"]
+                            * (s["m"] - mean)
+                            * (s["m"] - mean)
+                            * (s["m"] - mean)
+                            * (s["m"] - mean),
+                        ),
+                    )
                 )
             for alias, (_arg, _prob, h) in analysis.klls.items():
                 merged = merged.withColumn(

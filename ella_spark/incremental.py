@@ -196,6 +196,7 @@ _AGG_ITEM = re.compile(
     r"bool_and|bool_or|every|bit_and|bit_or|bit_xor|"
     r"stddev_samp|stddev_pop|stddev|"
     r"var_samp|var_pop|variance|corr|covar_samp|covar_pop|"
+    r"skewness|kurtosis|"
     r"approx_top_k|approx_count_distinct|approx_percentile|percentile_approx|"
     r"max_by|min_by|mode|"
     r"regr_(?:count|avgx|avgy|slope|intercept|r2|sxx|syy|sxy))"
@@ -208,6 +209,11 @@ _AGG_ITEM = re.compile(
 _STATS_FNS = {
     "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance",
 }
+
+#: higher central moments rewritten to (n, mean, M2, M3, M4) state —
+#: skewness = (M3/n)/(M2/n)^1.5, excess kurtosis = (M4/n)/(M2/n)^2 - 3
+#: (Spark's own population forms; NULL when M2 = 0, probed)
+_MOMENT_FNS = {"skewness", "kurtosis"}
 
 #: two-argument correlation/regression family rewritten to Welford
 #: co-moment state (n, mean_a, mean_b, M2_a, M2_b, C over
@@ -327,6 +333,14 @@ def approx_hidden_col(alias: str) -> str:
     return f"__mv_hll__{alias}"
 
 
+def moment_hidden_cols(alias: str) -> tuple[str, str, str, str, str]:
+    """Snapshot column names carrying a skewness/kurtosis aggregate's
+    central-moment state (n, mean, M2, M3, M4)."""
+    return tuple(
+        f"__mv_{part}__{alias}" for part in ("n", "m1", "q2", "q3", "q4")
+    )
+
+
 def corr_hidden_cols(alias: str) -> tuple[str, str, str, str, str, str]:
     """Snapshot column names carrying a correlation-family aggregate's
     Welford co-moment state over BOTH-non-null pairs:
@@ -355,6 +369,8 @@ class MvAnalysis:
     stats: dict[str, tuple[str, str, str, str]] = field(default_factory=dict)
     #: visible correlation-family alias -> (fn, n, m1, m2a, q1, q2, c)
     corrs: dict[str, tuple] = field(default_factory=dict)
+    #: visible skewness/kurtosis alias -> (fn, n, mean, M2, M3, M4)
+    moments: dict[str, tuple] = field(default_factory=dict)
     #: visible approx_count_distinct alias -> hidden HLL sketch col
     approxs: dict[str, str] = field(default_factory=dict)
     #: visible max_by/min_by alias -> (fn, hidden ordering-value col)
@@ -431,7 +447,7 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     parsed = _classify_agg_select(select_items, group_exprs)
     if parsed is None:
         return None
-    (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
+    (keys, aggs, out_cols, avgs, stats, corrs, moments, approxs, argmaxs,
      klls, dists, dsums, modes, topks, key_items, hidden_items) = parsed
     if group is None and not aggs:
         return None
@@ -445,13 +461,14 @@ def analyze_mv_sql(sql: str) -> MvAnalysis | None:
     from_text = table + (f" {alias}" if alias else "")
     return MvAnalysis(
         table=table, mode="agg", keys=keys, aggs=aggs, out_cols=out_cols,
-        avgs=avgs, stats=stats, corrs=corrs, approxs=approxs,
+        avgs=avgs, stats=stats, corrs=corrs, moments=moments,
+        approxs=approxs,
         argmaxs=argmaxs, klls=klls, dists=dists, dsums=dsums, modes=modes,
         topks=topks,
         key_items=key_items,
         from_text=from_text, where=m.group("where"),
         hidden_sql=_rebuild(hidden_items, from_text, m.group("where"), group)
-        if (avgs or stats or corrs or approxs or argmaxs or klls or dists
+        if (avgs or stats or corrs or moments or approxs or argmaxs or klls or dists
             or dsums or modes or topks)
         else None,
     )
@@ -479,6 +496,7 @@ def _classify_agg_select(select_items, group_exprs):
     avgs: dict[str, tuple[str, str]] = {}
     stats: dict[str, tuple[str, str, str, str]] = {}
     corrs: dict[str, tuple] = {}
+    moments: dict[str, tuple] = {}
     approxs: dict[str, str] = {}
     argmaxs: dict[str, tuple[str, str]] = {}
     klls: dict[str, tuple[str, float, str]] = {}
@@ -630,6 +648,27 @@ def _classify_agg_select(select_items, group_exprs):
                 # union-vs-direct estimate nuance and the estimator
                 # deviation from HyperLogLog++).
                 hidden_items.append(f"hll_sketch_agg({arg}) AS {h}")
+            elif fn in _MOMENT_FNS:
+                cols = moment_hidden_cols(alias)
+                moments[alias] = (fn, *cols)
+                hn, hm1, hq2, hq3, hq4 = cols
+                # central-moment state recovered from Spark's own
+                # CentralMomentAgg outputs (probed: var_pop = M2/n,
+                # skewness = (M3/n)/(M2/n)^1.5, kurtosis =
+                # (M4/n)/(M2/n)^2 - 3; both NULL when M2 = 0, so the
+                # coalesce(…)*var_pop^k product is exactly 0 there)
+                d = f"CAST(({arg}) AS DOUBLE)"
+                hidden_items.append(f"count({arg}) AS {hn}")
+                hidden_items.append(f"avg({d}) AS {hm1}")
+                hidden_items.append(f"var_pop({d}) * count({arg}) AS {hq2}")
+                hidden_items.append(
+                    f"coalesce(skewness({d}), 0) * count({arg})"
+                    f" * pow(var_pop({d}), 1.5) AS {hq3}"
+                )
+                hidden_items.append(
+                    f"(coalesce(kurtosis({d}), 0) + 3) * count({arg})"
+                    f" * pow(var_pop({d}), 2) AS {hq4}"
+                )
             elif fn in _CORR_FNS:
                 parts = _split_top_level(arg)
                 if len(parts) != 2:
@@ -682,8 +721,9 @@ def _classify_agg_select(select_items, group_exprs):
         out_cols.append(alias)
         key_items.append(item.strip())
         hidden_items.append(item.strip())
-    return (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
-            klls, dists, dsums, modes, topks, key_items, hidden_items)
+    return (keys, aggs, out_cols, avgs, stats, corrs, moments, approxs,
+            argmaxs, klls, dists, dsums, modes, topks, key_items,
+            hidden_items)
 
 
 def _parse_chain(chain: str) -> list[str] | None:
@@ -740,7 +780,7 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     )
     if parsed is None:
         return None
-    (keys, aggs, out_cols, avgs, stats, corrs, approxs, argmaxs,
+    (keys, aggs, out_cols, avgs, stats, corrs, moments, approxs, argmaxs,
      klls, dists, dsums, modes, topks, key_items, hidden_items) = parsed
     if not aggs:
         return None  # distinct-keys over a join: keep it simple, full
@@ -750,12 +790,13 @@ def _analyze_join(sql: str) -> MvAnalysis | None:
     return MvAnalysis(
         table=tables[0], mode="agg_join", table2=tables[1], tables=tables,
         keys=keys, aggs=aggs, out_cols=out_cols, avgs=avgs, stats=stats,
-        corrs=corrs, approxs=approxs, argmaxs=argmaxs, dists=dists,
+        corrs=corrs, moments=moments, approxs=approxs, argmaxs=argmaxs,
+        dists=dists,
         dsums=dsums, topks=topks,
         hidden_sql=_rebuild(
             hidden_items, m.group("chain"), m.group("where"), group
         )
-        if (avgs or stats or corrs or approxs or argmaxs or dists or dsums
+        if (avgs or stats or corrs or moments or approxs or argmaxs or dists or dsums
             or topks)
         else None,
     )

@@ -2452,3 +2452,65 @@ def test_approx_top_k_mv_disqualifiers(db):
     )
     assert ok is not None and ok.topks == {"tk": (3, 500, "__mv_topk__tk")}
     assert "approx_top_k_accumulate((v), 500)" in ok.hidden_sql
+
+
+def test_skewness_kurtosis_mv_delta(db, spark):
+    """Higher-moment family: skewness/kurtosis MVs carry
+    (n, mean, M2, M3, M4) hidden state and merge via the grand-mean
+    binomial identities; values track plain Spark to float precision
+    after interleaved deltas, per group, and M2=0 groups are NULL
+    (Spark's probed convention)."""
+    t = db.create_topic("mo", [Column("g", "string"), Column("v", "float64")])
+    mk = lambda lo, hi: spark.createDataFrame(
+        [
+            (i * 1000, "g" + str(i % 3), float((i * 7) % 23) + 0.01 * i)
+            for i in range(lo, hi)
+        ],
+        "time long, g string, v double",
+    )
+    t.insert(mk(0, 40))
+    sql = (
+        "SELECT g, skewness(v) AS sk, kurtosis(v) AS ku, count(*) AS n "
+        "FROM mo GROUP BY g"
+    )
+    db.create_materialized_view("momv", sql)
+    assert db.store.resolve("momv").refresh_state is not None
+    t.insert(mk(40, 75))
+    t.insert(mk(75, 90))
+    db.refresh_materialized("momv")  # two deltas merged into the state
+    got = {r.g: r for r in db.query("SELECT * FROM momv").df.collect()}
+    want = {
+        r.g: r
+        for r in db.spark.sql(
+            "SELECT g, skewness(v) AS sk, kurtosis(v) AS ku, count(*) AS n "
+            "FROM mo GROUP BY g"
+        ).collect()
+    }
+    assert set(got) == set(want) == {"g0", "g1", "g2"}
+    for g in got:
+        assert got[g].n == want[g].n
+        assert got[g].sk == pytest.approx(want[g].sk, rel=1e-9), g
+        assert got[g].ku == pytest.approx(want[g].ku, rel=1e-9), g
+
+    # M2 = 0 (constant group) and single-row group -> NULL, matching
+    # plain Spark; state still merges cleanly on refresh
+    t2 = db.create_topic("moc", [Column("g", "string"), Column("v", "float64")])
+    t2.insert(
+        spark.createDataFrame(
+            [(0, "const", 5.0), (1, "const", 5.0), (2, "lone", 9.0)],
+            "time long, g string, v double",
+        )
+    )
+    db.create_materialized_view(
+        "mocv",
+        "SELECT g, skewness(v) AS sk, kurtosis(v) AS ku FROM moc GROUP BY g",
+    )
+    t2.insert(
+        spark.createDataFrame(
+            [(3, "const", 5.0)], "time long, g string, v double"
+        )
+    )
+    db.refresh_materialized("mocv")
+    rows = {r.g: r for r in db.query("SELECT * FROM mocv").df.collect()}
+    assert rows["const"].sk is None and rows["const"].ku is None
+    assert rows["lone"].sk is None and rows["lone"].ku is None

@@ -40,6 +40,8 @@ FAMILIES = [
     ("var_pop(v) AS vp", "approx"),
     ("corr(v, w) AS r", "approx"),
     ("regr_slope(w, v) AS sl", "approx"),
+    ("skewness(v) AS sk", "approx"),
+    ("kurtosis(v) AS ku", "approx"),
     ("max_by(u, v) AS mb", "exact"),
     ("min_by(u, v) AS nb", "exact"),
     ("approx_percentile(v, 0.5) AS p50", "exact"),
@@ -61,7 +63,15 @@ def _rows_equal(got, exp, kinds) -> bool:
             for c in sorted(d):
                 v = d[c]
                 if isinstance(v, float):
-                    v = 0.0 if v == 0 else round(v, 9 - 1 - int(math.floor(math.log10(abs(v)))))
+                    # snap numerical zero first: a true-zero statistic
+                    # (e.g. skewness of symmetric data) comes out as
+                    # ±1e-17 noise whose NOISE BITS differ between the
+                    # merge and direct paths — 9-significant-digit
+                    # rounding of noise compares garbage to garbage
+                    if abs(v) < 1e-9:
+                        v = 0.0
+                    else:
+                        v = round(v, 9 - 1 - int(math.floor(math.log10(abs(v)))))
                 t.append((c, v))
             out.append(tuple(t))
         return sorted(out)
