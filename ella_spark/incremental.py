@@ -50,6 +50,17 @@ of O(history) for the common single-topic shapes:
   convention) where Spark's native ANSI-mode corr raises
   DIVIDE_BY_ZERO — both refresh paths use the rewrite, so the MV is
   self-consistent.
+- **moments family** (`skewness`, `kurtosis`): the Welford recipe
+  extended to third and fourth central moments — hidden state
+  `(n, mean, M2, M3, M4)` recovered from Spark's own outputs per
+  partial (`M3 = skewness·n·var_pop^1.5`,
+  `M4 = (kurtosis+3)·n·var_pop²` — exact inversions of
+  `CentralMomentAgg`'s definitions, probed), merged by the
+  grand-mean binomial identities
+  `M3 += M3ᵢ + 3dᵢM2ᵢ + nᵢdᵢ³` and
+  `M4 += M4ᵢ + 4dᵢM3ᵢ + 6dᵢ²M2ᵢ + nᵢdᵢ⁴` (dᵢ = meanᵢ − mean).
+  NULL when M2 = 0 (constant / single-value groups), matching
+  Spark's probed convention on both refresh paths.
 - **max_by / min_by** (`max_by(arg, ord) AS a`): the hidden column
   `__mv_ord__a` carries the full `(o=ord, a=arg)` PAIR as a struct,
   aggregated lexicographically (`max(struct)` compares field by
