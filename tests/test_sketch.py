@@ -215,3 +215,67 @@ def test_kmv_approx_regime_error_bounds(spark):
     assert abs(row.union_est - 30_000) / 30_000 < 5 * sd
     assert abs(row.jaccard - 1 / 3) < 0.1
     assert abs(row.inter_est - 10_000) / 10_000 < 0.25
+
+
+def test_kll_split_invariance_exact_regime():
+    """The streaming fold (winsorize_per_group / quantiles_per_group)
+    merges per-batch level-0 runs into the carried sketch: in the
+    exact regime (total n <= k) the resulting quantiles must be
+    IDENTICAL for every way of splitting the same values into
+    micro-batches — hypothesis drives the split points."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ella_spark.operators.sketch import (
+        _kll_compact,
+        kll_build,
+        kll_quantiles,
+    )
+
+    def fold(batches, k=256):
+        levels, parity = [], 0
+        for vals in batches:
+            pstate = {"c": parity}
+            batch_lvl = [np.sort(np.asarray(vals, dtype=np.float64))]
+            depth = max(len(levels), 1)
+            merged = []
+            for i in range(depth):
+                xs = levels[i] if i < len(levels) else np.array([])
+                ys = batch_lvl[i] if i < len(batch_lvl) else np.array([])
+                merged.append(np.sort(np.concatenate([
+                    np.asarray(xs, dtype=np.float64),
+                    np.asarray(ys, dtype=np.float64),
+                ])))
+            levels = _kll_compact(merged, k, pstate)
+            parity = pstate["c"]
+        return levels
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=120
+        ),
+        data=st.data(),
+    )
+    def check(vals, data):
+        n = len(vals)
+        n_cuts = data.draw(st.integers(0, min(4, n - 1)))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(1, n - 1),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                    unique=True,
+                )
+            )
+        ) if n > 1 else []
+        bounds = [0] + cuts + [n]
+        batches = [vals[a:b] for a, b in zip(bounds, bounds[1:])]
+        probs = [0.05, 0.5, 0.95]
+        got = kll_quantiles(fold(batches), probs)
+        want = kll_quantiles(kll_build(vals), probs)
+        assert got == want  # n <= 120 << k: both are the sorted data
+
+    check()
