@@ -175,6 +175,13 @@ _PSI_DRIFT_RE = re.compile(
     r"(?:\s*,\s*(\d+))?\s*\)",
     re.I,
 )
+#: table-valued `chi2_drift('<table>', '<slice_col>', '<category_col>')`
+#: — per-slice chi-squared independence vs the pooled category
+#: marginals (operators/drift.py chi2_by_slice).
+_CHI2_DRIFT_RE = re.compile(
+    r"\bchi2_drift\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -410,6 +417,8 @@ class Ella:
             sql = self._rewrite_point_lookup(sql)
         if _PSI_DRIFT_RE.search(sql):
             sql = self._rewrite_psi_drift(sql)
+        if _CHI2_DRIFT_RE.search(sql):
+            sql = self._rewrite_chi2_drift(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         return self.spark.sql(sql)
@@ -923,6 +932,8 @@ class Ella:
                 sql = self._rewrite_point_lookup(sql)
             if _PSI_DRIFT_RE.search(sql):
                 sql = self._rewrite_psi_drift(sql)
+            if _CHI2_DRIFT_RE.search(sql):
+                sql = self._rewrite_chi2_drift(sql)
             if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.hidden_sql:
@@ -1830,6 +1841,8 @@ class Ella:
             sql = self._rewrite_point_lookup(sql)
         if _PSI_DRIFT_RE.search(sql):
             sql = self._rewrite_psi_drift(sql)
+        if _CHI2_DRIFT_RE.search(sql):
+            sql = self._rewrite_chi2_drift(sql)
         try:
             terms = []
             for i in range(n_tables):
@@ -2020,6 +2033,8 @@ class Ella:
             sql = self._rewrite_point_lookup(sql)
         if _PSI_DRIFT_RE.search(sql):
             sql = self._rewrite_psi_drift(sql)
+        if _CHI2_DRIFT_RE.search(sql):
+            sql = self._rewrite_chi2_drift(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         m = _INSERT_RE.match(sql)
@@ -2152,6 +2167,27 @@ class Ella:
                 buckets=int(buckets) if buckets else 10,
             )
             view = f"__psi_drift_{i}"
+            res.createOrReplaceTempView(view)
+            out = out.replace(m.group(0), view)
+        return out
+
+    def _rewrite_chi2_drift(self, sql: str) -> str:
+        """Table-valued chi-squared drift in plain SQL:
+
+            SELECT * FROM chi2_drift('docs_t', 'lang', 'source')
+
+        args: any catalog object, a slice column, a categorical
+        column. Same durable-text re-rewrite contract as psi_drift."""
+        from ella_spark.operators.drift import chi2_by_slice
+
+        out = sql
+        for i, m in enumerate(_CHI2_DRIFT_RE.finditer(sql)):
+            table, slice_col, cat_col = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"chi2_drift: unknown table {table!r}")
+            res = chi2_by_slice(self._frame_for(entry), slice_col, cat_col)
+            view = f"__chi2_drift_{i}"
             res.createOrReplaceTempView(view)
             out = out.replace(m.group(0), view)
         return out

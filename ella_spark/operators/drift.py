@@ -77,3 +77,51 @@ def psi_by_slice(
         )
         .orderBy(slice_col)
     )
+
+
+def chi2_by_slice(
+    df: DataFrame,
+    slice_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Per-slice chi-squared independence statistic of
+    ``category_col``'s distribution vs the pooled marginals (the
+    q_chi2_drift shape generalized to any two categorical columns).
+    Unobserved (slice, category) cells fold in via the
+    sum_all(e) = rowtot identity — never materialized.
+
+    Returns (slice, dof, chi2). One (slice, category) groupBy shuffle;
+    marginals broadcast back onto the aggregated frame.
+    """
+    o = (
+        df.select(
+            F.col(slice_col).cast("string").alias("_slice"),
+            F.col(category_col).cast("string").alias("_cat"),
+        )
+        .where(F.col("_slice").isNotNull() & F.col("_cat").isNotNull())
+        .groupBy("_slice", "_cat")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    r = o.groupBy("_slice").agg(F.sum("_o").alias("_rt"))
+    s = o.groupBy("_cat").agg(F.sum("_o").alias("_ct"))
+    n = o.agg(
+        F.sum("_o").alias("_n"), F.countDistinct("_cat").alias("_ncat")
+    )
+    e = F.col("_rt").cast("double") * F.col("_ct") / F.col("_n")
+    term = (
+        (F.col("_o").cast("double") - e) * (F.col("_o").cast("double") - e) / e
+        - e
+    )
+    return (
+        o.join(F.broadcast(r), "_slice")
+        .join(F.broadcast(s), "_cat")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("_slice").alias(slice_col), "_rt", "_ncat")
+        .agg(F.round(F.col("_rt").cast("double") + F.sum(term), 6).alias("chi2"))
+        .select(
+            slice_col,
+            (F.col("_ncat") - 1).cast("long").alias("dof"),
+            "chi2",
+        )
+        .orderBy(slice_col)
+    )

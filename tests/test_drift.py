@@ -237,3 +237,40 @@ def test_psi_drift_sql_tvf(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown table"):
         db.query("SELECT * FROM psi_drift('nope', 'v', 'kind')")
+
+
+def test_chi2_drift_sql_tvf(spark, tmp_path):
+    """SQL surface: chi2_drift('<table>', 'slice', 'category')
+    computes the per-slice independence statistic; exact 0 under
+    margin-product independence, > 0 once a slice's category mix
+    diverges; durable-view text re-scores current data."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db2"), spark)
+    t = db.create_topic(
+        "docs_t",
+        [Column("lang", "string", required=True),
+         Column("src", "string", required=True)],
+    )
+    ns = 1_000_000_000
+    i = 0
+    with t.publish() as pub:  # exact margin product: counts lw*sw*2
+        for lang, lw in (("en", 1), ("fr", 2)):
+            for src, sw in (("s1", 1), ("s2", 3)):
+                for _ in range(lw * sw * 2):
+                    pub.write(i * ns, lang, src)
+                    i += 1
+    out = db.query(
+        "SELECT * FROM chi2_drift('docs_t', 'lang', 'src') ORDER BY lang"
+    ).df.toPandas()
+    assert list(out.lang) == ["en", "fr"]
+    assert (out.chi2 == 0.0).all() and (out.dof == 1).all()
+
+    db.query(
+        "CREATE VIEW chi_v AS SELECT * FROM chi2_drift('docs_t', 'lang', 'src')"
+    )
+    with t.publish() as pub:  # skew en toward s1
+        for j in range(20):
+            pub.write((1000 + j) * ns, "en", "s1")
+    out2 = db.query("SELECT * FROM chi_v ORDER BY lang").df.toPandas()
+    assert (out2.chi2 > 0).all()
