@@ -147,6 +147,7 @@ EXTRAS = [
     "q_ngram_novelty",
     "q_hill_tail_index",
     "q_event_trigrams",
+    "q_mutual_information",
 ]
 
 

@@ -124,6 +124,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ngram_novelty",
     "q_hill_tail_index",
     "q_event_trigrams",
+    "q_mutual_information",
 }
 
 # newest hash-green = r4 — the oldest hard records (the names that

@@ -1754,3 +1754,94 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_mutual_information",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY lang),
+    s AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY source),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS big_n FROM o),
+    hl AS (SELECT sum(-(CAST(rt AS DOUBLE) / n.big_n)
+                      * ln(CAST(rt AS DOUBLE) / n.big_n)) AS h_lang
+           FROM r CROSS JOIN n),
+    hs AS (SELECT sum(-(CAST(ct AS DOUBLE) / n.big_n)
+                      * ln(CAST(ct AS DOUBLE) / n.big_n)) AS h_src
+           FROM s CROSS JOIN n),
+    mi AS (
+      SELECT sum((CAST(obs AS DOUBLE) / n.big_n)
+                 * ln((CAST(obs AS DOUBLE) * n.big_n)
+                      / (CAST(r.rt AS DOUBLE) * s.ct))) AS mi
+      FROM o
+      JOIN r ON r.lang = o.lang
+      JOIN s ON s.source = o.source
+      CROSS JOIN n)
+    SELECT n.big_n AS n,
+           round(hl.h_lang, 6) AS h_lang,
+           round(hs.h_src, 6) AS h_source,
+           round(mi.mi, 6) AS mi,
+           round(mi.mi / sqrt(hl.h_lang * hs.h_src), 6) AS nmi
+    FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN n
+    """,
+    doc="Mutual information between language and source (+ marginal "
+    "entropies and sqrt-normalized NMI): the association-STRENGTH "
+    "companion to q_chi2_drift's independence test — 'how much does "
+    "knowing the source tell you about the language of a document', "
+    "the partition-correlation diagnostic for stratified sampling "
+    "(high NMI ⇒ lang strata and source strata are redundant). Only "
+    "observed cells contribute (0·ln0 = 0 exactly), so no empty-cell "
+    "handling at all; counts are exact int64, each term a fixed "
+    "double op sequence, round(6) absorbs summation order. Same ONE "
+    "(lang, source) shuffle as chi2; everything after is O(langs + "
+    "sources) rows.",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    s = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("big_n"))
+    big_n = F.col("big_n")
+    h_lang = r.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            -(F.col("rt").cast("double") / big_n)
+            * F.log(F.col("rt").cast("double") / big_n)
+        ).alias("h_lang")
+    )
+    h_src = s.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            -(F.col("ct").cast("double") / big_n)
+            * F.log(F.col("ct").cast("double") / big_n)
+        ).alias("h_src")
+    )
+    mi = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.col("obs").cast("double") / big_n)
+                * F.log(
+                    (F.col("obs").cast("double") * big_n)
+                    / (F.col("rt").cast("double") * F.col("ct"))
+                )
+            ).alias("mi")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(h_lang))
+        .crossJoin(F.broadcast(h_src))
+        .crossJoin(F.broadcast(n))
+        .select(
+            big_n.alias("n"),
+            F.round("h_lang", 6).alias("h_lang"),
+            F.round("h_src", 6).alias("h_source"),
+            F.round("mi", 6).alias("mi"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_lang") * F.col("h_src")), 6
+            ).alias("nmi"),
+        )
+    )

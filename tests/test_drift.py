@@ -274,3 +274,32 @@ def test_chi2_drift_sql_tvf(spark, tmp_path):
             pub.write((1000 + j) * ns, "en", "s1")
     out2 = db.query("SELECT * FROM chi_v ORDER BY lang").df.toPandas()
     assert (out2.chi2 > 0).all()
+
+
+def test_mutual_information_properties(spark, tmp_path):
+    """MI is exactly 0 under margin-product independence and equals
+    the (shared) marginal entropy when lang determines source
+    (perfect coupling ⇒ NMI = 1)."""
+    from ella_spark.queries import all_queries
+
+    # independence: the chi2 grid
+    rows, did = [], 0
+    for lang, lw in (("en", 1), ("fr", 2)):
+        for src, sw in (("s1", 1), ("s2", 3)):
+            for _ in range(lw * sw * 2):
+                rows.append((did, "t", lang, src, 10))
+                did += 1
+    sf = _write_documents(spark, tmp_path / "ind", rows)
+    out = all_queries()["q_mutual_information"](spark, sf).toPandas().iloc[0]
+    assert out.mi == 0.0 and out.nmi == 0.0
+
+    # perfect coupling: source = f(lang), equal masses
+    rows2 = []
+    for i in range(40):
+        lang = ("en", "fr")[i % 2]
+        rows2.append((i, "t", lang, "src_" + lang, 10))
+    sf2 = _write_documents(spark, tmp_path / "cpl", rows2)
+    out2 = all_queries()["q_mutual_information"](spark, sf2).toPandas().iloc[0]
+    assert out2.nmi == 1.0
+    assert out2.mi == out2.h_lang == out2.h_source  # = ln 2 rounded
+    assert abs(out2.mi - round(math.log(2), 6)) < 1e-9

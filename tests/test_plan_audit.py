@@ -48,6 +48,8 @@ BNLJ_BOUNDED = {
     # ≤ langs×sources aggregated contingency frame
     "q_benford_deviation",  # constant 9-row digit grid x distinct
     # event types (an enumerable profiling dimension)
+    "q_mutual_information",  # 1-row totals/entropies cross-joined
+    # onto the O(langs x sources) aggregated contingency frame
 }
 
 
