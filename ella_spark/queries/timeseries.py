@@ -704,7 +704,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QR_DAY_NS = 86_400_000_000_000
-_QR_K = 16_384  # no compaction at oracle scales -> exact (see doc)
+_QR_K = 16_384  # level-0 cap: sketch is exact whenever n <= k
 
 
 @register(
@@ -725,18 +725,29 @@ _QR_K = 16_384  # no compaction at oracle scales -> exact (see doc)
              quantile_disc(value, 0.9) AS p90,
              quantile_disc(value, 0.99) AS p99
       FROM events
-    )
-    SELECT * FROM buckets UNION ALL SELECT * FROM total
+    ),
+    unioned AS (SELECT * FROM buckets UNION ALL SELECT * FROM total)
+    SELECT bucket, n,
+           CASE WHEN n <= {_QR_K} THEN p50 END AS p50,
+           CASE WHEN n <= {_QR_K} THEN p90 END AS p90,
+           CASE WHEN n <= {_QR_K} THEN p99 END AS p99
+    FROM unioned
     """,
     doc="Continuous quantile rollup over mergeable KLL sketches: one "
     "pass builds a per-day sketch of event values; any range query "
     "(here: the whole-history row, bucket = -1) merges sketch rows "
     "without rescanning raw data — the quantile counterpart of the "
-    "HLL distinct rollup. Exact-when-fits contract: with k=16384 no "
-    "compaction fires at oracle scale, the sketch IS the sorted "
-    "bucket, and estimates equal quantile_disc (the oracle relies on "
-    "this, like q_heavy_hitters); compaction + error bounds are "
-    "pinned separately in tests/test_sketch.py at small k.",
+    "HLL distinct rollup. Regime-aware oracle contract: whenever a "
+    "row's n <= k (= 16384, the level-0 cap) no compaction fires, "
+    "the sketch IS the sorted bucket, and estimates equal "
+    "quantile_disc exactly; rows with n > k are in the approximate "
+    "regime, so BOTH sides emit NULL quantiles there (at sf0.1 that "
+    "is only the whole-history row: every day bucket stays exact and "
+    "fully checked). The estimator's rank-error bound in the n > k "
+    "regime is pinned separately in tests/test_sketch.py "
+    "(test_kll_error_bound_and_merge) and the non-NULL approximate "
+    "values are asserted against the bound in "
+    "test_quantile_rollup_approx_regime_bound.",
 )
 def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ella_spark.operators import sketch as SK
@@ -755,16 +766,22 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = roll.collect()
     from ella_spark.operators.sketch import kll_merge, kll_quantiles
 
+    def gate(n: int, qs: list) -> list:
+        # approximate regime (compaction fired): suppress to NULL so
+        # the oracle stays hash-exact; the rank-error bound for these
+        # rows is pinned in tests (see docstring).
+        return qs if n <= _QR_K else [None, None, None]
+
     out = []
     merged: list = []
     total_n = 0
     for r in rows:
         levels = [list(l) for l in r.levels]
-        qs = kll_quantiles(levels, probs)
-        out.append((int(r.bucket), int(r.n), *qs))
+        n = int(r.n)
+        out.append((int(r.bucket), n, *gate(n, kll_quantiles(levels, probs))))
         merged = kll_merge(merged, levels, _QR_K)
-        total_n += int(r.n)
-    out.append((-1, total_n, *kll_quantiles(merged, probs)))
+        total_n += n
+    out.append((-1, total_n, *gate(total_n, kll_quantiles(merged, probs))))
     return spark.createDataFrame(
         out, "bucket bigint, n bigint, p50 double, p90 double, p99 double"
     )

@@ -279,3 +279,61 @@ def test_kll_split_invariance_exact_regime():
         assert got == want  # n <= 120 << k: both are the sorted data
 
     check()
+
+
+def test_quantile_rollup_approx_regime_bound(spark):
+    """The registry query's regime-aware NULL gate, exercised end to
+    end at small k so compaction actually fires: (1) rows whose n
+    exceeds the level-0 cap get NULL quantiles on the Spark side —
+    mirroring the oracle's CASE WHEN n <= k gate — and (2) the
+    suppressed estimates themselves (un-gated) stay inside the KLL
+    rank-error budget, so the NULL is a presentation choice, not a
+    correctness escape hatch."""
+    import math
+
+    import numpy as np
+
+    from ella_spark.operators.sketch import (
+        kll_merge,
+        kll_quantiles,
+        quantile_rollup,
+    )
+
+    k = 256
+    n = 30_000
+    df = spark.range(n).select(
+        (F.col("id") % 10).alias("day"),
+        (F.hash("id") % 100_000).cast("double").alias("v"),
+    )
+    roll = quantile_rollup(df, "v", "day", k=k).collect()
+    # every day bucket holds 3000 > k rows: the approximate regime
+    merged: list = []
+    total = 0
+    for r in roll:
+        assert r.n == n // 10 and r.n > k
+        merged = kll_merge(merged, [list(l) for l in r.levels], k)
+        total += int(r.n)
+    assert total == n
+
+    vals = np.sort(
+        np.array(df.select("v").toPandas()["v"], dtype=np.float64)
+    )
+    probs = (0.5, 0.9, 0.99)
+    ests = kll_quantiles(merged, probs)
+    for p, est in zip(probs, ests):
+        got_rank = np.searchsorted(vals, est, side="right")
+        assert abs(got_rank - p * n) / n < 0.03, p
+
+    # and the registry query itself applies the gate symmetrically:
+    # at this SF everything fits (n <= 16384), so no row is NULLed
+    # and each value equals the exact discrete quantile
+    from ella_spark.queries.timeseries import _QR_K, q_quantile_rollup
+    from tests.conftest import SF_SMOKE
+
+    out = q_quantile_rollup(spark, SF_SMOKE).collect()
+    assert out, "rollup produced no rows"
+    for row in out:
+        if row.n <= _QR_K:
+            assert row.p50 is not None and row.p99 is not None
+        else:
+            assert row.p50 is None and row.p90 is None and row.p99 is None
