@@ -10,6 +10,7 @@ so the full Spark SQL surface (the DataFusion-27 superset, SURVEY.md
 
 from __future__ import annotations
 
+import itertools
 import os
 import re
 import shutil
@@ -151,6 +152,27 @@ _CREATE_EXTERNAL_RE = re.compile(
     re.I,
 )
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", re.I)
+
+#: monotonic suffix for TVF-rewrite temp views. The Spark session is
+#: shared (two Ella instances, or concurrent Lazy reads, may rewrite
+#: at once), so fixed per-statement names like ``__psi_drift_0`` can
+#: be clobbered between createOrReplaceTempView and analysis; a
+#: process-unique counter makes every rewrite's view name fresh.
+_TVF_VIEW_SEQ = itertools.count()
+
+
+def _splice_spans(sql: str, repls: list[tuple[int, int, str]]) -> str:
+    """Replace [start, end) spans of ``sql`` with view names, left to
+    right. Span-based (not str.replace) so identical text inside
+    string literals or repeated calls is never rewritten by accident."""
+    out: list[str] = []
+    last = 0
+    for start, end, text in repls:
+        out.append(sql[last:start])
+        out.append(text)
+        last = end
+    out.append(sql[last:])
+    return "".join(out)
 #: table-valued `ann_search('<table>', '<column>', '<queries>', [k],
 #: [n_probe])` — index-backed similarity search from plain SQL.
 _ANN_SEARCH_RE = re.compile(
@@ -2086,8 +2108,8 @@ class Ella:
         BY) stays ordinary Spark SQL. The query batch is collected
         driver-side at rewrite time — query sets are small by
         definition (they broadcast everywhere downstream anyway)."""
-        out = sql
-        for i, m in enumerate(_ANN_SEARCH_RE.finditer(sql)):
+        repls = []
+        for m in _ANN_SEARCH_RE.finditer(sql):
             table, column, qsrc, k, n_probe = m.groups()
             res = self.vector_search(
                 table,
@@ -2096,10 +2118,10 @@ class Ella:
                 k=int(k) if k else 5,
                 n_probe=int(n_probe) if n_probe else 4,
             )
-            view = f"__ann_search_{i}"
+            view = f"__ann_search_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            out = out.replace(m.group(0), view)
-        return out
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
 
     def _rewrite_point_lookup(self, sql: str) -> str:
         """Table-valued bloom-backed point lookup in plain SQL:
@@ -2117,8 +2139,8 @@ class Ella:
         surrounding statement stays ordinary Spark SQL, and stored
         views keep the durable point_lookup(...) text (the ann_search
         re-rewrite-per-read contract)."""
-        out = sql
-        for i, m in enumerate(_POINT_LOOKUP_RE.finditer(sql)):
+        repls = []
+        for m in _POINT_LOOKUP_RE.finditer(sql):
             table, column, lit = m.groups()
             if lit.startswith("'"):
                 value: object = lit[1:-1]
@@ -2134,10 +2156,10 @@ class Ella:
             res = Topic(self.store, entry).read(
                 self.spark, col_eq={column: value}
             )
-            view = f"__point_lookup_{i}"
+            view = f"__point_lookup_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            out = out.replace(m.group(0), view)
-        return out
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
 
     def _rewrite_psi_drift(self, sql: str) -> str:
         """Table-valued drift monitor in plain SQL:
@@ -2154,8 +2176,8 @@ class Ella:
         a saved drift dashboard always scores CURRENT data."""
         from ella_spark.operators.drift import psi_by_slice
 
-        out = sql
-        for i, m in enumerate(_PSI_DRIFT_RE.finditer(sql)):
+        repls = []
+        for m in _PSI_DRIFT_RE.finditer(sql):
             table, value_col, slice_col, buckets = m.groups()
             entry = self.store.resolve(table)
             if entry is None:
@@ -2166,10 +2188,10 @@ class Ella:
                 slice_col,
                 buckets=int(buckets) if buckets else 10,
             )
-            view = f"__psi_drift_{i}"
+            view = f"__psi_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            out = out.replace(m.group(0), view)
-        return out
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
 
     def _rewrite_chi2_drift(self, sql: str) -> str:
         """Table-valued chi-squared drift in plain SQL:
@@ -2180,17 +2202,17 @@ class Ella:
         column. Same durable-text re-rewrite contract as psi_drift."""
         from ella_spark.operators.drift import chi2_by_slice
 
-        out = sql
-        for i, m in enumerate(_CHI2_DRIFT_RE.finditer(sql)):
+        repls = []
+        for m in _CHI2_DRIFT_RE.finditer(sql):
             table, slice_col, cat_col = m.groups()
             entry = self.store.resolve(table)
             if entry is None:
                 raise ValueError(f"chi2_drift: unknown table {table!r}")
             res = chi2_by_slice(self._frame_for(entry), slice_col, cat_col)
-            view = f"__chi2_drift_{i}"
+            view = f"__chi2_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            out = out.replace(m.group(0), view)
-        return out
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
 
     def _register_information_schema(self, sql: str) -> str:
         """information_schema.tables / .columns over the catalog store.

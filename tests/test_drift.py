@@ -303,3 +303,48 @@ def test_mutual_information_properties(spark, tmp_path):
     assert out2.nmi == 1.0
     assert out2.mi == out2.h_lang == out2.h_source  # = ln 2 rounded
     assert abs(out2.mi - round(math.log(2), 6)) < 1e-9
+
+
+def test_tvf_rewrite_views_are_unique_and_span_spliced(spark, tmp_path):
+    """Regression (r9 ADVICE): TVF rewrites must not reuse fixed view
+    names across statements (a shared Spark session means two Ella
+    instances — or two Lazy reads of stored drift views — can race
+    between createOrReplaceTempView and analysis), and substitution
+    must be span-based so identical text inside a string literal is
+    never rewritten."""
+    from ella_spark import Column, Ella
+    from ella_spark.engine import _splice_spans
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i, v in enumerate([1.0, 11.0, 21.0, 31.0]):
+            pub.write((i + 1) * ns, "a", v)
+            pub.write((100 + i) * ns, "b", v)
+
+    # two rewrites of the SAME call text -> distinct temp views, so a
+    # second statement can never clobber the first's view mid-analysis
+    s1 = db._rewrite_psi_drift("SELECT * FROM psi_drift('m', 'v', 'kind')")
+    s2 = db._rewrite_psi_drift("SELECT * FROM psi_drift('m', 'v', 'kind')")
+    v1 = s1.split("FROM ")[1].strip()
+    v2 = s2.split("FROM ")[1].strip()
+    assert v1 != v2 and v1.startswith("__psi_drift_")
+    # both remain independently queryable (neither was clobbered)
+    assert spark.table(v1).count() == 2 and spark.table(v2).count() == 2
+
+    # a string literal containing the substituted VIEW NAME (or any
+    # text equal to another occurrence) survives: replacement is by
+    # match span, not global str.replace
+    out = _splice_spans("SELECT 'xyz' FROM xyz", [(18, 21, "v9")])
+    assert out == "SELECT 'xyz' FROM v9"
+
+    # two distinct calls in ONE statement each get their own view
+    s3 = db._rewrite_psi_drift(
+        "SELECT * FROM psi_drift('m', 'v', 'kind') "
+        "UNION ALL SELECT * FROM psi_drift('m', 'v', 'kind', 4)"
+    )
+    names = [w for w in s3.replace(")", " ").split() if w.startswith("__psi_drift_")]
+    assert len(names) == 2 and names[0] != names[1]
