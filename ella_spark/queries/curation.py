@@ -1327,7 +1327,7 @@ _NEYMAN_BUDGET = 10000
       FROM c GROUP BY event_type),
     sd AS (
       SELECT event_type, n_h,
-             sqrt(CAST(n_h * sq - s * s AS DOUBLE)
+             sqrt((CAST(n_h AS DOUBLE) * sq - CAST(s AS DOUBLE) * s)
                   / (10000.0 * n_h * (n_h - 1))) AS s_h
       FROM g WHERE n_h >= 2),
     w AS (
@@ -1345,13 +1345,17 @@ _NEYMAN_BUDGET = 10000
     "n_h proportional to N_h*S_h — how to split a labeling/eval budget "
     "so the stratified estimator's variance is minimal (Neyman 1934; "
     "the budget-allocation step of every eval-set construction). "
-    "Per-stratum stddev is derived from EXACT int64 centi-unit "
-    "n/sum/sum-of-squares (one groupBy shuffle, the q_rolling_zscore "
-    "arithmetic contract), so both engines compute sqrt on identical "
-    "integers; the share denominator is a window-sum over the "
-    "≤ |strata|-row aggregated frame. round(6/2) absorbs the final "
-    "double ulps. 100 TB: one scan, one keyed shuffle, O(strata) "
-    "rows after.",
+    "Per-stratum n/sum/sum-of-squares accumulate as EXACT int64 "
+    "centi-units (one groupBy shuffle), then n_h*sq and s*s are "
+    "computed in DOUBLE — in int64 those products overflow for "
+    "strata past ~2^63 centi-units² (a real 100 TB stratum), and "
+    "Spark's non-ANSI bigint would wrap SILENTLY where DuckDB "
+    "raises; shares only need ~15 significant digits, and both "
+    "engines round the identical int64 inputs through identical "
+    "IEEE multiplies, so hash parity is preserved. The share "
+    "denominator is a window-sum over the ≤ |strata|-row aggregated "
+    "frame. round(6/2) absorbs the final double ulps. 100 TB: one "
+    "scan, one keyed shuffle, O(strata) rows after.",
 )
 def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1365,11 +1369,14 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("vc") * F.col("vc")).alias("sq"),
     )
     n_h, s, sq = F.col("n_h"), F.col("s"), F.col("sq")
+    # products in DOUBLE: int64 n_h*sq wraps silently (non-ANSI) at
+    # 100 TB stratum sizes; double loses only sub-1e-15 relative
+    # precision, identical rounding on both engines (see oracle doc)
     sd = g.where(n_h >= 2).select(
         "event_type",
         "n_h",
         F.sqrt(
-            (n_h * sq - s * s).cast("double")
+            (n_h.cast("double") * sq - s.cast("double") * s)
             / (F.lit(10000.0) * n_h * (n_h - 1))
         ).alias("s_h"),
     )
