@@ -444,11 +444,25 @@ def rolling_zscore_per_key(
     over the retained events, so a micro-batch costs
     O((state+batch) log(state+batch)) per key.
 
-    Assumes per-key arrival in event-time order (what topic subscribe
-    delivers: shards are time-sorted and the unified scan replays them
-    in order). A row arriving late by more than ``window_ns`` would
-    have its window under-counted — the standard streaming caveat; the
-    batch query is the replayable ground truth.
+    Assumes per-key arrival in event-time order ACROSS micro-batches
+    (what topic subscribe delivers: shards are time-sorted and the
+    unified scan replays them in order). A row arriving in a LATER
+    micro-batch, late by more than ``window_ns``, would have its
+    window under-counted — the standard streaming caveat; the batch
+    query is the replayable ground truth. WITHIN a micro-batch no
+    ordering is assumed: all pandas chunks of the group are buffered
+    and sorted once before computing, so a key whose batch rows span
+    multiple source partitions (and hence arrive across chunks out of
+    event-time order) is still scored exactly (r9 ADVICE fix — the
+    per-chunk compute-and-evict could drop or under-count
+    earlier-timestamped rows in later chunks).
+
+    Arithmetic bound (same contract as the batch query): the int64
+    products n*sq and s*s are exact while the trailing window's
+    sum(vc²) stays below 2^63/n — with |value| <= 600 (vc <= 6e4,
+    vc² <= 3.6e9) that allows ~50M events per key-hour before
+    wrap, an absurd density; outside that envelope cast to double
+    first (see q_neyman_allocation, whose strata are unbounded).
 
     Emits (append mode) one row per qualifying event: ``n >= min_n``
     in-window events with positive variance — identical gates to the
@@ -491,13 +505,19 @@ def rolling_zscore_per_key(
             old_ts = np.array([], dtype=np.int64)
             old_vc = np.array([], dtype=np.int64)
 
+        # buffer ALL chunks of the group's micro-batch, sort ONCE:
+        # chunk boundaries follow source partitions, not event time,
+        # so per-chunk compute-and-evict would mis-window rows that
+        # arrive across chunks out of order (r9 ADVICE). Per-key state
+        # stays O(window density); the batch rows were already
+        # materialized per group by the state-store exchange.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         outs = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("_t", kind="stable")
-            b_ts = pdf["_t"].to_numpy(dtype=np.int64)
-            b_v = pdf["_v"].to_numpy(dtype=np.float64)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values("_t", kind="stable")
+            b_ts = batch["_t"].to_numpy(dtype=np.int64)
+            b_v = batch["_v"].to_numpy(dtype=np.float64)
             # identical rounding to the batch query's centi-unit cast
             b_vc = np.floor(b_v * 100 + 0.5).astype(np.int64)
 
@@ -534,7 +554,7 @@ def rolling_zscore_per_key(
                 )
 
             # evict events that can never enter a future row's window
-            # (ordered arrival ⇒ future ts >= max ts seen)
+            # (cross-batch ordered arrival ⇒ future ts >= max ts seen)
             horizon = int(all_ts[-1]) - window_ns
             keep = all_ts >= horizon
             old_ts, old_vc = all_ts[keep], all_vc[keep]

@@ -995,3 +995,96 @@ def test_quantiles_stream_matches_batch_exact_regime(db, spark):
             assert got == s[max(1, math.ceil(p * len(s))) - 1]
     finally:
         q.stop()
+
+
+def test_rolling_zscore_out_of_order_chunks_within_batch(spark, tmp_path):
+    """Regression (r9 ADVICE): a key whose micro-batch rows span
+    multiple Arrow chunks OUT of event-time order must still be scored
+    exactly. maxRecordsPerBatch=2 forces ~5 chunks for 9 rows written
+    in REVERSE time order; the old per-chunk compute-and-evict set the
+    eviction horizon from the first (latest-ts) chunk and dropped or
+    under-counted every earlier-timestamped row that followed. The fix
+    buffers all chunks, sorts once, computes once."""
+    import os
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ella_spark.streaming.stateful import rolling_zscore_per_key
+
+    mn = 60 * 1_000_000_000
+    hour = 3600 * 1_000_000_000
+    rows = [("a", (8 - i) * 10 * mn, float(10 + ((7 * i) % 5))) for i in range(9)]
+    src = tmp_path / "rz_ooo_src"
+    src.mkdir()
+    pd.DataFrame(rows, columns=["k", "t", "v"]).to_parquet(src / "p0.parquet")
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("t", LongType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = rolling_zscore_per_key(
+            stream, "k", "v", time_col="t", window_ns=hour, min_n=3
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rz_ooo")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "rz_ooo_cp"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = (
+                spark.sql("SELECT key, ts, z FROM rz_ooo")
+                .toPandas()
+                .sort_values(["key", "ts"])
+                .reset_index(drop=True)
+            )
+        finally:
+            q.stop()
+
+        df = spark.createDataFrame(rows, schema).select(
+            F.col("k").alias("key"),
+            F.col("t").alias("ts"),
+            "v",
+            F.floor(F.col("v") * 100 + 0.5).cast("bigint").alias("vc"),
+        )
+        win = Window.partitionBy("key").orderBy("ts").rangeBetween(-hour, 0)
+        w = df.withColumns(
+            {
+                "n": F.count(F.lit(1)).over(win),
+                "s": F.sum("vc").over(win),
+                "sq": F.sum(F.col("vc") * F.col("vc")).over(win),
+            }
+        )
+        n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+        z = (F.col("v") - s.cast("double") / (100 * n)) / F.sqrt(
+            (n * sq - s * s).cast("double") / (F.lit(10000.0) * n * (n - 1))
+        )
+        want = (
+            w.where((n >= 3) & (n * sq > s * s))
+            .select("key", "ts", z.alias("z"))
+            .toPandas()
+            .sort_values(["key", "ts"])
+            .reset_index(drop=True)
+        )
+        assert len(want) >= 6  # every row past the 3rd-in-time fires
+        pd.testing.assert_frame_equal(got, want)  # bit-identical
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
