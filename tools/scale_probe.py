@@ -44,7 +44,12 @@ def build_corpora(spark, sf_dir: str, out_dir: str) -> None:
         part = ev.select(
             (F.col("event_id") + F.lit(r * 10_000_000)).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.lit(r * 1000)).alias("user_id"),
+            # shift far past any real user_id range (r9 ADVICE: r*1000
+            # collided with the base 0-1499 ids at sf0.1, folding
+            # replicas into existing users with identical timestamps —
+            # fewer distinct users, doubled per-user density — which
+            # distorted the probe for per-user-window queries)
+            (F.col("user_id") + F.lit(r * 10_000_000)).alias("user_id"),
             "event_type",
             "value",
             "props",
