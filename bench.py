@@ -26,6 +26,41 @@ if REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# Pre-run load gate (VERDICT r8 #2): all five r8 bench runs sat under
+# a 2-4 background load and the comparable-16 spread was ~11% — a real
+# 15% regression would hide in that band. Wait (bounded) for a quiet
+# host before timing; if the host never quiets, run anyway but mark
+# the output degraded so round-over-round comparisons can discount it.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.5"))
+LOAD_GATE_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_MAX_WAIT", "300"))
+
+
+def _load_gate() -> dict:
+    """Poll 1-min load until it drops below LOAD_GATE or the bounded
+    wait expires. Returns the gate record embedded in the output JSON:
+    pre_load_1m (load when timing actually started), waited_sec, and
+    degraded (True = gate never opened; timings taken under load)."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load >= LOAD_GATE and (time.monotonic() - t0) < LOAD_GATE_MAX_WAIT:
+        time.sleep(min(10.0, LOAD_GATE_MAX_WAIT / 10))
+        load = os.getloadavg()[0]
+    return {
+        "gate_threshold": LOAD_GATE,
+        "pre_load_1m": round(load, 2),
+        "waited_sec": round(time.monotonic() - t0, 1),
+        "degraded": load >= LOAD_GATE,
+    }
+
+
+def _steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line —
+    steal is column 8 (hypervisor time stolen from this guest)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
 # Headline set: one per operator family — scan+agg, join-heavy, window,
 # time-series bucketing, as-of, text, dedup (exact + LSH), ANN.
@@ -234,6 +269,9 @@ def main() -> None:
     from ella_spark.queries import all_queries
     from ella_spark.session import get_session
 
+    # gate BEFORE the JVM exists: our own session contributes load
+    gate = _load_gate()
+
     spark = get_session("ella_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -264,12 +302,17 @@ def main() -> None:
     all_names = HEADLINE + EXTRAS
     for name in all_names:
         qs[name](spark, SF_DIR).count()
+    steal0, total0 = _steal_ticks()
     samples: dict[str, list[float]] = {name: [] for name in all_names}
     for _ in range(RUNS):
         for name in all_names:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).count()
             samples[name].append(time.perf_counter() - t0)
+    steal1, total1 = _steal_ticks()
+    steal_pct = round(
+        100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2
+    )
     timings = {n: round(statistics.median(samples[n]), 4) for n in HEADLINE}
     extras = {n: round(statistics.median(samples[n]), 4) for n in EXTRAS}
 
@@ -291,6 +334,8 @@ def main() -> None:
         # (parallel stages amplify vCPU stalls into per-stage
         # stragglers); record the load context with each run
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "load_gate": gate,
+        "steal_pct_timed_section": steal_pct,
         "ingest_rows_per_sec": ingest_rps,
         "freshness_sec": freshness,
         "extra_queries": extras,
@@ -317,6 +362,8 @@ def main() -> None:
         "spark": spark.version,
         "cpus": out["cpus"],
         "load_avg_1m": out["load_avg_1m"],
+        "load_gate": gate,
+        "steal_pct_timed_section": steal_pct,
         "ingest_rows_per_sec": ingest_rps,
         "freshness_sec": freshness,
     }
