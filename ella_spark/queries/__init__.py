@@ -102,102 +102,91 @@ def _load() -> None:
 # re-verified locally every run by tests/test_oracle_parity.py
 # regardless of tier.
 #
-# Tier sets below were recomputed for round 8 from the union of
-# CORRECTNESS_r01–r07 (newest-green histogram: r7:49, r6:50, r5:47,
-# r4:27; never-green = q_pareto_cut (oracle HUGEINT typing, fixed
-# this round) plus the 5 no-oracle names).
+# Tier sets below were recomputed for round 9 from the union of
+# CORRECTNESS_r01–r08 (newest-green histogram: r8:50, r7:48, r6:50,
+# r5:35; never-green = only the 5 no-oracle names). No pins this
+# round — r8 closed 50/50 with zero open defects — so the prefix is
+# pure staleness rotation: all 35 r5-latest greens plus the first 15
+# registered r6-latest greens. The staleness invariant (no
+# oracle-paired name's newest green older than 3 rounds outside the
+# current prefix) is executable: tests/test_fixtures.py::
+# test_checked_prefix_staleness_bound recomputes it from the
+# CORRECTNESS_r* files on disk every run.
 
-# Pinned into the first slots this round (VERDICT r7 #1/#2/#4):
-# q_pareto_cut's r7 hash-fail was an oracle typing defect (now CAST
-# AS BIGINT) and q_rolling_zscore's r7 green was vacuous (0 rows;
-# gate lowered to n >= 3) — both need a real driver row. New
-# round-8 queries also rank 0 (first chance at a driver row).
-_NEW_THIS_ROUND: set[str] = {
-    "q_pareto_cut",
-    "q_rolling_zscore",
-    # added in round 8
-    "q_psi_drift",
-    "q_chi2_drift",
-    "q_zipf_slope",
-    "q_neyman_allocation",
-    "q_benford_deviation",
-    "q_ngram_novelty",
-    "q_hill_tail_index",
-    "q_event_trigrams",
-    "q_mutual_information",
+# Queries added this round rank 0 — first chance at a real driver row.
+_NEW_THIS_ROUND: set[str] = set()
+
+# newest hash-green = r5 — the oldest hard records (the r5-tier
+# remainder that overflowed r8's checked-50): promote first.
+_STALE_R5 = {
+    "q10_returned_items", "q14_promo_effect", "q3_shipping_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q_array_basics",
+    "q_bpe_merges", "q_case_cast_like", "q_ccnet_buckets",
+    "q_conditional_funcs", "q_corr_covar", "q_correlated_subquery",
+    "q_cross_join", "q_cube", "q_dedup_winnow_pairs", "q_distinct",
+    "q_full_outer_join", "q_grouping_sets", "q_having",
+    "q_in_subquery", "q_inverted_index", "q_label_centroid_dist",
+    "q_math_funcs", "q_non_equi_join", "q_order_limit_offset",
+    "q_outer_join", "q_quality_score", "q_quantile_rollup",
+    "q_rollup", "q_scalar_subquery", "q_semi_anti_join", "q_set_ops",
+    "q_string_funcs", "q_vector_arith", "q_vector_norms",
 }
 
-# newest hash-green = r4 — the oldest hard records (the names that
-# overflowed r7's checked-50): promote first after the pins.
-_STALE_R4 = {
+# newest hash-green = r6 — next-oldest; fill the remaining checked-50
+# slots in registration order (overflow rotates in next round).
+_R6_GREEN = {
+    "q1_pricing_summary", "q_agg_stats", "q_approx_top_k",
+    "q_bpe_encode", "q_chunk_documents", "q_clustering_coefficient",
+    "q_collocations", "q_containment_dedup", "q_date_bin_5min",
+    "q_date_trunc_parts", "q_dedup_edit_distance",
+    "q_doc_fingerprint", "q_ewma", "q_first_last_value",
+    "q_gini_concentration", "q_kcore", "q_knn_join", "q_lag_lead",
+    "q_lang_id", "q_lang_source_stats", "q_lateral_topn",
+    "q_latest_per_key", "q_m4_downsample", "q_mad_outliers",
+    "q_media_features", "q_mix_resample", "q_mode_per_group",
+    "q_ntile_percentiles", "q_pack_sequences", "q_pagerank",
+    "q_pii_scrub", "q_quality_repetition", "q_rank_per_group",
+    "q_readability", "q_repeated_span_removal", "q_running_sum",
+    "q_session_gaps", "q_span_cleaned_text", "q_string_agg",
+    "q_strip_boilerplate", "q_tfidf_top_terms", "q_time_range_scan",
+    "q_time_weighted_avg", "q_token_fertility", "q_tokenize_bpe",
+    "q_triangle_count", "q_unpivot_measures", "q_weighted_median",
+    "q_weighted_sample", "q_winnow_fingerprint",
+}
+
+# newest hash-green = r8 — the freshest records, checked again last.
+_R8_GREEN = {
     "q11_important_parts", "q12_late_lines", "q13_cust_distribution",
     "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_qty_revenue", "q18_large_volume_cust",
     "q19_bracket_revenue", "q20_excess_share_suppliers",
     "q21_waiting_suppliers", "q22_dormant_customers",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q_array_bool_aggs",
-    "q_asof_tolerance", "q_counter_rate", "q_ohlc_bars",
-    "q_percentile_exact", "q_regr_funcs", "q_salted_join",
-    "q_set_ops_all", "q_string_funcs2", "q_time_convs",
-    "q_value_histogram",
-}
-
-# newest hash-green = r5 — next-oldest; fill the remaining checked-50
-# slots in registration order (overflow rotates in next round).
-_R5_GREEN = {
-    "q10_returned_items", "q14_promo_effect", "q3_shipping_priority",
-    "q5_local_supplier", "q6_forecast_revenue", "q_ann_brute_force",
-    "q_ann_ivfpq_portable", "q_ann_recall", "q_array_basics",
-    "q_bpe_merges", "q_case_cast_like", "q_ccnet_buckets",
-    "q_conditional_funcs", "q_corr_covar", "q_correlated_subquery",
-    "q_cross_join", "q_cube", "q_decontaminate", "q_dedup_cluster",
+    "q8_market_share", "q9_product_type_profit", "q_ann_brute_force",
+    "q_ann_ivfpq_portable", "q_ann_recall", "q_array_bool_aggs",
+    "q_asof_tolerance", "q_benford_deviation", "q_chi2_drift",
+    "q_counter_rate", "q_decontaminate", "q_dedup_cluster",
     "q_dedup_embedding", "q_dedup_exact", "q_dedup_ngram_jaccard",
-    "q_dedup_winnow_pairs", "q_distinct", "q_dup_span_fraction",
-    "q_full_outer_join", "q_grouping_sets", "q_having",
-    "q_in_subquery", "q_inverted_index", "q_kmeans_embeddings",
-    "q_label_centroid_dist", "q_math_funcs", "q_non_equi_join",
-    "q_order_limit_offset", "q_outer_join", "q_quality_score",
-    "q_quantile_rollup", "q_rollup", "q_scalar_subquery",
-    "q_semi_anti_join", "q_set_ops", "q_stratified_sample",
-    "q_string_funcs", "q_token_count", "q_vector_arith",
-    "q_vector_norms",
-}
-
-# newest hash-green = r7 — the freshest records, checked again last.
-_R7_GREEN = {
-    "q_semantic_decontaminate", "q_dedup_keep_best",
-    "q_dedup_soft_weight", "q_hard_negatives", "q_winsorize",
-    "q_kcore_converged", "q_recursive_reachability", "q_data_profile",
-    "q_minmax_scale", "q_distinct_overlap", "q_interpolate_linear",
-    "q_sessionize_stats", "q_cumulative_distinct",
-    "q_event_transitions", "q_first_touch_attribution",
-    "q_seasonal_baseline", "q_asof_join", "q_asof_join_forward",
-    "q_embed_quantize", "q_event_type_pivot", "q_funnel_steps",
-    "q_gap_fill", "q_json_props", "q_range_join",
-    "q_retention_cohorts", "q_rolling_1h", "q_ann_ivf", "q_ann_lsh",
-    "q_bm25_search", "q_char_entropy", "q_curation_pipeline",
-    "q_dedup_incremental", "q_dedup_minhash_portable",
-    "q_dedup_simhash_portable", "q_embed_pca", "q_gopher_quality",
-    "q_heavy_hitters", "q_importance_weights", "q_lm_perplexity",
-    "q_ngram_decontaminate", "q_paragraph_dedup",
-    "q_quality_classifier", "q_semantic_dedup", "q_shard_assignment",
-    "q_source_caps", "q_temperature_resample", "q_top_bigrams",
-    "q_train_test_split",
+    "q_dup_span_fraction", "q_event_trigrams", "q_hill_tail_index",
+    "q_kmeans_embeddings", "q_mutual_information",
+    "q_neyman_allocation", "q_ngram_novelty", "q_ohlc_bars",
+    "q_pareto_cut", "q_percentile_exact", "q_psi_drift",
+    "q_regr_funcs", "q_rolling_zscore", "q_salted_join",
+    "q_set_ops_all", "q_stratified_sample", "q_string_funcs2",
+    "q_time_convs", "q_token_count", "q_value_histogram",
+    "q_zipf_slope",
 }
 
 
 def _rank(name: str) -> int:
     """Priority tier for the driver's budget-limited prefix:
 
-    0. round-8 pins (q_pareto_cut oracle fix, q_rolling_zscore
-       de-vacuification) and queries added this round — first
-       chance at a real driver row
-    1. r4-stale greens — the oldest hard records, due re-verification
-    2. r5-latest greens (fill the remaining checked-50 slots in
+    0. queries added this round — first chance at a real driver row
+    1. r5-stale greens — the oldest hard records, due re-verification
+    2. r6-latest greens (fill the remaining checked-50 slots in
        registration order; the overflow rotates in next round)
-    3. r6-latest greens
-    4. r7 greens — freshest records, checked again last
+    3. r7-latest greens
+    4. r8 greens — freshest records, checked again last
     5. no-oracle names — NEVER in the prefix (no hash verdict
        possible; rows-only sanity lives in pytest and each has an
        oracle-paired portable counterpart above)
@@ -206,11 +195,11 @@ def _rank(name: str) -> int:
         return 5
     if name in _NEW_THIS_ROUND:
         return 0
-    if name in _STALE_R4:
+    if name in _STALE_R5:
         return 1
-    if name in _R5_GREEN:
+    if name in _R6_GREEN:
         return 2
-    if name in _R7_GREEN:
+    if name in _R8_GREEN:
         return 4
     return 3
 

@@ -175,7 +175,7 @@ def test_rotation_tier_names_resolve_in_registry():
     from ella_spark import queries as Q
 
     Q._load()
-    tiers = (Q._NEW_THIS_ROUND, Q._STALE_R4, Q._R5_GREEN, Q._R7_GREEN)
+    tiers = (Q._NEW_THIS_ROUND, Q._STALE_R5, Q._R6_GREEN, Q._R8_GREEN)
     for tier in tiers:
         missing = [n for n in tier if n not in Q.REGISTRY]
         assert not missing, missing
@@ -188,7 +188,7 @@ def test_rotation_tier_names_resolve_in_registry():
     names = list(Q.all_queries())[:50]
     oracles = Q.all_oracles()
     assert Q._NEW_THIS_ROUND <= set(names)
-    assert Q._STALE_R4 <= set(names)
+    assert Q._STALE_R5 <= set(names)
     assert all(n in oracles for n in names)
 
 
@@ -208,3 +208,52 @@ def test_readme_counts_match_registry():
         len(all_queries()),
         len(all_oracles()),
     ), "README counts drifted from the registry — update README.md"
+
+
+def test_checked_prefix_staleness_bound():
+    """Executable rotation invariant (VERDICT r8 #6): with 183
+    oracle-paired queries and a 50-query driver budget, hand-recomputed
+    tier sets can silently let a name's newest driver green age out.
+    Recompute staleness from the CORRECTNESS_r*.json files on disk:
+    every oracle-paired name OUTSIDE the current checked-50 prefix must
+    have a hash-green no older than 3 rounds (names inside the prefix
+    are about to be re-greened; never-green names must be in the
+    prefix so they get their first driver row). Fails = recompute the
+    tier sets in queries/__init__.py for this round."""
+    import json
+    import re
+    from pathlib import Path
+
+    from ella_spark.queries import REGISTRY, all_queries
+
+    repo = Path(__file__).resolve().parents[1]
+    newest: dict[str, int] = {}
+    rounds = []
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r0*(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name, rec in json.loads(p.read_text()).items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                newest[name] = max(newest.get(name, 0), rnd)
+    assert rounds, "no CORRECTNESS_r*.json found"
+    current_round = max(rounds) + 1  # the round being built now
+
+    names = list(all_queries())
+    prefix = set(names[:50])
+    MAX_STALE = 3
+    offenders = {}
+    for name in names[50:]:
+        if REGISTRY[name].oracle is None:
+            continue  # no hash verdict possible; pytest-pinned
+        green = newest.get(name)
+        if green is None:
+            offenders[name] = "never driver-green and not in prefix"
+        elif current_round - green > MAX_STALE:
+            offenders[name] = f"newest green r{green}, {current_round - green} rounds stale"
+    assert not offenders, (
+        f"stale-beyond-{MAX_STALE} oracle-paired names outside the "
+        f"checked-50 prefix (recompute tier sets): {offenders}"
+    )
