@@ -788,11 +788,15 @@ def psi_drift_per_group(
             if state.exists
             else np.zeros(buckets, dtype=np.int64)
         )
+        # buffer all chunks: ONE score per group per micro-batch, as
+        # the contract above states (chunk boundaries are an Arrow
+        # batch-size artifact, not a semantic unit)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         outs = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            v = pdf["_v"].to_numpy(dtype=np.float64)
+        if chunks:
+            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
+                dtype=np.float64
+            )
             v = v[~np.isnan(v)]
             idx = np.clip(
                 np.floor((v - lo_edge) / width).astype(np.int64), 0, buckets - 1
@@ -825,6 +829,120 @@ def psi_drift_per_group(
         update,
         outputStructType=_PSI_OUT,
         stateStructType=_PSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ── streaming chi-squared drift monitor ──────────────────────────────
+
+_CHI2_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_ref", LongType()),
+        StructField("dof", LongType()),
+        StructField("n_novel", LongType()),
+        StructField("chi2", DoubleType()),
+    ]
+)
+
+_CHI2_STATE = StructType(
+    [
+        StructField("cats", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def chi2_drift_per_group(
+    stream: DataFrame,
+    group_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Streaming chi-squared categorical-mix drift — the incremental
+    form of the batch q_chi2_drift / chi2_by_slice shape
+    (operators/drift.py), completing the drift family's streaming
+    column (PSI, z-score, winsorize, quantiles had streaming forms;
+    chi² didn't): per group, score each arriving micro-batch's
+    category counts as a goodness-of-fit chi² against the reference
+    mix of EVERYTHING seen before it, then fold the batch into the
+    reference — the reference-histogram-accumulate pattern of
+    psi_drift_per_group applied to categorical columns.
+
+    chi² = Σ_c (o_c − e_c)²/e_c over categories with mass on BOTH
+    sides (e_c = n_batch · ref_c/n_ref, the reference normalized over
+    its FULL mass — the same zero-handling contract as the PSI
+    monitor); ``dof`` = contributing categories − 1. Categories
+    present in the batch but never seen in the reference have no
+    expected mass and no finite term — they are counted in
+    ``n_novel`` instead (a novel-category burst is its own drift
+    signal even when chi² over the known mix stays flat). Terms are
+    summed in sorted category order: a restart replays to identical
+    doubles.
+
+    State per (group) is the category→count map — O(distinct
+    categories) longs, the categorical analog of the PSI monitor's
+    O(buckets). All chunks of the micro-batch are buffered and scored
+    once (one row per group per micro-batch; chunk boundaries are an
+    Arrow artifact). The first batch of a group seeds the reference
+    silently. Emits in append mode.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(category_col).cast("string").alias("_c"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            cats, counts = state.get
+            ref = dict(zip(list(cats), [int(c) for c in counts]))
+        else:
+            ref = {}
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            c = pd.concat(chunks, ignore_index=True)["_c"].dropna()
+            cur = {str(k): int(v) for k, v in c.value_counts().items()}
+            n_ref = sum(ref.values())
+            n_cur = sum(cur.values())
+            if n_ref > 0 and n_cur > 0:
+                both = sorted(k for k in cur if ref.get(k, 0) > 0)
+                novel = len(cur) - len(both)
+                chi2 = 0.0
+                for k in both:
+                    e = n_cur * (ref[k] / n_ref)
+                    o = float(cur[k])
+                    chi2 += (o - e) * (o - e) / e
+                outs.append(
+                    pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": n_cur,
+                                "n_ref": n_ref,
+                                "dof": max(len(both) - 1, 0),
+                                "n_novel": novel,
+                                "chi2": chi2,
+                            }
+                        ]
+                    )
+                )
+            for k, v in cur.items():
+                ref[k] = ref.get(k, 0) + v
+
+        items = sorted(ref.items())
+        state.update(([k for k, _ in items], [v for _, v in items]))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_CHI2_OUT,
+        stateStructType=_CHI2_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1088,3 +1088,72 @@ def test_rolling_zscore_out_of_order_chunks_within_batch(spark, tmp_path):
         pd.testing.assert_frame_equal(got, want)  # bit-identical
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_chi2_drift_stream_scores_batch_vs_reference(db, spark):
+    """Streaming chi² monitor (the categorical analog of the PSI
+    test above): batch 1 seeds the reference silently; batch 2's
+    emitted chi² equals the hand-computed goodness-of-fit statistic of
+    batch 2's counts against batch 1's mix, novel categories counted
+    separately; batch 3 then scores against batch1+batch2 folded —
+    the history-BEFORE-batch contract."""
+    from ella_spark.streaming.stateful import chi2_drift_per_group
+
+    topic = db.create_topic(
+        "chit",
+        [Column("g", "string", required=True), Column("c", "string")],
+    )
+    ns = 1_000_000_000
+    batch1 = ["a"] * 6 + ["b"] * 3 + ["c"] * 1
+    batch2 = ["a"] * 2 + ["b"] * 2 + ["z"] * 1  # z never seen before
+    with topic.publish() as pub:
+        for i, c in enumerate(batch1):
+            pub.write((i + 1) * ns, "g1", c)
+
+    out = chi2_drift_per_group(db.subscribe("chit"), "g", "c")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chi2_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "chi2_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM chi2_out").count() == 0  # seeding
+
+        with topic.publish() as pub:
+            for i, c in enumerate(batch2):
+                pub.write((100 + i) * ns, "g1", c)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM chi2_out").toPandas()
+        assert len(pdf) == 1
+        row = pdf.iloc[0]
+        # hand-computed: ref mix a:.6 b:.3 c:.1 over n_ref=10; batch
+        # n=5 -> e_a=3, e_b=1.5; z is novel (no term); c absent from
+        # batch (no term -- chi2 is over both-mass categories)
+        want = (2 - 3.0) ** 2 / 3.0 + (2 - 1.5) ** 2 / 1.5
+        assert row.n_batch == 5 and row.n_ref == 10
+        assert row.dof == 1 and row.n_novel == 1
+        assert abs(row.chi2 - want) < 1e-12
+
+        # batch 3 scores against batch1+batch2 FOLDED (a:8 b:5 c:1 z:1)
+        batch3 = ["a"] * 3 + ["c"] * 3
+        with topic.publish() as pub:
+            for i, c in enumerate(batch3):
+                pub.write((200 + i) * ns, "g1", c)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM chi2_out ORDER BY n_ref").toPandas()
+        assert len(pdf) == 2
+        row3 = pdf.iloc[1]
+        n_ref = 15
+        e_a, e_c = 6 * (8 / n_ref), 6 * (1 / n_ref)
+        want3 = (3 - e_a) ** 2 / e_a + (3 - e_c) ** 2 / e_c
+        assert row3.n_ref == n_ref and row3.n_batch == 6
+        assert row3.dof == 1 and row3.n_novel == 0
+        assert abs(row3.chi2 - want3) < 1e-12
+    finally:
+        q.stop()
