@@ -183,6 +183,9 @@ EXTRAS = [
     "q_hill_tail_index",
     "q_event_trigrams",
     "q_mutual_information",
+    # round-9 additions
+    "q_ks_drift",
+    "q_changepoint_cusum",
 ]
 
 

@@ -114,7 +114,10 @@ def _load() -> None:
 # CORRECTNESS_r* files on disk every run.
 
 # Queries added this round rank 0 — first chance at a real driver row.
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    "q_ks_drift",
+    "q_changepoint_cusum",
+}
 
 # newest hash-green = r5 — the oldest hard records (the r5-tier
 # remainder that overflowed r8's checked-50): promote first.

@@ -1498,3 +1498,120 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+_CUSUM_DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "q_changepoint_cusum",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, epoch_ns(ts) // {_CUSUM_DAY_NS} AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT event_type, day,
+             CAST(sum(vc) AS BIGINT) AS s_d,
+             CAST(count(*) AS BIGINT) AS c_d
+      FROM c GROUP BY event_type, day),
+    t AS (
+      SELECT event_type,
+             CAST(sum(s_d) AS BIGINT) AS s_tot,
+             CAST(sum(c_d) AS BIGINT) AS c_tot
+      FROM d GROUP BY event_type),
+    w AS (
+      SELECT d.event_type, d.day,
+             sum(d.s_d) OVER win AS cs,
+             sum(d.c_d) OVER win AS cc,
+             t.s_tot, t.c_tot
+      FROM d JOIN t ON t.event_type = d.event_type
+      WINDOW win AS (PARTITION BY d.event_type ORDER BY d.day)),
+    k AS (
+      SELECT event_type, day,
+             abs(CAST(cs AS DOUBLE)
+                 - CAST(s_tot AS DOUBLE) * cc / c_tot) / 100.0 AS w_abs
+      FROM w),
+    r AS (
+      SELECT event_type, day, w_abs,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY w_abs DESC, day) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_days
+      FROM k)
+    SELECT event_type, CAST(day AS BIGINT) AS cp_day, n_days,
+           round(w_abs, 6) AS cusum_max
+    FROM r WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="CUSUM changepoint detection per event_type over the daily "
+    "value series — 'when did this slice's level shift?', the "
+    "ingest-monitoring primitive that localizes drift in TIME (PSI/"
+    "KS/chi² say whether a slice moved; CUSUM says when). The "
+    "classic statistic W_d = sum_{i<=d}(x_i − x̄) over individual "
+    "observations regroups exactly by day as cumsum(s_d) − "
+    "x̄·cumsum(c_d), so daily int64 centi-unit sums/counts carry it "
+    "exactly; the changepoint is argmax_d |W_d| (min day on ties via "
+    "the (w_abs DESC, day) rank). The only double ops are one "
+    "product and one division on already-aggregated totals — at "
+    "100 TB stratum scale the int64 product s_tot*cc would wrap, so "
+    "it is computed in double (the q_neyman_allocation contract); "
+    "same IEEE sequence both engines. Plan: ONE (type, day) groupBy "
+    "shuffle over the scan; every window runs on the O(types×days) "
+    "aggregated frame.",
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr(f"ts div {_CUSUM_DAY_NS}").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    d = c.groupBy("event_type", "day").agg(
+        F.sum("vc").alias("s_d"), F.count(F.lit(1)).alias("c_d")
+    )
+    # totals via whole-partition windows over the SAME type keying the
+    # cumulative frames use (the q_psi_drift pattern): one scan, one
+    # type-keyed exchange — a separate groupBy + join would replay the
+    # events scan a second time
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt_all = Window.partitionBy("event_type")
+    w = d.withColumns(
+        {
+            "cs": F.sum("s_d").over(win),
+            "cc": F.sum("c_d").over(win),
+            "s_tot": F.sum("s_d").over(wt_all),
+            "c_tot": F.sum("c_d").over(wt_all),
+        }
+    )
+    w_abs = (
+        F.abs(
+            F.col("cs").cast("double")
+            - F.col("s_tot").cast("double") * F.col("cc") / F.col("c_tot")
+        )
+        / 100.0
+    )
+    k = w.select("event_type", "day", w_abs.alias("w_abs"))
+    wt = Window.partitionBy("event_type")
+    r = k.select(
+        "event_type",
+        "day",
+        "w_abs",
+        F.row_number()
+        .over(wt.orderBy(F.col("w_abs").desc(), "day"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+    )
+    return (
+        r.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            "n_days",
+            F.round("w_abs", 6).alias("cusum_max"),
+        )
+        .orderBy("event_type")
+    )

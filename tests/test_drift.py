@@ -348,3 +348,102 @@ def test_tvf_rewrite_views_are_unique_and_span_spliced(spark, tmp_path):
     )
     names = [w for w in s3.replace(")", " ").split() if w.startswith("__psi_drift_")]
     assert len(names) == 2 and names[0] != names[1]
+
+
+def test_ks_zero_when_distributions_identical(spark, tmp_path):
+    """Two-sample KS D is exactly 0 when every slice's value multiset
+    equals the pooled distribution (F_t == F_p at every step point)."""
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    rows, i = [], 0
+    for et in ("a", "b"):
+        for v in (1.0, 11.0, 21.0, 31.0, 41.0):
+            rows.append((i, datetime(2024, 1, 1, 0, 0, i % 60), i, et, v))
+            i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_ks_drift"](spark, sf).toPandas()
+    assert len(out) == 2 and (out.n == 5).all()
+    assert (out.d_stat == 0.0).all()
+
+
+def test_ks_matches_brute_force_ecdf(spark, tmp_path):
+    """D per slice equals the brute-force sup over pooled points of
+    |ECDF_slice − ECDF_pooled| computed in numpy — including the
+    disjoint-support case whose closed form is 0.5 for both types
+    (a = {10,20}, b = {30,40}: the gap at v=20 is |1 − 0.5|)."""
+    import random
+    from datetime import datetime
+
+    import numpy as np
+
+    from ella_spark.queries import all_queries
+
+    # closed-form case
+    rows = [
+        (0, datetime(2024, 1, 1), 0, "a", 10.0),
+        (1, datetime(2024, 1, 1), 1, "a", 20.0),
+        (2, datetime(2024, 1, 1), 2, "b", 30.0),
+        (3, datetime(2024, 1, 1), 3, "b", 40.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_ks_drift"](spark, sf).toPandas().set_index("event_type")
+    assert out.loc["a", "d_stat"] == 0.5 and out.loc["b", "d_stat"] == 0.5
+
+    # randomized case vs brute force (ties included via round to 0.1)
+    rng = random.Random(42)
+    data = {
+        "x": [round(rng.uniform(0, 50), 1) for _ in range(40)],
+        "y": [round(rng.uniform(20, 90), 1) for _ in range(25)],
+    }
+    rows, i = [], 0
+    for et, vals in data.items():
+        for v in vals:
+            rows.append((i, datetime(2024, 1, 1, 0, 0, i % 60), i, et, v))
+            i += 1
+    sf2 = _write_events(spark, tmp_path / "r2", rows)
+    out2 = (
+        all_queries()["q_ks_drift"](spark, sf2).toPandas().set_index("event_type")
+    )
+    pooled = np.sort(np.array(data["x"] + data["y"]))
+    grid = np.unique(pooled)
+    for et, vals in data.items():
+        s = np.sort(np.array(vals))
+        f_t = np.searchsorted(s, grid, side="right") / len(s)
+        f_p = np.searchsorted(pooled, grid, side="right") / len(pooled)
+        want = float(np.max(np.abs(f_t - f_p)))
+        assert abs(out2.loc[et, "d_stat"] - round(want, 6)) < 1e-9, et
+
+
+def test_cusum_localizes_level_shift(spark, tmp_path):
+    """CUSUM changepoint: a series at 10.0 for days 1-10 then 50.0
+    for days 11-20 (one observation per day) peaks exactly at the
+    last pre-shift day with |W| = 10·|10 − 30| = 200; a constant
+    series scores 0 with the min-day tie-break."""
+    from datetime import datetime, timezone
+
+    from ella_spark.queries import all_queries
+
+    rows, i = [], 0
+    for d in range(1, 21):
+        v = 10.0 if d <= 10 else 50.0
+        rows.append((i, datetime(2024, 1, d), i, "shift", v))
+        i += 1
+    for d in range(1, 21):
+        rows.append((i, datetime(2024, 1, d), i, "flat", 7.0))
+        i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = (
+        all_queries()["q_changepoint_cusum"](spark, sf)
+        .toPandas()
+        .set_index("event_type")
+    )
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    day10 = (datetime(2024, 1, 10, tzinfo=timezone.utc) - epoch).days
+    day1 = (datetime(2024, 1, 1, tzinfo=timezone.utc) - epoch).days
+    assert int(out.loc["shift", "cp_day"]) == day10
+    assert out.loc["shift", "cusum_max"] == 200.0
+    assert (out.n_days == 20).all()
+    assert out.loc["flat", "cusum_max"] == 0.0
+    assert int(out.loc["flat", "cp_day"]) == day1  # min-day tie-break
