@@ -204,6 +204,13 @@ _CHI2_DRIFT_RE = re.compile(
     r"\bchi2_drift\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
     re.I,
 )
+#: table-valued `ks_drift('<table>', '<value_col>', '<slice_col>')` —
+#: two-sample Kolmogorov–Smirnov drift of a numeric column per slice
+#: vs the pooled distribution (operators/drift.py ks_by_slice).
+_KS_DRIFT_RE = re.compile(
+    r"\bks_drift\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -441,6 +448,8 @@ class Ella:
             sql = self._rewrite_psi_drift(sql)
         if _CHI2_DRIFT_RE.search(sql):
             sql = self._rewrite_chi2_drift(sql)
+        if _KS_DRIFT_RE.search(sql):
+            sql = self._rewrite_ks_drift(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         return self.spark.sql(sql)
@@ -956,6 +965,8 @@ class Ella:
                 sql = self._rewrite_psi_drift(sql)
             if _CHI2_DRIFT_RE.search(sql):
                 sql = self._rewrite_chi2_drift(sql)
+            if _KS_DRIFT_RE.search(sql):
+                sql = self._rewrite_ks_drift(sql)
             if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.hidden_sql:
@@ -1865,6 +1876,8 @@ class Ella:
             sql = self._rewrite_psi_drift(sql)
         if _CHI2_DRIFT_RE.search(sql):
             sql = self._rewrite_chi2_drift(sql)
+        if _KS_DRIFT_RE.search(sql):
+            sql = self._rewrite_ks_drift(sql)
         try:
             terms = []
             for i in range(n_tables):
@@ -2057,6 +2070,8 @@ class Ella:
             sql = self._rewrite_psi_drift(sql)
         if _CHI2_DRIFT_RE.search(sql):
             sql = self._rewrite_chi2_drift(sql)
+        if _KS_DRIFT_RE.search(sql):
+            sql = self._rewrite_ks_drift(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         m = _INSERT_RE.match(sql)
@@ -2210,6 +2225,30 @@ class Ella:
                 raise ValueError(f"chi2_drift: unknown table {table!r}")
             res = chi2_by_slice(self._frame_for(entry), slice_col, cat_col)
             view = f"__chi2_drift_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_ks_drift(self, sql: str) -> str:
+        """Table-valued KS drift in plain SQL:
+
+            SELECT * FROM ks_drift('events_t', 'value', 'kind')
+
+        args: any catalog object, a numeric value column, a slice
+        column. Two-sample Kolmogorov–Smirnov D per slice vs the
+        pooled distribution (operators/drift.py ks_by_slice); same
+        durable-text re-rewrite contract as psi_drift/chi2_drift, so
+        a saved drift view always scores CURRENT data."""
+        from ella_spark.operators.drift import ks_by_slice
+
+        repls = []
+        for m in _KS_DRIFT_RE.finditer(sql):
+            table, value_col, slice_col = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"ks_drift: unknown table {table!r}")
+            res = ks_by_slice(self._frame_for(entry), value_col, slice_col)
+            view = f"__ks_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)

@@ -125,3 +125,65 @@ def chi2_by_slice(
         )
         .orderBy(slice_col)
     )
+
+
+def ks_by_slice(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic of ``value_col`` per
+    ``slice_col`` slice vs the pooled distribution — the
+    continuous-ECDF drift monitor next to psi_by_slice (binned) and
+    chi2_by_slice (categorical); the engine surface behind the SQL
+    ``ks_drift('<table>', '<value_col>', '<slice_col>')`` TVF.
+
+    D_s = sup_x |F_s(x) − F_pooled(x)|. Both ECDFs are
+    right-continuous step functions constant between pooled data
+    points, so the supremum equals the max over distinct pooled
+    values evaluated at those points. Returns (slice, n, d_stat).
+    NULL/NaN values are excluded.
+
+    Scale shape: one (slice, value) groupBy shuffle over the scan;
+    the aggregated frame is localCheckpointed (three consumers — the
+    pooled marginal, per-slice totals, and the evaluation grid —
+    would otherwise each replay the scan) and every later stage runs
+    on O(slices × distinct values) rows. The grid is bounded by the
+    VALUE DOMAIN, not the row count — for unbounded-cardinality
+    doubles, quantize first (exactly the psi_by_slice bucketing).
+    """
+    c = df.select(
+        F.col(slice_col).cast("string").alias("_slice"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    tv = c.groupBy("_slice", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    tv = tv.localCheckpoint()
+    vals = tv.groupBy("_v").agg(F.sum("_c").alias("_c_v"))
+    w_v = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    pooled = vals.select(
+        "_v",
+        F.sum("_c_v").over(w_v).alias("_cum_all"),
+        F.sum("_c_v").over(Window.partitionBy()).alias("_big_n"),
+    )
+    slices = tv.groupBy("_slice").agg(F.sum("_c").alias("_n_s"))
+    grid = pooled.crossJoin(F.broadcast(slices))
+    ft = grid.join(tv, ["_slice", "_v"], "left").withColumn(
+        "_cum_s",
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(
+            Window.partitionBy("_slice")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    d = F.abs(
+        F.col("_cum_s").cast("double") / F.col("_n_s")
+        - F.col("_cum_all").cast("double") / F.col("_big_n")
+    )
+    return (
+        ft.groupBy(F.col("_slice").alias(slice_col))
+        .agg(
+            F.max("_n_s").alias("n"),
+            F.round(F.max(d), 6).alias("d_stat"),
+        )
+        .orderBy(slice_col)
+    )

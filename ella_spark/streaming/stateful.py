@@ -948,6 +948,124 @@ def chi2_drift_per_group(
     )
 
 
+# ── streaming KS drift monitor ───────────────────────────────────────
+
+_KSD_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_ref", LongType()),
+        StructField("d_stat", DoubleType()),
+    ]
+)
+
+_KSD_STATE = StructType(
+    [
+        StructField("vals", ArrayType(DoubleType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def ks_drift_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming two-sample Kolmogorov–Smirnov drift — the incremental
+    form of the batch q_ks_drift / ks_by_slice shape, completing the
+    drift family's streaming column for the continuous-ECDF statistic
+    (PSI binned, chi² categorical, KS continuous): per group, score
+    each arriving micro-batch's empirical CDF against the reference
+    ECDF of EVERYTHING seen before it, then fold the batch in — the
+    reference-accumulate contract of psi/chi2_drift_per_group.
+
+    D = sup_x |F_batch(x) − F_ref(x)|, evaluated at the union of both
+    samples' distinct points (both ECDFs are right-continuous step
+    functions constant in between — the same reduction the batch
+    query documents). State per group is the sorted (value, count)
+    reference — O(distinct values), bounded by the VALUE DOMAIN like
+    the batch grid; quantize upstream for unbounded-cardinality
+    doubles (the PSI monitor is the fixed-memory alternative). All
+    chunks of the micro-batch are buffered and scored once; the first
+    batch of a group seeds the reference silently. Emits in append
+    mode.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            st_v, st_c = state.get
+            ref_v = np.asarray(list(st_v), dtype=np.float64)
+            ref_c = np.asarray(list(st_c), dtype=np.int64)
+        else:
+            ref_v = np.array([], dtype=np.float64)
+            ref_c = np.array([], dtype=np.int64)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
+                dtype=np.float64
+            )
+            v = v[~np.isnan(v)]
+            cur_v, cur_c = np.unique(v, return_counts=True)
+            n_ref, n_cur = int(ref_c.sum()), int(cur_c.sum())
+            if n_ref > 0 and n_cur > 0:
+                grid = np.union1d(ref_v, cur_v)
+                f_ref = np.cumsum(ref_c)[
+                    np.searchsorted(ref_v, grid, side="right") - 1
+                ].astype(np.float64) / n_ref
+                f_ref[np.searchsorted(ref_v, grid, side="right") == 0] = 0.0
+                f_cur = np.cumsum(cur_c)[
+                    np.searchsorted(cur_v, grid, side="right") - 1
+                ].astype(np.float64) / n_cur
+                f_cur[np.searchsorted(cur_v, grid, side="right") == 0] = 0.0
+                outs.append(
+                    pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": n_cur,
+                                "n_ref": n_ref,
+                                "d_stat": float(
+                                    np.max(np.abs(f_cur - f_ref))
+                                ),
+                            }
+                        ]
+                    )
+                )
+            # fold the batch into the reference (sorted merge)
+            all_v = np.concatenate([ref_v, cur_v])
+            all_c = np.concatenate([ref_c, cur_c])
+            order = np.argsort(all_v, kind="stable")
+            all_v, all_c = all_v[order], all_c[order]
+            uniq, start = np.unique(all_v, return_index=True)
+            summed = np.add.reduceat(all_c, start)
+            ref_v, ref_c = uniq, summed
+
+        state.update(
+            ([float(x) for x in ref_v], [int(c) for c in ref_c])
+        )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_KSD_OUT,
+        stateStructType=_KSD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ── streaming quantiles (KLL state) ──────────────────────────────────
 
 _QT_OUT = StructType(

@@ -447,3 +447,42 @@ def test_cusum_localizes_level_shift(spark, tmp_path):
     assert (out.n_days == 20).all()
     assert out.loc["flat", "cusum_max"] == 0.0
     assert int(out.loc["flat", "cp_day"]) == day1  # min-day tie-break
+
+
+def test_ks_drift_sql_tvf(spark, tmp_path):
+    """SQL surface: ks_drift('<table>', 'value', 'slice') rewrites to
+    the ks_by_slice frame; a stored VIEW keeps the durable text and
+    re-scores CURRENT data per read (the psi_drift/chi2_drift
+    contract); D == 0 for identical slices, rises once one slice's
+    distribution shifts."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i, v in enumerate([1.0, 11.0, 21.0, 31.0]):
+            pub.write((i + 1) * ns, "a", v)
+            pub.write((100 + i) * ns, "b", v)  # identical distribution
+
+    out = db.query(
+        "SELECT * FROM ks_drift('m', 'v', 'kind') ORDER BY kind"
+    ).df.toPandas()
+    assert list(out.kind) == ["a", "b"]
+    assert (out.d_stat == 0.0).all() and (out.n == 4).all()
+
+    db.query("CREATE VIEW ksv AS SELECT * FROM ks_drift('m', 'v', 'kind')")
+    assert "ks_drift" in db.store.resolve("ksv").sql
+    with t.publish() as pub:  # shift kind b upward
+        for i in range(4):
+            pub.write((200 + i) * ns, "b", 100.0 + i)
+    out2 = db.query("SELECT * FROM ksv ORDER BY kind").df.toPandas()
+    # b: 8 values, 4 at >= 100. At v=31: F_b = 4/8, F_pooled = 8/12
+    # (the pooled side contains b itself) -> sup = 1/6 for BOTH slices
+    assert abs(out2[out2.kind == "b"].d_stat.iloc[0] - round(1 / 6, 6)) < 1e-9
+    assert out2[out2.kind == "b"].n.iloc[0] == 8
+
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM ks_drift('nope', 'v', 'kind')")

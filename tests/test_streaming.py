@@ -1157,3 +1157,70 @@ def test_chi2_drift_stream_scores_batch_vs_reference(db, spark):
         assert abs(row3.chi2 - want3) < 1e-12
     finally:
         q.stop()
+
+
+def test_ks_drift_stream_scores_batch_vs_reference(db, spark):
+    """Streaming KS monitor: batch 1 seeds the reference silently;
+    batch 2's emitted D equals the numpy brute-force sup of
+    |ECDF_batch2 − ECDF_batch1| over the union of points; batch 3
+    scores against batch1+batch2 folded — the history-before-batch
+    contract shared with the PSI and chi² monitors."""
+    import numpy as np
+
+    from ella_spark.streaming.stateful import ks_drift_per_group
+
+    def brute_d(batch, ref):
+        grid = np.unique(np.concatenate([batch, ref]))
+        fb = np.searchsorted(np.sort(batch), grid, side="right") / len(batch)
+        fr = np.searchsorted(np.sort(ref), grid, side="right") / len(ref)
+        return float(np.max(np.abs(fb - fr)))
+
+    topic = db.create_topic(
+        "kst",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    batch1 = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0]
+    batch2 = [2.0, 6.0, 9.0, 9.0]
+    batch3 = [1.0, 1.0, 4.0]
+    with topic.publish() as pub:
+        for i, v in enumerate(batch1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = ks_drift_per_group(db.subscribe("kst"), "g", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ks_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "ks_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ks_out").count() == 0  # seeding
+
+        with topic.publish() as pub:
+            for i, v in enumerate(batch2):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM ks_out").toPandas()
+        assert len(pdf) == 1
+        row = pdf.iloc[0]
+        assert row.n_batch == 4 and row.n_ref == 6
+        assert abs(row.d_stat - brute_d(np.array(batch2), np.array(batch1))) < 1e-12
+
+        with topic.publish() as pub:
+            for i, v in enumerate(batch3):
+                pub.write((200 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM ks_out ORDER BY n_ref").toPandas()
+        assert len(pdf) == 2
+        row3 = pdf.iloc[1]
+        assert row3.n_ref == 10 and row3.n_batch == 3
+        want = brute_d(np.array(batch3), np.array(batch1 + batch2))
+        assert abs(row3.d_stat - want) < 1e-12
+    finally:
+        q.stop()
