@@ -50,6 +50,9 @@ BNLJ_BOUNDED = {
     # event types (an enumerable profiling dimension)
     "q_mutual_information",  # 1-row totals/entropies cross-joined
     # onto the O(langs x sources) aggregated contingency frame
+    "q_ks_drift",  # pooled-values frame x event types (an enumerable
+    # profiling dimension): the ECDF evaluation grid, bounded by the
+    # value domain x slice count — never by row count
 }
 
 
@@ -337,3 +340,29 @@ def test_external_table_scan_pushes_filters(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)]" in plan, plan
     assert "ReadSchema: struct<id:bigint,y:bigint>" in plan, plan  # s pruned
+
+
+def test_ks_drift_single_scan_via_checkpoint(spark):
+    """q_ks_drift: the aggregated (type, value) frame feeds three
+    consumers — pooled marginal, per-type totals, evaluation grid —
+    and is localCheckpointed so the executed plan replays ZERO parquet
+    scans downstream (the scan ran once, in the checkpoint job; before
+    the fix the plan carried 3 full events scans)."""
+    plan = _plan(spark, "q_ks_drift")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_changepoint_cusum_single_scan_single_type_shuffle(spark):
+    """q_changepoint_cusum: totals come from whole-partition windows
+    over the SAME event_type keying the cumulative windows use — one
+    events scan, and exactly one hash Exchange on the type key (the
+    (type, day) aggregate's partitioning satisfies every later
+    window; remaining exchanges may only be single-partition ordering
+    for the final ORDER BY)."""
+    import re
+
+    plan = _plan(spark, "q_changepoint_cusum")
+    assert plan.count("Scan parquet") == 1, plan
+    hash_ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_ex) <= 2, plan  # (type, day) agg + type windows
