@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -1061,6 +1062,127 @@ def ks_drift_per_group(
         update,
         outputStructType=_KSD_OUT,
         stateStructType=_KSD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ── streaming Page-Hinkley changepoint detector ──────────────────────
+
+_PH_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n", LongType()),
+        StructField("ph_up", DoubleType()),
+        StructField("ph_down", DoubleType()),
+        StructField("alarm_up", BooleanType()),
+        StructField("alarm_down", BooleanType()),
+    ]
+)
+
+_PH_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("m", DoubleType()),
+        StructField("m_min", DoubleType()),
+        StructField("m_max", DoubleType()),
+    ]
+)
+
+
+def page_hinkley_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    time_col: str = TIME_COLUMN,
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Streaming Page-Hinkley changepoint detector — the ONLINE
+    counterpart of the batch q_changepoint_cusum query (that one
+    localizes a shift in replayable history; this one raises the
+    alarm as rows arrive, with O(1) scalars of state per key — the
+    sequential-detection classic, Page 1954 / Hinkley 1971).
+
+    Per key, for each value x in event-time order:
+
+        n += 1;  total += x;  mean = total / n
+        m += x − mean − delta
+        ph_up = m − min(m seen);  ph_down = max(m seen) − m
+
+    ``delta`` is the magnitude tolerance (drifts smaller than delta
+    per observation don't accumulate); an alarm fires when the
+    two-sided excursion exceeds ``lam``. Emits one row per key per
+    micro-batch with the post-batch statistics (append mode) — the
+    caller watches for alarm_up/alarm_down transitions.
+
+    State is FIVE scalars per key — the fixed-memory end of the drift
+    family (the KS/PSI monitors keep O(domain)/O(buckets) state and
+    score distribution shape; Page-Hinkley keeps O(1) and reacts to
+    mean shifts). All chunks of the micro-batch are buffered and
+    sorted once by event time, so the update sequence is a pure
+    function of the (key, time)-ordered stream: a restart or a batch
+    replay of the same rows produces bit-identical doubles (the
+    rolling_zscore determinism contract).
+    """
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            n, total, m, m_min, m_max = state.get
+            n, total, m = int(n), float(total), float(m)
+            m_min, m_max = float(m_min), float(m_max)
+        else:
+            n, total, m = 0, 0.0, 0.0
+            m_min, m_max = 0.0, 0.0
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values("_t", kind="stable")
+            v = batch["_v"].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            for x in v:
+                n += 1
+                total += float(x)
+                m += float(x) - total / n - delta
+                m_min = min(m_min, m)
+                m_max = max(m_max, m)
+            ph_up = m - m_min
+            ph_down = m_max - m
+            outs.append(
+                pd.DataFrame(
+                    [
+                        {
+                            "group": key[0],
+                            "n": n,
+                            "ph_up": ph_up,
+                            "ph_down": ph_down,
+                            "alarm_up": ph_up > lam,
+                            "alarm_down": ph_down > lam,
+                        }
+                    ]
+                )
+            )
+
+        state.update((n, total, m, m_min, m_max))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_PH_OUT,
+        stateStructType=_PH_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

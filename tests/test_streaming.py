@@ -1224,3 +1224,69 @@ def test_ks_drift_stream_scores_batch_vs_reference(db, spark):
         assert abs(row3.d_stat - want) < 1e-12
     finally:
         q.stop()
+
+
+def test_page_hinkley_stream_matches_replay_and_alarms(db, spark):
+    """Page-Hinkley across TWO micro-batches equals the pure-Python
+    replay of the same (key, time)-ordered sequence (state carries
+    n/total/m/min/max exactly), and a known mean shift fires alarm_up
+    while the pre-shift batch stays quiet."""
+    from ella_spark.streaming.stateful import page_hinkley_per_group
+
+    topic = db.create_topic(
+        "pht",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    batch1 = [10.0, 11.0, 9.0, 10.0, 10.5, 9.5]          # stable level
+    batch2 = [30.0, 31.0, 29.0, 30.0, 30.0, 31.0, 29.5]  # shifted +20
+    lam = 15.0
+
+    def replay(seq):
+        n, total, m, mn, mx = 0, 0.0, 0.0, 0.0, 0.0
+        for x in seq:
+            n += 1
+            total += x
+            m += x - total / n - 0.0
+            mn = min(mn, m)
+            mx = max(mx, m)
+        return n, m - mn, mx - m
+
+    with topic.publish() as pub:
+        for i, v in enumerate(batch1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = page_hinkley_per_group(db.subscribe("pht"), "g", "v", lam=lam)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ph_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "ph_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM ph_out").toPandas()
+        assert len(pdf) == 1
+        n1, up1, dn1 = replay(batch1)
+        row = pdf.iloc[0]
+        assert row.n == n1 == 6
+        assert row.ph_up == up1 and row.ph_down == dn1  # bit-identical
+        assert not row.alarm_up and not row.alarm_down  # quiet pre-shift
+
+        with topic.publish() as pub:
+            for i, v in enumerate(batch2):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM ph_out ORDER BY n").toPandas()
+        assert len(pdf) == 2
+        n2, up2, dn2 = replay(batch1 + batch2)
+        row2 = pdf.iloc[1]
+        assert row2.n == n2 == 13
+        assert row2.ph_up == up2 and row2.ph_down == dn2
+        assert row2.alarm_up and not row2.alarm_down  # shift detected
+    finally:
+        q.stop()
