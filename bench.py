@@ -186,6 +186,7 @@ EXTRAS = [
     # round-9 additions
     "q_ks_drift",
     "q_changepoint_cusum",
+    "q_page_hinkley",
 ]
 
 

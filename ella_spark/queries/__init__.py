@@ -117,6 +117,7 @@ def _load() -> None:
 _NEW_THIS_ROUND: set[str] = {
     "q_ks_drift",
     "q_changepoint_cusum",
+    "q_page_hinkley",
 }
 
 # newest hash-green = r5 — the oldest hard records (the r5-tier

@@ -1615,3 +1615,88 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_PH_LAMBDA = 100.0
+
+
+@register(
+    "q_page_hinkley",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, epoch_ns(ts) AS tns, event_id, value
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT event_type,
+             row_number() OVER win AS rn,
+             sum(value) OVER win AS cs
+      FROM c
+      WINDOW win AS (PARTITION BY event_type ORDER BY tns, event_id)),
+    m AS (
+      SELECT event_type, rn,
+             cs - sum(cs / rn) OVER win2 AS m
+      FROM w
+      WINDOW win2 AS (PARTITION BY event_type ORDER BY rn)),
+    g AS (
+      SELECT event_type,
+             CAST(max(rn) AS BIGINT) AS n,
+             round(max_by(m, rn) - least(min(m), 0.0), 6) AS ph_up,
+             round(greatest(max(m), 0.0) - max_by(m, rn), 6) AS ph_down
+      FROM m GROUP BY event_type)
+    SELECT event_type, n, ph_up, ph_down,
+           ph_up > {_PH_LAMBDA} AS alarm_up,
+           ph_down > {_PH_LAMBDA} AS alarm_down
+    FROM g ORDER BY event_type
+    """,
+    doc="Batch Page-Hinkley mean-shift statistic per event_type — the "
+    "replayable form of the streaming page_hinkley_per_group detector "
+    "(streaming/stateful.py), sharing its recurrence exactly: "
+    "m_t = Σx_i − Σ_i prefix_mean(i) (δ=0), ph_up = m_T − min(0, m), "
+    "ph_down = max(0, m) − m_T (the 0 is the detector's initial "
+    "excursion state). The sequential recurrence is SQL-expressible "
+    "as a cumulative of a cumulative: cs_t = running sum, then "
+    "m_t = cs_t − running_sum(cs_i / i) — TWO ordered window passes "
+    "over ONE (type)-keyed shuffle, both engines accumulating doubles "
+    "in identical frame order; alarms are derived from the round(6) "
+    "values so boundary ulps cannot flip a boolean. At 100 TB the "
+    "ordered windows ride the type shuffle's partition sort — the "
+    "same single-shuffle shape as q_rolling_zscore.",
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type", F.col("ts").alias("tns"), "event_id", "value"
+    )
+    win = Window.partitionBy("event_type").orderBy("tns", "event_id")
+    w = c.select(
+        "event_type",
+        F.row_number().over(win).alias("rn"),
+        F.sum("value").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+    )
+    win2 = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = w.select(
+        "event_type",
+        "rn",
+        (F.col("cs") - F.sum(F.col("cs") / F.col("rn")).over(win2)).alias("m"),
+    )
+    g = m.groupBy("event_type").agg(
+        F.max("rn").cast("bigint").alias("n"),
+        F.round(
+            F.expr("max_by(m, rn)") - F.least(F.min("m"), F.lit(0.0)), 6
+        ).alias("ph_up"),
+        F.round(
+            F.greatest(F.max("m"), F.lit(0.0)) - F.expr("max_by(m, rn)"), 6
+        ).alias("ph_down"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "ph_up",
+        "ph_down",
+        (F.col("ph_up") > _PH_LAMBDA).alias("alarm_up"),
+        (F.col("ph_down") > _PH_LAMBDA).alias("alarm_down"),
+    ).orderBy("event_type")

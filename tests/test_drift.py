@@ -486,3 +486,48 @@ def test_ks_drift_sql_tvf(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown table"):
         db.query("SELECT * FROM ks_drift('nope', 'v', 'kind')")
+
+
+def test_page_hinkley_batch_matches_sequential_replay(spark, tmp_path):
+    """The batch q_page_hinkley window formulation (cumulative of a
+    cumulative) equals the detector's sequential recurrence replayed
+    in pure Python — the algebraic identity m_t = cs_t − Σ cs_i/i the
+    streaming operator relies on, plus the alarm on a known shift."""
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    series = {
+        "shift": [10.0] * 8 + [60.0] * 8,   # +50 mean shift
+        "flat": [5.0] * 16,
+    }
+    rows, i = [], 0
+    for et, vals in series.items():
+        for v in vals:
+            rows.append((i, datetime(2024, 1, 1, 0, 0, i % 60, i), i, et, v))
+            i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = (
+        all_queries()["q_page_hinkley"](spark, sf)
+        .toPandas()
+        .set_index("event_type")
+    )
+
+    def replay(seq):
+        n, total, m, mn, mx = 0, 0.0, 0.0, 0.0, 0.0
+        for x in seq:
+            n += 1
+            total += x
+            m += x - total / n
+            mn = min(mn, m)
+            mx = max(mx, m)
+        return n, round(m - mn, 6), round(mx - m, 6)
+
+    for et, vals in series.items():
+        n, up, dn = replay(vals)
+        assert out.loc[et, "n"] == n
+        assert out.loc[et, "ph_up"] == up, et
+        assert out.loc[et, "ph_down"] == dn, et
+    assert bool(out.loc["shift", "alarm_up"]) is True
+    assert bool(out.loc["flat", "alarm_up"]) is False
+    assert not out.alarm_down.any()
