@@ -187,6 +187,7 @@ EXTRAS = [
     "q_ks_drift",
     "q_changepoint_cusum",
     "q_page_hinkley",
+    "q_js_divergence",
 ]
 
 

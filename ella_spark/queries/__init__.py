@@ -118,6 +118,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ks_drift",
     "q_changepoint_cusum",
     "q_page_hinkley",
+    "q_js_divergence",
 }
 
 # newest hash-green = r5 — the oldest hard records (the r5-tier

@@ -1930,3 +1930,108 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@register(
+    "q_js_divergence",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    ext AS (SELECT min(vc) AS lo, max(vc) AS hi FROM c),
+    b AS (
+      SELECT c.event_type,
+             CASE WHEN ext.hi > ext.lo
+                  THEN least(((c.vc - ext.lo) * {_PSI_BUCKETS})
+                             // (ext.hi - ext.lo), {_PSI_BUCKETS - 1})
+                  ELSE 0 END AS bucket
+      FROM c, ext),
+    tb AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c_tb
+      FROM b GROUP BY event_type, bucket),
+    tot AS (
+      SELECT event_type, CAST(sum(c_tb) AS BIGINT) AS n_t
+      FROM tb GROUP BY event_type),
+    bk AS (
+      SELECT bucket, CAST(sum(c_tb) AS BIGINT) AS c_b
+      FROM tb GROUP BY bucket),
+    n AS (SELECT CAST(sum(c_tb) AS BIGINT) AS big_n FROM tb),
+    grid AS (
+      SELECT t.event_type, t.n_t, bk.bucket, bk.c_b, n.big_n
+      FROM tot t CROSS JOIN bk CROSS JOIN n),
+    j AS (
+      SELECT g.event_type, g.n_t,
+             CAST(COALESCE(tb.c_tb, 0) AS DOUBLE) / g.n_t AS p,
+             CAST(g.c_b AS DOUBLE) / g.big_n AS q
+      FROM grid g
+      LEFT JOIN tb ON tb.event_type = g.event_type
+                  AND tb.bucket = g.bucket)
+    SELECT event_type, CAST(n_t AS BIGINT) AS n,
+           round(sum(
+             CASE WHEN p > 0
+                  THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+             + 0.5 * q * ln(2.0 * q / (p + q))), 6) AS js
+    FROM j GROUP BY event_type, n_t ORDER BY event_type
+    """,
+    doc="Jensen-Shannon divergence per event_type vs the pooled value "
+    "distribution — the BOUNDED, symmetric member of the divergence "
+    "family (PSI is unbounded and blows up on vanishing buckets; JS "
+    "is always in [0, ln 2] and defined for any pair of histograms, "
+    "so it is the score you can threshold uniformly across slices). "
+    "Same exact-int64 10-bucket frame as q_psi_drift; the per-type "
+    "evaluation grid is types x ACTIVE buckets (<= types x 10 rows, "
+    "the q_benford_deviation constant-grid pattern) so pooled-only "
+    "buckets contribute their q-side term with p = 0 (0 ln 0 = 0, "
+    "dropped exactly; the mixture m = (p+q)/2 > 0 whenever either "
+    "side has mass). One (type, bucket) shuffle over the scan; "
+    "round(6) absorbs summation-order ulps. 100 TB: identical shape "
+    "to q_psi_drift — one scan + one tiny shuffle.",
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    B = _PSI_BUCKETS
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    ext = c.agg(F.min("vc").alias("lo"), F.max("vc").alias("hi"))
+    b = c.crossJoin(F.broadcast(ext)).select(
+        "event_type",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.expr(f"((vc - lo) * {B}) div (hi - lo)"),
+                F.lit(B - 1).cast("bigint"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bucket"),
+    )
+    tb = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("c_tb")
+    )
+    tb = tb.localCheckpoint()  # 3 consumers: totals, pooled, grid join
+    tot = tb.groupBy("event_type").agg(F.sum("c_tb").alias("n_t"))
+    bk = tb.groupBy("bucket").agg(F.sum("c_tb").alias("c_b"))
+    n = tb.agg(F.sum("c_tb").alias("big_n"))
+    grid = (
+        tot.crossJoin(F.broadcast(bk)).crossJoin(F.broadcast(n))
+    )
+    j = grid.join(tb, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "n_t",
+        (
+            F.coalesce(F.col("c_tb"), F.lit(0)).cast("double") / F.col("n_t")
+        ).alias("p"),
+        (F.col("c_b").cast("double") / F.col("big_n")).alias("q"),
+    )
+    p, q = F.col("p"), F.col("q")
+    term = (
+        F.when(p > 0, 0.5 * p * F.log(2.0 * p / (p + q))).otherwise(0.0)
+        + 0.5 * q * F.log(2.0 * q / (p + q))
+    )
+    return (
+        j.groupBy("event_type", F.col("n_t").cast("bigint").alias("n"))
+        .agg(F.round(F.sum(term), 6).alias("js"))
+        .orderBy("event_type")
+    )

@@ -531,3 +531,39 @@ def test_page_hinkley_batch_matches_sequential_replay(spark, tmp_path):
     assert bool(out.loc["shift", "alarm_up"]) is True
     assert bool(out.loc["flat", "alarm_up"]) is False
     assert not out.alarm_down.any()
+
+
+def test_js_divergence_bounds_and_identity(spark, tmp_path):
+    """JS is exactly 0 when every slice equals the pooled mix, and
+    equals its closed form (in [0, ln 2]) on a disjoint-support pair —
+    for a = {bucket 0}, b = {bucket 9} with equal mass the pooled mix
+    is 50/50, so per slice JS = 0.5·ln 2 + 0.5·0.5·ln(0.5/0.5)…
+    computed exactly in the test."""
+    import math
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    rows, i = [], 0
+    for et in ("a", "b"):
+        for v in (1.0, 11.0, 21.0, 31.0, 41.0):
+            rows.append((i, datetime(2024, 1, 1, 0, 0, i % 60), i, et, v))
+            i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_js_divergence"](spark, sf).toPandas()
+    assert len(out) == 2 and (out.js == 0.0).all()
+
+    # disjoint: a all at the low edge, b all at the high edge
+    rows = [
+        (0, datetime(2024, 1, 1), 0, "a", 0.0),
+        (1, datetime(2024, 1, 1), 1, "a", 0.0),
+        (2, datetime(2024, 1, 1), 2, "b", 100.0),
+        (3, datetime(2024, 1, 1), 3, "b", 100.0),
+    ]
+    sf2 = _write_events(spark, tmp_path / "d2", rows)
+    out2 = all_queries()["q_js_divergence"](spark, sf2).toPandas()
+    # each slice, own bucket (p=1, q=.5): 0.5*ln(4/3) + 0.25*ln(2/3);
+    # other bucket (p=0, q=.5): 0.25*ln 2 -> total 0.75*ln(4/3)
+    want = round(0.75 * math.log(4.0 / 3.0), 6)
+    assert (out2.js == want).all()
+    assert (out2.js <= math.log(2.0)).all()

@@ -53,6 +53,9 @@ BNLJ_BOUNDED = {
     "q_ks_drift",  # pooled-values frame x event types (an enumerable
     # profiling dimension): the ECDF evaluation grid, bounded by the
     # value domain x slice count — never by row count
+    "q_js_divergence",  # 1-row extrema broadcast onto the scan +
+    # types x <=10 active-bucket grid (the q_psi_drift /
+    # q_benford_deviation constant-grid pattern)
 }
 
 
