@@ -211,6 +211,14 @@ _KS_DRIFT_RE = re.compile(
     r"\bks_drift\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
     re.I,
 )
+#: table-valued `cusum_drift('<table>', '<value_col>', '<slice_col>'
+#: [, '<time_col>'])` — CUSUM changepoint localization per slice over
+#: day buckets of the time column (operators/drift.py cusum_by_slice).
+_CUSUM_DRIFT_RE = re.compile(
+    r"\bcusum_drift\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*'([^']+)')?\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -450,6 +458,8 @@ class Ella:
             sql = self._rewrite_chi2_drift(sql)
         if _KS_DRIFT_RE.search(sql):
             sql = self._rewrite_ks_drift(sql)
+        if _CUSUM_DRIFT_RE.search(sql):
+            sql = self._rewrite_cusum_drift(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         return self.spark.sql(sql)
@@ -967,6 +977,8 @@ class Ella:
                 sql = self._rewrite_chi2_drift(sql)
             if _KS_DRIFT_RE.search(sql):
                 sql = self._rewrite_ks_drift(sql)
+            if _CUSUM_DRIFT_RE.search(sql):
+                sql = self._rewrite_cusum_drift(sql)
             if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.hidden_sql:
@@ -1878,6 +1890,8 @@ class Ella:
             sql = self._rewrite_chi2_drift(sql)
         if _KS_DRIFT_RE.search(sql):
             sql = self._rewrite_ks_drift(sql)
+        if _CUSUM_DRIFT_RE.search(sql):
+            sql = self._rewrite_cusum_drift(sql)
         try:
             terms = []
             for i in range(n_tables):
@@ -2072,6 +2086,8 @@ class Ella:
             sql = self._rewrite_chi2_drift(sql)
         if _KS_DRIFT_RE.search(sql):
             sql = self._rewrite_ks_drift(sql)
+        if _CUSUM_DRIFT_RE.search(sql):
+            sql = self._rewrite_cusum_drift(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         m = _INSERT_RE.match(sql)
@@ -2249,6 +2265,36 @@ class Ella:
                 raise ValueError(f"ks_drift: unknown table {table!r}")
             res = ks_by_slice(self._frame_for(entry), value_col, slice_col)
             view = f"__ks_drift_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_cusum_drift(self, sql: str) -> str:
+        """Table-valued CUSUM changepoint in plain SQL:
+
+            SELECT * FROM cusum_drift('events_t', 'value', 'kind')
+            SELECT * FROM cusum_drift('t', 'v', 'k', 'time')
+
+        args: any catalog object, a numeric value column, a slice
+        column, optional epoch-ns time column (default: the topic's
+        mandatory `time`). Localizes WHEN each slice's level shifted
+        (operators/drift.py cusum_by_slice, day buckets); same
+        durable-text re-rewrite contract as the other drift TVFs."""
+        from ella_spark.operators.drift import cusum_by_slice
+
+        repls = []
+        for m in _CUSUM_DRIFT_RE.finditer(sql):
+            table, value_col, slice_col, time_col = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"cusum_drift: unknown table {table!r}")
+            res = cusum_by_slice(
+                self._frame_for(entry),
+                value_col,
+                slice_col,
+                time_col or TIME_COLUMN,
+            )
+            view = f"__cusum_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)

@@ -187,3 +187,76 @@ def ks_by_slice(
         )
         .orderBy(slice_col)
     )
+
+
+def cusum_by_slice(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    time_col: str,
+    bucket_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """CUSUM changepoint localization of ``value_col`` per
+    ``slice_col`` slice over ``bucket_ns``-wide time buckets of
+    ``time_col`` (epoch-ns long; default day buckets) — the engine
+    surface behind the SQL ``cusum_drift('<table>', '<value_col>',
+    '<slice_col>' [, '<time_col>'])`` TVF and the generalized form of
+    the q_changepoint_cusum registry query: PSI/KS/chi² say WHETHER a
+    slice moved; CUSUM says WHEN.
+
+    W_d = cumsum(s_d) − mean·cumsum(c_d) over the bucketed series;
+    the changepoint is argmax_d |W_d| (min bucket on ties). Returns
+    (slice, cp_bucket, n_buckets, cusum_max). NULL/NaN excluded.
+
+    Scale shape: ONE (slice, bucket) groupBy shuffle over the scan;
+    cumulative and whole-partition windows all ride the same slice
+    keying on the O(slices × buckets) aggregated frame.
+    """
+    c = df.select(
+        F.col(slice_col).cast("string").alias("_slice"),
+        # integer div, not double division (ns magnitudes lose ulps)
+        F.expr(f"CAST(`{time_col}` AS BIGINT) div {bucket_ns}").alias(
+            "_bucket"
+        ),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    d = c.groupBy("_slice", "_bucket").agg(
+        F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    win = (
+        Window.partitionBy("_slice")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_slice")
+    w = d.withColumns(
+        {
+            "_cs": F.sum("_s").over(win),
+            "_cc": F.sum("_c").over(win),
+            "_s_tot": F.sum("_s").over(w_all),
+            "_c_tot": F.sum("_c").over(w_all),
+        }
+    )
+    w_abs = F.abs(
+        F.col("_cs") - F.col("_s_tot") * F.col("_cc") / F.col("_c_tot")
+    )
+    k = w.select("_slice", "_bucket", w_abs.alias("_w_abs"))
+    r = k.select(
+        "_slice",
+        "_bucket",
+        "_w_abs",
+        F.row_number()
+        .over(w_all.orderBy(F.col("_w_abs").desc(), "_bucket"))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n_buckets"),
+    )
+    return (
+        r.where(F.col("_rn") == 1)
+        .select(
+            F.col("_slice").alias(slice_col),
+            F.col("_bucket").alias("cp_bucket"),
+            F.col("_n_buckets").alias("n_buckets"),
+            F.round("_w_abs", 6).alias("cusum_max"),
+        )
+        .orderBy(slice_col)
+    )

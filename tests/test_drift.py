@@ -567,3 +567,40 @@ def test_js_divergence_bounds_and_identity(spark, tmp_path):
     want = round(0.75 * math.log(4.0 / 3.0), 6)
     assert (out2.js == want).all()
     assert (out2.js <= math.log(2.0)).all()
+
+
+def test_cusum_drift_sql_tvf(spark, tmp_path):
+    """SQL surface: cusum_drift('<table>', 'value', 'slice') localizes
+    each slice's level shift over day buckets of the topic's time
+    column; matches the closed form on a one-observation-per-day
+    series (peak |W| at the last pre-shift day = n_pre*|mu_pre − mu|);
+    stored VIEW keeps the durable text; unknown table raises."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    day = 86_400_000_000_000
+    with t.publish() as pub:
+        for d in range(1, 21):  # shift at day 11: 10 -> 50
+            pub.write(d * day + 1, "s", 10.0 if d <= 10 else 50.0)
+        for d in range(1, 21):
+            pub.write(d * day + 2, "f", 7.0)  # flat
+
+    out = db.query(
+        "SELECT * FROM cusum_drift('m', 'v', 'kind') ORDER BY kind"
+    ).df.toPandas().set_index("kind")
+    assert out.loc["s", "cp_bucket"] == 10  # last pre-shift day
+    assert out.loc["s", "cusum_max"] == 200.0  # 10 * |10 - 30|
+    assert out.loc["f", "cusum_max"] == 0.0
+    assert out.loc["f", "cp_bucket"] == 1  # min-bucket tie-break
+    assert (out.n_buckets == 20).all()
+
+    db.query("CREATE VIEW cpv AS SELECT * FROM cusum_drift('m', 'v', 'kind')")
+    assert "cusum_drift" in db.store.resolve("cpv").sql
+    out2 = db.query("SELECT * FROM cpv ORDER BY kind").df.toPandas()
+    assert len(out2) == 2
+
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM cusum_drift('nope', 'v', 'kind')")
