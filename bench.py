@@ -188,6 +188,8 @@ EXTRAS = [
     "q_changepoint_cusum",
     "q_page_hinkley",
     "q_js_divergence",
+    "q_earth_movers",
+    "q_autocorrelation",
 ]
 
 

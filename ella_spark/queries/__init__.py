@@ -119,6 +119,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_changepoint_cusum",
     "q_page_hinkley",
     "q_js_divergence",
+    "q_earth_movers",
+    "q_autocorrelation",
 }
 
 # newest hash-green = r5 — the oldest hard records (the r5-tier

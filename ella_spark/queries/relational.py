@@ -2035,3 +2035,92 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("js"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_earth_movers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    tv AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c_tv
+      FROM c GROUP BY event_type, vc),
+    vals AS (SELECT vc, CAST(sum(c_tv) AS BIGINT) AS c_v FROM tv GROUP BY vc),
+    pooled AS (
+      SELECT vc, sum(c_v) OVER (ORDER BY vc) AS cum_all,
+             (SELECT sum(c_v) FROM vals) AS big_n
+      FROM vals),
+    types AS (
+      SELECT event_type, CAST(sum(c_tv) AS BIGINT) AS n_t
+      FROM tv GROUP BY event_type),
+    ft AS (
+      SELECT g.event_type, g.n_t, g.vc, g.cum_all, g.big_n,
+             sum(COALESCE(tv.c_tv, 0))
+               OVER (PARTITION BY g.event_type ORDER BY g.vc) AS cum_t,
+             lead(g.vc)
+               OVER (PARTITION BY g.event_type ORDER BY g.vc) AS next_vc
+      FROM (SELECT t.event_type, t.n_t, p.vc, p.cum_all, p.big_n
+            FROM types t CROSS JOIN pooled p) g
+      LEFT JOIN tv ON tv.event_type = g.event_type AND tv.vc = g.vc)
+    SELECT event_type, n_t AS n,
+           round(sum(abs(CAST(cum_t AS DOUBLE) / n_t
+                         - CAST(cum_all AS DOUBLE) / big_n)
+                     * (next_vc - vc)) / 100.0, 6) AS emd
+    FROM ft WHERE next_vc IS NOT NULL
+    GROUP BY event_type, n_t ORDER BY event_type
+    """,
+    doc="1-D earth mover's (Wasserstein-1) distance per event_type vs "
+    "the pooled value distribution — the third member of the distance "
+    "trio: KS reports the WORST ECDF gap, JS the information "
+    "divergence, EMD the total transport COST IN VALUE UNITS ('how "
+    "far, on average, must mass move'), the one that scales with "
+    "shift magnitude where KS saturates. Closed form in 1-D: "
+    "EMD = ∫|F_t − F_p| dx = Σ_i |F_t(v_i) − F_p(v_i)|·(v_{i+1} − "
+    "v_i) over the sorted pooled grid (both ECDFs constant between "
+    "points — the same step-function reduction as q_ks_drift, whose "
+    "exact int64 cumulative-count frame this reuses verbatim, plus "
+    "one lead() for the gap; /100 converts centi-units back). Same "
+    "plan: ONE (type, value) shuffle, checkpointed aggregated frame, "
+    "grid bounded by the value domain. round(6) absorbs "
+    "summation-order ulps.",
+)
+def q_earth_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    tv = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
+    tv = tv.localCheckpoint()  # 3 consumers (the q_ks_drift pattern)
+    vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
+    w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    pooled = vals.select(
+        "vc",
+        F.sum("c_v").over(w_vc).alias("cum_all"),
+        F.sum("c_v").over(Window.partitionBy()).alias("big_n"),
+    )
+    types = tv.groupBy("event_type").agg(F.sum("c_tv").alias("n_t"))
+    grid = pooled.crossJoin(F.broadcast(types))
+    w_t = Window.partitionBy("event_type").orderBy("vc")
+    ft = grid.join(tv, ["event_type", "vc"], "left").withColumns(
+        {
+            "cum_t": F.sum(F.coalesce(F.col("c_tv"), F.lit(0))).over(
+                w_t.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            "next_vc": F.lead("vc").over(w_t),
+        }
+    )
+    term = (
+        F.abs(
+            F.col("cum_t").cast("double") / F.col("n_t")
+            - F.col("cum_all").cast("double") / F.col("big_n")
+        )
+        * (F.col("next_vc") - F.col("vc"))
+    )
+    return (
+        ft.where(F.col("next_vc").isNotNull())
+        .groupBy("event_type", F.col("n_t").alias("n"))
+        .agg(F.round(F.sum(term) / 100.0, 6).alias("emd"))
+        .orderBy("event_type")
+    )

@@ -1700,3 +1700,74 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ph_up") > _PH_LAMBDA).alias("alarm_up"),
         (F.col("ph_down") > _PH_LAMBDA).alias("alarm_down"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_autocorrelation",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, epoch_ns(ts) // {_CUSUM_DAY_NS} AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT event_type, day,
+             CAST(sum(vc) AS DOUBLE) / (100.0 * count(*)) AS m
+      FROM c GROUP BY event_type, day),
+    l AS (
+      SELECT event_type, day, m,
+             lead(m, 1) OVER win AS m1,
+             lead(m, 2) OVER win AS m2,
+             lead(m, 3) OVER win AS m3
+      FROM d
+      WINDOW win AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(m, m1), 6) AS acf1,
+           round(corr(m, m2), 6) AS acf2,
+           round(corr(m, m3), 6) AS acf3
+    FROM l GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Daily-series autocorrelation (lags 1-3) per event_type — the "
+    "seasonality/persistence diagnostic next to q_seasonal_baseline "
+    "(which assumes a 24 h cycle; ACF measures whether and at what "
+    "lag memory actually exists, and a high lag-k ACF is what "
+    "justifies per-key incremental state like EWMA at all). Daily "
+    "means derive from exact int64 centi-unit sums (one (type, day) "
+    "groupBy shuffle); the lag alignment is lead() over the "
+    "O(types × days) aggregated frame (no self-join), and corr() is "
+    "the same cross-engine-proven aggregate as q_corr_covar. "
+    "round(6) absorbs accumulation ulps. 100 TB: one scan + one "
+    "keyed shuffle; everything after runs on the bounded daily "
+    "frame.",
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr(f"ts div {_CUSUM_DAY_NS}").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    d = c.groupBy("event_type", "day").agg(
+        (
+            F.sum("vc").cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)))
+        ).alias("m")
+    )
+    win = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.withColumns(
+        {
+            "m1": F.lead("m", 1).over(win),
+            "m2": F.lead("m", 2).over(win),
+            "m3": F.lead("m", 3).over(win),
+        }
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("m", "m1"), 6).alias("acf1"),
+            F.round(F.corr("m", "m2"), 6).alias("acf2"),
+            F.round(F.corr("m", "m3"), 6).alias("acf3"),
+        )
+        .orderBy("event_type")
+    )

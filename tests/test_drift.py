@@ -604,3 +604,67 @@ def test_cusum_drift_sql_tvf(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown table"):
         db.query("SELECT * FROM cusum_drift('nope', 'v', 'kind')")
+
+
+def test_earth_movers_closed_form_and_identity(spark, tmp_path):
+    """EMD is 0 for identical slices; on the disjoint pair a = {0},
+    b = {100} with equal mass, each slice's |F_t − F_p| is 0.5 across
+    the whole [0, 100] gap → EMD = 0.5 · 100 = 50 value units — and
+    unlike KS (which is 0.5 for ANY disjoint pair) it scales with the
+    shift distance: moving b to {200} doubles it."""
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    rows, i = [], 0
+    for et in ("a", "b"):
+        for v in (1.0, 11.0, 21.0, 31.0, 41.0):
+            rows.append((i, datetime(2024, 1, 1, 0, 0, i % 60), i, et, v))
+            i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_earth_movers"](spark, sf).toPandas()
+    assert len(out) == 2 and (out.emd == 0.0).all()
+
+    def disjoint(hi, sub):
+        rows = [
+            (0, datetime(2024, 1, 1), 0, "a", 0.0),
+            (1, datetime(2024, 1, 1), 1, "a", 0.0),
+            (2, datetime(2024, 1, 1), 2, "b", hi),
+            (3, datetime(2024, 1, 1), 3, "b", hi),
+        ]
+        sfx = _write_events(spark, tmp_path / sub, rows)
+        return all_queries()["q_earth_movers"](spark, sfx).toPandas()
+
+    out100 = disjoint(100.0, "d1")
+    assert (out100.emd == 50.0).all()
+    out200 = disjoint(200.0, "d2")
+    assert (out200.emd == 100.0).all()  # scales with distance
+
+
+def test_autocorrelation_exact_alternating_and_linear(spark, tmp_path):
+    """ACF closed forms: an exactly alternating daily series has
+    acf1 = −1, acf2 = +1, acf3 = −1; a linear trend has every lag's
+    ACF = +1 (both series are affine images of each other)."""
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    rows, i = [], 0
+    for d in range(1, 13):
+        rows.append((i, datetime(2024, 1, d), i, "alt", 10.0 if d % 2 else -10.0))
+        i += 1
+    for d in range(1, 13):
+        rows.append((i, datetime(2024, 1, d), i, "lin", float(d)))
+        i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = (
+        all_queries()["q_autocorrelation"](spark, sf)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert (out.n_days == 12).all()
+    assert out.loc["alt", "acf1"] == -1.0
+    assert out.loc["alt", "acf2"] == 1.0
+    assert out.loc["alt", "acf3"] == -1.0
+    assert out.loc["lin", "acf1"] == 1.0
+    assert out.loc["lin", "acf3"] == 1.0

@@ -56,6 +56,8 @@ BNLJ_BOUNDED = {
     "q_js_divergence",  # 1-row extrema broadcast onto the scan +
     # types x <=10 active-bucket grid (the q_psi_drift /
     # q_benford_deviation constant-grid pattern)
+    "q_earth_movers",  # same bounded grid as q_ks_drift (pooled
+    # values x event types, bounded by the value domain)
 }
 
 
