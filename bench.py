@@ -190,6 +190,7 @@ EXTRAS = [
     "q_js_divergence",
     "q_earth_movers",
     "q_autocorrelation",
+    "q_trend_robust",
 ]
 
 

@@ -121,6 +121,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_js_divergence",
     "q_earth_movers",
     "q_autocorrelation",
+    "q_trend_robust",
 }
 
 # newest hash-green = r5 — the oldest hard records (the r5-tier

@@ -1771,3 +1771,89 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_trend_robust",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, epoch_ns(ts) // {_CUSUM_DAY_NS} AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT event_type, day,
+             CAST(sum(vc) AS BIGINT) AS s_d,
+             CAST(count(*) AS BIGINT) AS c_d
+      FROM c GROUP BY event_type, day),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.s_d * a.c_d > a.s_d * b.c_d THEN 1
+                  WHEN b.s_d * a.c_d < a.s_d * b.c_d THEN -1
+                  ELSE 0 END AS sgn,
+             (CAST(b.s_d AS DOUBLE) / (100.0 * b.c_d)
+              - CAST(a.s_d AS DOUBLE) / (100.0 * a.c_d))
+               / (b.day - a.day) AS slope
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sgn) AS BIGINT) AS mk_s,
+           round(median(slope), 6) AS sen_slope
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Robust trend per event_type over the daily mean series: the "
+    "Mann-Kendall S statistic (Σ sign(x_j − x_i) over ordered day "
+    "pairs — EXACT integers: the sign of mean_b − mean_a is decided "
+    "by the cross-multiplied int64 centi-unit sums s_b·c_a vs "
+    "s_a·c_b, no float comparison anywhere) and the Theil-Sen slope "
+    "(median of pairwise slopes — the estimator a single outlier day "
+    "cannot move, unlike regr_slope). The pairwise join is over the "
+    "ALREADY-AGGREGATED O(types × days) frame, so pairs are "
+    "types × days²/2 — bounded by the calendar, not the row count "
+    "(30 days → 435 pairs/type at ANY scale factor; for multi-year "
+    "spans bucket to weeks first). One (type, day) groupBy shuffle "
+    "over the scan; median parity is the q_weighted_median-proven "
+    "aggregate; round(6) absorbs interpolation ulps.",
+)
+def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr(f"ts div {_CUSUM_DAY_NS}").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    d = c.groupBy("event_type", "day").agg(
+        F.sum("vc").alias("s_d"), F.count(F.lit(1)).alias("c_d")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    )
+    cross_b = F.col("b.s_d") * F.col("a.c_d")
+    cross_a = F.col("a.s_d") * F.col("b.c_d")
+    sgn = (
+        F.when(cross_b > cross_a, 1)
+        .when(cross_b < cross_a, -1)
+        .otherwise(0)
+    )
+    slope = (
+        F.col("b.s_d").cast("double") / (F.lit(100.0) * F.col("b.c_d"))
+        - F.col("a.s_d").cast("double") / (F.lit(100.0) * F.col("a.c_d"))
+    ) / (F.col("b.day") - F.col("a.day"))
+    p = pairs.select(
+        F.col("a.event_type").alias("event_type"),
+        sgn.alias("sgn"),
+        slope.alias("slope"),
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("sgn").cast("bigint").alias("mk_s"),
+            F.round(F.median("slope"), 6).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -668,3 +668,37 @@ def test_autocorrelation_exact_alternating_and_linear(spark, tmp_path):
     assert out.loc["alt", "acf3"] == -1.0
     assert out.loc["lin", "acf1"] == 1.0
     assert out.loc["lin", "acf3"] == 1.0
+
+
+def test_trend_robust_closed_forms(spark, tmp_path):
+    """Mann-Kendall / Theil-Sen closed forms: a strictly increasing
+    daily series has S = n_pairs = C(n,2) and Sen slope = the exact
+    common step; a constant series has S = 0 and slope 0; one wild
+    outlier day does NOT move the Sen slope (robustness — the
+    property regr_slope lacks)."""
+    from datetime import datetime
+
+    from ella_spark.queries import all_queries
+
+    rows, i = [], 0
+    for d in range(1, 11):
+        rows.append((i, datetime(2024, 1, d), i, "up", 2.0 * d))
+        i += 1
+    for d in range(1, 11):
+        rows.append((i, datetime(2024, 1, d), i, "flat", 5.0))
+        i += 1
+    for d in range(1, 11):  # linear slope 1 except day 5 at 1000
+        v = 1000.0 if d == 5 else float(d)
+        rows.append((i, datetime(2024, 1, d), i, "outlier", v))
+        i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = (
+        all_queries()["q_trend_robust"](spark, sf)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert (out.n_pairs == 45).all()  # C(10,2)
+    assert out.loc["up", "mk_s"] == 45 and out.loc["up", "sen_slope"] == 2.0
+    assert out.loc["flat", "mk_s"] == 0 and out.loc["flat", "sen_slope"] == 0.0
+    # 9 of 10 points sit on slope 1; the median pairwise slope is 1
+    assert out.loc["outlier", "sen_slope"] == 1.0
