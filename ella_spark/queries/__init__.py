@@ -104,10 +104,11 @@ def _load() -> None:
 #
 # Tier sets below were recomputed for round 9 from the union of
 # CORRECTNESS_r01–r08 (newest-green histogram: r8:50, r7:48, r6:50,
-# r5:35; never-green = only the 5 no-oracle names). No pins this
-# round — r8 closed 50/50 with zero open defects — so the prefix is
-# pure staleness rotation: all 35 r5-latest greens plus the first 15
-# registered r6-latest greens. The staleness invariant (no
+# r5:35; never-green = only the 5 no-oracle names). No defect pins
+# this round — r8 closed 50/50 — so the prefix is the 7 queries ADDED
+# in round 9 (first driver row), all 35 r5-latest greens, and the
+# first 8 registered r6-latest greens (7+35+8 = the checked-50; the
+# r6 remainder rotates in next round). The staleness invariant (no
 # oracle-paired name's newest green older than 3 rounds outside the
 # current prefix) is executable: tests/test_fixtures.py::
 # test_checked_prefix_staleness_bound recomputes it from the
