@@ -10,6 +10,7 @@ so the full Spark SQL surface (the DataFusion-27 superset, SURVEY.md
 
 from __future__ import annotations
 
+import collections
 import itertools
 import os
 import re
@@ -159,6 +160,28 @@ _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", 
 #: be clobbered between createOrReplaceTempView and analysis; a
 #: process-unique counter makes every rewrite's view name fresh.
 _TVF_VIEW_SEQ = itertools.count()
+
+#: bounded GC for TVF-rewrite views: unique names fix the clobbering
+#: race but would otherwise LEAK one temp view per rewrite in
+#: long-lived sessions (a drift dashboard polled each minute = 1440+
+#: catalog entries/day, ann_search views additionally pinning
+#: driver-collected query batches). Dropping is safe once the
+#: surrounding statement has been ANALYZED — spark.sql() resolves the
+#: view into the plan eagerly, and execution never re-consults the
+#: catalog — so a generous window of live names is kept and the
+#: oldest are dropped beyond it.
+_TVF_VIEW_LIVE: "collections.deque[str]" = collections.deque()
+_TVF_VIEW_CAP = 64
+
+
+def _register_tvf_view(spark, name: str) -> None:
+    _TVF_VIEW_LIVE.append(name)
+    while len(_TVF_VIEW_LIVE) > _TVF_VIEW_CAP:
+        old = _TVF_VIEW_LIVE.popleft()
+        try:
+            spark.catalog.dropTempView(old)
+        except Exception:
+            pass  # session restarted / already dropped
 
 
 def _splice_spans(sql: str, repls: list[tuple[int, int, str]]) -> str:
@@ -2151,6 +2174,7 @@ class Ella:
             )
             view = f"__ann_search_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
+            _register_tvf_view(self.spark, view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2189,6 +2213,7 @@ class Ella:
             )
             view = f"__point_lookup_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
+            _register_tvf_view(self.spark, view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2221,6 +2246,7 @@ class Ella:
             )
             view = f"__psi_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
+            _register_tvf_view(self.spark, view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2242,6 +2268,7 @@ class Ella:
             res = chi2_by_slice(self._frame_for(entry), slice_col, cat_col)
             view = f"__chi2_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
+            _register_tvf_view(self.spark, view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2266,6 +2293,7 @@ class Ella:
             res = ks_by_slice(self._frame_for(entry), value_col, slice_col)
             view = f"__ks_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
+            _register_tvf_view(self.spark, view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2296,6 +2324,7 @@ class Ella:
             )
             view = f"__cusum_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
+            _register_tvf_view(self.spark, view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 

@@ -151,6 +151,12 @@ def ks_by_slice(
     on O(slices × distinct values) rows. The grid is bounded by the
     VALUE DOMAIN, not the row count — for unbounded-cardinality
     doubles, quantize first (exactly the psi_by_slice bucketing).
+
+    NOTE: this is deliberately a self-contained twin of the registry
+    queries' `queries.relational._pooled_ecdf_frame` (generic column
+    names + raw doubles here vs the oracle-exact centi-unit frame
+    there); a fix to the frame shape should usually be applied to
+    both.
     """
     c = df.select(
         F.col(slice_col).cast("string").alias("_slice"),

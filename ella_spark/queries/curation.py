@@ -1327,7 +1327,8 @@ _NEYMAN_BUDGET = 10000
       FROM c GROUP BY event_type),
     sd AS (
       SELECT event_type, n_h,
-             sqrt((CAST(n_h AS DOUBLE) * sq - CAST(s AS DOUBLE) * s)
+             sqrt(greatest(CAST(n_h AS DOUBLE) * sq
+                           - CAST(s AS DOUBLE) * s, 0.0)
                   / (10000.0 * n_h * (n_h - 1))) AS s_h
       FROM g WHERE n_h >= 2),
     w AS (
@@ -1371,12 +1372,19 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_h, s, sq = F.col("n_h"), F.col("s"), F.col("sq")
     # products in DOUBLE: int64 n_h*sq wraps silently (non-ANSI) at
     # 100 TB stratum sizes; double loses only sub-1e-15 relative
-    # precision, identical rounding on both engines (see oracle doc)
+    # precision, identical rounding on both engines (see oracle doc).
+    # greatest(0, ...) clamps the numerator: for near-zero-variance
+    # large strata the rounded double difference can dip NEGATIVE
+    # (exact value >= 0 always), where Spark's sqrt returns NaN
+    # silently but DuckDB raises — the same loud/silent divergence
+    # the double cast exists to avoid.
     sd = g.where(n_h >= 2).select(
         "event_type",
         "n_h",
         F.sqrt(
-            (n_h.cast("double") * sq - s.cast("double") * s)
+            F.greatest(
+                n_h.cast("double") * sq - s.cast("double") * s, F.lit(0.0)
+            )
             / (F.lit(10000.0) * n_h * (n_h - 1))
         ).alias("s_h"),
     )

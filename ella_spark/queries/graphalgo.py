@@ -15,6 +15,7 @@ O(groups), never a within-group pair explosion.
 from __future__ import annotations
 
 import math
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -408,15 +409,23 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = max(1, math.ceil(edges.count() / 4_000_000))
     if edges.rdd.getNumPartitions() > n_parts:
         edges = edges.coalesce(n_parts)
-    edges.createOrReplaceTempView("__reach_edges")
-    return spark.sql(f"""
+    # unique per-call view name: two concurrent runs on the shared
+    # session must not clobber each other between view creation and
+    # the recursive query's analysis (the engine TVF-view contract)
+    view = f"__reach_edges_{uuid.uuid4().hex[:12]}"
+    edges.createOrReplaceTempView(view)
+    out = spark.sql(f"""
       WITH RECURSIVE r(node, depth) AS (
-        SELECT min(src), 0 FROM __reach_edges
+        SELECT min(src), 0 FROM {view}
         UNION ALL
         SELECT DISTINCT e.dst, r.depth + 1
-        FROM r JOIN __reach_edges e ON e.src = r.node
+        FROM r JOIN {view} e ON e.src = r.node
         WHERE r.depth < {_BFS_CAP}
       )
       SELECT node, CAST(min(depth) AS INT) AS depth
       FROM r GROUP BY node ORDER BY node
     """)
+    # analysis resolved the view into the plan; drop the name now so
+    # repeated calls don't accumulate catalog entries
+    spark.catalog.dropTempView(view)
+    return out

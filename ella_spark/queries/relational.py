@@ -1680,6 +1680,43 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pooled_ecdf_frame(ev):
+    """Shared frame of q_ks_drift / q_earth_movers (both derive from
+    sup/integral of |F_t − F_p| over the pooled step grid): per
+    (event_type, pooled distinct centi-value) row carrying the type's
+    cumulative count, the pooled cumulative, and both totals — exact
+    int64 throughout. The aggregated (type, value) frame is
+    localCheckpointed because it feeds THREE consumers (pooled
+    marginal, per-type totals, the evaluation grid); without the cut
+    each consumer replays the full events scan (measured: 3 scans).
+    Grid size is types × distinct values — bounded by the VALUE
+    DOMAIN, not the row count."""
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    tv = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
+    tv = tv.localCheckpoint()
+    vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
+    w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    pooled = vals.select(
+        "vc",
+        F.sum("c_v").over(w_vc).alias("cum_all"),
+        F.sum("c_v").over(Window.partitionBy()).alias("big_n"),
+    )
+    types = tv.groupBy("event_type").agg(F.sum("c_tv").alias("n_t"))
+    grid = pooled.crossJoin(F.broadcast(types))
+    return grid.join(tv, ["event_type", "vc"], "left").withColumn(
+        "cum_t",
+        F.sum(F.coalesce(F.col("c_tv"), F.lit(0))).over(
+            Window.partitionBy("event_type")
+            .orderBy("vc")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+
 @register(
     "q_ks_drift",
     oracle="""
@@ -1727,33 +1764,7 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    c = ev.where(F.col("value").isNotNull()).select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
-    )
-    tv = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
-    # materialize the aggregated frame: it feeds THREE consumers
-    # (pooled marginal, per-type totals, the grid join) and each would
-    # otherwise replay the full events scan (3 scans measured); tv is
-    # O(types × distinct values) — bounded by the value domain
-    tv = tv.localCheckpoint()
-    vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
-    w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
-    pooled = vals.select(
-        "vc",
-        F.sum("c_v").over(w_vc).alias("cum_all"),
-        F.sum("c_v").over(Window.partitionBy()).alias("big_n"),
-    )
-    types = tv.groupBy("event_type").agg(F.sum("c_tv").alias("n_t"))
-    grid = pooled.crossJoin(F.broadcast(types))
-    ft = grid.join(tv, ["event_type", "vc"], "left").withColumn(
-        "cum_t",
-        F.sum(F.coalesce(F.col("c_tv"), F.lit(0))).over(
-            Window.partitionBy("event_type")
-            .orderBy("vc")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    ft = _pooled_ecdf_frame(ev)
     d = F.abs(
         F.col("cum_t").cast("double") / F.col("n_t")
         - F.col("cum_all").cast("double") / F.col("big_n")
@@ -2087,29 +2098,9 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_earth_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    c = ev.where(F.col("value").isNotNull()).select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
-    )
-    tv = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
-    tv = tv.localCheckpoint()  # 3 consumers (the q_ks_drift pattern)
-    vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
-    w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
-    pooled = vals.select(
-        "vc",
-        F.sum("c_v").over(w_vc).alias("cum_all"),
-        F.sum("c_v").over(Window.partitionBy()).alias("big_n"),
-    )
-    types = tv.groupBy("event_type").agg(F.sum("c_tv").alias("n_t"))
-    grid = pooled.crossJoin(F.broadcast(types))
-    w_t = Window.partitionBy("event_type").orderBy("vc")
-    ft = grid.join(tv, ["event_type", "vc"], "left").withColumns(
-        {
-            "cum_t": F.sum(F.coalesce(F.col("c_tv"), F.lit(0))).over(
-                w_t.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-            "next_vc": F.lead("vc").over(w_t),
-        }
+    ft = _pooled_ecdf_frame(ev).withColumn(
+        "next_vc",
+        F.lead("vc").over(Window.partitionBy("event_type").orderBy("vc")),
     )
     term = (
         F.abs(

@@ -1787,8 +1787,10 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY event_type, day),
     p AS (
       SELECT a.event_type,
-             CASE WHEN b.s_d * a.c_d > a.s_d * b.c_d THEN 1
-                  WHEN b.s_d * a.c_d < a.s_d * b.c_d THEN -1
+             CASE WHEN CAST(b.s_d AS DECIMAL(19,0)) * a.c_d
+                       > CAST(a.s_d AS DECIMAL(19,0)) * b.c_d THEN 1
+                  WHEN CAST(b.s_d AS DECIMAL(19,0)) * a.c_d
+                       < CAST(a.s_d AS DECIMAL(19,0)) * b.c_d THEN -1
                   ELSE 0 END AS sgn,
              (CAST(b.s_d AS DOUBLE) / (100.0 * b.c_d)
               - CAST(a.s_d AS DOUBLE) / (100.0 * a.c_d))
@@ -1804,8 +1806,9 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Robust trend per event_type over the daily mean series: the "
     "Mann-Kendall S statistic (Σ sign(x_j − x_i) over ordered day "
     "pairs — EXACT integers: the sign of mean_b − mean_a is decided "
-    "by the cross-multiplied int64 centi-unit sums s_b·c_a vs "
-    "s_a·c_b, no float comparison anywhere) and the Theil-Sen slope "
+    "by the cross-multiplied centi-unit sums s_b·c_a vs s_a·c_b in "
+    "DECIMAL(38,0) — exact to 1e38, where int64 would wrap silently "
+    "past 2^63; no float comparison anywhere) and the Theil-Sen slope "
     "(median of pairwise slopes — the estimator a single outlier day "
     "cannot move, unlike regr_slope). The pairwise join is over the "
     "ALREADY-AGGREGATED O(types × days) frame, so pairs are "
@@ -1832,8 +1835,12 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b.event_type") == F.col("a.event_type"))
         & (F.col("b.day") > F.col("a.day")),
     )
-    cross_b = F.col("b.s_d") * F.col("a.c_d")
-    cross_a = F.col("a.s_d") * F.col("b.c_d")
+    # DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0): the cross
+    # product stays EXACT to 1e38 (int64 x int64 would wrap silently
+    # past 2^63 ~ 9.2e18 — reachable at ~1e12 centi-sum x 1e7 rows/day
+    # — while DuckDB raises; decimal keeps both engines exact & agreed)
+    cross_b = F.col("b.s_d").cast("decimal(19,0)") * F.col("a.c_d")
+    cross_a = F.col("a.s_d").cast("decimal(19,0)") * F.col("b.c_d")
     sgn = (
         F.when(cross_b > cross_a, 1)
         .when(cross_b < cross_a, -1)

@@ -1084,9 +1084,10 @@ _PH_STATE = StructType(
     [
         StructField("n", LongType()),
         StructField("total", DoubleType()),
-        StructField("m", DoubleType()),
-        StructField("m_min", DoubleType()),
-        StructField("m_max", DoubleType()),
+        StructField("m_up", DoubleType()),
+        StructField("up_min", DoubleType()),
+        StructField("m_dn", DoubleType()),
+        StructField("dn_max", DoubleType()),
     ]
 )
 
@@ -1105,25 +1106,31 @@ def page_hinkley_per_group(
     alarm as rows arrive, with O(1) scalars of state per key — the
     sequential-detection classic, Page 1954 / Hinkley 1971).
 
-    Per key, for each value x in event-time order:
+    Per key, for each value x in event-time order (TWO accumulators —
+    the classic two-sided form; a single shared accumulator with
+    delta > 0 drifts downward on a driftless stream and guarantees an
+    eventual false alarm_down):
 
         n += 1;  total += x;  mean = total / n
-        m += x − mean − delta
-        ph_up = m − min(m seen);  ph_down = max(m seen) − m
+        m_up += x − mean − delta;  ph_up   = m_up − min(m_up seen)
+        m_dn += x − mean + delta;  ph_down = max(m_dn seen) − m_dn
 
     ``delta`` is the magnitude tolerance (drifts smaller than delta
-    per observation don't accumulate); an alarm fires when the
-    two-sided excursion exceeds ``lam``. Emits one row per key per
-    micro-batch with the post-batch statistics (append mode) — the
-    caller watches for alarm_up/alarm_down transitions.
+    per observation don't accumulate; at delta = 0 both accumulators
+    coincide and equal the batch q_page_hinkley recurrence); an alarm
+    fires when the respective excursion exceeds ``lam``. Emits one
+    row per key per micro-batch with the post-batch statistics
+    (append mode) — the caller watches for alarm transitions.
 
-    State is FIVE scalars per key — the fixed-memory end of the drift
+    State is SIX scalars per key — the fixed-memory end of the drift
     family (the KS/PSI monitors keep O(domain)/O(buckets) state and
     score distribution shape; Page-Hinkley keeps O(1) and reacts to
     mean shifts). All chunks of the micro-batch are buffered and
-    sorted once by event time, so the update sequence is a pure
-    function of the (key, time)-ordered stream: a restart or a batch
-    replay of the same rows produces bit-identical doubles (the
+    sorted once by (event time, value) — the value tiebreak makes the
+    fold a pure function of the stream's (t, x) MULTISET even when
+    equal-time rows arrive from different source partitions (equal
+    (t, x) pairs commute through the recurrence) — so a restart or a
+    batch replay of the same rows produces bit-identical doubles (the
     rolling_zscore determinism contract).
     """
     import pyspark.sql.functions as F
@@ -1138,28 +1145,31 @@ def page_hinkley_per_group(
         import numpy as np
 
         if state.exists:
-            n, total, m, m_min, m_max = state.get
-            n, total, m = int(n), float(total), float(m)
-            m_min, m_max = float(m_min), float(m_max)
+            n, total, m_up, up_min, m_dn, dn_max = state.get
+            n, total = int(n), float(total)
+            m_up, up_min = float(m_up), float(up_min)
+            m_dn, dn_max = float(m_dn), float(dn_max)
         else:
-            n, total, m = 0, 0.0, 0.0
-            m_min, m_max = 0.0, 0.0
+            n, total = 0, 0.0
+            m_up, up_min, m_dn, dn_max = 0.0, 0.0, 0.0, 0.0
 
         chunks = [pdf for pdf in pdfs if len(pdf)]
         outs = []
         if chunks:
             batch = pd.concat(chunks, ignore_index=True)
-            batch = batch.sort_values("_t", kind="stable")
+            batch = batch.sort_values(["_t", "_v"], kind="stable")
             v = batch["_v"].to_numpy(dtype=np.float64)
             v = v[~np.isnan(v)]
             for x in v:
                 n += 1
                 total += float(x)
-                m += float(x) - total / n - delta
-                m_min = min(m_min, m)
-                m_max = max(m_max, m)
-            ph_up = m - m_min
-            ph_down = m_max - m
+                dev = float(x) - total / n
+                m_up += dev - delta
+                up_min = min(up_min, m_up)
+                m_dn += dev + delta
+                dn_max = max(dn_max, m_dn)
+            ph_up = m_up - up_min
+            ph_down = dn_max - m_dn
             outs.append(
                 pd.DataFrame(
                     [
@@ -1175,7 +1185,7 @@ def page_hinkley_per_group(
                 )
             )
 
-        state.update((n, total, m, m_min, m_max))
+        state.update((n, total, m_up, up_min, m_dn, dn_max))
         if outs:
             yield pd.concat(outs, ignore_index=True)
 

@@ -1290,3 +1290,50 @@ def test_page_hinkley_stream_matches_replay_and_alarms(db, spark):
         assert row2.alarm_up and not row2.alarm_down  # shift detected
     finally:
         q.stop()
+
+
+def test_page_hinkley_delta_no_false_alarm_on_driftless_stream(db, spark):
+    """Regression (r9 review): with delta > 0 a SINGLE shared
+    accumulator drifts down by delta per observation on a driftless
+    stream, guaranteeing a false alarm_down (simulated: fires at
+    ~observation 95 with delta=0.5, lam=50). The two-accumulator form
+    must stay quiet on 150 driftless observations and still raise
+    alarm_up on a genuine +30 shift."""
+    from ella_spark.streaming.stateful import page_hinkley_per_group
+
+    topic = db.create_topic(
+        "phd",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:
+        for i in range(150):  # stable around 10 (+/- 0.4, zero drift)
+            pub.write((i + 1) * ns, "g1", 10.0 + (0.4 if i % 2 else -0.4))
+
+    out = page_hinkley_per_group(
+        db.subscribe("phd"), "g", "v", delta=0.5, lam=50.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("phd_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "phd_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM phd_out").toPandas()
+        assert not pdf.alarm_up.any() and not pdf.alarm_down.any(), pdf
+
+        with topic.publish() as pub:  # genuine upward shift
+            for i in range(60):
+                pub.write((1000 + i) * ns, "g1", 40.0)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM phd_out ORDER BY n").toPandas()
+        last = pdf.iloc[-1]
+        assert last.alarm_up and not last.alarm_down
+    finally:
+        q.stop()
