@@ -191,6 +191,7 @@ EXTRAS = [
     "q_earth_movers",
     "q_autocorrelation",
     "q_trend_robust",
+    "q_burstiness",
 ]
 
 

@@ -123,6 +123,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_earth_movers",
     "q_autocorrelation",
     "q_trend_robust",
+    "q_burstiness",
 }
 
 # newest hash-green = r5 — the oldest hard records (the r5-tier

@@ -1864,3 +1864,76 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_burstiness",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, epoch_ns(ts) AS tns, event_id
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(lead(tns) OVER win - tns AS DOUBLE) / 1e9 AS gap_s
+      FROM c
+      WINDOW win AS (PARTITION BY event_type ORDER BY tns, event_id)),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             avg(gap_s) AS mu,
+             stddev_samp(gap_s) AS sigma
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY event_type)
+    SELECT event_type, n_gaps,
+           round(mu, 6) AS mean_gap_s,
+           round(sigma / mu, 6) AS cv,
+           round((sigma - mu) / (sigma + mu), 6) AS burstiness
+    FROM s WHERE n_gaps >= 2 ORDER BY event_type
+    """,
+    doc="Inter-arrival burstiness per event_type (Goh & Barabási "
+    "2008): over the gaps between consecutive events, "
+    "B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B ≈ −1 for a metronome (σ→0), "
+    "B = 0 for a Poisson process (σ = μ, the exponential's CV = 1), "
+    "B → 1 for extreme burst-and-silence traffic. The capacity-"
+    "planning diagnostic for ingest: a bursty slice needs peak "
+    "provisioning / smoothing that its mean rate hides; CV is "
+    "emitted alongside as the classic dispersion measure. One "
+    "lead() window and one aggregate, both keyed on event_type — a "
+    "single shuffle shared by both stages (the q_counter_rate / "
+    "q_time_weighted_avg plan shape); gaps derive from exact int64 "
+    "ns differences before the one division, and avg/stddev_samp "
+    "parity is the q_agg_stats-proven aggregate pair. round(6) "
+    "absorbs accumulation ulps. 100 TB: the window sort rides the "
+    "type shuffle's partition ordering.",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", F.col("ts").alias("tns"), "event_id")
+    win = Window.partitionBy("event_type").orderBy("tns", "event_id")
+    g = c.select(
+        "event_type",
+        ((F.lead("tns").over(win) - F.col("tns")).cast("double") / 1e9).alias(
+            "gap_s"
+        ),
+    )
+    s = (
+        g.where(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.avg("gap_s").alias("mu"),
+            F.stddev_samp("gap_s").alias("sigma"),
+        )
+    )
+    mu, sigma = F.col("mu"), F.col("sigma")
+    return (
+        s.where(F.col("n_gaps") >= 2)
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(sigma / mu, 6).alias("cv"),
+            F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )

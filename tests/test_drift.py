@@ -702,3 +702,41 @@ def test_trend_robust_closed_forms(spark, tmp_path):
     assert out.loc["flat", "mk_s"] == 0 and out.loc["flat", "sen_slope"] == 0.0
     # 9 of 10 points sit on slope 1; the median pairwise slope is 1
     assert out.loc["outlier", "sen_slope"] == 1.0
+
+
+def test_burstiness_closed_forms(spark, tmp_path):
+    """Burstiness closed forms: a metronome (constant gaps, σ = 0)
+    scores B = −1 and CV = 0; a two-gap pattern alternating 1 s and
+    3 s has μ = 2, σ² = sample variance of {1,3,...} — checked
+    against the exact numpy computation."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from ella_spark.queries import all_queries
+
+    rows, i = [], 0
+    t0 = datetime(2024, 1, 1)
+    for k in range(10):  # metronome: exact 60 s gaps
+        rows.append((i, t0 + timedelta(seconds=60 * k), i, "tick", 1.0))
+        i += 1
+    acc = 0
+    gaps = [1, 3] * 5  # alternating-gap bursty-ish series
+    for k, gsec in enumerate([0] + gaps[:-1]):
+        acc += gsec
+        rows.append((i, t0 + timedelta(seconds=acc), i, "alt", 1.0))
+        i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = (
+        all_queries()["q_burstiness"](spark, sf)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert out.loc["tick", "burstiness"] == -1.0
+    assert out.loc["tick", "cv"] == 0.0
+    assert out.loc["tick", "mean_gap_s"] == 60.0
+    g = np.array(gaps[:-1], dtype=float)  # 9 observed gaps
+    mu, sd = g.mean(), g.std(ddof=1)
+    assert out.loc["alt", "n_gaps"] == 9
+    assert abs(out.loc["alt", "burstiness"] - round((sd - mu) / (sd + mu), 6)) < 1e-9
+    assert abs(out.loc["alt", "cv"] - round(sd / mu, 6)) < 1e-9
