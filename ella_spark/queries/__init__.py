@@ -102,69 +102,70 @@ def _load() -> None:
 # re-verified locally every run by tests/test_oracle_parity.py
 # regardless of tier.
 #
-# Tier sets below were recomputed for round 9 from the union of
-# CORRECTNESS_r01–r08 (newest-green histogram: r8:50, r7:48, r6:50,
-# r5:35; never-green = only the 5 no-oracle names). No defect pins
-# this round — r8 closed 50/50 — so the prefix is the 7 queries ADDED
-# in round 9 (first driver row), all 35 r5-latest greens, and the
-# first 8 registered r6-latest greens (7+35+8 = the checked-50; the
-# r6 remainder rotates in next round). The staleness invariant (no
+# Tier sets below were recomputed for ROUND 10 from the union of
+# CORRECTNESS_r01-r09 (newest-green histogram: r9:50, r8:50, r7:48,
+# r6:43; never-green = only the 5 no-oracle names — verified
+# programmatically, see tools/rotation_audit.py). With current round
+# R=10 and MAX_STALE=3, every oracle-paired name whose newest green is
+# r6 would be 4 rounds stale outside the prefix, so the checked-50 is
+# exactly: queries ADDED this round (first driver row, at most
+# 50 - 43 = 7 of them — the executable growth budget,
+# tests/test_fixtures.py::test_next_round_rotation_budget_feasible),
+# then ALL 43 r6-latest greens, then r7 greens fill any remaining
+# slots in registration order. The staleness invariant (no
 # oracle-paired name's newest green older than 3 rounds outside the
 # current prefix) is executable: tests/test_fixtures.py::
 # test_checked_prefix_staleness_bound recomputes it from the
 # CORRECTNESS_r* files on disk every run.
 
 # Queries added this round rank 0 — first chance at a real driver row.
-_NEW_THIS_ROUND: set[str] = {
-    "q_ks_drift",
-    "q_changepoint_cusum",
-    "q_page_hinkley",
-    "q_js_divergence",
-    "q_earth_movers",
-    "q_autocorrelation",
-    "q_trend_robust",
-    "q_burstiness",
-}
+# HARD BUDGET: len(_NEW_THIS_ROUND) + 43 stale names must fit in the
+# checked-50 prefix, so at most 7 additions this round (enforced by
+# test_next_round_rotation_budget_feasible).
+_NEW_THIS_ROUND: set[str] = set()
 
-# newest hash-green = r5 — the oldest hard records (the r5-tier
-# remainder that overflowed r8's checked-50): promote first.
-_STALE_R5 = {
-    "q10_returned_items", "q14_promo_effect", "q3_shipping_priority",
-    "q5_local_supplier", "q6_forecast_revenue", "q_array_basics",
-    "q_bpe_merges", "q_case_cast_like", "q_ccnet_buckets",
-    "q_conditional_funcs", "q_corr_covar", "q_correlated_subquery",
-    "q_cross_join", "q_cube", "q_dedup_winnow_pairs", "q_distinct",
-    "q_full_outer_join", "q_grouping_sets", "q_having",
-    "q_in_subquery", "q_inverted_index", "q_label_centroid_dist",
-    "q_math_funcs", "q_non_equi_join", "q_order_limit_offset",
-    "q_outer_join", "q_quality_score", "q_quantile_rollup",
-    "q_rollup", "q_scalar_subquery", "q_semi_anti_join", "q_set_ops",
-    "q_string_funcs", "q_vector_arith", "q_vector_norms",
-}
-
-# newest hash-green = r6 — next-oldest; fill the remaining checked-50
-# slots in registration order (overflow rotates in next round).
-_R6_GREEN = {
-    "q1_pricing_summary", "q_agg_stats", "q_approx_top_k",
-    "q_bpe_encode", "q_chunk_documents", "q_clustering_coefficient",
-    "q_collocations", "q_containment_dedup", "q_date_bin_5min",
-    "q_date_trunc_parts", "q_dedup_edit_distance",
-    "q_doc_fingerprint", "q_ewma", "q_first_last_value",
-    "q_gini_concentration", "q_kcore", "q_knn_join", "q_lag_lead",
-    "q_lang_id", "q_lang_source_stats", "q_lateral_topn",
-    "q_latest_per_key", "q_m4_downsample", "q_mad_outliers",
-    "q_media_features", "q_mix_resample", "q_mode_per_group",
-    "q_ntile_percentiles", "q_pack_sequences", "q_pagerank",
-    "q_pii_scrub", "q_quality_repetition", "q_rank_per_group",
-    "q_readability", "q_repeated_span_removal", "q_running_sum",
-    "q_session_gaps", "q_span_cleaned_text", "q_string_agg",
+# newest hash-green = r6 — 4 rounds stale at round 10: the entire tier
+# MUST be re-checked this round (leads the prefix after the new names).
+_STALE_R6 = {
+    "q1_pricing_summary", "q_agg_stats", "q_approx_top_k", "q_bpe_encode",
+    "q_chunk_documents", "q_clustering_coefficient", "q_collocations",
+    "q_date_bin_5min", "q_date_trunc_parts", "q_ewma",
+    "q_first_last_value", "q_gini_concentration", "q_kcore", "q_lag_lead",
+    "q_lang_source_stats", "q_lateral_topn", "q_latest_per_key",
+    "q_m4_downsample", "q_mad_outliers", "q_media_features",
+    "q_mix_resample", "q_mode_per_group", "q_ntile_percentiles",
+    "q_pack_sequences", "q_pagerank", "q_pii_scrub",
+    "q_quality_repetition", "q_rank_per_group", "q_readability",
+    "q_running_sum", "q_session_gaps", "q_string_agg",
     "q_strip_boilerplate", "q_tfidf_top_terms", "q_time_range_scan",
     "q_time_weighted_avg", "q_token_fertility", "q_tokenize_bpe",
     "q_triangle_count", "q_unpivot_measures", "q_weighted_median",
     "q_weighted_sample", "q_winnow_fingerprint",
 }
 
-# newest hash-green = r8 — the freshest records, checked again last.
+# newest hash-green = r7 — due next round (r11); fill any remaining
+# checked-50 slots in registration order.
+_R7_GREEN = {
+    "q_ann_ivf", "q_ann_lsh", "q_asof_join", "q_asof_join_forward",
+    "q_bm25_search", "q_char_entropy", "q_cumulative_distinct",
+    "q_curation_pipeline", "q_data_profile", "q_dedup_incremental",
+    "q_dedup_keep_best", "q_dedup_minhash_portable",
+    "q_dedup_simhash_portable", "q_dedup_soft_weight",
+    "q_distinct_overlap", "q_embed_pca", "q_embed_quantize",
+    "q_event_transitions", "q_event_type_pivot",
+    "q_first_touch_attribution", "q_funnel_steps", "q_gap_fill",
+    "q_gopher_quality", "q_hard_negatives", "q_heavy_hitters",
+    "q_importance_weights", "q_interpolate_linear", "q_json_props",
+    "q_kcore_converged", "q_lm_perplexity", "q_minmax_scale",
+    "q_ngram_decontaminate", "q_paragraph_dedup", "q_quality_classifier",
+    "q_range_join", "q_recursive_reachability", "q_retention_cohorts",
+    "q_rolling_1h", "q_seasonal_baseline", "q_semantic_decontaminate",
+    "q_semantic_dedup", "q_sessionize_stats", "q_shard_assignment",
+    "q_source_caps", "q_temperature_resample", "q_top_bigrams",
+    "q_train_test_split", "q_winsorize",
+}
+
+# newest hash-green = r8.
 _R8_GREEN = {
     "q11_important_parts", "q12_late_lines", "q13_cust_distribution",
     "q15_top_supplier", "q16_supplier_part_counts",
@@ -178,25 +179,45 @@ _R8_GREEN = {
     "q_counter_rate", "q_decontaminate", "q_dedup_cluster",
     "q_dedup_embedding", "q_dedup_exact", "q_dedup_ngram_jaccard",
     "q_dup_span_fraction", "q_event_trigrams", "q_hill_tail_index",
-    "q_kmeans_embeddings", "q_mutual_information",
-    "q_neyman_allocation", "q_ngram_novelty", "q_ohlc_bars",
-    "q_pareto_cut", "q_percentile_exact", "q_psi_drift",
-    "q_regr_funcs", "q_rolling_zscore", "q_salted_join",
+    "q_kmeans_embeddings", "q_mutual_information", "q_neyman_allocation",
+    "q_ngram_novelty", "q_ohlc_bars", "q_pareto_cut", "q_percentile_exact",
+    "q_psi_drift", "q_regr_funcs", "q_rolling_zscore", "q_salted_join",
     "q_set_ops_all", "q_stratified_sample", "q_string_funcs2",
-    "q_time_convs", "q_token_count", "q_value_histogram",
-    "q_zipf_slope",
+    "q_time_convs", "q_token_count", "q_value_histogram", "q_zipf_slope",
+}
+
+# newest hash-green = r9 — the freshest records, checked again last.
+_R9_GREEN = {
+    "q10_returned_items", "q14_promo_effect", "q3_shipping_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q_array_basics",
+    "q_autocorrelation", "q_bpe_merges", "q_burstiness",
+    "q_case_cast_like", "q_ccnet_buckets", "q_changepoint_cusum",
+    "q_conditional_funcs", "q_containment_dedup", "q_corr_covar",
+    "q_correlated_subquery", "q_cross_join", "q_cube",
+    "q_dedup_edit_distance", "q_dedup_winnow_pairs", "q_distinct",
+    "q_doc_fingerprint", "q_earth_movers", "q_full_outer_join",
+    "q_grouping_sets", "q_having", "q_in_subquery", "q_inverted_index",
+    "q_js_divergence", "q_knn_join", "q_ks_drift", "q_label_centroid_dist",
+    "q_lang_id", "q_math_funcs", "q_non_equi_join", "q_order_limit_offset",
+    "q_outer_join", "q_page_hinkley", "q_quality_score",
+    "q_quantile_rollup", "q_repeated_span_removal", "q_rollup",
+    "q_scalar_subquery", "q_semi_anti_join", "q_set_ops",
+    "q_span_cleaned_text", "q_string_funcs", "q_trend_robust",
+    "q_vector_arith", "q_vector_norms",
 }
 
 
 def _rank(name: str) -> int:
     """Priority tier for the driver's budget-limited prefix:
 
-    0. queries added this round — first chance at a real driver row
-    1. r5-stale greens — the oldest hard records, due re-verification
-    2. r6-latest greens (fill the remaining checked-50 slots in
-       registration order; the overflow rotates in next round)
-    3. r7-latest greens
-    4. r8 greens — freshest records, checked again last
+    0. queries added this round (or any oracle-paired name not yet in
+       a tier set — a brand-new registration defaults to rank 0 so it
+       cannot silently land outside the checked prefix)
+    1. r6-latest greens — 4 rounds stale at round 10; the whole tier
+       must lead the prefix or the staleness test goes red
+    2. r7-latest greens (due in r11; fill remaining slots)
+    3. r8-latest greens
+    4. r9 greens — freshest records, checked again last
     5. no-oracle names — NEVER in the prefix (no hash verdict
        possible; rows-only sanity lives in pytest and each has an
        oracle-paired portable counterpart above)
@@ -205,13 +226,15 @@ def _rank(name: str) -> int:
         return 5
     if name in _NEW_THIS_ROUND:
         return 0
-    if name in _STALE_R5:
+    if name in _STALE_R6:
         return 1
-    if name in _R6_GREEN:
+    if name in _R7_GREEN:
         return 2
     if name in _R8_GREEN:
+        return 3
+    if name in _R9_GREEN:
         return 4
-    return 3
+    return 0  # unlisted oracle-paired name = new this round
 
 
 def _reorder() -> None:

@@ -175,7 +175,7 @@ def test_rotation_tier_names_resolve_in_registry():
     from ella_spark import queries as Q
 
     Q._load()
-    tiers = (Q._NEW_THIS_ROUND, Q._STALE_R5, Q._R6_GREEN, Q._R8_GREEN)
+    tiers = (Q._NEW_THIS_ROUND, Q._STALE_R6, Q._R7_GREEN, Q._R8_GREEN, Q._R9_GREEN)
     for tier in tiers:
         missing = [n for n in tier if n not in Q.REGISTRY]
         assert not missing, missing
@@ -188,7 +188,7 @@ def test_rotation_tier_names_resolve_in_registry():
     names = list(Q.all_queries())[:50]
     oracles = Q.all_oracles()
     assert Q._NEW_THIS_ROUND <= set(names)
-    assert Q._STALE_R5 <= set(names)
+    assert Q._STALE_R6 <= set(names)
     assert all(n in oracles for n in names)
 
 
@@ -256,4 +256,65 @@ def test_checked_prefix_staleness_bound():
     assert not offenders, (
         f"stale-beyond-{MAX_STALE} oracle-paired names outside the "
         f"checked-50 prefix (recompute tier sets): {offenders}"
+    )
+
+
+def test_next_round_rotation_budget_feasible():
+    """Executable registry-growth budget (VERDICT r9 #2): with 191+
+    oracle-paired names, a 50-slot driver prefix, and MAX_STALE=3,
+    the rotation only stays satisfiable if each round's due tier
+    (names that would become 4 rounds stale outside the prefix) fits
+    in 50 slots. Simulate the NEXT round: assume the driver greens
+    exactly this round's checked-50 prefix, advance one round, and
+    recompute the due tier. Fails = this round added more new
+    oracle-paired queries than the rotation can ever re-check — remove
+    additions or raise the driver budget."""
+    import json
+    import re
+    from pathlib import Path
+
+    from ella_spark.queries import REGISTRY, all_queries
+
+    repo = Path(__file__).resolve().parents[1]
+    newest: dict[str, int] = {}
+    rounds = []
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r0*(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name, rec in json.loads(p.read_text()).items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                newest[name] = max(newest.get(name, 0), rnd)
+    assert rounds, "no CORRECTNESS_r*.json found"
+    current_round = max(rounds) + 1
+    MAX_STALE, BUDGET = 3, 50
+
+    names = list(all_queries())
+    oracle_paired = [n for n in names if REGISTRY[n].oracle is not None]
+    # this round's prefix gets greened at round `current_round`
+    simulated = dict(newest)
+    for n in names[:BUDGET]:
+        simulated[n] = current_round
+    # next round: the due tier = oracle-paired names that would exceed
+    # MAX_STALE outside the prefix (green <= next_round - MAX_STALE - 1)
+    # plus any never-green name (must get its first driver row).
+    next_round = current_round + 1
+    due = [
+        n
+        for n in oracle_paired
+        if simulated.get(n) is None
+        or next_round - simulated[n] > MAX_STALE
+    ]
+    assert len(due) <= BUDGET, (
+        f"next round's due tier has {len(due)} names but only {BUDGET} "
+        f"prefix slots — the rotation is unsatisfiable; this round must "
+        f"not add more oracle-paired queries (due: {sorted(due)[:10]}...)"
+    )
+    # and the total registry must fit the steady-state capacity:
+    # (MAX_STALE + 1) rounds x BUDGET slots re-checks every name in time
+    assert len(oracle_paired) <= (MAX_STALE + 1) * BUDGET, (
+        f"{len(oracle_paired)} oracle-paired queries exceed the "
+        f"{(MAX_STALE + 1) * BUDGET}-name rotation capacity"
     )
