@@ -168,20 +168,14 @@ _TVF_VIEW_SEQ = itertools.count()
 #: driver-collected query batches). Dropping is safe once the
 #: surrounding statement has been ANALYZED — spark.sql() resolves the
 #: view into the plan eagerly, and execution never re-consults the
-#: catalog — so a generous window of live names is kept and the
-#: oldest are dropped beyond it.
-_TVF_VIEW_LIVE: "collections.deque[str]" = collections.deque()
+#: catalog. The live window is PER-Ella-INSTANCE (a module-global
+#: deque would let instance A's eviction drop views created by
+#: instance B's session — or never drop them if B's session differs),
+#: and views created for the CURRENT statement stay in a pending list
+#: until the NEXT rewrite batch starts, so a single statement with
+#: more TVF matches than the cap can never evict a view it has not
+#: yet analyzed. See Ella._register_tvf_view / _tvf_gc_flush.
 _TVF_VIEW_CAP = 64
-
-
-def _register_tvf_view(spark, name: str) -> None:
-    _TVF_VIEW_LIVE.append(name)
-    while len(_TVF_VIEW_LIVE) > _TVF_VIEW_CAP:
-        old = _TVF_VIEW_LIVE.popleft()
-        try:
-            spark.catalog.dropTempView(old)
-        except Exception:
-            pass  # session restarted / already dropped
 
 
 def _splice_spans(sql: str, repls: list[tuple[int, int, str]]) -> str:
@@ -364,9 +358,55 @@ class Ella:
     def __init__(self, store: CatalogStore, spark: SparkSession):
         self.store = store
         self.spark = spark
+        # TVF-rewrite view GC (see _TVF_VIEW_CAP comment): views made
+        # by THIS instance's rewrites, pending until their statement
+        # is analyzed, then eligible for bounded eviction.
+        self._tvf_views_pending: list[str] = []
+        self._tvf_views_live: collections.deque[str] = collections.deque()
         for ddl in self._SQL_COMPAT_FNS:
             spark.sql(ddl)
         self._register_all()
+
+    def _register_tvf_view(self, name: str) -> None:
+        """Track a TVF-rewrite temp view as pending: it must survive
+        until the statement that references it has been analyzed."""
+        self._tvf_views_pending.append(name)
+
+    def _tvf_gc_flush(self) -> None:
+        """Promote pending TVF views to the live window and evict past
+        the cap. Called at the START of each rewrite batch — any
+        previously-pending view's statement has been analyzed by then
+        (spark.sql resolves views into the plan eagerly), so dropping
+        the oldest live names can never break an in-flight statement,
+        and a single statement with >cap TVF matches keeps all of its
+        own views pending until the next batch."""
+        self._tvf_views_live.extend(self._tvf_views_pending)
+        self._tvf_views_pending.clear()
+        while len(self._tvf_views_live) > _TVF_VIEW_CAP:
+            old = self._tvf_views_live.popleft()
+            try:
+                self.spark.catalog.dropTempView(old)
+            except Exception:
+                pass  # session restarted / already dropped
+
+    def _apply_tvf_rewrites(self, sql: str) -> str:
+        """Run every table-valued-function rewrite that matches. One
+        dispatch point so the GC flush precedes each batch exactly
+        once."""
+        self._tvf_gc_flush()
+        if _ANN_SEARCH_RE.search(sql):
+            sql = self._rewrite_ann_search(sql)
+        if _POINT_LOOKUP_RE.search(sql):
+            sql = self._rewrite_point_lookup(sql)
+        if _PSI_DRIFT_RE.search(sql):
+            sql = self._rewrite_psi_drift(sql)
+        if _CHI2_DRIFT_RE.search(sql):
+            sql = self._rewrite_chi2_drift(sql)
+        if _KS_DRIFT_RE.search(sql):
+            sql = self._rewrite_ks_drift(sql)
+        if _CUSUM_DRIFT_RE.search(sql):
+            sql = self._rewrite_cusum_drift(sql)
+        return sql
 
     # -- open/create (ella/src/lib.rs:86-105) --------------------------------
 
@@ -471,18 +511,7 @@ class Ella:
         # stored SQL keeps durable ann_search(...) / VERSION AS OF
         # text — rewrite here, at every read
         sql = entry.sql
-        if _ANN_SEARCH_RE.search(sql):
-            sql = self._rewrite_ann_search(sql)
-        if _POINT_LOOKUP_RE.search(sql):
-            sql = self._rewrite_point_lookup(sql)
-        if _PSI_DRIFT_RE.search(sql):
-            sql = self._rewrite_psi_drift(sql)
-        if _CHI2_DRIFT_RE.search(sql):
-            sql = self._rewrite_chi2_drift(sql)
-        if _KS_DRIFT_RE.search(sql):
-            sql = self._rewrite_ks_drift(sql)
-        if _CUSUM_DRIFT_RE.search(sql):
-            sql = self._rewrite_cusum_drift(sql)
+        sql = self._apply_tvf_rewrites(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         return self.spark.sql(sql)
@@ -990,18 +1019,7 @@ class Ella:
                 )
         try:
             sql = entry.sql
-            if _ANN_SEARCH_RE.search(sql):
-                sql = self._rewrite_ann_search(sql)
-            if _POINT_LOOKUP_RE.search(sql):
-                sql = self._rewrite_point_lookup(sql)
-            if _PSI_DRIFT_RE.search(sql):
-                sql = self._rewrite_psi_drift(sql)
-            if _CHI2_DRIFT_RE.search(sql):
-                sql = self._rewrite_chi2_drift(sql)
-            if _KS_DRIFT_RE.search(sql):
-                sql = self._rewrite_ks_drift(sql)
-            if _CUSUM_DRIFT_RE.search(sql):
-                sql = self._rewrite_cusum_drift(sql)
+            sql = self._apply_tvf_rewrites(sql)
             if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
                 sql = self._rewrite_version_asof(sql)
             if analysis is not None and topics and analysis.hidden_sql:
@@ -1903,18 +1921,7 @@ class Ella:
             new_state[_state_key("topic", i)] = name
             new_state[_state_key("shards", i)] = [p.name for p in cur[i]]
         sql = analysis.hidden_sql or entry.sql
-        if _ANN_SEARCH_RE.search(sql):
-            sql = self._rewrite_ann_search(sql)
-        if _POINT_LOOKUP_RE.search(sql):
-            sql = self._rewrite_point_lookup(sql)
-        if _PSI_DRIFT_RE.search(sql):
-            sql = self._rewrite_psi_drift(sql)
-        if _CHI2_DRIFT_RE.search(sql):
-            sql = self._rewrite_chi2_drift(sql)
-        if _KS_DRIFT_RE.search(sql):
-            sql = self._rewrite_ks_drift(sql)
-        if _CUSUM_DRIFT_RE.search(sql):
-            sql = self._rewrite_cusum_drift(sql)
+        sql = self._apply_tvf_rewrites(sql)
         try:
             terms = []
             for i in range(n_tables):
@@ -2099,18 +2106,7 @@ class Ella:
         # substitute (those dangle after reopen; _frame_for and the
         # refresh paths re-apply the rewrites at every read instead).
         durable_sql = sql
-        if _ANN_SEARCH_RE.search(sql):
-            sql = self._rewrite_ann_search(sql)
-        if _POINT_LOOKUP_RE.search(sql):
-            sql = self._rewrite_point_lookup(sql)
-        if _PSI_DRIFT_RE.search(sql):
-            sql = self._rewrite_psi_drift(sql)
-        if _CHI2_DRIFT_RE.search(sql):
-            sql = self._rewrite_chi2_drift(sql)
-        if _KS_DRIFT_RE.search(sql):
-            sql = self._rewrite_ks_drift(sql)
-        if _CUSUM_DRIFT_RE.search(sql):
-            sql = self._rewrite_cusum_drift(sql)
+        sql = self._apply_tvf_rewrites(sql)
         if _VERSION_ASOF_RE.search(sql) or _TIMESTAMP_ASOF_RE.search(sql):
             sql = self._rewrite_version_asof(sql)
         m = _INSERT_RE.match(sql)
@@ -2174,7 +2170,7 @@ class Ella:
             )
             view = f"__ann_search_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            _register_tvf_view(self.spark, view)
+            self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2213,7 +2209,7 @@ class Ella:
             )
             view = f"__point_lookup_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            _register_tvf_view(self.spark, view)
+            self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2246,7 +2242,7 @@ class Ella:
             )
             view = f"__psi_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            _register_tvf_view(self.spark, view)
+            self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2268,7 +2264,7 @@ class Ella:
             res = chi2_by_slice(self._frame_for(entry), slice_col, cat_col)
             view = f"__chi2_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            _register_tvf_view(self.spark, view)
+            self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2293,7 +2289,7 @@ class Ella:
             res = ks_by_slice(self._frame_for(entry), value_col, slice_col)
             view = f"__ks_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            _register_tvf_view(self.spark, view)
+            self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
@@ -2324,7 +2320,7 @@ class Ella:
             )
             view = f"__cusum_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
-            _register_tvf_view(self.spark, view)
+            self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 

@@ -350,6 +350,50 @@ def test_tvf_rewrite_views_are_unique_and_span_spliced(spark, tmp_path):
     assert len(names) == 2 and names[0] != names[1]
 
 
+def test_tvf_view_gc_per_instance_and_deferred(spark, tmp_path):
+    """Regression (r9 ADVICE): the TVF-view GC window is per-Ella-
+    instance and eviction is deferred to the NEXT rewrite batch, so
+    (a) one statement with more TVF matches than the cap can never
+    evict a view it has not yet analyzed, and (b) instance A's
+    eviction never drops instance B's views."""
+    from ella_spark import Column, Ella
+    from ella_spark.engine import _TVF_VIEW_CAP
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i, v in enumerate([1.0, 11.0, 21.0, 31.0]):
+            pub.write((i + 1) * ns, "a", v)
+            pub.write((100 + i) * ns, "b", v)
+
+    # simulate a statement that registered cap+8 views: NONE may be
+    # evicted while pending (they are all part of the same statement)
+    db._rewrite_psi_drift("SELECT * FROM psi_drift('m', 'v', 'kind')")
+    first_view = db._tvf_views_pending[0]
+    db._tvf_views_pending.extend(
+        f"__fake_{i}" for i in range(_TVF_VIEW_CAP + 8)
+    )
+    assert spark.table(first_view).count() == 2  # still live
+    # the NEXT batch flushes pending -> live and evicts past the cap
+    db._apply_tvf_rewrites("SELECT 1")
+    assert not db._tvf_views_pending
+    assert len(db._tvf_views_live) <= _TVF_VIEW_CAP
+    # the oldest (the real view) was evicted only AFTER its statement
+    # window closed
+    assert first_view not in db._tvf_views_live
+
+    # per-instance isolation: a second Ella's churn never touches the
+    # first instance's live window
+    db2 = Ella.create(str(tmp_path / "db_b"), spark)
+    before = list(db._tvf_views_live)
+    db2._tvf_views_pending.extend(f"__b_{i}" for i in range(_TVF_VIEW_CAP * 2))
+    db2._apply_tvf_rewrites("SELECT 1")
+    assert list(db._tvf_views_live) == before
+
+
 def test_ks_zero_when_distributions_identical(spark, tmp_path):
     """Two-sample KS D is exactly 0 when every slice's value multiset
     equals the pooled distribution (F_t == F_p at every step point)."""
