@@ -1888,7 +1888,7 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(mu, 6) AS mean_gap_s,
            round(sigma / mu, 6) AS cv,
            round((sigma - mu) / (sigma + mu), 6) AS burstiness
-    FROM s WHERE n_gaps >= 2 ORDER BY event_type
+    FROM s WHERE n_gaps >= 2 AND mu > 0 ORDER BY event_type
     """,
     doc="Inter-arrival burstiness per event_type (Goh & Barabási "
     "2008): over the gaps between consecutive events, "
@@ -1903,8 +1903,12 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_time_weighted_avg plan shape); gaps derive from exact int64 "
     "ns differences before the one division, and avg/stddev_samp "
     "parity is the q_agg_stats-proven aggregate pair. round(6) "
-    "absorbs accumulation ulps. 100 TB: the window sort rides the "
-    "type shuffle's partition ordering.",
+    "absorbs accumulation ulps. The mu > 0 gate (mirroring the "
+    "n_gaps >= 2 gate) excludes all-duplicate-timestamp slices, "
+    "where sigma/mu is 0/0 — NULL in non-ANSI Spark but NaN/error "
+    "in DuckDB, a cross-engine hash-parity edge (r9 ADVICE). "
+    "100 TB: the window sort rides the type shuffle's partition "
+    "ordering.",
 )
 def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1927,7 +1931,7 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu, sigma = F.col("mu"), F.col("sigma")
     return (
-        s.where(F.col("n_gaps") >= 2)
+        s.where((F.col("n_gaps") >= 2) & (mu > 0))
         .select(
             "event_type",
             "n_gaps",

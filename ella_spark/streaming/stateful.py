@@ -844,6 +844,7 @@ _CHI2_OUT = StructType(
         StructField("n_ref", LongType()),
         StructField("dof", LongType()),
         StructField("n_novel", LongType()),
+        StructField("n_missing", LongType()),
         StructField("chi2", DoubleType()),
     ]
 )
@@ -871,16 +872,21 @@ def chi2_drift_per_group(
     reference — the reference-histogram-accumulate pattern of
     psi_drift_per_group applied to categorical columns.
 
-    chi² = Σ_c (o_c − e_c)²/e_c over categories with mass on BOTH
-    sides (e_c = n_batch · ref_c/n_ref, the reference normalized over
-    its FULL mass — the same zero-handling contract as the PSI
-    monitor); ``dof`` = contributing categories − 1. Categories
-    present in the batch but never seen in the reference have no
-    expected mass and no finite term — they are counted in
-    ``n_novel`` instead (a novel-category burst is its own drift
-    signal even when chi² over the known mix stays flat). Terms are
-    summed in sorted category order: a restart replays to identical
-    doubles.
+    chi² = Σ_c (o_c − e_c)²/e_c over ALL reference categories — the
+    standard goodness-of-fit form: a reference category ABSENT from
+    the batch contributes its full expected mass e_c = n_batch ·
+    ref_c/n_ref as (0 − e_c)²/e_c = e_c, so a dominant category
+    vanishing is a first-class drift signal, not an artifact inflating
+    the surviving terms (r9 ADVICE: the both-sides-only form
+    understated chi² and dof when a known category disappeared,
+    asymmetric with the novel side). ``dof`` = reference categories −
+    1; ``n_missing`` counts reference categories with zero batch
+    observations (mirroring ``n_novel``). Categories present in the
+    batch but never seen in the reference still have no expected mass
+    and no finite term — they are counted in ``n_novel`` instead (a
+    novel-category burst is its own drift signal even when chi² over
+    the known mix stays flat). Terms are summed in sorted category
+    order: a restart replays to identical doubles.
 
     State per (group) is the category→count map — O(distinct
     categories) longs, the categorical analog of the PSI monitor's
@@ -911,12 +917,12 @@ def chi2_drift_per_group(
             n_ref = sum(ref.values())
             n_cur = sum(cur.values())
             if n_ref > 0 and n_cur > 0:
-                both = sorted(k for k in cur if ref.get(k, 0) > 0)
-                novel = len(cur) - len(both)
+                novel = sum(1 for k in cur if ref.get(k, 0) <= 0)
+                missing = sum(1 for k in ref if cur.get(k, 0) <= 0)
                 chi2 = 0.0
-                for k in both:
+                for k in sorted(ref):
                     e = n_cur * (ref[k] / n_ref)
-                    o = float(cur[k])
+                    o = float(cur.get(k, 0))
                     chi2 += (o - e) * (o - e) / e
                 outs.append(
                     pd.DataFrame(
@@ -925,8 +931,9 @@ def chi2_drift_per_group(
                                 "group": key[0],
                                 "n_batch": n_cur,
                                 "n_ref": n_ref,
-                                "dof": max(len(both) - 1, 0),
+                                "dof": max(len(ref) - 1, 0),
                                 "n_novel": novel,
+                                "n_missing": missing,
                                 "chi2": chi2,
                             }
                         ]

@@ -1133,11 +1133,13 @@ def test_chi2_drift_stream_scores_batch_vs_reference(db, spark):
         assert len(pdf) == 1
         row = pdf.iloc[0]
         # hand-computed: ref mix a:.6 b:.3 c:.1 over n_ref=10; batch
-        # n=5 -> e_a=3, e_b=1.5; z is novel (no term); c absent from
-        # batch (no term -- chi2 is over both-mass categories)
-        want = (2 - 3.0) ** 2 / 3.0 + (2 - 1.5) ** 2 / 1.5
+        # n=5 -> e_a=3, e_b=1.5, e_c=0.5; z is novel (no expected
+        # mass, no term); c absent from the batch contributes its
+        # full expected mass (0-e_c)^2/e_c = e_c -- the standard
+        # goodness-of-fit form over ALL reference categories
+        want = (2 - 3.0) ** 2 / 3.0 + (2 - 1.5) ** 2 / 1.5 + 0.5
         assert row.n_batch == 5 and row.n_ref == 10
-        assert row.dof == 1 and row.n_novel == 1
+        assert row.dof == 2 and row.n_novel == 1 and row.n_missing == 1
         assert abs(row.chi2 - want) < 1e-12
 
         # batch 3 scores against batch1+batch2 FOLDED (a:8 b:5 c:1 z:1)
@@ -1150,10 +1152,18 @@ def test_chi2_drift_stream_scores_batch_vs_reference(db, spark):
         assert len(pdf) == 2
         row3 = pdf.iloc[1]
         n_ref = 15
-        e_a, e_c = 6 * (8 / n_ref), 6 * (1 / n_ref)
-        want3 = (3 - e_a) ** 2 / e_a + (3 - e_c) ** 2 / e_c
+        e_a, e_b = 6 * (8 / n_ref), 6 * (5 / n_ref)
+        e_c, e_z = 6 * (1 / n_ref), 6 * (1 / n_ref)
+        # b and z vanished from batch 3: each contributes its full
+        # expected mass (the r9-ADVICE missing-category signal)
+        want3 = (
+            (3 - e_a) ** 2 / e_a
+            + e_b
+            + (3 - e_c) ** 2 / e_c
+            + e_z
+        )
         assert row3.n_ref == n_ref and row3.n_batch == 6
-        assert row3.dof == 1 and row3.n_novel == 0
+        assert row3.dof == 3 and row3.n_novel == 0 and row3.n_missing == 2
         assert abs(row3.chi2 - want3) < 1e-12
     finally:
         q.stop()
