@@ -53,6 +53,56 @@ def _load_gate() -> dict:
     }
 
 
+# Host-speed calibration (VERDICT r9 #3): r9 burned three gated bench
+# runs proving a +12% headline was host drift, not code. A fixed CPU
+# workload timed alongside each bench makes that machine-readable:
+# round-over-round comparisons divide out host speed via
+# value_normalized = value * (CAL_REF_32T / measured cal_32t).
+# The workload is deterministic numpy elementwise math (no BLAS, so
+# thread counts are exactly what we ask for; ufuncs release the GIL so
+# the 32-thread variant measures real multicore throughput — the
+# regime local[32] Spark stages run in). Reference constants were
+# measured on a quiet round-10 host (load < 0.2, steal 0%).
+CAL_REF_1T = float(os.environ.get("SPARK_GRAFT_CAL_REF_1T", "0.86"))
+CAL_REF_32T = float(os.environ.get("SPARK_GRAFT_CAL_REF_32T", "2.90"))
+
+
+def _cal_work() -> float:
+    """One unit of deterministic CPU work: ~40 MB of float64 ufunc
+    traffic, GIL-released, BLAS-free."""
+    import numpy as np
+
+    a = np.arange(1_000_000, dtype=np.float64)
+    for _ in range(5):
+        a = np.sqrt(a * 1.0001 + 1.0)
+    return float(a[-1])
+
+
+def _calibrate(threads: int = 32, units: int = 64, reps: int = 3) -> tuple[float, float]:
+    """(cal_1t_sec, cal_Nt_sec): wall seconds for `units` work units on
+    one thread, then the same total work fanned across `threads`.
+    Min of `reps` timed repetitions after one untimed warmup — min is
+    the host's attainable speed; contention only ever inflates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _cal_work()  # allocator/ufunc warmup
+    cal_1t = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(max(units // 8, 1)):
+            _cal_work()
+        cal_1t.append((time.perf_counter() - t0) * 8)  # scaled to `units`
+
+    cal_nt = []
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(lambda _: _cal_work(), range(threads)))  # pool warmup
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            list(ex.map(lambda _: _cal_work(), range(units * threads // 4)))
+            cal_nt.append((time.perf_counter() - t0) * 4)  # units*threads
+    return round(min(cal_1t), 3), round(min(cal_nt), 3)
+
+
 def _steal_ticks() -> tuple[int, int]:
     """(steal, total) jiffies from /proc/stat's aggregate cpu line —
     steal is column 8 (hypervisor time stolen from this guest)."""
@@ -280,6 +330,10 @@ def main() -> None:
 
     # gate BEFORE the JVM exists: our own session contributes load
     gate = _load_gate()
+    # calibrate while the host is still JVM-free: measures the machine,
+    # not our own executor threads
+    cal_1t, cal_32t = _calibrate()
+    host_speed = round(cal_32t / CAL_REF_32T, 3)  # >1 = slower host
 
     spark = get_session("ella_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -345,6 +399,13 @@ def main() -> None:
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_gate": gate,
         "steal_pct_timed_section": steal_pct,
+        # host-speed calibration (VERDICT r9 #3): fixed CPU workload
+        # timed pre-JVM; value_normalized divides out host speed so
+        # round-over-round deltas isolate CODE changes
+        "calibration_sec": {"cal_1t": cal_1t, "cal_32t": cal_32t,
+                            "ref_1t": CAL_REF_1T, "ref_32t": CAL_REF_32T},
+        "host_speed_ratio": host_speed,
+        "value_normalized": round(sum(timings.values()) / max(host_speed, 0.1), 4),
         "ingest_rows_per_sec": ingest_rps,
         "freshness_sec": freshness,
         "extra_queries": extras,
@@ -366,6 +427,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "comparable_16_sec": round(sum(timings[n] for n in comparable), 4),
+        "comparable_16_normalized": round(
+            sum(timings[n] for n in comparable) / max(host_speed, 0.1), 4
+        ),
+        "calibration_sec": out["calibration_sec"],
+        "host_speed_ratio": host_speed,
+        "value_normalized": out["value_normalized"],
         "sf": out["sf"],
         "runs": RUNS,
         "spark": spark.version,
