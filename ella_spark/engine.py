@@ -236,6 +236,28 @@ _CUSUM_DRIFT_RE = re.compile(
     r"(?:\s*,\s*'([^']+)')?\s*\)",
     re.I,
 )
+#: table-valued `js_divergence('<table>', '<value_col>', '<slice_col>'
+#: [, buckets])` — bounded symmetric divergence per slice vs pooled
+#: (operators/drift.py js_by_slice).
+_JS_DIVERGENCE_RE = re.compile(
+    r"\bjs_divergence\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*(\d+))?\s*\)",
+    re.I,
+)
+#: table-valued `earth_movers('<table>', '<value_col>', '<slice_col>')`
+#: — 1-D Wasserstein distance per slice vs pooled (emd_by_slice).
+_EARTH_MOVERS_RE = re.compile(
+    r"\bearth_movers\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+    re.I,
+)
+#: table-valued `page_hinkley('<table>', '<value_col>', '<slice_col>'
+#: [, '<time_col>'] [, lambda])` — batch Page-Hinkley mean-shift per
+#: slice (page_hinkley_by_slice).
+_PAGE_HINKLEY_RE = re.compile(
+    r"\bpage_hinkley\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*(\d+(?:\.\d+)?))?\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -406,6 +428,12 @@ class Ella:
             sql = self._rewrite_ks_drift(sql)
         if _CUSUM_DRIFT_RE.search(sql):
             sql = self._rewrite_cusum_drift(sql)
+        if _JS_DIVERGENCE_RE.search(sql):
+            sql = self._rewrite_js_divergence(sql)
+        if _EARTH_MOVERS_RE.search(sql):
+            sql = self._rewrite_earth_movers(sql)
+        if _PAGE_HINKLEY_RE.search(sql):
+            sql = self._rewrite_page_hinkley(sql)
         return sql
 
     # -- open/create (ella/src/lib.rs:86-105) --------------------------------
@@ -2319,6 +2347,97 @@ class Ella:
                 time_col or TIME_COLUMN,
             )
             view = f"__cusum_drift_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_js_divergence(self, sql: str) -> str:
+        """Table-valued Jensen–Shannon divergence in plain SQL:
+
+            SELECT * FROM js_divergence('events_t', 'value', 'kind')
+            SELECT * FROM js_divergence('t', 'v', 'k', 20)
+
+        args: any catalog object, a numeric value column, a slice
+        column, optional bucket count (default 10). The bounded
+        symmetric divergence (operators/drift.py js_by_slice); same
+        durable-text re-rewrite contract as the other drift TVFs, so
+        a saved drift view always scores CURRENT data. Completes the
+        drift TVF matrix (r9 VERDICT #4): a dashboard user previously
+        got PSI/chi²/KS/CUSUM from SQL but had to drop to Python for
+        JS/EMD/PH."""
+        from ella_spark.operators.drift import js_by_slice
+
+        repls = []
+        for m in _JS_DIVERGENCE_RE.finditer(sql):
+            table, value_col, slice_col, buckets = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"js_divergence: unknown table {table!r}")
+            res = js_by_slice(
+                self._frame_for(entry),
+                value_col,
+                slice_col,
+                buckets=int(buckets) if buckets else 10,
+            )
+            view = f"__js_divergence_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_earth_movers(self, sql: str) -> str:
+        """Table-valued earth mover's distance in plain SQL:
+
+            SELECT * FROM earth_movers('events_t', 'value', 'kind')
+
+        args: any catalog object, a numeric value column, a slice
+        column. 1-D Wasserstein-1 per slice vs pooled in the value's
+        own units (operators/drift.py emd_by_slice); same durable-text
+        re-rewrite contract as the other drift TVFs."""
+        from ella_spark.operators.drift import emd_by_slice
+
+        repls = []
+        for m in _EARTH_MOVERS_RE.finditer(sql):
+            table, value_col, slice_col = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"earth_movers: unknown table {table!r}")
+            res = emd_by_slice(self._frame_for(entry), value_col, slice_col)
+            view = f"__earth_movers_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_page_hinkley(self, sql: str) -> str:
+        """Table-valued batch Page-Hinkley in plain SQL:
+
+            SELECT * FROM page_hinkley('events_t', 'value', 'kind')
+            SELECT * FROM page_hinkley('t', 'v', 'k', 'time', 25.0)
+
+        args: any catalog object, a numeric value column, a slice
+        column, optional epoch-ns time column (default: the topic's
+        mandatory `time`), optional alarm threshold lambda (default
+        50). Batch replay of the streaming detector's δ=0 recurrence
+        (operators/drift.py page_hinkley_by_slice); same durable-text
+        re-rewrite contract as the other drift TVFs."""
+        from ella_spark.operators.drift import page_hinkley_by_slice
+
+        repls = []
+        for m in _PAGE_HINKLEY_RE.finditer(sql):
+            table, value_col, slice_col, time_col, lam = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"page_hinkley: unknown table {table!r}")
+            res = page_hinkley_by_slice(
+                self._frame_for(entry),
+                value_col,
+                slice_col,
+                time_col or TIME_COLUMN,
+                lam=float(lam) if lam else 50.0,
+            )
+            view = f"__page_hinkley_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
             self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))

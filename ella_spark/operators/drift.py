@@ -266,3 +266,222 @@ def cusum_by_slice(
         )
         .orderBy(slice_col)
     )
+
+
+def js_by_slice(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Jensen–Shannon divergence of ``value_col`` per ``slice_col``
+    slice vs the pooled distribution, over ``buckets`` equal-width
+    buckets of the global [min, max] range — the BOUNDED, symmetric
+    member of the divergence family (PSI blows up on vanishing
+    buckets; JS is always in [0, ln 2] and defined for any histogram
+    pair, so one threshold works across slices). The engine surface
+    behind the SQL ``js_divergence('<table>', '<value_col>',
+    '<slice_col>' [, buckets])`` TVF; the q_js_divergence registry
+    query pins the cross-engine-exact form.
+
+    JS = 0.5·KL(p‖m) + 0.5·KL(q‖m) with m = (p+q)/2; p = slice
+    histogram, q = pooled. Evaluated on the slices × ACTIVE-buckets
+    grid, so pooled-only buckets contribute their q-side term with
+    p = 0 (0·ln 0 = 0 dropped exactly). Returns (slice, n, js).
+    NULL/NaN excluded.
+
+    Scale shape: identical to psi_by_slice — one scan for the global
+    extrema (1-row broadcast), one (slice, bucket) groupBy shuffle
+    (checkpointed: three consumers), everything after on the
+    O(slices × buckets) frame.
+    """
+    c = df.select(
+        F.col(slice_col).cast("string").alias("_slice"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    ext = c.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    b = c.crossJoin(F.broadcast(ext)).select(
+        "_slice",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("_v") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / buckets)
+                ).cast("long"),
+                F.lit(buckets - 1).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_bucket"),
+    )
+    tb = b.groupBy("_slice", "_bucket").agg(F.count(F.lit(1)).alias("_c"))
+    tb = tb.localCheckpoint()  # 3 consumers: totals, pooled, grid join
+    tot = tb.groupBy("_slice").agg(F.sum("_c").alias("_n_s"))
+    bk = tb.groupBy("_bucket").agg(F.sum("_c").alias("_c_b"))
+    n = tb.agg(F.sum("_c").alias("_big_n"))
+    grid = tot.crossJoin(F.broadcast(bk)).crossJoin(F.broadcast(n))
+    j = grid.join(tb, ["_slice", "_bucket"], "left").select(
+        "_slice",
+        "_n_s",
+        (
+            F.coalesce(F.col("_c"), F.lit(0)).cast("double") / F.col("_n_s")
+        ).alias("_p"),
+        (F.col("_c_b").cast("double") / F.col("_big_n")).alias("_q"),
+    )
+    p, q = F.col("_p"), F.col("_q")
+    term = (
+        F.when(p > 0, 0.5 * p * F.log(2.0 * p / (p + q))).otherwise(0.0)
+        + 0.5 * q * F.log(2.0 * q / (p + q))
+    )
+    return (
+        j.groupBy(F.col("_slice").alias(slice_col))
+        .agg(
+            F.max("_n_s").cast("long").alias("n"),
+            F.round(F.sum(term), 6).alias("js"),
+        )
+        .orderBy(slice_col)
+    )
+
+
+def emd_by_slice(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+) -> DataFrame:
+    """1-D earth mover's (Wasserstein-1) distance of ``value_col`` per
+    ``slice_col`` slice vs the pooled distribution, in the VALUE
+    column's own units — the transport-cost member of the distance
+    trio (KS = worst ECDF gap, JS = information divergence, EMD =
+    how far mass must move; it keeps growing with shift magnitude
+    where KS saturates at 1). Engine surface behind the SQL
+    ``earth_movers('<table>', '<value_col>', '<slice_col>')`` TVF;
+    q_earth_movers pins the cross-engine-exact form.
+
+    Closed form in 1-D: EMD = ∫|F_s − F_p| dx = Σ_i |F_s(v_i) −
+    F_p(v_i)|·(v_{i+1} − v_i) over the sorted pooled grid (both ECDFs
+    constant between points — the ks_by_slice step-function reduction
+    plus one lead() for the gap). Returns (slice, n, emd). NULL/NaN
+    excluded.
+
+    Scale shape: ks_by_slice's exactly — one (slice, value) groupBy
+    shuffle, checkpointed aggregated frame, grid bounded by the VALUE
+    DOMAIN (quantize first at unbounded cardinality — psi_by_slice's
+    bucketing is the fixed-size fallback).
+    """
+    c = df.select(
+        F.col(slice_col).cast("string").alias("_slice"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    tv = c.groupBy("_slice", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    tv = tv.localCheckpoint()
+    vals = tv.groupBy("_v").agg(F.sum("_c").alias("_c_v"))
+    w_v = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    pooled = vals.select(
+        "_v",
+        F.sum("_c_v").over(w_v).alias("_cum_all"),
+        F.sum("_c_v").over(Window.partitionBy()).alias("_big_n"),
+    )
+    slices = tv.groupBy("_slice").agg(F.sum("_c").alias("_n_s"))
+    grid = pooled.crossJoin(F.broadcast(slices))
+    w_s = Window.partitionBy("_slice").orderBy("_v")
+    ft = (
+        grid.join(tv, ["_slice", "_v"], "left")
+        .withColumn(
+            "_cum_s",
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(
+                w_s.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_next_v", F.lead("_v").over(w_s))
+    )
+    term = (
+        F.abs(
+            F.col("_cum_s").cast("double") / F.col("_n_s")
+            - F.col("_cum_all").cast("double") / F.col("_big_n")
+        )
+        * (F.col("_next_v") - F.col("_v"))
+    )
+    return (
+        ft.where(F.col("_next_v").isNotNull())
+        .groupBy(F.col("_slice").alias(slice_col))
+        .agg(
+            F.max("_n_s").cast("long").alias("n"),
+            F.round(F.sum(term), 6).alias("emd"),
+        )
+        .orderBy(slice_col)
+    )
+
+
+def page_hinkley_by_slice(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    time_col: str,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Batch Page-Hinkley mean-shift statistic of ``value_col`` per
+    ``slice_col`` slice, ordered by ``time_col`` — WHEN-agnostic
+    mean-shift detection replaying the streaming
+    page_hinkley_per_group detector's δ=0 recurrence exactly (the
+    q_page_hinkley registry query pins the cross-engine form). Engine
+    surface behind the SQL ``page_hinkley('<table>', '<value_col>',
+    '<slice_col>' [, '<time_col>'] [, lambda])`` TVF.
+
+    The sequential statistic m_t = Σx_i − Σ_i prefix_mean(i) is
+    SQL-expressible as a cumulative of a cumulative: cs_t = running
+    sum, m_t = cs_t − running_sum(cs_i/i). ph_up = m_T − min(0, m),
+    ph_down = max(0, m) − m_T; alarms compare the round(6) values to
+    ``lam`` so ulps cannot flip booleans. Ties at equal time order by
+    value (equal (t, x) pairs commute through the recurrence — the
+    statistic is a pure function of the multiset, the streaming
+    detector's sort contract). Returns (slice, n, ph_up, ph_down,
+    alarm_up, alarm_down). NULL/NaN excluded.
+
+    Scale shape: ONE slice-keyed shuffle; both ordered windows ride
+    its partition sort. Each slice's full ordered history flows
+    through one task — fine for enumerable slices; the streaming
+    form is the unbounded-history answer.
+    """
+    c = df.select(
+        F.col(slice_col).cast("string").alias("_slice"),
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    win = Window.partitionBy("_slice").orderBy("_t", "_v")
+    w = c.select(
+        "_slice",
+        F.row_number().over(win).alias("_rn"),
+        F.sum("_v")
+        .over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cs"),
+    )
+    win2 = (
+        Window.partitionBy("_slice")
+        .orderBy("_rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = w.select(
+        "_slice",
+        "_rn",
+        (F.col("_cs") - F.sum(F.col("_cs") / F.col("_rn")).over(win2)).alias(
+            "_m"
+        ),
+    )
+    g = m.groupBy(F.col("_slice").alias(slice_col)).agg(
+        F.max("_rn").cast("long").alias("n"),
+        F.round(
+            F.expr("max_by(_m, _rn)") - F.least(F.min("_m"), F.lit(0.0)), 6
+        ).alias("ph_up"),
+        F.round(
+            F.greatest(F.max("_m"), F.lit(0.0)) - F.expr("max_by(_m, _rn)"), 6
+        ).alias("ph_down"),
+    )
+    return g.select(
+        slice_col,
+        "n",
+        "ph_up",
+        "ph_down",
+        (F.col("ph_up") > lam).alias("alarm_up"),
+        (F.col("ph_down") > lam).alias("alarm_down"),
+    ).orderBy(slice_col)

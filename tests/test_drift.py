@@ -784,3 +784,119 @@ def test_burstiness_closed_forms(spark, tmp_path):
     assert out.loc["alt", "n_gaps"] == 9
     assert abs(out.loc["alt", "burstiness"] - round((sd - mu) / (sd + mu), 6)) < 1e-9
     assert abs(out.loc["alt", "cv"] - round(sd / mu, 6)) < 1e-9
+
+
+def test_js_divergence_sql_tvf(spark, tmp_path):
+    """SQL surface: js_divergence('<table>', 'value', 'slice'
+    [, buckets]) rewrites to the js_by_slice frame (the
+    psi/chi2/ks/cusum durable-text contract). JS == 0 for identical
+    slices, in (0, ln 2] once one slice's mix diverges."""
+    import math
+
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i, v in enumerate([1.0, 11.0, 21.0, 31.0]):
+            pub.write((i + 1) * ns, "a", v)
+            pub.write((100 + i) * ns, "b", v)  # identical distribution
+
+    out = db.query(
+        "SELECT * FROM js_divergence('m', 'v', 'kind') ORDER BY kind"
+    ).df.toPandas()
+    assert list(out.kind) == ["a", "b"]
+    assert (out.js == 0.0).all() and (out.n == 4).all()
+
+    # stored view keeps the durable text; re-scores current data
+    db.query("CREATE VIEW jsv AS SELECT * FROM js_divergence('m', 'v', 'kind')")
+    assert "js_divergence" in db.store.resolve("jsv").sql
+    with t.publish() as pub:  # pile kind b into the top bucket
+        for i in range(12):
+            pub.write((200 + i) * ns, "b", 31.0)
+    out2 = db.query("SELECT * FROM jsv ORDER BY kind").df.toPandas()
+    js_b = out2[out2.kind == "b"].js.iloc[0]
+    assert 0.0 < js_b <= math.log(2) + 1e-9
+    assert out2[out2.kind == "b"].n.iloc[0] == 16
+
+    # explicit bucket count parses
+    out3 = db.query(
+        "SELECT * FROM js_divergence('m', 'v', 'kind', 4) ORDER BY kind"
+    ).df.toPandas()
+    assert len(out3) == 2
+
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM js_divergence('nope', 'v', 'kind')")
+
+
+def test_earth_movers_sql_tvf(spark, tmp_path):
+    """SQL surface: earth_movers('<table>', 'value', 'slice') — EMD in
+    the value's own units; hand-computable on a two-point shift."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i in range(4):
+            pub.write((i + 1) * ns, "a", 0.0)
+            pub.write((100 + i) * ns, "b", 10.0)
+    out = db.query(
+        "SELECT * FROM earth_movers('m', 'v', 'kind') ORDER BY kind"
+    ).df.toPandas()
+    # pooled = half at 0, half at 10. |F_slice - F_pooled| = 1/2 on
+    # the whole [0, 10) gap -> EMD = 5.0 for both slices
+    assert list(out.kind) == ["a", "b"]
+    assert (out.emd == 5.0).all() and (out.n == 4).all()
+
+    db.query("CREATE VIEW emv AS SELECT * FROM earth_movers('m', 'v', 'kind')")
+    assert "earth_movers" in db.store.resolve("emv").sql
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM earth_movers('nope', 'v', 'kind')")
+
+
+def test_page_hinkley_sql_tvf(spark, tmp_path):
+    """SQL surface: page_hinkley('<table>', 'value', 'slice'
+    [, 'time'] [, lambda]) — flat series scores ~0 / no alarm; a +50
+    mean shift alarms upward; explicit lambda arg changes the alarm
+    threshold; unknown table raises."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i in range(8):
+            pub.write((i + 1) * ns, "flat", 5.0)
+        for i in range(8):
+            pub.write((i + 1) * ns, "shift", 10.0)
+        for i in range(8):
+            pub.write((20 + i) * ns, "shift", 60.0)
+
+    out = db.query(
+        "SELECT * FROM page_hinkley('m', 'v', 'kind') ORDER BY kind"
+    ).df.toPandas().set_index("kind")
+    assert out.loc["flat"].ph_up == 0.0 and not out.loc["flat"].alarm_up
+    assert out.loc["shift"].ph_up > 50.0 and bool(out.loc["shift"].alarm_up)
+    assert not out.loc["shift"].alarm_down
+    assert out.loc["shift"].n == 16
+
+    # explicit lambda: a threshold above the statistic silences the alarm
+    hi = db.query(
+        "SELECT * FROM page_hinkley('m', 'v', 'kind', 'time', 100000.0) "
+        "ORDER BY kind"
+    ).df.toPandas().set_index("kind")
+    assert not hi.loc["shift"].alarm_up
+    assert hi.loc["shift"].ph_up == out.loc["shift"].ph_up  # stat unchanged
+
+    db.query("CREATE VIEW phv AS SELECT * FROM page_hinkley('m', 'v', 'kind')")
+    assert "page_hinkley" in db.store.resolve("phv").sql
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM page_hinkley('nope', 'v', 'kind')")
