@@ -127,10 +127,48 @@ def chi2_by_slice(
     )
 
 
+#: hard cap on the ECDF evaluation grid for ks_by_slice/emd_by_slice —
+#: past it the (slice, value) frame re-quantizes itself onto <= cap
+#: equal-width points (bucket left edges). The probe runs on the
+#: already-checkpointed frame, so it never rescans the source.
+ECDF_MAX_GRID = 200_000
+
+
+def _bounded_value_frame(tv: DataFrame, max_grid: int) -> DataFrame:
+    """Enforce the grid cap on a checkpointed (_slice, _v, _c) frame:
+    if distinct _v exceeds ``max_grid``, re-quantize _v onto bucket
+    left edges of <= max_grid equal-width buckets and re-aggregate
+    (one tiny job on the checkpointed frame — no source rescan).
+    Counts stay exact; only the evaluation grid coarsens."""
+    stats = tv.agg(
+        F.countDistinct("_v").alias("n_vals"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+    ).collect()[0]
+    if not stats.n_vals or stats.n_vals <= max_grid:
+        return tv
+    width = (stats.hi - stats.lo) / max_grid
+    return (
+        tv.withColumn(
+            "_v",
+            F.lit(stats.lo)
+            + F.least(
+                F.floor((F.col("_v") - F.lit(stats.lo)) / F.lit(width)),
+                F.lit(max_grid - 1),
+            )
+            * F.lit(width),
+        )
+        .groupBy("_slice", "_v")
+        .agg(F.sum("_c").alias("_c"))
+        .localCheckpoint()
+    )
+
+
 def ks_by_slice(
     df: DataFrame,
     value_col: str,
     slice_col: str,
+    max_grid: int = ECDF_MAX_GRID,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic of ``value_col`` per
     ``slice_col`` slice vs the pooled distribution — the
@@ -149,8 +187,11 @@ def ks_by_slice(
     pooled marginal, per-slice totals, and the evaluation grid —
     would otherwise each replay the scan) and every later stage runs
     on O(slices × distinct values) rows. The grid is bounded by the
-    VALUE DOMAIN, not the row count — for unbounded-cardinality
-    doubles, quantize first (exactly the psi_by_slice bucketing).
+    VALUE DOMAIN, not the row count, and HARD-bounded by ``max_grid``
+    (r9 VERDICT #5): unbounded-cardinality doubles re-quantize onto
+    <= max_grid equal-width points via a scan-free probe of the
+    checkpointed frame (D then evaluated at the binned step points —
+    the standard binned-ECDF regime).
 
     NOTE: this is deliberately a self-contained twin of the registry
     queries' `queries.relational._pooled_ecdf_frame` (generic column
@@ -163,7 +204,7 @@ def ks_by_slice(
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
     tv = c.groupBy("_slice", "_v").agg(F.count(F.lit(1)).alias("_c"))
-    tv = tv.localCheckpoint()
+    tv = _bounded_value_frame(tv.localCheckpoint(), max_grid)
     vals = tv.groupBy("_v").agg(F.sum("_c").alias("_c_v"))
     w_v = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(
@@ -348,6 +389,7 @@ def emd_by_slice(
     df: DataFrame,
     value_col: str,
     slice_col: str,
+    max_grid: int = ECDF_MAX_GRID,
 ) -> DataFrame:
     """1-D earth mover's (Wasserstein-1) distance of ``value_col`` per
     ``slice_col`` slice vs the pooled distribution, in the VALUE
@@ -366,15 +408,17 @@ def emd_by_slice(
 
     Scale shape: ks_by_slice's exactly — one (slice, value) groupBy
     shuffle, checkpointed aggregated frame, grid bounded by the VALUE
-    DOMAIN (quantize first at unbounded cardinality — psi_by_slice's
-    bucketing is the fixed-size fallback).
+    DOMAIN and HARD-bounded by ``max_grid`` (unbounded-cardinality
+    doubles re-quantize onto <= max_grid equal-width points via a
+    scan-free probe of the checkpointed frame; the Riemann sum then
+    runs on the binned steps).
     """
     c = df.select(
         F.col(slice_col).cast("string").alias("_slice"),
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
     tv = c.groupBy("_slice", "_v").agg(F.count(F.lit(1)).alias("_c"))
-    tv = tv.localCheckpoint()
+    tv = _bounded_value_frame(tv.localCheckpoint(), max_grid)
     vals = tv.groupBy("_v").agg(F.sum("_c").alias("_c_v"))
     w_v = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(

@@ -1680,7 +1680,16 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pooled_ecdf_frame(ev):
+#: hard cap on the pooled-ECDF evaluation grid (distinct centi-values).
+#: The docstrings said "quantize first at unbounded cardinality" but
+#: nothing enforced it (r9 VERDICT #5); past the cap the frame now
+#: re-quantizes ITSELF onto <= cap equal-width int64 points. 200k
+#: distinct points x O(types) slices stays comfortably in one
+#: executor's window-partition memory at any corpus size.
+_ECDF_MAX_GRID = 200_000
+
+
+def _pooled_ecdf_frame(ev, max_grid: int = _ECDF_MAX_GRID):
     """Shared frame of q_ks_drift / q_earth_movers (both derive from
     sup/integral of |F_t − F_p| over the pooled step grid): per
     (event_type, pooled distinct centi-value) row carrying the type's
@@ -1690,13 +1699,38 @@ def _pooled_ecdf_frame(ev):
     marginal, per-type totals, the evaluation grid); without the cut
     each consumer replays the full events scan (measured: 3 scans).
     Grid size is types × distinct values — bounded by the VALUE
-    DOMAIN, not the row count."""
+    DOMAIN, not the row count, and now HARD-bounded by ``max_grid``:
+    a cardinality probe on the (already-checkpointed, so scan-free)
+    frame triggers PSI-style equal-width re-quantization onto bucket
+    left edges when the domain is too fine. Counts stay exact int64
+    either way; only the evaluation grid coarsens (KS/EMD evaluated
+    at <= max_grid step points — the standard binned-ECDF regime)."""
     c = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
     )
     tv = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
     tv = tv.localCheckpoint()
+    stats = tv.agg(
+        F.countDistinct("vc").alias("n_vals"),
+        F.min("vc").alias("lo"),
+        F.max("vc").alias("hi"),
+    ).collect()[0]
+    if stats.n_vals and stats.n_vals > max_grid:
+        # integer bucket width >= 1; representative = bucket LEFT edge
+        # (stays exact int64 on the original centi-unit scale)
+        width = max((stats.hi - stats.lo + max_grid - 1) // max_grid, 1)
+        tv = (
+            tv.withColumn(
+                # vc - ((vc - lo) % width) == lo + ((vc - lo) div
+                # width) * width, in EXACT int64 (no double division)
+                "vc",
+                F.col("vc") - ((F.col("vc") - F.lit(stats.lo)) % F.lit(width)),
+            )
+            .groupBy("event_type", "vc")
+            .agg(F.sum("c_tv").alias("c_tv"))
+            .localCheckpoint()
+        )
     vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
     w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(
