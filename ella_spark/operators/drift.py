@@ -529,3 +529,83 @@ def page_hinkley_by_slice(
         (F.col("ph_up") > lam).alias("alarm_up"),
         (F.col("ph_down") > lam).alias("alarm_down"),
     ).orderBy(slice_col)
+
+
+def trend_robust(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    time_col: str,
+    bucket_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Robust trend of ``value_col`` per ``slice_col`` slice over
+    ``bucket_ns``-wide buckets of ``time_col`` (epoch-ns long; default
+    day buckets): the Mann–Kendall S statistic (Σ sign(mean_j −
+    mean_i) over ordered bucket pairs) and the Theil–Sen slope
+    (median of pairwise slopes, in value units per bucket) — the
+    estimator a single outlier bucket cannot move, unlike regr_slope.
+    The q_trend_robust registry query pins the cross-engine-exact
+    day-bucket form; THIS operator makes the bucket width an argument
+    (r9 VERDICT #6) so multi-year series bucket to weeks/months by
+    passing ``bucket_ns`` instead of following docstring prose —
+    pairs are O(buckets²), so a 3-year daily series (1095 days →
+    599k pairs/slice) becomes a 157-week series (12k pairs/slice).
+
+    Returns (slice, n_buckets, n_pairs, mk_s, sen_slope). NULL/NaN
+    excluded. Positive mk_s near n_pairs = consistent rise; near 0 =
+    no monotone trend.
+
+    Scale shape: one (slice, bucket) groupBy shuffle over the scan;
+    the pairwise self-join runs on the aggregated O(slices × buckets)
+    frame (checkpointed — two join sides would otherwise each replay
+    the scan), never on raw rows.
+    """
+    c = df.select(
+        F.col(slice_col).cast("string").alias("_slice"),
+        F.expr(f"CAST(`{time_col}` AS BIGINT) div {bucket_ns}").alias(
+            "_bucket"
+        ),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    d = (
+        c.groupBy("_slice", "_bucket")
+        .agg((F.sum("_v") / F.count(F.lit(1))).alias("_m"))
+        .localCheckpoint()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b._slice") == F.col("a._slice"))
+        & (F.col("b._bucket") > F.col("a._bucket")),
+    )
+    sgn = (
+        F.when(F.col("b._m") > F.col("a._m"), 1)
+        .when(F.col("b._m") < F.col("a._m"), -1)
+        .otherwise(0)
+    )
+    slope = (F.col("b._m") - F.col("a._m")) / (
+        F.col("b._bucket") - F.col("a._bucket")
+    )
+    p = pairs.select(
+        F.col("a._slice").alias("_slice"),
+        sgn.alias("_sgn"),
+        slope.alias("_slope"),
+    )
+    nb = d.groupBy("_slice").agg(F.count(F.lit(1)).alias("_nb"))
+    return (
+        p.groupBy("_slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_sgn").cast("long").alias("mk_s"),
+            F.round(F.median("_slope"), 6).alias("sen_slope"),
+        )
+        .join(F.broadcast(nb), "_slice")
+        .select(
+            F.col("_slice").alias(slice_col),
+            F.col("_nb").cast("long").alias("n_buckets"),
+            "n_pairs",
+            "mk_s",
+            "sen_slope",
+        )
+        .orderBy(slice_col)
+    )
