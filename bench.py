@@ -214,10 +214,11 @@ EXTRAS = [
     "q_rolling_zscore",
     "q_dedup_soft_weight",
     # round-7 names that were correctness-tracked but missing from
-    # BENCH_r07 (VERDICT r7 #5). q_recursive_reachability is the
-    # known-expensive one (8 sequential recursion levels of fixed
-    # stage latency, ~3-3.5 s at sf0.1, ratio 0.9 at 10× — watch,
-    # not weak).
+    # BENCH_r07 (VERDICT r7 #5). q_recursive_reachability WATCH LINE
+    # (VERDICT r9 #7): ~1.9 s at sf0.1 since r9 localCheckpointed the
+    # bounded edge list once (was 3.8 s when the recursive CTE's temp
+    # view re-ran the full events scan at every one of the 9 levels).
+    # A drift back toward ~4 s = the per-level-rescan shape returned.
     "q_seasonal_baseline",
     "q_winsorize",
     "q_recursive_reachability",
@@ -242,6 +243,14 @@ EXTRAS = [
     "q_autocorrelation",
     "q_trend_robust",
     "q_burstiness",
+    # round-10 statistical-QA family
+    "q_cramers_v",
+    "q_levene_variance",
+    "q_grubbs_outlier",
+    "q_user_type_entropy",
+    "q_mann_whitney",
+    "q_runs_test",
+    "q_gap_percentiles",
 ]
 
 

@@ -122,7 +122,15 @@ def _load() -> None:
 # HARD BUDGET: len(_NEW_THIS_ROUND) + 43 stale names must fit in the
 # checked-50 prefix, so at most 7 additions this round (enforced by
 # test_next_round_rotation_budget_feasible).
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    "q_cramers_v",
+    "q_levene_variance",
+    "q_grubbs_outlier",
+    "q_user_type_entropy",
+    "q_mann_whitney",
+    "q_runs_test",
+    "q_gap_percentiles",
+}
 
 # newest hash-green = r6 — 4 rounds stale at round 10: the entire tier
 # MUST be re-checked this round (leads the prefix after the new names).

@@ -2149,3 +2149,405 @@ def q_earth_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term) / 100.0, 6).alias("emd"))
         .orderBy("event_type")
     )
+
+
+# --- round-10 statistical-QA family ---------------------------------------
+
+@register(
+    "q_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY lang),
+    s AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY source),
+    n AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+             CAST(count(DISTINCT source) AS BIGINT) AS nc
+      FROM o),
+    t AS (
+      SELECT n.n, n.nr, n.nc,
+             n.n + sum((o.o - CAST(r.rt AS DOUBLE) * s.ct / n.n)
+                       * (o.o - CAST(r.rt AS DOUBLE) * s.ct / n.n)
+                       / (CAST(r.rt AS DOUBLE) * s.ct / n.n)
+                       - CAST(r.rt AS DOUBLE) * s.ct / n.n) AS chi2
+      FROM o JOIN r USING (lang) JOIN s USING (source) CROSS JOIN n
+      GROUP BY n.n, n.nr, n.nc)
+    SELECT n, nr AS n_langs, nc AS n_sources,
+           (nr - 1) * (nc - 1) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * (least(nr, nc) - 1))), 6) AS cramers_v
+    FROM t
+    """,
+    doc="Cramér's V association between the corpus's lang and source "
+    "columns — the NORMALIZED companion of q_chi2_drift: chi² grows "
+    "with N (every chi² on big data is 'significant'), while "
+    "V = sqrt(chi²/(N·(min(r,c)−1))) ∈ [0, 1] answers the curation "
+    "question that actually matters — HOW MUCH does source determine "
+    "language (mix-balance audits, leakage checks between splits). "
+    "Unobserved cells fold in via the sum_all(e) = N identity (the "
+    "q_chi2_drift trick), so the grid is observed cells only. One "
+    "(lang, source) groupBy shuffle; marginals broadcast back onto "
+    "the aggregated O(langs × sources) frame; round(6) absorbs "
+    "summation-order ulps. 100 TB: identical shape to q_chi2_drift.",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("lang").agg(F.sum("o").alias("rt"))
+    s = o.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = o.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("nr"),
+        F.countDistinct("source").alias("nc"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e - e
+    t = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("n", "nr", "nc")
+        .agg((F.col("n") + F.sum(term)).alias("chi2"))
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nr").cast("long").alias("n_langs"),
+        F.col("nc").cast("long").alias("n_sources"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q_levene_variance",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT event_type, vc,
+             CAST(count(*) OVER win AS BIGINT) AS n_t,
+             CAST(sum(vc) OVER win AS BIGINT) AS s_t
+      FROM c WINDOW win AS (PARTITION BY event_type)),
+    z AS (
+      SELECT event_type, n_t,
+             CAST(abs(n_t * vc - s_t) AS DOUBLE) / (100.0 * n_t) AS z
+      FROM w),
+    t AS (
+      SELECT event_type,
+             CAST(max(n_t) AS BIGINT) AS n_t,
+             avg(z) AS zbar_t,
+             (max(n_t) - 1) * var_samp(z) AS ssw_t
+      FROM z GROUP BY event_type),
+    g AS (
+      SELECT CAST(sum(n_t) AS BIGINT) AS big_n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(n_t * zbar_t) / sum(n_t) AS zbar
+      FROM t)
+    SELECT g.big_n AS n, g.k AS k,
+           CASE WHEN sum(t.ssw_t) > 0 THEN
+             round(CAST(g.big_n - g.k AS DOUBLE) / (g.k - 1)
+                   * sum(t.n_t * (t.zbar_t - g.zbar) * (t.zbar_t - g.zbar))
+                   / sum(t.ssw_t), 6) END AS w_stat
+    FROM t CROSS JOIN g
+    GROUP BY g.big_n, g.k
+    """,
+    doc="Levene's test statistic for variance homogeneity across "
+    "event_types (mean-centered form): PSI/KS/CUSUM detect LOCATION "
+    "drift; Levene W detects DISPERSION drift — a slice whose mean "
+    "holds but whose spread doubles (sensor degradation, mixed "
+    "traffic) passes every mean-based monitor and fails this one. "
+    "z_ij = |x_ij − mean_i| derives from the EXACT int64 cross "
+    "product |n_i·vc_ij − s_i| (one division per row, identical IEEE "
+    "both engines; n·vc bounded by rows/slice × centi-domain — "
+    "DECIMAL territory only past ~1e9 rows/slice × 1e9 centi-values); "
+    "W = ((N−k)/(k−1))·Σn_i(z̄_i−z̄)² / ΣΣ(z_ij−z̄_i)². ONE "
+    "event_type-keyed shuffle: the totals ride whole-partition "
+    "windows on the same keying, the per-type agg reuses it, and the "
+    "k-row frame joins a 1-row broadcast. round(6) absorbs var_samp "
+    "merge-order ulps. 100 TB: one scan + one keyed shuffle.",
+)
+def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    w_all = Window.partitionBy("event_type")
+    w = c.withColumns(
+        {
+            "n_t": F.count(F.lit(1)).over(w_all),
+            "s_t": F.sum("vc").over(w_all),
+        }
+    )
+    z = w.select(
+        "event_type",
+        "n_t",
+        (
+            F.abs(F.col("n_t") * F.col("vc") - F.col("s_t")).cast("double")
+            / (F.lit(100.0) * F.col("n_t"))
+        ).alias("z"),
+    )
+    t = z.groupBy("event_type").agg(
+        F.max("n_t").cast("long").alias("n_t"),
+        F.avg("z").alias("zbar_t"),
+        ((F.max("n_t") - 1) * F.var_samp("z")).alias("ssw_t"),
+    )
+    g = t.agg(
+        F.sum("n_t").cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum(F.col("n_t") * F.col("zbar_t")) / F.sum("n_t")).alias("zbar"),
+    )
+    ssb = F.col("n_t") * (F.col("zbar_t") - F.col("zbar")) * (
+        F.col("zbar_t") - F.col("zbar")
+    )
+    return (
+        t.crossJoin(F.broadcast(g))
+        .groupBy(F.col("big_n").alias("n"), "k")
+        .agg(
+            # every-group-constant |dev| makes SSW 0 and W undefined:
+            # NULL-gate symmetrically (DuckDB CASE mirrors this)
+            F.when(
+                F.sum("ssw_t") > 0,
+                F.round(
+                    (F.col("n").cast("double") - F.col("k"))
+                    / (F.col("k") - 1)
+                    * F.sum(ssb)
+                    / F.sum("ssw_t"),
+                    6,
+                ),
+            ).alias("w_stat")
+        )
+    )
+
+
+@register(
+    "q_grubbs_outlier",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT event_type, vc,
+             CAST(count(*) OVER win AS BIGINT) AS n_t,
+             CAST(sum(vc) OVER win AS BIGINT) AS s_t
+      FROM c WINDOW win AS (PARTITION BY event_type)),
+    t AS (
+      SELECT event_type,
+             CAST(max(n_t) AS BIGINT) AS n,
+             max(CAST(abs(n_t * vc - s_t) AS DOUBLE) / (100.0 * n_t))
+               AS max_dev,
+             stddev_samp(CAST(vc AS DOUBLE) / 100.0) AS sd
+      FROM w GROUP BY event_type)
+    SELECT event_type, n,
+           round(max_dev, 6) AS outlier_dev,
+           round(max_dev / sd, 6) AS g_stat
+    FROM t WHERE n >= 3 AND sd > 0 ORDER BY event_type
+    """,
+    doc="Grubbs' outlier statistic per event_type: G = max|x − mean| "
+    "/ s — the studentized extreme deviation, the classic "
+    "single-outlier screen for ingest QA (a G far above the critical "
+    "value ~ sqrt(n) flags a corrupt reading / unit error in a slice "
+    "whose aggregate stats still look sane). The deviation derives "
+    "from the EXACT int64 cross product |n·vc − s| (the "
+    "q_levene_variance scaling), so max() is over identical doubles "
+    "on both engines — order-free; stddev_samp is the q_agg_stats-"
+    "proven parity aggregate. ONE event_type-keyed shuffle (totals "
+    "via whole-partition windows on the same keying); n >= 3 and "
+    "sd > 0 gate the undefined cases symmetrically. round(6).",
+)
+def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    w_all = Window.partitionBy("event_type")
+    w = c.withColumns(
+        {
+            "n_t": F.count(F.lit(1)).over(w_all),
+            "s_t": F.sum("vc").over(w_all),
+        }
+    )
+    t = w.groupBy("event_type").agg(
+        F.max("n_t").cast("long").alias("n"),
+        F.max(
+            F.abs(F.col("n_t") * F.col("vc") - F.col("s_t")).cast("double")
+            / (F.lit(100.0) * F.col("n_t"))
+        ).alias("max_dev"),
+        F.stddev_samp(F.col("vc").cast("double") / 100.0).alias("sd"),
+    )
+    return (
+        t.where((F.col("n") >= 3) & (F.col("sd") > 0))
+        .select(
+            "event_type",
+            "n",
+            F.round("max_dev", 6).alias("outlier_dev"),
+            F.round(F.col("max_dev") / F.col("sd"), 6).alias("g_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_user_type_entropy",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    p AS (
+      SELECT user_id, c,
+             CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n_u
+      FROM ut),
+    u AS (
+      SELECT user_id,
+             CAST(max(n_u) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             -sum((CAST(c AS DOUBLE) / n_u) * ln(CAST(c AS DOUBLE) / n_u))
+               AS h
+      FROM p GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           round(h, 6) AS entropy,
+           CASE WHEN n_types > 1 THEN round(h / ln(CAST(n_types AS DOUBLE)), 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM u ORDER BY user_id
+    """,
+    doc="Shannon entropy of each user's event_type mix plus the "
+    "normalized form H/ln(k) ∈ [0, 1] — the behavioral-diversity "
+    "profile: norm 0 = single-type bots / stuck clients, norm ~1 = "
+    "uniform usage; the per-entity analog of q_char_entropy (which "
+    "profiles text) and the feature that stratifies users for "
+    "sampling the way q_lang_source_stats stratifies documents. One "
+    "(user, type) groupBy shuffle, then the per-user agg rides the "
+    "same user keying (types/user is enumerable, so the inner frame "
+    "is O(users × types)). Entropy sums <= types-per-user terms — "
+    "round(6) absorbs ordering ulps; norm divides the UNROUNDED H. "
+    "100 TB: one scan + one keyed shuffle.",
+)
+def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_u = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.sum("c").over(w_u)
+    u = ut.select(
+        "user_id", F.col("c"), (-p * F.log(p)).alias("term")
+    ).groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("term").alias("h"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round("h", 6).alias("entropy"),
+        F.when(
+            F.col("n_types") > 1,
+            F.round(F.col("h") / F.log(F.col("n_types").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    tv AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c_tv
+      FROM c GROUP BY event_type, vc),
+    vals AS (SELECT vc, CAST(sum(c_tv) AS BIGINT) AS c_v FROM tv GROUP BY vc),
+    pooled AS (
+      SELECT vc, c_v, sum(c_v) OVER (ORDER BY vc) AS cum_all,
+             (SELECT sum(c_v) FROM vals) AS big_n
+      FROM vals),
+    r AS (
+      SELECT tv.event_type,
+             CAST(sum(tv.c_tv) AS BIGINT) AS n_t,
+             CAST(sum(tv.c_tv * (2 * p.cum_all - p.c_v + 1)) AS BIGINT)
+               AS two_r,
+             CAST(max(p.big_n) AS BIGINT) AS big_n
+      FROM tv JOIN pooled p USING (vc)
+      GROUP BY tv.event_type)
+    SELECT event_type, n_t AS n, big_n - n_t AS m,
+           two_r - n_t * (n_t + 1) AS u2,
+           round(CAST(two_r - n_t * (n_t + 1) AS DOUBLE)
+                 / (2.0 * n_t * (big_n - n_t)), 6) AS auc
+    FROM r WHERE big_n > n_t ORDER BY event_type
+    """,
+    doc="Mann–Whitney U (rank-sum) per event_type vs the REST of the "
+    "pooled distribution — the nonparametric location test that "
+    "completes the drift family's rank column: KS is the sup-gap, "
+    "EMD the transport cost, U/auc the PROBABILITY a random value "
+    "from the slice exceeds a random value from everything else "
+    "(AUC 0.5 = no shift; it is also exactly ROC-AUC of the slice "
+    "indicator, the score every binary-drift classifier reports). "
+    "Average ranks with tie handling stay EXACT int64: 2·R_t = "
+    "Σ c_tv·(2·cum_all − c_v + 1) over the pooled step grid (the "
+    "q_ks_drift cumulative-count frame), then U = R − n(n+1)/2 and "
+    "AUC = U/(n·m) is one double division — identical IEEE both "
+    "engines, round(6) for house style. Ranks in the pooled ordering "
+    "equal ranks in slice-vs-rest (pooled = union), so no second "
+    "pass. ONE (type, value) shuffle; grid bounded by the value "
+    "domain (the _pooled_ecdf_frame cap applies at unbounded "
+    "cardinality). 100 TB: the q_ks_drift plan exactly.",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    tv = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
+    tv = tv.localCheckpoint()
+    vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
+    w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    pooled = vals.select(
+        "vc",
+        "c_v",
+        F.sum("c_v").over(w_vc).alias("cum_all"),
+        F.sum("c_v").over(Window.partitionBy()).alias("big_n"),
+    )
+    r = (
+        tv.join(pooled, "vc")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c_tv").cast("long").alias("n_t"),
+            F.sum(
+                F.col("c_tv")
+                * (2 * F.col("cum_all") - F.col("c_v") + 1)
+            )
+            .cast("long")
+            .alias("two_r"),
+            F.max("big_n").cast("long").alias("big_n"),
+        )
+    )
+    u2 = F.col("two_r") - F.col("n_t") * (F.col("n_t") + 1)
+    return (
+        r.where(F.col("big_n") > F.col("n_t"))
+        .select(
+            "event_type",
+            F.col("n_t").alias("n"),
+            (F.col("big_n") - F.col("n_t")).alias("m"),
+            u2.alias("u2"),
+            F.round(
+                u2.cast("double")
+                / (2.0 * F.col("n_t") * (F.col("big_n") - F.col("n_t"))),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("event_type")
+    )

@@ -1941,3 +1941,176 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_runs_test",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, epoch_ns(ts) AS tns, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT event_type, tns, event_id, vc,
+             CAST(count(*) OVER win AS BIGINT) AS n_t,
+             CAST(sum(vc) OVER win AS BIGINT) AS s_t
+      FROM c WINDOW win AS (PARTITION BY event_type)),
+    s AS (
+      SELECT event_type, tns, event_id,
+             CASE WHEN n_t * vc > s_t THEN 1
+                  WHEN n_t * vc < s_t THEN 0 END AS sgn
+      FROM w),
+    f AS (
+      SELECT event_type, sgn,
+             CASE WHEN lag(sgn) OVER win IS NULL THEN 1
+                  WHEN sgn <> lag(sgn) OVER win THEN 1 ELSE 0 END AS chg
+      FROM s WHERE sgn IS NOT NULL
+      WINDOW win AS (PARTITION BY event_type ORDER BY tns, event_id)),
+    t AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sgn) AS BIGINT) AS n1,
+             CAST(count(*) - sum(sgn) AS BIGINT) AS n0,
+             CAST(sum(chg) AS BIGINT) AS n_runs
+      FROM f GROUP BY event_type)
+    SELECT event_type, n, n1, n0, n_runs,
+           round((n_runs - (1.0 + 2.0 * n1 * n0 / n))
+                 / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_runs
+    FROM t WHERE n1 >= 2 AND n0 >= 2 ORDER BY event_type
+    """,
+    doc="Wald–Wolfowitz runs test per event_type: the time-ordered "
+    "sequence of above/below-mean indicators is reduced to its run "
+    "count R and studentized — z << 0 means values CLUMP (long "
+    "same-side streaks: regime persistence, stuck sensors, batched "
+    "writes masquerading as live traffic), z >> 0 means oscillation "
+    "faster than chance; the randomness audit that mean/variance "
+    "monitors are blind to. Above/below is decided by the EXACT "
+    "int64 cross product n_t·vc vs s_t (no float mean, no ulp edge); "
+    "exact-mean rows drop symmetrically (standard tie handling). "
+    "μ_R = 1 + 2n₁n₀/n and σ²_R's big products are computed in "
+    "DOUBLE (int64 would wrap at (2n₁n₀)² for n > ~3e9 rows/slice). "
+    "ONE event_type-keyed shuffle: totals via whole-partition "
+    "windows, the lag() ordering and final agg ride the same "
+    "keying. n₁, n₀ >= 2 gates σ > 0. round(6).",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.col("ts").alias("tns"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    w_all = Window.partitionBy("event_type")
+    w = c.withColumns(
+        {
+            "n_t": F.count(F.lit(1)).over(w_all),
+            "s_t": F.sum("vc").over(w_all),
+        }
+    )
+    s = w.select(
+        "event_type",
+        "tns",
+        "event_id",
+        F.when(F.col("n_t") * F.col("vc") > F.col("s_t"), 1)
+        .when(F.col("n_t") * F.col("vc") < F.col("s_t"), 0)
+        .alias("sgn"),
+    ).where(F.col("sgn").isNotNull())
+    w_ord = Window.partitionBy("event_type").orderBy("tns", "event_id")
+    f = s.select(
+        "event_type",
+        "sgn",
+        F.when(F.lag("sgn").over(w_ord).isNull(), 1)
+        .when(F.col("sgn") != F.lag("sgn").over(w_ord), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    t = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sgn").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("long").alias("n0"),
+        F.sum("chg").cast("long").alias("n_runs"),
+    )
+    n, n1, n0 = F.col("n"), F.col("n1"), F.col("n0")
+    mu = 1.0 + 2.0 * n1 * n0 / n
+    var = (
+        2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return (
+        t.where((n1 >= 2) & (n0 >= 2))
+        .select(
+            "event_type",
+            "n",
+            "n1",
+            "n0",
+            "n_runs",
+            F.round((F.col("n_runs") - mu) / F.sqrt(var), 6).alias("z_runs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_gap_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, epoch_ns(ts) AS tns, event_id
+      FROM events),
+    g AS (
+      SELECT event_type,
+             lead(tns) OVER win - tns AS gap_ns
+      FROM c
+      WINDOW win AS (PARTITION BY event_type ORDER BY tns, event_id)),
+    t AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             quantile_cont(gap_ns, 0.5) AS p50,
+             quantile_cont(gap_ns, 0.9) AS p90,
+             quantile_cont(gap_ns, 0.99) AS p99
+      FROM g WHERE gap_ns IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n_gaps,
+           round(p50 / 1e9, 6) AS p50_gap_s,
+           round(p90 / 1e9, 6) AS p90_gap_s,
+           round(p99 / 1e9, 6) AS p99_gap_s
+    FROM t WHERE n_gaps >= 2 ORDER BY event_type
+    """,
+    doc="Inter-arrival gap percentiles (p50/p90/p99) per event_type — "
+    "the TAIL-latency companion of q_burstiness (whose B/CV compress "
+    "the whole gap distribution to two moments): p99 gap is the SLA "
+    "number a freshness monitor alarms on, and p99/p50 is the "
+    "burst-to-baseline ratio capacity planning provisions for. Gaps "
+    "derive from exact int64 ns lead() differences on the one "
+    "event_type-keyed shuffle (the q_burstiness window); "
+    "percentile() over exact int64 multisets interpolates "
+    "deterministically (the q_percentile_exact-proven parity pair "
+    "with quantile_cont), and /1e9 + round(6) converts to seconds "
+    "identically on both engines. 100 TB: single keyed shuffle; the "
+    "exact sort is per-type within the shuffle's partition ordering.",
+)
+def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", F.col("ts").alias("tns"), "event_id")
+    win = Window.partitionBy("event_type").orderBy("tns", "event_id")
+    g = c.select(
+        "event_type",
+        (F.lead("tns").over(win) - F.col("tns")).alias("gap_ns"),
+    ).where(F.col("gap_ns").isNotNull())
+    t = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("percentile(gap_ns, 0.5)").alias("p50"),
+        F.expr("percentile(gap_ns, 0.9)").alias("p90"),
+        F.expr("percentile(gap_ns, 0.99)").alias("p99"),
+    )
+    return (
+        t.where(F.col("n_gaps") >= 2)
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(F.col("p50") / 1e9, 6).alias("p50_gap_s"),
+            F.round(F.col("p90") / 1e9, 6).alias("p90_gap_s"),
+            F.round(F.col("p99") / 1e9, 6).alias("p99_gap_s"),
+        )
+        .orderBy("event_type")
+    )
