@@ -2195,6 +2195,9 @@ def q_earth_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # O(langs x sources) frame feeds FOUR consumers (cells + both
+    # marginals + totals): cut it or each one replays the corpus scan
+    o = o.localCheckpoint()
     r = o.groupBy("lang").agg(F.sum("o").alias("rt"))
     s = o.groupBy("source").agg(F.sum("o").alias("ct"))
     n = o.agg(
@@ -2301,6 +2304,9 @@ def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("z").alias("zbar_t"),
         ((F.max("n_t") - 1) * F.var_samp("z")).alias("ssw_t"),
     )
+    # k-row frame feeds two consumers (grand means + the W terms):
+    # cut it or both replay the scan-and-window stage
+    t = t.localCheckpoint()
     g = t.agg(
         F.sum("n_t").cast("long").alias("big_n"),
         F.count(F.lit(1)).cast("long").alias("k"),

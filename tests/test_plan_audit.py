@@ -58,6 +58,10 @@ BNLJ_BOUNDED = {
     # q_benford_deviation constant-grid pattern)
     "q_earth_movers",  # same bounded grid as q_ks_drift (pooled
     # values x event types, bounded by the value domain)
+    "q_cramers_v",  # 1-row (N, n_langs, n_sources) totals broadcast
+    # onto the checkpointed O(langs x sources) contingency frame
+    "q_levene_variance",  # 1-row grand-mean aggregate broadcast onto
+    # the checkpointed k-row per-type frame (k = event types)
 }
 
 
@@ -371,3 +375,37 @@ def test_changepoint_cusum_single_scan_single_type_shuffle(spark):
     assert plan.count("Scan parquet") == 1, plan
     hash_ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(hash_ex) <= 2, plan  # (type, day) agg + type windows
+
+
+def test_statqa_single_scan_single_type_shuffle(spark):
+    """Round-10 statistical-QA family plan pins: q_grubbs_outlier,
+    q_runs_test and q_gap_percentiles compute everything off ONE
+    events scan and ONE event_type hash exchange (whole-partition
+    windows / ordered windows / the final agg all ride the same
+    keying; the only other exchange is the final ORDER BY)."""
+    import re
+
+    for name in ("q_grubbs_outlier", "q_runs_test", "q_gap_percentiles"):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 1, (name, plan)
+        hash_ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(hash_ex) <= 1, (name, plan)
+
+
+def test_cramers_v_and_levene_checkpoint_cuts(spark):
+    """q_cramers_v's O(langs x sources) contingency frame feeds FOUR
+    consumers and q_levene_variance's k-row per-type frame feeds two;
+    both are localCheckpointed so the executed plans replay ZERO
+    parquet scans downstream (before the cut: 4 and 2 full scans)."""
+    for name in ("q_cramers_v", "q_levene_variance"):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 0, (name, plan)
+
+
+def test_mann_whitney_checkpoint_cut_and_bounded_grid(spark):
+    """q_mann_whitney reuses the q_ks_drift contract: the aggregated
+    (type, value) frame is checkpointed (zero downstream scans) and
+    the rank computation is an equi-join on vc (no nested loop)."""
+    plan = _plan(spark, "q_mann_whitney")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan, plan
