@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Recompute the checked-50 rotation tier sets from the on-disk
+CORRECTNESS_r*.json union — the mechanical step each round's builder
+performs before anything else (VERDICT r9 #1 made it the only red
+gate when skipped).
+
+Prints the newest-green histogram, the due tier for the CURRENT round
+(names that MUST lead the prefix or test_checked_prefix_staleness_bound
+goes red), the per-round new-query budget, and ready-to-paste tier-set
+literals for ella_spark/queries/__init__.py.
+
+Usage:
+    python tools/rotation_audit.py
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+MAX_STALE = 3
+BUDGET = 50
+
+
+def newest_greens() -> tuple[dict[str, int], int]:
+    newest: dict[str, int] = {}
+    rounds = []
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r0*(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name, rec in json.loads(p.read_text()).items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest, max(rounds) + 1
+
+
+def fmt_tier(names: list[str]) -> str:
+    lines, cur = [], "    "
+    for n in sorted(names):
+        tok = f'"{n}",'
+        if len(cur) + len(tok) + 1 > 76 and cur.strip():
+            lines.append(cur.rstrip())
+            cur = "    "
+        cur += tok + " "
+    if cur.strip():
+        lines.append(cur.rstrip())
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from ella_spark.queries import all_oracles, all_queries
+
+    newest, current = newest_greens()
+    oracles = set(all_oracles())
+    names = list(all_queries())
+    hist = Counter(g for n, g in newest.items() if n in oracles)
+    print(f"current round: {current}")
+    print("newest-green histogram:", dict(sorted(hist.items())))
+
+    never = sorted(n for n in names if n in oracles and n not in newest)
+    print(f"never-green oracle-paired ({len(never)}):", never or "none")
+
+    # a name OUTSIDE the prefix needs current - green <= MAX_STALE,
+    # so the due tier is everything at green <= current - MAX_STALE - 1
+    due_round = current - MAX_STALE - 1
+    due = sorted(
+        n for n, g in newest.items() if n in oracles and g <= due_round
+    )
+    print(f"\nDUE tier (green <= r{due_round}, MUST lead the prefix): "
+          f"{len(due)} names")
+    budget = BUDGET - len(due) - len(never)
+    print(f"new-query budget this round: {budget}")
+    if len(due) + len(never) > BUDGET:
+        print("!! UNSATISFIABLE: due tier exceeds the prefix budget")
+
+    print("\n# ready-to-paste tier sets (rename to match the round):")
+    for g in sorted(set(newest.values())):
+        tier = sorted(
+            n for n, gg in newest.items() if gg == g and n in oracles
+        )
+        print(f"_R{g}_GREEN = {{\n{fmt_tier(tier)}\n}}\n")
+
+
+if __name__ == "__main__":
+    main()
