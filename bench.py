@@ -79,10 +79,13 @@ def _cal_work() -> float:
 
 
 def _calibrate(threads: int = 32, units: int = 64, reps: int = 3) -> tuple[float, float]:
-    """(cal_1t_sec, cal_Nt_sec): wall seconds for `units` work units on
-    one thread, then the same total work fanned across `threads`.
-    Min of `reps` timed repetitions after one untimed warmup — min is
-    the host's attainable speed; contention only ever inflates."""
+    """(cal_1t_sec, cal_Nt_sec): wall seconds for `units` work units
+    on ONE thread, then for `units` work units PER THREAD fanned
+    across `threads` (units*threads total — cal_Nt measures saturated
+    multicore throughput, NOT the same workload sped up; a parallel-
+    speedup ratio would be threads*cal_1t/cal_Nt). Min of `reps`
+    timed repetitions after one untimed warmup — min is the host's
+    attainable speed; contention only ever inflates."""
     from concurrent.futures import ThreadPoolExecutor
 
     _cal_work()  # allocator/ufunc warmup

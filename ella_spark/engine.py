@@ -168,14 +168,36 @@ _TVF_VIEW_SEQ = itertools.count()
 #: driver-collected query batches). Dropping is safe once the
 #: surrounding statement has been ANALYZED — spark.sql() resolves the
 #: view into the plan eagerly, and execution never re-consults the
-#: catalog. The live window is PER-Ella-INSTANCE (a module-global
-#: deque would let instance A's eviction drop views created by
-#: instance B's session — or never drop them if B's session differs),
-#: and views created for the CURRENT statement stay in a pending list
-#: until the NEXT rewrite batch starts, so a single statement with
-#: more TVF matches than the cap can never evict a view it has not
-#: yet analyzed. See Ella._register_tvf_view / _tvf_gc_flush.
+#: catalog. Design (r9 ADVICE + round-10 self-review):
+#:   - pending views live on the OWNING Ella instance until that
+#:     instance starts its next TOP-LEVEL rewrite batch (a depth
+#:     guard in _apply_tvf_rewrites keeps nested rewrites — a view
+#:     entry resolved via _frame_for mid-batch — from flushing the
+#:     outer statement's pending views early), so a statement with
+#:     more TVF matches than the cap can never evict a view it has
+#:     not yet analyzed;
+#:   - ANALYZED views move to ONE process-wide live window of
+#:     (session, name) pairs, so the total catalog footprint stays
+#:     bounded at the cap regardless of how many Ella instances churn
+#:     on the session, and each entry is dropped via ITS OWN session
+#:     handle (the r9 bug was a global deque of bare names dropping
+#:     through whichever session triggered eviction).
 _TVF_VIEW_CAP = 64
+_TVF_VIEW_LIVE: "collections.deque[tuple[object, str]]" = collections.deque()
+
+
+def _positive_buckets(arg: "str | None", default: int = 10) -> int:
+    """Validate an optional TVF bucket-count argument: the regexes
+    match any digit run, so `psi_drift('t','v','k', 0)` would reach
+    the operator and divide the bucket width by zero (NULL buckets
+    under non-ANSI Spark — a silent degenerate histogram). Fail at
+    rewrite time with guidance instead."""
+    if arg is None:
+        return default
+    n = int(arg)
+    if n < 1:
+        raise ValueError(f"bucket count must be >= 1, got {n}")
+    return n
 
 
 def _splice_spans(sql: str, repls: list[tuple[int, int, str]]) -> str:
@@ -382,9 +404,9 @@ class Ella:
         self.spark = spark
         # TVF-rewrite view GC (see _TVF_VIEW_CAP comment): views made
         # by THIS instance's rewrites, pending until their statement
-        # is analyzed, then eligible for bounded eviction.
+        # is analyzed, then promoted to the process-wide live window.
         self._tvf_views_pending: list[str] = []
-        self._tvf_views_live: collections.deque[str] = collections.deque()
+        self._tvf_rewrite_depth = 0
         for ddl in self._SQL_COMPAT_FNS:
             spark.sql(ddl)
         self._register_all()
@@ -395,27 +417,43 @@ class Ella:
         self._tvf_views_pending.append(name)
 
     def _tvf_gc_flush(self) -> None:
-        """Promote pending TVF views to the live window and evict past
-        the cap. Called at the START of each rewrite batch — any
-        previously-pending view's statement has been analyzed by then
-        (spark.sql resolves views into the plan eagerly), so dropping
-        the oldest live names can never break an in-flight statement,
-        and a single statement with >cap TVF matches keeps all of its
-        own views pending until the next batch."""
-        self._tvf_views_live.extend(self._tvf_views_pending)
+        """Promote this instance's pending TVF views to the process-
+        wide live window and evict past the cap. Called at the START
+        of each TOP-LEVEL rewrite batch — any previously-pending
+        view's statement has been analyzed by then (spark.sql
+        resolves views into the plan eagerly), so dropping the oldest
+        live names can never break an in-flight statement, and a
+        single statement with >cap TVF matches keeps all of its own
+        views pending until the next batch. Live entries carry their
+        owning session, so eviction triggered by one instance drops
+        another instance's (analyzed) view via the RIGHT session."""
+        _TVF_VIEW_LIVE.extend(
+            (self.spark, n) for n in self._tvf_views_pending
+        )
         self._tvf_views_pending.clear()
-        while len(self._tvf_views_live) > _TVF_VIEW_CAP:
-            old = self._tvf_views_live.popleft()
+        while len(_TVF_VIEW_LIVE) > _TVF_VIEW_CAP:
+            session, old = _TVF_VIEW_LIVE.popleft()
             try:
-                self.spark.catalog.dropTempView(old)
+                session.catalog.dropTempView(old)
             except Exception:
-                pass  # session restarted / already dropped
+                pass  # session stopped / already dropped
 
     def _apply_tvf_rewrites(self, sql: str) -> str:
         """Run every table-valued-function rewrite that matches. One
-        dispatch point so the GC flush precedes each batch exactly
-        once."""
-        self._tvf_gc_flush()
+        dispatch point so the GC flush precedes each TOP-LEVEL batch
+        exactly once. The depth guard matters: rewrites resolve their
+        table argument via _frame_for, which for a stored-VIEW entry
+        re-enters this method — a nested flush would promote (and
+        possibly evict) the OUTER statement's still-unanalyzed views."""
+        if self._tvf_rewrite_depth == 0:
+            self._tvf_gc_flush()
+        self._tvf_rewrite_depth += 1
+        try:
+            return self._apply_tvf_rewrites_inner(sql)
+        finally:
+            self._tvf_rewrite_depth -= 1
+
+    def _apply_tvf_rewrites_inner(self, sql: str) -> str:
         if _ANN_SEARCH_RE.search(sql):
             sql = self._rewrite_ann_search(sql)
         if _POINT_LOOKUP_RE.search(sql):
@@ -2266,7 +2304,7 @@ class Ella:
                 self._frame_for(entry),
                 value_col,
                 slice_col,
-                buckets=int(buckets) if buckets else 10,
+                buckets=_positive_buckets(buckets),
             )
             view = f"__psi_drift_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
@@ -2378,7 +2416,7 @@ class Ella:
                 self._frame_for(entry),
                 value_col,
                 slice_col,
-                buckets=int(buckets) if buckets else 10,
+                buckets=_positive_buckets(buckets),
             )
             view = f"__js_divergence_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)

@@ -1688,6 +1688,78 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: executor's window-partition memory at any corpus size.
 _ECDF_MAX_GRID = 200_000
 
+#: the SAME conditional quantization as SQL text, spliced into the
+#: q_ks_drift / q_earth_movers / q_mann_whitney ORACLES so the DuckDB
+#: side coarsens IDENTICALLY when the cap fires (round-10 self-review:
+#: a Spark-only cap would hash-mismatch exactly on the inputs it
+#: guards against). Expects a prior CTE `c(event_type, vc)`; yields
+#: `tv(event_type, vc, c_tv)` — exact when n_vals <= cap (width 1 is
+#: an identity re-aggregation), identically-binned past it.
+_CAPPED_TV_CTE = f"""
+    tv0 AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c_tv
+      FROM c GROUP BY event_type, vc),
+    wdt AS (
+      SELECT CASE WHEN count(DISTINCT vc) > {_ECDF_MAX_GRID}
+                  THEN greatest((max(vc) - min(vc) + {_ECDF_MAX_GRID} - 1)
+                                // {_ECDF_MAX_GRID}, 1)
+                  ELSE 1 END AS w,
+             min(vc) AS lo
+      FROM tv0),
+    tv AS (
+      SELECT event_type,
+             vc - ((vc - wdt.lo) % wdt.w) AS vc,
+             CAST(sum(c_tv) AS BIGINT) AS c_tv
+      FROM tv0 CROSS JOIN wdt GROUP BY 1, 2)"""
+
+
+def _capped_tv(ev, max_grid: int = _ECDF_MAX_GRID):
+    """Exact (event_type, vc, c_tv) counts with the grid hard-bounded
+    at ``max_grid`` distinct centi-values — the shared base of
+    q_ks_drift / q_earth_movers / q_mann_whitney and the Spark twin
+    of _CAPPED_TV_CTE (bit-identical arithmetic: integer width
+    CASE, left-edge modulo quantization, exact int64 re-sums; when
+    the cap is not hit, width 1 makes the re-aggregation an
+    identity). Fully declarative — no driver-side probe — so the cap
+    costs one extra exchange of the already-aggregated small frame.
+    Returned frame is localCheckpointed (every caller fans it out to
+    2-3 consumers that would otherwise each replay the scan)."""
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    tv0 = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
+    tv0 = tv0.localCheckpoint()
+    wdt = tv0.agg(
+        F.when(
+            F.countDistinct("vc") > max_grid,
+            F.greatest(
+                F.expr(
+                    f"(max(vc) - min(vc) + {max_grid} - 1) div {max_grid}"
+                ),
+                F.lit(1).cast("bigint"),
+            ),
+        )
+        .otherwise(F.lit(1).cast("bigint"))
+        .alias("w"),
+        F.min("vc").alias("lo"),
+    )
+    tv = (
+        tv0.crossJoin(F.broadcast(wdt))
+        .select(
+            "event_type",
+            # vc - ((vc - lo) % w) == lo + ((vc - lo) div w) * w,
+            # in EXACT int64 (no double division)
+            (F.col("vc") - ((F.col("vc") - F.col("lo")) % F.col("w"))).alias(
+                "vc"
+            ),
+            "c_tv",
+        )
+        .groupBy("event_type", "vc")
+        .agg(F.sum("c_tv").alias("c_tv"))
+    )
+    return tv.localCheckpoint()
+
 
 def _pooled_ecdf_frame(ev, max_grid: int = _ECDF_MAX_GRID):
     """Shared frame of q_ks_drift / q_earth_movers (both derive from
@@ -1699,38 +1771,13 @@ def _pooled_ecdf_frame(ev, max_grid: int = _ECDF_MAX_GRID):
     marginal, per-type totals, the evaluation grid); without the cut
     each consumer replays the full events scan (measured: 3 scans).
     Grid size is types × distinct values — bounded by the VALUE
-    DOMAIN, not the row count, and now HARD-bounded by ``max_grid``:
-    a cardinality probe on the (already-checkpointed, so scan-free)
-    frame triggers PSI-style equal-width re-quantization onto bucket
-    left edges when the domain is too fine. Counts stay exact int64
-    either way; only the evaluation grid coarsens (KS/EMD evaluated
-    at <= max_grid step points — the standard binned-ECDF regime)."""
-    c = ev.where(F.col("value").isNotNull()).select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
-    )
-    tv = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
-    tv = tv.localCheckpoint()
-    stats = tv.agg(
-        F.countDistinct("vc").alias("n_vals"),
-        F.min("vc").alias("lo"),
-        F.max("vc").alias("hi"),
-    ).collect()[0]
-    if stats.n_vals and stats.n_vals > max_grid:
-        # integer bucket width >= 1; representative = bucket LEFT edge
-        # (stays exact int64 on the original centi-unit scale)
-        width = max((stats.hi - stats.lo + max_grid - 1) // max_grid, 1)
-        tv = (
-            tv.withColumn(
-                # vc - ((vc - lo) % width) == lo + ((vc - lo) div
-                # width) * width, in EXACT int64 (no double division)
-                "vc",
-                F.col("vc") - ((F.col("vc") - F.lit(stats.lo)) % F.lit(width)),
-            )
-            .groupBy("event_type", "vc")
-            .agg(F.sum("c_tv").alias("c_tv"))
-            .localCheckpoint()
-        )
+    DOMAIN, not the row count, and HARD-bounded by ``max_grid`` via
+    _capped_tv, whose conditional equal-width re-quantization the
+    oracles mirror verbatim (_CAPPED_TV_CTE), so cross-engine hash
+    parity holds in BOTH regimes. Counts stay exact int64 either way;
+    only the evaluation grid coarsens (KS/EMD evaluated at <=
+    max_grid step points — the standard binned-ECDF regime)."""
+    tv = _capped_tv(ev, max_grid)
     vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
     w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(
@@ -1753,13 +1800,11 @@ def _pooled_ecdf_frame(ev, max_grid: int = _ECDF_MAX_GRID):
 
 @register(
     "q_ks_drift",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
       FROM events WHERE value IS NOT NULL),
-    tv AS (
-      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c_tv
-      FROM c GROUP BY event_type, vc),
+    {_CAPPED_TV_CTE},
     vals AS (SELECT vc, CAST(sum(c_tv) AS BIGINT) AS c_v FROM tv GROUP BY vc),
     pooled AS (
       SELECT vc, sum(c_v) OVER (ORDER BY vc) AS cum_all,
@@ -2084,13 +2129,11 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_earth_movers",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
       FROM events WHERE value IS NOT NULL),
-    tv AS (
-      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c_tv
-      FROM c GROUP BY event_type, vc),
+    {_CAPPED_TV_CTE},
     vals AS (SELECT vc, CAST(sum(c_tv) AS BIGINT) AS c_v FROM tv GROUP BY vc),
     pooled AS (
       SELECT vc, sum(c_v) OVER (ORDER BY vc) AS cum_all,
@@ -2177,7 +2220,9 @@ def q_earth_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n, nr AS n_langs, nc AS n_sources,
            (nr - 1) * (nc - 1) AS dof,
            round(chi2, 6) AS chi2,
-           round(sqrt(chi2 / (n * (least(nr, nc) - 1))), 6) AS cramers_v
+           CASE WHEN least(nr, nc) > 1 THEN
+             round(sqrt(chi2 / (n * (least(nr, nc) - 1))), 6)
+           END AS cramers_v
     FROM t
     """,
     doc="Cramér's V association between the corpus's lang and source "
@@ -2220,11 +2265,17 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nc").cast("long").alias("n_sources"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
         F.round("chi2", 6).alias("chi2"),
-        F.round(
-            F.sqrt(
-                F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))
+        # a single-language (or single-source) corpus makes V's
+        # denominator 0: NULL-gate symmetrically (the q_levene SSW
+        # contract) instead of NULL-vs-Infinity cross-engine drift
+        F.when(
+            F.least("nr", "nc") > 1,
+            F.round(
+                F.sqrt(
+                    F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))
+                ),
+                6,
             ),
-            6,
         ).alias("cramers_v"),
     )
 
@@ -2468,13 +2519,11 @@ def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_mann_whitney",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
       FROM events WHERE value IS NOT NULL),
-    tv AS (
-      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c_tv
-      FROM c GROUP BY event_type, vc),
+    {_CAPPED_TV_CTE},
     vals AS (SELECT vc, CAST(sum(c_tv) AS BIGINT) AS c_v FROM tv GROUP BY vc),
     pooled AS (
       SELECT vc, c_v, sum(c_v) OVER (ORDER BY vc) AS cum_all,
@@ -2507,18 +2556,17 @@ def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AUC = U/(n·m) is one double division — identical IEEE both "
     "engines, round(6) for house style. Ranks in the pooled ordering "
     "equal ranks in slice-vs-rest (pooled = union), so no second "
-    "pass. ONE (type, value) shuffle; grid bounded by the value "
-    "domain (the _pooled_ecdf_frame cap applies at unbounded "
-    "cardinality). 100 TB: the q_ks_drift plan exactly.",
+    "pass. ONE (type, value) shuffle over the shared _capped_tv "
+    "base, so the _ECDF_MAX_GRID hard cap applies here identically "
+    "(and the oracle carries the same conditional quantization CTE, "
+    "so parity holds even when the cap fires). 100 TB: the "
+    "q_ks_drift plan exactly.",
 )
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    c = ev.where(F.col("value").isNotNull()).select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
-    )
-    tv = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
-    tv = tv.localCheckpoint()
+    # shared capped base of the ECDF family: exact counts, grid
+    # hard-bounded at _ECDF_MAX_GRID, checkpointed (2 consumers here)
+    tv = _capped_tv(ev)
     vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
     w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(

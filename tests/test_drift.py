@@ -350,15 +350,22 @@ def test_tvf_rewrite_views_are_unique_and_span_spliced(spark, tmp_path):
     assert len(names) == 2 and names[0] != names[1]
 
 
-def test_tvf_view_gc_per_instance_and_deferred(spark, tmp_path):
-    """Regression (r9 ADVICE): the TVF-view GC window is per-Ella-
-    instance and eviction is deferred to the NEXT rewrite batch, so
+def test_tvf_view_gc_deferred_and_session_correct(spark, tmp_path):
+    """Regression (r9 ADVICE + r10 self-review): TVF-view GC defers
+    eviction to the owning instance's NEXT top-level rewrite batch, so
     (a) one statement with more TVF matches than the cap can never
-    evict a view it has not yet analyzed, and (b) instance A's
-    eviction never drops instance B's views."""
+    evict a view it has not yet analyzed — including via the
+    _frame_for re-entrancy path, which a depth guard keeps from
+    flushing mid-batch; (b) the live window is process-wide (total
+    catalog footprint stays bounded no matter how many Ella instances
+    churn) and each entry is dropped via its OWNING session, so a
+    second session's views are actually removed from THAT session's
+    catalog."""
+    import ella_spark.engine as eng
     from ella_spark import Column, Ella
     from ella_spark.engine import _TVF_VIEW_CAP
 
+    eng._TVF_VIEW_LIVE.clear()  # isolate from earlier tests
     db = Ella.create(str(tmp_path / "db"), spark)
     t = db.create_topic(
         "m", [Column("kind", "string", required=True), Column("v", "float64")]
@@ -376,22 +383,42 @@ def test_tvf_view_gc_per_instance_and_deferred(spark, tmp_path):
     db._tvf_views_pending.extend(
         f"__fake_{i}" for i in range(_TVF_VIEW_CAP + 8)
     )
+    # a NESTED rewrite (the _frame_for re-entrancy path) must NOT
+    # flush the outer statement's pending views
+    db._tvf_rewrite_depth = 1
+    db._apply_tvf_rewrites("SELECT 1")
+    db._tvf_rewrite_depth = 0
+    assert len(db._tvf_views_pending) == _TVF_VIEW_CAP + 9
     assert spark.table(first_view).count() == 2  # still live
-    # the NEXT batch flushes pending -> live and evicts past the cap
+    # the NEXT top-level batch flushes pending -> live, bounded
     db._apply_tvf_rewrites("SELECT 1")
     assert not db._tvf_views_pending
-    assert len(db._tvf_views_live) <= _TVF_VIEW_CAP
+    assert len(eng._TVF_VIEW_LIVE) <= _TVF_VIEW_CAP
+    live_names = [n for _, n in eng._TVF_VIEW_LIVE]
     # the oldest (the real view) was evicted only AFTER its statement
     # window closed
-    assert first_view not in db._tvf_views_live
+    assert first_view not in live_names
 
-    # per-instance isolation: a second Ella's churn never touches the
-    # first instance's live window
-    db2 = Ella.create(str(tmp_path / "db_b"), spark)
-    before = list(db._tvf_views_live)
-    db2._tvf_views_pending.extend(f"__b_{i}" for i in range(_TVF_VIEW_CAP * 2))
-    db2._apply_tvf_rewrites("SELECT 1")
-    assert list(db._tvf_views_live) == before
+    # session-correct eviction: an instance on a DIFFERENT session
+    # registers a real view; the first instance's churn evicts it
+    # from the OWNING session's catalog (the r9 bug dropped through
+    # whichever session triggered eviction, leaking the view forever)
+    spark2 = spark.newSession()
+    db2 = Ella.create(str(tmp_path / "db_b"), spark2)
+    t2 = db2.create_topic(
+        "m2", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    with t2.publish() as pub:
+        for i, v in enumerate([1.0, 11.0]):
+            pub.write((i + 1) * ns, "a", v)
+    db2._rewrite_psi_drift("SELECT * FROM psi_drift('m2', 'v', 'kind')")
+    v2 = db2._tvf_views_pending[0]
+    db2._apply_tvf_rewrites("SELECT 1")  # promote v2 to the live window
+    assert spark2.catalog.tableExists(v2)
+    # churn the shared window past the cap from the FIRST instance
+    db._tvf_views_pending.extend(f"__churn_{i}" for i in range(_TVF_VIEW_CAP * 2))
+    db._apply_tvf_rewrites("SELECT 1")
+    assert not spark2.catalog.tableExists(v2)  # dropped via session 2
 
 
 def test_ks_zero_when_distributions_identical(spark, tmp_path):
@@ -830,6 +857,13 @@ def test_js_divergence_sql_tvf(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown table"):
         db.query("SELECT * FROM js_divergence('nope', 'v', 'kind')")
+
+    # bucket count 0 fails at rewrite time with guidance (would be a
+    # silent zero-width-bucket degenerate histogram otherwise)
+    with pytest.raises(ValueError, match="bucket count"):
+        db.query("SELECT * FROM js_divergence('m', 'v', 'kind', 0)")
+    with pytest.raises(ValueError, match="bucket count"):
+        db.query("SELECT * FROM psi_drift('m', 'v', 'kind', 0)")
 
 
 def test_earth_movers_sql_tvf(spark, tmp_path):

@@ -61,6 +61,15 @@ def test_cramers_v_extremes(spark, tmp_path):
     assert abs(out2.cramers_v - 1.0) < 1e-9
     assert out2.n_langs == 3 and out2.n_sources == 3
 
+    # single-source corpus: V's denominator is 0 — NULL-gated
+    # symmetrically (the r10 self-review cross-engine edge)
+    import pandas as pd
+
+    rows3 = [(d, "t", ["en", "fr"][d % 2], "only_src", 10) for d in range(8)]
+    sf3 = _write_documents(spark, tmp_path / "one", rows3)
+    out3 = all_queries()["q_cramers_v"](spark, sf3).toPandas().iloc[0]
+    assert pd.isna(out3.cramers_v) and out3.dof == 0
+
 
 def test_levene_w_closed_form(spark, tmp_path):
     """Two groups with hand-computable absolute deviations: W equals
@@ -277,3 +286,56 @@ def test_gap_percentiles_known_gaps(spark, tmp_path):
     assert out.p50_gap_s == 1.0
     assert out.p90_gap_s == 1.0
     assert out.p99_gap_s > 2.0  # interpolates toward the 100 s hole
+
+
+def test_ecdf_family_parity_when_grid_cap_fires(spark, tmp_path):
+    """Round-10 self-review: the grid cap must coarsen IDENTICALLY on
+    both engines — a Spark-only cap would hash-mismatch exactly on
+    the high-cardinality inputs it guards against. 300k distinct
+    centi-values (> _ECDF_MAX_GRID = 200k) force the conditional
+    quantization on q_ks_drift / q_earth_movers / q_mann_whitney;
+    Spark and the DuckDB oracle must still agree value-for-value."""
+    import duckdb
+    import pandas as pd
+
+    from ella_spark.queries import all_oracles, all_queries
+
+    n = 300_000
+    df = spark.range(n).selectExpr(
+        "id AS event_id",
+        "timestamp_ntz '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "id AS user_id",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END"
+        " AS event_type",
+        "CAST(id AS DOUBLE) / 100.0 AS value",  # vc = id: 300k distinct
+        "CAST(NULL AS STRING) AS props",
+    )
+    df.coalesce(4).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+
+    con = duckdb.connect()
+    # Spark writes a part-file DIRECTORY (unlike the driver's single
+    # files), so DuckDB needs the glob form
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    qs, oracles = all_queries(), all_oracles()
+    for name in ("q_ks_drift", "q_earth_movers", "q_mann_whitney"):
+        got = (
+            qs[name](spark, sf)
+            .toPandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        want = (
+            con.execute(oracles[name])
+            .fetchdf()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        got = got[sorted(got.columns)]
+        want = want[sorted(want.columns)]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name

@@ -41,6 +41,12 @@ def newest_greens() -> tuple[dict[str, int], int]:
         for name, rec in json.loads(p.read_text()).items():
             if isinstance(rec, dict) and rec.get("hash_match"):
                 newest[name] = max(newest.get(name, 0), rnd)
+    if not rounds:
+        sys.exit(
+            "no CORRECTNESS_r*.json on disk — nothing to audit "
+            "(round 1: every oracle-paired query is never-green and "
+            "the prefix is simply the first 50 registrations)"
+        )
     return newest, max(rounds) + 1
 
 
@@ -58,9 +64,22 @@ def fmt_tier(names: list[str]) -> str:
 
 
 def main() -> None:
+    import argparse
+
     from ella_spark.queries import all_oracles, all_queries
 
-    newest, current = newest_greens()
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="the round BEING BUILT. Default infers max(files)+1, "
+        "which is only right BEFORE this round's CORRECTNESS file "
+        "lands — pass it explicitly when re-auditing afterwards.",
+    )
+    args = ap.parse_args()
+    newest, inferred = newest_greens()
+    current = args.round if args.round is not None else inferred
     oracles = set(all_oracles())
     names = list(all_queries())
     hist = Counter(g for n, g in newest.items() if n in oracles)
