@@ -280,6 +280,27 @@ _PAGE_HINKLEY_RE = re.compile(
     r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*(\d+(?:\.\d+)?))?\s*\)",
     re.I,
 )
+#: table-valued statistical-QA TVFs (round 10): rank/dispersion/
+#: extreme/randomness screens per slice over any catalog object
+#: (operators/statqa.py). `\b` cannot match after `_`, so the
+#: registry names (q_mann_whitney, …) never trigger a rewrite.
+_MANN_WHITNEY_RE = re.compile(
+    r"\bmann_whitney\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+    re.I,
+)
+_GRUBBS_RE = re.compile(
+    r"\bgrubbs\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+    re.I,
+)
+_LEVENE_RE = re.compile(
+    r"\blevene\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+    re.I,
+)
+_RUNS_TEST_RE = re.compile(
+    r"\bruns_test\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*'([^']+)')?\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -472,6 +493,14 @@ class Ella:
             sql = self._rewrite_earth_movers(sql)
         if _PAGE_HINKLEY_RE.search(sql):
             sql = self._rewrite_page_hinkley(sql)
+        if _MANN_WHITNEY_RE.search(sql):
+            sql = self._rewrite_statqa(sql, _MANN_WHITNEY_RE, "mann_whitney")
+        if _GRUBBS_RE.search(sql):
+            sql = self._rewrite_statqa(sql, _GRUBBS_RE, "grubbs")
+        if _LEVENE_RE.search(sql):
+            sql = self._rewrite_statqa(sql, _LEVENE_RE, "levene")
+        if _RUNS_TEST_RE.search(sql):
+            sql = self._rewrite_statqa(sql, _RUNS_TEST_RE, "runs_test")
         return sql
 
     # -- open/create (ella/src/lib.rs:86-105) --------------------------------
@@ -2476,6 +2505,52 @@ class Ella:
                 lam=float(lam) if lam else 50.0,
             )
             view = f"__page_hinkley_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_statqa(self, sql: str, regex, kind: str) -> str:
+        """Table-valued statistical-QA screens in plain SQL (round 10
+        — the statqa analog of the drift TVF matrix):
+
+            SELECT * FROM mann_whitney('events_t', 'value', 'kind')
+            SELECT * FROM grubbs('events_t', 'value', 'kind')
+            SELECT * FROM levene('events_t', 'value', 'kind')
+            SELECT * FROM runs_test('t', 'v', 'k' [, 'time'])
+
+        args: any catalog object, a numeric value column, a slice
+        column (runs_test: optional epoch-ns time column, default the
+        topic's mandatory `time`). Rank-shift (Mann–Whitney U/AUC),
+        extreme-deviation (Grubbs G), dispersion-homogeneity (Levene
+        W) and randomness (Wald–Wolfowitz runs z) per slice —
+        operators/statqa.py; same durable-text re-rewrite +
+        unique-view + bounded-GC contracts as the drift TVFs, so a
+        saved QA dashboard always scores CURRENT data. The registry
+        queries (q_mann_whitney, q_grubbs_outlier, q_levene_variance,
+        q_runs_test) pin the cross-engine-exact forms."""
+        from ella_spark.operators import statqa
+
+        ops = {
+            "mann_whitney": statqa.mann_whitney_by_slice,
+            "grubbs": statqa.grubbs_by_slice,
+            "levene": statqa.levene_by_slice,
+            "runs_test": statqa.runs_test_by_slice,
+        }
+        repls = []
+        for m in regex.finditer(sql):
+            groups = m.groups()
+            table, value_col, slice_col = groups[:3]
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"{kind}: unknown table {table!r}")
+            frame = self._frame_for(entry)
+            if kind == "runs_test":
+                time_col = (groups[3] if len(groups) > 3 else None) or TIME_COLUMN
+                res = ops[kind](frame, value_col, slice_col, time_col)
+            else:
+                res = ops[kind](frame, value_col, slice_col)
+            view = f"__{kind}_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
             self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))

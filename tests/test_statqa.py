@@ -339,3 +339,67 @@ def test_ecdf_family_parity_when_grid_cap_fires(spark, tmp_path):
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
         pd.testing.assert_frame_equal(got, want, check_dtype=False), name
+
+
+def test_statqa_sql_tvfs(spark, tmp_path):
+    """SQL surface for the statqa family (the drift-TVF contracts):
+    mann_whitney/grubbs/levene/runs_test over any catalog object,
+    durable-text stored views, hand-checkable values on a planted
+    corpus, unknown-table errors."""
+    import pytest
+
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        # kind 'low' = 1..8; kind 'high' = 101..108 (disjoint, shifted)
+        for i in range(8):
+            pub.write((i + 1) * ns, "low", float(i + 1))
+            pub.write((i + 1) * ns, "high", float(i + 101))
+
+    mw = db.query(
+        "SELECT * FROM mann_whitney('m', 'v', 'kind') ORDER BY kind"
+    ).df.toPandas().set_index("kind")
+    assert mw.loc["high"].auc == 1.0 and mw.loc["low"].auc == 0.0
+    assert (mw.n == 8).all() and (mw.m == 8).all()
+
+    g = db.query(
+        "SELECT * FROM grubbs('m', 'v', 'kind') ORDER BY kind"
+    ).df.toPandas()
+    assert len(g) == 2 and (g.g_stat > 0).all()
+
+    lv = db.query("SELECT * FROM levene('m', 'v', 'kind')").df.toPandas()
+    # identical spreads (same |dev| multiset, shifted) -> W == 0
+    assert len(lv) == 1 and abs(lv.w_stat.iloc[0]) < 1e-9
+
+    # runs_test: strictly alternating above/below within one kind
+    t2 = db.create_topic(
+        "r", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    with t2.publish() as pub:
+        for j in range(16):
+            pub.write((j + 1) * ns, "alt", 10.0 * (j % 2))
+    rt = db.query(
+        "SELECT * FROM runs_test('r', 'v', 'kind')"
+    ).df.toPandas().iloc[0]
+    assert rt.n_runs == 16 and rt.z_runs > 3
+
+    # stored view keeps the durable TVF text; re-scores current data
+    db.query("CREATE VIEW qa_v AS SELECT * FROM grubbs('m', 'v', 'kind')")
+    assert "grubbs" in db.store.resolve("qa_v").sql
+    n0 = db.query("SELECT * FROM qa_v").df.count()
+    with t.publish() as pub:
+        pub.write(900 * ns, "new_kind", 1.0)
+        pub.write(901 * ns, "new_kind", 2.0)
+        pub.write(902 * ns, "new_kind", 3.0)
+    assert db.query("SELECT * FROM qa_v").df.count() == n0 + 1
+
+    for fn in ("mann_whitney", "grubbs", "levene"):
+        with pytest.raises(ValueError, match="unknown table"):
+            db.query(f"SELECT * FROM {fn}('nope', 'v', 'kind')")
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM runs_test('nope', 'v', 'kind')")
