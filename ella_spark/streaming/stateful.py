@@ -1298,3 +1298,211 @@ def quantiles_per_group(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ── streaming Jensen–Shannon drift monitor ───────────────────────────
+
+_JSD_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_ref", LongType()),
+        StructField("js", DoubleType()),
+    ]
+)
+
+
+def js_drift_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_edge: float,
+    hi_edge: float,
+    buckets: int = 10,
+) -> DataFrame:
+    """Streaming Jensen–Shannon drift — the incremental form of the
+    batch q_js_divergence query, completing the streaming column for
+    the BOUNDED member of the divergence family (PSI blows up when a
+    reference bucket empties; JS ∈ [0, ln 2] is defined for any
+    histogram pair, so one alert threshold works across groups and
+    regimes): per group, score each micro-batch's histogram against
+    the reference histogram of EVERYTHING seen before it, then fold
+    the batch in — the reference-accumulate contract shared by the
+    PSI/chi²/KS monitors, with the identical fixed-edge O(buckets)
+    state as psi_drift_per_group (edges from a one-time profile pass).
+
+    JS = 0.5·KL(p‖m) + 0.5·KL(q‖m), m = (p+q)/2; zero-mass buckets on
+    one side contribute only the other side's term (0·ln 0 = 0,
+    dropped exactly — the batch query's contract). Emits (append) one
+    row per group per micro-batch once a reference exists; the first
+    batch seeds silently.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    width = (hi_edge - lo_edge) / buckets
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        ref = (
+            np.asarray(list(state.get[0]), dtype=np.int64)
+            if state.exists
+            else np.zeros(buckets, dtype=np.int64)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
+                dtype=np.float64
+            )
+            v = v[~np.isnan(v)]
+            idx = np.clip(
+                np.floor((v - lo_edge) / width).astype(np.int64), 0, buckets - 1
+            )
+            cur = np.bincount(idx, minlength=buckets).astype(np.int64)
+            n_ref, n_cur = int(ref.sum()), int(cur.sum())
+            if n_ref > 0 and n_cur > 0:
+                p = cur.astype(np.float64) / n_cur
+                q = ref.astype(np.float64) / n_ref
+                m = 0.5 * (p + q)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t_p = np.where(p > 0, 0.5 * p * np.log(p / m), 0.0)
+                    t_q = np.where(q > 0, 0.5 * q * np.log(q / m), 0.0)
+                outs.append(
+                    pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": n_cur,
+                                "n_ref": n_ref,
+                                "js": float((t_p + t_q).sum()),
+                            }
+                        ]
+                    )
+                )
+            ref = ref + cur
+        state.update(([int(c) for c in ref],))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_JSD_OUT,
+        stateStructType=_PSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ── streaming earth-mover drift monitor ──────────────────────────────
+
+_EMD_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_ref", LongType()),
+        StructField("emd", DoubleType()),
+    ]
+)
+
+
+def emd_drift_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming 1-D earth-mover (Wasserstein-1) drift — the
+    incremental form of the batch q_earth_movers query, completing
+    the streaming column for the transport-cost member of the
+    distance trio (KS saturates at 1; EMD keeps growing with shift
+    MAGNITUDE, in the value column's own units — the score you
+    threshold in engineering units, e.g. 'alert when the batch is
+    >2.5 units away'): per group, EMD between each micro-batch's
+    ECDF and the reference ECDF of everything before it, then fold
+    the batch in.
+
+    EMD = Σ_i |F_b(v_i) − F_r(v_i)|·(v_{i+1} − v_i) over the union
+    grid (both ECDFs constant between points — the batch query's
+    step reduction). State is the sorted (value, count) reference of
+    ks_drift_per_group — O(distinct values), bounded by the value
+    domain; quantize upstream at unbounded cardinality (the JS/PSI
+    monitors are the fixed-memory alternative). Emits in append mode;
+    first batch seeds silently.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            st_v, st_c = state.get
+            ref_v = np.asarray(list(st_v), dtype=np.float64)
+            ref_c = np.asarray(list(st_c), dtype=np.int64)
+        else:
+            ref_v = np.array([], dtype=np.float64)
+            ref_c = np.array([], dtype=np.int64)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
+                dtype=np.float64
+            )
+            v = v[~np.isnan(v)]
+            cur_v, cur_c = np.unique(v, return_counts=True)
+            n_ref, n_cur = int(ref_c.sum()), int(cur_c.sum())
+            if n_ref > 0 and n_cur > 0:
+                grid = np.union1d(ref_v, cur_v)
+                f_ref = np.cumsum(ref_c)[
+                    np.searchsorted(ref_v, grid, side="right") - 1
+                ].astype(np.float64) / n_ref
+                f_ref[np.searchsorted(ref_v, grid, side="right") == 0] = 0.0
+                f_cur = np.cumsum(cur_c)[
+                    np.searchsorted(cur_v, grid, side="right") - 1
+                ].astype(np.float64) / n_cur
+                f_cur[np.searchsorted(cur_v, grid, side="right") == 0] = 0.0
+                emd = float(
+                    (np.abs(f_cur - f_ref)[:-1] * np.diff(grid)).sum()
+                )
+                outs.append(
+                    pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": n_cur,
+                                "n_ref": n_ref,
+                                "emd": emd,
+                            }
+                        ]
+                    )
+                )
+            all_v = np.concatenate([ref_v, cur_v])
+            all_c = np.concatenate([ref_c, cur_c])
+            order = np.argsort(all_v, kind="stable")
+            all_v, all_c = all_v[order], all_c[order]
+            uniq, start = np.unique(all_v, return_index=True)
+            summed = np.add.reduceat(all_c, start)
+            ref_v, ref_c = uniq, summed
+
+        state.update(
+            ([float(x) for x in ref_v], [int(c) for c in ref_c])
+        )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_EMD_OUT,
+        stateStructType=_KSD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1052,3 +1052,40 @@ def test_trend_robust_operator_bucket_width(spark, tmp_path):
     df2 = spark.createDataFrame(rows2, "kind string, t long, v double")
     robust = trend_robust(df2, "v", "kind", "t").toPandas().iloc[0]
     assert abs(robust.sen_slope - 1.0) < 0.1
+
+
+def test_nested_tvf_via_stored_view_reentrancy(spark, tmp_path):
+    """End-to-end re-entrancy: a TVF whose TABLE ARGUMENT is a stored
+    view that itself contains a TVF. Resolving the outer rewrite's
+    argument calls _frame_for -> _apply_tvf_rewrites on the inner
+    text MID-BATCH — the exact path the depth guard protects. Both
+    levels must produce correct rows and the outer statement's views
+    must survive to analysis."""
+    import ella_spark.engine as eng
+    from ella_spark import Column, Ella
+
+    eng._TVF_VIEW_LIVE.clear()
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i, v in enumerate([1.0, 11.0, 21.0, 31.0]):
+            pub.write((i + 1) * ns, "a", v)
+            pub.write((100 + i) * ns, "b", v)
+
+    # inner TVF stored as a view (durable text, re-rewritten per read)
+    db.query(
+        "CREATE VIEW psi_v AS SELECT * FROM psi_drift('m', 'v', 'kind')"
+    )
+    # outer TVF whose table argument IS that view: grubbs over the
+    # per-slice psi scores (a QA-on-QA dashboard shape)
+    out = db.query(
+        "SELECT * FROM mann_whitney('psi_v', 'psi', 'kind')"
+    ).df.toPandas()
+    # identical distributions -> psi == 0 for both kinds -> all ties
+    assert len(out) == 2 and (out.auc == 0.5).all()
+    # and a plain re-read of the inner view still works (its pending
+    # views were not evicted by the nested flush)
+    assert db.query("SELECT count(*) AS n FROM psi_v").df.collect()[0].n == 2

@@ -1347,3 +1347,153 @@ def test_page_hinkley_delta_no_false_alarm_on_driftless_stream(db, spark):
         assert last.alarm_up and not last.alarm_down
     finally:
         q.stop()
+
+
+def test_js_drift_stream_scores_batch_vs_reference(db, spark):
+    """Streaming JS monitor: batch 1 seeds silently; batch 2's emitted
+    JS equals the hand-computed Jensen-Shannon divergence of (batch2
+    histogram || batch1 histogram) with the q_js_divergence zero-mass
+    contract, bounded by ln 2 even on DISJOINT histograms (where PSI
+    is undefined/infinite) — the reason JS completes the streaming
+    family."""
+    import math
+
+    import numpy as np
+
+    from ella_spark.streaming.stateful import js_drift_per_group
+
+    topic = db.create_topic(
+        "jst",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    batch1 = [5.0, 15.0, 15.0, 25.0]      # buckets 0, 1, 1, 2
+    batch2 = [75.0, 85.0, 85.0, 95.0]     # buckets 7, 8, 8, 9 (disjoint!)
+    with topic.publish() as pub:
+        for i, v in enumerate(batch1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = js_drift_per_group(
+        db.subscribe("jst"), "g", "v", lo_edge=0.0, hi_edge=100.0, buckets=10
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("js_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "js_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM js_out").count() == 0  # seeding
+
+        with topic.publish() as pub:
+            for i, v in enumerate(batch2):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM js_out").toPandas()
+        assert len(pdf) == 1
+        row = pdf.iloc[0]
+        # disjoint histograms: JS = ln 2 exactly (each side's terms
+        # are p*ln(p/(p/2)) = p*ln 2 summing to ln 2 over both halves)
+        assert row.n_batch == 4 and row.n_ref == 4
+        assert abs(row.js - math.log(2)) < 1e-12
+
+        # batch 3 scores against batch1+batch2 folded
+        batch3 = [5.0, 15.0]  # buckets 0, 1
+        with topic.publish() as pub:
+            for i, v in enumerate(batch3):
+                pub.write((200 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM js_out ORDER BY n_ref").toPandas()
+        assert len(pdf) == 2
+        row3 = pdf.iloc[1]
+        ref = np.bincount(
+            [int(v // 10) for v in batch1 + batch2], minlength=10
+        ).astype(float)
+        cur = np.bincount([int(v // 10) for v in batch3], minlength=10).astype(
+            float
+        )
+        p, qq = cur / cur.sum(), ref / ref.sum()
+        m = 0.5 * (p + qq)
+        want = float(
+            np.where(p > 0, 0.5 * p * np.log(p / m), 0.0).sum()
+            + np.where(qq > 0, 0.5 * qq * np.log(qq / m), 0.0).sum()
+        )
+        assert row3.n_ref == 8 and row3.n_batch == 2
+        assert abs(row3.js - want) < 1e-12
+        assert 0.0 < row3.js < math.log(2)
+    finally:
+        q.stop()
+
+
+def test_emd_drift_stream_scores_batch_vs_reference(db, spark):
+    """Streaming EMD monitor: batch 1 seeds silently; batch 2's
+    emitted EMD equals the numpy brute-force integral of
+    |ECDF_batch2 - ECDF_batch1| over the union grid, and scales with
+    SHIFT MAGNITUDE (a +20 shift scores exactly 20 where KS would
+    saturate at 1) — the history-before-batch contract shared with
+    the PSI/chi²/KS monitors."""
+    import numpy as np
+
+    from ella_spark.streaming.stateful import emd_drift_per_group
+
+    def brute_emd(batch, ref):
+        grid = np.unique(np.concatenate([batch, ref]))
+        fb = np.searchsorted(np.sort(batch), grid, side="right") / len(batch)
+        fr = np.searchsorted(np.sort(ref), grid, side="right") / len(ref)
+        return float((np.abs(fb - fr)[:-1] * np.diff(grid)).sum())
+
+    topic = db.create_topic(
+        "emt",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    batch1 = [1.0, 2.0, 3.0, 4.0]
+    batch2 = [21.0, 22.0, 23.0, 24.0]  # exact +20 shift
+    with topic.publish() as pub:
+        for i, v in enumerate(batch1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = emd_drift_per_group(db.subscribe("emt"), "g", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("emd_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "emd_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM emd_out").count() == 0  # seeding
+
+        with topic.publish() as pub:
+            for i, v in enumerate(batch2):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM emd_out").toPandas()
+        assert len(pdf) == 1
+        row = pdf.iloc[0]
+        assert row.n_batch == 4 and row.n_ref == 4
+        assert abs(row.emd - 20.0) < 1e-12  # W1 of a pure +20 shift
+        assert abs(row.emd - brute_emd(batch2, batch1)) < 1e-12
+
+        # batch 3 scores against batch1+batch2 folded
+        batch3 = [11.0, 12.0]
+        with topic.publish() as pub:
+            for i, v in enumerate(batch3):
+                pub.write((200 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM emd_out ORDER BY n_ref").toPandas()
+        assert len(pdf) == 2
+        row3 = pdf.iloc[1]
+        assert row3.n_ref == 8 and row3.n_batch == 2
+        assert abs(row3.emd - brute_emd(batch3, batch1 + batch2)) < 1e-12
+    finally:
+        q.stop()
