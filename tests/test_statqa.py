@@ -403,3 +403,91 @@ def test_statqa_sql_tvfs(spark, tmp_path):
             db.query(f"SELECT * FROM {fn}('nope', 'v', 'kind')")
     with pytest.raises(ValueError, match="unknown table"):
         db.query("SELECT * FROM runs_test('nope', 'v', 'kind')")
+
+
+def test_mann_whitney_rank_invariance_property(spark):
+    """The defining property of a RANK statistic: AUC is invariant
+    under any strictly increasing transform of the values. Hypothesis
+    draws small integer multisets per slice; exp() (strictly
+    increasing, wildly nonlinear) must leave n/m/u2/auc bit-identical.
+    A handful of examples — each round-trips Spark — is enough to
+    catch a ranks-vs-values regression."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ella_spark.operators.statqa import mann_whitney_by_slice
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        a=st.lists(st.integers(-5, 5), min_size=3, max_size=8),
+        b=st.lists(st.integers(-5, 5), min_size=3, max_size=8),
+    )
+    def run(a, b):
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "kind string, v double")
+        import pyspark.sql.functions as F
+
+        raw = (
+            mann_whitney_by_slice(df, "v", "kind")
+            .toPandas()
+            .set_index("kind")
+        )
+        fx = (
+            mann_whitney_by_slice(
+                df.select("kind", F.exp("v").alias("v")), "v", "kind"
+            )
+            .toPandas()
+            .set_index("kind")
+        )
+        assert raw[["n", "m", "u2", "auc"]].equals(fx[["n", "m", "u2", "auc"]])
+        # and the two slices' U statistics are complementary:
+        # U_a + U_b == n_a * n_b (each pair contributes to exactly one,
+        # ties split .5/.5 — exact in the doubled u2 integers)
+        assert (
+            raw.loc["a"].u2 + raw.loc["b"].u2
+            == 2 * raw.loc["a"].n * raw.loc["b"].n
+        )
+
+    run()
+
+
+def test_grubbs_affine_invariance_property(spark):
+    """Grubbs G = max|x−mean|/s is invariant under any affine map
+    a·x + b with a != 0 (the studentization cancels shift and scale) —
+    the property that makes G unit-free. Hypothesis draws the sample
+    and the map; G must agree to float tolerance."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ella_spark.operators.statqa import grubbs_by_slice
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        xs=st.lists(
+            st.integers(-50, 50), min_size=4, max_size=9, unique=True
+        ),
+        a=st.sampled_from([-3.0, -0.5, 0.25, 2.0, 10.0]),
+        b=st.integers(-100, 100),
+    )
+    def run(xs, a, b):
+        rows = [("g", float(v)) for v in xs]
+        df = spark.createDataFrame(rows, "kind string, v double")
+        import pyspark.sql.functions as F
+
+        g1 = grubbs_by_slice(df, "v", "kind").toPandas()
+        g2 = grubbs_by_slice(
+            df.select("kind", (F.col("v") * a + b).alias("v")), "v", "kind"
+        ).toPandas()
+        assert len(g1) == len(g2) == 1
+        assert abs(g1.g_stat.iloc[0] - g2.g_stat.iloc[0]) <= 1e-4
+        assert abs(g2.outlier_dev.iloc[0] - abs(a) * g1.outlier_dev.iloc[0]) <= 1e-3
+
+    run()
