@@ -199,47 +199,39 @@ def window_audio(
 ) -> DataFrame:
     """Audio windowing plumbing: each audio row explodes into
     overlapping (window_idx, start_ms) frames — the audio analog of
-    sample_frames — and an optional per-window featurizer (bytes,
-    start_ms, window_ms) -> list[float] runs as a mapInPandas stage.
+    sample_frames. Clips shorter than ``window_ms`` (or with NULL
+    duration metadata) produce ZERO windows: a full window must fit,
+    so a real featurizer slicing [start, start + window_ms) never
+    reads past the clip (r10 self-review — the old grid emitted a
+    phantom window at 0 for short/NULL-duration clips).
 
-    The window GRID is pure JVM (sequence+explode over duration
-    derived from meta.n_frames/meta.sample_rate — frames = samples
-    for audio rows); only the featurize stage touches Python, and
-    only when a featurizer is passed. Default featurizer is a
-    deterministic fake (payload digest + window offset), same
-    signature a real librosa/ffmpeg kernel would have.
+    Two paths (r10 self-review):
 
-    Returns (id, window_idx, start_ms, features). 100 TB: grid
-    explode is linear in total audio duration; the featurize stage is
-    Arrow-batched and partition-parallel, and a metadata-only caller
-    (features unused) prunes the payload column entirely.
+    - ``featurizer=None`` (default): the window GRID only — pure JVM
+      (sequence + posexplode over duration from meta.n_frames /
+      meta.sample_rate; frames = samples for audio), ``features``
+      NULL, and the payload column is never selected, so column
+      pruning keeps the bytes out of the scan entirely.
+    - with a featurizer ((bytes, start_ms, window_ms) -> list[float],
+      the signature a real librosa/ffmpeg kernel shares): ONE
+      mapInPandas row per clip emits all of that clip's windows from
+      Python, so the payload crosses the Arrow boundary ONCE per clip
+      — never once per window (the old explode-then-featurize shape
+      shipped O(windows × clip_bytes): a 1-hour clip at hop 500 ms
+      replicated its bytes ~7200×).
+
+    Returns (id, window_idx, start_ms, features). 100 TB: the grid is
+    linear in total audio duration; the featurize stage is
+    Arrow-batched and partition-parallel.
     """
-    if featurizer is None:
-
-        def featurizer(b: bytes, start: int, width: int) -> list[float]:  # noqa: F811
-            if b is None:
-                return None
-            h = hashlib.sha256(b + start.to_bytes(8, "little")).digest()
-            return [x / 255.0 for x in h[:8]]
-
     dur_ms = (
         F.col("meta.n_frames").cast("long")
         * 1000
         / F.greatest(F.col("meta.sample_rate"), F.lit(1))
     ).cast("long")
-    grid = (
-        df.where(F.col("meta.kind") == "audio")
-        .select(
-            id_col,
-            payload_col,
-            F.posexplode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(dur_ms - window_ms, F.lit(0)),
-                    F.lit(hop_ms),
-                )
-            ).alias("window_idx", "start_ms"),
-        )
+    # NULL duration compares NULL >= window_ms -> false -> excluded
+    eligible = df.where(
+        (F.col("meta.kind") == "audio") & (dur_ms >= window_ms)
     )
     out_schema = StructType(
         [
@@ -250,18 +242,41 @@ def window_audio(
         ]
     )
 
+    if featurizer is None:
+        return eligible.select(
+            id_col,
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    dur_ms - window_ms,
+                    F.lit(hop_ms).cast("long"),
+                )
+            ).alias("window_idx", "start_ms"),
+            F.lit(None).cast(ArrayType(DoubleType())).alias("features"),
+        )
+
+    src = eligible.select(id_col, payload_col, dur_ms.alias("_dur_ms"))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids, idxs, starts, feats = [], [], [], []
+            for mid, b, dur in zip(
+                pdf[id_col], pdf[payload_col], pdf["_dur_ms"]
+            ):
+                n_win = int((int(dur) - window_ms) // hop_ms) + 1
+                for w in range(n_win):
+                    start = w * hop_ms
+                    ids.append(mid)
+                    idxs.append(w)
+                    starts.append(start)
+                    feats.append(featurizer(b, start, window_ms))
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
-                    "window_idx": pdf["window_idx"],
-                    "start_ms": pdf["start_ms"],
-                    "features": [
-                        featurizer(b, int(s), window_ms)
-                        for b, s in zip(pdf[payload_col], pdf["start_ms"])
-                    ],
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int64"),
+                    "features": feats,
                 }
             )
 
-    return grid.mapInPandas(run, out_schema)
+    return src.mapInPandas(run, out_schema)

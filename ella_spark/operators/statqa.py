@@ -28,9 +28,13 @@ def mann_whitney_by_slice(
     location drift score (AUC 0.5 = no shift; also exactly the
     ROC-AUC of the slice-membership indicator). Tie handling uses
     exact average ranks over the pooled step grid: 2·R = Σ c_sv ·
-    (2·cum_all − c_v + 1), all int64, one double division at the end.
+    (2·cum_all − c_v + 1), one double division at the end.
 
-    Returns (slice, n, m, u2, auc) with ``u2 = 2·U`` kept exact.
+    Returns (slice, n, m, u2, auc) with ``u2 = 2·U`` accumulated in
+    DECIMAL(38,0) — exact to 1e38, where int64 would wrap silently at
+    ~3e9 pooled rows (2R is O(N²)). A slice that IS the whole table
+    (m = 0) still emits its row with u2 = 0 and auc NULL — the test is
+    inapplicable, which a dashboard must see as a row, not silence.
     NULL/NaN excluded. Scale: ONE (slice, value) groupBy shuffle; the
     rank computation is an equi-join on the aggregated value grid
     (bounded by the value domain — quantize upstream at unbounded
@@ -50,33 +54,36 @@ def mann_whitney_by_slice(
         F.sum("_c_v").over(w_v).alias("_cum_all"),
         F.sum("_c_v").over(Window.partitionBy()).alias("_big_n"),
     )
+    term = F.col("_c").cast("decimal(19,0)") * (
+        2 * F.col("_cum_all") - F.col("_c_v") + 1
+    )
     r = (
         tv.join(pooled, "_v")
         .groupBy("_slice")
         .agg(
             F.sum("_c").cast("long").alias("_n"),
-            F.sum(F.col("_c") * (2 * F.col("_cum_all") - F.col("_c_v") + 1))
-            .cast("long")
-            .alias("_two_r"),
+            F.sum(term).cast("decimal(38,0)").alias("_two_r"),
             F.max("_big_n").cast("long").alias("_big_n"),
         )
     )
-    u2 = F.col("_two_r") - F.col("_n") * (F.col("_n") + 1)
-    return (
-        r.where(F.col("_big_n") > F.col("_n"))
-        .select(
-            F.col("_slice").alias(slice_col),
-            F.col("_n").alias("n"),
-            (F.col("_big_n") - F.col("_n")).alias("m"),
-            u2.alias("u2"),
+    u2 = (
+        F.col("_two_r")
+        - F.col("_n").cast("decimal(19,0)") * (F.col("_n") + 1)
+    ).cast("decimal(38,0)")
+    m = F.col("_big_n") - F.col("_n")
+    return r.select(
+        F.col("_slice").alias(slice_col),
+        F.col("_n").alias("n"),
+        m.alias("m"),
+        u2.alias("u2"),
+        F.when(
+            m > 0,
             F.round(
-                u2.cast("double")
-                / (2.0 * F.col("_n") * (F.col("_big_n") - F.col("_n"))),
+                u2.cast("double") / (2.0 * F.col("_n") * m.cast("double")),
                 6,
-            ).alias("auc"),
-        )
-        .orderBy(slice_col)
-    )
+            ),
+        ).alias("auc"),
+    ).orderBy(slice_col)
 
 
 def grubbs_by_slice(
@@ -89,18 +96,21 @@ def grubbs_by_slice(
     for ingest QA). Returns (slice, n, outlier_dev, g_stat); slices
     with n < 3 or zero variance are gated out (G undefined).
 
-    Scale: ONE slice-keyed shuffle; per-row deviations ride
-    whole-partition windows on the same keying.
+    Scale: ONE plain groupBy aggregate — max|x − mean| equals
+    greatest(max − mean, mean − min) (the extreme deviation is always
+    AT an extreme value), so no per-row window pass is needed;
+    map-side partials shrink every partition before the shuffle and
+    a skewed hot slice never funnels through one window task.
     """
     c = df.select(
         F.col(slice_col).cast("string").alias("_slice"),
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
-    w_all = Window.partitionBy("_slice")
-    w = c.withColumn("_mean", F.avg("_v").over(w_all))
-    t = w.groupBy("_slice").agg(
+    t = c.groupBy("_slice").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.max(F.abs(F.col("_v") - F.col("_mean"))).alias("_max_dev"),
+        F.greatest(
+            F.max("_v") - F.avg("_v"), F.avg("_v") - F.min("_v")
+        ).alias("_max_dev"),
         F.stddev_samp("_v").alias("_sd"),
     )
     return (
@@ -123,8 +133,10 @@ def levene_by_slice(
     """Levene's W for variance homogeneity across slices (the
     mean-centered form): location monitors miss a slice whose mean
     holds while its spread doubles; W is the dispersion-drift test.
-    Returns ONE row (n, k, w_stat); w_stat is NULL when every slice's
-    absolute deviations are constant (SSW = 0, W undefined).
+    Returns ONE row (n, k, w_stat); w_stat is NULL in the two
+    inapplicable cases — k = 1 (nothing to compare across; the (k−1)
+    denominator is 0) and SSW = 0 (every slice's absolute deviations
+    constant) — read k to tell them apart.
 
     Scale: ONE slice-keyed shuffle (totals via whole-partition
     windows, per-slice agg on the same keying); the k-row frame is
@@ -161,7 +173,7 @@ def levene_by_slice(
         .groupBy(F.col("_big_n").alias("n"), F.col("_k").alias("k"))
         .agg(
             F.when(
-                F.sum("_ssw_s") > 0,
+                (F.col("k") > 1) & (F.sum("_ssw_s") > 0),
                 F.round(
                     (F.col("n").cast("double") - F.col("k"))
                     / (F.col("k") - 1)

@@ -2307,7 +2307,7 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n_t * zbar_t) / sum(n_t) AS zbar
       FROM t)
     SELECT g.big_n AS n, g.k AS k,
-           CASE WHEN sum(t.ssw_t) > 0 THEN
+           CASE WHEN g.k > 1 AND sum(t.ssw_t) > 0 THEN
              round(CAST(g.big_n - g.k AS DOUBLE) / (g.k - 1)
                    * sum(t.n_t * (t.zbar_t - g.zbar) * (t.zbar_t - g.zbar))
                    / sum(t.ssw_t), 6) END AS w_stat
@@ -2370,10 +2370,13 @@ def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.crossJoin(F.broadcast(g))
         .groupBy(F.col("big_n").alias("n"), "k")
         .agg(
-            # every-group-constant |dev| makes SSW 0 and W undefined:
-            # NULL-gate symmetrically (DuckDB CASE mirrors this)
+            # inapplicable cases NULL-gate symmetrically (DuckDB CASE
+            # mirrors both): k = 1 (the (k-1) denominator is 0 — and
+            # DuckDB integer division by zero RAISES where non-ANSI
+            # Spark returns NULL) and every-group-constant |dev|
+            # (SSW = 0, W undefined); read k to tell them apart
             F.when(
-                F.sum("ssw_t") > 0,
+                (F.col("k") > 1) & (F.sum("ssw_t") > 0),
                 F.round(
                     (F.col("n").cast("double") - F.col("k"))
                     / (F.col("k") - 1)
@@ -2392,18 +2395,14 @@ def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
       FROM events WHERE value IS NOT NULL),
-    w AS (
-      SELECT event_type, vc,
-             CAST(count(*) OVER win AS BIGINT) AS n_t,
-             CAST(sum(vc) OVER win AS BIGINT) AS s_t
-      FROM c WINDOW win AS (PARTITION BY event_type)),
     t AS (
       SELECT event_type,
-             CAST(max(n_t) AS BIGINT) AS n,
-             max(CAST(abs(n_t * vc - s_t) AS DOUBLE) / (100.0 * n_t))
-               AS max_dev,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(greatest(CAST(count(*) AS BIGINT) * max(vc) - sum(vc),
+                           sum(vc) - CAST(count(*) AS BIGINT) * min(vc))
+                  AS DOUBLE) / (100.0 * count(*)) AS max_dev,
              stddev_samp(CAST(vc AS DOUBLE) / 100.0) AS sd
-      FROM w GROUP BY event_type)
+      FROM c GROUP BY event_type)
     SELECT event_type, n,
            round(max_dev, 6) AS outlier_dev,
            round(max_dev / sd, 6) AS g_stat
@@ -2413,13 +2412,18 @@ def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "/ s — the studentized extreme deviation, the classic "
     "single-outlier screen for ingest QA (a G far above the critical "
     "value ~ sqrt(n) flags a corrupt reading / unit error in a slice "
-    "whose aggregate stats still look sane). The deviation derives "
-    "from the EXACT int64 cross product |n·vc − s| (the "
-    "q_levene_variance scaling), so max() is over identical doubles "
-    "on both engines — order-free; stddev_samp is the q_agg_stats-"
-    "proven parity aggregate. ONE event_type-keyed shuffle (totals "
-    "via whole-partition windows on the same keying); n >= 3 and "
-    "sd > 0 gate the undefined cases symmetrically. round(6).",
+    "whose aggregate stats still look sane). max|x − mean| equals "
+    "greatest(max − mean, mean − min) — the extreme deviation is "
+    "always AT an extreme value — so the whole statistic is ONE "
+    "plain groupBy aggregate (the r10 self-review removed the "
+    "per-row window pass: a skewed hot slice no longer funnels "
+    "through one window task, and map-side partials shrink every "
+    "partition before the shuffle). The deviation derives from the "
+    "EXACT int64 cross products n·max(vc) − s and s − n·min(vc) "
+    "(the q_levene_variance scaling) with one identical-IEEE "
+    "division; stddev_samp is the q_agg_stats-proven parity "
+    "aggregate. n >= 3 and sd > 0 gate the undefined cases "
+    "symmetrically. round(6).",
 )
 def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -2427,18 +2431,15 @@ def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
     )
-    w_all = Window.partitionBy("event_type")
-    w = c.withColumns(
-        {
-            "n_t": F.count(F.lit(1)).over(w_all),
-            "s_t": F.sum("vc").over(w_all),
-        }
-    )
-    t = w.groupBy("event_type").agg(
-        F.max("n_t").cast("long").alias("n"),
-        F.max(
-            F.abs(F.col("n_t") * F.col("vc") - F.col("s_t")).cast("double")
-            / (F.lit(100.0) * F.col("n_t"))
+    n_l = F.count(F.lit(1)).cast("bigint")
+    t = c.groupBy("event_type").agg(
+        n_l.alias("n"),
+        (
+            F.greatest(
+                n_l * F.max("vc") - F.sum("vc"),
+                F.sum("vc") - n_l * F.min("vc"),
+            ).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)))
         ).alias("max_dev"),
         F.stddev_samp(F.col("vc").cast("double") / 100.0).alias("sd"),
     )
@@ -2554,7 +2555,11 @@ def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Σ c_tv·(2·cum_all − c_v + 1) over the pooled step grid (the "
     "q_ks_drift cumulative-count frame), then U = R − n(n+1)/2 and "
     "AUC = U/(n·m) is one double division — identical IEEE both "
-    "engines, round(6) for house style. Ranks in the pooled ordering "
+    "engines, round(6) for house style. The int64 rank sum is exact "
+    "to 2^63 ~ one slice of ~3e9 rows over a 3e9-row pool; past that "
+    "use operators/statqa.mann_whitney_by_slice, which accumulates "
+    "2R in DECIMAL(38,0) (the driver hash needs BIGINT output, so "
+    "the registry form keeps int64 with this documented bound). Ranks in the pooled ordering "
     "equal ranks in slice-vs-rest (pooled = union), so no second "
     "pass. ONE (type, value) shuffle over the shared _capped_tv "
     "base, so the _ECDF_MAX_GRID hard cap applies here identically "

@@ -71,10 +71,14 @@ def test_feature_pipeline_to_ann(media, spark):
 
 
 def test_window_audio_grid_and_features(media, spark):
-    """Audio rows explode into the hop-spaced window grid (pure JVM);
-    the per-window featurizer is deterministic in (payload, start),
-    so overlapping windows of the same clip differ while re-runs are
-    identical; non-audio rows are excluded; features are fixed-dim."""
+    """Grid path (featurizer=None): pure-JVM hop-spaced windows with
+    NULL features and the payload column PRUNED from the scan; short
+    and NULL-duration clips produce zero windows (no phantom window).
+    Featurizer path: one mapInPandas row per clip emits all windows
+    (payload crosses Arrow once per clip), deterministic in
+    (payload, start), fixed feature dim."""
+    import hashlib
+
     from ella_spark.operators.multimodal import media_schema, window_audio
 
     rows = [
@@ -82,22 +86,59 @@ def test_window_audio_grid_and_features(media, spark):
         (1, b"clip-one-bytes", ("audio", None, None, 44100, 44100 * 3, "wav")),
         # 1 s clip: exactly one window
         (2, b"clip-two-bytes", ("audio", None, None, 16000, 16000, "wav")),
+        # 300 ms clip: SHORTER than the window -> zero windows
+        (3, b"clip-short", ("audio", None, None, 16000, 4800, "wav")),
+        # NULL duration metadata -> zero windows (not a phantom at 0)
+        (4, b"clip-nodur", ("audio", None, None, 44100, None, "wav")),
         # non-audio rows are excluded from the grid
-        (3, b"imagebytes", ("image", 640, 480, None, None, "png")),
+        (5, b"imagebytes", ("image", 640, 480, None, None, "png")),
     ]
     df = spark.createDataFrame(rows, media_schema()).repartition(2)
 
-    out = window_audio(df, window_ms=1000, hop_ms=500).toPandas()
-    assert set(out.columns) == {"media_id", "window_idx", "start_ms", "features"}
-    assert set(out.media_id) == {1, 2}  # image row excluded
+    # grid-only path — prune check needs a FILE source (an in-memory
+    # frame always carries every column); ReadSchema must lack payload
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ella_media_")
+    df.write.mode("overwrite").parquet(d + "/media.parquet")
+    fdf = spark.read.parquet(d + "/media.parquet")
+    plan = (
+        window_audio(fdf, window_ms=1000, hop_ms=500)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert read_schemas and all("payload" not in s for s in read_schemas), plan
+
+    grid = window_audio(df, window_ms=1000, hop_ms=500)
+    out = grid.toPandas()
+    assert set(out.media_id) == {1, 2}  # short/NULL-dur/image excluded
     one = out[out.media_id == 1].sort_values("window_idx")
     # 3000 ms clip, 1000 ms window, 500 ms hop -> starts 0..2000 = 5
     assert list(one.start_ms) == [0, 500, 1000, 1500, 2000]
-    assert len(out[out.media_id == 2]) == 1  # 1 s clip: single window
-    # features: fixed 8-dim, start-dependent, deterministic re-run
-    assert all(len(f) == 8 for f in out.features)
-    assert list(one.features.iloc[0]) != list(one.features.iloc[1])
-    again = window_audio(df, window_ms=1000, hop_ms=500).toPandas()
-    a = out.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
-    b = again.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
-    assert a.equals(b)
+    assert len(out[out.media_id == 2]) == 1
+    assert out.features.isna().all()
+
+    # featurizer path: same grid, payload shipped once per clip
+    def feat(b: bytes, start: int, width: int) -> list[float]:
+        h = hashlib.sha256(b + start.to_bytes(8, "little")).digest()
+        return [x / 255.0 for x in h[:8]]
+
+    fout = window_audio(df, window_ms=1000, hop_ms=500, featurizer=feat)
+    fpdf = fout.toPandas().sort_values(["media_id", "window_idx"]).reset_index(drop=True)
+    g = out.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
+    assert list(fpdf.media_id) == list(g.media_id)
+    assert list(fpdf.start_ms) == list(g.start_ms)  # identical grid
+    assert all(len(f) == 8 for f in fpdf.features)
+    f1 = fpdf[fpdf.media_id == 1].features
+    assert list(f1.iloc[0]) != list(f1.iloc[1])  # start-dependent
+    again = (
+        window_audio(df, window_ms=1000, hop_ms=500, featurizer=feat)
+        .toPandas()
+        .sort_values(["media_id", "window_idx"])
+        .reset_index(drop=True)
+    )
+    assert fpdf.equals(again)

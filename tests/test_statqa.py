@@ -447,9 +447,8 @@ def test_mann_whitney_rank_invariance_property(spark):
         # and the two slices' U statistics are complementary:
         # U_a + U_b == n_a * n_b (each pair contributes to exactly one,
         # ties split .5/.5 — exact in the doubled u2 integers)
-        assert (
-            raw.loc["a"].u2 + raw.loc["b"].u2
-            == 2 * raw.loc["a"].n * raw.loc["b"].n
+        assert int(raw.loc["a"].u2) + int(raw.loc["b"].u2) == int(
+            2 * raw.loc["a"].n * raw.loc["b"].n
         )
 
     run()
