@@ -301,6 +301,16 @@ _RUNS_TEST_RE = re.compile(
     r"(?:\s*,\s*'([^']+)')?\s*\)",
     re.I,
 )
+#: table-valued `trend_robust('<table>', '<value_col>', '<slice_col>'
+#: [, '<time_col>'] [, bucket_days])` — Mann-Kendall S + Theil-Sen
+#: slope per slice over bucketed time (operators/drift.py
+#: trend_robust); bucket_days defaults to 1, pass 7 for weeks on
+#: multi-year spans (pairs are O(buckets²)).
+_TREND_ROBUST_RE = re.compile(
+    r"\btrend_robust\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*(\d+))?\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -501,6 +511,8 @@ class Ella:
             sql = self._rewrite_statqa(sql, _LEVENE_RE, "levene")
         if _RUNS_TEST_RE.search(sql):
             sql = self._rewrite_statqa(sql, _RUNS_TEST_RE, "runs_test")
+        if _TREND_ROBUST_RE.search(sql):
+            sql = self._rewrite_trend_robust(sql)
         return sql
 
     # -- open/create (ella/src/lib.rs:86-105) --------------------------------
@@ -2551,6 +2563,43 @@ class Ella:
             else:
                 res = ops[kind](frame, value_col, slice_col)
             view = f"__{kind}_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_trend_robust(self, sql: str) -> str:
+        """Table-valued robust trend in plain SQL:
+
+            SELECT * FROM trend_robust('metrics', 'v', 'sensor')
+            SELECT * FROM trend_robust('t', 'v', 'k', 'time', 7)
+
+        args: any catalog object, a numeric value column, a slice
+        column, optional epoch-ns time column (default the topic's
+        mandatory `time`), optional bucket width in DAYS (default 1 —
+        pass 7 for weeks on multi-year spans: Mann-Kendall/Theil-Sen
+        pairs grow as buckets², so the bucket argument is the scale
+        knob the r9 verdict asked to make callable). Same durable-text
+        re-rewrite contract as the drift/statqa TVFs."""
+        from ella_spark.operators.drift import trend_robust
+
+        repls = []
+        for m in _TREND_ROBUST_RE.finditer(sql):
+            table, value_col, slice_col, time_col, days = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"trend_robust: unknown table {table!r}")
+            n_days = int(days) if days else 1
+            if n_days < 1:
+                raise ValueError(f"bucket_days must be >= 1, got {n_days}")
+            res = trend_robust(
+                self._frame_for(entry),
+                value_col,
+                slice_col,
+                time_col or TIME_COLUMN,
+                bucket_ns=n_days * 86_400_000_000_000,
+            )
+            view = f"__trend_robust_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
             self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))

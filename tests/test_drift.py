@@ -1089,3 +1089,41 @@ def test_nested_tvf_via_stored_view_reentrancy(spark, tmp_path):
     # and a plain re-read of the inner view still works (its pending
     # views were not evicted by the nested flush)
     assert db.query("SELECT count(*) AS n FROM psi_v").df.collect()[0].n == 2
+
+
+def test_trend_robust_sql_tvf(spark, tmp_path):
+    """SQL surface: trend_robust('<table>', 'value', 'slice'
+    [, 'time'] [, bucket_days]) — the r9-verdict bucket knob callable
+    from SQL: day buckets vs 7-day buckets shrink the pair count
+    quadratically while a monotone series keeps mk_s == n_pairs."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    day = 86_400_000_000_000
+    with t.publish() as pub:
+        for d in range(28):  # rising 1/day, 28 days
+            pub.write(d * day, "up", float(d))
+
+    daily = db.query(
+        "SELECT * FROM trend_robust('m', 'v', 'kind')"
+    ).df.toPandas().iloc[0]
+    assert daily.n_buckets == 28 and daily.n_pairs == 28 * 27 // 2
+    assert daily.mk_s == daily.n_pairs
+    assert abs(daily.sen_slope - 1.0) < 1e-9
+
+    weekly = db.query(
+        "SELECT * FROM trend_robust('m', 'v', 'kind', 'time', 7)"
+    ).df.toPandas().iloc[0]
+    assert weekly.n_buckets == 4 and weekly.n_pairs == 6
+    assert abs(weekly.sen_slope - 7.0) < 1e-9  # per-WEEK units
+
+    db.query("CREATE VIEW tr_v AS SELECT * FROM trend_robust('m', 'v', 'kind')")
+    assert "trend_robust" in db.store.resolve("tr_v").sql
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM trend_robust('nope', 'v', 'kind')")

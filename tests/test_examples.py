@@ -32,3 +32,7 @@ def test_tensor_example(spark):
 
 def test_drift_dashboard_example(spark, tmp_path):
     assert _load("drift_dashboard").main(str(tmp_path)) == 0
+
+
+def test_curation_pipeline_example(spark):
+    assert _load("curation_pipeline").main("/root/testdata/sf0.001") == 0
