@@ -1506,3 +1506,109 @@ def emd_drift_per_group(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ── streaming AUC (Mann–Whitney) drift monitor ───────────────────────
+
+_AUC_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_ref", LongType()),
+        StructField("auc", DoubleType()),
+    ]
+)
+
+
+def auc_drift_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming Mann–Whitney/ROC-AUC drift — the incremental form of
+    the batch q_mann_whitney query, completing the streaming column
+    for the RANK member of the drift family (PSI/JS see histogram
+    mass, KS the worst ECDF gap, EMD transport cost; AUC is the
+    probability a random batch value exceeds a random reference value
+    — 0.5 = no shift, invariant under any monotone transform of the
+    values, so one threshold survives unit changes and log-scaling):
+    per group, score each micro-batch against the reference of
+    EVERYTHING seen before it, then fold the batch in — the
+    reference-accumulate contract of the PSI/chi²/KS/JS/EMD monitors.
+
+    AUC = (Σ_v c_b(v)·[R_<(v) + (c_r(v)+1)/2 − 1/2·(c_b ties? no —
+    ties between batch and reference count half)] )/(n_b·n_r); computed
+    exactly via wins + half-ties over the sorted reference state:
+    AUC = (Σ wins + 0.5·Σ ties)/(n_b·n_r). State is the sorted
+    (value, count) reference shared with the KS/EMD monitors —
+    O(distinct values), bounded by the value domain; quantize
+    upstream at unbounded cardinality. Emits in append mode; the
+    first batch seeds silently.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            st_v, st_c = state.get
+            ref_v = np.asarray(list(st_v), dtype=np.float64)
+            ref_c = np.asarray(list(st_c), dtype=np.int64)
+        else:
+            ref_v = np.array([], dtype=np.float64)
+            ref_c = np.array([], dtype=np.int64)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
+                dtype=np.float64
+            )
+            v = v[~np.isnan(v)]
+            cur_v, cur_c = np.unique(v, return_counts=True)
+            n_ref, n_cur = int(ref_c.sum()), int(cur_c.sum())
+            if n_ref > 0 and n_cur > 0:
+                cum_ref = np.concatenate([[0], np.cumsum(ref_c)])
+                lo = np.searchsorted(ref_v, cur_v, side="left")
+                hi = np.searchsorted(ref_v, cur_v, side="right")
+                wins = cum_ref[lo]            # ref values strictly below
+                ties = cum_ref[hi] - cum_ref[lo]
+                u = float((cur_c * (wins + 0.5 * ties)).sum())
+                outs.append(
+                    pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": n_cur,
+                                "n_ref": n_ref,
+                                "auc": u / (n_cur * n_ref),
+                            }
+                        ]
+                    )
+                )
+            all_v = np.concatenate([ref_v, cur_v])
+            all_c = np.concatenate([ref_c, cur_c])
+            order = np.argsort(all_v, kind="stable")
+            all_v, all_c = all_v[order], all_c[order]
+            uniq, start = np.unique(all_v, return_index=True)
+            summed = np.add.reduceat(all_c, start)
+            ref_v, ref_c = uniq, summed
+
+        state.update(
+            ([float(x) for x in ref_v], [int(c) for c in ref_c])
+        )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_AUC_OUT,
+        stateStructType=_KSD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1497,3 +1497,70 @@ def test_emd_drift_stream_scores_batch_vs_reference(db, spark):
         assert abs(row3.emd - brute_emd(batch3, batch1 + batch2)) < 1e-12
     finally:
         q.stop()
+
+
+def test_auc_drift_stream_scores_batch_vs_reference(db, spark):
+    """Streaming AUC monitor: batch 1 seeds silently; batch 2's
+    emitted AUC equals the brute-force P(batch > ref) + 0.5*P(tie)
+    over all pairs — 1.0 when every batch value exceeds the
+    reference, 0.5 when the batch replays the reference exactly (all
+    ties); batch 3 scores against batch1+batch2 folded — the
+    history-before-batch contract of the KS/JS/EMD monitors."""
+    from ella_spark.streaming.stateful import auc_drift_per_group
+
+    def brute_auc(batch, ref):
+        wins = sum(1 for b in batch for r in ref if b > r)
+        ties = sum(1 for b in batch for r in ref if b == r)
+        return (wins + 0.5 * ties) / (len(batch) * len(ref))
+
+    topic = db.create_topic(
+        "auct",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    batch1 = [1.0, 2.0, 3.0, 4.0]
+    batch2 = [10.0, 20.0, 30.0]  # all above the reference -> AUC 1
+    with topic.publish() as pub:
+        for i, v in enumerate(batch1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = auc_drift_per_group(db.subscribe("auct"), "g", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("auc_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "auc_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM auc_out").count() == 0  # seeding
+
+        with topic.publish() as pub:
+            for i, v in enumerate(batch2):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM auc_out").toPandas()
+        assert len(pdf) == 1
+        row = pdf.iloc[0]
+        assert row.n_batch == 3 and row.n_ref == 4
+        assert row.auc == 1.0 == brute_auc(batch2, batch1)
+
+        # batch 3 replays history EXACTLY -> all comparisons resolve
+        # by wins/ties against batch1+batch2: brute force pins it
+        batch3 = [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0]
+        with topic.publish() as pub:
+            for i, v in enumerate(batch3):
+                pub.write((200 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM auc_out ORDER BY n_ref").toPandas()
+        assert len(pdf) == 2
+        row3 = pdf.iloc[1]
+        assert row3.n_ref == 7 and row3.n_batch == 7
+        assert row3.auc == 0.5  # identical multiset: perfect ties
+        assert abs(row3.auc - brute_auc(batch3, batch1 + batch2)) < 1e-12
+    finally:
+        q.stop()
