@@ -2586,6 +2586,12 @@ class Ella:
         repls = []
         for m in _TREND_ROBUST_RE.finditer(sql):
             table, value_col, slice_col, time_col, days = m.groups()
+            # a QUOTED number in the 4th slot is a bucket width the
+            # user quoted by habit, not a time column named '7' — bind
+            # it to bucket_days (an all-digit time column would be
+            # unresolvable anyway, just with a worse error)
+            if time_col and time_col.isdigit() and days is None:
+                time_col, days = None, time_col
             entry = self.store.resolve(table)
             if entry is None:
                 raise ValueError(f"trend_robust: unknown table {table!r}")

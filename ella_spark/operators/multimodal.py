@@ -269,7 +269,12 @@ def window_audio(
                     ids.append(mid)
                     idxs.append(w)
                     starts.append(start)
-                    feats.append(featurizer(b, start, window_ms))
+                    # a NULL payload keeps its grid rows (duration is
+                    # metadata) but never reaches the kernel: real
+                    # featurizers assume bytes
+                    feats.append(
+                        None if b is None else featurizer(b, start, window_ms)
+                    )
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),

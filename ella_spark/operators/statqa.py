@@ -54,8 +54,10 @@ def mann_whitney_by_slice(
         F.sum("_c_v").over(w_v).alias("_cum_all"),
         F.sum("_c_v").over(Window.partitionBy()).alias("_big_n"),
     )
+    # the inner 2*cum_all must ALSO leave int64 before multiplying,
+    # or it wraps at ~4.6e18 pooled rows before the decimal bound
     term = F.col("_c").cast("decimal(19,0)") * (
-        2 * F.col("_cum_all") - F.col("_c_v") + 1
+        2 * F.col("_cum_all").cast("decimal(19,0)") - F.col("_c_v") + 1
     )
     r = (
         tv.join(pooled, "_v")

@@ -2370,10 +2370,11 @@ def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.crossJoin(F.broadcast(g))
         .groupBy(F.col("big_n").alias("n"), "k")
         .agg(
-            # inapplicable cases NULL-gate symmetrically (DuckDB CASE
-            # mirrors both): k = 1 (the (k-1) denominator is 0 — and
-            # DuckDB integer division by zero RAISES where non-ANSI
-            # Spark returns NULL) and every-group-constant |dev|
+            # inapplicable cases NULL-gate EXPLICITLY and symmetrically
+            # (DuckDB CASE mirrors both): k = 1 (the (k-1) denominator
+            # is 0 — both engines happen to NULL here, but the gate
+            # makes the contract explicit rather than an artifact of
+            # non-ANSI division) and every-group-constant |dev|
             # (SSW = 0, W undefined); read k to tell them apart
             F.when(
                 (F.col("k") > 1) & (F.sum("ssw_t") > 0),

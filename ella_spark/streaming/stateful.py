@@ -958,6 +958,85 @@ def chi2_drift_per_group(
 
 # ── streaming KS drift monitor ───────────────────────────────────────
 
+def _value_counts_monitor(stream, group_col, value_col, out_schema, score):
+    """Shared scaffolding of the KS / EMD / AUC monitors (r10
+    self-review: the state decode, NaN filter, unique-counts
+    reduction and sorted-merge fold existed in three verbatim
+    copies): per-group sorted (value, count) reference state; each
+    micro-batch is buffered, reduced to unique (values, counts),
+    scored against the reference by ``score(cur_v, cur_c, ref_v,
+    ref_c, n_cur, n_ref) -> {statistic columns}``, then folded in.
+    Emits (group, n_batch, n_ref, *score columns) in append mode;
+    the first batch of a group seeds the reference silently. State is
+    O(distinct values) — bounded by the VALUE DOMAIN; quantize
+    upstream at unbounded cardinality (the PSI/JS monitors are the
+    fixed-memory alternative)."""
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            st_v, st_c = state.get
+            ref_v = np.asarray(list(st_v), dtype=np.float64)
+            ref_c = np.asarray(list(st_c), dtype=np.int64)
+        else:
+            ref_v = np.array([], dtype=np.float64)
+            ref_c = np.array([], dtype=np.int64)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
+                dtype=np.float64
+            )
+            v = v[~np.isnan(v)]
+            cur_v, cur_c = np.unique(v, return_counts=True)
+            n_ref, n_cur = int(ref_c.sum()), int(cur_c.sum())
+            if n_ref > 0 and n_cur > 0:
+                outs.append(
+                    pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": n_cur,
+                                "n_ref": n_ref,
+                                **score(
+                                    cur_v, cur_c, ref_v, ref_c, n_cur, n_ref
+                                ),
+                            }
+                        ]
+                    )
+                )
+            # fold the batch into the reference (sorted merge)
+            all_v = np.concatenate([ref_v, cur_v])
+            all_c = np.concatenate([ref_c, cur_c])
+            order = np.argsort(all_v, kind="stable")
+            all_v, all_c = all_v[order], all_c[order]
+            uniq, start = np.unique(all_v, return_index=True)
+            summed = np.add.reduceat(all_c, start)
+            ref_v, ref_c = uniq, summed
+
+        state.update(
+            ([float(x) for x in ref_v], [int(c) for c in ref_c])
+        )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_KSD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _KSD_OUT = StructType(
     [
         StructField("group", StringType()),
@@ -991,90 +1070,26 @@ def ks_drift_per_group(
     D = sup_x |F_batch(x) − F_ref(x)|, evaluated at the union of both
     samples' distinct points (both ECDFs are right-continuous step
     functions constant in between — the same reduction the batch
-    query documents). State per group is the sorted (value, count)
-    reference — O(distinct values), bounded by the VALUE DOMAIN like
-    the batch grid; quantize upstream for unbounded-cardinality
-    doubles (the PSI monitor is the fixed-memory alternative). All
-    chunks of the micro-batch are buffered and scored once; the first
-    batch of a group seeds the reference silently. Emits in append
-    mode.
+    query documents). State/fold/seeding contracts live in
+    _value_counts_monitor (shared with the EMD and AUC monitors).
     """
-    import pyspark.sql.functions as F
 
-    keyed = stream.select(
-        F.col(group_col).cast("string").alias("group"),
-        F.col(value_col).cast("double").alias("_v"),
-    )
-
-    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    def score(cur_v, cur_c, ref_v, ref_c, n_cur, n_ref):
         import numpy as np
 
-        if state.exists:
-            st_v, st_c = state.get
-            ref_v = np.asarray(list(st_v), dtype=np.float64)
-            ref_c = np.asarray(list(st_c), dtype=np.int64)
-        else:
-            ref_v = np.array([], dtype=np.float64)
-            ref_c = np.array([], dtype=np.int64)
+        grid = np.union1d(ref_v, cur_v)
+        f_ref = np.cumsum(ref_c)[
+            np.searchsorted(ref_v, grid, side="right") - 1
+        ].astype(np.float64) / n_ref
+        f_ref[np.searchsorted(ref_v, grid, side="right") == 0] = 0.0
+        f_cur = np.cumsum(cur_c)[
+            np.searchsorted(cur_v, grid, side="right") - 1
+        ].astype(np.float64) / n_cur
+        f_cur[np.searchsorted(cur_v, grid, side="right") == 0] = 0.0
+        return {"d_stat": float(np.max(np.abs(f_cur - f_ref)))}
 
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        outs = []
-        if chunks:
-            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
-                dtype=np.float64
-            )
-            v = v[~np.isnan(v)]
-            cur_v, cur_c = np.unique(v, return_counts=True)
-            n_ref, n_cur = int(ref_c.sum()), int(cur_c.sum())
-            if n_ref > 0 and n_cur > 0:
-                grid = np.union1d(ref_v, cur_v)
-                f_ref = np.cumsum(ref_c)[
-                    np.searchsorted(ref_v, grid, side="right") - 1
-                ].astype(np.float64) / n_ref
-                f_ref[np.searchsorted(ref_v, grid, side="right") == 0] = 0.0
-                f_cur = np.cumsum(cur_c)[
-                    np.searchsorted(cur_v, grid, side="right") - 1
-                ].astype(np.float64) / n_cur
-                f_cur[np.searchsorted(cur_v, grid, side="right") == 0] = 0.0
-                outs.append(
-                    pd.DataFrame(
-                        [
-                            {
-                                "group": key[0],
-                                "n_batch": n_cur,
-                                "n_ref": n_ref,
-                                "d_stat": float(
-                                    np.max(np.abs(f_cur - f_ref))
-                                ),
-                            }
-                        ]
-                    )
-                )
-            # fold the batch into the reference (sorted merge)
-            all_v = np.concatenate([ref_v, cur_v])
-            all_c = np.concatenate([ref_c, cur_c])
-            order = np.argsort(all_v, kind="stable")
-            all_v, all_c = all_v[order], all_c[order]
-            uniq, start = np.unique(all_v, return_index=True)
-            summed = np.add.reduceat(all_c, start)
-            ref_v, ref_c = uniq, summed
+    return _value_counts_monitor(stream, group_col, value_col, _KSD_OUT, score)
 
-        state.update(
-            ([float(x) for x in ref_v], [int(c) for c in ref_c])
-        )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
-
-    return keyed.groupBy("group").applyInPandasWithState(
-        update,
-        outputStructType=_KSD_OUT,
-        stateStructType=_KSD_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-
-# ── streaming Page-Hinkley changepoint detector ──────────────────────
 
 _PH_OUT = StructType(
     [
@@ -1427,85 +1442,26 @@ def emd_drift_per_group(
 
     EMD = Σ_i |F_b(v_i) − F_r(v_i)|·(v_{i+1} − v_i) over the union
     grid (both ECDFs constant between points — the batch query's
-    step reduction). State is the sorted (value, count) reference of
-    ks_drift_per_group — O(distinct values), bounded by the value
-    domain; quantize upstream at unbounded cardinality (the JS/PSI
-    monitors are the fixed-memory alternative). Emits in append mode;
-    first batch seeds silently.
+    step reduction). State/fold/seeding contracts live in
+    _value_counts_monitor (shared with the KS and AUC monitors).
     """
-    import pyspark.sql.functions as F
 
-    keyed = stream.select(
-        F.col(group_col).cast("string").alias("group"),
-        F.col(value_col).cast("double").alias("_v"),
-    )
-
-    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    def score(cur_v, cur_c, ref_v, ref_c, n_cur, n_ref):
         import numpy as np
 
-        if state.exists:
-            st_v, st_c = state.get
-            ref_v = np.asarray(list(st_v), dtype=np.float64)
-            ref_c = np.asarray(list(st_c), dtype=np.int64)
-        else:
-            ref_v = np.array([], dtype=np.float64)
-            ref_c = np.array([], dtype=np.int64)
+        grid = np.union1d(ref_v, cur_v)
+        f_ref = np.cumsum(ref_c)[
+            np.searchsorted(ref_v, grid, side="right") - 1
+        ].astype(np.float64) / n_ref
+        f_ref[np.searchsorted(ref_v, grid, side="right") == 0] = 0.0
+        f_cur = np.cumsum(cur_c)[
+            np.searchsorted(cur_v, grid, side="right") - 1
+        ].astype(np.float64) / n_cur
+        f_cur[np.searchsorted(cur_v, grid, side="right") == 0] = 0.0
+        emd = float((np.abs(f_cur - f_ref)[:-1] * np.diff(grid)).sum())
+        return {"emd": emd}
 
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        outs = []
-        if chunks:
-            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
-                dtype=np.float64
-            )
-            v = v[~np.isnan(v)]
-            cur_v, cur_c = np.unique(v, return_counts=True)
-            n_ref, n_cur = int(ref_c.sum()), int(cur_c.sum())
-            if n_ref > 0 and n_cur > 0:
-                grid = np.union1d(ref_v, cur_v)
-                f_ref = np.cumsum(ref_c)[
-                    np.searchsorted(ref_v, grid, side="right") - 1
-                ].astype(np.float64) / n_ref
-                f_ref[np.searchsorted(ref_v, grid, side="right") == 0] = 0.0
-                f_cur = np.cumsum(cur_c)[
-                    np.searchsorted(cur_v, grid, side="right") - 1
-                ].astype(np.float64) / n_cur
-                f_cur[np.searchsorted(cur_v, grid, side="right") == 0] = 0.0
-                emd = float(
-                    (np.abs(f_cur - f_ref)[:-1] * np.diff(grid)).sum()
-                )
-                outs.append(
-                    pd.DataFrame(
-                        [
-                            {
-                                "group": key[0],
-                                "n_batch": n_cur,
-                                "n_ref": n_ref,
-                                "emd": emd,
-                            }
-                        ]
-                    )
-                )
-            all_v = np.concatenate([ref_v, cur_v])
-            all_c = np.concatenate([ref_c, cur_c])
-            order = np.argsort(all_v, kind="stable")
-            all_v, all_c = all_v[order], all_c[order]
-            uniq, start = np.unique(all_v, return_index=True)
-            summed = np.add.reduceat(all_c, start)
-            ref_v, ref_c = uniq, summed
-
-        state.update(
-            ([float(x) for x in ref_v], [int(c) for c in ref_c])
-        )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
-
-    return keyed.groupBy("group").applyInPandasWithState(
-        update,
-        outputStructType=_EMD_OUT,
-        stateStructType=_KSD_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return _value_counts_monitor(stream, group_col, value_col, _EMD_OUT, score)
 
 
 # ── streaming AUC (Mann–Whitney) drift monitor ───────────────────────
@@ -1533,82 +1489,26 @@ def auc_drift_per_group(
     — 0.5 = no shift, invariant under any monotone transform of the
     values, so one threshold survives unit changes and log-scaling):
     per group, score each micro-batch against the reference of
-    EVERYTHING seen before it, then fold the batch in — the
-    reference-accumulate contract of the PSI/chi²/KS/JS/EMD monitors.
+    EVERYTHING seen before it, then fold the batch in.
 
-    AUC = (Σ_v c_b(v)·[R_<(v) + (c_r(v)+1)/2 − 1/2·(c_b ties? no —
-    ties between batch and reference count half)] )/(n_b·n_r); computed
-    exactly via wins + half-ties over the sorted reference state:
-    AUC = (Σ wins + 0.5·Σ ties)/(n_b·n_r). State is the sorted
-    (value, count) reference shared with the KS/EMD monitors —
-    O(distinct values), bounded by the value domain; quantize
-    upstream at unbounded cardinality. Emits in append mode; the
-    first batch seeds silently.
+    AUC = (Σ wins + 0.5·Σ ties)/(n_b·n_r), where wins counts
+    (batch, reference) pairs with batch > reference and ties the
+    equal pairs — computed exactly from the sorted reference via two
+    searchsorted passes, never materializing pairs. State/fold/
+    seeding contracts live in _value_counts_monitor (shared with the
+    KS and EMD monitors).
     """
-    import pyspark.sql.functions as F
 
-    keyed = stream.select(
-        F.col(group_col).cast("string").alias("group"),
-        F.col(value_col).cast("double").alias("_v"),
-    )
-
-    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    def score(cur_v, cur_c, ref_v, ref_c, n_cur, n_ref):
         import numpy as np
 
-        if state.exists:
-            st_v, st_c = state.get
-            ref_v = np.asarray(list(st_v), dtype=np.float64)
-            ref_c = np.asarray(list(st_c), dtype=np.int64)
-        else:
-            ref_v = np.array([], dtype=np.float64)
-            ref_c = np.array([], dtype=np.int64)
+        cum_ref = np.concatenate([[0], np.cumsum(ref_c)])
+        lo = np.searchsorted(ref_v, cur_v, side="left")
+        hi = np.searchsorted(ref_v, cur_v, side="right")
+        wins = cum_ref[lo]            # ref values strictly below
+        ties = cum_ref[hi] - cum_ref[lo]
+        u = float((cur_c * (wins + 0.5 * ties)).sum())
+        return {"auc": u / (n_cur * n_ref)}
 
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        outs = []
-        if chunks:
-            v = pd.concat(chunks, ignore_index=True)["_v"].to_numpy(
-                dtype=np.float64
-            )
-            v = v[~np.isnan(v)]
-            cur_v, cur_c = np.unique(v, return_counts=True)
-            n_ref, n_cur = int(ref_c.sum()), int(cur_c.sum())
-            if n_ref > 0 and n_cur > 0:
-                cum_ref = np.concatenate([[0], np.cumsum(ref_c)])
-                lo = np.searchsorted(ref_v, cur_v, side="left")
-                hi = np.searchsorted(ref_v, cur_v, side="right")
-                wins = cum_ref[lo]            # ref values strictly below
-                ties = cum_ref[hi] - cum_ref[lo]
-                u = float((cur_c * (wins + 0.5 * ties)).sum())
-                outs.append(
-                    pd.DataFrame(
-                        [
-                            {
-                                "group": key[0],
-                                "n_batch": n_cur,
-                                "n_ref": n_ref,
-                                "auc": u / (n_cur * n_ref),
-                            }
-                        ]
-                    )
-                )
-            all_v = np.concatenate([ref_v, cur_v])
-            all_c = np.concatenate([ref_c, cur_c])
-            order = np.argsort(all_v, kind="stable")
-            all_v, all_c = all_v[order], all_c[order]
-            uniq, start = np.unique(all_v, return_index=True)
-            summed = np.add.reduceat(all_c, start)
-            ref_v, ref_c = uniq, summed
+    return _value_counts_monitor(stream, group_col, value_col, _AUC_OUT, score)
 
-        state.update(
-            ([float(x) for x in ref_v], [int(c) for c in ref_c])
-        )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
-
-    return keyed.groupBy("group").applyInPandasWithState(
-        update,
-        outputStructType=_AUC_OUT,
-        stateStructType=_KSD_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )

@@ -70,7 +70,7 @@ def test_feature_pipeline_to_ann(media, spark):
     assert list(out["rank"]) == [1, 2]
 
 
-def test_window_audio_grid_and_features(media, spark):
+def test_window_audio_grid_and_features(media, spark, tmp_path):
     """Grid path (featurizer=None): pure-JVM hop-spaced windows with
     NULL features and the payload column PRUNED from the scan; short
     and NULL-duration clips produce zero windows (no phantom window).
@@ -97,11 +97,8 @@ def test_window_audio_grid_and_features(media, spark):
 
     # grid-only path — prune check needs a FILE source (an in-memory
     # frame always carries every column); ReadSchema must lack payload
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="ella_media_")
-    df.write.mode("overwrite").parquet(d + "/media.parquet")
-    fdf = spark.read.parquet(d + "/media.parquet")
+    df.write.mode("overwrite").parquet(str(tmp_path / "media.parquet"))
+    fdf = spark.read.parquet(str(tmp_path / "media.parquet"))
     plan = (
         window_audio(fdf, window_ms=1000, hop_ms=500)
         ._jdf.queryExecution()
