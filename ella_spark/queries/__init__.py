@@ -102,16 +102,16 @@ def _load() -> None:
 # re-verified locally every run by tests/test_oracle_parity.py
 # regardless of tier.
 #
-# Tier sets below were recomputed for ROUND 10 from the union of
-# CORRECTNESS_r01-r09 (newest-green histogram: r9:50, r8:50, r7:48,
-# r6:43; never-green = only the 5 no-oracle names — verified
+# Tier sets below were recomputed for ROUND 11 from the union of
+# CORRECTNESS_r01-r10 (newest-green histogram: r10:50, r9:50, r8:50,
+# r7:48; never-green = only the no-oracle names — verified
 # programmatically, see tools/rotation_audit.py). With current round
-# R=10 and MAX_STALE=3, every oracle-paired name whose newest green is
-# r6 would be 4 rounds stale outside the prefix, so the checked-50 is
+# R=11 and MAX_STALE=3, every oracle-paired name whose newest green is
+# r7 would be 4 rounds stale outside the prefix, so the checked-50 is
 # exactly: queries ADDED this round (first driver row, at most
-# 50 - 43 = 7 of them — the executable growth budget,
+# 50 - 48 = 2 of them — the executable growth budget,
 # tests/test_fixtures.py::test_next_round_rotation_budget_feasible),
-# then ALL 43 r6-latest greens, then r7 greens fill any remaining
+# then ALL 48 r7-latest greens, then r8 greens fill any remaining
 # slots in registration order. The staleness invariant (no
 # oracle-paired name's newest green older than 3 rounds outside the
 # current prefix) is executable: tests/test_fixtures.py::
@@ -119,41 +119,14 @@ def _load() -> None:
 # CORRECTNESS_r* files on disk every run.
 
 # Queries added this round rank 0 — first chance at a real driver row.
-# HARD BUDGET: len(_NEW_THIS_ROUND) + 43 stale names must fit in the
-# checked-50 prefix, so at most 7 additions this round (enforced by
+# HARD BUDGET: len(_NEW_THIS_ROUND) + 48 stale names must fit in the
+# checked-50 prefix, so at most 2 additions this round (enforced by
 # test_next_round_rotation_budget_feasible).
-_NEW_THIS_ROUND: set[str] = {
-    "q_cramers_v",
-    "q_levene_variance",
-    "q_grubbs_outlier",
-    "q_user_type_entropy",
-    "q_mann_whitney",
-    "q_runs_test",
-    "q_gap_percentiles",
-}
+_NEW_THIS_ROUND: set[str] = set()
 
-# newest hash-green = r6 — 4 rounds stale at round 10: the entire tier
+# newest hash-green = r7 — 4 rounds stale at round 11: the entire tier
 # MUST be re-checked this round (leads the prefix after the new names).
-_STALE_R6 = {
-    "q1_pricing_summary", "q_agg_stats", "q_approx_top_k", "q_bpe_encode",
-    "q_chunk_documents", "q_clustering_coefficient", "q_collocations",
-    "q_date_bin_5min", "q_date_trunc_parts", "q_ewma",
-    "q_first_last_value", "q_gini_concentration", "q_kcore", "q_lag_lead",
-    "q_lang_source_stats", "q_lateral_topn", "q_latest_per_key",
-    "q_m4_downsample", "q_mad_outliers", "q_media_features",
-    "q_mix_resample", "q_mode_per_group", "q_ntile_percentiles",
-    "q_pack_sequences", "q_pagerank", "q_pii_scrub",
-    "q_quality_repetition", "q_rank_per_group", "q_readability",
-    "q_running_sum", "q_session_gaps", "q_string_agg",
-    "q_strip_boilerplate", "q_tfidf_top_terms", "q_time_range_scan",
-    "q_time_weighted_avg", "q_token_fertility", "q_tokenize_bpe",
-    "q_triangle_count", "q_unpivot_measures", "q_weighted_median",
-    "q_weighted_sample", "q_winnow_fingerprint",
-}
-
-# newest hash-green = r7 — due next round (r11); fill any remaining
-# checked-50 slots in registration order.
-_R7_GREEN = {
+_STALE_R7 = {
     "q_ann_ivf", "q_ann_lsh", "q_asof_join", "q_asof_join_forward",
     "q_bm25_search", "q_char_entropy", "q_cumulative_distinct",
     "q_curation_pipeline", "q_data_profile", "q_dedup_incremental",
@@ -173,7 +146,8 @@ _R7_GREEN = {
     "q_train_test_split", "q_winsorize",
 }
 
-# newest hash-green = r8.
+# newest hash-green = r8 — due next round (r12); fill any remaining
+# checked-50 slots in registration order.
 _R8_GREEN = {
     "q11_important_parts", "q12_late_lines", "q13_cust_distribution",
     "q15_top_supplier", "q16_supplier_part_counts",
@@ -194,7 +168,7 @@ _R8_GREEN = {
     "q_time_convs", "q_token_count", "q_value_histogram", "q_zipf_slope",
 }
 
-# newest hash-green = r9 — the freshest records, checked again last.
+# newest hash-green = r9.
 _R9_GREEN = {
     "q10_returned_items", "q14_promo_effect", "q3_shipping_priority",
     "q5_local_supplier", "q6_forecast_revenue", "q_array_basics",
@@ -214,6 +188,35 @@ _R9_GREEN = {
     "q_vector_arith", "q_vector_norms",
 }
 
+# newest hash-green = r10 — the freshest records, checked again last.
+_R10_GREEN = {
+    "q1_pricing_summary", "q_agg_stats", "q_approx_top_k", "q_bpe_encode",
+    "q_chunk_documents", "q_clustering_coefficient", "q_collocations",
+    "q_cramers_v", "q_date_bin_5min", "q_date_trunc_parts", "q_ewma",
+    "q_first_last_value", "q_gap_percentiles", "q_gini_concentration",
+    "q_grubbs_outlier", "q_kcore", "q_lag_lead", "q_lang_source_stats",
+    "q_lateral_topn", "q_latest_per_key", "q_levene_variance",
+    "q_m4_downsample", "q_mad_outliers", "q_mann_whitney",
+    "q_media_features", "q_mix_resample", "q_mode_per_group",
+    "q_ntile_percentiles", "q_pack_sequences", "q_pagerank", "q_pii_scrub",
+    "q_quality_repetition", "q_rank_per_group", "q_readability",
+    "q_running_sum", "q_runs_test", "q_session_gaps", "q_string_agg",
+    "q_strip_boilerplate", "q_tfidf_top_terms", "q_time_range_scan",
+    "q_time_weighted_avg", "q_token_fertility", "q_tokenize_bpe",
+    "q_triangle_count", "q_unpivot_measures", "q_user_type_entropy",
+    "q_weighted_median", "q_weighted_sample", "q_winnow_fingerprint",
+}
+
+# Ordered freshest-last: rank = index + 1 in the prefix sort. Tests
+# iterate this tuple (round-agnostic) instead of hardcoding tier names.
+_TIERS: tuple[set[str], ...] = (
+    _NEW_THIS_ROUND,
+    _STALE_R7,
+    _R8_GREEN,
+    _R9_GREEN,
+    _R10_GREEN,
+)
+
 
 def _rank(name: str) -> int:
     """Priority tier for the driver's budget-limited prefix:
@@ -221,11 +224,11 @@ def _rank(name: str) -> int:
     0. queries added this round (or any oracle-paired name not yet in
        a tier set — a brand-new registration defaults to rank 0 so it
        cannot silently land outside the checked prefix)
-    1. r6-latest greens — 4 rounds stale at round 10; the whole tier
+    1. r7-latest greens — 4 rounds stale at round 11; the whole tier
        must lead the prefix or the staleness test goes red
-    2. r7-latest greens (due in r11; fill remaining slots)
-    3. r8-latest greens
-    4. r9 greens — freshest records, checked again last
+    2. r8-latest greens (due in r12; fill remaining slots)
+    3. r9-latest greens
+    4. r10 greens — freshest records, checked again last
     5. no-oracle names — NEVER in the prefix (no hash verdict
        possible; rows-only sanity lives in pytest and each has an
        oracle-paired portable counterpart above)
@@ -234,14 +237,9 @@ def _rank(name: str) -> int:
         return 5
     if name in _NEW_THIS_ROUND:
         return 0
-    if name in _STALE_R6:
-        return 1
-    if name in _R7_GREEN:
-        return 2
-    if name in _R8_GREEN:
-        return 3
-    if name in _R9_GREEN:
-        return 4
+    for i, tier in enumerate(_TIERS[1:], start=1):
+        if name in tier:
+            return i
     return 0  # unlisted oracle-paired name = new this round
 
 

@@ -175,7 +175,7 @@ def test_rotation_tier_names_resolve_in_registry():
     from ella_spark import queries as Q
 
     Q._load()
-    tiers = (Q._NEW_THIS_ROUND, Q._STALE_R6, Q._R7_GREEN, Q._R8_GREEN, Q._R9_GREEN)
+    tiers = Q._TIERS
     for tier in tiers:
         missing = [n for n in tier if n not in Q.REGISTRY]
         assert not missing, missing
@@ -183,12 +183,13 @@ def test_rotation_tier_names_resolve_in_registry():
     for i, a in enumerate(tiers):
         for b in tiers[i + 1 :]:
             assert not (a & b), a & b
-    # the checked-50 prefix starts with every pinned/new + r4-stale
-    # name and contains no no-oracle name (they can never hash-verify)
+    # the checked-50 prefix starts with every new name plus the whole
+    # due tier and contains no no-oracle name (they can never
+    # hash-verify)
     names = list(Q.all_queries())[:50]
     oracles = Q.all_oracles()
-    assert Q._NEW_THIS_ROUND <= set(names)
-    assert Q._STALE_R6 <= set(names)
+    assert tiers[0] <= set(names)  # _NEW_THIS_ROUND
+    assert tiers[1] <= set(names)  # due (4-rounds-stale) tier
     assert all(n in oracles for n in names)
 
 
