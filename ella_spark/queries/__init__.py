@@ -122,7 +122,13 @@ def _load() -> None:
 # HARD BUDGET: len(_NEW_THIS_ROUND) + 48 stale names must fit in the
 # checked-50 prefix, so at most 2 additions this round (enforced by
 # test_next_round_rotation_budget_feasible).
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    # not new code — newly ORACLE-PAIRED this round (the Horner hash
+    # replayed in DuckDB HUGEINT), closing the registry's only
+    # never-driver-checked name (VERDICT r10 #4); spends 1 of the 2
+    # budget slots, leaving capacity at 199/200
+    "q_dedup_winnow_fast",
+}
 
 # newest hash-green = r7 — 4 rounds stale at round 11: the entire tier
 # MUST be re-checked this round (leads the prefix after the new names).

@@ -402,11 +402,76 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fast vehicle's Horner rolling hash IS exactly reproducible in
+# DuckDB: gram_hash(i) = sum_j byte[i+j] * B^(7-j) mod 2^64 with
+# B = 1099511628211 (the FNV-1a prime used as the Horner base) and the
+# eight power constants inlined. HUGEINT (int128) holds every
+# intermediate (byte * B^j < 2^72; the 8-term sum < 2^75), so the
+# uint64 wraparound is one `% 2^64`. Bytes come from
+# hex(encode(lower(trim(text)))) — byte-level like the numpy pass, so
+# the hashes (and therefore the winnowed mins, computed on UNSIGNED
+# values exactly as numpy's uint64 sliding min) are bit-identical.
+_FNV_POW = [
+    1, 1099511628211, 956575116354345, 624165263380053675,
+    11527715348014283921, 913917546033277539,
+    15895002104753931833, 14218562807570617051,
+]
+_FNV_TERMS = " + ".join(
+    f"bl[i + {j}] * {_FNV_POW[7 - j]}::HUGEINT" for j in range(8)
+)
+
+
 @register(
     "q_dedup_winnow_fast",
-    oracle=None,  # the vectorized rolling hash has no DuckDB
-    # counterpart: rows-only; semantics pinned vs the md5 oracle
-    # vehicle by tests/test_textops.py planted-duplicate parity
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents
+      WHERE length(lower(trim(text))) >= 11
+    ),
+    byts AS (
+      SELECT doc_id,
+             list_transform(range(1, octet_length(encode(t)) + 1),
+               i -> CAST(CAST(('0x' || substr(hex(encode(t)),
+                        CAST(2 * i - 1 AS INTEGER), 2)) AS INTEGER)
+                    AS HUGEINT)) AS bl
+      FROM n
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(bl) - 8 + 2),
+               i -> ({_FNV_TERMS}) % 18446744073709551616::HUGEINT) AS h
+      FROM byts
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(h) - 4 + 2),
+               i -> least(h[CAST(i AS INTEGER)], h[CAST(i + 1 AS INTEGER)],
+                          h[CAST(i + 2 AS INTEGER)],
+                          h[CAST(i + 3 AS INTEGER)]))) AS fp
+      FROM g
+    ),
+    e AS (SELECT doc_id, unnest(fp) AS fp FROM f),
+    rare AS (
+      SELECT fp FROM e GROUP BY fp HAVING count(*) <= 10
+    ),
+    ee AS (SELECT e.doc_id, e.fp FROM e WHERE e.fp IN (SELECT fp FROM rare)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM ee a JOIN ee b ON a.fp = b.fp AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 3
+    )
+    SELECT p.id_a, p.id_b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE)
+                 / least(fa.nf, fb.nf), 6) AS overlap
+    FROM pairs p
+    JOIN (SELECT doc_id, CAST(len(fp) AS BIGINT) AS nf FROM f) fa
+      ON fa.doc_id = p.id_a
+    JOIN (SELECT doc_id, CAST(len(fp) AS BIGINT) AS nf FROM f) fb
+      ON fb.doc_id = p.id_b
+    """,
     doc="Vectorized fast path of the winnowing near-dup pair "
     "generator: identical pipeline (winnow mins, DF-capped fp "
     "buckets, pair join), but fingerprints come from ONE Arrow-"
@@ -418,7 +483,10 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2.4 s (JVM higher-order exprs, interpreted per array element) "
     "-> 0.7 s; winnowing's guarantee is hash-independent, so planted "
     "near-dups surface under both digests. This is the variant to "
-    "run at 100 TB.",
+    "run at 100 TB. Oracle-paired since r11: the Horner hash is "
+    "replayed bit-exactly in DuckDB HUGEINT arithmetic (see "
+    "_FNV_TERMS above), closing the registry's last never-"
+    "driver-checked name.",
 )
 def q_dedup_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w, df_cap, min_shared = 8, 4, 10, 3
