@@ -1717,48 +1717,50 @@ def _capped_tv(ev, max_grid: int = _ECDF_MAX_GRID):
     """Exact (event_type, vc, c_tv) counts with the grid hard-bounded
     at ``max_grid`` distinct centi-values — the shared base of
     q_ks_drift / q_earth_movers / q_mann_whitney and the Spark twin
-    of _CAPPED_TV_CTE (bit-identical arithmetic: integer width
-    CASE, left-edge modulo quantization, exact int64 re-sums; when
-    the cap is not hit, width 1 makes the re-aggregation an
-    identity). Fully declarative — no driver-side probe — so the cap
-    costs one extra exchange of the already-aggregated small frame.
-    Returned frame is localCheckpointed (every caller fans it out to
-    2-3 consumers that would otherwise each replay the scan)."""
+    of _CAPPED_TV_CTE (bit-identical arithmetic: integer ceil-div
+    width, left-edge modulo quantization, exact int64 re-sums).
+
+    The width decision is a driver-side 1-row probe on the already-
+    checkpointed aggregate (BOUNDED collect: exactly one row of three
+    scalars — the same idiom as operators/drift.py
+    _bounded_value_frame), so in the common width=1 regime the
+    function returns tv0 itself: no second localCheckpoint, no
+    broadcast exchange, no identity re-aggregation. That overhead is
+    what regressed q_ks_drift 1.54x in r10 (VERDICT #3). The oracle
+    CTE keeps its declarative width-1 branch — an identity
+    re-aggregation over (event_type, vc) groups, so both engines
+    still agree row-for-row in BOTH regimes. Returned frame is
+    localCheckpointed either way (every caller fans it out to 2-3
+    consumers that would otherwise each replay the scan)."""
     c = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
     )
     tv0 = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
     tv0 = tv0.localCheckpoint()
-    wdt = tv0.agg(
-        F.when(
-            F.countDistinct("vc") > max_grid,
-            F.greatest(
-                F.expr(
-                    f"(max(vc) - min(vc) + {max_grid} - 1) div {max_grid}"
-                ),
-                F.lit(1).cast("bigint"),
-            ),
-        )
-        .otherwise(F.lit(1).cast("bigint"))
-        .alias("w"),
+    stats = tv0.agg(
+        F.countDistinct("vc").alias("n_vals"),
         F.min("vc").alias("lo"),
-    )
-    tv = (
-        tv0.crossJoin(F.broadcast(wdt))
-        .select(
+        F.max("vc").alias("hi"),
+    ).collect()[0]
+    if not stats.n_vals or stats.n_vals <= max_grid:
+        return tv0  # width 1: the oracle's re-aggregation is an identity
+    # integer ceil-div width, exactly _CAPPED_TV_CTE's expression
+    w = max((stats.hi - stats.lo + max_grid - 1) // max_grid, 1)
+    return (
+        tv0.select(
             "event_type",
             # vc - ((vc - lo) % w) == lo + ((vc - lo) div w) * w,
             # in EXACT int64 (no double division)
-            (F.col("vc") - ((F.col("vc") - F.col("lo")) % F.col("w"))).alias(
-                "vc"
-            ),
+            (
+                F.col("vc") - ((F.col("vc") - F.lit(stats.lo)) % F.lit(w))
+            ).alias("vc"),
             "c_tv",
         )
         .groupBy("event_type", "vc")
         .agg(F.sum("c_tv").alias("c_tv"))
+        .localCheckpoint()
     )
-    return tv.localCheckpoint()
 
 
 def _pooled_ecdf_frame(ev, max_grid: int = _ECDF_MAX_GRID):
