@@ -1731,7 +1731,12 @@ def _capped_tv(ev, max_grid: int = _ECDF_MAX_GRID):
     re-aggregation over (event_type, vc) groups, so both engines
     still agree row-for-row in BOTH regimes. Returned frame is
     localCheckpointed either way (every caller fans it out to 2-3
-    consumers that would otherwise each replay the scan)."""
+    consumers that would otherwise each replay the scan).
+
+    Returns ``(tv, big_n)``: the probe reads sum(c_tv) for free
+    (re-quantization preserves it), so consumers inject the grand
+    total as a literal instead of running a whole-frame
+    ``Window.partitionBy()`` pass over the grid."""
     c = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
@@ -1742,12 +1747,14 @@ def _capped_tv(ev, max_grid: int = _ECDF_MAX_GRID):
         F.countDistinct("vc").alias("n_vals"),
         F.min("vc").alias("lo"),
         F.max("vc").alias("hi"),
+        F.sum("c_tv").alias("big_n"),
     ).collect()[0]
     if not stats.n_vals or stats.n_vals <= max_grid:
-        return tv0  # width 1: the oracle's re-aggregation is an identity
+        # width 1: the oracle's re-aggregation is an identity
+        return tv0, int(stats.big_n)
     # integer ceil-div width, exactly _CAPPED_TV_CTE's expression
     w = max((stats.hi - stats.lo + max_grid - 1) // max_grid, 1)
-    return (
+    tv = (
         tv0.select(
             "event_type",
             # vc - ((vc - lo) % w) == lo + ((vc - lo) div w) * w,
@@ -1761,6 +1768,7 @@ def _capped_tv(ev, max_grid: int = _ECDF_MAX_GRID):
         .agg(F.sum("c_tv").alias("c_tv"))
         .localCheckpoint()
     )
+    return tv, int(stats.big_n)
 
 
 def _pooled_ecdf_frame(ev, max_grid: int = _ECDF_MAX_GRID):
@@ -1779,13 +1787,15 @@ def _pooled_ecdf_frame(ev, max_grid: int = _ECDF_MAX_GRID):
     parity holds in BOTH regimes. Counts stay exact int64 either way;
     only the evaluation grid coarsens (KS/EMD evaluated at <=
     max_grid step points — the standard binned-ECDF regime)."""
-    tv = _capped_tv(ev, max_grid)
+    tv, big_n = _capped_tv(ev, max_grid)
     vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
     w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(
         "vc",
         F.sum("c_v").over(w_vc).alias("cum_all"),
-        F.sum("c_v").over(Window.partitionBy()).alias("big_n"),
+        # grand total from the _capped_tv probe — saves a whole-frame
+        # Window.partitionBy() pass over the grid
+        F.lit(big_n).cast("bigint").alias("big_n"),
     )
     types = tv.groupBy("event_type").agg(F.sum("c_tv").alias("n_t"))
     grid = pooled.crossJoin(F.broadcast(types))
@@ -2574,14 +2584,16 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # shared capped base of the ECDF family: exact counts, grid
     # hard-bounded at _ECDF_MAX_GRID, checkpointed (2 consumers here)
-    tv = _capped_tv(ev)
+    tv, big_n = _capped_tv(ev)
     vals = tv.groupBy("vc").agg(F.sum("c_tv").alias("c_v"))
     w_vc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(
         "vc",
         "c_v",
         F.sum("c_v").over(w_vc).alias("cum_all"),
-        F.sum("c_v").over(Window.partitionBy()).alias("big_n"),
+        # grand total from the _capped_tv probe — saves a whole-frame
+        # Window.partitionBy() pass over the grid
+        F.lit(big_n).cast("bigint").alias("big_n"),
     )
     r = (
         tv.join(pooled, "vc")
