@@ -16,6 +16,7 @@ import os
 import re
 import shutil
 import uuid
+import weakref
 from pathlib import Path
 
 from pyspark.errors import AnalysisException
@@ -183,6 +184,9 @@ _TVF_VIEW_SEQ = itertools.count()
 #:     handle (the r9 bug was a global deque of bare names dropping
 #:     through whichever session triggered eviction).
 _TVF_VIEW_CAP = 64
+#: (weakref.ref(session), view_name) pairs — weak so an entry never
+#: keeps a stopped session's JVM handles alive while it waits for
+#: eviction (ADVICE r10)
 _TVF_VIEW_LIVE: "collections.deque[tuple[object, str]]" = collections.deque()
 
 
@@ -458,12 +462,18 @@ class Ella:
         views pending until the next batch. Live entries carry their
         owning session, so eviction triggered by one instance drops
         another instance's (analyzed) view via the RIGHT session."""
+        # weakref so a live-window entry never keeps a STOPPED
+        # session (and its JVM handles) alive until 64 newer views
+        # evict it (ADVICE r10) — a dead ref just skips the drop
         _TVF_VIEW_LIVE.extend(
-            (self.spark, n) for n in self._tvf_views_pending
+            (weakref.ref(self.spark), n) for n in self._tvf_views_pending
         )
         self._tvf_views_pending.clear()
         while len(_TVF_VIEW_LIVE) > _TVF_VIEW_CAP:
-            session, old = _TVF_VIEW_LIVE.popleft()
+            session_ref, old = _TVF_VIEW_LIVE.popleft()
+            session = session_ref()
+            if session is None:
+                continue  # session garbage-collected — view died with it
             try:
                 session.catalog.dropTempView(old)
             except Exception:

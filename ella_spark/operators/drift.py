@@ -446,12 +446,22 @@ def emd_by_slice(
         )
         * (F.col("_next_v") - F.col("_v"))
     )
-    return (
+    agg = (
         ft.where(F.col("_next_v").isNotNull())
-        .groupBy(F.col("_slice").alias(slice_col))
-        .agg(
-            F.max("_n_s").cast("long").alias("n"),
-            F.round(F.sum(term), 6).alias("emd"),
+        .groupBy("_slice")
+        .agg(F.sum(term).alias("_emd"))
+    )
+    # join the per-slice totals back so a degenerate grid (a single
+    # distinct pooled value leaves NO interval rows — every row is
+    # dropped by the _next_v filter) still emits one row per slice
+    # with emd = 0.0: a dashboard must see a row, not silence (the
+    # mann_whitney_by_slice contract; ADVICE r10)
+    return (
+        slices.join(agg, "_slice", "left")
+        .select(
+            F.col("_slice").alias(slice_col),
+            F.col("_n_s").cast("long").alias("n"),
+            F.round(F.coalesce(F.col("_emd"), F.lit(0.0)), 6).alias("emd"),
         )
         .orderBy(slice_col)
     )

@@ -1952,8 +1952,8 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL),
     w AS (
       SELECT event_type, tns, event_id, vc,
-             CAST(count(*) OVER win AS BIGINT) AS n_t,
-             CAST(sum(vc) OVER win AS BIGINT) AS s_t
+             CAST(count(*) OVER win AS HUGEINT) AS n_t,
+             CAST(sum(vc) OVER win AS HUGEINT) AS s_t
       FROM c WINDOW win AS (PARTITION BY event_type)),
     s AS (
       SELECT event_type, tns, event_id,
@@ -1986,8 +1986,12 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "writes masquerading as live traffic), z >> 0 means oscillation "
     "faster than chance; the randomness audit that mean/variance "
     "monitors are blind to. Above/below is decided by the EXACT "
-    "int64 cross product n_t·vc vs s_t (no float mean, no ulp edge); "
-    "exact-mean rows drop symmetrically (standard tie handling). "
+    "cross product n_t·vc vs s_t (no float mean, no ulp edge), "
+    "carried in DECIMAL(38,0) / HUGEINT on the two engines — int64 "
+    "would wrap silently past 2^63 ~ 9.2e18, reachable at ~1e12 "
+    "rows/slice x 1e7 centi-magnitude (the q_levene_variance bound); "
+    "decimal is exact to 1e38. "
+    "Exact-mean rows drop symmetrically (standard tie handling). "
     "μ_R = 1 + 2n₁n₀/n and σ²_R's big products are computed in "
     "DOUBLE (int64 would wrap at (2n₁n₀)² for n > ~3e9 rows/slice). "
     "ONE event_type-keyed shuffle: totals via whole-partition "
@@ -2003,18 +2007,22 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
     )
     w_all = Window.partitionBy("event_type")
+    # DECIMAL(38,0) for the window sum AND the n_t*vc cross product:
+    # exact to 1e38 where int64 wraps silently past 2^63 (~1e12
+    # rows/slice x 1e7 centi-magnitude) — the oracle carries HUGEINT
     w = c.withColumns(
         {
-            "n_t": F.count(F.lit(1)).over(w_all),
-            "s_t": F.sum("vc").over(w_all),
+            "n_t": F.count(F.lit(1)).over(w_all).cast("decimal(38,0)"),
+            "s_t": F.sum(F.col("vc").cast("decimal(38,0)")).over(w_all),
         }
     )
+    prod = F.col("n_t") * F.col("vc")
     s = w.select(
         "event_type",
         "tns",
         "event_id",
-        F.when(F.col("n_t") * F.col("vc") > F.col("s_t"), 1)
-        .when(F.col("n_t") * F.col("vc") < F.col("s_t"), 0)
+        F.when(prod > F.col("s_t"), 1)
+        .when(prod < F.col("s_t"), 0)
         .alias("sgn"),
     ).where(F.col("sgn").isNotNull())
     w_ord = Window.partitionBy("event_type").orderBy("tns", "event_id")

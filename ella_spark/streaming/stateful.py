@@ -747,6 +747,19 @@ _PSI_STATE = StructType(
 )
 
 
+def _check_bucket_args(lo_edge: float, hi_edge: float, buckets: int) -> None:
+    """Fail fast on degenerate fixed-edge histogram arguments: a
+    non-positive width would silently clamp every value into bucket 0
+    (inf -> int64 cast) instead of erroring. The SQL TVF layer has the
+    _positive_buckets guard; this is its Python-monitor-API twin."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if not hi_edge > lo_edge:
+        raise ValueError(
+            f"hi_edge must be > lo_edge, got [{lo_edge}, {hi_edge})"
+        )
+
+
 def psi_drift_per_group(
     stream: DataFrame,
     group_col: str,
@@ -779,6 +792,7 @@ def psi_drift_per_group(
         F.col(group_col).cast("string").alias("group"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    _check_bucket_args(lo_edge, hi_edge, buckets)
     width = (hi_edge - lo_edge) / buckets
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -1358,6 +1372,7 @@ def js_drift_per_group(
         F.col(group_col).cast("string").alias("group"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    _check_bucket_args(lo_edge, hi_edge, buckets)
     width = (hi_edge - lo_edge) / buckets
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

@@ -421,6 +421,50 @@ def test_tvf_view_gc_deferred_and_session_correct(spark, tmp_path):
     assert not spark2.catalog.tableExists(v2)  # dropped via session 2
 
 
+def test_tvf_live_window_holds_sessions_weakly(spark, tmp_path):
+    """ADVICE r10: live-window entries carry weakref(session), so an
+    entry can never keep a stopped/garbage-collected session's JVM
+    handles alive while it waits for 64 newer views to evict it; a
+    dead ref is skipped on eviction without error."""
+    import gc
+    import weakref
+
+    import ella_spark.engine as eng
+    from ella_spark import Column, Ella
+    from ella_spark.engine import _TVF_VIEW_CAP
+
+    eng._TVF_VIEW_LIVE.clear()
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "m", [Column("kind", "string", required=True), Column("v", "float64")]
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i, v in enumerate([1.0, 11.0]):
+            pub.write((i + 1) * ns, "a", v)
+    db._rewrite_psi_drift("SELECT * FROM psi_drift('m', 'v', 'kind')")
+    db._apply_tvf_rewrites("SELECT 1")  # promote pending -> live
+    ref, _name = eng._TVF_VIEW_LIVE[-1]
+    assert ref() is spark  # weak, but resolves while the session lives
+
+    class Dummy:
+        pass
+
+    d = Dummy()
+    eng._TVF_VIEW_LIVE.appendleft((weakref.ref(d), "__dead_session_view"))
+    del d
+    gc.collect()
+    dead_ref, _ = eng._TVF_VIEW_LIVE[0]
+    assert dead_ref() is None
+    # churn past the cap: eviction must skip the dead entry silently
+    db._tvf_views_pending.extend(
+        f"__fake_{i}" for i in range(_TVF_VIEW_CAP + 4)
+    )
+    db._apply_tvf_rewrites("SELECT 1")
+    assert len(eng._TVF_VIEW_LIVE) <= _TVF_VIEW_CAP
+    assert all(n != "__dead_session_view" for _, n in eng._TVF_VIEW_LIVE)
+
+
 def test_ks_zero_when_distributions_identical(spark, tmp_path):
     """Two-sample KS D is exactly 0 when every slice's value multiset
     equals the pooled distribution (F_t == F_p at every step point)."""
@@ -934,6 +978,22 @@ def test_page_hinkley_sql_tvf(spark, tmp_path):
     assert "page_hinkley" in db.store.resolve("phv").sql
     with pytest.raises(ValueError, match="unknown table"):
         db.query("SELECT * FROM page_hinkley('nope', 'v', 'kind')")
+
+
+def test_emd_degenerate_single_value_grid_emits_rows(spark):
+    """ADVICE r10: when the pooled grid has ONE distinct value, every
+    row is dropped by the _next_v interval filter — the operator must
+    still emit one row per slice with emd = 0.0 (a dashboard must see
+    a row, not silence — the mann_whitney_by_slice contract)."""
+    from ella_spark.operators.drift import emd_by_slice
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 3, "kind string, v double"
+    )
+    out = emd_by_slice(df, "v", "kind").toPandas().set_index("kind")
+    assert set(out.index) == {"a", "b"}
+    assert out.loc["a"].n == 4 and out.loc["b"].n == 3
+    assert (out.emd == 0.0).all()
 
 
 def test_ecdf_grid_cap_bounds_and_approximates(spark, tmp_path):

@@ -1349,6 +1349,30 @@ def test_page_hinkley_delta_no_false_alarm_on_driftless_stream(db, spark):
         q.stop()
 
 
+def test_histogram_monitor_rejects_degenerate_bucket_args(spark):
+    """ADVICE r10: width <= 0 or buckets < 1 silently produced a
+    degenerate histogram (inf -> int64 cast -> everything clipped to
+    bucket 0). The fixed-edge monitors must fail fast at build time,
+    mirroring the SQL TVF layer's _positive_buckets guard."""
+    import pytest
+
+    from ella_spark.streaming.stateful import (
+        js_drift_per_group,
+        psi_drift_per_group,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    for fn in (psi_drift_per_group, js_drift_per_group):
+        with pytest.raises(ValueError, match="hi_edge"):
+            fn(stream, "value", "value", lo_edge=5.0, hi_edge=5.0)
+        with pytest.raises(ValueError, match="hi_edge"):
+            fn(stream, "value", "value", lo_edge=9.0, hi_edge=1.0)
+        with pytest.raises(ValueError, match="buckets"):
+            fn(stream, "value", "value", lo_edge=0.0, hi_edge=1.0, buckets=0)
+
+
 def test_js_drift_stream_scores_batch_vs_reference(db, spark):
     """Streaming JS monitor: batch 1 seeds silently; batch 2's emitted
     JS equals the hand-computed Jensen-Shannon divergence of (batch2
