@@ -78,14 +78,17 @@ def _cal_work() -> float:
     return float(a[-1])
 
 
-def _calibrate(threads: int = 32, units: int = 64, reps: int = 3) -> tuple[float, float]:
+def _calibrate(threads: int = 32, units: int = 64, reps: int = 5) -> tuple[float, float]:
     """(cal_1t_sec, cal_Nt_sec): wall seconds for `units` work units
     on ONE thread, then for `units` work units PER THREAD fanned
     across `threads` (units*threads total — cal_Nt measures saturated
     multicore throughput, NOT the same workload sped up; a parallel-
     speedup ratio would be threads*cal_1t/cal_Nt). Min of `reps`
     timed repetitions after one untimed warmup — min is the host's
-    attainable speed; contention only ever inflates."""
+    attainable speed; contention only ever inflates. reps=5 (was 3,
+    VERDICT r10 #6): cal_32t varied ±10% across same-host runs,
+    making normalized noisier than raw; two more minimum draws keep
+    host_speed_ratio's own noise under ~5%."""
     from concurrent.futures import ThreadPoolExecutor
 
     _cal_work()  # allocator/ufunc warmup
@@ -325,12 +328,20 @@ def _point_lookup_bench(spark) -> dict[str, float]:
         db.query("SELECT * FROM point_lookup('pl', 'k', 1)").df.collect()
         out = {}
         for label, probe in (("hit", 12345), ("miss", 10**12)):
-            t0 = time.perf_counter()
-            rows_out = db.query(
-                f"SELECT k, v FROM point_lookup('pl', 'k', {probe})"
-            ).df.collect()
-            out[f"point_lookup_{label}"] = round(time.perf_counter() - t0, 4)
-            assert len(rows_out) == (1 if label == "hit" else 0)
+            # median of 7: at 0.07-0.13 s absolute these lines are
+            # dominated by job-launch jitter — single-shot timings
+            # moved 1.5x between r9 and r10 on a host where every real
+            # query got faster (VERDICT r10 #5); the median keeps the
+            # bloom-skipping signal above the noise
+            samples = []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                rows_out = db.query(
+                    f"SELECT k, v FROM point_lookup('pl', 'k', {probe})"
+                ).df.collect()
+                samples.append(time.perf_counter() - t0)
+                assert len(rows_out) == (1 if label == "hit" else 0)
+            out[f"point_lookup_{label}"] = round(statistics.median(samples), 4)
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
