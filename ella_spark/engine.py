@@ -204,6 +204,34 @@ def _positive_buckets(arg: "str | None", default: int = 10) -> int:
     return n
 
 
+def _relax_nullability(dt):
+    """The same value type with every containsNull / valueContainsNull /
+    struct-field nullable flag forced TRUE. Spark refuses a cast from a
+    nullable-element array to a non-nullable-element one (true->false),
+    so casting merged MV state back to a snapshot schema that recorded
+    collect_set's containsNull=false fails exactly when the merge
+    union/flatten produced the relaxed form. The relaxed target is
+    always castable-to and parquet stores it identically."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_relax_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _relax_nullability(dt.keyType),
+            _relax_nullability(dt.valueType),
+            True,
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _relax_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _splice_spans(sql: str, repls: list[tuple[int, int, str]]) -> str:
     """Replace [start, end) spans of ``sql`` with view names, left to
     right. Span-based (not str.replace) so identical text inside
@@ -1955,9 +1983,20 @@ class Ella:
         else:
             merged = union.dropDuplicates(analysis.keys)
         # restore select order and snapshot dtypes (SUM over decimal
-        # widens precision; the snapshot schema is the contract)
+        # widens precision; the snapshot schema is the contract).
+        # Nullability is RELAXED before casting: the recorded schema
+        # captures collect_set's containsNull=false, but a merged set
+        # column comes back containsNull=true after the union/flatten
+        # round-trip, and Spark refuses the true->false array cast —
+        # which silently downgraded every refresh of such an MV to a
+        # full recompute (caught by a r11 mv_stress run: trial st13,
+        # seed 54703125). Value types stay exact; parquet stores the
+        # relaxed form identically.
         merged = merged.select(
-            [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            [
+                F.col(f.name).cast(_relax_nullability(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ]
         )
         return self._commit_snapshot(entry, merged, new_state)
 

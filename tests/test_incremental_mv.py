@@ -2034,6 +2034,54 @@ def test_count_distinct_mv_delta(db, spark):
     assert db.query("SELECT * FROM cdg").df.columns == ["k", "dv", "n"]
 
 
+def test_count_distinct_with_kll_merges_incrementally(db, spark):
+    """r11 mv_stress catch (seed 54703125, trial st13): combining
+    count(DISTINCT expr) with approx_percentile in one grouped MV made
+    the merged __mv_set__ column come back containsNull=true, and the
+    restore-cast to the snapshot schema's collect_set dtype
+    (containsNull=false) raised DATATYPE_MISMATCH — which the fallback
+    silently converted into a FULL recompute on every refresh. The
+    merge must stay on the O(delta) incremental path AND match direct
+    SQL."""
+    t = db.create_topic(
+        "cdk",
+        [Column("k", "int64"), Column("v", "float64"), Column("u", "int64")],
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id * 1000 AS time",
+        "id % 3 AS k",
+        "CAST(pmod(id * 37, 97) AS double) AS v",
+        "id * 11 AS u",
+    )
+    sql = (
+        "SELECT k, approx_percentile(v, 0.5) AS p50, max_by(u, v) AS mb, "
+        "count_if(v > 10) AS ci, count(DISTINCT u % 97) AS cd "
+        "FROM cdk GROUP BY k"
+    )
+    t.insert(mk(0, 60))
+    db.create_materialized_view("cdkmv", sql)
+    assert db.store.resolve("cdkmv").refresh_state is not None
+
+    full_calls = []
+    orig_full = db._refresh_full
+
+    def spy_full(*a, **kw):
+        full_calls.append(1)
+        return orig_full(*a, **kw)
+
+    db._refresh_full = spy_full
+    try:
+        for lo, hi in ((60, 150), (150, 240)):
+            t.insert(mk(lo, hi))
+            db.refresh_materialized("cdkmv")
+    finally:
+        db._refresh_full = orig_full
+    assert not full_calls, "incremental refresh fell back to full recompute"
+    got = _normalize_rows(db.query("SELECT * FROM cdkmv").df.collect())
+    exp = _normalize_rows(db.query(sql).df.collect())
+    assert got == exp
+
+
 def test_count_distinct_mv_disqualifiers():
     """count/sum/avg(DISTINCT x) analyze with the hidden set state;
     multi-arg count(DISTINCT a, b) and other DISTINCT aggregates
