@@ -193,12 +193,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="mv_stress_")
     db = Ella.create(root + "/db", spark)
+
+    # Every generated shape is analyzable (each trial asserts
+    # refresh_state is not None), so a post-create refresh that lands
+    # in _refresh_full means the incremental path DIED and the
+    # AnalysisException fallback silently downgraded O(delta) to
+    # O(history) — results stay right, trials stay green, and the
+    # regression hides (exactly how the r11 containsNull cast bug
+    # survived until someone read stderr). Spy and fail loudly.
+    fallbacks: list[str] = []
+    orig_full = db._refresh_full
+
+    def _spy_full(entry, analysis, topics):
+        if analysis is not None and entry.version > 0:
+            fallbacks.append(f"{entry.name} v{entry.version}: {entry.sql}")
+        return orig_full(entry, analysis, topics)
+
+    db._refresh_full = _spy_full
+
     for i in range(args.trials):
         single_topic_trial(db, spark, rng, i)
         print(f"single-topic trial {i + 1}/{args.trials} ok")
     for i in range(args.join_trials):
         join_chain_trial(db, spark, rng, i)
         print(f"join-chain trial {i + 1}/{args.join_trials} ok")
+    assert not fallbacks, (
+        "incremental refresh silently fell back to full recompute:\n"
+        + "\n".join(fallbacks)
+    )
     print(f"ALL CLEAN seed={seed} trials={args.trials}+{args.join_trials}")
 
 
