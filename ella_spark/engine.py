@@ -343,6 +343,31 @@ _TREND_ROBUST_RE = re.compile(
     r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*(\d+))?\s*\)",
     re.I,
 )
+#: table-valued dedup/profiling TVFs (round 11) — the curation family
+#: joins the drift + statqa TVF matrices so a SQL-only user can run
+#: the dedup pipeline without touching the Python operator API.
+#: `near_dup_pairs('<table>', '<text_col>', '<id_col>'[, min_jaccard])`
+#: — MinHash + banded-LSH near-duplicate candidate pairs, exact-
+#: Jaccard verified (operators/dedup.py minhash_lsh_pairs).
+_NEAR_DUP_PAIRS_RE = re.compile(
+    r"\bnear_dup_pairs\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*(\d+(?:\.\d+)?))?\s*\)",
+    re.I,
+)
+#: `exact_dup_groups('<table>', '<text_col>', '<id_col>')` — exact
+#: content-hash duplicate groups (operators/dedup.py exact_dedup).
+_EXACT_DUP_GROUPS_RE = re.compile(
+    r"\bexact_dup_groups\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+    re.I,
+)
+#: `distinct_overlap('<table>', '<group_col>', '<value_col>'[, k])` —
+#: pairwise distinct-value overlap between groups via merged KMV
+#: bottom-k sketches (operators/sketch.py kmv_overlap).
+_DISTINCT_OVERLAP_RE = re.compile(
+    r"\bdistinct_overlap\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*(\d+))?\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -551,6 +576,12 @@ class Ella:
             sql = self._rewrite_statqa(sql, _RUNS_TEST_RE, "runs_test")
         if _TREND_ROBUST_RE.search(sql):
             sql = self._rewrite_trend_robust(sql)
+        if _NEAR_DUP_PAIRS_RE.search(sql):
+            sql = self._rewrite_near_dup_pairs(sql)
+        if _EXACT_DUP_GROUPS_RE.search(sql):
+            sql = self._rewrite_exact_dup_groups(sql)
+        if _DISTINCT_OVERLAP_RE.search(sql):
+            sql = self._rewrite_distinct_overlap(sql)
         return sql
 
     # -- open/create (ella/src/lib.rs:86-105) --------------------------------
@@ -2655,6 +2686,113 @@ class Ella:
                 bucket_ns=n_days * 86_400_000_000_000,
             )
             view = f"__trend_robust_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_near_dup_pairs(self, sql: str) -> str:
+        """Table-valued near-duplicate candidate pairs in plain SQL
+        (round 11 — dedup joins the drift/statqa TVF matrices, so the
+        curation pipeline is runnable by a SQL-only user):
+
+            SELECT * FROM near_dup_pairs('docs', 'text', 'doc_id')
+            SELECT * FROM near_dup_pairs('docs', 'text', 'doc_id', 0.8)
+
+        args: any catalog object, a text column, an id column, and an
+        optional exact-Jaccard verification threshold in (0, 1]
+        (default 0.5). Returns (id_a, id_b, jaccard) with id_a < id_b
+        — MinHash signatures + banded LSH generate candidates (the
+        shuffle carries (id, band_hash), never the O(n²) pair space),
+        exact Jaccard over hashed shingle sets verifies them
+        (operators/dedup.py minhash_lsh_pairs). Same durable-text
+        re-rewrite + unique-view + bounded-GC contracts as every
+        other TVF, so a saved dedup dashboard always scores CURRENT
+        data."""
+        from ella_spark.operators.dedup import minhash_lsh_pairs
+
+        repls = []
+        for m in _NEAR_DUP_PAIRS_RE.finditer(sql):
+            table, text_col, id_col, thr = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"near_dup_pairs: unknown table {table!r}")
+            threshold = float(thr) if thr else 0.5
+            if not 0.0 < threshold <= 1.0:
+                raise ValueError(
+                    f"min_jaccard must be in (0, 1], got {threshold}"
+                )
+            res = minhash_lsh_pairs(
+                self._frame_for(entry),
+                text_col=text_col,
+                id_col=id_col,
+                jaccard_threshold=threshold,
+            )
+            view = f"__near_dup_pairs_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_exact_dup_groups(self, sql: str) -> str:
+        """Table-valued exact-duplicate groups in plain SQL:
+
+            SELECT * FROM exact_dup_groups('docs', 'text', 'doc_id')
+
+        Returns (content_hash, keep_id, n_copies) — one row per
+        distinct normalized content, keep_id = min id of the group
+        (operators/dedup.py exact_dedup: ONE hash-aggregate shuffle
+        on the 16-byte digest; document bodies never shuffle).
+        `WHERE n_copies > 1` filters to actual duplicate groups."""
+        from ella_spark.operators.dedup import exact_dedup
+
+        repls = []
+        for m in _EXACT_DUP_GROUPS_RE.finditer(sql):
+            table, text_col, id_col = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(
+                    f"exact_dup_groups: unknown table {table!r}"
+                )
+            res = exact_dedup(
+                self._frame_for(entry), text_col=text_col, id_col=id_col
+            )
+            view = f"__exact_dup_groups_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_distinct_overlap(self, sql: str) -> str:
+        """Table-valued pairwise distinct-overlap profiling in SQL:
+
+            SELECT * FROM distinct_overlap('events_t', 'kind', 'user_id')
+            SELECT * FROM distinct_overlap('docs', 'lang', 'text', 8192)
+
+        args: any catalog object, a group column (dozens-to-hundreds
+        of groups — sources, languages, event types; never a
+        high-cardinality id), a value column, optional sketch size k
+        (default 4096, >= 2). Returns (grp_a, grp_b, est_a, est_b,
+        union_est, jaccard, inter_est) per group pair — merged KMV
+        bottom-k sketches (operators/sketch.py kmv_overlap), exact
+        whenever a pair's distinct union fits in k. The audience
+        question: "how much does crawl source A's user/url population
+        overlap source B's?" before paying for a full dedup pass."""
+        from ella_spark.operators.sketch import kmv_overlap
+
+        repls = []
+        for m in _DISTINCT_OVERLAP_RE.finditer(sql):
+            table, group_col, value_col, karg = m.groups()
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(
+                    f"distinct_overlap: unknown table {table!r}"
+                )
+            k = int(karg) if karg else 4096
+            if k < 2:
+                raise ValueError(f"k must be >= 2, got {k}")
+            res = kmv_overlap(self._frame_for(entry), group_col, value_col, k)
+            view = f"__distinct_overlap_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
             self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))

@@ -1527,3 +1527,135 @@ def auc_drift_per_group(
 
     return _value_counts_monitor(stream, group_col, value_col, _AUC_OUT, score)
 
+
+
+# -- streaming cardinality / dup-rate monitor (KMV bottom-k state) ----------
+
+_CARD_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_total", LongType()),
+        StructField("est_distinct", DoubleType()),
+        StructField("est_new", DoubleType()),
+        StructField("dup_rate", DoubleType()),
+    ]
+)
+
+_CARD_STATE = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("n_total", LongType()),
+    ]
+)
+
+
+def cardinality_drift_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Streaming distinct-count / duplicate-rate monitor per group —
+    the CARDINALITY member of the drift column (PSI/chi²/KS/JS/EMD/AUC
+    watch the value DISTRIBUTION; this watches how many DISTINCT
+    values arrive, the dedup-rate signal an ingest pipeline tails:
+    a crawler re-fetching yesterday's pages shows up as dup_rate
+    jumping toward 1.0 long before any value-distribution monitor
+    moves).
+
+    State is the KMV (K-Minimum-Values) bottom-k sketch of
+    ``operators/sketch.kmv_sketch`` — and EXACTLY it: values are
+    hashed with the same JVM ``xxhash64`` in the keyed projection
+    (zero Python hashing), the state is the sorted k smallest hashes,
+    and the estimator is the same (k-1)/h_(k) unbiased form, so the
+    stream fold is pinned value-identical against the batch operator
+    on the concatenated history (test_streaming). While a group has
+    seen < k distinct hashes the sketch holds ALL of them and every
+    emitted number is EXACT (the exact-when-fits contract shared with
+    heavy_hitters / quantile_rollup).
+
+    Emits one row per group per non-empty micro-batch (append mode;
+    unlike the distribution monitors there is no reference to seed —
+    a single batch has a well-defined cardinality, so the FIRST batch
+    already emits, with est_new = est_distinct):
+
+    - ``est_distinct``: distinct values seen over the whole stream;
+    - ``est_new``: distinct values this batch introduced;
+    - ``dup_rate``: 1 - est_new / n_batch, clipped to [0, 1] — the
+      fraction of batch rows that added nothing new.
+
+    State is O(k) longs per group regardless of stream length; k=1024
+    gives ~3% relative error past k distinct values (σ ≈ 1/√(k-2))."""
+    import pyspark.sql.functions as F
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    # hash JVM-side, identically to operators/sketch.kmv_sketch —
+    # the stateful fold below never touches a raw value
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.xxhash64(F.col(value_col)).alias("_h"),
+    )
+
+    def _estimate(hashes, cnt: int) -> float:
+        # operators/sketch.kmv_estimate, scalar twin: exact below k,
+        # else unbiased (k-1)/h_(k) on the int64->(0,1] unit mapping
+        from ella_spark.operators.sketch import _KMV_SHIFT, _KMV_TWO64
+
+        if cnt < k:
+            return float(cnt)
+        return float(k - 1) / ((float(hashes[k - 1]) + _KMV_SHIFT) / _KMV_TWO64)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            hs, n_total = state.get
+            ref = np.asarray(list(hs), dtype=np.int64)
+            n_total = int(n_total)
+        else:
+            ref = np.array([], dtype=np.int64)
+            n_total = 0
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            h = pd.concat(chunks, ignore_index=True)["_h"].to_numpy(
+                dtype=np.int64
+            )
+            n_batch = int(len(h))
+            est_before = _estimate(ref, len(ref))
+            merged = np.union1d(ref, h)[:k]  # sorted unique, re-cut at k
+            est_after = _estimate(merged, len(merged))
+            est_new = max(est_after - est_before, 0.0)
+            n_total += n_batch
+            outs.append(
+                pd.DataFrame(
+                    [
+                        {
+                            "group": key[0],
+                            "n_batch": n_batch,
+                            "n_total": n_total,
+                            "est_distinct": est_after,
+                            "est_new": est_new,
+                            "dup_rate": min(
+                                max(1.0 - est_new / n_batch, 0.0), 1.0
+                            ),
+                        }
+                    ]
+                )
+            )
+            ref = merged
+
+        state.update(([int(x) for x in ref], n_total))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_CARD_OUT,
+        stateStructType=_CARD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -246,3 +246,104 @@ def test_dup_span_islands_randomized_reference(spark):
             (r.span_start, r.span_end, r.span_words)
         )
     assert got == expected
+
+
+def test_dedup_sql_tvfs(spark, tmp_path):
+    """SQL surface for the dedup family (round 11 — the curation
+    analog of the drift/statqa TVF matrices): near_dup_pairs /
+    exact_dup_groups rewrite to the dedup operators over a catalog
+    object; a stored VIEW keeps the durable TVF text and re-scores
+    CURRENT data per read; bad args fail fast."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "docs_t",
+        [
+            Column("doc_id", "int64", required=True),
+            Column("text", "string"),
+            Column("lang", "string"),
+        ],
+    )
+    ns = 1_000_000_000
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (2, "the quick brown fox jumps over the lazy dog in the morning sun!"),
+        (3, "completely different text about database query engines and optimizers"),
+        (7, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    ]
+    with t.publish() as pub:
+        for i, (did, txt) in enumerate(rows):
+            pub.write((i + 1) * ns, did, txt, "en")
+
+    # near-dup pairs: the planted near-dup (1,2), (1,7), (2,7) family
+    out = db.query(
+        "SELECT * FROM near_dup_pairs('docs_t', 'text', 'doc_id') "
+        "ORDER BY id_a, id_b"
+    ).df.toPandas()
+    got = set(zip(out.id_a, out.id_b))
+    assert (1, 7) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
+    # exact duplicates score jaccard 1.0
+    assert out[(out.id_a == 1) & (out.id_b == 7)].jaccard.iloc[0] == 1.0
+
+    # threshold arg: at 1.0 only the exact-dup pairs survive verification
+    strict = db.query(
+        "SELECT * FROM near_dup_pairs('docs_t', 'text', 'doc_id', 1.0)"
+    ).df.toPandas()
+    assert set(zip(strict.id_a, strict.id_b)) == {(1, 7)}
+
+    # exact dup groups: one group of 2 (docs 1 and 7), keep the min id
+    g = db.query(
+        "SELECT * FROM exact_dup_groups('docs_t', 'text', 'doc_id') "
+        "WHERE n_copies > 1"
+    ).df.toPandas()
+    assert len(g) == 1 and g.keep_id.iloc[0] == 1 and g.n_copies.iloc[0] == 2
+
+    # durable view: the stored text keeps the TVF call and re-scores
+    # CURRENT data — a new exact dup appears in the next read
+    db.query(
+        "CREATE VIEW dupv AS SELECT * FROM "
+        "exact_dup_groups('docs_t', 'text', 'doc_id') WHERE n_copies > 1"
+    )
+    assert "exact_dup_groups" in db.store.resolve("dupv").sql
+    with t.publish() as pub:
+        pub.write(100 * ns, 9, rows[2][1], "en")  # dup of doc 3
+    g2 = db.query("SELECT * FROM dupv ORDER BY keep_id").df.toPandas()
+    assert len(g2) == 2 and list(g2.keep_id) == [1, 3]
+
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM near_dup_pairs('nope', 'text', 'doc_id')")
+    with pytest.raises(ValueError, match="min_jaccard"):
+        db.query("SELECT * FROM near_dup_pairs('docs_t', 'text', 'doc_id', 1.5)")
+
+
+def test_distinct_overlap_sql_tvf(spark, tmp_path):
+    """distinct_overlap('<table>', '<group>', '<value>'[, k]) rewrites
+    to kmv_overlap: exact-when-fits (every union below k), so the
+    planted half-overlap scores Jaccard 2/6 exactly."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db2"), spark)
+    t = db.create_topic(
+        "ev",
+        [Column("src", "string", required=True), Column("uid", "int64")],
+    )
+    ns = 1_000_000_000
+    with t.publish() as pub:
+        for i, u in enumerate([1, 2, 3, 4]):
+            pub.write((i + 1) * ns, "a", u)
+        for i, u in enumerate([3, 4, 5, 6]):
+            pub.write((100 + i) * ns, "b", u)
+
+    out = db.query(
+        "SELECT * FROM distinct_overlap('ev', 'src', 'uid')"
+    ).df.toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.grp_a, r.grp_b) == ("a", "b")
+    assert r.est_a == 4.0 and r.est_b == 4.0 and r.union_est == 6.0
+    assert abs(r.jaccard - 2 / 6) < 1e-12 and abs(r.inter_est - 2.0) < 1e-9
+
+    with pytest.raises(ValueError, match="k must be"):
+        db.query("SELECT * FROM distinct_overlap('ev', 'src', 'uid', 1)")

@@ -1588,3 +1588,125 @@ def test_auc_drift_stream_scores_batch_vs_reference(db, spark):
         assert abs(row3.auc - brute_auc(batch3, batch1 + batch2)) < 1e-12
     finally:
         q.stop()
+
+
+def test_cardinality_drift_exact_below_k_and_dup_rate(db, spark):
+    """Streaming KMV cardinality monitor, exact-when-fits regime:
+    below k distinct hashes every emitted number is EXACT — batch 1
+    (4 distinct) emits est_distinct=4 / est_new=4 / dup_rate=0;
+    replaying the SAME batch emits est_new=0 / dup_rate=1 (the
+    crawler-re-fetch signal); a half-overlapping batch lands exactly
+    in between. Unlike the distribution monitors the FIRST batch
+    already emits (a single batch has a well-defined cardinality)."""
+    from ella_spark.streaming.stateful import cardinality_drift_per_group
+
+    topic = db.create_topic(
+        "cdt",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    batch1 = [1.0, 2.0, 3.0, 4.0]
+    with topic.publish() as pub:
+        for i, v in enumerate(batch1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = cardinality_drift_per_group(db.subscribe("cdt"), "g", "v", k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("card_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "card_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM card_out").toPandas()
+        assert len(pdf) == 1
+        r1 = pdf.iloc[0]
+        assert r1.n_batch == 4 and r1.n_total == 4
+        assert r1.est_distinct == 4.0 and r1.est_new == 4.0
+        assert r1.dup_rate == 0.0
+
+        # the SAME values again: nothing new, dup_rate saturates
+        with topic.publish() as pub:
+            for i, v in enumerate(batch1):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM card_out ORDER BY n_total").toPandas()
+        assert len(pdf) == 2
+        r2 = pdf.iloc[1]
+        assert r2.n_total == 8 and r2.est_distinct == 4.0
+        assert r2.est_new == 0.0 and r2.dup_rate == 1.0
+
+        # half-overlap: 2 of 4 rows are new
+        with topic.publish() as pub:
+            for i, v in enumerate([3.0, 4.0, 5.0, 6.0]):
+                pub.write((200 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM card_out ORDER BY n_total").toPandas()
+        assert len(pdf) == 3
+        r3 = pdf.iloc[2]
+        assert r3.est_distinct == 6.0 and r3.est_new == 2.0
+        assert r3.dup_rate == 0.5
+    finally:
+        q.stop()
+
+
+def test_cardinality_drift_stream_fold_matches_batch_kmv(db, spark):
+    """Past k distinct values the stream's estimate is pinned
+    VALUE-IDENTICAL to the batch operator (kmv_sketch/kmv_estimate)
+    on the concatenated history: same JVM xxhash64 in the keyed
+    projection, same sorted bottom-k fold, same (k-1)/h_(k)
+    estimator arithmetic — so a dashboard can mix the streaming
+    monitor with batch backfills and the numbers agree."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.sketch import kmv_estimate, kmv_sketch
+    from ella_spark.streaming.stateful import cardinality_drift_per_group
+
+    topic = db.create_topic(
+        "cdk",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    k = 8
+    vals1 = [float(i) for i in range(20)]
+    vals2 = [float(i) for i in range(15, 40)]  # overlaps 15..19
+    with topic.publish() as pub:
+        for i, v in enumerate(vals1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = cardinality_drift_per_group(db.subscribe("cdk"), "g", "v", k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("card_kmv")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "card_kmv"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:
+            for i, v in enumerate(vals2):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql(
+            "SELECT * FROM card_kmv ORDER BY n_total"
+        ).toPandas()
+        assert len(pdf) == 2
+        stream_est = float(pdf.iloc[1].est_distinct)
+
+        # batch twin over the SAME topic rows (identical dtypes/hash)
+        hist = db.query("SELECT g, v FROM cdk").df
+        batch = kmv_estimate(kmv_sketch(hist, "g", "v", k=k), k=k).collect()
+        assert len(batch) == 1
+        assert batch[0].cnt == k  # estimator branch engaged, not exact
+        assert stream_est == float(batch[0].est)  # bit-identical
+    finally:
+        q.stop()
