@@ -545,14 +545,25 @@ def ngram_jaccard_pairs(
     64-bit collisions, while shingling stays O(len·k) vectorized and
     the pair comparison intersects long arrays instead of strings.
 
+    The candidate window is generated with ``lead()`` over the
+    (group, id) ordering — NOT a rank-band self-join. A self-join
+    re-derives the shingle UDF and the ordering sort on BOTH sides
+    and shuffles twice; ``lead(_sh, j)`` for j = 1..window rides the
+    single existing sort, so the whole operator is ONE exchange on
+    the group key + one window pass + a bounded explode (window rows
+    out per row in). Measured 1.8 s -> 0.6 s warm at sf0.1 for the
+    keep-best pipeline; at 100 TB it removes a full shuffle of the
+    shingle arrays. lead() never crosses the PARTITION BY boundary,
+    so the same-group contract is preserved by construction.
+
     ``min_jaccard`` applies the threshold INSIDE the operator behind a
-    CollectMetrics (``observe``) pushdown barrier. A caller-side
-    ``.where(jaccard >= t)`` gets substituted into the join condition
-    by Catalyst and is then evaluated on every same-group row pair
-    (O(n²/group) array intersections, measured 0.5 s -> 8.8 s at
-    sf0.01) instead of only the window-bounded candidates; a filter
-    cannot cross a CollectMetrics node (it would change the metrics),
-    so the threshold stays above the join.
+    CollectMetrics (``observe``) pushdown barrier: n_pairs counts ALL
+    window candidates (pre-threshold), and the barrier keeps any
+    caller-side re-filter from being pushed into the candidate
+    generation — the stable operator contract (it also made the
+    threshold safe back when candidates came from a self-join, where
+    a substituted filter cost O(n²/group) array intersections,
+    measured 0.5 s -> 8.8 s at sf0.01).
     """
     from ella_spark.sources import fan_out
 
@@ -566,23 +577,41 @@ def ngram_jaccard_pairs(
         "_id", "_grp", hashed_grams_udf(shingle_k)(F.col("_txt")).alias("_sh")
     )
     w = Window.partitionBy("_grp").orderBy("_id")
-    ranked = base.withColumn("_rn", F.row_number().over(w))
-    a = ranked.alias("a")
-    b = ranked.alias("b")
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
-    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh"))).cast("double")
-    out = (
-        a.join(
-            b,
-            (F.col("a._grp") == F.col("b._grp"))
-            & (F.col("b._rn") > F.col("a._rn"))
-            & (F.col("b._rn") <= F.col("a._rn") + window),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.when(union > 0, F.round(inter / union, 6)).otherwise(0.0).alias("jaccard"),
-        )
+    # window pass first (a generator expression may not contain window
+    # functions), explode the bounded candidate structs second
+    leads = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        *[
+            F.lead("_id", j).over(w).alias(f"_idb{j}")
+            for j in range(1, window + 1)
+        ],
+        *[
+            F.lead("_sh", j).over(w).alias(f"_shb{j}")
+            for j in range(1, window + 1)
+        ],
+    )
+    cand = leads.select(
+        "id_a",
+        "sh_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_idb{j}").alias("id_b"),
+                        F.col(f"_shb{j}").alias("sh_b"),
+                    )
+                    for j in range(1, window + 1)
+                ]
+            )
+        ).alias("_c"),
+    ).where(F.col("_c.id_b").isNotNull())
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("_c.sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("_c.sh_b"))).cast("double")
+    out = cand.select(
+        "id_a",
+        F.col("_c.id_b").alias("id_b"),
+        F.when(union > 0, F.round(inter / union, 6)).otherwise(0.0).alias("jaccard"),
     )
     if min_jaccard is not None:
         global _BARRIER_SEQ
@@ -611,8 +640,8 @@ def edit_distance_pairs(
     production compromise and bounds every pair at O(cap²) regardless
     of corpus size). Candidate generation is the same id-adjacency
     contract as ngram_jaccard_pairs: each doc vs the next ``window``
-    ids in its ``partition_col`` group — a bounded-fanout equi-join,
-    O(n·window) pairs, never all-pairs. Levenshtein itself is a JVM
+    ids in its ``partition_col`` group — lead()-generated over one
+    group-keyed window pass, O(n·window) pairs, never all-pairs. Levenshtein itself is a JVM
     built-in (whole-stage codegen), identical semantics in DuckDB —
     the oracle replays the exact distances.
 
@@ -624,22 +653,55 @@ def edit_distance_pairs(
         (F.col(partition_col) if partition_col else F.lit("all")).alias("_grp"),
         normalize_text(F.col(text_col)).substr(1, prefix_cap).alias("_txt"),
     )
+    # lead()-generated candidate window (see ngram_jaccard_pairs): ONE
+    # exchange on the group key + one window pass, no self-join
     w = Window.partitionBy("_grp").orderBy("_id")
-    ranked = base.withColumn("_rn", F.row_number().over(w))
-    a = ranked.alias("a")
-    b = ranked.alias("b")
-    dist = F.levenshtein(F.col("a._txt"), F.col("b._txt"))
+    leads = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_txt").alias("txt_a"),
+        *[
+            F.lead("_id", j).over(w).alias(f"_idb{j}")
+            for j in range(1, window + 1)
+        ],
+        *[
+            F.lead("_txt", j).over(w).alias(f"_txtb{j}")
+            for j in range(1, window + 1)
+        ],
+    )
+    cand = leads.select(
+        "id_a",
+        "txt_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_idb{j}").alias("id_b"),
+                        F.col(f"_txtb{j}").alias("txt_b"),
+                    )
+                    for j in range(1, window + 1)
+                ]
+            )
+        ).alias("_c"),
+    ).where(F.col("_c.id_b").isNotNull())
+    # the Levenshtein DP is O(cap²) ≈ 65k cell ops PER PAIR — orders
+    # of magnitude heavier than the rows are wide. Left in the window
+    # stage it runs at the GROUP key's parallelism (a handful of
+    # languages), serializing the whole operator on a few cores;
+    # redistributing the tiny (id, prefix, prefix) candidate rows
+    # round-robin costs one exchange of capped strings and lets every
+    # core verify (measured 12.4 s -> ~1 s at sf0.1, 32 cores)
+    try:
+        n_out = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        n_out = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_out)
+    dist = F.levenshtein(F.col("txt_a"), F.col("_c.txt_b"))
     longest = F.greatest(
-        F.length(F.col("a._txt")), F.length(F.col("b._txt"))
+        F.length(F.col("txt_a")), F.length(F.col("_c.txt_b"))
     ).cast("double")
-    return a.join(
-        b,
-        (F.col("a._grp") == F.col("b._grp"))
-        & (F.col("b._rn") > F.col("a._rn"))
-        & (F.col("b._rn") <= F.col("a._rn") + window),
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
+    return cand.select(
+        "id_a",
+        F.col("_c.id_b").alias("id_b"),
         dist.cast("bigint").alias("edit_dist"),
         F.when(longest > 0, F.round(dist / longest, 6))
         .otherwise(0.0)
@@ -660,9 +722,9 @@ def containment_pairs(
     EMBEDDED in a larger one, where symmetric Jaccard is diluted by
     the larger set (|A∩B|/|A∪B| → small even for a perfect subset).
     Same id-adjacency candidate contract and hashed-shingle
-    representation as ngram_jaccard_pairs (bounded-fanout equi-join;
-    shingling is a narrow vectorized map; only hashed-gram arrays
-    shuffle, never text). Returns (id_a, id_b, containment_a: how
+    representation as ngram_jaccard_pairs (lead()-generated window
+    candidates, one group-keyed exchange; shingling is a narrow
+    vectorized map; only hashed-gram arrays shuffle, never text). Returns (id_a, id_b, containment_a: how
     much of A is inside B, containment_b: the reverse).
     """
     from ella_spark.sources import fan_out
@@ -676,21 +738,42 @@ def containment_pairs(
     ).select(
         "_id", "_grp", hashed_grams_udf(shingle_k)(F.col("_txt")).alias("_sh")
     )
+    # lead()-generated candidate window (see ngram_jaccard_pairs): ONE
+    # exchange on the group key + one window pass, no self-join
     w = Window.partitionBy("_grp").orderBy("_id")
-    ranked = base.withColumn("_rn", F.row_number().over(w))
-    a = ranked.alias("a")
-    b = ranked.alias("b")
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
-    na = F.size(F.col("a._sh")).cast("double")
-    nb = F.size(F.col("b._sh")).cast("double")
-    return a.join(
-        b,
-        (F.col("a._grp") == F.col("b._grp"))
-        & (F.col("b._rn") > F.col("a._rn"))
-        & (F.col("b._rn") <= F.col("a._rn") + window),
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
+    leads = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        *[
+            F.lead("_id", j).over(w).alias(f"_idb{j}")
+            for j in range(1, window + 1)
+        ],
+        *[
+            F.lead("_sh", j).over(w).alias(f"_shb{j}")
+            for j in range(1, window + 1)
+        ],
+    )
+    cand = leads.select(
+        "id_a",
+        "sh_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_idb{j}").alias("id_b"),
+                        F.col(f"_shb{j}").alias("sh_b"),
+                    )
+                    for j in range(1, window + 1)
+                ]
+            )
+        ).alias("_c"),
+    ).where(F.col("_c.id_b").isNotNull())
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("_c.sh_b"))).cast("double")
+    na = F.size(F.col("sh_a")).cast("double")
+    nb = F.size(F.col("_c.sh_b")).cast("double")
+    return cand.select(
+        "id_a",
+        F.col("_c.id_b").alias("id_b"),
         F.when(na > 0, F.round(inter / na, 6)).otherwise(0.0).alias("containment_a"),
         F.when(nb > 0, F.round(inter / nb, 6)).otherwise(0.0).alias("containment_b"),
     )
