@@ -36,3 +36,7 @@ def test_drift_dashboard_example(spark, tmp_path):
 
 def test_curation_pipeline_example(spark):
     assert _load("curation_pipeline").main("/root/testdata/sf0.001") == 0
+
+
+def test_dedup_profiling_example(spark, tmp_path):
+    assert _load("dedup_profiling").main(str(tmp_path)) == 0
