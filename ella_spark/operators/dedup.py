@@ -515,6 +515,55 @@ def simhash_portable_pairs(
     )
 
 
+def _lead_candidates(base: DataFrame, payload_col: str, window: int) -> DataFrame:
+    """Shared id-adjacency candidate generator of the bounded-window
+    pair family (ngram_jaccard / edit_distance / containment_pairs).
+
+    ``base`` must carry (_id, _grp, <payload_col>). Each row is paired
+    with the next ``window`` rows of its ``_grp`` in ``_id`` order via
+    ``lead()`` — ONE exchange on the group key + one window pass + a
+    bounded explode; lead() never crosses the PARTITION BY boundary,
+    so the same-group contract holds by construction. (The window
+    pass and the explode are two selects because a generator
+    expression may not contain window functions.)
+
+    Returns (id_a, pay_a, id_b, pay_b) candidate rows, ≤ window per
+    input row.
+    """
+    w = Window.partitionBy("_grp").orderBy("_id")
+    leads = base.select(
+        F.col("_id").alias("id_a"),
+        F.col(payload_col).alias("pay_a"),
+        *[
+            F.lead("_id", j).over(w).alias(f"_idb{j}")
+            for j in range(1, window + 1)
+        ],
+        *[
+            F.lead(payload_col, j).over(w).alias(f"_payb{j}")
+            for j in range(1, window + 1)
+        ],
+    )
+    return (
+        leads.select(
+            "id_a",
+            "pay_a",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"_idb{j}").alias("id_b"),
+                            F.col(f"_payb{j}").alias("pay_b"),
+                        )
+                        for j in range(1, window + 1)
+                    ]
+                )
+            ).alias("_c"),
+        )
+        .where(F.col("_c.id_b").isNotNull())
+        .select("id_a", "pay_a", F.col("_c.id_b").alias("id_b"), F.col("_c.pay_b").alias("pay_b"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -576,41 +625,12 @@ def ngram_jaccard_pairs(
     ).select(
         "_id", "_grp", hashed_grams_udf(shingle_k)(F.col("_txt")).alias("_sh")
     )
-    w = Window.partitionBy("_grp").orderBy("_id")
-    # window pass first (a generator expression may not contain window
-    # functions), explode the bounded candidate structs second
-    leads = base.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sh").alias("sh_a"),
-        *[
-            F.lead("_id", j).over(w).alias(f"_idb{j}")
-            for j in range(1, window + 1)
-        ],
-        *[
-            F.lead("_sh", j).over(w).alias(f"_shb{j}")
-            for j in range(1, window + 1)
-        ],
-    )
-    cand = leads.select(
-        "id_a",
-        "sh_a",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"_idb{j}").alias("id_b"),
-                        F.col(f"_shb{j}").alias("sh_b"),
-                    )
-                    for j in range(1, window + 1)
-                ]
-            )
-        ).alias("_c"),
-    ).where(F.col("_c.id_b").isNotNull())
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("_c.sh_b"))).cast("double")
-    union = F.size(F.array_union(F.col("sh_a"), F.col("_c.sh_b"))).cast("double")
+    cand = _lead_candidates(base, "_sh", window)
+    inter = F.size(F.array_intersect(F.col("pay_a"), F.col("pay_b"))).cast("double")
+    union = F.size(F.array_union(F.col("pay_a"), F.col("pay_b"))).cast("double")
     out = cand.select(
         "id_a",
-        F.col("_c.id_b").alias("id_b"),
+        "id_b",
         F.when(union > 0, F.round(inter / union, 6)).otherwise(0.0).alias("jaccard"),
     )
     if min_jaccard is not None:
@@ -653,36 +673,7 @@ def edit_distance_pairs(
         (F.col(partition_col) if partition_col else F.lit("all")).alias("_grp"),
         normalize_text(F.col(text_col)).substr(1, prefix_cap).alias("_txt"),
     )
-    # lead()-generated candidate window (see ngram_jaccard_pairs): ONE
-    # exchange on the group key + one window pass, no self-join
-    w = Window.partitionBy("_grp").orderBy("_id")
-    leads = base.select(
-        F.col("_id").alias("id_a"),
-        F.col("_txt").alias("txt_a"),
-        *[
-            F.lead("_id", j).over(w).alias(f"_idb{j}")
-            for j in range(1, window + 1)
-        ],
-        *[
-            F.lead("_txt", j).over(w).alias(f"_txtb{j}")
-            for j in range(1, window + 1)
-        ],
-    )
-    cand = leads.select(
-        "id_a",
-        "txt_a",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"_idb{j}").alias("id_b"),
-                        F.col(f"_txtb{j}").alias("txt_b"),
-                    )
-                    for j in range(1, window + 1)
-                ]
-            )
-        ).alias("_c"),
-    ).where(F.col("_c.id_b").isNotNull())
+    cand = _lead_candidates(base, "_txt", window)
     # the Levenshtein DP is O(cap²) ≈ 65k cell ops PER PAIR — orders
     # of magnitude heavier than the rows are wide. Left in the window
     # stage it runs at the GROUP key's parallelism (a handful of
@@ -695,13 +686,13 @@ def edit_distance_pairs(
     except Exception:  # Spark Connect: no SparkContext handle
         n_out = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = cand.repartition(n_out)
-    dist = F.levenshtein(F.col("txt_a"), F.col("_c.txt_b"))
+    dist = F.levenshtein(F.col("pay_a"), F.col("pay_b"))
     longest = F.greatest(
-        F.length(F.col("txt_a")), F.length(F.col("_c.txt_b"))
+        F.length(F.col("pay_a")), F.length(F.col("pay_b"))
     ).cast("double")
     return cand.select(
         "id_a",
-        F.col("_c.id_b").alias("id_b"),
+        "id_b",
         dist.cast("bigint").alias("edit_dist"),
         F.when(longest > 0, F.round(dist / longest, 6))
         .otherwise(0.0)
@@ -738,42 +729,13 @@ def containment_pairs(
     ).select(
         "_id", "_grp", hashed_grams_udf(shingle_k)(F.col("_txt")).alias("_sh")
     )
-    # lead()-generated candidate window (see ngram_jaccard_pairs): ONE
-    # exchange on the group key + one window pass, no self-join
-    w = Window.partitionBy("_grp").orderBy("_id")
-    leads = base.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sh").alias("sh_a"),
-        *[
-            F.lead("_id", j).over(w).alias(f"_idb{j}")
-            for j in range(1, window + 1)
-        ],
-        *[
-            F.lead("_sh", j).over(w).alias(f"_shb{j}")
-            for j in range(1, window + 1)
-        ],
-    )
-    cand = leads.select(
-        "id_a",
-        "sh_a",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"_idb{j}").alias("id_b"),
-                        F.col(f"_shb{j}").alias("sh_b"),
-                    )
-                    for j in range(1, window + 1)
-                ]
-            )
-        ).alias("_c"),
-    ).where(F.col("_c.id_b").isNotNull())
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("_c.sh_b"))).cast("double")
-    na = F.size(F.col("sh_a")).cast("double")
-    nb = F.size(F.col("_c.sh_b")).cast("double")
+    cand = _lead_candidates(base, "_sh", window)
+    inter = F.size(F.array_intersect(F.col("pay_a"), F.col("pay_b"))).cast("double")
+    na = F.size(F.col("pay_a")).cast("double")
+    nb = F.size(F.col("pay_b")).cast("double")
     return cand.select(
         "id_a",
-        F.col("_c.id_b").alias("id_b"),
+        "id_b",
         F.when(na > 0, F.round(inter / na, 6)).otherwise(0.0).alias("containment_a"),
         F.when(nb > 0, F.round(inter / nb, 6)).otherwise(0.0).alias("containment_b"),
     )

@@ -1750,8 +1750,10 @@ def _capped_tv(ev, max_grid: int = _ECDF_MAX_GRID):
         F.sum("c_tv").alias("big_n"),
     ).collect()[0]
     if not stats.n_vals or stats.n_vals <= max_grid:
-        # width 1: the oracle's re-aggregation is an identity
-        return tv0, int(stats.big_n)
+        # width 1: the oracle's re-aggregation is an identity.
+        # `or 0`: SUM over zero rows is NULL — an empty/all-NULL
+        # events table must return the empty frame, not TypeError
+        return tv0, int(stats.big_n or 0)
     # integer ceil-div width, exactly _CAPPED_TV_CTE's expression
     w = max((stats.hi - stats.lo + max_grid - 1) // max_grid, 1)
     tv = (

@@ -490,3 +490,29 @@ def test_grubbs_affine_invariance_property(spark):
         assert abs(g2.outlier_dev.iloc[0] - abs(a) * g1.outlier_dev.iloc[0]) <= 1e-3
 
     run()
+
+
+def test_ecdf_family_empty_and_all_null_events(spark, tmp_path):
+    """Round-11 review: the driver-side width probe must not crash on
+    an empty or all-NULL-value events table — SUM over zero rows is
+    NULL, and int(None) was a TypeError where the old declarative
+    form returned an empty frame. Both degenerate tables must yield
+    zero result rows (no slices -> no drift rows), not an error."""
+    from ella_spark.queries import all_queries
+
+    qs = all_queries()
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    nulls = spark.createDataFrame(
+        [(1, None, 1, "a", None, None), (2, None, 2, "b", None, None)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    for label, df in (("empty", empty), ("all-null", nulls)):
+        sf = str(tmp_path / label)
+        df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        for name in ("q_ks_drift", "q_earth_movers", "q_mann_whitney"):
+            assert qs[name](spark, sf).count() == 0, f"{name} on {label}"

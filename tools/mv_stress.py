@@ -204,10 +204,13 @@ def main() -> None:
     fallbacks: list[str] = []
     orig_full = db._refresh_full
 
-    def _spy_full(entry, analysis, topics):
+    def _spy_full(entry, analysis, topics, *a, **kw):
+        # *a/**kw: _refresh_full retries itself with a 4th positional
+        # arg on the stale-shard repair path (engine.py) — the spy
+        # must pass it through, not crash the retry
         if analysis is not None and entry.version > 0:
             fallbacks.append(f"{entry.name} v{entry.version}: {entry.sql}")
-        return orig_full(entry, analysis, topics)
+        return orig_full(entry, analysis, topics, *a, **kw)
 
     db._refresh_full = _spy_full
 
