@@ -684,7 +684,12 @@ def edit_distance_pairs(
     try:
         n_out = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no SparkContext handle
-        n_out = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            n_out = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # symbolic value, e.g. "auto"
+            n_out = 200  # Spark's own shuffle-partitions default
     cand = cand.repartition(n_out)
     dist = F.levenshtein(F.col("pay_a"), F.col("pay_b"))
     longest = F.greatest(

@@ -204,13 +204,24 @@ def main() -> None:
     fallbacks: list[str] = []
     orig_full = db._refresh_full
 
+    depth: list[int] = []
+
     def _spy_full(entry, analysis, topics, *a, **kw):
         # *a/**kw: _refresh_full retries itself with a 4th positional
         # arg on the stale-shard repair path (engine.py) — the spy
-        # must pass it through, not crash the retry
-        if analysis is not None and entry.version > 0:
+        # must pass it through, not crash the retry. The depth guard
+        # keeps that re-entrant retry from being recorded as a NEW
+        # fallback: a repair retry of a legitimate initial build (the
+        # commit bumps version before the staleness check) would
+        # otherwise fail the run, and a true fallback's retry would
+        # be recorded twice.
+        if not depth and analysis is not None and entry.version > 0:
             fallbacks.append(f"{entry.name} v{entry.version}: {entry.sql}")
-        return orig_full(entry, analysis, topics, *a, **kw)
+        depth.append(1)
+        try:
+            return orig_full(entry, analysis, topics, *a, **kw)
+        finally:
+            depth.pop()
 
     db._refresh_full = _spy_full
 
