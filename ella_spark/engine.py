@@ -368,6 +368,15 @@ _DISTINCT_OVERLAP_RE = re.compile(
     r"(?:\s*,\s*(\d+))?\s*\)",
     re.I,
 )
+#: `embedding_neardup('<table>', '<vec_col>', '<id_col>'
+#: [, '<bucket_col>'] [, cosine])` — embedding-cosine near-dup pairs
+#: (operators/dedup.py embedding_neardup_pairs); the bucket bounds
+#: the pair space (omit only on small data).
+_EMBEDDING_NEARDUP_RE = re.compile(
+    r"\bembedding_neardup\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*(\d*\.\d+|\d+))?\s*\)",
+    re.I,
+)
 
 
 #: Iceberg-style time travel: `<ident> FOR VERSION AS OF <n>`. The FOR
@@ -582,6 +591,8 @@ class Ella:
             sql = self._rewrite_exact_dup_groups(sql)
         if _DISTINCT_OVERLAP_RE.search(sql):
             sql = self._rewrite_distinct_overlap(sql)
+        if _EMBEDDING_NEARDUP_RE.search(sql):
+            sql = self._rewrite_embedding_neardup(sql)
         return sql
 
     # -- open/create (ella/src/lib.rs:86-105) --------------------------------
@@ -2793,6 +2804,59 @@ class Ella:
                 raise ValueError(f"k must be >= 2, got {k}")
             res = kmv_overlap(self._frame_for(entry), group_col, value_col, k)
             view = f"__distinct_overlap_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_embedding_neardup(self, sql: str) -> str:
+        """Table-valued embedding-cosine near-dup pairs in plain SQL —
+        the semantic member of the dedup TVF family:
+
+            SELECT * FROM embedding_neardup('vecs', 'embedding', 'vec_id')
+            SELECT * FROM embedding_neardup('vecs', 'embedding', 'vec_id',
+                                            'label', 0.9)
+
+        args: any catalog object, an array<float/double> vector
+        column, an id column, an optional bucket column that bounds
+        the pair space (cluster/label/shard — REQUIRED in spirit at
+        scale: without it the pair space is O(n²), small data only),
+        and an optional cosine threshold in (0, 1] (default 0.95).
+        Returns (id_a, id_b, cosine) with id_a < id_b — the dot
+        product runs JVM-side (zip_with + aggregate) behind the
+        operator's CollectMetrics barrier
+        (operators/dedup.py embedding_neardup_pairs)."""
+        from ella_spark.operators.dedup import embedding_neardup_pairs
+
+        repls = []
+        for m in _EMBEDDING_NEARDUP_RE.finditer(sql):
+            table, vec_col, id_col, bucket_col, thr = m.groups()
+            # a QUOTED number in the bucket slot is a threshold the
+            # user quoted by habit, not a bucket column named '0.9'
+            # (the trend_robust arg-binding rule)
+            if bucket_col and thr is None:
+                try:
+                    thr, bucket_col = str(float(bucket_col)), None
+                except ValueError:
+                    pass
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(
+                    f"embedding_neardup: unknown table {table!r}"
+                )
+            threshold = float(thr) if thr else 0.95
+            if not 0.0 < threshold <= 1.0:
+                raise ValueError(
+                    f"cosine threshold must be in (0, 1], got {threshold}"
+                )
+            res = embedding_neardup_pairs(
+                self._frame_for(entry),
+                vec_col=vec_col,
+                id_col=id_col,
+                cosine_threshold=threshold,
+                bucket_col=bucket_col,
+            )
+            view = f"__embedding_neardup_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
             self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))

@@ -347,3 +347,57 @@ def test_distinct_overlap_sql_tvf(spark, tmp_path):
 
     with pytest.raises(ValueError, match="k must be"):
         db.query("SELECT * FROM distinct_overlap('ev', 'src', 'uid', 1)")
+
+
+def test_embedding_neardup_sql_tvf(spark, tmp_path):
+    """embedding_neardup('<table>','<vec>','<id>'[,'<bucket>'][,cos])
+    rewrites to embedding_neardup_pairs: the planted near-parallel
+    pair passes the threshold, the orthogonal one does not; the
+    bucket column bounds the pair space (cross-bucket pairs never
+    compared); a quoted threshold binds as threshold, not bucket."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "vecs",
+        [
+            Column("vec_id", "int64", required=True),
+            Column("grp", "string"),
+            Column("emb", "float64", row_shape=(3,)),
+        ],
+    )
+    ns = 1_000_000_000
+    rows = [
+        (1, "a", [1.0, 0.0, 0.0]),
+        (2, "a", [0.999, 0.01, 0.0]),   # near-parallel to 1
+        (3, "a", [0.0, 1.0, 0.0]),      # orthogonal
+        (4, "b", [1.0, 0.0, 0.0]),      # same dir as 1, other bucket
+    ]
+    with t.publish() as pub:
+        for i, (vid, g, e) in enumerate(rows):
+            pub.write((i + 1) * ns, vid, g, e)
+
+    out = db.query(
+        "SELECT * FROM embedding_neardup('vecs', 'emb', 'vec_id', 'grp') "
+        "ORDER BY id_a, id_b"
+    ).df.toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}  # bucket bound: no (1,4)
+    assert out.cosine.iloc[0] > 0.99
+
+    # exhaustive (no bucket): the cross-bucket exact-parallel pair
+    # appears with cosine 1.0
+    full = db.query(
+        "SELECT * FROM embedding_neardup('vecs', 'emb', 'vec_id', 0.999)"
+    ).df.toPandas()
+    assert (1, 4) in set(zip(full.id_a, full.id_b))
+
+    # quoted threshold binds as threshold (trend_robust arg rule)
+    quoted = db.query(
+        "SELECT * FROM embedding_neardup('vecs', 'emb', 'vec_id', '0.999')"
+    ).df.toPandas()
+    assert set(zip(quoted.id_a, quoted.id_b)) == set(zip(full.id_a, full.id_b))
+
+    with pytest.raises(ValueError, match="cosine threshold"):
+        db.query("SELECT * FROM embedding_neardup('vecs', 'emb', 'vec_id', 1.5)")
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM embedding_neardup('nope', 'emb', 'vec_id')")
