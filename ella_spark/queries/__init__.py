@@ -91,167 +91,97 @@ def _load() -> None:
     _LOADED = True
 
 
+
 # The driver cuts CORRECTNESS at exactly the first 50 registered
-# queries. Rotation policy (since r6): newest queries first (first
-# chance at a driver row), then names whose NEWEST driver green is
-# OLDEST, so no oracle-paired query's latest hard record ages past
-# ~2 rounds. NO-ORACLE names are excluded from the prefix entirely —
-# they can never produce a hash verdict; their hard signal lives in
-# the oracle-paired *_portable counterparts, and their rows-only
-# sanity check still runs via tests. All names are additionally
-# re-verified locally every run by tests/test_oracle_parity.py
-# regardless of tier.
+# queries. Rotation policy (unchanged since r6, SELF-UPDATING since
+# round 11): oracle-paired names with no driver hash-green yet rank
+# first (a brand-new registration gets its first driver row
+# immediately), then oracle-paired names ascending by their NEWEST
+# hash-green round (the most-stale greens must re-green first, so no
+# name's latest hard record ages past MAX_STALE rounds outside the
+# prefix), stable by registration order within a tier. NO-ORACLE
+# names are excluded from the prefix entirely — they can never
+# produce a hash verdict; their rows-only sanity lives in pytest.
 #
-# Tier sets below were recomputed for ROUND 11 from the union of
-# CORRECTNESS_r01-r10 (newest-green histogram: r10:50, r9:50, r8:50,
-# r7:48; never-green = only the no-oracle names — verified
-# programmatically, see tools/rotation_audit.py). With current round
-# R=11 and MAX_STALE=3, every oracle-paired name whose newest green is
-# r7 would be 4 rounds stale outside the prefix, so the checked-50 is
-# exactly: queries ADDED this round (first driver row, at most
-# 50 - 48 = 2 of them — the executable growth budget,
-# tests/test_fixtures.py::test_next_round_rotation_budget_feasible),
-# then ALL 48 r7-latest greens, then r8 greens fill any remaining
-# slots in registration order. The staleness invariant (no
-# oracle-paired name's newest green older than 3 rounds outside the
-# current prefix) is executable: tests/test_fixtures.py::
-# test_checked_prefix_staleness_bound recomputes it from the
-# CORRECTNESS_r* files on disk every run.
+# The ranking is DERIVED at import time from the CORRECTNESS_r*.json
+# files the driver drops at the repo root — the per-round manual
+# tier-set recompute (tools/rotation_audit.py, the recurring "only
+# red gate" of rounds 9-11) no longer exists as a ritual: when this
+# round's file lands, the next import re-derives the ranking for the
+# next round automatically. The invariants stay EXECUTABLE either
+# way: tests/test_fixtures.py::test_checked_prefix_staleness_bound
+# and ::test_next_round_rotation_budget_feasible recompute staleness
+# and capacity from the same files on every run and would catch a
+# parser bug or an over-budget registry immediately, and
+# ::test_rotation_derivation_matches_r11_audit pins this derivation
+# against the hand-audited round-11 tier sets as ground truth.
+# Capacity: oracle-paired names <= (MAX_STALE + 1) x 50 = 200.
 
-# Queries added this round rank 0 — first chance at a real driver row.
-# HARD BUDGET: len(_NEW_THIS_ROUND) + 48 stale names must fit in the
-# checked-50 prefix, so at most 2 additions this round (enforced by
-# test_next_round_rotation_budget_feasible).
-_NEW_THIS_ROUND: set[str] = {
-    # not new code — newly ORACLE-PAIRED this round (the Horner hash
-    # replayed in DuckDB HUGEINT), closing the registry's only
-    # never-driver-checked name (VERDICT r10 #4); spends 1 of the 2
-    # budget slots, leaving capacity at 199/200
-    "q_dedup_winnow_fast",
-}
-
-# newest hash-green = r7 — 4 rounds stale at round 11: the entire tier
-# MUST be re-checked this round (leads the prefix after the new names).
-_STALE_R7 = {
-    "q_ann_ivf", "q_ann_lsh", "q_asof_join", "q_asof_join_forward",
-    "q_bm25_search", "q_char_entropy", "q_cumulative_distinct",
-    "q_curation_pipeline", "q_data_profile", "q_dedup_incremental",
-    "q_dedup_keep_best", "q_dedup_minhash_portable",
-    "q_dedup_simhash_portable", "q_dedup_soft_weight",
-    "q_distinct_overlap", "q_embed_pca", "q_embed_quantize",
-    "q_event_transitions", "q_event_type_pivot",
-    "q_first_touch_attribution", "q_funnel_steps", "q_gap_fill",
-    "q_gopher_quality", "q_hard_negatives", "q_heavy_hitters",
-    "q_importance_weights", "q_interpolate_linear", "q_json_props",
-    "q_kcore_converged", "q_lm_perplexity", "q_minmax_scale",
-    "q_ngram_decontaminate", "q_paragraph_dedup", "q_quality_classifier",
-    "q_range_join", "q_recursive_reachability", "q_retention_cohorts",
-    "q_rolling_1h", "q_seasonal_baseline", "q_semantic_decontaminate",
-    "q_semantic_dedup", "q_sessionize_stats", "q_shard_assignment",
-    "q_source_caps", "q_temperature_resample", "q_top_bigrams",
-    "q_train_test_split", "q_winsorize",
-}
-
-# newest hash-green = r8 — due next round (r12); fill any remaining
-# checked-50 slots in registration order.
-_R8_GREEN = {
-    "q11_important_parts", "q12_late_lines", "q13_cust_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_qty_revenue", "q18_large_volume_cust",
-    "q19_bracket_revenue", "q20_excess_share_suppliers",
-    "q21_waiting_suppliers", "q22_dormant_customers",
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q_ann_brute_force",
-    "q_ann_ivfpq_portable", "q_ann_recall", "q_array_bool_aggs",
-    "q_asof_tolerance", "q_benford_deviation", "q_chi2_drift",
-    "q_counter_rate", "q_decontaminate", "q_dedup_cluster",
-    "q_dedup_embedding", "q_dedup_exact", "q_dedup_ngram_jaccard",
-    "q_dup_span_fraction", "q_event_trigrams", "q_hill_tail_index",
-    "q_kmeans_embeddings", "q_mutual_information", "q_neyman_allocation",
-    "q_ngram_novelty", "q_ohlc_bars", "q_pareto_cut", "q_percentile_exact",
-    "q_psi_drift", "q_regr_funcs", "q_rolling_zscore", "q_salted_join",
-    "q_set_ops_all", "q_stratified_sample", "q_string_funcs2",
-    "q_time_convs", "q_token_count", "q_value_histogram", "q_zipf_slope",
-}
-
-# newest hash-green = r9.
-_R9_GREEN = {
-    "q10_returned_items", "q14_promo_effect", "q3_shipping_priority",
-    "q5_local_supplier", "q6_forecast_revenue", "q_array_basics",
-    "q_autocorrelation", "q_bpe_merges", "q_burstiness",
-    "q_case_cast_like", "q_ccnet_buckets", "q_changepoint_cusum",
-    "q_conditional_funcs", "q_containment_dedup", "q_corr_covar",
-    "q_correlated_subquery", "q_cross_join", "q_cube",
-    "q_dedup_edit_distance", "q_dedup_winnow_pairs", "q_distinct",
-    "q_doc_fingerprint", "q_earth_movers", "q_full_outer_join",
-    "q_grouping_sets", "q_having", "q_in_subquery", "q_inverted_index",
-    "q_js_divergence", "q_knn_join", "q_ks_drift", "q_label_centroid_dist",
-    "q_lang_id", "q_math_funcs", "q_non_equi_join", "q_order_limit_offset",
-    "q_outer_join", "q_page_hinkley", "q_quality_score",
-    "q_quantile_rollup", "q_repeated_span_removal", "q_rollup",
-    "q_scalar_subquery", "q_semi_anti_join", "q_set_ops",
-    "q_span_cleaned_text", "q_string_funcs", "q_trend_robust",
-    "q_vector_arith", "q_vector_norms",
-}
-
-# newest hash-green = r10 — the freshest records, checked again last.
-_R10_GREEN = {
-    "q1_pricing_summary", "q_agg_stats", "q_approx_top_k", "q_bpe_encode",
-    "q_chunk_documents", "q_clustering_coefficient", "q_collocations",
-    "q_cramers_v", "q_date_bin_5min", "q_date_trunc_parts", "q_ewma",
-    "q_first_last_value", "q_gap_percentiles", "q_gini_concentration",
-    "q_grubbs_outlier", "q_kcore", "q_lag_lead", "q_lang_source_stats",
-    "q_lateral_topn", "q_latest_per_key", "q_levene_variance",
-    "q_m4_downsample", "q_mad_outliers", "q_mann_whitney",
-    "q_media_features", "q_mix_resample", "q_mode_per_group",
-    "q_ntile_percentiles", "q_pack_sequences", "q_pagerank", "q_pii_scrub",
-    "q_quality_repetition", "q_rank_per_group", "q_readability",
-    "q_running_sum", "q_runs_test", "q_session_gaps", "q_string_agg",
-    "q_strip_boilerplate", "q_tfidf_top_terms", "q_time_range_scan",
-    "q_time_weighted_avg", "q_token_fertility", "q_tokenize_bpe",
-    "q_triangle_count", "q_unpivot_measures", "q_user_type_entropy",
-    "q_weighted_median", "q_weighted_sample", "q_winnow_fingerprint",
-}
-
-# Ordered freshest-last: rank = index + 1 in the prefix sort. Tests
-# iterate this tuple (round-agnostic) instead of hardcoding tier names.
-_TIERS: tuple[set[str], ...] = (
-    _NEW_THIS_ROUND,
-    _STALE_R7,
-    _R8_GREEN,
-    _R9_GREEN,
-    _R10_GREEN,
-)
+_MAX_STALE = 3  # mirrored by the tests/test_fixtures.py trip-wires
 
 
-def _rank(name: str) -> int:
-    """Priority tier for the driver's budget-limited prefix:
+def _newest_greens(files=None) -> dict[str, int]:
+    """name -> newest round with a driver hash-green, parsed from the
+    CORRECTNESS_r*.json files at the repo root. ``files`` overrides
+    the glob (tests pin a fixed round range so a future round's file
+    landing on disk cannot drift a ground-truth comparison)."""
+    import json
+    import re
+    from pathlib import Path
 
-    0. queries added this round (or any oracle-paired name not yet in
-       a tier set — a brand-new registration defaults to rank 0 so it
-       cannot silently land outside the checked prefix)
-    1. r7-latest greens — 4 rounds stale at round 11; the whole tier
-       must lead the prefix or the staleness test goes red
-    2. r8-latest greens (due in r12; fill remaining slots)
-    3. r9-latest greens
-    4. r10 greens — freshest records, checked again last
-    5. no-oracle names — NEVER in the prefix (no hash verdict
-       possible; rows-only sanity lives in pytest and each has an
-       oracle-paired portable counterpart above)
-    """
-    if REGISTRY.get(name) is not None and REGISTRY[name].oracle is None:
-        return 5
-    if name in _NEW_THIS_ROUND:
-        return 0
-    for i, tier in enumerate(_TIERS[1:], start=1):
-        if name in tier:
-            return i
-    return 0  # unlisted oracle-paired name = new this round
+    repo = Path(__file__).resolve().parents[2]
+    newest: dict[str, int] = {}
+    for p in sorted(files) if files is not None else sorted(
+        repo.glob("CORRECTNESS_r*.json")
+    ):
+        p = Path(p)
+        m = re.search(r"r0*(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue  # unreadable/malformed must never break the import
+        for name, rec in data.items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+_NO_ORACLE_RANK = 10**9
+
+#: derived in _reorder(): tier 0 = oracle-paired names with no driver
+#: green yet (possibly empty), then one tier per distinct newest-green
+#: round ascending (tier 1 = the due tier). Tests iterate this.
+_TIERS: tuple[set[str], ...] = ()
+
+
+def _rank(name: str, newest: dict[str, int]) -> int:
+    """0 = never driver-green (first chance at a row); else the newest
+    hash-green round (oldest = most stale = checked first); no-oracle
+    names sort far last (never in the prefix)."""
+    if REGISTRY[name].oracle is None:
+        return _NO_ORACLE_RANK
+    return newest.get(name, 0)
 
 
 def _reorder() -> None:
-    """Stable-sort REGISTRY by tier (insertion order within a tier)."""
-    items = sorted(REGISTRY.items(), key=lambda kv: _rank(kv[0]))
+    """Stable-sort REGISTRY into rotation order (see the policy
+    comment above) and derive _TIERS for the invariant tests."""
+    global _TIERS
+    newest = _newest_greens()
+    items = sorted(REGISTRY.items(), key=lambda kv: _rank(kv[0], newest))
     ordered = dict(items)
     REGISTRY.clear()
     REGISTRY.update(ordered)
+    greens = sorted(
+        {
+            r
+            for n in REGISTRY
+            if 0 < (r := _rank(n, newest)) < _NO_ORACLE_RANK
+        }
+    )
+    _TIERS = ({n for n in REGISTRY if _rank(n, newest) == 0},) + tuple(
+        {n for n in REGISTRY if _rank(n, newest) == g} for g in greens
+    )

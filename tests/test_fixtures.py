@@ -319,3 +319,50 @@ def test_next_round_rotation_budget_feasible():
         f"{len(oracle_paired)} oracle-paired queries exceed the "
         f"{(MAX_STALE + 1) * BUDGET}-name rotation capacity"
     )
+
+
+def test_rotation_derivation_matches_r11_audit():
+    """Ground-truth pin for the dynamic rotation (round 11): derived
+    from EXACTLY the CORRECTNESS_r01..r10 files, the ranking must
+    reproduce the hand-audited round-11 tier sets (the last manually
+    recomputed rotation, verified green by the r10 verdict + the r11
+    trip-wires). The file list is pinned so a later round's file
+    landing on disk can never drift this comparison — it guards the
+    PARSER, while the staleness/budget trip-wires guard the live
+    result."""
+    import hashlib
+    from pathlib import Path
+
+    from ella_spark import queries as Q
+
+    Q._load()
+    repo = Path(__file__).resolve().parents[1]
+    files = [repo / f"CORRECTNESS_r{i:02d}.json" for i in range(1, 11)]
+    assert all(f.exists() for f in files)
+    newest = Q._newest_greens(files)
+
+    names = list(Q.REGISTRY)  # registration order is rank-stable
+    ranks = {n: Q._rank(n, newest) for n in names}
+    tier0 = sorted(n for n in names if ranks[n] == 0)
+    greens = sorted({r for r in ranks.values() if 0 < r < Q._NO_ORACLE_RANK})
+    tiers = [tier0] + [
+        sorted(n for n in names if ranks[n] == g) for g in greens
+    ]
+
+    def h(t):
+        return hashlib.md5(",".join(t).encode()).hexdigest()
+
+    # md5 of each sorted hand-audited r11 tier (see rotation_audit.py)
+    assert greens == [7, 8, 9, 10]
+    assert [len(t) for t in tiers] == [1, 48, 50, 50, 50]
+    assert tiers[0] == ["q_dedup_winnow_fast"]
+    assert h(tiers[1]) == "a42acb10b359c950e4151d649fb98377"
+    assert h(tiers[2]) == "929fc3b01e932d5df26602b07d145dfb"
+    assert h(tiers[3]) == "766da9e73a4868a8ad4b1d0bc61a1131"
+    assert h(tiers[4]) == "b6b48ef7b59ebc21cd188717af8c8aac"
+    # and the checked-50 prefix those files imply leads with the
+    # 1 newly-paired name + all 48 r7-greens (set comparison: the
+    # within-tier registration order is the LIVE registry's business
+    # and shifts legitimately when later CORRECTNESS files land)
+    ordered = sorted(names, key=lambda n: ranks[n])
+    assert set(tiers[0]) | set(tiers[1]) <= set(ordered[:50])

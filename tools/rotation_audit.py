@@ -1,13 +1,15 @@
 #!/usr/bin/env python
-"""Recompute the checked-50 rotation tier sets from the on-disk
-CORRECTNESS_r*.json union — the mechanical step each round's builder
-performs before anything else (VERDICT r9 #1 made it the only red
-gate when skipped).
+"""ADVISORY rotation audit (since round 11 the checked-50 ranking is
+DERIVED AUTOMATICALLY at import time from the on-disk
+CORRECTNESS_r*.json union — ella_spark/queries/__init__.py
+_newest_greens/_reorder — so the per-round manual recompute this tool
+used to drive no longer exists as a ritual).
 
-Prints the newest-green histogram, the due tier for the CURRENT round
-(names that MUST lead the prefix or test_checked_prefix_staleness_bound
-goes red), the per-round new-query budget, and ready-to-paste tier-set
-literals for ella_spark/queries/__init__.py.
+Still useful per round for VISIBILITY: prints the newest-green
+histogram, the due tier for the CURRENT round, and the per-round
+new-query budget (how many oracle-paired queries can be added without
+making the rotation unsatisfiable). The printed tier-set literals now
+only document what the registry derives on its own.
 
 Usage:
     python tools/rotation_audit.py
