@@ -143,6 +143,8 @@ def _newest_greens(files=None) -> dict[str, int]:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue  # unreadable/malformed must never break the import
+        if not isinstance(data, dict):
+            continue  # valid JSON but not the per-name record shape
         for name, rec in data.items():
             if isinstance(rec, dict) and rec.get("hash_match"):
                 newest[name] = max(newest.get(name, 0), rnd)

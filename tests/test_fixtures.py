@@ -366,3 +366,25 @@ def test_rotation_derivation_matches_r11_audit():
     # and shifts legitimately when later CORRECTNESS files land)
     ordered = sorted(names, key=lambda n: ranks[n])
     assert set(tiers[0]) | set(tiers[1]) <= set(ordered[:50])
+
+
+def test_rotation_derivation_tolerates_malformed_correctness_files(tmp_path):
+    """The import-time rotation parser must never break the driver on
+    an unreadable, malformed, or shape-shifted CORRECTNESS file — a
+    truncated write or a list-shaped payload is skipped, valid files
+    still count."""
+    import json
+
+    from ella_spark import queries as Q
+
+    good = tmp_path / "CORRECTNESS_r03.json"
+    good.write_text(json.dumps({"q_x": {"hash_match": True}}))
+    truncated = tmp_path / "CORRECTNESS_r04.json"
+    truncated.write_text('{"q_y": {"hash_ma')  # mid-write crash shape
+    listy = tmp_path / "CORRECTNESS_r05.json"
+    listy.write_text(json.dumps(["q_z"]))  # valid JSON, wrong shape
+    noname = tmp_path / "CORRECTNESS_weird.json"  # no round number
+    noname.write_text(json.dumps({"q_w": {"hash_match": True}}))
+
+    newest = Q._newest_greens([good, truncated, listy, noname])
+    assert newest == {"q_x": 3}
