@@ -1555,6 +1555,7 @@ def cardinality_drift_per_group(
     group_col: str,
     value_col: str,
     k: int = 1024,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming distinct-count / duplicate-rate monitor per group —
     the CARDINALITY member of the drift column (PSI/chi²/KS/JS/EMD/AUC
@@ -1586,7 +1587,20 @@ def cardinality_drift_per_group(
       fraction of batch rows that added nothing new.
 
     State is O(k) longs per group regardless of stream length; k=1024
-    gives ~3% relative error past k distinct values (σ ≈ 1/√(k-2))."""
+    gives ~3% relative error past k distinct values (σ ≈ 1/√(k-2)).
+
+    ``idle_timeout_ms`` opts into per-group state GC
+    (ProcessingTimeTimeout, the rolling_zscore pattern) for
+    high-churn group spaces (session ids, per-crawl batches) whose
+    state would otherwise grow without bound. UNLIKE the z-score
+    monitor this is NOT correctness-neutral: dropping an idle group
+    forgets its distinct history, so if the group resumes, its first
+    batch re-seeds (est_new counts previously-seen values as new).
+    Use it when groups are ephemeral and a reset baseline is
+    acceptable; leave it None to keep lifetime-exact dedup rates.
+    Caveat shared with rolling_zscore: with a timeout configured the
+    micro-batch engine never idles, so drive the query with a real
+    trigger and poll progress instead of processAllAvailable()."""
     import pyspark.sql.functions as F
 
     if k < 2:
@@ -1609,6 +1623,11 @@ def cardinality_drift_per_group(
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         import numpy as np
+
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle group: forget its sketch (documented history reset)
+            state.remove()
+            return
 
         if state.exists:
             hs, n_total = state.get
@@ -1649,6 +1668,8 @@ def cardinality_drift_per_group(
             ref = merged
 
         state.update(([int(x) for x in ref], n_total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
@@ -1657,5 +1678,9 @@ def cardinality_drift_per_group(
         outputStructType=_CARD_OUT,
         stateStructType=_CARD_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -1710,3 +1710,71 @@ def test_cardinality_drift_stream_fold_matches_batch_kmv(db, spark):
         assert stream_est == float(batch[0].est)  # bit-identical
     finally:
         q.stop()
+
+
+def test_cardinality_drift_idle_state_gc(db, spark):
+    """idle_timeout_ms drops an idle group's KMV sketch: after the
+    group goes quiet past the timeout, replaying the SAME values
+    re-seeds (est_new counts them as new again) — the documented
+    history-reset trade for bounded state on high-churn group spaces.
+    Polls the sink (ProcessingTimeTimeout keeps the engine busy, so
+    processAllAvailable() would block forever — the rolling_zscore
+    caveat)."""
+    from ella_spark.streaming.stateful import cardinality_drift_per_group
+
+    topic = db.create_topic(
+        "cgc",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:
+        for i, v in enumerate([1.0, 2.0, 3.0]):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = cardinality_drift_per_group(
+        db.subscribe("cgc"), "g", "v", k=64, idle_timeout_ms=500
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cgc_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "cgc_out"),
+        )
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM cgc_out").collect()[0][0] >= n:
+                return True
+            time.sleep(0.5)
+        return False
+
+    def batches_done():
+        p = q.lastProgress
+        return p["batchId"] if p else -1
+
+    try:
+        assert wait_rows(1), "first batch never scored"
+        # idle past the timeout: several sweep batches must elapse
+        b0 = batches_done()
+        deadline = time.time() + 60
+        while batches_done() < b0 + 3 and time.time() < deadline:
+            time.sleep(0.5)
+        # the SAME values again: with the sketch GC'd this re-seeds
+        with topic.publish() as pub:
+            for i, v in enumerate([1.0, 2.0, 3.0]):
+                pub.write((100 + i) * ns, "g1", v)
+        assert wait_rows(2), "post-GC batch never scored"
+        pdf = spark.sql(
+            "SELECT * FROM cgc_out ORDER BY n_total"
+        ).toPandas()
+        last = pdf.iloc[-1]
+        # history reset: est_new == 3 (not 0) and n_total restarted
+        assert last.est_new == 3.0 and last.dup_rate == 0.0
+        assert last.n_total == 3
+    finally:
+        q.stop()
