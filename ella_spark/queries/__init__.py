@@ -115,9 +115,10 @@ def _load() -> None:
 # parser bug or an over-budget registry immediately, and
 # ::test_rotation_derivation_matches_r11_audit pins this derivation
 # against the hand-audited round-11 tier sets as ground truth.
-# Capacity: oracle-paired names <= (MAX_STALE + 1) x 50 = 200.
-
-_MAX_STALE = 3  # mirrored by the tests/test_fixtures.py trip-wires
+# Capacity: oracle-paired names <= (MAX_STALE + 1) x 50 = 200, with
+# MAX_STALE = 3 hardcoded INDEPENDENTLY by the trip-wire tests and
+# tools/rotation_audit.py — deliberately not shared from here, so a
+# derivation bug cannot also bend the guards that check it.
 
 
 def _newest_greens(files=None) -> dict[str, int]:

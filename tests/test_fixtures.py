@@ -183,13 +183,17 @@ def test_rotation_tier_names_resolve_in_registry():
     for i, a in enumerate(tiers):
         for b in tiers[i + 1 :]:
             assert not (a & b), a & b
-    # the checked-50 prefix starts with every new name plus the whole
-    # due tier and contains no no-oracle name (they can never
-    # hash-verify)
+    # the checked-50 prefix starts with every never-green name
+    # (tiers[0], the derived rank-0 set) plus the whole oldest-green
+    # tier (tiers[1]), and contains no no-oracle name (they can never
+    # hash-verify). NOTE: tiers[1] ⊆ prefix encodes the CAPACITY
+    # assumption |tiers[0]| + |tiers[1]| <= 50 — a red here can mean
+    # the never-green set grew past the budget, not only staleness
+    # (the budget trip-wire below localizes which).
     names = list(Q.all_queries())[:50]
     oracles = Q.all_oracles()
-    assert tiers[0] <= set(names)  # _NEW_THIS_ROUND
-    assert tiers[1] <= set(names)  # due (4-rounds-stale) tier
+    assert tiers[0] <= set(names)  # never-green: first driver row
+    assert tiers[1] <= set(names)  # oldest-green (due) tier
     assert all(n in oracles for n in names)
 
 
@@ -322,50 +326,40 @@ def test_next_round_rotation_budget_feasible():
 
 
 def test_rotation_derivation_matches_r11_audit():
-    """Ground-truth pin for the dynamic rotation (round 11): derived
-    from EXACTLY the CORRECTNESS_r01..r10 files, the ranking must
-    reproduce the hand-audited round-11 tier sets (the last manually
-    recomputed rotation, verified green by the r10 verdict + the r11
-    trip-wires). The file list is pinned so a later round's file
-    landing on disk can never drift this comparison — it guards the
-    PARSER, while the staleness/budget trip-wires guard the live
-    result."""
+    """Ground-truth pin for the dynamic rotation PARSER (round 11):
+    parsing EXACTLY the CORRECTNESS_r01..r10 files must reproduce the
+    hand-audited newest-green map behind the last manually recomputed
+    rotation (verified green by the r10 verdict + the r11 trip-wires).
+    Deliberately decoupled from the LIVE registry (no REGISTRY reads):
+    a future query rename/removal is a legitimate registry change and
+    must not break the parser pin. The pinned file list means a later
+    round's file landing on disk cannot drift the comparison either;
+    the staleness/budget trip-wires guard the live result."""
     import hashlib
+    from collections import Counter
     from pathlib import Path
 
     from ella_spark import queries as Q
 
-    Q._load()
     repo = Path(__file__).resolve().parents[1]
     files = [repo / f"CORRECTNESS_r{i:02d}.json" for i in range(1, 11)]
     assert all(f.exists() for f in files)
     newest = Q._newest_greens(files)
 
-    names = list(Q.REGISTRY)  # registration order is rank-stable
-    ranks = {n: Q._rank(n, newest) for n in names}
-    tier0 = sorted(n for n in names if ranks[n] == 0)
-    greens = sorted({r for r in ranks.values() if 0 < r < Q._NO_ORACLE_RANK})
-    tiers = [tier0] + [
-        sorted(n for n in names if ranks[n] == g) for g in greens
-    ]
-
-    def h(t):
-        return hashlib.md5(",".join(t).encode()).hexdigest()
-
-    # md5 of each sorted hand-audited r11 tier (see rotation_audit.py)
-    assert greens == [7, 8, 9, 10]
-    assert [len(t) for t in tiers] == [1, 48, 50, 50, 50]
-    assert tiers[0] == ["q_dedup_winnow_fast"]
-    assert h(tiers[1]) == "a42acb10b359c950e4151d649fb98377"
-    assert h(tiers[2]) == "929fc3b01e932d5df26602b07d145dfb"
-    assert h(tiers[3]) == "766da9e73a4868a8ad4b1d0bc61a1131"
-    assert h(tiers[4]) == "b6b48ef7b59ebc21cd188717af8c8aac"
-    # and the checked-50 prefix those files imply leads with the
-    # 1 newly-paired name + all 48 r7-greens (set comparison: the
-    # within-tier registration order is the LIVE registry's business
-    # and shifts legitimately when later CORRECTNESS files land)
-    ordered = sorted(names, key=lambda n: ranks[n])
-    assert set(tiers[0]) | set(tiers[1]) <= set(ordered[:50])
+    # the full hand-audited map: 198 names ever hash-green through
+    # r10, newest-green histogram r7:48 r8:50 r9:50 r10:50
+    assert len(newest) == 198
+    assert dict(sorted(Counter(newest.values()).items())) == {
+        7: 48, 8: 50, 9: 50, 10: 50,
+    }
+    blob = ",".join(f"{n}={r}" for n, r in sorted(newest.items()))
+    assert (
+        hashlib.md5(blob.encode()).hexdigest()
+        == "52d59113b55c3105016e8915f55b1007"
+    )
+    # spot pins readable without the hash
+    assert "q_dedup_winnow_fast" not in newest  # never checked <= r10
+    assert newest["q_ann_lsh"] == 7 and newest["q1_pricing_summary"] == 10
 
 
 def test_rotation_derivation_tolerates_malformed_correctness_files(tmp_path):

@@ -17,7 +17,6 @@ Usage:
 
 from __future__ import annotations
 
-import json
 import re
 import sys
 from collections import Counter
@@ -32,24 +31,24 @@ BUDGET = 50
 
 
 def newest_greens() -> tuple[dict[str, int], int]:
-    newest: dict[str, int] = {}
+    """Reuses the registry's hardened parser (ella_spark.queries
+    ._newest_greens — skips unreadable/truncated/non-dict payloads)
+    so this tool survives exactly the damaged files the import does;
+    only the max-round inference is local."""
+    from ella_spark.queries import _newest_greens
+
     rounds = []
     for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r0*(\d+)", p.stem)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        rounds.append(rnd)
-        for name, rec in json.loads(p.read_text()).items():
-            if isinstance(rec, dict) and rec.get("hash_match"):
-                newest[name] = max(newest.get(name, 0), rnd)
+        if m:
+            rounds.append(int(m.group(1)))
     if not rounds:
         sys.exit(
             "no CORRECTNESS_r*.json on disk — nothing to audit "
             "(round 1: every oracle-paired query is never-green and "
             "the prefix is simply the first 50 registrations)"
         )
-    return newest, max(rounds) + 1
+    return _newest_greens(), max(rounds) + 1
 
 
 def fmt_tier(names: list[str]) -> str:
