@@ -2833,12 +2833,15 @@ class Ella:
             table, vec_col, id_col, bucket_col, thr = m.groups()
             # a QUOTED number in the bucket slot is a threshold the
             # user quoted by habit, not a bucket column named '0.9'
-            # (the trend_robust arg-binding rule)
-            if bucket_col and thr is None:
-                try:
-                    thr, bucket_col = str(float(bucket_col)), None
-                except ValueError:
-                    pass
+            # (the trend_robust arg-binding rule). Only the SAME
+            # numeric shape the unquoted slot accepts rebinds —
+            # float() forms like '1e-1'/'inf'/'nan'/'  .5' stay bucket
+            # columns so a numeric-parseable column name is never
+            # silently turned into a cosine threshold.
+            if bucket_col and thr is None and re.fullmatch(
+                r"\d*\.\d+|\d+", bucket_col
+            ):
+                thr, bucket_col = bucket_col, None
             entry = self.store.resolve(table)
             if entry is None:
                 raise ValueError(

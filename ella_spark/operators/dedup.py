@@ -515,6 +515,29 @@ def simhash_portable_pairs(
     )
 
 
+def _verify_parallelism(spark) -> int:
+    """Target partition count for a CPU-bound verify stage (the
+    Levenshtein DP): classic sessions report
+    ``sparkContext.defaultParallelism``; Spark Connect has no
+    SparkContext handle (AttributeError / PySparkNotImplementedError
+    ONLY — a dead/stopped session's error propagates, masking it here
+    would resurface later as a misleading shuffle-partitions
+    fallback), so fall back to shuffle.partitions when it is a plain
+    integer and to Spark's own 200 default when it is unset or
+    symbolic ('auto' under AQE autotuning)."""
+    try:
+        from pyspark.errors import PySparkNotImplementedError
+    except ImportError:  # older pyspark: only the attribute can miss
+        PySparkNotImplementedError = ()  # type: ignore[assignment]
+    try:
+        return spark.sparkContext.defaultParallelism
+    except (AttributeError, PySparkNotImplementedError):
+        raw = spark.conf.get("spark.sql.shuffle.partitions", None)
+        if raw is not None and str(raw).isdigit():
+            return int(raw)
+        return 200
+
+
 def _lead_candidates(base: DataFrame, payload_col: str, window: int) -> DataFrame:
     """Shared id-adjacency candidate generator of the bounded-window
     pair family (ngram_jaccard / edit_distance / containment_pairs).
@@ -681,16 +704,7 @@ def edit_distance_pairs(
     # redistributing the tiny (id, prefix, prefix) candidate rows
     # round-robin costs one exchange of capped strings and lets every
     # core verify (measured 12.4 s -> ~1 s at sf0.1, 32 cores)
-    try:
-        n_out = df.sparkSession.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect: no SparkContext handle
-        try:
-            n_out = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except (TypeError, ValueError):  # symbolic value, e.g. "auto"
-            n_out = 200  # Spark's own shuffle-partitions default
-    cand = cand.repartition(n_out)
+    cand = cand.repartition(_verify_parallelism(df.sparkSession))
     dist = F.levenshtein(F.col("pay_a"), F.col("pay_b"))
     longest = F.greatest(
         F.length(F.col("pay_a")), F.length(F.col("pay_b"))

@@ -132,13 +132,22 @@ def _newest_greens(files=None) -> dict[str, int]:
 
     repo = Path(__file__).resolve().parents[2]
     newest: dict[str, int] = {}
-    for p in sorted(files) if files is not None else sorted(
-        repo.glob("CORRECTNESS_r*.json")
-    ):
-        p = Path(p)
-        m = re.search(r"r0*(\d+)", p.stem)
+    candidates = [
+        Path(p)
+        for p in (
+            sorted(files)
+            if files is not None
+            else sorted(repo.glob("CORRECTNESS_r*.json"))
+        )
+    ]
+    parsed_any = False
+    for p in candidates:
+        # anchored: exactly CORRECTNESS_r<digits>, so a stray
+        # CORRECTNESS_r11.backup.json is never counted as round 11
+        m = re.fullmatch(r"CORRECTNESS_r0*(\d+)", p.stem)
         if not m:
             continue
+        parsed_any = True
         rnd = int(m.group(1))
         try:
             data = json.loads(p.read_text())
@@ -149,6 +158,20 @@ def _newest_greens(files=None) -> dict[str, int]:
         for name, rec in data.items():
             if isinstance(rec, dict) and rec.get("hash_match"):
                 newest[name] = max(newest.get(name, 0), rnd)
+    if not parsed_any:
+        # running from outside the repo checkout (or the files were
+        # moved): make the registration-order degradation VISIBLE
+        # instead of silent — the trip-wire tests assert on the parsed
+        # ranking, this warning covers ad-hoc imports they don't see.
+        import warnings
+
+        warnings.warn(
+            "no CORRECTNESS_r<N>.json files found"
+            + (f" under {repo}" if files is None else "")
+            + "; query rotation falls back to registration order",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return newest
 
 

@@ -397,7 +397,53 @@ def test_embedding_neardup_sql_tvf(spark, tmp_path):
     ).df.toPandas()
     assert set(zip(quoted.id_a, quoted.id_b)) == set(zip(full.id_a, full.id_b))
 
+    # r12 advice: ONLY the unquoted slot's numeric shape rebinds — a
+    # float()-parseable form like '1e-1' stays a bucket COLUMN (and
+    # fails resolution loudly) instead of silently becoming a 0.1
+    # threshold that explodes the pair space
+    with pytest.raises(Exception, match="1e-1"):
+        db.query(
+            "SELECT * FROM embedding_neardup('vecs', 'emb', 'vec_id', '1e-1')"
+        ).df.collect()
+
     with pytest.raises(ValueError, match="cosine threshold"):
         db.query("SELECT * FROM embedding_neardup('vecs', 'emb', 'vec_id', 1.5)")
     with pytest.raises(ValueError, match="unknown table"):
         db.query("SELECT * FROM embedding_neardup('nope', 'emb', 'vec_id')")
+
+
+def test_verify_parallelism_probe_fallbacks():
+    """r12 advice: the Spark Connect fallback in edit_distance_pairs'
+    CPU-redistribution probe is narrow — only a MISSING SparkContext
+    handle falls back to shuffle.partitions (plain integers only;
+    None/'auto' → Spark's 200 default); a dead session's error
+    propagates instead of masquerading as a partition-count choice."""
+    from ella_spark.operators.dedup import _verify_parallelism
+
+    class _Conf:
+        def __init__(self, value):
+            self._value = value
+
+        def get(self, key, default=None):
+            assert key == "spark.sql.shuffle.partitions"
+            return self._value if self._value is not None else default
+
+    class _ConnectSession:  # no sparkContext attribute at all
+        def __init__(self, conf_value):
+            self.conf = _Conf(conf_value)
+
+    class _ClassicSession:
+        class sparkContext:
+            defaultParallelism = 32
+
+    class _DeadSession:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    assert _verify_parallelism(_ClassicSession()) == 32
+    assert _verify_parallelism(_ConnectSession("64")) == 64
+    assert _verify_parallelism(_ConnectSession("auto")) == 200  # AQE
+    assert _verify_parallelism(_ConnectSession(None)) == 200  # unset
+    with pytest.raises(RuntimeError, match="shut down"):
+        _verify_parallelism(_DeadSession())

@@ -379,6 +379,34 @@ def test_rotation_derivation_tolerates_malformed_correctness_files(tmp_path):
     listy.write_text(json.dumps(["q_z"]))  # valid JSON, wrong shape
     noname = tmp_path / "CORRECTNESS_weird.json"  # no round number
     noname.write_text(json.dumps({"q_w": {"hash_match": True}}))
+    # r12 advice: anchored filename match — a stray backup copy whose
+    # stem merely CONTAINS r<digits> must not be counted as a round
+    backup = tmp_path / "CORRECTNESS_r06.backup.json"
+    backup.write_text(json.dumps({"q_b": {"hash_match": True}}))
 
-    newest = Q._newest_greens([good, truncated, listy, noname])
+    newest = Q._newest_greens([good, truncated, listy, noname, backup])
     assert newest == {"q_x": 3}
+
+
+def test_rotation_derivation_warns_when_no_correctness_files(tmp_path):
+    """Zero parseable CORRECTNESS files means the rotation silently
+    degrades to registration order — r12 advice: make that VISIBLE.
+    A list with only non-matching names must warn (and parse empty);
+    a list with one valid file must stay silent."""
+    import json
+    import warnings
+
+    from ella_spark import queries as Q
+
+    stray = tmp_path / "CORRECTNESS_r07.backup.json"
+    stray.write_text(json.dumps({"q_s": {"hash_match": True}}))
+    with pytest.warns(RuntimeWarning, match="registration order"):
+        assert Q._newest_greens([stray]) == {}
+    with pytest.warns(RuntimeWarning, match="registration order"):
+        assert Q._newest_greens([]) == {}
+
+    good = tmp_path / "CORRECTNESS_r03.json"
+    good.write_text(json.dumps({"q_x": {"hash_match": True}}))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert Q._newest_greens([good, stray]) == {"q_x": 3}
