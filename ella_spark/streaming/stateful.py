@@ -1542,6 +1542,10 @@ _CARD_OUT = StructType(
     ]
 )
 
+_CARD_OUT_SNAP = StructType(
+    _CARD_OUT.fields + [StructField("snapshot", ArrayType(LongType()))]
+)
+
 _CARD_STATE = StructType(
     [
         StructField("hashes", ArrayType(LongType())),
@@ -1556,6 +1560,8 @@ def cardinality_drift_per_group(
     value_col: str,
     k: int = 1024,
     idle_timeout_ms: int | None = None,
+    snapshot_on_timeout: bool = False,
+    seed: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming distinct-count / duplicate-rate monitor per group —
     the CARDINALITY member of the drift column (PSI/chi²/KS/JS/EMD/AUC
@@ -1600,11 +1606,49 @@ def cardinality_drift_per_group(
     acceptable; leave it None to keep lifetime-exact dedup rates.
     Caveat shared with rolling_zscore: with a timeout configured the
     micro-batch engine never idles, so drive the query with a real
-    trigger and poll progress instead of processAllAvailable()."""
+    trigger and poll progress instead of processAllAvailable().
+
+    ``snapshot_on_timeout`` (requires ``idle_timeout_ms``) removes the
+    history-reset footgun: instead of silently dropping an idle
+    group's sketch, the timeout EMITS it — a final row with
+    ``n_batch = 0`` and the sorted bottom-k hashes in a ``snapshot``
+    column (NULL on ordinary score rows; the output schema gains that
+    one column only when this is on, so existing consumers are
+    untouched). The sink the user already writes thus persists every
+    GC'd sketch for free; state stays O(k) per LIVE group.
+
+    ``seed`` is the restore half: a small batch DataFrame with columns
+    ``(group, snapshot, n_total)`` — exactly
+    ``SELECT group, snapshot, n_total FROM <sink> WHERE snapshot IS
+    NOT NULL`` from a prior run. Its newest snapshot per group
+    (largest ``n_total``) is loaded driver-side at build time and
+    ships to the executors inside the closure (bounded: O(groups × k)
+    longs — snapshots of GC'd idle groups, not the corpus), and a
+    group's FIRST batch resumes from its snapshot instead of
+    re-seeding, so previously-seen values are no longer counted as
+    new after a GC + resume or a full query restart."""
     import pyspark.sql.functions as F
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if snapshot_on_timeout and idle_timeout_ms is None:
+        raise ValueError(
+            "snapshot_on_timeout requires idle_timeout_ms (snapshots "
+            "are emitted BY the idle-state GC)"
+        )
+    # restore map: newest persisted snapshot per group, loaded once at
+    # build time (tiny — only groups the GC ever dropped) and shipped
+    # in the update closure
+    seed_map: dict[str, tuple[list[int], int]] = {}
+    if seed is not None:
+        for r in seed.select("group", "snapshot", "n_total").collect():
+            if r.snapshot is None or r.group is None:
+                continue
+            n_tot = int(r.n_total)
+            prev = seed_map.get(r.group)
+            if prev is None or n_tot > prev[1]:
+                hs = sorted(int(x) for x in r.snapshot)[:k]
+                seed_map[r.group] = (hs, n_tot)
     # hash JVM-side, identically to operators/sketch.kmv_sketch —
     # the stateful fold below never touches a raw value
     keyed = stream.select(
@@ -1625,14 +1669,39 @@ def cardinality_drift_per_group(
         import numpy as np
 
         if idle_timeout_ms is not None and state.hasTimedOut:
-            # idle group: forget its sketch (documented history reset)
-            state.remove()
+            # idle group: drop the sketch — but with snapshots on,
+            # EMIT it first so the sink persists the history the GC
+            # would otherwise erase (restore it later via ``seed``)
+            if snapshot_on_timeout and state.exists:
+                hs, n_total = state.get
+                hs = sorted(int(x) for x in hs)
+                state.remove()
+                yield pd.DataFrame(
+                    [
+                        {
+                            "group": key[0],
+                            "n_batch": 0,
+                            "n_total": int(n_total),
+                            "est_distinct": _estimate(hs, len(hs)),
+                            "est_new": 0.0,
+                            "dup_rate": 0.0,
+                            "snapshot": hs,
+                        }
+                    ]
+                )
+            else:
+                state.remove()
             return
 
         if state.exists:
             hs, n_total = state.get
             ref = np.asarray(list(hs), dtype=np.int64)
             n_total = int(n_total)
+        elif key[0] in seed_map:
+            # first batch after a GC (or a fresh query): resume from
+            # the persisted snapshot, not from empty
+            hs, n_total = seed_map[key[0]]
+            ref = np.asarray(hs, dtype=np.int64)
         else:
             ref = np.array([], dtype=np.int64)
             n_total = 0
@@ -1649,22 +1718,17 @@ def cardinality_drift_per_group(
             est_after = _estimate(merged, len(merged))
             est_new = max(est_after - est_before, 0.0)
             n_total += n_batch
-            outs.append(
-                pd.DataFrame(
-                    [
-                        {
-                            "group": key[0],
-                            "n_batch": n_batch,
-                            "n_total": n_total,
-                            "est_distinct": est_after,
-                            "est_new": est_new,
-                            "dup_rate": min(
-                                max(1.0 - est_new / n_batch, 0.0), 1.0
-                            ),
-                        }
-                    ]
-                )
-            )
+            row = {
+                "group": key[0],
+                "n_batch": n_batch,
+                "n_total": n_total,
+                "est_distinct": est_after,
+                "est_new": est_new,
+                "dup_rate": min(max(1.0 - est_new / n_batch, 0.0), 1.0),
+            }
+            if snapshot_on_timeout:
+                row["snapshot"] = None  # only timeout rows carry one
+            outs.append(pd.DataFrame([row]))
             ref = merged
 
         state.update(([int(x) for x in ref], n_total))
@@ -1675,7 +1739,7 @@ def cardinality_drift_per_group(
 
     return keyed.groupBy("group").applyInPandasWithState(
         update,
-        outputStructType=_CARD_OUT,
+        outputStructType=_CARD_OUT_SNAP if snapshot_on_timeout else _CARD_OUT,
         stateStructType=_CARD_STATE,
         outputMode="append",
         timeoutConf=(

@@ -1778,3 +1778,112 @@ def test_cardinality_drift_idle_state_gc(db, spark):
         assert last.n_total == 3
     finally:
         q.stop()
+
+
+def test_cardinality_drift_snapshot_on_timeout_and_seed_restore(db, spark):
+    """The snapshot/restore pair that removes the idle-GC footgun:
+    (a) snapshot_on_timeout emits the GC'd group's sorted bottom-k
+    sketch as a final row (n_batch=0, snapshot non-NULL; ordinary
+    score rows carry snapshot=NULL), and (b) feeding those rows back
+    via ``seed`` resumes the history — replaying the SAME values
+    after a GC + restart scores est_new=0 / dup_rate=1.0 instead of
+    re-seeding, with n_total continuing from the snapshot."""
+    from ella_spark.streaming.stateful import cardinality_drift_per_group
+
+    # contract: snapshots are emitted BY the GC — validated before the
+    # stream is touched, so no DataFrame is needed to pin it
+    with pytest.raises(ValueError, match="idle_timeout_ms"):
+        cardinality_drift_per_group(None, "g", "v", snapshot_on_timeout=True)
+
+    topic = db.create_topic(
+        "csnap",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:
+        for i, v in enumerate([1.0, 2.0, 3.0]):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = cardinality_drift_per_group(
+        db.subscribe("csnap"),
+        "g",
+        "v",
+        k=64,
+        idle_timeout_ms=500,
+        snapshot_on_timeout=True,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("csnap_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "csnap_out"),
+        )
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT count(*) FROM csnap_out").collect()[0][0]
+                >= n
+            ):
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_rows(1), "first batch never scored"
+        # idle past the timeout: the GC must EMIT the sketch
+        assert wait_rows(2), "snapshot row never emitted"
+        pdf = spark.sql(
+            "SELECT * FROM csnap_out ORDER BY n_batch DESC"
+        ).toPandas()
+        score, snap = pdf.iloc[0], pdf.iloc[-1]
+        assert score.n_batch == 3 and score.snapshot is None
+        assert snap.n_batch == 0 and snap.n_total == 3
+        assert snap.est_distinct == 3.0
+        hashes = list(snap.snapshot)
+        assert len(hashes) == 3 and hashes == sorted(hashes)
+    finally:
+        q.stop()
+
+    # restore: persisted snapshot rows ARE the seed frame
+    seed = spark.sql(
+        "SELECT group, snapshot, n_total FROM csnap_out "
+        "WHERE snapshot IS NOT NULL"
+    )
+    # replay the SAME values (the fresh checkpoint also re-reads the
+    # original three — all six rows are previously-seen)
+    with topic.publish() as pub:
+        for i, v in enumerate([1.0, 2.0, 3.0]):
+            pub.write((100 + i) * ns, "g1", v)
+    out2 = cardinality_drift_per_group(
+        db.subscribe("csnap"), "g", "v", k=64, seed=seed
+    )
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("csnap_out2")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "csnap_out2"),
+        )
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        pdf = spark.sql(
+            "SELECT * FROM csnap_out2 ORDER BY n_total"
+        ).toPandas()
+        assert len(pdf) >= 1
+        last = pdf.iloc[-1]
+        # restored history: nothing is new, totals CONTINUE (3 from
+        # the snapshot + every replayed row)
+        assert last.est_distinct == 3.0
+        assert last.est_new == 0.0 and last.dup_rate == 1.0
+        assert last.n_total == 3 + int(pdf.n_batch.sum())
+    finally:
+        q2.stop()
