@@ -40,3 +40,7 @@ def test_curation_pipeline_example(spark):
 
 def test_dedup_profiling_example(spark, tmp_path):
     assert _load("dedup_profiling").main(str(tmp_path)) == 0
+
+
+def test_ingest_monitor_example(spark, tmp_path):
+    assert _load("ingest_monitor").main(str(tmp_path)) == 0
