@@ -147,7 +147,6 @@ def _newest_greens(files=None) -> dict[str, int]:
         m = re.fullmatch(r"CORRECTNESS_r0*(\d+)", p.stem)
         if not m:
             continue
-        parsed_any = True
         rnd = int(m.group(1))
         try:
             data = json.loads(p.read_text())
@@ -155,6 +154,7 @@ def _newest_greens(files=None) -> dict[str, int]:
             continue  # unreadable/malformed must never break the import
         if not isinstance(data, dict):
             continue  # valid JSON but not the per-name record shape
+        parsed_any = True  # only files that actually contributed count
         for name, rec in data.items():
             if isinstance(rec, dict) and rec.get("hash_match"):
                 newest[name] = max(newest.get(name, 0), rnd)

@@ -1610,15 +1610,20 @@ def cardinality_drift_per_group(
 
     ``snapshot_on_timeout`` (requires ``idle_timeout_ms``) removes the
     history-reset footgun: instead of silently dropping an idle
-    group's sketch, the timeout EMITS it — a final row with
-    ``n_batch = 0`` and the sorted bottom-k hashes in a ``snapshot``
-    column (NULL on ordinary score rows; the output schema gains that
-    one column only when this is on, so existing consumers are
-    untouched). The sink the user already writes thus persists every
-    GC'd sketch for free; state stays O(k) per LIVE group.
+    group's sketch, the timeout EMITS it — a marker row with
+    ``n_batch = 0``, the sorted bottom-k hashes in a ``snapshot``
+    column, and ``est_new`` / ``dup_rate`` NULL (a 0.0 would read as
+    a real "all-new content" signal on a last-value-per-group
+    dashboard; ``snapshot`` is NULL on ordinary score rows, and the
+    output schema gains the column only when this is on, so existing
+    consumers are untouched). The sink the user already writes thus
+    persists every GC'd sketch for free, and the GC keeps an O(1)
+    tombstone (counter only, no hashes) per evicted group so emitted
+    ``n_total`` stays monotone even if the group resumes in the same
+    run; full O(k) state is held only for LIVE groups.
 
     ``seed`` is the restore half: a small batch DataFrame with columns
-    ``(group, snapshot, n_total)`` — exactly
+    ``(group, snapshot, n_total)`` — e.g.
     ``SELECT group, snapshot, n_total FROM <sink> WHERE snapshot IS
     NOT NULL`` from a prior run. Its newest snapshot per group
     (largest ``n_total``) is loaded driver-side at build time and
@@ -1626,7 +1631,17 @@ def cardinality_drift_per_group(
     longs — snapshots of GC'd idle groups, not the corpus), and a
     group's FIRST batch resumes from its snapshot instead of
     re-seeding, so previously-seen values are no longer counted as
-    new after a GC + resume or a full query restart."""
+    new after a GC + resume or a full query restart. Two contracts to
+    know: (1) sink snapshots cover only groups the GC actually
+    evicted — a group still live (or idle but not yet timed out) when
+    a run stops leaves no snapshot row; for FULL coverage build the
+    seed from batch history with ``cardinality_seed_from_history``,
+    which is value-identical to the stream fold by the kmv_sketch
+    pinning. (2) a snapshot taken SATURATED at a smaller prior ``k``
+    cannot be restored into a larger ``k`` (the exact-below-k branch
+    would mis-read it); when the seed frame carries the marker row's
+    ``est_distinct`` column this is detected and raised at build
+    time, otherwise keep ``k`` consistent across runs."""
     import pyspark.sql.functions as F
 
     if k < 2:
@@ -1641,9 +1656,29 @@ def cardinality_drift_per_group(
     # in the update closure
     seed_map: dict[str, tuple[list[int], int]] = {}
     if seed is not None:
-        for r in seed.select("group", "snapshot", "n_total").collect():
-            if r.snapshot is None or r.group is None:
-                continue
+        cols = ["group", "snapshot", "n_total"] + (
+            ["est_distinct"] if "est_distinct" in seed.columns else []
+        )
+        for r in seed.select(*cols).collect():
+            if r.snapshot is None or r.group is None or r.n_total is None:
+                continue  # null-tolerant, like the other guards
+            n_hs = len(r.snapshot)
+            # a snapshot taken SATURATED at a smaller prior k would be
+            # mis-read by this run's exact-below-k branch (cnt < k →
+            # "exact"), collapsing est_distinct and inflating est_new.
+            # Downsizing (n_hs >= k) is always a valid bottom-k re-cut;
+            # upsizing is valid only for exact (unsaturated) sketches —
+            # detected via the snapshot row's own est_distinct when the
+            # seed frame carries that column.
+            est = getattr(r, "est_distinct", None)
+            if n_hs < k and est is not None and est > n_hs + 0.5:
+                raise ValueError(
+                    f"seed snapshot for group {r.group!r} was taken "
+                    f"saturated at a smaller k ({n_hs} hashes, "
+                    f"est_distinct {est:.0f}) — restoring into k={k} "
+                    "would mis-read it as exact; rebuild the seed with "
+                    "cardinality_seed_from_history at the current k"
+                )
             n_tot = int(r.n_total)
             prev = seed_map.get(r.group)
             if prev is None or n_tot > prev[1]:
@@ -1671,24 +1706,33 @@ def cardinality_drift_per_group(
         if idle_timeout_ms is not None and state.hasTimedOut:
             # idle group: drop the sketch — but with snapshots on,
             # EMIT it first so the sink persists the history the GC
-            # would otherwise erase (restore it later via ``seed``)
+            # would otherwise erase (restore it later via ``seed``),
+            # and keep an O(1) TOMBSTONE (empty hashes + the counter)
+            # instead of removing outright: totals survive the GC, so
+            # a post-GC resume in the SAME run can never rewind
+            # n_total to a stale build-time seed. est_new / dup_rate
+            # are NULL on the marker row — 0.0 would read as a real
+            # "all-new content" signal on a last-value-per-group
+            # dashboard.
             if snapshot_on_timeout and state.exists:
                 hs, n_total = state.get
                 hs = sorted(int(x) for x in hs)
-                state.remove()
-                yield pd.DataFrame(
-                    [
-                        {
-                            "group": key[0],
-                            "n_batch": 0,
-                            "n_total": int(n_total),
-                            "est_distinct": _estimate(hs, len(hs)),
-                            "est_new": 0.0,
-                            "dup_rate": 0.0,
-                            "snapshot": hs,
-                        }
-                    ]
-                )
+                state.update(([], int(n_total)))  # no new timeout
+                if hs:
+                    marker = pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": 0,
+                                "n_total": int(n_total),
+                                "est_distinct": _estimate(hs, len(hs)),
+                                "snapshot": hs,
+                            }
+                        ]
+                    )
+                    marker["est_new"] = pd.array([None], dtype="Float64")
+                    marker["dup_rate"] = pd.array([None], dtype="Float64")
+                    yield marker
             else:
                 state.remove()
             return
@@ -1697,9 +1741,16 @@ def cardinality_drift_per_group(
             hs, n_total = state.get
             ref = np.asarray(list(hs), dtype=np.int64)
             n_total = int(n_total)
+            if ref.size == 0 and key[0] in seed_map:
+                # post-GC tombstone: the build-time seed's hashes are
+                # the best remaining history; totals keep whichever is
+                # larger so emitted n_total stays monotone per group
+                s_hs, s_nt = seed_map[key[0]]
+                ref = np.asarray(s_hs, dtype=np.int64)
+                n_total = max(n_total, s_nt)
         elif key[0] in seed_map:
-            # first batch after a GC (or a fresh query): resume from
-            # the persisted snapshot, not from empty
+            # first batch of a fresh query: resume from the persisted
+            # snapshot, not from empty
             hs, n_total = seed_map[key[0]]
             ref = np.asarray(hs, dtype=np.int64)
         else:
@@ -1747,4 +1798,42 @@ def cardinality_drift_per_group(
             if idle_timeout_ms is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def cardinality_seed_from_history(
+    df: DataFrame, group_col: str, value_col: str, k: int = 1024
+) -> DataFrame:
+    """Full-coverage ``seed`` frame for ``cardinality_drift_per_group``
+    built from BATCH history — the restore path that covers EVERY
+    group, not just the ones the idle-GC happened to snapshot before
+    a run stopped (a group still live at shutdown leaves no snapshot
+    row in the sink).
+
+    Because the stream fold is pinned value-identical to
+    ``operators/sketch.kmv_sketch`` (same JVM xxhash64, same sorted
+    bottom-k), this returns EXACTLY the state the monitor would hold
+    after consuming ``df`` as micro-batches: one row per group with
+    the sorted bottom-``k`` hashes in ``snapshot`` and the group's
+    total row count in ``n_total``. Use the SAME ``k`` as the monitor.
+
+    Plan shape: one distinct + one group-keyed window for the sketch,
+    one group-keyed count — two shuffles on the group key, output
+    <= k + 1 rows per group regardless of history size.
+    """
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.sketch import kmv_sketch
+
+    src = df.select(
+        F.col(group_col).cast("string").alias("g"), F.col(value_col).alias("v")
+    )
+    hashes = kmv_sketch(src, "g", "v", k=k).groupBy("grp").agg(
+        F.sort_array(F.collect_list("h")).alias("snapshot")
+    )
+    totals = src.groupBy(F.col("g").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return hashes.join(totals, "grp").select(
+        F.col("grp").alias("group"), "snapshot", "n_total"
     )

@@ -404,6 +404,14 @@ def test_rotation_derivation_warns_when_no_correctness_files(tmp_path):
         assert Q._newest_greens([stray]) == {}
     with pytest.warns(RuntimeWarning, match="registration order"):
         assert Q._newest_greens([]) == {}
+    # r12 review: a matching FILENAME whose payload is truncated or
+    # shape-shifted contributed nothing — that degrades too, so warn
+    broken = tmp_path / "CORRECTNESS_r08.json"
+    broken.write_text('{"q_t": {"hash_ma')  # mid-write crash shape
+    listy = tmp_path / "CORRECTNESS_r09.json"
+    listy.write_text(json.dumps(["q_u"]))  # valid JSON, wrong shape
+    with pytest.warns(RuntimeWarning, match="registration order"):
+        assert Q._newest_greens([broken, listy, stray]) == {}
 
     good = tmp_path / "CORRECTNESS_r03.json"
     good.write_text(json.dumps({"q_x": {"hash_match": True}}))

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import time
 
+import pandas as pd
 import pytest
 
 from ella_spark import Column, Ella
@@ -1845,16 +1846,36 @@ def test_cardinality_drift_snapshot_on_timeout_and_seed_restore(db, spark):
         assert score.n_batch == 3 and score.snapshot is None
         assert snap.n_batch == 0 and snap.n_total == 3
         assert snap.est_distinct == 3.0
+        # marker-row scores are NULL, not 0.0 — a last-value-per-group
+        # dashboard must not read a GC as "all-new content"
+        assert pd.isna(snap.est_new) and pd.isna(snap.dup_rate)
         hashes = list(snap.snapshot)
         assert len(hashes) == 3 and hashes == sorted(hashes)
+
+        # SAME-RUN resume after the GC: the O(1) tombstone keeps the
+        # counter, so n_total continues (6) instead of rewinding —
+        # only novelty is reset (the hashes are gone, est_new == 3)
+        with topic.publish() as pub:
+            for i, v in enumerate([1.0, 2.0, 3.0]):
+                pub.write((50 + i) * ns, "g1", v)
+        assert wait_rows(3), "post-GC same-run batch never scored"
+        pdf = spark.sql(
+            "SELECT * FROM csnap_out WHERE n_batch > 0 ORDER BY n_total"
+        ).toPandas()
+        resumed = pdf.iloc[-1]
+        assert resumed.n_total == 6 and resumed.est_new == 3.0
     finally:
         q.stop()
 
-    # restore: persisted snapshot rows ARE the seed frame
+    # restore: persisted snapshot rows ARE the seed frame (there may
+    # be one or two by now — the tombstoned group re-registered its
+    # timeout on the same-run resume, so a second, newer snapshot can
+    # race in before q.stop(); seed picks the largest n_total)
     seed = spark.sql(
         "SELECT group, snapshot, n_total FROM csnap_out "
         "WHERE snapshot IS NOT NULL"
     )
+    seed_n = max(r.n_total for r in seed.collect())
     # replay the SAME values (the fresh checkpoint also re-reads the
     # original three — all six rows are previously-seen)
     with topic.publish() as pub:
@@ -1880,10 +1901,86 @@ def test_cardinality_drift_snapshot_on_timeout_and_seed_restore(db, spark):
         ).toPandas()
         assert len(pdf) >= 1
         last = pdf.iloc[-1]
-        # restored history: nothing is new, totals CONTINUE (3 from
-        # the snapshot + every replayed row)
+        # restored history: nothing is new, totals CONTINUE (the
+        # newest snapshot's count + every replayed row)
         assert last.est_distinct == 3.0
         assert last.est_new == 0.0 and last.dup_rate == 1.0
-        assert last.n_total == 3 + int(pdf.n_batch.sum())
+        assert last.n_total == seed_n + int(pdf.n_batch.sum())
     finally:
         q2.stop()
+
+
+def test_cardinality_seed_validation_and_history_builder(db, spark):
+    """Build-time seed contracts (r12 review): a NULL n_total row is
+    skipped like the other NULL guards (no bare TypeError), a snapshot
+    taken SATURATED at a smaller prior k raises instead of being
+    mis-read as exact, and cardinality_seed_from_history reproduces
+    the exact kmv_sketch state (hashes + totals) from batch history —
+    the full-coverage restore path for groups the GC never evicted."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.sketch import kmv_sketch
+    from ella_spark.streaming.stateful import (
+        cardinality_drift_per_group,
+        cardinality_seed_from_history,
+    )
+
+    schema = (
+        "group string, snapshot array<bigint>, n_total bigint, "
+        "est_distinct double"
+    )
+    # row 1: NULL n_total (skipped); row 2: 2 hashes claiming ~50
+    # distinct = saturated at a prior k of 2, restored into k=64
+    bad = spark.createDataFrame(
+        [("g0", [1, 2, 3], None, 3.0), ("g1", [10, 20], 7, 50.0)],
+        schema,
+    )
+    with pytest.raises(ValueError, match="saturated at a smaller k"):
+        cardinality_drift_per_group(None, "g", "v", k=64, seed=bad)
+
+    # without est_distinct the ambiguity is undetectable by contract:
+    # the same frame minus that column must load (g0 still skipped)
+    cardinality_drift_per_group(
+        _fake_stream_for_seed_check(spark),
+        "g",
+        "v",
+        k=64,
+        seed=bad.drop("est_distinct"),
+    )
+
+    # the history builder == kmv_sketch + counts, exactly
+    hist = spark.createDataFrame(
+        [("a", float(i % 4)) for i in range(10)]
+        + [("b", float(i)) for i in range(3)],
+        "g string, v double",
+    )
+    got = {
+        r.group: (list(r.snapshot), r.n_total)
+        for r in cardinality_seed_from_history(hist, "g", "v", k=8).collect()
+    }
+    want_hashes = {
+        r.grp: r.h
+        for r in kmv_sketch(
+            hist.select(F.col("g").cast("string").alias("g"), "v"),
+            "g",
+            "v",
+            k=8,
+        )
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("h")).alias("h"))
+        .collect()
+    }
+    assert got["a"] == (list(want_hashes["a"]), 10)
+    assert got["b"] == (list(want_hashes["b"]), 3)
+    assert len(got["a"]) == 2 and len(got["a"][0]) == 4  # 4 distinct
+
+
+def _fake_stream_for_seed_check(spark):
+    """A real streaming frame the seed-loading path can select from —
+    the query is never started, only built."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .selectExpr("CAST(value AS string) AS g", "CAST(value AS double) AS v")
+    )
