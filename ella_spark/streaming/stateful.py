@@ -1554,6 +1554,182 @@ _CARD_STATE = StructType(
 )
 
 
+def _kmv_monitor(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int,
+    idle_timeout_ms: int | None,
+    snapshot_on_timeout: bool,
+    seed: DataFrame | None,
+    out_schema: "StructType",
+    out_schema_snap: "StructType",
+    metric_names: tuple[str, ...],
+    score,
+    marker_metrics,
+) -> DataFrame:
+    """Shared plumbing of the KMV-state streaming monitors
+    (cardinality_drift_per_group / set_churn_per_group): JVM-side
+    xxhash64 keyed projection (identical to operators/sketch.
+    kmv_sketch, so every monitor is pinnable against the batch
+    sketches), sorted bottom-k state fold, idle-GC with
+    snapshot-on-timeout + O(1) tombstone, and build-time seed restore
+    with saturation validation. ``score(ref, h, merged, n_batch,
+    estimate)`` returns the monitor's metric dict for a data batch;
+    ``marker_metrics(hs, estimate)`` the subset populated on a GC
+    marker row (everything else is NULL there)."""
+    import pyspark.sql.functions as F
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if snapshot_on_timeout and idle_timeout_ms is None:
+        raise ValueError(
+            "snapshot_on_timeout requires idle_timeout_ms (snapshots "
+            "are emitted BY the idle-state GC)"
+        )
+    # restore map: newest persisted snapshot per group, loaded once at
+    # build time (tiny — only groups the GC ever dropped) and shipped
+    # in the update closure
+    seed_map: dict[str, tuple[list[int], int]] = {}
+    if seed is not None:
+        cols = ["group", "snapshot", "n_total"] + (
+            ["est_distinct"] if "est_distinct" in seed.columns else []
+        )
+        for r in seed.select(*cols).collect():
+            if r.snapshot is None or r.group is None or r.n_total is None:
+                continue  # null-tolerant, like the other guards
+            n_hs = len(r.snapshot)
+            # a snapshot taken SATURATED at a smaller prior k would be
+            # mis-read by this run's exact-below-k branch (cnt < k →
+            # "exact"), collapsing est_distinct and inflating est_new.
+            # Downsizing (n_hs >= k) is always a valid bottom-k re-cut;
+            # upsizing is valid only for exact (unsaturated) sketches —
+            # detected via the snapshot row's own est_distinct when the
+            # seed frame carries that column.
+            est = getattr(r, "est_distinct", None)
+            if n_hs < k and est is not None and est > n_hs + 0.5:
+                raise ValueError(
+                    f"seed snapshot for group {r.group!r} was taken "
+                    f"saturated at a smaller k ({n_hs} hashes, "
+                    f"est_distinct {est:.0f}) — restoring into k={k} "
+                    "would mis-read it as exact; rebuild the seed with "
+                    "cardinality_seed_from_history at the current k"
+                )
+            n_tot = int(r.n_total)
+            prev = seed_map.get(r.group)
+            if prev is None or n_tot > prev[1]:
+                hs = sorted(int(x) for x in r.snapshot)[:k]
+                seed_map[r.group] = (hs, n_tot)
+    # hash JVM-side, identically to operators/sketch.kmv_sketch —
+    # the stateful fold below never touches a raw value
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.xxhash64(F.col(value_col)).alias("_h"),
+    )
+
+    def _estimate(hashes, cnt: int) -> float:
+        # operators/sketch.kmv_estimate, scalar twin: exact below k,
+        # else unbiased (k-1)/h_(k) on the int64->(0,1] unit mapping
+        from ella_spark.operators.sketch import _KMV_SHIFT, _KMV_TWO64
+
+        if cnt < k:
+            return float(cnt)
+        return float(k - 1) / ((float(hashes[k - 1]) + _KMV_SHIFT) / _KMV_TWO64)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle group: drop the sketch — but with snapshots on,
+            # EMIT it first so the sink persists the history the GC
+            # would otherwise erase (restore it later via ``seed``),
+            # and keep an O(1) TOMBSTONE (empty hashes + the counter)
+            # instead of removing outright: totals survive the GC, so
+            # a post-GC resume in the SAME run can never rewind
+            # n_total to a stale build-time seed. Metrics not named by
+            # marker_metrics are NULL on the marker row — a 0.0 would
+            # read as a real signal on a last-value-per-group
+            # dashboard.
+            if snapshot_on_timeout and state.exists:
+                hs, n_total = state.get
+                hs = sorted(int(x) for x in hs)
+                state.update(([], int(n_total)))  # no new timeout
+                if hs:
+                    base = {
+                        "group": key[0],
+                        "n_batch": 0,
+                        "n_total": int(n_total),
+                        "snapshot": hs,
+                    }
+                    base.update(marker_metrics(hs, _estimate))
+                    marker = pd.DataFrame([base])
+                    for name in metric_names:
+                        if name not in marker.columns:
+                            marker[name] = pd.array([None], dtype="Float64")
+                    yield marker
+            else:
+                state.remove()
+            return
+
+        if state.exists:
+            hs, n_total = state.get
+            ref = np.asarray(list(hs), dtype=np.int64)
+            n_total = int(n_total)
+            if ref.size == 0 and key[0] in seed_map:
+                # post-GC tombstone: the build-time seed's hashes are
+                # the best remaining history; totals keep whichever is
+                # larger so emitted n_total stays monotone per group
+                s_hs, s_nt = seed_map[key[0]]
+                ref = np.asarray(s_hs, dtype=np.int64)
+                n_total = max(n_total, s_nt)
+        elif key[0] in seed_map:
+            # first batch of a fresh query: resume from the persisted
+            # snapshot, not from empty
+            hs, n_total = seed_map[key[0]]
+            ref = np.asarray(hs, dtype=np.int64)
+        else:
+            ref = np.array([], dtype=np.int64)
+            n_total = 0
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            h = pd.concat(chunks, ignore_index=True)["_h"].to_numpy(
+                dtype=np.int64
+            )
+            n_batch = int(len(h))
+            merged = np.union1d(ref, h)[:k]  # sorted unique, re-cut at k
+            n_total += n_batch
+            row = {
+                "group": key[0],
+                "n_batch": n_batch,
+                "n_total": n_total,
+            }
+            row.update(score(ref, h, merged, n_batch, _estimate))
+            if snapshot_on_timeout:
+                row["snapshot"] = None  # only timeout rows carry one
+            outs.append(pd.DataFrame([row]))
+            ref = merged
+
+        state.update(([int(x) for x in ref], n_total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=out_schema_snap if snapshot_on_timeout else out_schema,
+        stateStructType=_CARD_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def cardinality_drift_per_group(
     stream: DataFrame,
     group_col: str,
@@ -1642,162 +1818,135 @@ def cardinality_drift_per_group(
     would mis-read it); when the seed frame carries the marker row's
     ``est_distinct`` column this is detected and raised at build
     time, otherwise keep ``k`` consistent across runs."""
-    import pyspark.sql.functions as F
 
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    if snapshot_on_timeout and idle_timeout_ms is None:
-        raise ValueError(
-            "snapshot_on_timeout requires idle_timeout_ms (snapshots "
-            "are emitted BY the idle-state GC)"
-        )
-    # restore map: newest persisted snapshot per group, loaded once at
-    # build time (tiny — only groups the GC ever dropped) and shipped
-    # in the update closure
-    seed_map: dict[str, tuple[list[int], int]] = {}
-    if seed is not None:
-        cols = ["group", "snapshot", "n_total"] + (
-            ["est_distinct"] if "est_distinct" in seed.columns else []
-        )
-        for r in seed.select(*cols).collect():
-            if r.snapshot is None or r.group is None or r.n_total is None:
-                continue  # null-tolerant, like the other guards
-            n_hs = len(r.snapshot)
-            # a snapshot taken SATURATED at a smaller prior k would be
-            # mis-read by this run's exact-below-k branch (cnt < k →
-            # "exact"), collapsing est_distinct and inflating est_new.
-            # Downsizing (n_hs >= k) is always a valid bottom-k re-cut;
-            # upsizing is valid only for exact (unsaturated) sketches —
-            # detected via the snapshot row's own est_distinct when the
-            # seed frame carries that column.
-            est = getattr(r, "est_distinct", None)
-            if n_hs < k and est is not None and est > n_hs + 0.5:
-                raise ValueError(
-                    f"seed snapshot for group {r.group!r} was taken "
-                    f"saturated at a smaller k ({n_hs} hashes, "
-                    f"est_distinct {est:.0f}) — restoring into k={k} "
-                    "would mis-read it as exact; rebuild the seed with "
-                    "cardinality_seed_from_history at the current k"
-                )
-            n_tot = int(r.n_total)
-            prev = seed_map.get(r.group)
-            if prev is None or n_tot > prev[1]:
-                hs = sorted(int(x) for x in r.snapshot)[:k]
-                seed_map[r.group] = (hs, n_tot)
-    # hash JVM-side, identically to operators/sketch.kmv_sketch —
-    # the stateful fold below never touches a raw value
-    keyed = stream.select(
-        F.col(group_col).cast("string").alias("group"),
-        F.xxhash64(F.col(value_col)).alias("_h"),
+    def _score(ref, h, merged, n_batch, est):
+        before = est(ref, len(ref))
+        after = est(merged, len(merged))
+        new = max(after - before, 0.0)
+        return {
+            "est_distinct": after,
+            "est_new": new,
+            "dup_rate": min(max(1.0 - new / n_batch, 0.0), 1.0),
+        }
+
+    return _kmv_monitor(
+        stream,
+        group_col,
+        value_col,
+        k,
+        idle_timeout_ms,
+        snapshot_on_timeout,
+        seed,
+        _CARD_OUT,
+        _CARD_OUT_SNAP,
+        ("est_distinct", "est_new", "dup_rate"),
+        _score,
+        lambda hs, est: {"est_distinct": est(hs, len(hs))},
     )
 
-    def _estimate(hashes, cnt: int) -> float:
-        # operators/sketch.kmv_estimate, scalar twin: exact below k,
-        # else unbiased (k-1)/h_(k) on the int64->(0,1] unit mapping
-        from ella_spark.operators.sketch import _KMV_SHIFT, _KMV_TWO64
 
-        if cnt < k:
-            return float(cnt)
-        return float(k - 1) / ((float(hashes[k - 1]) + _KMV_SHIFT) / _KMV_TWO64)
+_CHURN_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_total", LongType()),
+        StructField("est_batch", DoubleType()),
+        StructField("est_union", DoubleType()),
+        StructField("jaccard", DoubleType()),
+        StructField("containment", DoubleType()),
+        StructField("novelty", DoubleType()),
+    ]
+)
 
-    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+_CHURN_OUT_SNAP = StructType(
+    _CHURN_OUT.fields + [StructField("snapshot", ArrayType(LongType()))]
+)
+
+
+def set_churn_per_group(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 1024,
+    idle_timeout_ms: int | None = None,
+    snapshot_on_timeout: bool = False,
+    seed: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming SET-CHURN monitor per group — the content-rotation
+    signal: how much of each micro-batch's distinct-value SET overlaps
+    the accumulated history. Where cardinality_drift_per_group counts
+    how many distinct values arrive, this scores WHICH ones: a source
+    that suddenly ships a disjoint url/domain/shingle set (upstream
+    content rotation, a crawler pointed at the wrong seed list, a
+    feed swap) alarms here with novelty → 1.0 even when its distinct
+    COUNT per batch is unchanged.
+
+    Method is EXACTLY operators/sketch.kmv_overlap's Beyer et al.
+    (SIGMOD'07) merged-re-cut estimate with A = accumulated history,
+    B = the batch: merge the two bottom-k sketches, re-cut at k — the
+    merged bottom-k is a uniform sample of A ∪ B, so
+    shared/|merged| estimates Jaccard, jaccard × union_est the
+    intersection, and inter_est / est_batch the CONTAINMENT of the
+    batch in history (novelty = 1 - containment). Same JVM xxhash64
+    keyed projection and (k-1)/h_(k) estimator as the batch operator,
+    so the stream score is pinnable value-identical against
+    kmv_overlap on (history, batch) framed as two groups
+    (test_streaming). Exact whenever the union still fits in k.
+
+    Emits one row per group per non-empty micro-batch (append mode;
+    the FIRST batch scores against empty history: jaccard 0,
+    containment 0, novelty 1):
+
+    - ``est_batch``: distinct values in this batch (exact below k);
+    - ``est_union``: distinct values ever seen incl. this batch;
+    - ``jaccard``: batch-set vs history-set similarity;
+    - ``containment``: fraction of the batch's distinct values
+      already in history (1.0 = pure re-crawl);
+    - ``novelty``: 1 - containment (1.0 = fully rotated content).
+
+    State, GC, ``snapshot_on_timeout``, and ``seed`` are shared with
+    cardinality_drift_per_group (same O(k) bottom-k state, same O(1)
+    tombstone + marker-row contract — churn metrics are NULL on
+    marker rows — and cardinality_seed_from_history builds a valid
+    seed for this monitor too, the state layout is identical).
+    """
+
+    def _score(ref, h, merged, n_batch, est):
         import numpy as np
 
-        if idle_timeout_ms is not None and state.hasTimedOut:
-            # idle group: drop the sketch — but with snapshots on,
-            # EMIT it first so the sink persists the history the GC
-            # would otherwise erase (restore it later via ``seed``),
-            # and keep an O(1) TOMBSTONE (empty hashes + the counter)
-            # instead of removing outright: totals survive the GC, so
-            # a post-GC resume in the SAME run can never rewind
-            # n_total to a stale build-time seed. est_new / dup_rate
-            # are NULL on the marker row — 0.0 would read as a real
-            # "all-new content" signal on a last-value-per-group
-            # dashboard.
-            if snapshot_on_timeout and state.exists:
-                hs, n_total = state.get
-                hs = sorted(int(x) for x in hs)
-                state.update(([], int(n_total)))  # no new timeout
-                if hs:
-                    marker = pd.DataFrame(
-                        [
-                            {
-                                "group": key[0],
-                                "n_batch": 0,
-                                "n_total": int(n_total),
-                                "est_distinct": _estimate(hs, len(hs)),
-                                "snapshot": hs,
-                            }
-                        ]
-                    )
-                    marker["est_new"] = pd.array([None], dtype="Float64")
-                    marker["dup_rate"] = pd.array([None], dtype="Float64")
-                    yield marker
-            else:
-                state.remove()
-            return
+        bk = np.unique(h)[:k]  # the batch's OWN bottom-k sketch
+        m = len(merged)
+        union_est = est(merged, m)
+        shared = int(
+            np.count_nonzero(np.isin(merged, ref) & np.isin(merged, bk))
+        )
+        jaccard = shared / m if m else 0.0
+        est_batch = est(bk, len(bk))
+        inter_est = jaccard * union_est
+        containment = (
+            min(inter_est / est_batch, 1.0) if est_batch > 0 else 0.0
+        )
+        return {
+            "est_batch": est_batch,
+            "est_union": union_est,
+            "jaccard": jaccard,
+            "containment": containment,
+            "novelty": max(1.0 - containment, 0.0),
+        }
 
-        if state.exists:
-            hs, n_total = state.get
-            ref = np.asarray(list(hs), dtype=np.int64)
-            n_total = int(n_total)
-            if ref.size == 0 and key[0] in seed_map:
-                # post-GC tombstone: the build-time seed's hashes are
-                # the best remaining history; totals keep whichever is
-                # larger so emitted n_total stays monotone per group
-                s_hs, s_nt = seed_map[key[0]]
-                ref = np.asarray(s_hs, dtype=np.int64)
-                n_total = max(n_total, s_nt)
-        elif key[0] in seed_map:
-            # first batch of a fresh query: resume from the persisted
-            # snapshot, not from empty
-            hs, n_total = seed_map[key[0]]
-            ref = np.asarray(hs, dtype=np.int64)
-        else:
-            ref = np.array([], dtype=np.int64)
-            n_total = 0
-
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        outs = []
-        if chunks:
-            h = pd.concat(chunks, ignore_index=True)["_h"].to_numpy(
-                dtype=np.int64
-            )
-            n_batch = int(len(h))
-            est_before = _estimate(ref, len(ref))
-            merged = np.union1d(ref, h)[:k]  # sorted unique, re-cut at k
-            est_after = _estimate(merged, len(merged))
-            est_new = max(est_after - est_before, 0.0)
-            n_total += n_batch
-            row = {
-                "group": key[0],
-                "n_batch": n_batch,
-                "n_total": n_total,
-                "est_distinct": est_after,
-                "est_new": est_new,
-                "dup_rate": min(max(1.0 - est_new / n_batch, 0.0), 1.0),
-            }
-            if snapshot_on_timeout:
-                row["snapshot"] = None  # only timeout rows carry one
-            outs.append(pd.DataFrame([row]))
-            ref = merged
-
-        state.update(([int(x) for x in ref], n_total))
-        if idle_timeout_ms is not None:
-            state.setTimeoutDuration(idle_timeout_ms)
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
-
-    return keyed.groupBy("group").applyInPandasWithState(
-        update,
-        outputStructType=_CARD_OUT_SNAP if snapshot_on_timeout else _CARD_OUT,
-        stateStructType=_CARD_STATE,
-        outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+    return _kmv_monitor(
+        stream,
+        group_col,
+        value_col,
+        k,
+        idle_timeout_ms,
+        snapshot_on_timeout,
+        seed,
+        _CHURN_OUT,
+        _CHURN_OUT_SNAP,
+        ("est_batch", "est_union", "jaccard", "containment", "novelty"),
+        _score,
+        lambda hs, est: {"est_union": est(hs, len(hs))},
     )
 
 

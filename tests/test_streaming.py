@@ -1984,3 +1984,129 @@ def _fake_stream_for_seed_check(spark):
         .load()
         .selectExpr("CAST(value AS string) AS g", "CAST(value AS double) AS v")
     )
+
+
+def test_set_churn_exact_regime_and_rotation_signal(db, spark):
+    """Streaming set-churn monitor, exact-when-fits regime: the first
+    batch scores novelty 1.0 (no history), replaying the SAME values
+    scores containment 1.0 / novelty 0.0 (pure re-crawl), a
+    half-overlapping batch lands exactly in between, and a fully
+    DISJOINT batch — same distinct COUNT, rotated content — alarms at
+    novelty 1.0 where the cardinality monitor's count signal alone
+    would look like ordinary growth."""
+    from ella_spark.streaming.stateful import set_churn_per_group
+
+    # factory contract shared with the cardinality monitor
+    with pytest.raises(ValueError, match="idle_timeout_ms"):
+        set_churn_per_group(None, "g", "v", snapshot_on_timeout=True)
+
+    topic = db.create_topic(
+        "churn",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    out = set_churn_per_group(db.subscribe("churn"), "g", "v", k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("churn_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "churn_out"),
+        )
+        .start()
+    )
+    try:
+        def push(vals, t0):
+            with topic.publish() as pub:
+                for i, v in enumerate(vals):
+                    pub.write((t0 + i) * ns, "g1", v)
+            q.processAllAvailable()
+
+        push([1.0, 2.0, 3.0, 4.0], 1)
+        push([1.0, 2.0, 3.0, 4.0], 100)      # pure re-crawl
+        push([3.0, 4.0, 5.0, 6.0], 200)      # half overlap
+        push([10.0, 11.0, 12.0, 13.0], 300)  # full rotation
+        pdf = spark.sql(
+            "SELECT * FROM churn_out ORDER BY n_total"
+        ).toPandas()
+        assert len(pdf) == 4
+        r1, r2, r3, r4 = (pdf.iloc[i] for i in range(4))
+        assert r1.est_batch == 4.0 and r1.est_union == 4.0
+        assert r1.jaccard == 0.0 and r1.novelty == 1.0
+        assert r2.containment == 1.0 and r2.novelty == 0.0
+        assert r2.jaccard == 1.0 and r2.est_union == 4.0
+        # half overlap: union 6, inter 2 -> jaccard 1/3, containment .5
+        assert r3.est_union == 6.0 and abs(r3.jaccard - 1 / 3) < 1e-12
+        assert r3.containment == 0.5 and r3.novelty == 0.5
+        # rotated content: same batch cardinality, fully novel
+        assert r4.est_batch == 4.0 and r4.containment == 0.0
+        assert r4.novelty == 1.0 and r4.est_union == 10.0
+    finally:
+        q.stop()
+
+
+def test_set_churn_stream_matches_batch_kmv_overlap(db, spark):
+    """Past k distinct values the stream's churn score is pinned
+    VALUE-IDENTICAL to operators/sketch.kmv_overlap on (history,
+    batch) framed as two groups: same JVM xxhash64, same bottom-k
+    sketches, same Beyer merged-re-cut arithmetic — so a dashboard
+    can mix the live monitor with batch overlap profiling."""
+    from ella_spark.operators.sketch import kmv_overlap
+    from ella_spark.streaming.stateful import set_churn_per_group
+
+    topic = db.create_topic(
+        "churnk",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    k = 8
+    vals1 = [float(i) for i in range(20)]
+    vals2 = [float(i) for i in range(15, 40)]  # overlaps 15..19
+    with topic.publish() as pub:
+        for i, v in enumerate(vals1):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = set_churn_per_group(db.subscribe("churnk"), "g", "v", k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("churnk_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "churnk_out"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with topic.publish() as pub:
+            for i, v in enumerate(vals2):
+                pub.write((100 + i) * ns, "g1", v)
+        q.processAllAvailable()
+        pdf = spark.sql(
+            "SELECT * FROM churnk_out ORDER BY n_total"
+        ).toPandas()
+        assert len(pdf) == 2
+        row = pdf.iloc[1]
+
+        # batch twin: history and batch as two groups of one frame
+        two = spark.createDataFrame(
+            [("hist", v) for v in vals1] + [("batch", v) for v in vals2],
+            "grp string, v double",
+        )
+        ov = kmv_overlap(two, "grp", "v", k=k).collect()
+        assert len(ov) == 1
+        o = ov[0]
+        assert float(row.jaccard) == float(o.jaccard)
+        assert float(row.est_union) == float(o.union_est)
+        # est_batch is the 'batch' side's own sketch estimate
+        # (kmv_overlap orders grp_a < grp_b: 'batch' < 'hist')
+        batch_est = o.est_a if o.grp_a == "batch" else o.est_b
+        assert float(row.est_batch) == float(batch_est)
+        # containment replays inter_est / est_batch exactly
+        assert float(row.containment) == min(
+            float(o.inter_est) / float(batch_est), 1.0
+        )
+    finally:
+        q.stop()
