@@ -1542,10 +1542,6 @@ _CARD_OUT = StructType(
     ]
 )
 
-_CARD_OUT_SNAP = StructType(
-    _CARD_OUT.fields + [StructField("snapshot", ArrayType(LongType()))]
-)
-
 _CARD_STATE = StructType(
     [
         StructField("hashes", ArrayType(LongType())),
@@ -1563,8 +1559,6 @@ def _kmv_monitor(
     snapshot_on_timeout: bool,
     seed: DataFrame | None,
     out_schema: "StructType",
-    out_schema_snap: "StructType",
-    metric_names: tuple[str, ...],
     score,
     marker_metrics,
 ) -> DataFrame:
@@ -1574,14 +1568,22 @@ def _kmv_monitor(
     kmv_sketch, so every monitor is pinnable against the batch
     sketches), sorted bottom-k state fold, idle-GC with
     snapshot-on-timeout + O(1) tombstone, and build-time seed restore
-    with saturation validation. ``score(ref, h, merged, n_batch,
-    estimate)`` returns the monitor's metric dict for a data batch;
+    with saturation validation. ``score(ref, hu, merged, n_batch,
+    estimate)`` returns the monitor's metric dict for a data batch
+    (``hu`` = the batch's hashes, already sorted-unique);
     ``marker_metrics(hs, estimate)`` the subset populated on a GC
-    marker row (everything else is NULL there)."""
+    marker row (everything else is NULL there). The metric-column
+    list and the snapshot-extended schema are DERIVED from
+    ``out_schema`` (fields after group/n_batch/n_total), so a new
+    metric can never miss its marker-row NULL pad."""
     import pyspark.sql.functions as F
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    metric_names = tuple(f.name for f in out_schema.fields[3:])
+    out_schema_snap = StructType(
+        out_schema.fields + [StructField("snapshot", ArrayType(LongType()))]
+    )
     if snapshot_on_timeout and idle_timeout_ms is None:
         raise ValueError(
             "snapshot_on_timeout requires idle_timeout_ms (snapshots "
@@ -1592,8 +1594,15 @@ def _kmv_monitor(
     # in the update closure
     seed_map: dict[str, tuple[list[int], int]] = {}
     if seed is not None:
+        # the saturation indicator is the marker row's own distinct
+        # estimate: est_distinct in a cardinality-monitor sink,
+        # est_union in a set-churn sink — accept either
+        est_col = next(
+            (c for c in ("est_distinct", "est_union") if c in seed.columns),
+            None,
+        )
         cols = ["group", "snapshot", "n_total"] + (
-            ["est_distinct"] if "est_distinct" in seed.columns else []
+            [est_col] if est_col else []
         )
         for r in seed.select(*cols).collect():
             if r.snapshot is None or r.group is None or r.n_total is None:
@@ -1601,17 +1610,17 @@ def _kmv_monitor(
             n_hs = len(r.snapshot)
             # a snapshot taken SATURATED at a smaller prior k would be
             # mis-read by this run's exact-below-k branch (cnt < k →
-            # "exact"), collapsing est_distinct and inflating est_new.
-            # Downsizing (n_hs >= k) is always a valid bottom-k re-cut;
-            # upsizing is valid only for exact (unsaturated) sketches —
-            # detected via the snapshot row's own est_distinct when the
+            # "exact"), collapsing the estimates. Downsizing
+            # (n_hs >= k) is always a valid bottom-k re-cut; upsizing
+            # is valid only for exact (unsaturated) sketches —
+            # detected via the snapshot row's own estimate when the
             # seed frame carries that column.
-            est = getattr(r, "est_distinct", None)
+            est = getattr(r, est_col, None) if est_col else None
             if n_hs < k and est is not None and est > n_hs + 0.5:
                 raise ValueError(
                     f"seed snapshot for group {r.group!r} was taken "
                     f"saturated at a smaller k ({n_hs} hashes, "
-                    f"est_distinct {est:.0f}) — restoring into k={k} "
+                    f"{est_col} {est:.0f}) — restoring into k={k} "
                     "would mis-read it as exact; rebuild the seed with "
                     "cardinality_seed_from_history at the current k"
                 )
@@ -1698,14 +1707,17 @@ def _kmv_monitor(
                 dtype=np.int64
             )
             n_batch = int(len(h))
-            merged = np.union1d(ref, h)[:k]  # sorted unique, re-cut at k
+            hu = np.unique(h)  # sorted distinct batch hashes, ONCE —
+            # both the merge and the score reuse it (a second
+            # sort+unique over the raw batch was the hot-path cost)
+            merged = np.union1d(ref, hu)[:k]  # sorted unique, re-cut at k
             n_total += n_batch
             row = {
                 "group": key[0],
                 "n_batch": n_batch,
                 "n_total": n_total,
             }
-            row.update(score(ref, h, merged, n_batch, _estimate))
+            row.update(score(ref, hu, merged, n_batch, _estimate))
             if snapshot_on_timeout:
                 row["snapshot"] = None  # only timeout rows carry one
             outs.append(pd.DataFrame([row]))
@@ -1819,7 +1831,7 @@ def cardinality_drift_per_group(
     ``est_distinct`` column this is detected and raised at build
     time, otherwise keep ``k`` consistent across runs."""
 
-    def _score(ref, h, merged, n_batch, est):
+    def _score(ref, hu, merged, n_batch, est):
         before = est(ref, len(ref))
         after = est(merged, len(merged))
         new = max(after - before, 0.0)
@@ -1838,8 +1850,6 @@ def cardinality_drift_per_group(
         snapshot_on_timeout,
         seed,
         _CARD_OUT,
-        _CARD_OUT_SNAP,
-        ("est_distinct", "est_new", "dup_rate"),
         _score,
         lambda hs, est: {"est_distinct": est(hs, len(hs))},
     )
@@ -1857,11 +1867,6 @@ _CHURN_OUT = StructType(
         StructField("novelty", DoubleType()),
     ]
 )
-
-_CHURN_OUT_SNAP = StructType(
-    _CHURN_OUT.fields + [StructField("snapshot", ArrayType(LongType()))]
-)
-
 
 def set_churn_per_group(
     stream: DataFrame,
@@ -1911,10 +1916,10 @@ def set_churn_per_group(
     seed for this monitor too, the state layout is identical).
     """
 
-    def _score(ref, h, merged, n_batch, est):
+    def _score(ref, hu, merged, n_batch, est):
         import numpy as np
 
-        bk = np.unique(h)[:k]  # the batch's OWN bottom-k sketch
+        bk = hu[:k]  # the batch's OWN bottom-k sketch (hu pre-sorted)
         m = len(merged)
         union_est = est(merged, m)
         shared = int(
@@ -1943,8 +1948,6 @@ def set_churn_per_group(
         snapshot_on_timeout,
         seed,
         _CHURN_OUT,
-        _CHURN_OUT_SNAP,
-        ("est_batch", "est_union", "jaccard", "containment", "novelty"),
         _score,
         lambda hs, est: {"est_union": est(hs, len(hs))},
     )

@@ -1937,6 +1937,16 @@ def test_cardinality_seed_validation_and_history_builder(db, spark):
     )
     with pytest.raises(ValueError, match="saturated at a smaller k"):
         cardinality_drift_per_group(None, "g", "v", k=64, seed=bad)
+    # a set-churn sink carries est_union instead of est_distinct — the
+    # guard must accept either saturation indicator (r12 review)
+    with pytest.raises(ValueError, match="saturated at a smaller k"):
+        cardinality_drift_per_group(
+            None,
+            "g",
+            "v",
+            k=64,
+            seed=bad.withColumnRenamed("est_distinct", "est_union"),
+        )
 
     # without est_distinct the ambiguity is undetectable by contract:
     # the same frame minus that column must load (g0 still skipped)
