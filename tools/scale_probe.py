@@ -70,6 +70,37 @@ def build_corpora(spark, sf_dir: str, out_dir: str) -> None:
         reps = part if reps is None else reps.unionByName(part)
     reps.write.mode("overwrite").parquet(str(out / "documents.parquet"))
 
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = None
+    for r in range(REPLICAS):
+        # replica 0 is verbatim; later replicas get a DETERMINISTIC
+        # directional jitter (cosine is scale-invariant, so plain
+        # copies would be exact cosine-duplicates — a degenerate ANN
+        # corpus where every cell pair is a hit; jittered replicas
+        # keep realistic neighborhood structure at 10x density)
+        vec = (
+            F.col("embedding")
+            if r == 0
+            else F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + F.lit(0.015 * r)
+                    * F.cos(
+                        i.cast("double") * F.lit(float(r + 1))
+                        + F.col("vec_id").cast("double")
+                    )
+                ).cast("float"),
+            )
+        )
+        part = emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+            vec.alias("embedding"),
+            "label",
+        )
+        reps = part if reps is None else reps.unionByName(part)
+    reps.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
