@@ -1550,6 +1550,18 @@ _CARD_STATE = StructType(
 )
 
 
+def _kmv_scalar_estimate(hashes, cnt: int, k: int) -> float:
+    """operators/sketch.kmv_estimate, scalar twin: exact below k, else
+    the unbiased (k-1)/h_(k) form on the int64->(0,1] unit mapping.
+    Module-level (not a factory closure) so the property tests drive
+    the EXACT arithmetic the monitors use."""
+    from ella_spark.operators.sketch import _KMV_SHIFT, _KMV_TWO64
+
+    if cnt < k:
+        return float(cnt)
+    return float(k - 1) / ((float(hashes[k - 1]) + _KMV_SHIFT) / _KMV_TWO64)
+
+
 def _kmv_monitor(
     stream: DataFrame,
     group_col: str,
@@ -1637,13 +1649,7 @@ def _kmv_monitor(
     )
 
     def _estimate(hashes, cnt: int) -> float:
-        # operators/sketch.kmv_estimate, scalar twin: exact below k,
-        # else unbiased (k-1)/h_(k) on the int64->(0,1] unit mapping
-        from ella_spark.operators.sketch import _KMV_SHIFT, _KMV_TWO64
-
-        if cnt < k:
-            return float(cnt)
-        return float(k - 1) / ((float(hashes[k - 1]) + _KMV_SHIFT) / _KMV_TWO64)
+        return _kmv_scalar_estimate(hashes, cnt, k)
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         import numpy as np
@@ -1831,16 +1837,6 @@ def cardinality_drift_per_group(
     ``est_distinct`` column this is detected and raised at build
     time, otherwise keep ``k`` consistent across runs."""
 
-    def _score(ref, hu, merged, n_batch, est):
-        before = est(ref, len(ref))
-        after = est(merged, len(merged))
-        new = max(after - before, 0.0)
-        return {
-            "est_distinct": after,
-            "est_new": new,
-            "dup_rate": min(max(1.0 - new / n_batch, 0.0), 1.0),
-        }
-
     return _kmv_monitor(
         stream,
         group_col,
@@ -1850,9 +1846,23 @@ def cardinality_drift_per_group(
         snapshot_on_timeout,
         seed,
         _CARD_OUT,
-        _score,
+        _cardinality_score,
         lambda hs, est: {"est_distinct": est(hs, len(hs))},
     )
+
+
+def _cardinality_score(ref, hu, merged, n_batch, est):
+    """Per-batch cardinality metrics (module-level so the pure fold
+    arithmetic is property-testable without a stream — see
+    test_streaming's hypothesis fold test)."""
+    before = est(ref, len(ref))
+    after = est(merged, len(merged))
+    new = max(after - before, 0.0)
+    return {
+        "est_distinct": after,
+        "est_new": new,
+        "dup_rate": min(max(1.0 - new / n_batch, 0.0), 1.0),
+    }
 
 
 _CHURN_OUT = StructType(
@@ -1916,7 +1926,26 @@ def set_churn_per_group(
     seed for this monitor too, the state layout is identical).
     """
 
-    def _score(ref, hu, merged, n_batch, est):
+    return _kmv_monitor(
+        stream,
+        group_col,
+        value_col,
+        k,
+        idle_timeout_ms,
+        snapshot_on_timeout,
+        seed,
+        _CHURN_OUT,
+        _churn_score(k),
+        lambda hs, est: {"est_union": est(hs, len(hs))},
+    )
+
+
+def _churn_score(k: int):
+    """Per-batch set-churn metrics for a given sketch size (module-
+    level factory so the Beyer merged-re-cut arithmetic is
+    property-testable without a stream)."""
+
+    def score(ref, hu, merged, n_batch, est):
         import numpy as np
 
         bk = hu[:k]  # the batch's OWN bottom-k sketch (hu pre-sorted)
@@ -1939,18 +1968,7 @@ def set_churn_per_group(
             "novelty": max(1.0 - containment, 0.0),
         }
 
-    return _kmv_monitor(
-        stream,
-        group_col,
-        value_col,
-        k,
-        idle_timeout_ms,
-        snapshot_on_timeout,
-        seed,
-        _CHURN_OUT,
-        _score,
-        lambda hs, est: {"est_union": est(hs, len(hs))},
-    )
+    return score
 
 
 def cardinality_seed_from_history(

@@ -388,3 +388,81 @@ def test_sessionize_fold_matches_sequential_reference(events, cuts, gap):
         else []
     )
     assert got == [tuple(s) for s in want]
+
+
+# ── KMV monitor fold arithmetic (pure numpy, no Spark) ──────────────
+
+_hash_lists = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    batches=st.lists(_hash_lists, min_size=1, max_size=6),
+    k=st.integers(min_value=2, max_value=24),
+)
+def test_kmv_fold_equals_one_shot_bottom_k(batches, k):
+    """The incremental per-batch fold the streaming monitors run
+    (merged = union re-cut at k, state := merged) must land on EXACTLY
+    the one-shot bottom-k sketch of the concatenated history, for any
+    batch split and any k — the invariant behind every snapshot,
+    seed restore, and batch-vs-stream pinning in the KMV family."""
+    import numpy as np
+
+    ref = np.array([], dtype=np.int64)
+    seen = []
+    for batch in batches:
+        h = np.asarray(batch, dtype=np.int64)
+        hu = np.unique(h)
+        ref = np.union1d(ref, hu)[:k]
+        seen.extend(batch)
+    one_shot = np.unique(np.asarray(seen, dtype=np.int64))[:k]
+    assert ref.tolist() == one_shot.tolist()
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    hist=_hash_lists,
+    batch=_hash_lists,
+)
+def test_kmv_scores_exact_regime_equal_true_set_arithmetic(hist, batch):
+    """With k >= every distinct count the sketches hold ALL hashes, so
+    the monitors' estimates must equal TRUE set arithmetic exactly:
+    cardinality's est_distinct/est_new are the real distinct counts,
+    churn's jaccard/containment are the real set ratios — the
+    exact-when-fits contract, property-checked over arbitrary
+    multisets via the very functions the stream fold calls."""
+    import numpy as np
+
+    from ella_spark.streaming.stateful import (
+        _cardinality_score,
+        _churn_score,
+        _kmv_scalar_estimate,
+    )
+
+    hs, bs = set(hist), set(batch)
+    k = len(hs | bs) + 1  # everything fits: exact regime everywhere
+    est = lambda hashes, cnt: _kmv_scalar_estimate(hashes, cnt, k)
+
+    ref = np.unique(np.asarray(hist, dtype=np.int64))[:k]
+    hu = np.unique(np.asarray(batch, dtype=np.int64))
+    merged = np.union1d(ref, hu)[:k]
+
+    card = _cardinality_score(ref, hu, merged, len(batch), est)
+    assert card["est_distinct"] == float(len(hs | bs))
+    assert card["est_new"] == float(len(bs - hs))
+    assert card["dup_rate"] == min(
+        max(1.0 - len(bs - hs) / len(batch), 0.0), 1.0
+    )
+
+    churn = _churn_score(k)(ref, hu, merged, len(batch), est)
+    assert churn["est_batch"] == float(len(bs))
+    assert churn["est_union"] == float(len(hs | bs))
+    assert churn["jaccard"] == len(hs & bs) / len(hs | bs)
+    # containment = inter_est / est_batch with exact operands
+    assert abs(
+        churn["containment"]
+        - min((len(hs & bs) / len(hs | bs)) * len(hs | bs) / len(bs), 1.0)
+    ) < 1e-12
+    assert churn["novelty"] == max(1.0 - churn["containment"], 0.0)
