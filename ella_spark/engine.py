@@ -368,6 +368,16 @@ _DISTINCT_OVERLAP_RE = re.compile(
     r"(?:\s*,\s*(\d+))?\s*\)",
     re.I,
 )
+
+#: table-valued `set_churn('<table>', '<group_col>', '<value_col>'
+#: [, '<time_col>'][, bucket_days])` — bucket-over-bucket distinct-set
+#: novelty per group (the batch twin of the streaming set-churn
+#: monitor); bucket_days defaults to 1
+_SET_CHURN_RE = re.compile(
+    r"\bset_churn\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*(\d+))?\s*\)",
+    re.I,
+)
 #: `embedding_neardup('<table>', '<vec_col>', '<id_col>'
 #: [, '<bucket_col>'] [, cosine])` — embedding-cosine near-dup pairs
 #: (operators/dedup.py embedding_neardup_pairs); the bucket bounds
@@ -591,6 +601,8 @@ class Ella:
             sql = self._rewrite_exact_dup_groups(sql)
         if _DISTINCT_OVERLAP_RE.search(sql):
             sql = self._rewrite_distinct_overlap(sql)
+        if _SET_CHURN_RE.search(sql):
+            sql = self._rewrite_set_churn(sql)
         if _EMBEDDING_NEARDUP_RE.search(sql):
             sql = self._rewrite_embedding_neardup(sql)
         return sql
@@ -2804,6 +2816,51 @@ class Ella:
                 raise ValueError(f"k must be >= 2, got {k}")
             res = kmv_overlap(self._frame_for(entry), group_col, value_col, k)
             view = f"__distinct_overlap_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
+    def _rewrite_set_churn(self, sql: str) -> str:
+        """Table-valued bucket-over-bucket set churn in plain SQL —
+        the batch twin of the streaming set-churn monitor:
+
+            SELECT * FROM set_churn('pages', 'source', 'url')
+            SELECT * FROM set_churn('t', 'src', 'v', 'ts', 7)
+
+        args: any catalog object, a group column, a value column,
+        optional epoch-ns time column (default the topic's mandatory
+        `time`), optional bucket width in DAYS (default 1 — the
+        trend_robust conventions, including the quoted-digit rebind).
+        Returns (group, bucket_start, cur_distinct, prev_distinct,
+        inter, uni, jaccard, novelty) per (group, bucket) — exact set
+        arithmetic over xxhash64 digests, three keyed exchanges
+        (operators/sketch.py set_churn_buckets). The audience
+        question: "is this source re-serving yesterday's content
+        (novelty → 0) or did it rotate its corpus (novelty → 1)?"."""
+        from ella_spark.operators.sketch import set_churn_buckets
+
+        repls = []
+        for m in _SET_CHURN_RE.finditer(sql):
+            table, group_col, value_col, time_col, days = m.groups()
+            # a QUOTED number in the 4th slot is a bucket width the
+            # user quoted by habit, not a time column named '7'
+            if time_col and time_col.isdigit() and days is None:
+                time_col, days = None, time_col
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"set_churn: unknown table {table!r}")
+            n_days = int(days) if days else 1
+            if n_days < 1:
+                raise ValueError(f"bucket_days must be >= 1, got {n_days}")
+            res = set_churn_buckets(
+                self._frame_for(entry),
+                group_col,
+                value_col,
+                time_col or TIME_COLUMN,
+                bucket_ns=n_days * 86_400_000_000_000,
+            )
+            view = f"__set_churn_{next(_TVF_VIEW_SEQ)}"
             res.createOrReplaceTempView(view)
             self._register_tvf_view(view)
             repls.append((m.start(), m.end(), view))

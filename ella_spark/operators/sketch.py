@@ -478,3 +478,86 @@ def kmv_overlap(
             (F.col("jaccard") * F.col("union_est")).alias("inter_est"),
         )
     )
+
+
+def set_churn_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    time_col: str = "time",
+    bucket_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Bucket-over-bucket set churn per group — the EXACT batch twin
+    of streaming.stateful.set_churn_per_group, resolved per time
+    bucket (default daily): for each (group, bucket), how much of the
+    bucket's distinct-value set was already present in the PREVIOUS
+    bucket. The crawl-freshness / content-rotation profile: a source
+    whose novelty collapses toward 0 is re-serving yesterday's
+    content; one that jumps to 1.0 rotated its corpus.
+
+    Exact set arithmetic (no sketches — the batch side can afford
+    it), but over xxhash64(value) so wide text never shuffles, only
+    8-byte digests (the exact_dedup discipline):
+
+    - shuffle 1: distinct (group, bucket, hash);
+    - shuffle 2: lag(bucket) per (group, hash) marks which values
+      were present in the immediately-previous bucket (a gap breaks
+      adjacency — values from bucket b-3 do NOT count for b);
+    - shuffle 3: per-(group, bucket) counts + one lag over the
+      group's bucket sequence for the previous bucket's size.
+
+    All three exchanges are keyed and carry O(distinct) rows — the
+    shape survives any corpus size. Returns (group, bucket_start,
+    cur_distinct, prev_distinct, inter, uni, jaccard, novelty) with
+    novelty = |cur \\ prev| / |cur| and jaccard = inter / uni; a
+    group's first bucket (or one after a gap) scores novelty 1.0 /
+    jaccard 0.0 against an empty previous set.
+    """
+    from pyspark.sql import Window
+
+    src = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        # integer `div` — a double quotient loses precision at
+        # epoch-ns magnitudes (> 2^53)
+        F.expr(
+            f"CAST(`{time_col}` AS BIGINT) div {int(bucket_ns)}"
+        ).alias("b"),
+        F.xxhash64(F.col(value_col)).alias("h"),
+    ).distinct()
+    wh = Window.partitionBy("grp", "h").orderBy("b")
+    marked = src.withColumn("prev_b", F.lag("b").over(wh))
+    per_bucket = marked.groupBy("grp", "b").agg(
+        F.count(F.lit(1)).alias("cur_distinct"),
+        F.sum(
+            (F.col("prev_b") == F.col("b") - 1).cast("long")
+        ).alias("inter"),
+    )
+    wb = Window.partitionBy("grp").orderBy("b")
+    out = (
+        per_bucket.withColumn("lag_cnt", F.lag("cur_distinct").over(wb))
+        .withColumn("lag_b", F.lag("b").over(wb))
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .withColumn(
+            "prev_distinct",
+            F.when(
+                F.col("lag_b") == F.col("b") - 1, F.col("lag_cnt")
+            ).otherwise(F.lit(0)),
+        )
+    )
+    uni = F.col("cur_distinct") + F.col("prev_distinct") - F.col("inter")
+    return out.select(
+        F.col("grp").alias("group"),
+        (F.col("b") * F.lit(int(bucket_ns))).alias("bucket_start"),
+        "cur_distinct",
+        "prev_distinct",
+        "inter",
+        uni.alias("uni"),
+        F.when(uni > 0, F.round(F.col("inter") / uni, 6))
+        .otherwise(0.0)
+        .alias("jaccard"),
+        F.round(
+            (F.col("cur_distinct") - F.col("inter"))
+            / F.col("cur_distinct"),
+            6,
+        ).alias("novelty"),
+    )

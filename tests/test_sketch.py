@@ -337,3 +337,77 @@ def test_quantile_rollup_approx_regime_bound(spark):
             assert row.p50 is not None and row.p99 is not None
         else:
             assert row.p50 is None and row.p90 is None and row.p99 is None
+
+
+def test_set_churn_buckets_exact_day_over_day(spark):
+    """Bucket-over-bucket set churn, exact arithmetic on a planted
+    timeline: fresh day (novelty 1), half-rotated day (novelty .5,
+    jaccard 1/3), re-served day (novelty 0, jaccard 1), and a day
+    AFTER A GAP scores against an empty previous set (novelty 1) —
+    bucket adjacency, not ever-seen history."""
+    from ella_spark.operators.sketch import set_churn_buckets
+
+    day = 86_400_000_000_000
+    rows = []
+    for t, vals in [
+        (0, ["a", "b", "c", "d"]),
+        (1, ["c", "d", "e", "f"]),
+        (2, ["c", "d", "e", "f"]),
+        (4, ["x"]),  # day 3 is a gap
+    ]:
+        rows += [("s1", t * day + i, v) for i, v in enumerate(vals)]
+    rows += [("s2", 0, "a")]
+    df = spark.createDataFrame(rows, "src string, ts long, v string")
+
+    out = {
+        (r.group, r.bucket_start // day): r
+        for r in set_churn_buckets(df, "src", "v", time_col="ts").collect()
+    }
+    assert len(out) == 5
+    d0, d1, d2, d4 = (out[("s1", i)] for i in (0, 1, 2, 4))
+    assert (d0.cur_distinct, d0.prev_distinct, d0.inter) == (4, 0, 0)
+    assert d0.jaccard == 0.0 and d0.novelty == 1.0
+    assert (d1.cur_distinct, d1.prev_distinct, d1.inter, d1.uni) == (4, 4, 2, 6)
+    assert d1.jaccard == 0.333333 and d1.novelty == 0.5
+    assert (d2.inter, d2.uni) == (4, 4)
+    assert d2.jaccard == 1.0 and d2.novelty == 0.0
+    assert (d4.cur_distinct, d4.prev_distinct) == (1, 0)
+    assert d4.novelty == 1.0 and d4.jaccard == 0.0
+    assert out[("s2", 0)].novelty == 1.0
+
+
+def test_set_churn_sql_tvf(spark, tmp_path):
+    """set_churn('<table>','<group>','<value>'[,'<time>'][,days]) in
+    plain SQL — the batch twin of the streaming monitor, with the
+    trend_robust arg conventions (quoted-digit day width rebinds)."""
+    import pytest
+
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db"), spark)
+    t = db.create_topic(
+        "pages",
+        [Column("src", "string", required=True), Column("url", "string")],
+    )
+    day = 86_400_000_000_000
+    with t.publish() as pub:
+        for u in ["a", "b", "c", "d"]:
+            pub.write(0 * day + hash(u) % 1000, "crawl", u)
+        for u in ["c", "d", "e", "f"]:
+            pub.write(1 * day + hash(u) % 1000, "crawl", u)
+
+    out = db.query(
+        "SELECT * FROM set_churn('pages', 'src', 'url') "
+        "ORDER BY bucket_start"
+    ).df.toPandas()
+    assert list(out.novelty) == [1.0, 0.5]
+    assert list(out.jaccard) == [0.0, 0.333333]
+
+    # quoted day width rebinds (both days land in ONE 7-day bucket)
+    wide = db.query(
+        "SELECT * FROM set_churn('pages', 'src', 'url', '7')"
+    ).df.toPandas()
+    assert len(wide) == 1 and wide.cur_distinct.iloc[0] == 6
+
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM set_churn('nope', 'src', 'url')")
