@@ -2671,6 +2671,39 @@ class Ella:
             repls.append((m.start(), m.end(), view))
         return _splice_spans(sql, repls)
 
+    def _rewrite_daybucket_tvf(self, sql: str, regex, name: str, op) -> str:
+        """Shared dispatcher for the day-bucketed TVFs (trend_robust /
+        set_churn — the statqa `_rewrite_statqa` pattern): matches
+        `name('<table>', '<a>', '<b>'[, '<time_col>'][, days])`,
+        applies the quoted-digit rebind (a QUOTED number in the 4th
+        slot is a bucket width the user quoted by habit, not a time
+        column named '7' — an all-digit time column would be
+        unresolvable anyway, just with a worse error), validates, and
+        calls ``op(frame, a, b, time_col, bucket_ns)``."""
+        repls = []
+        for m in regex.finditer(sql):
+            table, a, b, time_col, days = m.groups()
+            if time_col and time_col.isdigit() and days is None:
+                time_col, days = None, time_col
+            entry = self.store.resolve(table)
+            if entry is None:
+                raise ValueError(f"{name}: unknown table {table!r}")
+            n_days = int(days) if days else 1
+            if n_days < 1:
+                raise ValueError(f"bucket_days must be >= 1, got {n_days}")
+            res = op(
+                self._frame_for(entry),
+                a,
+                b,
+                time_col or TIME_COLUMN,
+                n_days * 86_400_000_000_000,
+            )
+            view = f"__{name}_{next(_TVF_VIEW_SEQ)}"
+            res.createOrReplaceTempView(view)
+            self._register_tvf_view(view)
+            repls.append((m.start(), m.end(), view))
+        return _splice_spans(sql, repls)
+
     def _rewrite_trend_robust(self, sql: str) -> str:
         """Table-valued robust trend in plain SQL:
 
@@ -2686,33 +2719,14 @@ class Ella:
         re-rewrite contract as the drift/statqa TVFs."""
         from ella_spark.operators.drift import trend_robust
 
-        repls = []
-        for m in _TREND_ROBUST_RE.finditer(sql):
-            table, value_col, slice_col, time_col, days = m.groups()
-            # a QUOTED number in the 4th slot is a bucket width the
-            # user quoted by habit, not a time column named '7' — bind
-            # it to bucket_days (an all-digit time column would be
-            # unresolvable anyway, just with a worse error)
-            if time_col and time_col.isdigit() and days is None:
-                time_col, days = None, time_col
-            entry = self.store.resolve(table)
-            if entry is None:
-                raise ValueError(f"trend_robust: unknown table {table!r}")
-            n_days = int(days) if days else 1
-            if n_days < 1:
-                raise ValueError(f"bucket_days must be >= 1, got {n_days}")
-            res = trend_robust(
-                self._frame_for(entry),
-                value_col,
-                slice_col,
-                time_col or TIME_COLUMN,
-                bucket_ns=n_days * 86_400_000_000_000,
-            )
-            view = f"__trend_robust_{next(_TVF_VIEW_SEQ)}"
-            res.createOrReplaceTempView(view)
-            self._register_tvf_view(view)
-            repls.append((m.start(), m.end(), view))
-        return _splice_spans(sql, repls)
+        return self._rewrite_daybucket_tvf(
+            sql,
+            _TREND_ROBUST_RE,
+            "trend_robust",
+            lambda frame, v, s, t, ns: trend_robust(
+                frame, v, s, t, bucket_ns=ns
+            ),
+        )
 
     def _rewrite_near_dup_pairs(self, sql: str) -> str:
         """Table-valued near-duplicate candidate pairs in plain SQL
@@ -2834,37 +2848,21 @@ class Ella:
         trend_robust conventions, including the quoted-digit rebind).
         Returns (group, bucket_start, cur_distinct, prev_distinct,
         inter, uni, jaccard, novelty) per (group, bucket) — exact set
-        arithmetic over xxhash64 digests, three keyed exchanges
+        arithmetic over xxhash64 digests, four keyed exchanges of
+        which only the O(distinct)-row ones spread by sub-keys
         (operators/sketch.py set_churn_buckets). The audience
         question: "is this source re-serving yesterday's content
         (novelty → 0) or did it rotate its corpus (novelty → 1)?"."""
         from ella_spark.operators.sketch import set_churn_buckets
 
-        repls = []
-        for m in _SET_CHURN_RE.finditer(sql):
-            table, group_col, value_col, time_col, days = m.groups()
-            # a QUOTED number in the 4th slot is a bucket width the
-            # user quoted by habit, not a time column named '7'
-            if time_col and time_col.isdigit() and days is None:
-                time_col, days = None, time_col
-            entry = self.store.resolve(table)
-            if entry is None:
-                raise ValueError(f"set_churn: unknown table {table!r}")
-            n_days = int(days) if days else 1
-            if n_days < 1:
-                raise ValueError(f"bucket_days must be >= 1, got {n_days}")
-            res = set_churn_buckets(
-                self._frame_for(entry),
-                group_col,
-                value_col,
-                time_col or TIME_COLUMN,
-                bucket_ns=n_days * 86_400_000_000_000,
-            )
-            view = f"__set_churn_{next(_TVF_VIEW_SEQ)}"
-            res.createOrReplaceTempView(view)
-            self._register_tvf_view(view)
-            repls.append((m.start(), m.end(), view))
-        return _splice_spans(sql, repls)
+        return self._rewrite_daybucket_tvf(
+            sql,
+            _SET_CHURN_RE,
+            "set_churn",
+            lambda frame, g, v, t, ns: set_churn_buckets(
+                frame, g, v, t, bucket_ns=ns
+            ),
+        )
 
     def _rewrite_embedding_neardup(self, sql: str) -> str:
         """Table-valued embedding-cosine near-dup pairs in plain SQL —

@@ -503,11 +503,20 @@ def set_churn_buckets(
     - shuffle 2: lag(bucket) per (group, hash) marks which values
       were present in the immediately-previous bucket (a gap breaks
       adjacency — values from bucket b-3 do NOT count for b);
-    - shuffle 3: per-(group, bucket) counts + one lag over the
-      group's bucket sequence for the previous bucket's size.
+    - shuffle 3: per-(group, bucket) counts;
+    - shuffle 4: the group-keyed lag over the bucket sequence for the
+      previous bucket's size — deliberately a SEPARATE exchange: it
+      carries only the O(groups × buckets) aggregate rows, whereas
+      folding it away (pre-partitioning everything by group alone)
+      would funnel each group's whole O(distinct) hash set through
+      one partition and skew the heavy agg.
 
-    All three exchanges are keyed and carry O(distinct) rows — the
-    shape survives any corpus size. Returns (group, bucket_start,
+    All four exchanges are keyed; the three that carry O(distinct)
+    rows spread by (bucket, hash) sub-keys — the shape survives any
+    corpus size. Times are epoch-ns and assumed non-negative (the
+    topic contract); `div` truncates toward zero, so pre-epoch
+    timestamps would straddle bucket 0 (the drift.py convention,
+    shared knowingly). Returns (group, bucket_start,
     cur_distinct, prev_distinct, inter, uni, jaccard, novelty) with
     novelty = |cur \\ prev| / |cur| and jaccard = inter / uni; a
     group's first bucket (or one after a gap) scores novelty 1.0 /

@@ -122,7 +122,9 @@ def main() -> None:
         ap.error(f"unknown queries: {unknown}")
 
     out = Path(args.out)
-    if args.rebuild or not (out / "events.parquet").exists():
+    # guard on the NEWEST corpus artifact (embeddings, added r12) so a
+    # probe dir built by an earlier round is rebuilt, not half-used
+    if args.rebuild or not (out / "embeddings.parquet").exists():
         print(f"building {REPLICAS}x corpora under {out} ...", flush=True)
         build_corpora(spark, args.sf, str(out))
 
