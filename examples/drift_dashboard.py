@@ -57,10 +57,19 @@ def main(root: str | None = None) -> int:
     show("Levene dispersion homogeneity",
          "SELECT * FROM levene('metrics', 'v', 'sensor')")
 
+    show("day-over-day set churn (novelty per sensor)",
+         "SELECT * FROM set_churn('metrics', 'sensor', 'v') "
+         "WHERE novelty > 0.9 ORDER BY group, bucket_start LIMIT 5")
+
     # sanity: only the shifted sensor alarms (so far)
     ph = {r.sensor: r.alarm_up for r in db.query(
         "SELECT * FROM page_hinkley('metrics', 'v', 'sensor')").df.collect()}
     assert ph["b"] and not ph["a"]
+    # the level shift at day 10 rotates sensor b's VALUE SET — churn
+    # novelty catches it as a full-rotation day
+    churn = {(r.group, r.bucket_start // day): r.novelty for r in db.query(
+        "SELECT * FROM set_churn('metrics', 'sensor', 'v')").df.collect()}
+    assert churn[("b", 10)] == 1.0 and churn[("a", 10)] == 0.0
 
     # the saved-dashboard contract: a stored view keeps the durable
     # TVF text and re-scores CURRENT data at every read
