@@ -123,6 +123,38 @@ def main(root: str | None = None) -> int:
     assert last.est_distinct == 4.0
     assert last.est_new == 0.0 and last.dup_rate == 1.0
     print("\nre-crawl correctly scored as 100% duplicates across restart")
+
+    # ── WHICH values, not just how many: the set-churn sibling ─────
+    # a rotated feed ships the same NUMBER of urls but a disjoint SET
+    from ella_spark.streaming.stateful import set_churn_per_group
+
+    with t.publish() as pub:
+        for i in range(4):
+            pub.write((200 + i) * ns, "crawl", f"https://other.net/{i}")
+    mon3 = set_churn_per_group(db.subscribe("pages"), "source", "url", k=64)
+    q3 = (
+        mon3.writeStream.format("memory")
+        .queryName("ingest_churn_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "ingest_churn_out"),
+        )
+        .start()
+    )
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    churn = spark.sql(
+        "SELECT * FROM ingest_churn_out ORDER BY n_total"
+    ).collect()
+    print("\n-- set churn (fresh query over the full topic history)")
+    for r in churn:
+        print("  ", r.asDict())
+    # after the last batch the union covers the whole topic history:
+    # 4 distinct example.com urls (published twice) + 4 rotated urls
+    assert churn[-1].est_union == 8.0
     return 0
 
 

@@ -411,3 +411,19 @@ def test_set_churn_sql_tvf(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown table"):
         db.query("SELECT * FROM set_churn('nope', 'src', 'url')")
+
+    # the saved-dashboard contract shared with the drift/statqa TVFs:
+    # a stored view keeps the durable TVF text and re-scores CURRENT
+    # data at every read
+    db.query(
+        "CREATE VIEW churn_board AS "
+        "SELECT * FROM set_churn('pages', 'src', 'url')"
+    )
+    assert db.query("SELECT count(*) AS n FROM churn_board").df.collect()[
+        0
+    ].n == 2
+    with t.publish() as pub:  # a third day arrives...
+        pub.write(2 * day, "crawl", "g")
+    assert db.query("SELECT count(*) AS n FROM churn_board").df.collect()[
+        0
+    ].n == 3  # ...and the stored view scored it
