@@ -527,8 +527,10 @@ def _verify_parallelism(spark) -> int:
     symbolic ('auto' under AQE autotuning)."""
     try:
         from pyspark.errors import PySparkNotImplementedError
-    except ImportError:  # older pyspark: only the attribute can miss
-        PySparkNotImplementedError = ()  # type: ignore[assignment]
+    except ImportError:  # older pyspark: only the attribute can miss —
+        # the sentinel must still be an exception CLASS (an empty
+        # tuple in an except clause raises TypeError at catch time)
+        PySparkNotImplementedError = AttributeError  # type: ignore
     try:
         return spark.sparkContext.defaultParallelism
     except (AttributeError, PySparkNotImplementedError):

@@ -140,7 +140,6 @@ def _newest_greens(files=None) -> dict[str, int]:
             else sorted(repo.glob("CORRECTNESS_r*.json"))
         )
     ]
-    parsed_any = False
     for p in candidates:
         # anchored: exactly CORRECTNESS_r<digits>, so a stray
         # CORRECTNESS_r11.backup.json is never counted as round 11
@@ -154,21 +153,24 @@ def _newest_greens(files=None) -> dict[str, int]:
             continue  # unreadable/malformed must never break the import
         if not isinstance(data, dict):
             continue  # valid JSON but not the per-name record shape
-        parsed_any = True  # only files that actually contributed count
         for name, rec in data.items():
             if isinstance(rec, dict) and rec.get("hash_match"):
                 newest[name] = max(newest.get(name, 0), rnd)
-    if not parsed_any:
-        # running from outside the repo checkout (or the files were
-        # moved): make the registration-order degradation VISIBLE
-        # instead of silent — the trip-wire tests assert on the parsed
-        # ranking, this warning covers ad-hoc imports they don't see.
+    if not newest:
+        # zero RANKING entries — whether the files are missing (repo
+        # moved / run from outside the checkout), unreadable, or
+        # parse fine but carry no hash-green records — means the
+        # rotation degrades to registration order: make that VISIBLE.
+        # The trip-wire tests assert on the parsed ranking; this
+        # warning covers ad-hoc imports they don't see.
         import warnings
 
         warnings.warn(
-            "no CORRECTNESS_r<N>.json files found"
+            "no usable CORRECTNESS_r<N>.json ranking data"
             + (f" under {repo}" if files is None else "")
-            + "; query rotation falls back to registration order",
+            + " (files missing, unreadable, or containing no "
+            "hash-green records); query rotation falls back to "
+            "registration order",
             RuntimeWarning,
             stacklevel=2,
         )

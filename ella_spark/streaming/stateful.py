@@ -1616,10 +1616,20 @@ def _kmv_monitor(
         cols = ["group", "snapshot", "n_total"] + (
             [est_col] if est_col else []
         )
+        picked: dict[str, tuple] = {}  # newest row per group FIRST…
         for r in seed.select(*cols).collect():
             if r.snapshot is None or r.group is None or r.n_total is None:
                 continue  # null-tolerant, like the other guards
-            n_hs = len(r.snapshot)
+            n_tot = int(r.n_total)
+            prev = picked.get(r.group)
+            if prev is None or n_tot > prev[1]:
+                est = getattr(r, est_col, None) if est_col else None
+                picked[r.group] = (list(r.snapshot), n_tot, est)
+        # …then validate only what will actually be restored: a stale,
+        # superseded row (e.g. from before a k upgrade) in a long-
+        # lived sink must not hard-fail the build
+        for group, (snap, n_tot, est) in picked.items():
+            n_hs = len(snap)
             # a snapshot taken SATURATED at a smaller prior k would be
             # mis-read by this run's exact-below-k branch (cnt < k →
             # "exact"), collapsing the estimates. Downsizing
@@ -1627,20 +1637,15 @@ def _kmv_monitor(
             # is valid only for exact (unsaturated) sketches —
             # detected via the snapshot row's own estimate when the
             # seed frame carries that column.
-            est = getattr(r, est_col, None) if est_col else None
             if n_hs < k and est is not None and est > n_hs + 0.5:
                 raise ValueError(
-                    f"seed snapshot for group {r.group!r} was taken "
+                    f"seed snapshot for group {group!r} was taken "
                     f"saturated at a smaller k ({n_hs} hashes, "
                     f"{est_col} {est:.0f}) — restoring into k={k} "
                     "would mis-read it as exact; rebuild the seed with "
                     "cardinality_seed_from_history at the current k"
                 )
-            n_tot = int(r.n_total)
-            prev = seed_map.get(r.group)
-            if prev is None or n_tot > prev[1]:
-                hs = sorted(int(x) for x in r.snapshot)[:k]
-                seed_map[r.group] = (hs, n_tot)
+            seed_map[group] = (sorted(int(x) for x in snap)[:k], n_tot)
     # hash JVM-side, identically to operators/sketch.kmv_sketch —
     # the stateful fold below never touches a raw value
     keyed = stream.select(
@@ -1665,11 +1670,16 @@ def _kmv_monitor(
             # marker_metrics are NULL on the marker row — a 0.0 would
             # read as a real signal on a last-value-per-group
             # dashboard.
-            if snapshot_on_timeout and state.exists:
+            if state.exists and (snapshot_on_timeout or seed_map):
+                # the tombstone is needed whenever ANY continuity
+                # mechanism is active: with a seed but no snapshots, a
+                # plain remove() would make the post-GC resume fall
+                # into the build-time seed branch and REWIND n_total
+                # to the stale seed value
                 hs, n_total = state.get
                 hs = sorted(int(x) for x in hs)
                 state.update(([], int(n_total)))  # no new timeout
-                if hs:
+                if snapshot_on_timeout and hs:
                     base = {
                         "group": key[0],
                         "n_batch": 0,
@@ -1825,7 +1835,11 @@ def cardinality_drift_per_group(
     longs — snapshots of GC'd idle groups, not the corpus), and a
     group's FIRST batch resumes from its snapshot instead of
     re-seeding, so previously-seen values are no longer counted as
-    new after a GC + resume or a full query restart. Two contracts to
+    new after a GC + resume or a full query restart. With a seed
+    configured the idle-GC keeps the O(1) counter tombstone even when
+    ``snapshot_on_timeout`` is off — a plain removal would send a
+    post-GC resume back to the stale build-time seed and rewind
+    emitted ``n_total``. Two contracts to
     know: (1) sink snapshots cover only groups the GC actually
     evicted — a group still live (or idle but not yet timed out) when
     a run stops leaves no snapshot row; for FULL coverage build the

@@ -412,6 +412,15 @@ def test_rotation_derivation_warns_when_no_correctness_files(tmp_path):
     listy.write_text(json.dumps(["q_u"]))  # valid JSON, wrong shape
     with pytest.warns(RuntimeWarning, match="registration order"):
         assert Q._newest_greens([broken, listy, stray]) == {}
+    # second r12 review: files that PARSE fine but contribute zero
+    # hash-green records are the same degraded state — warn on those
+    # too (the guard is "any ranking entries", not "any dict parsed")
+    empty = tmp_path / "CORRECTNESS_r10.json"
+    empty.write_text("{}")
+    allred = tmp_path / "CORRECTNESS_r11.json"
+    allred.write_text(json.dumps({"q_r": {"hash_match": False}}))
+    with pytest.warns(RuntimeWarning, match="registration order"):
+        assert Q._newest_greens([empty, allred]) == {}
 
     good = tmp_path / "CORRECTNESS_r03.json"
     good.write_text(json.dumps({"q_x": {"hash_match": True}}))

@@ -2120,3 +2120,79 @@ def test_set_churn_stream_matches_batch_kmv_overlap(db, spark):
         )
     finally:
         q.stop()
+
+
+def test_cardinality_gc_with_seed_keeps_totals_monotone(db, spark):
+    """r12 review (high pass): with seed + idle_timeout_ms but NO
+    snapshot_on_timeout, the GC must still leave the O(1) counter
+    tombstone — a plain removal would send the post-GC resume back to
+    the stale build-time seed and REWIND emitted n_total. Here the
+    seed says n_total=100; after a 3-row batch (103), a GC, and a
+    3-row resume, the monitor must emit 106, never 103 again."""
+    from ella_spark.streaming.stateful import cardinality_drift_per_group
+
+    seed = spark.createDataFrame(
+        [("g1", [1, 2, 3], 100)],
+        "group string, snapshot array<bigint>, n_total bigint",
+    )
+    topic = db.create_topic(
+        "cmono",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:
+        for i, v in enumerate([1.0, 2.0, 3.0]):
+            pub.write((i + 1) * ns, "g1", v)
+
+    out = cardinality_drift_per_group(
+        db.subscribe("cmono"), "g", "v", k=64, idle_timeout_ms=500, seed=seed
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cmono_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "cmono_out"),
+        )
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT count(*) FROM cmono_out").collect()[0][0]
+                >= n
+            ):
+                return True
+            time.sleep(0.5)
+        return False
+
+    def batches_done():
+        p = q.lastProgress
+        return p["batchId"] if p else -1
+
+    try:
+        assert wait_rows(1), "first batch never scored"
+        assert (
+            spark.sql("SELECT max(n_total) FROM cmono_out").collect()[0][0]
+            == 103
+        )
+        # idle past the timeout: several sweep batches must elapse
+        b0 = batches_done()
+        deadline = time.time() + 60
+        while batches_done() < b0 + 3 and time.time() < deadline:
+            time.sleep(0.5)
+        with topic.publish() as pub:
+            for i, v in enumerate([1.0, 2.0, 3.0]):
+                pub.write((100 + i) * ns, "g1", v)
+        assert wait_rows(2), "post-GC batch never scored"
+        pdf = spark.sql(
+            "SELECT * FROM cmono_out ORDER BY n_total"
+        ).toPandas()
+        # totals continue through the tombstone: 103 then 106 — a
+        # rewind to the seed's 100 base would emit 103 twice
+        assert list(pdf.n_total) == [103, 106]
+    finally:
+        q.stop()
