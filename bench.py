@@ -78,8 +78,9 @@ def _cal_work() -> float:
     return float(a[-1])
 
 
-def _calibrate(threads: int = 32, units: int = 64, reps: int = 5) -> tuple[float, float]:
-    """(cal_1t_sec, cal_Nt_sec): wall seconds for `units` work units
+def _calibrate(threads: int = 32, units: int = 64, reps: int = 5) -> dict:
+    """Host-speed probe. Returns {cal_1t, cal_32t, samples_1t,
+    samples_32t, spread_pct_32t}: wall seconds for `units` work units
     on ONE thread, then for `units` work units PER THREAD fanned
     across `threads` (units*threads total — cal_Nt measures saturated
     multicore throughput, NOT the same workload sped up; a parallel-
@@ -88,7 +89,17 @@ def _calibrate(threads: int = 32, units: int = 64, reps: int = 5) -> tuple[float
     attainable speed; contention only ever inflates. reps=5 (was 3,
     VERDICT r10 #6): cal_32t varied ±10% across same-host runs,
     making normalized noisier than raw; two more minimum draws keep
-    host_speed_ratio's own noise under ~5%."""
+    host_speed_ratio's own noise under ~5%.
+
+    r13 (VERDICT r12 #3): each multicore rep now runs the FULL
+    units*threads workload (~2.9 s quiet-host wall; was a quarter of
+    it scaled x4, ~0.7 s) — a sub-second spin loop samples one burst
+    of a contended host and made r12's 4.48x ratio the noisiest
+    normalization yet; a ~3 s rep averages across contention windows.
+    Same total-work basis, so CAL_REF_32T is unchanged. All per-rep
+    samples and their spread are returned so a host drifting DURING
+    calibration is visible in the bench JSON (NOTES guidance: treat
+    spread >5% as an unreliable normalization)."""
     from concurrent.futures import ThreadPoolExecutor
 
     _cal_work()  # allocator/ufunc warmup
@@ -104,9 +115,17 @@ def _calibrate(threads: int = 32, units: int = 64, reps: int = 5) -> tuple[float
         list(ex.map(lambda _: _cal_work(), range(threads)))  # pool warmup
         for _ in range(reps):
             t0 = time.perf_counter()
-            list(ex.map(lambda _: _cal_work(), range(units * threads // 4)))
-            cal_nt.append((time.perf_counter() - t0) * 4)  # units*threads
-    return round(min(cal_1t), 3), round(min(cal_nt), 3)
+            list(ex.map(lambda _: _cal_work(), range(units * threads)))
+            cal_nt.append(time.perf_counter() - t0)
+    return {
+        "cal_1t": round(min(cal_1t), 3),
+        "cal_32t": round(min(cal_nt), 3),
+        "samples_1t": [round(s, 3) for s in cal_1t],
+        "samples_32t": [round(s, 3) for s in cal_nt],
+        "spread_pct_32t": round(
+            100.0 * (max(cal_nt) - min(cal_nt)) / min(cal_nt), 1
+        ),
+    }
 
 
 def _steal_ticks() -> tuple[int, int]:
@@ -355,7 +374,8 @@ def main() -> None:
     gate = _load_gate()
     # calibrate while the host is still JVM-free: measures the machine,
     # not our own executor threads
-    cal_1t, cal_32t = _calibrate()
+    cal = _calibrate()
+    cal_1t, cal_32t = cal["cal_1t"], cal["cal_32t"]
     host_speed = round(cal_32t / CAL_REF_32T, 3)  # >1 = slower host
 
     spark = get_session("ella_spark_bench")
@@ -426,7 +446,13 @@ def main() -> None:
         # timed pre-JVM; value_normalized divides out host speed so
         # round-over-round deltas isolate CODE changes
         "calibration_sec": {"cal_1t": cal_1t, "cal_32t": cal_32t,
-                            "ref_1t": CAL_REF_1T, "ref_32t": CAL_REF_32T},
+                            "ref_1t": CAL_REF_1T, "ref_32t": CAL_REF_32T,
+                            # per-rep samples: drift DURING calibration
+                            # is visible as spread; >5% = normalized
+                            # numbers unreliable (VERDICT r12 #3)
+                            "samples_32t": cal["samples_32t"],
+                            "samples_1t": cal["samples_1t"],
+                            "spread_pct_32t": cal["spread_pct_32t"]},
         "host_speed_ratio": host_speed,
         "value_normalized": round(sum(timings.values()) / max(host_speed, 0.1), 4),
         "ingest_rows_per_sec": ingest_rps,
@@ -453,7 +479,12 @@ def main() -> None:
         "comparable_16_normalized": round(
             sum(timings[n] for n in comparable) / max(host_speed, 0.1), 4
         ),
-        "calibration_sec": out["calibration_sec"],
+        # samples_1t lives only in the full dict — the summary must
+        # stay well under the driver's ~2 KB stdout tail capture
+        "calibration_sec": {
+            k: v for k, v in out["calibration_sec"].items()
+            if k != "samples_1t"
+        },
         "host_speed_ratio": host_speed,
         "value_normalized": out["value_normalized"],
         "sf": out["sf"],

@@ -121,6 +121,9 @@ def _load() -> None:
 # derivation bug cannot also bend the guards that check it.
 
 
+_WARNED_NO_RANKING = False  # glob-path degradation warned this process
+
+
 def _newest_greens(files=None) -> dict[str, int]:
     """name -> newest round with a driver hash-green, parsed from the
     CORRECTNESS_r*.json files at the repo root. ``files`` overrides
@@ -162,18 +165,27 @@ def _newest_greens(files=None) -> dict[str, int]:
         # parse fine but carry no hash-green records — means the
         # rotation degrades to registration order: make that VISIBLE.
         # The trip-wire tests assert on the parsed ranking; this
-        # warning covers ad-hoc imports they don't see.
-        import warnings
+        # warning covers ad-hoc imports they don't see. On the glob
+        # path (files=None) warn ONCE per process: installs outside
+        # the development checkout hit this state on every _reorder()
+        # call, and that's normal there, not news worth repeating
+        # (r12 advice). Explicit-files callers (tests, tools) get the
+        # warning every call — they're asserting on the degradation.
+        global _WARNED_NO_RANKING
+        if files is not None or not _WARNED_NO_RANKING:
+            if files is None:
+                _WARNED_NO_RANKING = True
+            import warnings
 
-        warnings.warn(
-            "no usable CORRECTNESS_r<N>.json ranking data"
-            + (f" under {repo}" if files is None else "")
-            + " (files missing, unreadable, or containing no "
-            "hash-green records); query rotation falls back to "
-            "registration order",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+            warnings.warn(
+                "no usable CORRECTNESS_r<N>.json ranking data"
+                + (f" under {repo}" if files is None else "")
+                + " (files missing, unreadable, or containing no "
+                "hash-green records); query rotation falls back to "
+                "registration order",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return newest
 
 

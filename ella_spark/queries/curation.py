@@ -801,6 +801,14 @@ def _clf_weights(sf_dir: str):
         import duckdb
 
         con = duckdb.connect()
+        # Spark-written tables are DIRECTORIES of part files (e.g. the
+        # 10x scale-probe corpus, tools/scale_probe.py); DuckDB's
+        # read_parquet needs a glob there, unlike pyarrow's read_table
+        # (corpus_unigram_lm). ORDER BY doc_id LIMIT N keeps the
+        # training sample deterministic under any file split.
+        path = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         # per-doc bucket frequencies with the SAME md5-bucket transform
         # the scorer uses (training/serving feature parity)
         rows = con.execute(f"""
@@ -810,7 +818,7 @@ def _clf_weights(sf_dir: str):
                        % {_CLF_BUCKETS} AS b
               FROM (
                 SELECT doc_id, lang, text
-                FROM read_parquet('{sf_dir}/documents.parquet')
+                FROM read_parquet('{path}')
                 ORDER BY doc_id LIMIT {_CLF_TRAIN_SAMPLE}
               ),
                    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(w)

@@ -1,11 +1,15 @@
 """Dedup query-registry entries (oracle-paired where SQL-expressible).
 
-Exact dedup, windowed n-gram Jaccard, and the PORTABLE minhash
-variant (md5-derived integer hashing — the DuckDB oracle replays its
-exact pair set) have exact oracles. The xxhash64 fast-path MinHash-LSH
-and SimHash register without one (no cross-engine xxhash64); the
-driver records the weaker rows-only check and tests/test_dedup.py
-verifies them against planted duplicates instead.
+Exact dedup, windowed n-gram Jaccard, the PORTABLE minhash variant
+(md5-derived integer hashing), and — since r13 — the PRODUCTION
+xxhash64/splitmix64 MinHash-LSH path all have exact DuckDB oracles
+(the production one replays the rolling hash + splitmix64 + seeded
+signature in HUGEINT arithmetic; see _minhash_xxhash_oracle). SimHash
+remains the one variant without an oracle (its 64-bit xxhash64
+fingerprint has no cross-engine replay, and its portable sibling
+q_dedup_simhash_portable is hash-checked instead); the driver records
+the weaker rows-only check and tests/test_dedup.py verifies it
+against planted duplicates.
 """
 
 from __future__ import annotations
@@ -130,10 +134,133 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(docs, shingle_k=4, window=3, partition_col="lang")
 
 
+def _minhash_xxhash_oracle() -> str:
+    """DuckDB replay of the PRODUCTION minhash_lsh_pairs pipeline.
+
+    Every hash in the production path except the band key is plain
+    integer math DuckDB can reproduce bit-exactly in HUGEINT:
+
+    - gram hash: the Horner rolling hash over UTF-32 code points
+      (``_kgram_hashes``) — same FNV-prime base as the winnow-fast
+      oracle, with ``unicode(substr(t,i,1))`` supplying code points
+      instead of bytes; each 8-term sum < 2^88 fits int128.
+    - splitmix64 finalizer (``_mix64``): staged CTE columns, one
+      stage per xor-shift/multiply; the two 64x64→64 multiplies are
+      split hi/lo (32-bit halves) so no intermediate exceeds 2^97.
+    - signature: min over the distinct gram-hash set of
+      mix64(h XOR seed_i), seeds inlined from the operator's own
+      ``_mix64(arange(1..16))`` so SQL cannot drift from the source.
+    - band key: the production path hashes each 4-tuple of signature
+      values with xxhash64 PURELY as a fixed-width join key; key
+      equality is implied by tuple equality, so the oracle joins on
+      the tuple itself. The two diverge only if an xxhash64 COLLISION
+      admits an extra candidate pair that also passes the Jaccard
+      verify — P ≈ n_bands²/2⁶⁵ per corpus, the same negligible-
+      collision class as the 64-bit shingle hashes.
+
+    Verified three-way at sf0.01 (Spark == pure-numpy reference ==
+    this SQL, 25/25 pairs value-identical) before registration.
+    """
+    import numpy as np
+
+    from ella_spark.operators.dedup import _ROLL_P, _mix64
+
+    k, nh, bands, thr = 8, 16, 4, 0.4
+    r = nh // bands
+    t64, t32 = 1 << 64, 1 << 32
+    gamma = 0x9E3779B97F4A7C15  # splitmix64 increment (_SPLITMIX_GAMMA)
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB  # _mix64 multipliers
+    seeds = _mix64(np.arange(1, nh + 1, dtype=np.uint64))
+    seed_values = ", ".join(
+        f"({i}, {int(s)}::HUGEINT)" for i, s in enumerate(seeds)
+    )
+    pow_mod = [pow(int(_ROLL_P), j, t64) for j in range(k)]
+    roll = " + ".join(
+        f"cp[i + {j}] * {pow_mod[k - 1 - j]}::HUGEINT" for j in range(k)
+    )
+
+    def mul64(z: str, c: int) -> str:
+        # (z * c) mod 2^64 without exceeding int128: split z into
+        # 32-bit halves, reduce the high product mod 2^32 pre-shift.
+        return (
+            f"(((({z}) // {t32}) * {c}::HUGEINT) % {t32} * {t32}"
+            f" + (({z}) % {t32}) * {c}::HUGEINT) % {t64}::HUGEINT"
+        )
+
+    return f"""
+    WITH n AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents
+      WHERE length(lower(trim(text))) >= {k}
+    ),
+    cps AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) + 1),
+               i -> unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT) AS cp
+      FROM n
+    ),
+    g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(cp) - {k} + 2),
+               i -> ({roll}) % {t64}::HUGEINT)) AS z
+      FROM cps
+    ),
+    g1 AS (SELECT doc_id, (z + {gamma}::HUGEINT) % {t64}::HUGEINT AS z FROM g0),
+    g2 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM g1),
+    g3 AS (SELECT doc_id, {mul64('z', c1)} AS z FROM g2),
+    g4 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM g3),
+    g5 AS (SELECT doc_id, {mul64('z', c2)} AS z FROM g4),
+    sh AS (SELECT DISTINCT doc_id, xor(z, z >> 31) AS z FROM g5),
+    seeds(i, seed) AS (VALUES {seed_values}),
+    s1 AS (SELECT doc_id, i, (xor(z, seed) + {gamma}::HUGEINT) % {t64}::HUGEINT AS z
+           FROM sh CROSS JOIN seeds),
+    s2 AS (SELECT doc_id, i, xor(z, z >> 30) AS z FROM s1),
+    s3 AS (SELECT doc_id, i, {mul64('z', c1)} AS z FROM s2),
+    s4 AS (SELECT doc_id, i, xor(z, z >> 27) AS z FROM s3),
+    s5 AS (SELECT doc_id, i, {mul64('z', c2)} AS z FROM s4),
+    sig AS (SELECT doc_id, i, min(xor(z, z >> 31)) AS s
+            FROM s5 GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // {r} AS band_idx, list(s ORDER BY i) AS bkey
+      FROM sig GROUP BY doc_id, i // {r}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id
+    ),
+    nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.z = x.z
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a AS id_a, c.id_b AS id_b,
+           round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+                 / (na.n + nb.n - coalesce(i.ni, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN nsh na ON na.doc_id = c.id_a
+    JOIN nsh nb ON nb.doc_id = c.id_b
+    WHERE round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+                / (na.n + nb.n - coalesce(i.ni, 0)), 6) >= {thr}
+    """
+
+
 @register(
     "q_dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based; verified against planted dups in tests
-    doc="MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→verify).",
+    oracle=_minhash_xxhash_oracle(),
+    doc="MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join"
+    "→verify) — the PRODUCTION xxhash64/splitmix64 fast path. Oracle-"
+    "paired since r13: the rolling gram hash, splitmix64 finalizer, "
+    "and seeded signature mins are replayed bit-exactly in DuckDB "
+    "HUGEINT arithmetic (see _minhash_xxhash_oracle; band keys join "
+    "on the signature 4-tuple, whose equality the xxhash64 band hash "
+    "merely encodes), closing the last never-hash-checked hot dedup "
+    "path.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

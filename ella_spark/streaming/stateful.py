@@ -1573,6 +1573,7 @@ def _kmv_monitor(
     out_schema: "StructType",
     score,
     marker_metrics,
+    tombstone_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Shared plumbing of the KMV-state streaming monitors
     (cardinality_drift_per_group / set_churn_per_group): JVM-side
@@ -1594,12 +1595,24 @@ def _kmv_monitor(
         raise ValueError(f"k must be >= 2, got {k}")
     metric_names = tuple(f.name for f in out_schema.fields[3:])
     out_schema_snap = StructType(
-        out_schema.fields + [StructField("snapshot", ArrayType(LongType()))]
+        out_schema.fields
+        + [
+            StructField("snapshot", ArrayType(LongType())),
+            # the sketch size the snapshot was cut at: lets a future
+            # run's seed validation detect saturated-at-smaller-k
+            # snapshots EXACTLY instead of via the estimate heuristic
+            StructField("sketch_k", LongType()),
+        ]
     )
     if snapshot_on_timeout and idle_timeout_ms is None:
         raise ValueError(
             "snapshot_on_timeout requires idle_timeout_ms (snapshots "
             "are emitted BY the idle-state GC)"
+        )
+    if tombstone_timeout_ms is not None and idle_timeout_ms is None:
+        raise ValueError(
+            "tombstone_timeout_ms requires idle_timeout_ms (tombstones "
+            "are created BY the idle-state GC)"
         )
     # restore map: newest persisted snapshot per group, loaded once at
     # build time (tiny — only groups the GC ever dropped) and shipped
@@ -1613,8 +1626,11 @@ def _kmv_monitor(
             (c for c in ("est_distinct", "est_union") if c in seed.columns),
             None,
         )
-        cols = ["group", "snapshot", "n_total"] + (
-            [est_col] if est_col else []
+        has_k = "sketch_k" in seed.columns
+        cols = (
+            ["group", "snapshot", "n_total"]
+            + ([est_col] if est_col else [])
+            + (["sketch_k"] if has_k else [])
         )
         picked: dict[str, tuple] = {}  # newest row per group FIRST…
         for r in seed.select(*cols).collect():
@@ -1624,24 +1640,39 @@ def _kmv_monitor(
             prev = picked.get(r.group)
             if prev is None or n_tot > prev[1]:
                 est = getattr(r, est_col, None) if est_col else None
-                picked[r.group] = (list(r.snapshot), n_tot, est)
+                prior_k = getattr(r, "sketch_k", None) if has_k else None
+                picked[r.group] = (list(r.snapshot), n_tot, est, prior_k)
         # …then validate only what will actually be restored: a stale,
         # superseded row (e.g. from before a k upgrade) in a long-
         # lived sink must not hard-fail the build
-        for group, (snap, n_tot, est) in picked.items():
+        for group, (snap, n_tot, est, prior_k) in picked.items():
             n_hs = len(snap)
             # a snapshot taken SATURATED at a smaller prior k would be
             # mis-read by this run's exact-below-k branch (cnt < k →
             # "exact"), collapsing the estimates. Downsizing
             # (n_hs >= k) is always a valid bottom-k re-cut; upsizing
-            # is valid only for exact (unsaturated) sketches —
-            # detected via the snapshot row's own estimate when the
-            # seed frame carries that column.
-            if n_hs < k and est is not None and est > n_hs + 0.5:
+            # is valid only for exact (unsaturated) sketches. When the
+            # seed row carries the marker's ``sketch_k`` column the
+            # check is EXACT: saturated iff the snapshot filled its
+            # prior k. The estimate heuristic (est > n_hs + 0.5) is
+            # the fallback for older sinks without the column — it
+            # can miss, since the (k-1)/h_(k) estimator may
+            # legitimately dip below n_hs on a saturated sketch.
+            saturated_smaller_k = (
+                n_hs >= int(prior_k) and int(prior_k) < k
+                if prior_k is not None and n_hs < k
+                else (prior_k is None and n_hs < k
+                      and est is not None and est > n_hs + 0.5)
+            )
+            if saturated_smaller_k:
+                detail = (
+                    f"sketch_k {int(prior_k)}" if prior_k is not None
+                    else f"{est_col} {est:.0f}"
+                )
                 raise ValueError(
                     f"seed snapshot for group {group!r} was taken "
                     f"saturated at a smaller k ({n_hs} hashes, "
-                    f"{est_col} {est:.0f}) — restoring into k={k} "
+                    f"{detail}) — restoring into k={k} "
                     "would mis-read it as exact; rebuild the seed with "
                     "cardinality_seed_from_history at the current k"
                 )
@@ -1677,14 +1708,34 @@ def _kmv_monitor(
                 # into the build-time seed branch and REWIND n_total
                 # to the stale seed value
                 hs, n_total = state.get
+                if not hs and tombstone_timeout_ms is not None:
+                    # a TOMBSTONE reached its second, longer timeout:
+                    # remove it outright. Its snapshot (and counter)
+                    # were already emitted on the first GC's marker
+                    # row, so with snapshot_on_timeout + seed the
+                    # history survives across runs; within THIS run a
+                    # group resuming after tombstone expiry restarts
+                    # from the build-time seed (or zero). This is the
+                    # cap on tombstone growth — without it, state-
+                    # entry count grows with total distinct groups
+                    # ever seen.
+                    state.remove()
+                    return
                 hs = sorted(int(x) for x in hs)
-                state.update(([], int(n_total)))  # no new timeout
+                state.update(([], int(n_total)))
+                if tombstone_timeout_ms is not None:
+                    state.setTimeoutDuration(tombstone_timeout_ms)
+                # else: no new timeout — the tombstone persists for
+                # the run (O(1) per group, but unbounded in the number
+                # of distinct groups ever seen; see the
+                # tombstone_timeout_ms docs for the tradeoff)
                 if snapshot_on_timeout and hs:
                     base = {
                         "group": key[0],
                         "n_batch": 0,
                         "n_total": int(n_total),
                         "snapshot": hs,
+                        "sketch_k": k,
                     }
                     base.update(marker_metrics(hs, _estimate))
                     marker = pd.DataFrame([base])
@@ -1736,6 +1787,7 @@ def _kmv_monitor(
             row.update(score(ref, hu, merged, n_batch, _estimate))
             if snapshot_on_timeout:
                 row["snapshot"] = None  # only timeout rows carry one
+                row["sketch_k"] = None
             outs.append(pd.DataFrame([row]))
             ref = merged
 
@@ -1766,6 +1818,7 @@ def cardinality_drift_per_group(
     idle_timeout_ms: int | None = None,
     snapshot_on_timeout: bool = False,
     seed: DataFrame | None = None,
+    tombstone_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming distinct-count / duplicate-rate monitor per group —
     the CARDINALITY member of the drift column (PSI/chi²/KS/JS/EMD/AUC
@@ -1821,10 +1874,26 @@ def cardinality_drift_per_group(
     dashboard; ``snapshot`` is NULL on ordinary score rows, and the
     output schema gains the column only when this is on, so existing
     consumers are untouched). The sink the user already writes thus
-    persists every GC'd sketch for free, and the GC keeps an O(1)
+    persists every GC'd sketch for free (marker rows also carry a
+    ``sketch_k`` column — the k the snapshot was cut at — so a later
+    run's seed validation can detect saturated-at-smaller-k snapshots
+    exactly), and the GC keeps an O(1)
     tombstone (counter only, no hashes) per evicted group so emitted
     ``n_total`` stays monotone even if the group resumes in the same
-    run; full O(k) state is held only for LIVE groups.
+    run; full O(k) state is held only for LIVE groups. TRADEOFF: the
+    tombstones themselves never expire by default, so while per-group
+    state drops to O(1) after GC, the NUMBER of state entries still
+    grows with total distinct groups ever seen — the idle GC caps
+    per-group size, not group-space growth. For unbounded group
+    spaces (session ids, per-crawl batch ids) set
+    ``tombstone_timeout_ms``: a second, longer timeout after which a
+    tombstone is removed outright. Its counter survives in the first
+    GC's marker row (restorable via ``seed`` on the next run), but a
+    group resuming IN THE SAME RUN after its tombstone expired
+    restarts from the build-time seed (or zero) — with seed-only
+    continuity (no snapshots) that group's ``n_total`` can rewind, so
+    pick a tombstone timeout comfortably above the longest plausible
+    group dormancy.
 
     ``seed`` is the restore half: a small batch DataFrame with columns
     ``(group, snapshot, n_total)`` — e.g.
@@ -1848,8 +1917,18 @@ def cardinality_drift_per_group(
     pinning. (2) a snapshot taken SATURATED at a smaller prior ``k``
     cannot be restored into a larger ``k`` (the exact-below-k branch
     would mis-read it); when the seed frame carries the marker row's
-    ``est_distinct`` column this is detected and raised at build
-    time, otherwise keep ``k`` consistent across runs."""
+    ``sketch_k`` column this is detected EXACTLY and raised at build
+    time (``est_distinct`` is the heuristic fallback for older sinks
+    — it can miss, since the estimator may legitimately dip below the
+    hash count on a saturated sketch), otherwise keep ``k``
+    consistent across runs. (3) ``n_total`` is a MONITORING counter,
+    not a physical row count: it sums the seed's ``n_total`` plus
+    every row the new checkpoint processes — including rows the
+    source REPLAYS when the query starts from a fresh checkpoint
+    (e.g. a topic re-read from offset 0), which the seed already
+    counted once. Dashboards wanting physical rows should count the
+    source, not this column; the per-batch scores are unaffected
+    (re-played values are correctly scored as duplicates)."""
 
     return _kmv_monitor(
         stream,
@@ -1862,6 +1941,7 @@ def cardinality_drift_per_group(
         _CARD_OUT,
         _cardinality_score,
         lambda hs, est: {"est_distinct": est(hs, len(hs))},
+        tombstone_timeout_ms,
     )
 
 
@@ -1900,6 +1980,7 @@ def set_churn_per_group(
     idle_timeout_ms: int | None = None,
     snapshot_on_timeout: bool = False,
     seed: DataFrame | None = None,
+    tombstone_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming SET-CHURN monitor per group — the content-rotation
     signal: how much of each micro-batch's distinct-value SET overlaps
@@ -1933,11 +2014,15 @@ def set_churn_per_group(
       already in history (1.0 = pure re-crawl);
     - ``novelty``: 1 - containment (1.0 = fully rotated content).
 
-    State, GC, ``snapshot_on_timeout``, and ``seed`` are shared with
+    State, GC, ``snapshot_on_timeout``, ``seed``, and
+    ``tombstone_timeout_ms`` are shared with
     cardinality_drift_per_group (same O(k) bottom-k state, same O(1)
     tombstone + marker-row contract — churn metrics are NULL on
-    marker rows — and cardinality_seed_from_history builds a valid
-    seed for this monitor too, the state layout is identical).
+    marker rows, markers carry ``sketch_k`` for exact seed validation
+    — and cardinality_seed_from_history builds a valid seed for this
+    monitor too, the state layout is identical; see that function's
+    docs for the tombstone-growth tradeoff and the ``n_total``
+    replay-counting contract).
     """
 
     return _kmv_monitor(
@@ -1951,6 +2036,7 @@ def set_churn_per_group(
         _CHURN_OUT,
         _churn_score(k),
         lambda hs, est: {"est_union": est(hs, len(hs))},
+        tombstone_timeout_ms,
     )
 
 
@@ -2019,5 +2105,10 @@ def cardinality_seed_from_history(
         F.count(F.lit(1)).alias("n_total")
     )
     return hashes.join(totals, "grp").select(
-        F.col("grp").alias("group"), "snapshot", "n_total"
+        F.col("grp").alias("group"),
+        "snapshot",
+        "n_total",
+        # the k this seed was cut at: lets the monitor's build-time
+        # validation detect saturated-at-smaller-k seeds EXACTLY
+        F.lit(k).cast("long").alias("sketch_k"),
     )

@@ -392,7 +392,11 @@ def test_rotation_derivation_warns_when_no_correctness_files(tmp_path):
     """Zero parseable CORRECTNESS files means the rotation silently
     degrades to registration order — r12 advice: make that VISIBLE.
     A list with only non-matching names must warn (and parse empty);
-    a list with one valid file must stay silent."""
+    a list with one valid file must stay silent. Explicit-files calls
+    warn EVERY time (callers assert on the degradation) and must not
+    consume the once-per-process budget reserved for the glob path
+    (r13 advice: a package used outside the dev checkout hits the
+    glob-path state on every _reorder — warn once, not recurringly)."""
     import json
     import warnings
 
@@ -427,3 +431,6 @@ def test_rotation_derivation_warns_when_no_correctness_files(tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert Q._newest_greens([good, stray]) == {"q_x": 3}
+    # every explicit-files call above warned, repeatedly — so none of
+    # them may have consumed the glob path's once-per-process budget
+    assert Q._WARNED_NO_RANKING is False

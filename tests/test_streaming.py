@@ -1846,6 +1846,9 @@ def test_cardinality_drift_snapshot_on_timeout_and_seed_restore(db, spark):
         assert score.n_batch == 3 and score.snapshot is None
         assert snap.n_batch == 0 and snap.n_total == 3
         assert snap.est_distinct == 3.0
+        # markers carry the k the snapshot was cut at (exact seed
+        # validation, r13 advice); data rows leave it NULL
+        assert snap.sketch_k == 64 and pd.isna(score.sketch_k)
         # marker-row scores are NULL, not 0.0 — a last-value-per-group
         # dashboard must not read a GC as "all-new content"
         assert pd.isna(snap.est_new) and pd.isna(snap.dup_rate)
@@ -1910,6 +1913,82 @@ def test_cardinality_drift_snapshot_on_timeout_and_seed_restore(db, spark):
         q2.stop()
 
 
+def test_tombstone_timeout_caps_group_space(db, spark):
+    """tombstone_timeout_ms (r13 advice): by default the idle-GC's
+    O(1) tombstones never expire, so state-entry count grows with
+    total distinct groups ever seen. The second, longer timeout
+    removes an expired tombstone outright — a group resuming AFTER
+    that restarts fresh (n_total rewinds to its own rows; the history
+    lives on in the first GC's marker row, restorable via seed),
+    which is the documented tradeoff for capping group-space growth."""
+    from ella_spark.streaming.stateful import cardinality_drift_per_group
+
+    # contract: tombstones are created BY the idle GC
+    with pytest.raises(ValueError, match="tombstone_timeout_ms"):
+        cardinality_drift_per_group(None, "g", "v", tombstone_timeout_ms=5)
+
+    topic = db.create_topic(
+        "ctomb",
+        [Column("g", "string", required=True), Column("v", "float64")],
+    )
+    ns = 1_000_000_000
+    with topic.publish() as pub:
+        for i, v in enumerate([1.0, 2.0, 3.0]):
+            pub.write((i + 1) * ns, "g1", v)
+    out = cardinality_drift_per_group(
+        db.subscribe("ctomb"),
+        "g",
+        "v",
+        k=64,
+        idle_timeout_ms=400,
+        snapshot_on_timeout=True,
+        tombstone_timeout_ms=800,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ctomb_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "ctomb_out"),
+        )
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT count(*) FROM ctomb_out").collect()[0][0]
+                >= n
+            ):
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_rows(1), "first batch never scored"
+        assert wait_rows(2), "snapshot marker never emitted"
+        # let the tombstone's own (second) timeout expire, with margin:
+        # with a timeout configured the engine keeps triggering empty
+        # micro-batches, which is what fires it without new data
+        time.sleep(5)
+        with topic.publish() as pub:
+            for i, v in enumerate([1.0, 2.0, 3.0]):
+                pub.write((50 + i) * ns, "g1", v)
+        assert wait_rows(3), "post-expiry batch never scored"
+        pdf = spark.sql(
+            "SELECT * FROM ctomb_out WHERE n_batch > 0 ORDER BY n_total"
+        ).toPandas()
+        resumed = pdf.iloc[-1]
+        # the tombstone is GONE: totals restart at the new batch's own
+        # rows (a kept tombstone would have carried them to 6, the
+        # same-run-resume case pinned in the snapshot/seed test)
+        assert resumed.n_total == 3 and resumed.est_new == 3.0
+    finally:
+        q.stop()
+
+
 def test_cardinality_seed_validation_and_history_builder(db, spark):
     """Build-time seed contracts (r12 review): a NULL n_total row is
     skipped like the other NULL guards (no bare TypeError), a snapshot
@@ -1956,6 +2035,29 @@ def test_cardinality_seed_validation_and_history_builder(db, spark):
         "v",
         k=64,
         seed=bad.drop("est_distinct"),
+    )
+
+    # sketch_k makes the check EXACT (r13 advice): the estimator can
+    # legitimately dip below the hash count on a saturated sketch, so
+    # est=2.0 with 2 hashes would slip the heuristic — but sketch_k=2
+    # says those 2 hashes ARE a full (saturated) k=2 sketch: reject.
+    schema_k = (
+        "group string, snapshot array<bigint>, n_total bigint, "
+        "est_distinct double, sketch_k bigint"
+    )
+    sneaky = spark.createDataFrame(
+        [("g1", [10, 20], 7, 2.0, 2)], schema_k
+    )
+    with pytest.raises(ValueError, match="sketch_k 2"):
+        cardinality_drift_per_group(None, "g", "v", k=64, seed=sneaky)
+    # and conversely: an UNSATURATED snapshot (3 hashes cut at k=8) is
+    # exact and upsizes fine even when a stale estimate column would
+    # have tripped the heuristic — sketch_k overrides the fallback
+    exact = spark.createDataFrame(
+        [("g1", [10, 20, 30], 7, 50.0, 8)], schema_k
+    )
+    cardinality_drift_per_group(
+        _fake_stream_for_seed_check(spark), "g", "v", k=64, seed=exact
     )
 
     # the history builder == kmv_sketch + counts, exactly
