@@ -83,6 +83,39 @@ def shingle_minhash_udf(k: int = 8, num_hashes: int = 16):
     return _udf
 
 
+def minhash_sig_udf(k: int = 8, num_hashes: int = 64):
+    """Arrow-batched UDF: text -> MinHash signature (array<long>), or
+    NULL for texts with no k-gram (shorter than k after normalization
+    is the caller's filter; this guards the residual empties).
+
+    The signature-only sibling of ``shingle_minhash_udf`` for
+    consumers that must NOT ship the shingle sets — the streaming
+    MinHash drift monitor keys on (group, sig): 8·num_hashes bytes
+    per row cross the shuffle instead of the document text. Same
+    hash chain as the production LSH path (``_kgram_hashes`` rolling
+    Horner hash -> ``_mix64(h ^ seed_i)`` mins, seeds
+    ``_mix64(1..num_hashes)``), so a group's elementwise-min fold is
+    pinned value-identical to ``shingle_minhash_udf`` signatures on
+    the same documents (MinHash union law:
+    sig(A ∪ B) = min(sig(A), sig(B)) slotwise)."""
+    seeds = _mix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+
+    @F.pandas_udf("array<long>")
+    def _udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            h = _kgram_hashes(t if t is not None else "", k)
+            if h.shape[0] == 0:
+                out.append(None)
+                continue
+            out.append(
+                _mix64(h[None, :] ^ seeds[:, None]).min(axis=1).view(np.int64)
+            )
+        return pd.Series(out)
+
+    return _udf
+
+
 def hashed_grams_udf(k: int = 3):
     """Arrow-batched UDF: text -> array<long> of distinct hashed
     character k-grams.

@@ -2112,3 +2112,245 @@ def cardinality_seed_from_history(
         # validation detect saturated-at-smaller-k seeds EXACTLY
         F.lit(k).cast("long").alias("sketch_k"),
     )
+
+
+_MHD_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n_batch", LongType()),
+        StructField("n_total", LongType()),
+        StructField("est_jaccard", DoubleType()),
+        StructField("novelty", DoubleType()),
+    ]
+)
+
+
+def minhash_drift_per_group(
+    stream: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+    num_hashes: int = 64,
+    idle_timeout_ms: int | None = None,
+    snapshot_on_timeout: bool = False,
+    seed: DataFrame | None = None,
+    tombstone_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-SIGNATURE drift monitor per group — the
+    SIMILARITY member that completes the monitor column (count →
+    cardinality → set → similarity): per group, how textually similar
+    is each micro-batch's content to everything the group has shipped
+    before? Where set_churn_per_group scores exact value-set overlap
+    (a url seen once is "known" forever, a one-character edit is
+    "new"), this scores SHINGLE-level similarity — a source that
+    starts shipping lightly-reworded variants of its own history
+    keeps est_jaccard high here while the set monitor calls every
+    variant novel, and a true content rotation drops est_jaccard to
+    ~0 on both.
+
+    Method: each row's text maps to its production-path MinHash
+    signature JVM→Arrow-side (``operators/dedup.minhash_sig_udf`` —
+    the same ``_kgram_hashes``/``_mix64`` chain as the LSH dedup
+    fast path), so only (group, 8·num_hashes bytes) cross the
+    shuffle, never documents. State per group is the signature of
+    the UNION of every shingle set ever seen, maintained by the
+    MinHash union law sig(A ∪ B) = slotwise min(sig(A), sig(B)) —
+    O(num_hashes) longs per group regardless of stream length. Each
+    batch scores the slot-agreement fraction between the batch's
+    union signature and the history signature BEFORE merging:
+    an unbiased estimate of Jaccard(batch shingles, history
+    shingles), ±1/√num_hashes. The fold is pinned value-identical to
+    the batch operator (elementwise min over per-doc
+    ``shingle_minhash_udf`` signatures) in test_streaming.
+
+    Emits one row per group per micro-batch that contains at least
+    one shingleable document (texts shorter than ``shingle_k`` after
+    lower/trim are filtered in the keyed projection and do not count
+    toward ``n_batch``):
+
+    - ``est_jaccard``: estimated shingle-set Jaccard between this
+      batch's content and the accumulated history (first batch: 0.0);
+    - ``novelty``: 1 - est_jaccard (first batch: 1.0).
+
+    GC/restore plumbing follows the KMV monitors: ``idle_timeout_ms``
+    drops idle groups; ``snapshot_on_timeout`` emits the evicted
+    signature as a marker row (``n_batch = 0``, scores NULL,
+    ``snapshot`` = the signature, ``sig_shingle_k`` = the shingle
+    width it was built at) and keeps the O(1) counter tombstone;
+    ``tombstone_timeout_ms`` expires tombstones (same group-space
+    growth tradeoff as cardinality_drift_per_group — see its docs);
+    ``seed`` restores the newest snapshot per group at build time.
+    Seed validation is fully EXACT here: a signature's length IS its
+    num_hashes (mismatch → ValueError), and a ``sig_shingle_k``
+    column (present in any snapshot-derived seed) must match
+    ``shingle_k`` — both parameters change the hash space, so a
+    mismatched restore would score garbage silently. ``n_total``
+    follows the same replay-counting contract as the KMV monitors
+    (seed total + every row the new checkpoint processes)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.dedup import minhash_sig_udf, normalize_text
+
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    if snapshot_on_timeout and idle_timeout_ms is None:
+        raise ValueError(
+            "snapshot_on_timeout requires idle_timeout_ms (snapshots "
+            "are emitted BY the idle-state GC)"
+        )
+    if tombstone_timeout_ms is not None and idle_timeout_ms is None:
+        raise ValueError(
+            "tombstone_timeout_ms requires idle_timeout_ms (tombstones "
+            "are created BY the idle-state GC)"
+        )
+    out_schema = (
+        StructType(
+            _MHD_OUT.fields
+            + [
+                StructField("snapshot", ArrayType(LongType())),
+                StructField("sig_shingle_k", LongType()),
+            ]
+        )
+        if snapshot_on_timeout
+        else _MHD_OUT
+    )
+
+    seed_map: dict[str, tuple[list[int], int]] = {}
+    if seed is not None:
+        has_sk = "sig_shingle_k" in seed.columns
+        cols = ["group", "snapshot", "n_total"] + (
+            ["sig_shingle_k"] if has_sk else []
+        )
+        picked: dict[str, tuple] = {}
+        for r in seed.select(*cols).collect():
+            if r.snapshot is None or r.group is None or r.n_total is None:
+                continue
+            n_tot = int(r.n_total)
+            prev = picked.get(r.group)
+            if prev is None or n_tot > prev[1]:
+                sk = getattr(r, "sig_shingle_k", None) if has_sk else None
+                picked[r.group] = (list(r.snapshot), n_tot, sk)
+        for group, (snap, n_tot, sk) in picked.items():
+            if len(snap) != num_hashes:
+                raise ValueError(
+                    f"seed signature for group {group!r} has "
+                    f"{len(snap)} slots but the monitor runs "
+                    f"num_hashes={num_hashes} — signatures from a "
+                    "different num_hashes cannot be restored; rebuild "
+                    "the history at the current parameters"
+                )
+            if sk is not None and int(sk) != shingle_k:
+                raise ValueError(
+                    f"seed signature for group {group!r} was built at "
+                    f"shingle_k={int(sk)} but the monitor runs "
+                    f"shingle_k={shingle_k} — different shingle widths "
+                    "hash different gram spaces; rebuild the history "
+                    "at the current parameters"
+                )
+            seed_map[group] = ([int(x) for x in snap], n_tot)
+
+    sig = minhash_sig_udf(shingle_k, num_hashes)
+    keyed = (
+        stream.select(
+            F.col(group_col).cast("string").alias("group"),
+            normalize_text(F.col(text_col)).alias("_t"),
+        )
+        .where(F.length("_t") >= shingle_k)
+        .select("group", sig("_t").alias("_sig"))
+        .where(F.col("_sig").isNotNull())
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            if state.exists and (snapshot_on_timeout or seed_map):
+                hs, n_total = state.get
+                if not hs and tombstone_timeout_ms is not None:
+                    state.remove()  # expired tombstone (see KMV docs)
+                    return
+                hs = [int(x) for x in hs]
+                state.update(([], int(n_total)))
+                if tombstone_timeout_ms is not None:
+                    state.setTimeoutDuration(tombstone_timeout_ms)
+                if snapshot_on_timeout and hs:
+                    yield pd.DataFrame(
+                        [
+                            {
+                                "group": key[0],
+                                "n_batch": 0,
+                                "n_total": int(n_total),
+                                "est_jaccard": None,
+                                "novelty": None,
+                                "snapshot": hs,
+                                "sig_shingle_k": shingle_k,
+                            }
+                        ]
+                    )
+            else:
+                state.remove()
+            return
+
+        if state.exists:
+            hs, n_total = state.get
+            ref = np.asarray(list(hs), dtype=np.int64)
+            n_total = int(n_total)
+            if ref.size == 0 and key[0] in seed_map:
+                s_hs, s_nt = seed_map[key[0]]
+                ref = np.asarray(s_hs, dtype=np.int64)
+                n_total = max(n_total, s_nt)
+        elif key[0] in seed_map:
+            hs, n_total = seed_map[key[0]]
+            ref = np.asarray(hs, dtype=np.int64)
+        else:
+            ref = np.array([], dtype=np.int64)
+            n_total = 0
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if chunks:
+            sigs = [
+                np.asarray(s, dtype=np.int64)
+                for pdf in chunks
+                for s in pdf["_sig"]
+                if s is not None
+            ]
+            if sigs:
+                n_batch = len(sigs)
+                batch_sig = np.minimum.reduce(sigs)
+                if ref.size:
+                    agree = float(np.mean(ref == batch_sig))
+                    merged = np.minimum(ref, batch_sig)
+                else:
+                    agree = 0.0
+                    merged = batch_sig
+                n_total += n_batch
+                row = {
+                    "group": key[0],
+                    "n_batch": n_batch,
+                    "n_total": n_total,
+                    "est_jaccard": agree,
+                    "novelty": 1.0 - agree,
+                }
+                if snapshot_on_timeout:
+                    row["snapshot"] = None
+                    row["sig_shingle_k"] = None
+                outs.append(pd.DataFrame([row]))
+                ref = merged
+
+        state.update(([int(x) for x in ref], n_total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_CARD_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

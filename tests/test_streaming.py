@@ -2298,3 +2298,219 @@ def test_cardinality_gc_with_seed_keeps_totals_monotone(db, spark):
         assert list(pdf.n_total) == [103, 106]
     finally:
         q.stop()
+
+
+def test_minhash_drift_stream_matches_batch_signatures(db, spark):
+    """Value-identity pin for the similarity monitor: the history
+    signature the stream folds (MinHash union law: slotwise min) must
+    EQUAL the elementwise min of per-doc signatures from the
+    PRODUCTION batch operator (shingle_minhash_udf — same
+    _kgram_hashes/_mix64 chain), and each batch's est_jaccard must
+    equal the slot-agreement fraction computed numpy-side from those
+    signatures. Plus the semantics the monitor exists for: replaying
+    the same text scores est_jaccard 1.0; disjoint text scores ~0;
+    REWORDED text (the case the exact-set monitor calls fully novel)
+    scores high."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.dedup import shingle_minhash_udf
+    from ella_spark.streaming.stateful import minhash_drift_per_group
+
+    with pytest.raises(ValueError, match="idle_timeout_ms"):
+        minhash_drift_per_group(None, "g", "t", snapshot_on_timeout=True)
+    with pytest.raises(ValueError, match="idle_timeout_ms"):
+        minhash_drift_per_group(None, "g", "t", tombstone_timeout_ms=5)
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_drift_per_group(None, "g", "t", num_hashes=1)
+
+    NH, K = 64, 8
+    b1 = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "a second document about spark structured streaming state",
+        "short third text with enough characters to shingle",
+    ]
+    b2_rw = [
+        "the quick brown fox jumps over the lazy dog near the creek",
+        "a second document about spark structured streaming windows",
+    ]
+    b3_rot = [
+        "zzz completely rotated corpus qqq unrelated ngrams xxyyzz",
+        "vvv nothing shared with history wwww kkkjjj hhhhgg ffff",
+    ]
+
+    topic = db.create_topic(
+        "mhd",
+        [Column("g", "string", required=True), Column("txt", "string")],
+    )
+    ns = 1_000_000_000
+    out = minhash_drift_per_group(
+        db.subscribe("mhd"), "g", "txt", shingle_k=K, num_hashes=NH
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mhd_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "mhd_out"),
+        )
+        .start()
+    )
+    try:
+        def push(texts, t0):
+            with topic.publish() as pub:
+                for i, t in enumerate(texts):
+                    pub.write((t0 + i) * ns, "g1", t)
+            q.processAllAvailable()
+
+        push(b1, 1)
+        push(b1, 100)      # exact replay
+        push(b2_rw, 200)   # light rewording
+        push(b3_rot, 300)  # full rotation
+        pdf = spark.sql("SELECT * FROM mhd_out ORDER BY n_total").toPandas()
+        assert len(pdf) == 4
+        r1, r2, r3, r4 = (pdf.iloc[i] for i in range(4))
+        assert r1.n_batch == 3 and r1.est_jaccard == 0.0 and r1.novelty == 1.0
+        # exact replay: identical batch/history signatures, exactly 1.0
+        assert r2.est_jaccard == 1.0 and r2.novelty == 0.0
+        # numpy reference signatures from the PRODUCTION batch UDF
+        def batch_sigs(texts):
+            smh = shingle_minhash_udf(K, NH)
+            sdf = spark.createDataFrame(
+                [(t,) for t in texts], "t string"
+            ).select(smh(F.lower(F.trim("t"))).alias("s"))
+            return np.array(
+                [r.s.sig for r in sdf.collect()], dtype=np.int64
+            )
+
+        hist_sig = batch_sigs(b1).min(axis=0)
+        rw_sig = batch_sigs(b2_rw).min(axis=0)
+        rot_sig = batch_sigs(b3_rot).min(axis=0)
+        # slot-agreement pins: the stream scored exactly these
+        assert r3.est_jaccard == float(np.mean(hist_sig == rw_sig))
+        hist2 = np.minimum(hist_sig, rw_sig)
+        assert r4.est_jaccard == float(np.mean(hist2 == rot_sig))
+        # and the semantics: rewording stays similar, rotation doesn't
+        # (the reworded batch covers 2 of 3 history docs, so its true
+        # union-Jaccard sits near 0.5 — the gap to the rotation's ~0
+        # is the signal, not the absolute level)
+        assert r3.est_jaccard >= 0.4
+        assert r4.est_jaccard < 0.2
+    finally:
+        q.stop()
+
+
+def test_minhash_drift_snapshot_seed_roundtrip(db, spark):
+    """GC + seed round-trip for the similarity monitor: the idle GC
+    emits the history signature as a marker row (scores NULL,
+    sig_shingle_k recorded); feeding markers back as ``seed``
+    restores it across a restart (replay scores est_jaccard 1.0,
+    n_total continues). Seed validation is exact: wrong num_hashes
+    (signature length) and wrong shingle_k both raise."""
+    import numpy as np
+
+    from ella_spark.streaming.stateful import minhash_drift_per_group
+
+    topic = db.create_topic(
+        "mhds",
+        [Column("g", "string", required=True), Column("txt", "string")],
+    )
+    ns = 1_000_000_000
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi",
+    ]
+    with topic.publish() as pub:
+        for i, t in enumerate(texts):
+            pub.write((i + 1) * ns, "g1", t)
+    out = minhash_drift_per_group(
+        db.subscribe("mhds"),
+        "g",
+        "txt",
+        shingle_k=8,
+        num_hashes=32,
+        idle_timeout_ms=500,
+        snapshot_on_timeout=True,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mhds_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "mhds_out"),
+        )
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT count(*) FROM mhds_out").collect()[0][0]
+                >= n
+            ):
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_rows(1), "first batch never scored"
+        assert wait_rows(2), "snapshot marker never emitted"
+    finally:
+        q.stop()
+    pdf = spark.sql("SELECT * FROM mhds_out").toPandas()
+    snaps = pdf[pdf.snapshot.notna()]
+    scores = pdf[pdf.snapshot.isna()]
+    assert len(snaps) >= 1 and len(scores) >= 1
+    snap = snaps.iloc[-1]
+    assert snap.n_batch == 0 and snap.sig_shingle_k == 8
+    assert len(list(snap.snapshot)) == 32
+    assert pd.isna(snap.est_jaccard) and pd.isna(snap.novelty)
+    assert all(pd.isna(s) for s in scores.sig_shingle_k)
+    seed_n = int(snap.n_total)
+
+    # restart, seeded: replaying the SAME docs is a pure re-crawl
+    seed = spark.sql(
+        "SELECT group, snapshot, n_total, sig_shingle_k FROM mhds_out "
+        "WHERE snapshot IS NOT NULL"
+    )
+    with topic.publish() as pub:
+        for i, t in enumerate(texts):
+            pub.write((100 + i) * ns, "g1", t)
+    out2 = minhash_drift_per_group(
+        db.subscribe("mhds"),
+        "g",
+        "txt",
+        shingle_k=8,
+        num_hashes=32,
+        seed=seed,
+    )
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("mhds_out2")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "mhds_out2"),
+        )
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    pdf2 = spark.sql("SELECT * FROM mhds_out2 ORDER BY n_total").toPandas()
+    last = pdf2.iloc[-1]
+    assert last.est_jaccard == 1.0 and last.novelty == 0.0
+    assert last.n_total == seed_n + int(pdf2.n_batch.sum())
+
+    # exact validation: wrong num_hashes = wrong signature LENGTH
+    with pytest.raises(ValueError, match="num_hashes=64"):
+        minhash_drift_per_group(None, "g", "txt", num_hashes=64, seed=seed)
+    # wrong shingle width: different gram space, rejected loudly
+    with pytest.raises(ValueError, match="shingle_k=4"):
+        minhash_drift_per_group(
+            None, "g", "txt", shingle_k=4, num_hashes=32, seed=seed
+        )
