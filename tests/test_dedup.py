@@ -447,3 +447,89 @@ def test_verify_parallelism_probe_fallbacks():
     assert _verify_parallelism(_ConnectSession(None)) == 200  # unset
     with pytest.raises(RuntimeError, match="shut down"):
         _verify_parallelism(_DeadSession())
+
+
+def test_minhash_xxhash_oracle_sql_replays_mix64_exactly():
+    """Standing guard for the r13 production-path oracle
+    (queries/dedup._minhash_xxhash_oracle): the staged DuckDB HUGEINT
+    splitmix64 (split hi/lo multiplies, xor-shifts) must equal
+    operators/dedup._mix64 bit-for-bit on adversarial uint64 inputs,
+    and the full gram-hash chain (unicode(substr()) code points →
+    Horner rolling hash → splitmix64 → distinct) must equal
+    _kgram_hashes on NON-ASCII text across Unicode planes — the
+    oracle's exactness claim is 'any text', not 'the ASCII testdata'.
+    A DuckDB upgrade changing substr/unicode/HUGEINT semantics, or a
+    refactor drifting _mix64, trips this without needing the driver."""
+    import duckdb
+    import numpy as np
+
+    from ella_spark.operators.dedup import _kgram_hashes, _mix64
+
+    t64, t32 = 1 << 64, 1 << 32
+    gamma = 0x9E3779B97F4A7C15
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul64(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {t32}) * {c}::HUGEINT) % {t32} * {t32}"
+            f" + (({z}) % {t32}) * {c}::HUGEINT) % {t64}::HUGEINT"
+        )
+
+    con = duckdb.connect()
+    # adversarial values: 0, 1, all-ones, sign/half boundaries, and a
+    # deterministic pseudo-random spread
+    rng = np.random.default_rng(20260816)
+    vals = np.unique(
+        np.concatenate(
+            [
+                np.array(
+                    [0, 1, 2**63 - 1, 2**63, 2**64 - 1, 2**32 - 1, 2**32],
+                    dtype=np.uint64,
+                ),
+                rng.integers(0, 2**64, size=200, dtype=np.uint64),
+            ]
+        )
+    )
+    rows = ", ".join(f"({int(v)}::HUGEINT)" for v in vals)
+    got = con.sql(f"""
+        WITH v(x) AS (VALUES {rows}),
+        g1 AS (SELECT x, (x + {gamma}::HUGEINT) % {t64}::HUGEINT AS z FROM v),
+        g2 AS (SELECT x, xor(z, z >> 30) AS z FROM g1),
+        g3 AS (SELECT x, {mul64('z', c1)} AS z FROM g2),
+        g4 AS (SELECT x, xor(z, z >> 27) AS z FROM g3),
+        g5 AS (SELECT x, {mul64('z', c2)} AS z FROM g4)
+        SELECT xor(z, z >> 31) FROM g5 ORDER BY x
+    """).fetchall()
+    assert [int(r[0]) for r in got] == [
+        int(w) for w in _mix64(np.sort(vals))
+    ]
+
+    # full gram chain on multi-plane text (BMP accents, CJK,
+    # supplementary-plane emoji)
+    k = 8
+    pow_mod = [pow(1099511628211, j, t64) for j in range(k)]
+    roll = " + ".join(
+        f"cp[i + {j}] * {pow_mod[k - 1 - j]}::HUGEINT" for j in range(k)
+    )
+    for text in [
+        "héllo wörld ünïcode tèxt",
+        "日本語のテキストをハッシュする",
+        "emoji 😀😃😄😁 mix 🚀 text here",
+    ]:
+        q = f"""
+        WITH n AS (SELECT lower(trim(?)) AS t),
+        cps AS (SELECT list_transform(range(1, length(t) + 1),
+                  i -> unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)
+                  AS cp FROM n),
+        g0 AS (SELECT unnest(list_transform(range(1, len(cp) - {k} + 2),
+                  i -> ({roll}) % {t64}::HUGEINT)) AS z FROM cps),
+        g1 AS (SELECT ((z + {gamma}::HUGEINT) % {t64}::HUGEINT) AS z FROM g0),
+        g2 AS (SELECT xor(z, z >> 30) AS z FROM g1),
+        g3 AS (SELECT {mul64('z', c1)} AS z FROM g2),
+        g4 AS (SELECT xor(z, z >> 27) AS z FROM g3),
+        g5 AS (SELECT {mul64('z', c2)} AS z FROM g4)
+        SELECT DISTINCT xor(z, z >> 31) AS z FROM g5 ORDER BY z
+        """
+        duck = [int(r[0]) for r in con.execute(q, [text]).fetchall()]
+        ref = sorted(int(x) for x in _kgram_hashes(text.strip().lower(), k))
+        assert duck == ref, text
