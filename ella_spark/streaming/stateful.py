@@ -2304,6 +2304,19 @@ def minhash_drift_per_group(
         else:
             ref = np.array([], dtype=np.int64)
             n_total = 0
+        if ref.size not in (0, num_hashes):
+            # unlike the KMV monitors (whose bottom-k re-cut absorbs a
+            # k change mid-checkpoint), a signature from a different
+            # num_hashes is semantically meaningless to compare — this
+            # only happens when the SAME checkpoint is restarted with
+            # a changed num_hashes (the seed path validates at build
+            # time); fail loudly instead of scoring garbage
+            raise ValueError(
+                f"group {key[0]!r}: checkpointed signature has "
+                f"{ref.size} slots but the monitor runs "
+                f"num_hashes={num_hashes} — use a fresh checkpoint "
+                "(plus a seed) when changing num_hashes"
+            )
 
         chunks = [pdf for pdf in pdfs if len(pdf)]
         outs = []
