@@ -165,6 +165,77 @@ def main(root: str | None = None) -> int:
     # after the last batch the union covers the whole topic history:
     # 4 distinct example.com urls (published twice) + 4 rotated urls
     assert churn[-1].est_union == 8.0
+
+    # ── HOW SIMILAR, not just which: the MinHash-signature member ──
+    # a source shipping lightly-REWORDED variants of its own pages is
+    # 100% novel to the exact-set monitor (every edited body is a new
+    # value) but stays similar here — the similarity member separates
+    # "same content, touched up" from "actually rotated content"
+    from ella_spark.streaming.stateful import (
+        minhash_drift_per_group,
+        set_churn_per_group as _churn,
+    )
+
+    bodies = db.create_topic(
+        "bodies",
+        [Column("source", "string", required=True), Column("body", "string")],
+    )
+    v1 = [
+        "breaking news about the harbor bridge reopening this weekend",
+        "local bakery wins the regional sourdough championship again",
+        "city council approves the new riverside cycling path budget",
+    ]
+    v2_reworded = [
+        "breaking news about the harbor bridge reopening this sunday",
+        "local bakery wins the regional sourdough championship trophy",
+        "city council approves the new riverside cycling path funding",
+    ]
+    mon4 = minhash_drift_per_group(
+        db.subscribe("bodies"), "source", "body", num_hashes=64
+    )
+    mon5 = _churn(db.subscribe("bodies"), "source", "body", k=64)
+    qs = []
+    for name, mon in (("ingest_sim_out", mon4), ("ingest_bodyset_out", mon5)):
+        qs.append(
+            mon.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                str(db.store.meta_dir / "checkpoints" / name),
+            )
+            .start()
+        )
+    try:
+        with bodies.publish() as pub:
+            for i, b in enumerate(v1):
+                pub.write((300 + i) * ns, "feed", b)
+        for q_ in qs:
+            q_.processAllAvailable()
+        with bodies.publish() as pub:
+            for i, b in enumerate(v2_reworded):
+                pub.write((400 + i) * ns, "feed", b)
+        for q_ in qs:
+            q_.processAllAvailable()
+    finally:
+        for q_ in qs:
+            q_.stop()
+    sim = spark.sql(
+        "SELECT * FROM ingest_sim_out ORDER BY n_total"
+    ).collect()
+    bset = spark.sql(
+        "SELECT * FROM ingest_bodyset_out ORDER BY n_total"
+    ).collect()
+    print("\n-- reworded re-publish: exact-set vs shingle-similarity view")
+    print("   set_churn :", {k: v for k, v in bset[-1].asDict().items()
+                             if k in ("novelty", "containment")})
+    print("   minhash   :", {k: v for k, v in sim[-1].asDict().items()
+                             if k in ("est_jaccard", "novelty")})
+    # the exact-set monitor calls every edited body a brand-new value…
+    assert bset[-1].novelty == 1.0
+    # …while shingle-level similarity sees mostly-unchanged content
+    assert sim[-1].est_jaccard > 0.5 and sim[-1].novelty < 0.5
+    print("\nreworded content: set-novel but shingle-similar — both signals agree with intent")
     return 0
 
 
