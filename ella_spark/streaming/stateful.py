@@ -2321,8 +2321,14 @@ def minhash_drift_per_group(
         chunks = [pdf for pdf in pdfs if len(pdf)]
         outs = []
         if chunks:
+            # fold in UNSIGNED order: _mix64 signatures are uint64
+            # mins, merely STORED as int64 bit patterns — a signed
+            # np.minimum would let a >= 2^63 slot (negative as int64)
+            # beat a smaller unsigned value, which happens with
+            # probability 2^-n_shingles per slot per doc (common for
+            # short docs) and breaks the union law the fold relies on
             sigs = [
-                np.asarray(s, dtype=np.int64)
+                np.asarray(s, dtype=np.int64).view(np.uint64)
                 for pdf in chunks
                 for s in pdf["_sig"]
                 if s is not None
@@ -2330,12 +2336,13 @@ def minhash_drift_per_group(
             if sigs:
                 n_batch = len(sigs)
                 batch_sig = np.minimum.reduce(sigs)
+                uref = ref.view(np.uint64)
                 if ref.size:
-                    agree = float(np.mean(ref == batch_sig))
-                    merged = np.minimum(ref, batch_sig)
+                    agree = float(np.mean(uref == batch_sig))
+                    merged = np.minimum(uref, batch_sig).view(np.int64)
                 else:
                     agree = 0.0
-                    merged = batch_sig
+                    merged = batch_sig.view(np.int64)
                 n_total += n_batch
                 row = {
                     "group": key[0],

@@ -466,3 +466,64 @@ def test_kmv_scores_exact_regime_equal_true_set_arithmetic(hist, batch):
         - min((len(hs & bs) / len(hs | bs)) * len(hs | bs) / len(bs), 1.0)
     ) < 1e-12
     assert churn["novelty"] == max(1.0 - churn["containment"], 0.0)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x10FFFF,
+                                   blacklist_categories=("Cs",)),
+            min_size=8,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    split=st.integers(min_value=0, max_value=6),
+    num_hashes=st.integers(min_value=2, max_value=64),
+)
+def test_minhash_union_law_holds_for_any_split(texts, split, num_hashes):
+    """The invariant behind minhash_drift_per_group's state fold: the
+    MinHash signature of a document-set UNION equals the slotwise min
+    of the parts' signatures, for ANY split of the corpus and ANY
+    num_hashes — so folding per-batch signatures into history is
+    value-identical to signing the whole history at once. Driven
+    through the REAL production kernels (_kgram_hashes + _mix64 over
+    arbitrary Unicode incl. supplementary-plane code points), not a
+    model of them; also pins the degenerate edges (no shingleable
+    text on one side)."""
+    import numpy as np
+
+    from ella_spark.operators.dedup import _kgram_hashes, _mix64
+
+    k = 8
+    seeds = _mix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+
+    def sig_of(shingle_sets):
+        hs = [h for h in shingle_sets if h.shape[0]]
+        if not hs:
+            return None
+        u = np.unique(np.concatenate(hs))
+        return _mix64(u[None, :] ^ seeds[:, None]).min(axis=1)
+
+    shingles = [_kgram_hashes(t.strip().lower(), k) for t in texts]
+    i = min(split, len(shingles))
+    a, b = shingles[:i], shingles[i:]
+    whole = sig_of(shingles)
+    sa, sb = sig_of(a), sig_of(b)
+    if whole is None:
+        assert sa is None and sb is None
+        return
+    if sa is None:
+        merged = sb
+    elif sb is None:
+        merged = sa
+    else:
+        merged = np.minimum(sa, sb)
+    assert merged is not None and np.array_equal(whole, merged)
+    # the agreement estimator is exactly 1.0 iff the two sides have
+    # identical signatures — the replay-detection contract the monitor
+    # asserts in the stream tests
+    if sa is not None and sb is not None and np.array_equal(sa, sb):
+        assert float(np.mean(sa == sb)) == 1.0

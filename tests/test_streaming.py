@@ -2364,17 +2364,26 @@ def test_minhash_drift_stream_matches_batch_signatures(db, spark):
                     pub.write((t0 + i) * ns, "g1", t)
             q.processAllAvailable()
 
+        # the 9-char doc has ONE shingle per slot draw, so ~half its
+        # signature slots are >= 2^63 (negative as int64) — the case
+        # where a SIGNED fold diverges from the unsigned MinHash
+        # order (review-wave find, r13): it must fold correctly
+        b5_short = ["cbebhhhgd"]
         push(b1, 1)
         push(b1, 100)      # exact replay
         push(b2_rw, 200)   # light rewording
         push(b3_rot, 300)  # full rotation
+        push(b5_short, 400)  # negative-slot signature
+        push(b1, 500)        # scored against short-doc-tainted history
         pdf = spark.sql("SELECT * FROM mhd_out ORDER BY n_total").toPandas()
-        assert len(pdf) == 4
-        r1, r2, r3, r4 = (pdf.iloc[i] for i in range(4))
+        assert len(pdf) == 6
+        r1, r2, r3, r4, r5, r6 = (pdf.iloc[i] for i in range(6))
         assert r1.n_batch == 3 and r1.est_jaccard == 0.0 and r1.novelty == 1.0
         # exact replay: identical batch/history signatures, exactly 1.0
         assert r2.est_jaccard == 1.0 and r2.novelty == 0.0
-        # numpy reference signatures from the PRODUCTION batch UDF
+        # numpy reference signatures from the PRODUCTION batch UDF —
+        # folds in UNSIGNED order (the _mix64 domain; int64 is just
+        # the storage bit pattern), exactly like the monitor
         def batch_sigs(texts):
             smh = shingle_minhash_udf(K, NH)
             sdf = spark.createDataFrame(
@@ -2382,15 +2391,21 @@ def test_minhash_drift_stream_matches_batch_signatures(db, spark):
             ).select(smh(F.lower(F.trim("t"))).alias("s"))
             return np.array(
                 [r.s.sig for r in sdf.collect()], dtype=np.int64
-            )
+            ).view(np.uint64)
 
         hist_sig = batch_sigs(b1).min(axis=0)
         rw_sig = batch_sigs(b2_rw).min(axis=0)
         rot_sig = batch_sigs(b3_rot).min(axis=0)
+        short_sig = batch_sigs(b5_short).min(axis=0)
         # slot-agreement pins: the stream scored exactly these
         assert r3.est_jaccard == float(np.mean(hist_sig == rw_sig))
         hist2 = np.minimum(hist_sig, rw_sig)
         assert r4.est_jaccard == float(np.mean(hist2 == rot_sig))
+        hist3 = np.minimum(hist2, rot_sig)
+        assert int((short_sig >= 2**63).sum()) > 0  # the case is real
+        assert r5.est_jaccard == float(np.mean(hist3 == short_sig))
+        hist4 = np.minimum(hist3, short_sig)
+        assert r6.est_jaccard == float(np.mean(hist4 == batch_sigs(b1).min(axis=0)))
         # and the semantics: rewording stays similar, rotation doesn't
         # (the reworded batch covers 2 of 3 history docs, so its true
         # union-Jaccard sits near 0.5 — the gap to the rotation's ~0
