@@ -378,6 +378,15 @@ _SET_CHURN_RE = re.compile(
     r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*(\d+))?\s*\)",
     re.I,
 )
+#: table-valued `minhash_drift('<table>', '<group_col>', '<text_col>'
+#: [, '<time_col>'][, bucket_days])` — bucket-over-accumulated-history
+#: MinHash similarity drift per group (the batch twin of the streaming
+#: minhash_drift_per_group monitor); bucket_days defaults to 1
+_MINHASH_DRIFT_RE = re.compile(
+    r"\bminhash_drift\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+    r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*(\d+))?\s*\)",
+    re.I,
+)
 #: `embedding_neardup('<table>', '<vec_col>', '<id_col>'
 #: [, '<bucket_col>'] [, cosine])` — embedding-cosine near-dup pairs
 #: (operators/dedup.py embedding_neardup_pairs); the bucket bounds
@@ -603,6 +612,8 @@ class Ella:
             sql = self._rewrite_distinct_overlap(sql)
         if _SET_CHURN_RE.search(sql):
             sql = self._rewrite_set_churn(sql)
+        if _MINHASH_DRIFT_RE.search(sql):
+            sql = self._rewrite_minhash_drift(sql)
         if _EMBEDDING_NEARDUP_RE.search(sql):
             sql = self._rewrite_embedding_neardup(sql)
         return sql
@@ -2861,6 +2872,41 @@ class Ella:
             "set_churn",
             lambda frame, g, v, t, ns: set_churn_buckets(
                 frame, g, v, t, bucket_ns=ns
+            ),
+        )
+
+    def _rewrite_minhash_drift(self, sql: str) -> str:
+        """Table-valued bucket-over-history MinHash drift in plain SQL
+        — the batch twin of the streaming similarity monitor
+        (``minhash_drift_per_group``), completing the monitor family's
+        TVF column (trend_robust / set_churn / minhash_drift):
+
+            SELECT * FROM minhash_drift('pages', 'source', 'body')
+            SELECT * FROM minhash_drift('t', 'src', 'txt', 'ts', 7)
+
+        args: any catalog object, a group column, a TEXT column,
+        optional epoch-ns time column (default the topic's mandatory
+        `time`), optional bucket width in DAYS (default 1 — the
+        trend_robust conventions, including the quoted-digit rebind).
+        Returns (group, bucket_start, n_docs, est_jaccard,
+        est_containment, novelty) per (group, bucket) — each bucket's
+        MinHash signature scored against the slotwise-min fold of ALL
+        earlier buckets (the streaming monitor's accumulated-history
+        semantics, not set_churn's previous-bucket-only), production
+        _kgram_hashes/_mix64 chain, unsigned order JVM-side via the
+        sign-bit flip (operators/dedup.py minhash_drift_buckets). The
+        audience question: "is this source re-serving or lightly
+        rewording its own history (novelty → 0) or did its CONTENT
+        rotate (novelty → 1)?" — shingle-level, so a one-character
+        edit that set_churn calls brand-new stays near 0 here."""
+        from ella_spark.operators.dedup import minhash_drift_buckets
+
+        return self._rewrite_daybucket_tvf(
+            sql,
+            _MINHASH_DRIFT_RE,
+            "minhash_drift",
+            lambda frame, g, t, tc, ns: minhash_drift_buckets(
+                frame, g, t, tc, bucket_ns=ns
             ),
         )
 

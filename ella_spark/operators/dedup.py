@@ -922,3 +922,132 @@ def embedding_neardup_pairs(
             "cosine",
         )
     )
+
+
+def minhash_drift_buckets(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    time_col: str = "time",
+    bucket_ns: int = 86_400_000_000_000,
+    shingle_k: int = 8,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Bucket-over-history MinHash drift per group — the batch twin of
+    ``streaming.stateful.minhash_drift_per_group``, resolved per time
+    bucket (default daily): for each (group, bucket), how textually
+    similar is the bucket's content to everything the group shipped in
+    EARLIER buckets? Where ``set_churn_buckets`` scores exact value-set
+    overlap against the immediately-previous bucket, this scores
+    SHINGLE-level similarity against the ACCUMULATED history — exactly
+    the streaming monitor's fold semantics (batch ↦ bucket,
+    micro-batch history ↦ all earlier buckets), so the two are pinned
+    value-identical when micro-batches align with buckets.
+
+    Plan shape (the 100 TB story): one Arrow-batched signature UDF
+    (the production ``_kgram_hashes``/``_mix64`` chain via
+    ``minhash_sig_udf`` — same seeds as the LSH dedup fast path), then
+    per-slot JVM min-aggregates to (group, bucket) — partial map-side
+    combine, so the only O(rows) exchange carries 8·num_hashes bytes
+    per row, never document text — then ONE group-keyed window over
+    the O(groups × buckets) aggregate rows for the running history
+    signature, and pure column arithmetic for the scores. No collect,
+    no second UDF pass.
+
+    Unsigned order, JVM-side: _mix64 signatures are uint64 mins merely
+    STORED as int64 bit patterns (the r13 signed-fold bug class), and
+    Spark's min/least compare signed — so every slot is XOR-flipped by
+    2⁶³ on entry (unsigned order on x == signed order on x ⊕ 2⁶³) and
+    all mins/leasts/comparisons run in the flipped domain, where
+    equality and order agree with the streaming monitor's
+    ``np.uint64`` folds bit-for-bit.
+
+    Scores per (group, bucket), matching the streaming columns:
+
+    - ``est_jaccard``: slot agreement between the bucket signature and
+      the history signature — union-normalized, shrinks toward
+      |bucket|/|history| as history accumulates (see the streaming
+      docstring's scale caveat);
+    - ``est_containment``: batch-normalized |B∩H|/|B| via
+      C = J(B,H)/J(B,B∪H), both factors slot-agreement estimates,
+      denominator floored at 1/num_hashes (resolution limit);
+    - ``novelty``: 1 − est_containment — a replayed/reworded bucket
+      stays ~0 at ANY history size, a rotation jumps to ~1.
+
+    A group's first bucket scores 0 / 0 / 1 against the empty history.
+    Returns (group, bucket_start, n_docs, est_jaccard,
+    est_containment, novelty); ``n_docs`` counts shingleable documents
+    (texts shorter than ``shingle_k`` after lower/trim are filtered
+    out, the streaming monitor's rule). Times are epoch-ns,
+    non-negative by the topic contract (`div` truncates toward zero —
+    the set_churn/drift convention, shared knowingly).
+    """
+    from pyspark.sql import Window
+
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    sig = minhash_sig_udf(shingle_k, num_hashes)
+    src = (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            # integer `div` — a double quotient loses precision at
+            # epoch-ns magnitudes (> 2^53)
+            F.expr(
+                f"CAST(`{time_col}` AS BIGINT) div {int(bucket_ns)}"
+            ).alias("b"),
+            normalize_text(F.col(text_col)).alias("_t"),
+        )
+        .where(F.length("_t") >= shingle_k)
+        .select("grp", "b", sig("_t").alias("_sig"))
+        .where(F.col("_sig").isNotNull())
+    )
+    flip = F.lit(-0x8000000000000000).cast("long")
+    per_doc = src.select(
+        "grp",
+        "b",
+        *[
+            F.element_at("_sig", i + 1).bitwiseXOR(flip).alias(f"s{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = per_doc.groupBy("grp", "b").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.min(f"s{i}").alias(f"c{i}") for i in range(num_hashes)],
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = agg.select(
+        "grp",
+        "b",
+        "n_docs",
+        *[F.col(f"c{i}") for i in range(num_hashes)],
+        *[F.min(f"c{i}").over(w).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    nh = float(num_hashes)
+    agree = sum(
+        (F.col(f"c{i}") == F.col(f"h{i}")).cast("int")
+        for i in range(num_hashes)
+    ) / F.lit(nh)
+    # cur slot survives the merge ⟺ cur <= hist in the flipped
+    # (unsigned) domain: estimates J(B, B∪H) = |B|/|B∪H|
+    in_union = sum(
+        (F.col(f"c{i}") <= F.col(f"h{i}")).cast("int")
+        for i in range(num_hashes)
+    ) / F.lit(nh)
+    containment = F.least(
+        agree / F.greatest(in_union, F.lit(1.0 / nh)), F.lit(1.0)
+    )
+    first = F.col("h0").isNull()  # empty window ⟹ every h-slot NULL
+    est_j = F.when(first, F.lit(0.0)).otherwise(agree)
+    est_c = F.when(first, F.lit(0.0)).otherwise(containment)
+    return hist.select(
+        F.col("grp").alias("group"),
+        (F.col("b") * F.lit(int(bucket_ns))).alias("bucket_start"),
+        "n_docs",
+        est_j.alias("est_jaccard"),
+        est_c.alias("est_containment"),
+        (F.lit(1.0) - est_c).alias("novelty"),
+    )

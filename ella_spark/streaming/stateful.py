@@ -2120,6 +2120,7 @@ _MHD_OUT = StructType(
         StructField("n_batch", LongType()),
         StructField("n_total", LongType()),
         StructField("est_jaccard", DoubleType()),
+        StructField("est_containment", DoubleType()),
         StructField("novelty", DoubleType()),
     ]
 )
@@ -2144,9 +2145,9 @@ def minhash_drift_per_group(
     (a url seen once is "known" forever, a one-character edit is
     "new"), this scores SHINGLE-level similarity — a source that
     starts shipping lightly-reworded variants of its own history
-    keeps est_jaccard high here while the set monitor calls every
-    variant novel, and a true content rotation drops est_jaccard to
-    ~0 on both.
+    keeps est_containment high / novelty low here while the set
+    monitor calls every variant novel, and a true content rotation
+    drives novelty to ~1 on both.
 
     Method: each row's text maps to its production-path MinHash
     signature JVM→Arrow-side (``operators/dedup.minhash_sig_udf`` —
@@ -2169,8 +2170,33 @@ def minhash_drift_per_group(
     toward ``n_batch``):
 
     - ``est_jaccard``: estimated shingle-set Jaccard between this
-      batch's content and the accumulated history (first batch: 0.0);
-    - ``novelty``: 1 - est_jaccard (first batch: 1.0).
+      batch's content and the accumulated history (first batch: 0.0).
+      SCALE CAVEAT: Jaccard is union-normalized, so it shrinks toward
+      |batch|/|history| as history accumulates — a pure replay of a
+      tiny batch against a month of history legitimately scores ~0
+      here. Read it for batch-vs-history SIMILARITY only when the two
+      are comparable in size; the drift signal to alarm on is
+      ``novelty`` below.
+    - ``est_containment``: estimated batch-normalized containment
+      |B ∩ H| / |B| (r13 advice) — "what fraction of THIS batch's
+      shingles has the group shipped before?", invariant to how large
+      the history has grown: a pure replay scores 1.0 whether history
+      is 3 docs or 3 million. Derived entirely from slot agreement via
+      the identity C = J(B,H) / J(B, B∪H): the numerator is the
+      batch↔history agreement above, the denominator the
+      batch↔merged-signature agreement (an estimate of |B|/|B∪H|;
+      slotwise, batch == history implies batch == merged, so the
+      ratio never exceeds 1). Resolution floor: the denominator is
+      clamped to 1/num_hashes — when a batch is so much smaller than
+      history that NONE of its slots survive the merge (|B|/|B∪H|
+      below ~1/num_hashes) there is zero overlap evidence either way
+      and the score degrades to 0; raise ``num_hashes`` if batches
+      that small must still resolve. First batch: 0.0.
+    - ``novelty``: 1 - est_containment (first batch: 1.0) — the same
+      batch-normalized semantics as ``set_churn_per_group``'s
+      novelty, so the two monitors' alarms agree: a replayed or
+      lightly-reworded batch stays near 0 at ANY history size, a true
+      rotation jumps to ~1.
 
     GC/restore plumbing follows the KMV monitors: ``idle_timeout_ms``
     drops idle groups; ``snapshot_on_timeout`` emits the evicted
@@ -2280,6 +2306,7 @@ def minhash_drift_per_group(
                                 "n_batch": 0,
                                 "n_total": int(n_total),
                                 "est_jaccard": None,
+                                "est_containment": None,
                                 "novelty": None,
                                 "snapshot": hs,
                                 "sig_shingle_k": shingle_k,
@@ -2338,10 +2365,25 @@ def minhash_drift_per_group(
                 batch_sig = np.minimum.reduce(sigs)
                 uref = ref.view(np.uint64)
                 if ref.size:
+                    merged_u = np.minimum(uref, batch_sig)
+                    # agreement(batch, history) estimates J(B, H);
+                    # agreement(batch, merged) estimates J(B, B∪H) =
+                    # |B|/|B∪H|, so their ratio estimates containment
+                    # |B∩H|/|B| — batch-normalized, immune to the
+                    # Jaccard shrink as history outgrows batches (r13
+                    # advice). Slotwise batch==history ⟹ batch==merged,
+                    # so agree <= b_in_union and the ratio stays <= 1;
+                    # the 1/num_hashes floor is the estimator's
+                    # resolution limit (see docstring).
                     agree = float(np.mean(uref == batch_sig))
-                    merged = np.minimum(uref, batch_sig).view(np.int64)
+                    b_in_union = float(np.mean(batch_sig == merged_u))
+                    containment = min(
+                        agree / max(b_in_union, 1.0 / num_hashes), 1.0
+                    )
+                    merged = merged_u.view(np.int64)
                 else:
                     agree = 0.0
+                    containment = 0.0
                     merged = batch_sig.view(np.int64)
                 n_total += n_batch
                 row = {
@@ -2349,7 +2391,8 @@ def minhash_drift_per_group(
                     "n_batch": n_batch,
                     "n_total": n_total,
                     "est_jaccard": agree,
-                    "novelty": 1.0 - agree,
+                    "est_containment": containment,
+                    "novelty": 1.0 - containment,
                 }
                 if snapshot_on_timeout:
                     row["snapshot"] = None

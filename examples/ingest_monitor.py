@@ -134,6 +134,68 @@ def main(root: str | None = None) -> int:
     assert last.est_new == 0.0 and last.dup_rate == 1.0
     print("\nre-crawl correctly scored as 100% duplicates across restart")
 
+    # ── capping group-space growth: tombstone_timeout_ms ───────────
+    # the idle GC above keeps an O(1) counter tombstone per evicted
+    # group FOREVER so a revived group's n_total continues — fine for
+    # stable fleets, but a crawler keyed on ephemeral groups (one per
+    # session/shard) grows state entries with every group ever seen.
+    # The second, longer timeout expires tombstones outright: a group
+    # resuming AFTER it restarts its totals fresh (the history itself
+    # lives on in the GC's snapshot marker, restorable via seed= as
+    # in run 2 — expiry trades the automatic counter continuity for
+    # bounded group space)
+    revisits = db.create_topic(
+        "revisits",
+        [Column("source", "string", required=True), Column("url", "string")],
+    )
+    with revisits.publish() as pub:
+        for i in range(3):
+            pub.write((i + 1) * ns, "sess", f"https://example.com/{i}")
+    mon_t = cardinality_drift_per_group(
+        db.subscribe("revisits"),
+        "source",
+        "url",
+        k=64,
+        idle_timeout_ms=400,
+        snapshot_on_timeout=True,
+        tombstone_timeout_ms=800,
+    )
+    qt = (
+        mon_t.writeStream.format("memory")
+        .queryName("ingest_tomb_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "ingest_tomb_out"),
+        )
+        .start()
+    )
+    try:
+        assert _wait_rows(spark, "ingest_tomb_out", 1), "no score row"
+        assert _wait_rows(spark, "ingest_tomb_out", 2), "no snapshot row"
+        # idle long enough for the tombstone's own timeout to fire
+        # (the engine keeps ticking empty micro-batches while any
+        # timeout is registered)
+        time.sleep(5)
+        with revisits.publish() as pub:  # the group comes back...
+            for i in range(3):
+                pub.write((50 + i) * ns, "sess", f"https://example.com/{i}")
+        assert _wait_rows(spark, "ingest_tomb_out", 3), "no revival row"
+    finally:
+        qt.stop()
+    tomb_rows = spark.sql(
+        "SELECT * FROM ingest_tomb_out WHERE n_batch > 0 ORDER BY n_total"
+    ).collect()
+    print("\n-- tombstone expiry: revival after the second timeout")
+    for r in tomb_rows:
+        print("  ", {k: v for k, v in r.asDict().items() if k != "snapshot"})
+    revived = tomb_rows[-1]
+    # the tombstone is GONE: totals restart at the revival batch's own
+    # rows (a kept tombstone would have carried them to 6) — bounded
+    # group space, at the documented cost of counter continuity
+    assert revived.n_total == 3
+    print("\ntombstone expired: totals restarted at 3, group space stays bounded")
+
     # ── WHICH values, not just how many: the set-churn sibling ─────
     # a rotated feed ships the same NUMBER of urls but a disjoint SET
     from ella_spark.streaming.stateful import set_churn_per_group
@@ -190,6 +252,9 @@ def main(root: str | None = None) -> int:
         "local bakery wins the regional sourdough championship trophy",
         "city council approves the new riverside cycling path funding",
     ]
+    day = 86_400 * ns  # v1 lands on day 0, v2 on day 1 — so the batch
+    # minhash_drift TVF below sees the same two publishes as two
+    # day buckets and scores the identical fold
     mon4 = minhash_drift_per_group(
         db.subscribe("bodies"), "source", "body", num_hashes=64
     )
@@ -209,12 +274,12 @@ def main(root: str | None = None) -> int:
     try:
         with bodies.publish() as pub:
             for i, b in enumerate(v1):
-                pub.write((300 + i) * ns, "feed", b)
+                pub.write(0 * day + i * ns, "feed", b)
         for q_ in qs:
             q_.processAllAvailable()
         with bodies.publish() as pub:
             for i, b in enumerate(v2_reworded):
-                pub.write((400 + i) * ns, "feed", b)
+                pub.write(1 * day + i * ns, "feed", b)
         for q_ in qs:
             q_.processAllAvailable()
     finally:
@@ -230,12 +295,48 @@ def main(root: str | None = None) -> int:
     print("   set_churn :", {k: v for k, v in bset[-1].asDict().items()
                              if k in ("novelty", "containment")})
     print("   minhash   :", {k: v for k, v in sim[-1].asDict().items()
-                             if k in ("est_jaccard", "novelty")})
+                             if k in ("est_jaccard", "est_containment",
+                                      "novelty")})
     # the exact-set monitor calls every edited body a brand-new value…
     assert bset[-1].novelty == 1.0
-    # …while shingle-level similarity sees mostly-unchanged content
-    assert sim[-1].est_jaccard > 0.5 and sim[-1].novelty < 0.5
+    # …while shingle-level CONTAINMENT sees mostly-known content.
+    # Batching-robust like the count section above: the source may
+    # split v2_reworded across micro-batches (a 1-doc tail batch
+    # scores one doc against the 3-doc history, which legitimately
+    # shrinks union-normalized est_jaccard toward 1/3) — so aggregate
+    # over every v2 score row (n_total > 3 ⟺ past the v1 corpus)
+    # instead of indexing the last row, and read est_containment,
+    # which is batch-normalized and does NOT shrink with batch size
+    v2_rows = [r for r in sim if r.n_total > 3]
+    assert v2_rows, "v2 publish produced no score rows"
+    assert max(r.est_containment for r in v2_rows) > 0.5
+    assert min(r.novelty for r in v2_rows) < 0.5
     print("\nreworded content: set-novel but shingle-similar — both signals agree with intent")
+
+    # ── the BATCH twin, from plain SQL (round 14): the same similarity
+    # drift day-bucketed over the topic at rest — no stream required,
+    # same signature chain and accumulated-history fold, so a saved
+    # dashboard view can score yesterday's corpus each morning
+    board = db.query(
+        "SELECT * FROM minhash_drift('bodies', 'source', 'body') "
+        "ORDER BY bucket_start"
+    ).df.collect()
+    print("\n-- batch minhash_drift TVF over the same topic (day buckets)")
+    for r in board:
+        print("  ", r.asDict())
+    assert len(board) == 2
+    assert board[0].novelty == 1.0  # day 0: no history yet
+    assert board[1].est_containment > 0.5 and board[1].novelty < 0.5
+    # when the stream's micro-batches aligned 1:1 with the day
+    # buckets, the two views are value-IDENTICAL (the pinned twin
+    # contract, test_streaming); under batch splits they still agree
+    # in signal, asserted above
+    if len(sim) == 2:
+        assert (sim[1].est_jaccard, sim[1].est_containment) == (
+            board[1].est_jaccard,
+            board[1].est_containment,
+        )
+        print("\nstream and batch twin scored identically on day 1")
     return 0
 
 

@@ -533,3 +533,169 @@ def test_minhash_xxhash_oracle_sql_replays_mix64_exactly():
         duck = [int(r[0]) for r in con.execute(q, [text]).fetchall()]
         ref = sorted(int(x) for x in _kgram_hashes(text.strip().lower(), k))
         assert duck == ref, text
+
+
+def test_minhash_drift_buckets_numpy_replay(spark):
+    """Batch bucket-over-history MinHash drift (r14, the batch twin
+    of the streaming similarity monitor): every score is replayed
+    numpy-side from the production _kgram_hashes/_mix64 chain — the
+    bucket signature is the slotwise-unsigned-min over docs, history
+    is the running unsigned min over earlier buckets, est_jaccard is
+    slot agreement, est_containment is the agreement-ratio estimate
+    with the 1/num_hashes floor. Includes a one-shingle doc whose
+    signature has >= 2^63 slots (negative as int64) so the JVM
+    sign-bit-flip min order is pinned against the r13 signed-fold bug
+    class, and the r13-advice scenario: a tiny replayed bucket scores
+    est_jaccard LOW but est_containment exactly 1.0."""
+    import numpy as np
+
+    from ella_spark.operators.dedup import (
+        _kgram_hashes,
+        _mix64,
+        minhash_drift_buckets,
+    )
+
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_drift_buckets(None, "g", "t", num_hashes=1)
+
+    K, NH = 8, 64
+    day = 86_400_000_000_000
+    b1 = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "a second document about spark structured streaming state",
+        "short third text with enough characters to shingle",
+    ]
+    b2_rw = [
+        "the quick brown fox jumps over the lazy dog near the creek",
+        "a second document about spark structured streaming windows",
+    ]
+    b3_rot = [
+        "zzz completely rotated corpus qqq unrelated ngrams xxyyzz",
+        "vvv nothing shared with history wwww kkkjjj hhhhgg ffff",
+    ]
+    b4_short = ["cbebhhhgd"]  # one shingle: ~half its slots >= 2^63
+    b5_replay = [b1[0]]
+    days = [b1, b2_rw, b3_rot, b4_short, b5_replay]
+    rows = [
+        ("s1", d * day + i, t)
+        for d, docs in enumerate(days)
+        for i, t in enumerate(docs)
+    ]
+    rows += [("s2", 0, b1[1]), ("s2", 0, "tiny")]  # <K chars: filtered
+    df = spark.createDataFrame(rows, "src string, ts long, txt string")
+    out = {
+        (r.group, r.bucket_start // day): r
+        for r in minhash_drift_buckets(
+            df, "src", "txt", time_col="ts", shingle_k=K, num_hashes=NH
+        ).collect()
+    }
+    assert len(out) == 6
+
+    seeds = _mix64(np.arange(1, NH + 1, dtype=np.uint64))
+
+    def bucket_sig(docs):
+        sigs = []
+        for t in docs:
+            h = _kgram_hashes(t.strip().lower(), K)
+            if h.shape[0]:
+                sigs.append(_mix64(h[None, :] ^ seeds[:, None]).min(axis=1))
+        return np.minimum.reduce(sigs)
+
+    def score(cur, hist):
+        a = float(np.mean(cur == hist))
+        b = float(np.mean(cur == np.minimum(cur, hist)))
+        return a, min(a / max(b, 1.0 / NH), 1.0)
+
+    hist = None
+    for d, docs in enumerate(days):
+        r = out[("s1", d)]
+        cur = bucket_sig(docs)
+        if hist is None:
+            exp_j, exp_c = 0.0, 0.0
+        else:
+            exp_j, exp_c = score(cur, hist)
+        assert (r.est_jaccard, r.est_containment) == (exp_j, exp_c), d
+        assert r.novelty == 1.0 - exp_c
+        assert r.n_docs == len(docs)
+        hist = cur if hist is None else np.minimum(hist, cur)
+
+    # the signed-order trap is real in this data...
+    assert int((bucket_sig(b4_short) >= 2**63).sum()) > 0
+    # ...and the r13-advice scenario holds end-to-end: the replayed
+    # one-doc bucket is a strict subset of history, so containment is
+    # exactly 1.0 / novelty 0.0 while union-Jaccard has shrunk
+    r5 = out[("s1", 4)]
+    assert r5.est_jaccard < 0.6
+    assert r5.est_containment == 1.0 and r5.novelty == 0.0
+    # single-bucket group: first bucket vs empty history
+    assert out[("s2", 0)].novelty == 1.0 and out[("s2", 0)].n_docs == 1
+
+
+def test_minhash_drift_sql_tvf(spark, tmp_path):
+    """minhash_drift('<table>','<group>','<text>'[,'<time>'][,days])
+    in plain SQL — the batch twin of the streaming similarity monitor
+    joins the trend_robust/set_churn day-bucket TVF family: same arg
+    conventions (quoted-digit day width rebinds), same durable-view
+    re-score contract, fails fast on unknown tables."""
+    from ella_spark import Column, Ella
+
+    db = Ella.create(str(tmp_path / "db_mhd"), spark)
+    t = db.create_topic(
+        "pages_b",
+        [Column("src", "string", required=True), Column("body", "string")],
+    )
+    day = 86_400_000_000_000
+    v1 = [
+        "breaking news about the harbor bridge reopening this weekend",
+        "local bakery wins the regional sourdough championship again",
+    ]
+    v2_rw = [
+        "breaking news about the harbor bridge reopening this sunday",
+        "local bakery wins the regional sourdough championship trophy",
+    ]
+    rot = [
+        "zzz completely rotated corpus qqq unrelated ngrams xxyyzz",
+        "vvv nothing shared with history wwww kkkjjj hhhhgg ffff",
+    ]
+    with t.publish() as pub:
+        for d, docs in enumerate([v1, v2_rw, rot]):
+            for i, b in enumerate(docs):
+                pub.write(d * day + i, "feed", b)
+
+    out = db.query(
+        "SELECT * FROM minhash_drift('pages_b', 'src', 'body') "
+        "ORDER BY bucket_start"
+    ).df.toPandas()
+    assert len(out) == 3 and list(out.n_docs) == [2, 2, 2]
+    # day 0: empty history; day 1: reworded re-publish stays known;
+    # day 2: true rotation alarms — the contrast the TVF exists for
+    assert out.novelty.iloc[0] == 1.0
+    assert out.est_containment.iloc[1] > 0.5 and out.novelty.iloc[1] < 0.5
+    assert out.est_jaccard.iloc[2] < 0.2 and out.novelty.iloc[2] > 0.8
+
+    # quoted day width rebinds (all days land in ONE 7-day bucket)
+    wide = db.query(
+        "SELECT * FROM minhash_drift('pages_b', 'src', 'body', '7')"
+    ).df.toPandas()
+    assert len(wide) == 1 and wide.n_docs.iloc[0] == 6
+
+    with pytest.raises(ValueError, match="unknown table"):
+        db.query("SELECT * FROM minhash_drift('nope', 'src', 'body')")
+
+    # durable view re-scores CURRENT data (the saved-dashboard
+    # contract shared with trend_robust/set_churn)
+    db.query(
+        "CREATE VIEW drift_board AS "
+        "SELECT * FROM minhash_drift('pages_b', 'src', 'body')"
+    )
+    assert db.query(
+        "SELECT count(*) AS n FROM drift_board"
+    ).df.collect()[0].n == 3
+    with t.publish() as pub:  # a fourth day arrives...
+        pub.write(3 * day, "feed", v1[0])
+    board = db.query(
+        "SELECT * FROM drift_board ORDER BY bucket_start"
+    ).df.toPandas()
+    assert len(board) == 4  # ...and the stored view scored it
+    # the new day replays a v1 doc: known content, novelty ~0
+    assert board.novelty.iloc[3] < 0.5

@@ -527,3 +527,24 @@ def test_minhash_union_law_holds_for_any_split(texts, split, num_hashes):
     # asserts in the stream tests
     if sa is not None and sb is not None and np.array_equal(sa, sb):
         assert float(np.mean(sa == sb)) == 1.0
+
+    # the containment estimator's invariants (r14, the r13-advice
+    # batch-normalized score): for ANY batch B scored against ANY
+    # history H via C = agree(B,H)/max(agree(B,min(B,H)), 1/NH),
+    #  (1) C <= 1 and C >= J (agree(B,H) counts a subset of the
+    #      slots agree(B,merged) counts);
+    #  (2) when B ⊆ H (the replay/pure-subset case the advice is
+    #      about) merged == sig(H), so numerator == denominator and
+    #      C == 1.0 exactly whenever ANY slot agrees — regardless of
+    #      how much larger H is than B.
+    def containment(sb_, sh_):
+        a = float(np.mean(sb_ == sh_))
+        b_ = float(np.mean(sb_ == np.minimum(sb_, sh_)))
+        return a, min(a / max(b_, 1.0 / num_hashes), 1.0)
+
+    if sa is not None and sb is not None:
+        j, c = containment(sa, sb)
+        assert 0.0 <= c <= 1.0 and c >= j
+    if sa is not None:  # first `i` texts are a strict subset of all
+        j, c = containment(sa, whole)
+        assert c == (1.0 if j > 0.0 else 0.0)

@@ -2310,7 +2310,11 @@ def test_minhash_drift_stream_matches_batch_signatures(db, spark):
     signatures. Plus the semantics the monitor exists for: replaying
     the same text scores est_jaccard 1.0; disjoint text scores ~0;
     REWORDED text (the case the exact-set monitor calls fully novel)
-    scores high."""
+    scores high. est_containment (r14, the r13-advice fix) is pinned
+    to the slot-agreement-ratio replay — and the advice's exact
+    scenario is pinned live: a tiny pure-replay batch against a
+    much larger history scores est_jaccard LOW (union-normalized
+    shrink) but est_containment 1.0 / novelty 0.0."""
     import numpy as np
     import pyspark.sql.functions as F
 
@@ -2375,12 +2379,18 @@ def test_minhash_drift_stream_matches_batch_signatures(db, spark):
         push(b3_rot, 300)  # full rotation
         push(b5_short, 400)  # negative-slot signature
         push(b1, 500)        # scored against short-doc-tainted history
+        # the r13-advice scenario: ONE replayed doc against the (now
+        # 6-doc-corpus) history — Jaccard shrinks toward |B|/|H| but
+        # batch-normalized containment must stay exactly 1.0
+        push([b1[0]], 600)
         pdf = spark.sql("SELECT * FROM mhd_out ORDER BY n_total").toPandas()
-        assert len(pdf) == 6
-        r1, r2, r3, r4, r5, r6 = (pdf.iloc[i] for i in range(6))
+        assert len(pdf) == 7
+        r1, r2, r3, r4, r5, r6, r7 = (pdf.iloc[i] for i in range(7))
         assert r1.n_batch == 3 and r1.est_jaccard == 0.0 and r1.novelty == 1.0
+        assert r1.est_containment == 0.0
         # exact replay: identical batch/history signatures, exactly 1.0
-        assert r2.est_jaccard == 1.0 and r2.novelty == 0.0
+        assert r2.est_jaccard == 1.0 and r2.est_containment == 1.0
+        assert r2.novelty == 0.0
         # numpy reference signatures from the PRODUCTION batch UDF —
         # folds in UNSIGNED order (the _mix64 domain; int64 is just
         # the storage bit pattern), exactly like the monitor
@@ -2397,21 +2407,42 @@ def test_minhash_drift_stream_matches_batch_signatures(db, spark):
         rw_sig = batch_sigs(b2_rw).min(axis=0)
         rot_sig = batch_sigs(b3_rot).min(axis=0)
         short_sig = batch_sigs(b5_short).min(axis=0)
+
+        # the monitor's containment formula, replayed numpy-side:
+        # C = J(B,H)/J(B,B∪H) with the 1/num_hashes resolution floor
+        def cont(batch, hist):
+            a = float(np.mean(batch == hist))
+            b = float(np.mean(batch == np.minimum(batch, hist)))
+            return min(a / max(b, 1.0 / NH), 1.0)
+
         # slot-agreement pins: the stream scored exactly these
         assert r3.est_jaccard == float(np.mean(hist_sig == rw_sig))
+        assert r3.est_containment == cont(rw_sig, hist_sig)
         hist2 = np.minimum(hist_sig, rw_sig)
         assert r4.est_jaccard == float(np.mean(hist2 == rot_sig))
+        assert r4.est_containment == cont(rot_sig, hist2)
         hist3 = np.minimum(hist2, rot_sig)
         assert int((short_sig >= 2**63).sum()) > 0  # the case is real
         assert r5.est_jaccard == float(np.mean(hist3 == short_sig))
         hist4 = np.minimum(hist3, short_sig)
         assert r6.est_jaccard == float(np.mean(hist4 == batch_sigs(b1).min(axis=0)))
+        hist5 = np.minimum(hist4, batch_sigs(b1).min(axis=0))
+        one_sig = batch_sigs([b1[0]]).min(axis=0)
+        assert r7.est_containment == cont(one_sig, hist5)
         # and the semantics: rewording stays similar, rotation doesn't
         # (the reworded batch covers 2 of 3 history docs, so its true
         # union-Jaccard sits near 0.5 — the gap to the rotation's ~0
-        # is the signal, not the absolute level)
+        # is the signal, not the absolute level); containment is
+        # always >= jaccard (b <= 1 in the ratio)
         assert r3.est_jaccard >= 0.4
-        assert r4.est_jaccard < 0.2
+        assert r3.est_containment >= r3.est_jaccard
+        assert r4.est_jaccard < 0.2 and r4.novelty > 0.8
+        # the advice scenario: one replayed doc vs a 7-doc history —
+        # B ⊆ H makes merged == history, so numerator == denominator
+        # and containment is EXACTLY 1.0 (while jaccard has shrunk)
+        assert r7.n_batch == 1
+        assert r7.est_jaccard < 0.6
+        assert r7.est_containment == 1.0 and r7.novelty == 0.0
     finally:
         q.stop()
 
@@ -2483,6 +2514,7 @@ def test_minhash_drift_snapshot_seed_roundtrip(db, spark):
     assert snap.n_batch == 0 and snap.sig_shingle_k == 8
     assert len(list(snap.snapshot)) == 32
     assert pd.isna(snap.est_jaccard) and pd.isna(snap.novelty)
+    assert pd.isna(snap.est_containment)
     assert all(pd.isna(s) for s in scores.sig_shingle_k)
     seed_n = int(snap.n_total)
 
@@ -2519,6 +2551,7 @@ def test_minhash_drift_snapshot_seed_roundtrip(db, spark):
     pdf2 = spark.sql("SELECT * FROM mhds_out2 ORDER BY n_total").toPandas()
     last = pdf2.iloc[-1]
     assert last.est_jaccard == 1.0 and last.novelty == 0.0
+    assert last.est_containment == 1.0
     assert last.n_total == seed_n + int(pdf2.n_batch.sum())
 
     # exact validation: wrong num_hashes = wrong signature LENGTH
@@ -2529,3 +2562,77 @@ def test_minhash_drift_snapshot_seed_roundtrip(db, spark):
         minhash_drift_per_group(
             None, "g", "txt", shingle_k=4, num_hashes=32, seed=seed
         )
+
+
+def test_minhash_drift_batch_tvf_matches_streaming_fold(db, spark):
+    """The r14 batch twin pin (VERDICT r13 #3): when micro-batches
+    align with day buckets, the minhash_drift TVF's per-bucket scores
+    are VALUE-IDENTICAL to the streaming monitor's per-batch scores —
+    same signature chain, same accumulated-history fold (slotwise
+    unsigned min), same agreement/containment arithmetic, one
+    computed in numpy inside applyInPandasWithState, the other in
+    JVM column expressions over the sign-bit-flipped domain."""
+    from ella_spark.streaming.stateful import minhash_drift_per_group
+
+    day = 86_400_000_000_000
+    buckets = [
+        [
+            "the quick brown fox jumps over the lazy dog near the river",
+            "a second document about spark structured streaming state",
+        ],
+        [
+            "the quick brown fox jumps over the lazy dog near the creek",
+        ],
+        [
+            "zzz completely rotated corpus qqq unrelated ngrams xxyyzz",
+            "vvv nothing shared with history wwww kkkjjj hhhhgg ffff",
+        ],
+        ["cbebhhhgd"],  # one-shingle doc: negative-as-int64 slots
+        [
+            "the quick brown fox jumps over the lazy dog near the river",
+        ],
+    ]
+    topic = db.create_topic(
+        "mhd_tvf",
+        [Column("src", "string", required=True), Column("body", "string")],
+    )
+    out = minhash_drift_per_group(
+        db.subscribe("mhd_tvf"), "src", "body", shingle_k=8, num_hashes=64
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mhd_tvf_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(db.store.meta_dir / "checkpoints" / "mhd_tvf_out"),
+        )
+        .start()
+    )
+    try:
+        for d, docs in enumerate(buckets):
+            with topic.publish() as pub:
+                for i, b in enumerate(docs):
+                    pub.write(d * day + i, "feed", b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = spark.sql(
+        "SELECT * FROM mhd_tvf_out ORDER BY n_total"
+    ).collect()
+    batch_rows = db.query(
+        "SELECT * FROM minhash_drift('mhd_tvf', 'src', 'body') "
+        "ORDER BY bucket_start"
+    ).df.collect()
+    assert len(batch_rows) == len(buckets)
+    # one micro-batch per publish (the cadence every monitor pin in
+    # this file relies on: each push is followed by its own
+    # processAllAvailable)
+    assert len(stream_rows) == len(buckets)
+    for s, b in zip(stream_rows, batch_rows):
+        assert s.n_batch == b.n_docs
+        assert (s.est_jaccard, s.est_containment, s.novelty) == (
+            b.est_jaccard,
+            b.est_containment,
+            b.novelty,
+        ), b.bucket_start
