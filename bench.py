@@ -373,10 +373,14 @@ def main() -> None:
     # gate BEFORE the JVM exists: our own session contributes load
     gate = _load_gate()
     # calibrate while the host is still JVM-free: measures the machine,
-    # not our own executor threads
-    cal = _calibrate()
-    cal_1t, cal_32t = cal["cal_1t"], cal["cal_32t"]
-    host_speed = round(cal_32t / CAL_REF_32T, 3)  # >1 = slower host
+    # not our own executor threads. This is the PRE bracket; a second,
+    # identical probe runs AFTER the timed section (post spark.stop(),
+    # JVM-free again) — VERDICT r13 #1: a single pre-run probe cannot
+    # see a host that degrades BETWEEN calibration and the queries, so
+    # all three r13 normalizations were unusable. Normalized numbers
+    # are trustworthy only when the two brackets agree (combined
+    # spread <= 5%).
+    cal_pre = _calibrate()
 
     spark = get_session("ella_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -424,6 +428,20 @@ def main() -> None:
 
     ingest_rps, freshness = _ingest_bench(spark)
     extras.update(_point_lookup_bench(spark))
+    spark_version = spark.version
+    spark.stop()
+
+    # POST bracket: the same probe on the JVM-free host again. The
+    # pair turns "was the host steady across the WHOLE run?" into a
+    # recorded fact instead of an inference from one pre-run sample.
+    cal_post = _calibrate()
+    all_32t = cal_pre["samples_32t"] + cal_post["samples_32t"]
+    cal_32t = min(all_32t)  # fastest observed = the machine's speed
+    cal_1t = min(cal_pre["cal_1t"], cal_post["cal_1t"])
+    host_speed = round(cal_32t / CAL_REF_32T, 3)  # >1 = slower host
+    spread_combined = round(
+        100.0 * (max(all_32t) - min(all_32t)) / min(all_32t), 1
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -434,7 +452,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": RUNS,
         "warmup_runs_per_query": 1,
-        "spark": spark.version,
+        "spark": spark_version,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         # timings on this host swing up to 10x with hypervisor steal
         # (parallel stages amplify vCPU stalls into per-stage
@@ -442,17 +460,26 @@ def main() -> None:
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_gate": gate,
         "steal_pct_timed_section": steal_pct,
-        # host-speed calibration (VERDICT r9 #3): fixed CPU workload
-        # timed pre-JVM; value_normalized divides out host speed so
-        # round-over-round deltas isolate CODE changes
+        # host-speed calibration (VERDICT r9 #3; bracketed r14 per
+        # VERDICT r13 #1): the fixed CPU workload is timed JVM-free
+        # BEFORE and AFTER the timed section; cal_32t/cal_1t are the
+        # min over BOTH brackets, and spread_pct_32t spans both sample
+        # sets — so a host that degrades (or recovers) mid-run is
+        # visible as bracket disagreement. value_normalized divides
+        # out host speed so round-over-round deltas isolate CODE
+        # changes; it is trustworthy ONLY when spread_pct_32t <= 5.
         "calibration_sec": {"cal_1t": cal_1t, "cal_32t": cal_32t,
                             "ref_1t": CAL_REF_1T, "ref_32t": CAL_REF_32T,
-                            # per-rep samples: drift DURING calibration
-                            # is visible as spread; >5% = normalized
-                            # numbers unreliable (VERDICT r12 #3)
-                            "samples_32t": cal["samples_32t"],
-                            "samples_1t": cal["samples_1t"],
-                            "spread_pct_32t": cal["spread_pct_32t"]},
+                            "samples_32t_pre": cal_pre["samples_32t"],
+                            "samples_32t_post": cal_post["samples_32t"],
+                            "spread_pct_32t_pre": cal_pre["spread_pct_32t"],
+                            "spread_pct_32t_post": cal_post["spread_pct_32t"],
+                            # the COMBINED (pre+post) spread keeps the
+                            # established reading-rule key: >5% =
+                            # normalized numbers unreliable
+                            "spread_pct_32t": spread_combined,
+                            "samples_1t_pre": cal_pre["samples_1t"],
+                            "samples_1t_post": cal_post["samples_1t"]},
         "host_speed_ratio": host_speed,
         "value_normalized": round(sum(timings.values()) / max(host_speed, 0.1), 4),
         "ingest_rows_per_sec": ingest_rps,
@@ -479,17 +506,17 @@ def main() -> None:
         "comparable_16_normalized": round(
             sum(timings[n] for n in comparable) / max(host_speed, 0.1), 4
         ),
-        # samples_1t lives only in the full dict — the summary must
+        # samples_1t live only in the full dict — the summary must
         # stay well under the driver's ~2 KB stdout tail capture
         "calibration_sec": {
             k: v for k, v in out["calibration_sec"].items()
-            if k != "samples_1t"
+            if k not in ("samples_1t_pre", "samples_1t_post")
         },
         "host_speed_ratio": host_speed,
         "value_normalized": out["value_normalized"],
         "sf": out["sf"],
         "runs": RUNS,
-        "spark": spark.version,
+        "spark": spark_version,
         "cpus": out["cpus"],
         "load_avg_1m": out["load_avg_1m"],
         "load_gate": gate,
@@ -498,7 +525,6 @@ def main() -> None:
         "freshness_sec": freshness,
     }
     print(json.dumps(summary))
-    spark.stop()
 
 
 if __name__ == "__main__":
