@@ -116,6 +116,7 @@ def _tvf_specs():
     from ella_spark.operators.dedup import (
         embedding_neardup_pairs,
         exact_dedup,
+        minhash_drift_buckets,
         minhash_lsh_pairs,
     )
     from ella_spark.operators.sketch import set_churn_buckets
@@ -150,6 +151,14 @@ def _tvf_specs():
             ),
             "events_ns.parquet",
         ),
+        "minhash_drift": (
+            "SELECT * FROM minhash_drift("
+            "'{t}', 'source', 'text', 'ts_ns', 1)",
+            lambda df: minhash_drift_buckets(
+                df, "source", "text", "ts_ns", bucket_ns=day_ns
+            ),
+            "docs_ns.parquet",
+        ),
     }
 
 
@@ -166,6 +175,24 @@ def _ensure_events_ns(spark, src_events: str, dst: Path) -> None:
     ev = load_table(spark, str(Path(src_events).parent), "events")
     ev.select(
         "event_type", "user_id", F.col("ts").alias("ts_ns")
+    ).write.mode("overwrite").parquet(str(dst))
+
+
+def _ensure_docs_ns(spark, src_docs: str, dst: Path) -> None:
+    """minhash_drift needs an epoch-ns long time column on a TEXT
+    table; documents has none, so derive a deterministic 30-day
+    spread from doc_id (same docs land on the same day at every
+    scale, so the per-bucket signature work is what grows)."""
+    if dst.exists():
+        return
+    import pyspark.sql.functions as F
+
+    day_ns = 86_400_000_000_000
+    spark.read.parquet(src_docs).select(
+        "source",
+        "text",
+        "doc_id",
+        (F.col("doc_id") % 30 * F.lit(day_ns)).alias("ts_ns"),
     ).write.mode("overwrite").parquet(str(dst))
 
 
@@ -191,15 +218,21 @@ def probe_tvf_route(args) -> None:
                       scratch / "events_ns.parquet")
     _ensure_events_ns(spark, f"{out}/events.parquet",
                       out / "events_ns.parquet")
+    _ensure_docs_ns(spark, f"{args.sf}/documents.parquet",
+                    scratch / "docs_ns.parquet")
+    _ensure_docs_ns(spark, f"{out}/documents.parquet",
+                    out / "docs_ns.parquet")
     base_paths = {
         "documents.parquet": f"{args.sf}/documents.parquet",
         "embeddings.parquet": f"{args.sf}/embeddings.parquet",
         "events_ns.parquet": str(scratch / "events_ns.parquet"),
+        "docs_ns.parquet": str(scratch / "docs_ns.parquet"),
     }
     tenx_paths = {
         "documents.parquet": str(out / "documents.parquet"),
         "embeddings.parquet": str(out / "embeddings.parquet"),
         "events_ns.parquet": str(out / "events_ns.parquet"),
+        "docs_ns.parquet": str(out / "docs_ns.parquet"),
     }
 
     specs = _tvf_specs()
