@@ -998,8 +998,12 @@ def minhash_drift_buckets(
             normalize_text(F.col(text_col)).alias("_t"),
         )
         .where(F.length("_t") >= shingle_k)
+        # no isNotNull filter on the signature: length(_t) >= shingle_k
+        # guarantees >= 1 k-gram, so the UDF never returns NULL here —
+        # and a filter on the UDF column makes Catalyst evaluate the
+        # Arrow UDF a SECOND time (once under the Filter, once for the
+        # element_at projection; plan-audit pins the single pass)
         .select("grp", "b", sig("_t").alias("_sig"))
-        .where(F.col("_sig").isNotNull())
     )
     flip = F.lit(-0x8000000000000000).cast("long")
     per_doc = src.select(

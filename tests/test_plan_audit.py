@@ -409,3 +409,37 @@ def test_mann_whitney_checkpoint_cut_and_bounded_grid(spark):
     plan = _plan(spark, "q_mann_whitney")
     assert plan.count("Scan parquet") == 0, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_drift_buckets_plan_shape(spark):
+    """The batch similarity-drift twin's 100 TB shape, machine-checked:
+    exactly ONE Arrow signature-UDF pass over the docs, the O(rows)
+    stream reaches its ONE (grp, bucket)-keyed Exchange only AFTER the
+    per-slot partial min-aggregate (map-side combine — the shuffle
+    carries per-bucket partials, not per-doc signatures, and never
+    text), and the running-history window adds exactly one more
+    group-keyed Exchange over the O(groups x buckets) aggregate rows.
+    One parquet scan, no cartesian side."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.operators.dedup import minhash_drift_buckets
+
+    day = 86_400_000_000_000
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .withColumn("ts", (F.col("doc_id") % 5) * F.lit(day))
+    )
+    df = minhash_drift_buckets(
+        docs, "source", "text", time_col="ts", num_hashes=16
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1, final
+    assert final.count("Exchange hashpartitioning") == 2, final
+    # map-side combine proof: a partial min aggregate runs BELOW the
+    # exchange, so per-doc slot rows never cross the wire
+    assert "partial_min" in final, final
+    assert final.count("Scan parquet") == 1, final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
