@@ -2283,8 +2283,13 @@ def minhash_drift_per_group(
             normalize_text(F.col(text_col)).alias("_t"),
         )
         .where(F.length("_t") >= shingle_k)
+        # no isNotNull filter on the signature: length(_t) >= shingle_k
+        # guarantees >= 1 k-gram so the UDF never returns NULL here,
+        # and filtering on the UDF column made Catalyst evaluate the
+        # Arrow UDF TWICE per row (once under the Filter, once for the
+        # state-input projection — r14 plan audit); the fold also
+        # skips None defensively
         .select("group", sig("_t").alias("_sig"))
-        .where(F.col("_sig").isNotNull())
     )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

@@ -443,3 +443,32 @@ def test_minhash_drift_buckets_plan_shape(spark):
     assert final.count("Scan parquet") == 1, final
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_minhash_drift_stream_single_udf_pass(spark):
+    """The streaming similarity monitor's hot path pays the Arrow
+    signature UDF exactly ONCE per row (r14: a filter on the UDF
+    output column made Catalyst evaluate it twice — once under the
+    Filter, once for the state-input projection)."""
+    import pyspark.sql.functions as F
+
+    from ella_spark.streaming.stateful import minhash_drift_per_group
+
+    src = (
+        spark.readStream.format("rate").load()
+        .select(
+            F.lit("g").alias("g"),
+            F.concat(
+                F.lit("some text body padding "),
+                F.col("value").cast("string"),
+            ).alias("t"),
+        )
+    )
+    out = minhash_drift_per_group(src, "g", "t", num_hashes=4)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
