@@ -947,12 +947,14 @@ def minhash_drift_buckets(
     Plan shape (the 100 TB story): one Arrow-batched signature UDF
     (the production ``_kgram_hashes``/``_mix64`` chain via
     ``minhash_sig_udf`` — same seeds as the LSH dedup fast path), then
-    per-slot JVM min-aggregates to (group, bucket) — partial map-side
-    combine, so the only O(rows) exchange carries 8·num_hashes bytes
-    per row, never document text — then ONE group-keyed window over
-    the O(groups × buckets) aggregate rows for the running history
-    signature, and pure column arithmetic for the scores. No collect,
-    no second UDF pass.
+    per-slot JVM min-aggregates to (group, bucket) with partial
+    map-side combine — NOTHING O(rows) ever crosses the wire: the
+    (grp, bucket) exchange carries one 8·num_hashes-byte partial per
+    (partition, group, bucket), never per-doc signatures and never
+    text — then ONE group-keyed window over the O(groups × buckets)
+    aggregate rows for the running history signature, and pure column
+    arithmetic for the scores. No collect, no second UDF pass
+    (machine-checked in test_plan_audit).
 
     Unsigned order, JVM-side: _mix64 signatures are uint64 mins merely
     STORED as int64 bit patterns (the r13 signed-fold bug class), and
