@@ -699,3 +699,99 @@ def test_minhash_drift_sql_tvf(spark, tmp_path):
     assert len(board) == 4  # ...and the stored view scored it
     # the new day replays a v1 doc: known content, novelty ~0
     assert board.novelty.iloc[3] < 0.5
+
+
+def test_minhash_drift_buckets_randomized_wide_replay(spark):
+    """Review-wave hardening for the JVM flipped-domain arithmetic: a
+    seeded RANDOM corpus (4 groups x up to 6 buckets, bucket gaps,
+    single-doc buckets, sub-shingle rejects) replayed score-for-score
+    in numpy. Random text makes ~half of ALL signature slots >= 2^63
+    (negative as int64), so every min/least/comparison in the
+    sign-bit-flipped domain is exercised across the full slot
+    distribution, not just the planted one-shingle doc."""
+    import random
+
+    import numpy as np
+
+    from ella_spark.operators.dedup import (
+        _kgram_hashes,
+        _mix64,
+        minhash_drift_buckets,
+    )
+
+    K, NH = 8, 32
+    day = 86_400_000_000_000
+    rng = random.Random(20260816)
+    alphabet = "abcdefghij xyz"
+    corpus: dict[tuple[str, int], list[str]] = {}
+    rows = []
+    for g in ("g1", "g2", "g3", "g4"):
+        buckets = sorted(rng.sample(range(8), rng.randint(1, 6)))
+        for b in buckets:
+            # length mix biased toward 1-2-shingle docs: a slot of an
+            # n-shingle doc is >= 2^63 with probability 2^-n, so only
+            # near-single-shingle buckets keep negative-as-int64 slots
+            # alive through the bucket min — the regime the signed
+            # order bug class lives in
+            docs = [
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(
+                        rng.choice([rng.randint(8, 9), rng.randint(8, 9),
+                                    rng.randint(3, 7), rng.randint(20, 60)])
+                    )
+                )
+                for _ in range(rng.randint(1, 3))
+            ]
+            corpus[(g, b)] = docs
+            rows += [
+                (g, b * day + i, t) for i, t in enumerate(docs)
+            ]
+    df = spark.createDataFrame(rows, "src string, ts long, txt string")
+    got = {
+        (r.group, r.bucket_start // day): r
+        for r in minhash_drift_buckets(
+            df, "src", "txt", time_col="ts", shingle_k=K, num_hashes=NH
+        ).collect()
+    }
+
+    seeds = _mix64(np.arange(1, NH + 1, dtype=np.uint64))
+
+    def sig_of(docs):
+        sigs = []
+        for t in docs:
+            h = _kgram_hashes(t.strip().lower(), K)
+            if h.shape[0]:
+                sigs.append(_mix64(h[None, :] ^ seeds[:, None]).min(axis=1))
+        return np.minimum.reduce(sigs) if sigs else None
+
+    n_neg = n_scored = 0
+    for g in ("g1", "g2", "g3", "g4"):
+        hist = None
+        for b in sorted(b for (gg, b) in corpus if gg == g):
+            docs = corpus[(g, b)]
+            cur = sig_of(docs)
+            n_shingleable = sum(
+                1 for t in docs if len(t.strip()) >= K
+            )
+            if cur is None:
+                assert (g, b) not in got  # all docs sub-shingle
+                continue
+            n_neg += int((cur >= 2**63).sum())
+            r = got[(g, b)]
+            assert r.n_docs == n_shingleable
+            if hist is None:
+                exp = (0.0, 0.0, 1.0)
+            else:
+                a = float(np.mean(cur == hist))
+                bb = float(np.mean(cur == np.minimum(cur, hist)))
+                c = min(a / max(bb, 1.0 / NH), 1.0)
+                exp = (a, c, 1.0 - c)
+            assert (r.est_jaccard, r.est_containment, r.novelty) == exp, (g, b)
+            n_scored += 1
+            hist = cur if hist is None else np.minimum(hist, cur)
+    # the test exercised what it claims: many buckets scored, and the
+    # signed-order trap was live across many slots (one-shingle docs
+    # keep ~half their slots >= 2^63 through the bucket min)
+    assert n_scored >= 8
+    assert n_neg >= NH
