@@ -197,8 +197,15 @@ def lsh_topk(
         withsigs = src.select(
             F.col(id_col).alias(idc), sigs_udf(F.col(vec_col)).alias("_sigs")
         )
+        # posexplode_OUTER, deliberately: the plain generator makes
+        # InferFiltersFromGenerate add `size(_sigs) > 0 AND
+        # isnotnull(_sigs)` BELOW the Generate — a filter on the UDF
+        # output column, which Catalyst then feeds with a SECOND
+        # ArrowEvalPython (the whole corpus signed twice — r14 plan
+        # audit). The UDF always returns num_tables entries, so outer
+        # adds no rows; the rule skips outer generators.
         return withsigs.select(
-            idc, F.posexplode("_sigs").alias("tbl", "sig")
+            idc, F.posexplode_outer("_sigs").alias("tbl", "sig")
         )
 
     # Query-side signatures run driver-side: an ANN query batch is
@@ -423,7 +430,11 @@ def ivf_topk(
         out = src.select(
             F.col(id_col).alias(idc), cu(F.col(vec_col)).alias("_cells")
         )
-        return out.select(idc, F.explode("_cells").alias("cell"))
+        # explode_OUTER: the plain generator's inferred size/notnull
+        # filter re-evaluates the cell-assignment UDF over the whole
+        # corpus (two ArrowEvalPython — r14 plan audit); _cells always
+        # has `probe` entries, so outer adds no rows
+        return out.select(idc, F.explode_outer("_cells").alias("cell"))
 
     # Query-side probe cells run driver-side (same rationale and same
     # math as the LSH query-side fast path: the query batch is small by
@@ -566,6 +577,9 @@ def _pq_encode_udf(centroids, codebooks):
     return _enc
 
 
+_PQ_BARRIER_SEQ = 0
+
+
 def pq_encode(
     df: DataFrame,
     centroids,
@@ -573,15 +587,31 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Encode a corpus: (id, cell, codes, norm). Map-only."""
+    """Encode a corpus: (id, cell, codes, norm). Map-only.
+
+    The CollectMetrics barrier (the embedding_neardup idiom): a
+    downstream inner join on `cell` infers `isnotnull(cell)`, and
+    without the barrier that filter pushes below this projection onto
+    the UDF's struct field — Catalyst then encodes the WHOLE corpus a
+    second time just to evaluate the filter (two ArrowEvalPython —
+    r14 plan audit). Predicates do not push through CollectMetrics,
+    so the encode runs once."""
+    global _PQ_BARRIER_SEQ
+    _PQ_BARRIER_SEQ += 1
     enc = _pq_encode_udf(centroids, codebooks)
-    return df.select(
-        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("_e")
-    ).select(
-        "neighbor_id",
-        F.col("_e.cell").alias("cell"),
-        F.col("_e.codes").alias("codes"),
-        F.col("_e.norm").alias("norm"),
+    return (
+        df.select(
+            F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("_e")
+        )
+        .observe(
+            f"pq_encode_{_PQ_BARRIER_SEQ}", F.count(F.lit(1)).alias("n_vecs")
+        )
+        .select(
+            "neighbor_id",
+            F.col("_e.cell").alias("cell"),
+            F.col("_e.codes").alias("codes"),
+            F.col("_e.norm").alias("norm"),
+        )
     )
 
 
@@ -745,12 +775,16 @@ def knn_join(
     # into both the join-key expression and the output projection (two
     # ArrowEvalPython nodes per side — measured; the NOTES "double-
     # evaluated compound expressions" failure mode). probe=1 makes the
-    # explode exactly one row per vector.
+    # explode exactly one row per vector. It must be the OUTER variant:
+    # the plain generator's inferred size/notnull filter lands on the
+    # UDF expression itself and re-evaluates the assignment over the
+    # whole corpus (r14 plan audit); outer is exempt and adds no rows
+    # (the UDF always returns one cell).
     extra = [F.col(exclude_match_col).alias("lab")] if exclude_match_col else []
     v = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
-        F.explode(cu(F.col(vec_col))).alias("cell"),
+        F.explode_outer(cu(F.col(vec_col))).alias("cell"),
         *extra,
     ).withColumn("n", l2_norm(F.col("v")))
     a = v.select(

@@ -472,3 +472,31 @@ def test_minhash_drift_stream_single_udf_pass(spark):
     )
     tree = plan.split("\n\n")[0]
     assert tree.count("ArrowEvalPython") == 1, tree
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_no_double_udf_evaluation(name, spark):
+    """Corpus-wide screen for the round-14 failure mode: the SAME
+    Python UDF over the SAME input attribute evaluated by TWO
+    ArrowEvalPython nodes in one plan — Catalyst does this whenever a
+    filter lands on a UDF output column (an explicit isNotNull, a
+    generator's inferred size/notnull filter, or an inner join's
+    inferred key-notnull pushed through a projection), and it DOUBLES
+    the hot map stage at any scale. Two entries with identical full
+    text (call AND output attribute) are one cached node printed per
+    InMemoryTableScan reference — allowed; the same call with
+    DIFFERENT output attributes is a real second evaluation."""
+    import re
+
+    from ella_spark.queries import REGISTRY
+
+    df = REGISTRY[name].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seen: dict[str, set] = {}
+    for call, outattr in re.findall(
+        r"ArrowEvalPython \[([^\]]*)\], \[([^\]]*)\]", plan
+    ):
+        call_n = re.sub(r"\)#\d+L?", ")", call)
+        seen.setdefault(call_n, set()).add(outattr)
+    dupes = {c: sorted(o) for c, o in seen.items() if len(o) > 1}
+    assert not dupes, dupes
