@@ -91,9 +91,16 @@ def heavy_hitters(
     agg = summaries.groupBy("value").agg(F.sum("partial").alias("approx_count"))
     w = Window.orderBy(F.col("approx_count").desc(), "value")
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("value", "approx_count", "rank")
+        # rank BEFORE casting: a cast on the row_number breaks the
+        # rank-filter → TakeOrderedAndProject rewrite, which would
+        # funnel every merged (value, count) row through the global
+        # window's single partition instead of forwarding only each
+        # partition's top-k (r14 plan audit pins the rewrite)
+        agg.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            "value", "approx_count", F.col("_rn").cast("int").alias("rank")
+        )
     )
 
 

@@ -259,9 +259,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
-        .select("doc_id", "term", "tfidf", "rnk")
+        # rank BEFORE casting: the cast broke InferWindowGroupLimit's
+        # pattern match, so every (doc, term) score crossed the doc_id
+        # exchange instead of each map task forwarding only its top-3
+        # per doc (r14 plan audit pins the WindowGroupLimit)
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") <= 3) & (F.col("doc_id") < 50))
+        .select(
+            "doc_id", "term", "tfidf", F.col("_rn").cast("int").alias("rnk")
+        )
     )
 
 
@@ -869,9 +875,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= 20)
-        .select("doc_id", "bm25", "rnk")
+        # rank BEFORE casting: a cast on the row_number breaks
+        # InferWindowGroupLimit's rank-function pattern match, and
+        # without the Partial WindowGroupLimit every scored doc would
+        # funnel through the global window's single partition — with
+        # it, each input partition forwards only its own top-20 (r14
+        # plan audit pins the limit node)
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 20)
+        .select("doc_id", "bm25", F.col("_rn").cast("int").alias("rnk"))
     )
 
 

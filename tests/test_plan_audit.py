@@ -500,3 +500,31 @@ def test_no_double_udf_evaluation(name, spark):
         seen.setdefault(call_n, set()).add(outattr)
     dupes = {c: sorted(o) for c, o in seen.items() if len(o) > 1}
     assert not dupes, dupes
+
+
+def test_bm25_topk_is_distributed_take_ordered(spark):
+    """q_bm25_search's global top-20: the rank filter must convert to
+    a TakeOrderedAndProject BELOW the window (each partition forwards
+    only its top 20), not a single-partition sort of every scored doc
+    — casting the row_number before the filter broke that rewrite
+    (r14)."""
+    plan = _plan(spark, "q_bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_topn_prunes_before_doc_exchange(spark):
+    """q_tfidf_top_terms' per-doc top-3: InferWindowGroupLimit must
+    insert Partial+Final WindowGroupLimit so each map task forwards
+    only its top-3 per doc across the doc_id exchange — the cast on
+    the row_number used to break the pattern match (r14)."""
+    plan = _plan(spark, "q_tfidf_top_terms")
+    assert plan.count("WindowGroupLimit") == 2, plan
+
+
+def test_heavy_hitters_topk_is_distributed_take_ordered(spark):
+    """q_heavy_hitters (Misra-Gries merge): the global top-k over the
+    merged (value, count) rows must be a TakeOrderedAndProject, not a
+    single-partition window sort of every distinct value (r14 — the
+    same cast-breaks-rank-rewrite fix as bm25)."""
+    plan = _plan(spark, "q_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan, plan
