@@ -116,13 +116,35 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ntile / percent_rank / cume_dist global ranking.",
 )
 def q_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT Window.orderBy(...) with an empty partition spec: Spark
+    # plans that as ONE task sorting every order — the last unbounded
+    # serial stage in the registry (r14). global_order_stats gets the
+    # identical numbers from a range-partitioned sort + positional
+    # arithmetic (the order is total: o_orderkey is unique), fully
+    # distributed; percent_rank/cume_dist are the same (pos-1)/(n-1)
+    # and pos/n divisions the window functions compute, so the values
+    # are bit-identical.
+    from ella_spark.operators.skew import global_order_stats
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    ranked = global_order_stats(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        ntile_n=4,
+    )
+    total1 = F.greatest(F.col("_total") - 1, F.lit(1))
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.col("_ntile").alias("quartile"),
+        F.round(
+            F.when(F.col("_total") == 1, F.lit(0.0)).otherwise(
+                (F.col("_pos") - 1).cast("double") / total1.cast("double")
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(
+            F.col("_pos").cast("double") / F.col("_total").cast("double"), 6
+        ).alias("cume"),
     )
 
 

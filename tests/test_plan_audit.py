@@ -528,3 +528,15 @@ def test_heavy_hitters_topk_is_distributed_take_ordered(spark):
     same cast-breaks-rank-rewrite fix as bm25)."""
     plan = _plan(spark, "q_heavy_hitters")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ntile_percentiles_has_no_serial_stage(spark):
+    """q_ntile_percentiles (r14): the global ntile/percent_rank/
+    cume_dist must NOT plan the empty-partition Window's
+    single-partition sort of every order — the global_order_stats
+    rewrite leaves zero Window nodes and zero SinglePartition
+    exchanges in the final plan (range-sorted checkpoint + positional
+    arithmetic + one broadcast join)."""
+    final = _final_plan(spark, "q_ntile_percentiles")
+    assert final.count("Exchange SinglePartition") == 0, final
+    assert final.count("Window [") == 0, final

@@ -56,3 +56,50 @@ def test_salted_join_rejects_right_and_full(spark):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(left, right, ["k"], how=how)
     salted_join(left, right, ["k"], how="left_anti")  # allowed
+
+
+def test_global_order_stats_matches_window_form(spark):
+    """Distributed global ranking (r14): positions, ntile buckets,
+    and the percent_rank/cume_dist divisions must be BIT-identical to
+    the single-partition Window form across the awkward totals — one
+    row, fewer rows than buckets, exact multiples, a remainder, and a
+    prime count (the SQL-standard fill: first total%n buckets one row
+    larger)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ella_spark.operators.skew import global_order_stats
+
+    for total, n in [(1, 4), (3, 4), (4, 4), (97, 4), (6, 10)]:
+        df = spark.range(total).withColumn(
+            "v", F.pmod(F.col("id") * 2654435761, F.lit(99991))
+        )
+        w = Window.orderBy("v", "id")
+        exp = {
+            r.id: (r.nt, r.pr, r.cd)
+            for r in df.select(
+                "id",
+                F.ntile(n).over(w).alias("nt"),
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd"),
+            ).collect()
+        }
+        ranked = global_order_stats(df, ["v", "id"], ntile_n=n)
+        got = {
+            r.id: (r.nt, r.pr, r.cd)
+            for r in ranked.select(
+                "id",
+                F.col("_ntile").alias("nt"),
+                F.when(F.col("_total") == 1, F.lit(0.0))
+                .otherwise(
+                    (F.col("_pos") - 1).cast("double")
+                    / F.greatest(F.col("_total") - 1, F.lit(1)).cast("double")
+                )
+                .alias("pr"),
+                (
+                    F.col("_pos").cast("double")
+                    / F.col("_total").cast("double")
+                ).alias("cd"),
+            ).collect()
+        }
+        assert exp == got, (total, n)
