@@ -980,15 +980,28 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="M4 downsampling (Jugel et al., VLDB'14): per series per time "
     "bucket keep exactly the first/last/min/max points — the "
     "error-free aggregation for line-chart rendering every TSDB "
-    "visualization layer uses (Grafana/Timescale idiom). Four "
-    "row_number windows over ONE (series, bucket) partitioning = one "
-    "shuffle; deterministic tie-breaks by (time, event_id). Output "
-    "is the union of the four extremal rows (a row can be several "
-    "at once — emitted once).",
+    "visualization layer uses (Grafana/Timescale idiom). min_by/"
+    "max_by declarative aggregates with map-side partials: the "
+    "(series, bucket) exchange carries four point structs per bucket "
+    "per mapper — O(buckets), never O(rows); deterministic "
+    "tie-breaks by (time, event_id). Output is the union of the "
+    "four extremal rows (a row can be several at once — emitted "
+    "once).",
 )
 def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # NOT four row_number windows over the raw rows: that form
+    # shuffles EVERY event through the (series, bucket) exchange and
+    # sorts each partition four times — and the 4-ordering
+    # combination blocks Catalyst's WindowGroupLimit prune entirely
+    # (a row pruned under one ordering may win another), so the
+    # full-data sort is unavoidable in window form (r14 wave-4
+    # screen). The same four extremal points fall out of min_by/
+    # max_by declarative aggregates with map-side partial combine.
+    # event_id rides inside the point struct so two DISTINCT events
+    # that project to identical (ts_us, value) still emit as two
+    # rows — exactly the window form's (and the oracle's) semantics
+    # — while one row winning several criteria dedupes to one
+    # (array_distinct).
     ev = load_table(spark, sf_dir, "events")
     b = ev.select(
         "user_id",
@@ -997,30 +1010,37 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    part = ["user_id", "bkt"]
-    wf = Window.partitionBy(*part).orderBy("ts_us", "event_id")
-    wl = Window.partitionBy(*part).orderBy(
-        F.col("ts_us").desc(), F.col("event_id").desc()
-    )
-    wmin = Window.partitionBy(*part).orderBy("value", "ts_us", "event_id")
-    wmax = Window.partitionBy(*part).orderBy(
-        F.col("value").desc(), "ts_us", "event_id"
-    )
-    r = (
-        b.withColumn("rf", F.row_number().over(wf))
-        .withColumn("rl", F.row_number().over(wl))
-        .withColumn("rmin", F.row_number().over(wmin))
-        .withColumn("rmax", F.row_number().over(wmax))
+    pt = F.struct("ts_us", "event_id", "value")
+    k_time = F.struct("ts_us", "event_id")  # first/last order
+    k_min = F.struct("value", "ts_us", "event_id")  # min order
+    # max order = value DESC, ts ASC, id ASC: negating the int64
+    # tiebreakers lets ONE max_by struct key express the mixed
+    # directions (max value, then min ts, then min id)
+    k_max = F.struct(
+        F.col("value"),
+        (-F.col("ts_us")).alias("nts"),
+        (-F.col("event_id")).alias("neid"),
     )
     return (
-        r.where(
-            (F.col("rf") == 1)
-            | (F.col("rl") == 1)
-            | (F.col("rmin") == 1)
-            | (F.col("rmax") == 1)
+        b.groupBy("user_id", "bkt")
+        .agg(
+            F.min_by(pt, k_time).alias("p_f"),
+            F.max_by(pt, k_time).alias("p_l"),
+            F.min_by(pt, k_min).alias("p_min"),
+            F.max_by(pt, k_max).alias("p_max"),
         )
         .select(
-            "user_id", "bkt", "ts_us", F.round("value", 6).alias("v")
+            "user_id",
+            "bkt",
+            F.explode(
+                F.array_distinct(F.array("p_f", "p_l", "p_min", "p_max"))
+            ).alias("p"),
+        )
+        .select(
+            "user_id",
+            "bkt",
+            F.col("p.ts_us").alias("ts_us"),
+            F.round(F.col("p.value"), 6).alias("v"),
         )
         .orderBy("user_id", "bkt", "ts_us", "v")
     )
