@@ -323,12 +323,28 @@ def triangle_count(
     Plan: canonicalize (min, max) pairs -> degree join -> one
     self-join on the wedge apex -> one equi-join closing the wedge
     against the oriented edge list -> explode the 3 corners ->
-    count per node. Three shuffles, all keyed; no driver collection.
+    count per node. All shuffles keyed; no driver collection.
+
+    Both the canonical edge list and the oriented edge list are
+    ``localCheckpoint``-ed (the winnowing/pagerank cut): each is
+    referenced by three downstream branches, and without the cut
+    Catalyst re-embeds the whole upstream expression — scan,
+    aggregate, distinct, degree joins — into every branch (the
+    un-cut initial plan reached 45 re-planned scans / 109 exchanges
+    before runtime exchange reuse collapsed them, r14). The cut
+    makes the one-scan dataflow structural instead of an AQE-reuse
+    outcome, and shrinks the tree Catalyst must analyze. Both
+    frames are edge-list-sized — bounded, far below the raw input.
     """
-    e = edges.select(
-        F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
-        F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
-    ).where(F.col("u") != F.col("v")).distinct()
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -345,7 +361,7 @@ def triangle_count(
         F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower_is_u, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    )
+    ).localCheckpoint(eager=False)
     o1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddst").alias("db")
     )

@@ -284,7 +284,16 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = ev.groupBy(
         "event_type", F.expr("ts div 3600000000000").alias("h")
     ).agg(F.min("user_id").alias("u"), F.max("user_id").alias("v"))
-    e0 = g0.where(F.col("u") != F.col("v")).select("u", "v").distinct()
+    # the edge derivation is read by BOTH the degree branch and the
+    # triangle operator: cut it once so neither branch re-embeds the
+    # events scan (r14; triangle_count cuts its own canonical and
+    # oriented edge lists the same way)
+    e0 = (
+        g0.where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     deg = (
         edges.select(F.col("src").alias("node"))

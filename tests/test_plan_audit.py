@@ -252,6 +252,22 @@ def test_knn_join_single_udf_pass_and_reused_exchange(spark):
             )
 
 
+@pytest.mark.parametrize(
+    "name", ["q_triangle_count", "q_clustering_coefficient"]
+)
+def test_graph_edge_list_cut(name, spark):
+    """triangle_count / clustering coefficient (r14): the canonical
+    and oriented edge lists are localCheckpoint-ed, so the plan's
+    leaves are the materializations (ExistingRDD) and the events scan
+    is never re-embedded into the self-join branches — the un-cut
+    form re-planned the scan 45+ times (109+ exchanges) and relied
+    entirely on runtime exchange reuse to collapse them."""
+    plan = _plan(spark, name)
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_pagerank_lineage_cut_and_topk(spark):
     """q_pagerank's final plan reads the LAST checkpoint only (the
     5-iteration lineage is cut — ExistingRDD scan, no join/exchange
