@@ -581,17 +581,34 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("w")
     )
-    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
+    # ONE pass over the exploded token stream: aggregate straight to
+    # (doc_id, lang, b) counts and cut — the bucket marginals, the
+    # scalar totals AND the per-doc vector are all re-aggregations of
+    # this bounded <= docs x B frame (lang is doc-level, so the
+    # grouping refines (doc_id, b) without changing any count). The
+    # previous form fanned the raw token stream out to four
+    # consumers, and each re-embedded the scan + explode + md5 over
+    # the whole corpus — four token-stream passes at any scale (r14).
+    db0 = (
+        tok.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    raw = db0.groupBy("b").agg(F.sum("n").alias("cnt_r"))
     tgt = (
-        tok.where(F.col("lang") == "en")
+        db0.where(F.col("lang") == "en")
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cnt_t"))
+        .agg(F.sum("n").alias("cnt_t"))
     )
     # scalar totals ride along as 1-row broadcast aggregates (never a
     # separate .count() job against the token stream)
-    totals = tok.agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    totals = db0.agg(
+        F.sum("n").alias("n_r"),
+        # coalesce: an all-non-target corpus must yield 0 (as the
+        # previous count() form did), not NULL
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("n"))), F.lit(0)
+        ).alias("n_t"),
     )
     ratio = (
         raw.join(tgt, "b", "left")
@@ -605,7 +622,7 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_ratio"),
         )
     )
-    db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    db = db0.select("doc_id", "b", "n")
     return (
         db.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")

@@ -1652,6 +1652,10 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    # O(langs x sources) frame feeds FOUR consumers (cells + both
+    # marginals + totals): cut it or each one replays the corpus scan
+    # (the q_cramers_v idiom; un-cut, the final plan ran 4 scans, r14)
+    o = o.localCheckpoint()
     r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
     s = o.groupBy("source").agg(F.sum("obs").alias("ct"))
     n = o.agg(
@@ -1990,6 +1994,10 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    # O(langs x sources) frame feeds FOUR consumers (cells + both
+    # marginals + totals): cut it or each one replays the corpus scan
+    # (the q_cramers_v idiom; un-cut, the final plan ran 4 scans, r14)
+    o = o.localCheckpoint()
     r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
     s = o.groupBy("source").agg(F.sum("obs").alias("ct"))
     n = o.agg(F.sum("obs").alias("big_n"))
