@@ -710,7 +710,12 @@ _TEMP_ALPHA = 0.5
 )
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # O(langs) frame feeds two consumers (totals + per-lang rates):
+    # cut it so neither replays the corpus scan (r14, the
+    # q_cramers_v idiom)
+    stats = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    )
     tot = stats.agg(
         F.sum("n").alias("total"),
         F.sum(F.pow("n", F.lit(_TEMP_ALPHA))).alias("total_a"),
