@@ -126,7 +126,12 @@ def test_m4_duplicate_projection_and_single_winner(spark, tmp_path):
 def test_m4_matches_window_form_on_heavy_ties(spark, tmp_path):
     """Row-for-row identity with the four-window reference on a
     corpus drawn from 2 values x 3 timestamps x 4 users x 2 buckets —
-    ties on every ordering prefix, so every tie-break path runs."""
+    ties on every ordering prefix, so every tie-break path runs. The
+    value pool also includes NULL and NaN: min_by/max_by struct-field
+    ordering must agree with the window sorts' null/NaN placement
+    (ASC nulls-first / DESC nulls-last; NaN greatest) or the picked
+    rows silently diverge."""
+    import math
     import random
 
     rng = random.Random(1405)
@@ -139,9 +144,19 @@ def test_m4_matches_window_form_on_heavy_ties(spark, tmp_path):
             t0 + rng.randrange(2) * day + rng.choice([100, 200, 300]) * us,
             rng.randrange(4),
             "x",
-            rng.choice([1.5, 2.5]),
+            rng.choice([1.5, 2.5, None, float("nan")]),
         )
         for eid in range(200)
     ]
     sf = _write_events(spark, tmp_path, rows)
-    assert _m4(spark, sf) == _m4_window_form(spark, sf)
+
+    def _key(row):
+        # NaN != NaN (and None is unsortable against floats): compare
+        # on a normalized string form of the value
+        u, b, ts, v = row
+        vn = "null" if v is None else ("nan" if math.isnan(v) else repr(v))
+        return (u, b, ts, vn)
+
+    got = sorted(map(_key, _m4(spark, sf)))
+    exp = sorted(map(_key, _m4_window_form(spark, sf)))
+    assert got == exp
