@@ -211,8 +211,16 @@ def semantic_dedup(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v")
     )
     nrm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    # NULL components on a zero norm (Spark ANSI would throw on the
+    # division; DuckDB yields NULL): the vector then scores NaN/NULL
+    # against every candidate and drops out of the >= threshold pairs
+    # on both engines identically (r14 fuzz)
     unit = assigned.join(vecs, "id").select(
-        "id", "cluster", F.transform("_v", lambda x: x / nrm).alias("_u")
+        "id",
+        "cluster",
+        F.transform(
+            "_v", lambda x: F.when(nrm != F.lit(0.0), x / nrm)
+        ).alias("_u"),
     )
 
     # Per-cluster pairwise cosines as ONE Arrow matmul per cluster

@@ -907,7 +907,17 @@ def embedding_neardup_pairs(
             (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")),
         )
         .withColumn(
-            "cosine", F.round(dot / (F.col("a._norm") * F.col("b._norm")), 6)
+            # NULL on a zero norm (DuckDB's division behavior; Spark
+            # ANSI would throw) — the pair then fails >= threshold on
+            # both engines identically (r14 fuzz)
+            "cosine",
+            F.round(
+                F.when(
+                    (F.col("a._norm") * F.col("b._norm")) != F.lit(0.0),
+                    dot / (F.col("a._norm") * F.col("b._norm")),
+                ),
+                6,
+            ),
         )
         # CollectMetrics barrier: without it Catalyst substitutes the
         # whole zip_with/aggregate dot product into the join condition

@@ -31,8 +31,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """NULL on a zero denominator — DuckDB's double-division-by-zero
+    behavior, which every oracle inherits. Spark runs ANSI and would
+    THROW instead (r14 fuzz find: one zero-norm embedding crashed the
+    whole ANN family), and a NULL cosine then sorts after every real
+    score under `DESC` in BOTH engines with identical tie-breaks, so
+    zero-norm vectors drop out of top-k identically."""
+    return F.when(den != F.lit(0.0), num / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return safe_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(
@@ -64,9 +74,9 @@ def brute_force_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
-            "_cos"
-        ),
+        safe_div(
+            dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+        ).alias("_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id")
@@ -299,9 +309,9 @@ def _exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
-                "_cos"
-            ),
+            safe_div(
+                dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -712,8 +722,10 @@ def ivfpq_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "_adc_cos",
-            (F.col("cdot") + adc(F.col("qidx"), F.col("codes")))
-            / (F.col("qn") * F.col("norm")),
+            safe_div(
+                F.col("cdot") + adc(F.col("qidx"), F.col("codes")),
+                F.col("qn") * F.col("norm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -807,9 +819,9 @@ def knn_join(
     scored = joined.select(
         "vec_id",
         "neighbor_id",
-        (dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias(
-            "_cos"
-        ),
+        safe_div(
+            dot(F.col("_av"), F.col("_bv")), F.col("_an") * F.col("_bn")
+        ).alias("_cos"),
         *(["_al", "_bl"] if exclude_match_col else []),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))

@@ -173,9 +173,16 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     d = d.select("doc_id", _words().alias("words"))
 
+    # guard the start range: a bare sequence(1, size-1) DESCENDS to
+    # [1, 0] on a one-token doc (Spark sequences run backwards when
+    # stop < start) and element_at then throws on index 2/0 — the
+    # same pitfall the n-gram starts in q_ngram_decontaminate guard
+    # against (r14 fuzz; the oracle's range(1, n) is empty there)
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(words) - 1, 0)), "
-        "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+        "CASE WHEN size(words) >= 2 THEN "
+        "transform(sequence(1, size(words) - 1), "
+        "i -> concat(element_at(words, i), ' ', element_at(words, i + 1))) "
+        "ELSE array() END"
     )
     tagged = F.concat(
         F.expr("transform(words, w -> struct('w' AS kind, w AS tok))"),
@@ -1273,7 +1280,8 @@ def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY event_type ORDER BY value, event_id) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
-      FROM events),
+      FROM events
+      WHERE value IS NOT NULL),
     b AS (
       SELECT *,
              max(CASE WHEN rn <= CAST(ceil(n * 0.05) AS BIGINT)
@@ -1303,7 +1311,13 @@ def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— so the DuckDB oracle hash-matches exactly.",
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # order statistics are over MEASURED values only: without the
+    # mirrored filter, NULLs rank into the 5% prefix on Spark
+    # (nulls-first ascending) but into the suffix on DuckDB
+    # (nulls-last), shifting both clip thresholds (r14 fuzz)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     wp = Window.partitionBy("event_type")
     w_rn = wp.orderBy("value", "event_id")
     e = ev.select(

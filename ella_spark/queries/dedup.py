@@ -1007,7 +1007,15 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(dot / (F.col("nrm") * F.col("qnrm")), 6)
+    # NULL on a zero norm (DuckDB division behavior; Spark ANSI would
+    # throw) — max() then ignores the NULL on both engines (r14 fuzz)
+    cos = F.round(
+        F.when(
+            (F.col("nrm") * F.col("qnrm")) != F.lit(0.0),
+            dot / (F.col("nrm") * F.col("qnrm")),
+        ),
+        6,
+    )
     return (
         c.crossJoin(F.broadcast(q))
         .groupBy("vec_id")

@@ -452,7 +452,7 @@ def _ivfpq_portable_sql(dialect: str, table: str, cent, books) -> str:
         SELECT a.query_id, a.neighbor_id,
                row_number() OVER (
                  PARTITION BY a.query_id
-                 ORDER BY (({adc_sum}) / (qv.nrm * cn.nrm)) DESC,
+                 ORDER BY (({adc_sum}) / nullif(qv.nrm * cn.nrm, 0)) DESC,
                           a.neighbor_id) AS rr
         FROM adcl a
         JOIN vn qv ON qv.vec_id = a.query_id
@@ -460,7 +460,7 @@ def _ivfpq_portable_sql(dialect: str, table: str, cent, books) -> str:
       WHERE rr <= {_PQ_REFINE}),
     resc AS (
       SELECT r.query_id, r.neighbor_id,
-             ({dot('qv.e', 'cv.e')}) / (qv.nrm * cv.nrm) AS cos
+             ({dot('qv.e', 'cv.e')}) / nullif(qv.nrm * cv.nrm, 0) AS cos
       FROM ref r
       JOIN vn qv ON qv.vec_id = r.query_id
       JOIN vn cv ON cv.vec_id = r.neighbor_id)

@@ -1016,12 +1016,17 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
-    # (?!^) zero-width split: one char per element; Spark's regex
-    # split still emits one empty edge element — drop it
+    # one element per CODEPOINT: regexp_extract_all with '.' matches
+    # full code points, so an astral char (emoji) stays one element —
+    # the previous zero-width split cut on UTF-16 units and counted
+    # surrogate pairs as two chars, diverging from the oracle's
+    # codepoint substr on non-BMP text (r14 fuzz)
     chars = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"(?!^)")).alias("c"),
-    ).where(F.col("c") != "")
+        F.explode(
+            F.expr("regexp_extract_all(lower(trim(text)), '(?s).', 0)")
+        ).alias("c"),
+    )
     counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
     return counts.groupBy("doc_id").agg(
         F.sum("n").cast("bigint").alias("n_chars_norm"),
@@ -1195,9 +1200,13 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(1.0),
             6,
         ).alias("unique_ratio"),
-        F.md5(F.concat_ws("\n\n", F.col("_u")).cast("binary")).alias(
-            "dedup_digest"
-        ),
+        # NULL when there is nothing to hash — a zero-paragraph doc
+        # digests to NULL on the oracle side too (r14 fuzz; md5 of the
+        # empty concat would otherwise mint d41d8... only on Spark)
+        F.when(
+            F.size("_u") > 0,
+            F.md5(F.concat_ws("\n\n", F.col("_u")).cast("binary")),
+        ).alias("dedup_digest"),
     )
 
 

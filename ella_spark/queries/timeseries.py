@@ -960,7 +960,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_ns(ts) // 86400000000000 AS bkt,
              epoch_ns(ts) // 1000 AS ts_us,
              event_id, value
-      FROM events),
+      FROM events
+      WHERE value IS NOT NULL),
     r AS (
       SELECT *,
         row_number() OVER (PARTITION BY user_id, bkt
@@ -1002,7 +1003,14 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows — exactly the window form's (and the oracle's) semantics
     # — while one row winning several criteria dedupes to one
     # (array_distinct).
-    ev = load_table(spark, sf_dir, "events")
+    # un-measured points are not plottable and must not win an
+    # extremal slot: both engines exclude NULL values (without the
+    # mirrored filter, Spark's nulls-FIRST ascending sort elects a
+    # NULL row as the bucket min while DuckDB's nulls-last does not —
+    # r14 fuzz)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     b = ev.select(
         "user_id",
         F.expr("ts div 86400000000000").alias("bkt"),

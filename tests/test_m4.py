@@ -55,10 +55,14 @@ def _m4(spark, sf_dir):
 
 
 def _m4_window_form(spark, sf_dir):
-    """The original four-row_number reference implementation."""
+    """The original four-row_number reference implementation, with the
+    same NULL-value exclusion the query (and its oracle) adopted in
+    r14 — un-measured points must not win an extremal slot."""
     from ella_spark.sources import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     b = ev.select(
         "user_id",
         F.expr("ts div 86400000000000").alias("bkt"),
