@@ -854,7 +854,11 @@ def _clf_weights(sf_dir: str):
               WHERE length(trim(text)) > 0 AND length(w) > 0
             )
             SELECT doc_id,
-                   max(CAST(lang = 'en' AS INT)) AS y,
+                   -- a NULL lang is NOT the target class: without the
+                   -- coalesce the label comes back NULL -> numpy nan
+                   -- -> NaN weights -> 'nan' literals in the pinned
+                   -- oracle SQL (r14 fuzz, nullkeys)
+                   max(CAST(coalesce(lang = 'en', FALSE) AS INT)) AS y,
                    count(*) AS n,
                    list(b ORDER BY b) AS bs
             FROM tok GROUP BY doc_id ORDER BY doc_id

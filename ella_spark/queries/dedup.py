@@ -55,7 +55,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / len(list_distinct(list_concat(a.grams, b.grams))), 6)
                 ELSE 0.0 END AS jaccard
     FROM sh a JOIN sh b
-      ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+      ON a.lang IS NOT DISTINCT FROM b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
     """,
     doc="Exact 3-gram Jaccard over a windowed candidate set (per-lang).",
 )
@@ -83,7 +83,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / greatest(length(a.t), length(b.t)), 6)
                 ELSE 0.0 END AS rel_dist
     FROM r a JOIN r b
-      ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+      ON a.lang IS NOT DISTINCT FROM b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
     """,
     doc="Exact Levenshtein verification over the id-adjacency "
     "candidate window (per-lang, fanout 3): the ground-truth edit "
@@ -121,7 +121,7 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / len(b.grams), 6)
                 ELSE 0.0 END AS containment_b
     FROM sh a JOIN sh b
-      ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+      ON a.lang IS NOT DISTINCT FROM b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
     """,
     doc="Asymmetric 4-gram CONTAINMENT |A∩B|/|A| (Broder): catches a "
     "document embedded in a larger one, where symmetric Jaccard is "
@@ -549,7 +549,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b
-        ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+        ON a.lang IS NOT DISTINCT FROM b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
       WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
                  THEN round(
                    CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
@@ -1039,7 +1039,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b
-        ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+        ON a.lang IS NOT DISTINCT FROM b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
       WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
                  THEN round(
                    CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
@@ -1116,7 +1116,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b
-        ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+        ON a.lang IS NOT DISTINCT FROM b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
       WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
                  THEN round(
                    CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)

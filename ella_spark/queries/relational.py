@@ -1323,6 +1323,7 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang AS item, count(*) AS cnt
     FROM documents
+    WHERE lang IS NOT NULL
     GROUP BY source, lang
     ORDER BY source, item
     """,
@@ -1335,7 +1336,11 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any aggregate; the explode is O(groups * k).",
 )
 def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # top-k of OBSERVED (non-null) items, mirrored in the oracle's
+    # WHERE: Spark's approx_top_k counts NULL as an item, and a NULL
+    # group would break the "k covers every distinct value"
+    # exact-regime contract this oracle depends on (r14 fuzz)
+    d = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
     sk = d.groupBy("source").agg(
         F.expr("approx_top_k(lang, 5, 100)").alias("tk")
     )
@@ -1540,7 +1545,7 @@ _PSI_BUCKETS = 10
              * ln((CAST(c_tb AS DOUBLE) * big_n)
                   / (CAST(c_b AS DOUBLE) * n_t))), 6) AS psi
     FROM tb
-    JOIN tot ON tot.event_type = tb.event_type
+    JOIN tot ON tot.event_type IS NOT DISTINCT FROM tb.event_type
     JOIN bk ON bk.bucket = tb.bucket
     CROSS JOIN n
     GROUP BY tb.event_type
@@ -1893,7 +1898,8 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT grid.event_type, grid.d,
              COALESCE(o.c, 0) AS c
       FROM grid LEFT JOIN o
-        ON o.event_type = grid.event_type AND o.d = grid.d),
+        ON o.event_type IS NOT DISTINCT FROM grid.event_type
+       AND o.d = grid.d),
     n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_t
           FROM f GROUP BY event_type)
     SELECT f.event_type, n.n_t AS n,
@@ -1901,7 +1907,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - log10(1.0 + 1.0 / d))), 6) AS max_abs_dev,
            round(sum(abs(CAST(c AS DOUBLE) / n.n_t
                          - log10(1.0 + 1.0 / d))), 6) AS total_abs_dev
-    FROM f JOIN n ON n.event_type = f.event_type
+    FROM f JOIN n ON n.event_type IS NOT DISTINCT FROM f.event_type
     GROUP BY f.event_type, n.n_t
     ORDER BY f.event_type
     """,
@@ -1927,8 +1933,20 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = c.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
     digits = spark.range(1, 10).select(F.col("id").alias("d"))
     grid = c.select("event_type").distinct().crossJoin(F.broadcast(digits))
-    f = grid.join(o, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    # null-SAFE join: distinct() keeps a NULL event_type slice in the
+    # grid, so the counts must re-attach to it too — a plain equi-join
+    # left every digit of the NULL slice at c=0, making n_t = 0 and
+    # the deviation division throw under ANSI (r14 fuzz, nullkeys);
+    # the oracle joins IS NOT DISTINCT FROM identically
+    f = grid.join(
+        o,
+        grid["event_type"].eqNullSafe(o["event_type"])
+        & (grid["d"] == o["d"]),
+        "left",
+    ).select(
+        grid["event_type"],
+        grid["d"],
+        F.coalesce(o["c"], F.lit(0)).alias("c"),
     )
     w_t = Window.partitionBy("event_type")
     f = f.withColumn("n_t", F.sum("c").over(w_t))

@@ -716,7 +716,7 @@ _QR_K = 16_384  # level-0 cap: sketch is exact whenever n <= k
              quantile_disc(value, 0.5) AS p50,
              quantile_disc(value, 0.9) AS p90,
              quantile_disc(value, 0.99) AS p99
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NULL OR NOT isnan(value) GROUP BY 1
     ),
     total AS (
       SELECT CAST(-1 AS BIGINT) AS bucket,
@@ -724,7 +724,7 @@ _QR_K = 16_384  # level-0 cap: sketch is exact whenever n <= k
              quantile_disc(value, 0.5) AS p50,
              quantile_disc(value, 0.9) AS p90,
              quantile_disc(value, 0.99) AS p99
-      FROM events
+      FROM events WHERE value IS NULL OR NOT isnan(value)
     ),
     unioned AS (SELECT * FROM buckets UNION ALL SELECT * FROM total)
     SELECT bucket, n,
@@ -753,8 +753,11 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ella_spark.operators import sketch as SK
 
     ev = load_table(spark, sf_dir, "events")
+    # NaN is un-measurable like NULL and must not rank into the
+    # sketch (NaN placement differs cross-engine; the oracle filter
+    # mirrors this — r14 fuzz, nan class)
     roll = SK.quantile_rollup(
-        ev.where(F.col("value").isNotNull()),
+        ev.where(F.col("value").isNotNull() & ~F.isnan("value")),
         "value",
         F.expr(f"ts div {_QR_DAY_NS}"),  # integer div: no double rounding
         k=_QR_K,
@@ -842,12 +845,14 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH med AS (
       SELECT user_id, median(CAST(value AS DOUBLE)) AS med
-      FROM events GROUP BY user_id
+      FROM events WHERE value IS NULL OR NOT isnan(value)
+      GROUP BY user_id
     ),
     dev AS (
       SELECT e.user_id, e.value, m.med,
              abs(e.value - m.med) AS adev
       FROM events e JOIN med m ON m.user_id = e.user_id
+      WHERE e.value IS NULL OR NOT isnan(e.value)
     ),
     mad AS (
       SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
@@ -871,7 +876,14 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioning; nothing is per-row Python.",
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # drop NaN measurements (mirrored in the oracle): NaN ranks
+    # into the two medians differently across engines — NULL rows
+    # stay, as before, so n keeps its count(*) meaning (r14 fuzz)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .where(F.col("value").isNull() | ~F.isnan("value"))
+    )
     med = ev.groupBy("user_id").agg(
         F.median(F.col("value").cast("double")).alias("med")
     )
@@ -1434,11 +1446,11 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (
       SELECT e.event_type, e.hour,
              abs(CAST(e.cents AS DOUBLE) - CAST(g.s AS DOUBLE) / g.c) AS dev
-      FROM e JOIN g ON g.event_type = e.event_type AND g.hour = e.hour)
+      FROM e JOIN g ON g.event_type IS NOT DISTINCT FROM e.event_type AND g.hour = e.hour)
     SELECT g.event_type, CAST(g.hour AS INT) AS hour, g.c AS n,
            CAST(g.s AS DOUBLE) / (g.c * 100) AS mean_value,
            max(d.dev) / 100 AS max_dev_value
-    FROM g JOIN d ON d.event_type = g.event_type AND d.hour = g.hour
+    FROM g JOIN d ON d.event_type IS NOT DISTINCT FROM g.event_type AND d.hour = g.hour
     GROUP BY g.event_type, g.hour, g.c, g.s
     ORDER BY g.event_type, hour
     """,
@@ -1553,7 +1565,7 @@ _CUSUM_DAY_NS = 86_400_000_000_000
              sum(d.s_d) OVER win AS cs,
              sum(d.c_d) OVER win AS cc,
              t.s_tot, t.c_tot
-      FROM d JOIN t ON t.event_type = d.event_type
+      FROM d JOIN t ON t.event_type IS NOT DISTINCT FROM d.event_type
       WINDOW win AS (PARTITION BY d.event_type ORDER BY d.day)),
     k AS (
       SELECT event_type, day,
