@@ -429,6 +429,13 @@ def main() -> None:
     ingest_rps, freshness = _ingest_bench(spark)
     extras.update(_point_lookup_bench(spark))
     spark_version = spark.version
+    # driver-verifiable scaling evidence (VERDICT r14 #2): the r14
+    # driver flagged suspect_cpus_ignored because the JSON carried only
+    # the echoed env var, not proof the session honored it. Record what
+    # the session actually resolved: the master string built from
+    # $SPARK_GRAFT_CPUS and the resulting scheduler parallelism.
+    resolved_master = spark.sparkContext.master
+    default_parallelism = spark.sparkContext.defaultParallelism
     spark.stop()
 
     # POST bracket: the same probe on the JVM-free host again. The
@@ -454,6 +461,8 @@ def main() -> None:
         "warmup_runs_per_query": 1,
         "spark": spark_version,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "master": resolved_master,
+        "default_parallelism": default_parallelism,
         # timings on this host swing up to 10x with hypervisor steal
         # (parallel stages amplify vCPU stalls into per-stage
         # stragglers); record the load context with each run
@@ -518,6 +527,8 @@ def main() -> None:
         "runs": RUNS,
         "spark": spark_version,
         "cpus": out["cpus"],
+        "master": resolved_master,
+        "default_parallelism": default_parallelism,
         "load_avg_1m": out["load_avg_1m"],
         "load_gate": gate,
         "steal_pct_timed_section": steal_pct,

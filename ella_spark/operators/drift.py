@@ -160,7 +160,7 @@ def _bounded_value_frame(tv: DataFrame, max_grid: int) -> DataFrame:
         )
         .groupBy("_slice", "_v")
         .agg(F.sum("_c").alias("_c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -204,7 +204,7 @@ def ks_by_slice(
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
     tv = c.groupBy("_slice", "_v").agg(F.count(F.lit(1)).alias("_c"))
-    tv = _bounded_value_frame(tv.localCheckpoint(), max_grid)
+    tv = _bounded_value_frame(tv.localCheckpoint(eager=False), max_grid)
     vals = tv.groupBy("_v").agg(F.sum("_c").alias("_c_v"))
     w_v = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(
@@ -357,7 +357,7 @@ def js_by_slice(
         .alias("_bucket"),
     )
     tb = b.groupBy("_slice", "_bucket").agg(F.count(F.lit(1)).alias("_c"))
-    tb = tb.localCheckpoint()  # 3 consumers: totals, pooled, grid join
+    tb = tb.localCheckpoint(eager=False)  # 3 consumers: totals, pooled, grid join (lazy cut -- r15)
     tot = tb.groupBy("_slice").agg(F.sum("_c").alias("_n_s"))
     bk = tb.groupBy("_bucket").agg(F.sum("_c").alias("_c_b"))
     n = tb.agg(F.sum("_c").alias("_big_n"))
@@ -418,7 +418,7 @@ def emd_by_slice(
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
     tv = c.groupBy("_slice", "_v").agg(F.count(F.lit(1)).alias("_c"))
-    tv = _bounded_value_frame(tv.localCheckpoint(), max_grid)
+    tv = _bounded_value_frame(tv.localCheckpoint(eager=False), max_grid)
     vals = tv.groupBy("_v").agg(F.sum("_c").alias("_c_v"))
     w_v = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(
@@ -580,7 +580,7 @@ def trend_robust(
     d = (
         c.groupBy("_slice", "_bucket")
         .agg((F.sum("_v") / F.count(F.lit(1))).alias("_m"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(

@@ -135,8 +135,11 @@ def connected_components(
         # take's incremental-limit escalation (1 partition, then 4x
         # more per wave) runs SEQUENTIAL job waves whenever the result
         # is far below the threshold — measured ~10x slower than one
-        # materialization under host contention.
-        e_plan = e_plan.localCheckpoint(eager=True)
+        # materialization under host contention. Lazy (r15): the
+        # count() below IS the materializing action — eager=True paid
+        # one expensive checkpoint job plus a second count job over
+        # the cached blocks; lazy fuses them into one.
+        e_plan = e_plan.localCheckpoint(eager=False)
         if e_plan.count() <= small_graph_edges:
             labels = _union_find_labels(nodes.sparkSession, e_plan.collect())
             return (
@@ -188,7 +191,9 @@ def connected_components(
         )
         attach_self = m.select(F.col("m_src").alias("src"), F.col("m").alias("dst"))
         # The convergence probe rides on the checkpoint job (Observation)
-        # instead of being its own pass over the data.
+        # instead of being its own pass over the data. MUST stay
+        # eager: obs.get blocks until an action runs over the observed
+        # plan — a lazy checkpoint here would deadlock the loop.
         obs = Observation(f"cc_round_{it}")
         e = (
             attach_small.unionAll(attach_self)
@@ -272,8 +277,10 @@ def pagerank(
         F.col(dst_col).cast("long").alias("dst"),
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Edge list + out-degree, materialized once, reused every round.
-    edeg = e.join(deg, "src").localCheckpoint(eager=True)
+    # Edge list + out-degree, materialized once, reused every round
+    # (lazy -- r15: the first iteration's join materializes it; eager
+    # paid a separate job with no consumer between checkpoint and use).
+    edeg = e.join(deg, "src").localCheckpoint(eager=False)
     n = deg.count()  # one scalar to the driver (bounded by design)
     if n == 0:  # empty graph: no nodes, no ranks (avoid 0-division)
         return edeg.sparkSession.createDataFrame([], "node long, pr long")
@@ -296,7 +303,7 @@ def pagerank(
                 F.lit(base)
                 + F.floor(F.lit(damping) * F.col("s").cast("double"))
             ).alias("pr"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return pr
 
 
@@ -429,7 +436,7 @@ def kcore(
     ).where(F.col("u") != F.col("v")).distinct()
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_n = None
     converged = False
     for _ in range(rounds):
@@ -444,7 +451,7 @@ def kcore(
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(kv, "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     return deg.where(F.col("d") >= k).select(
@@ -484,7 +491,7 @@ def kcore_converged(
     ).where(F.col("u") != F.col("v")).distinct()
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_n = None
     converged = False
     for _ in range(max_rounds):
@@ -499,7 +506,7 @@ def kcore_converged(
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(kv, "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     return deg.where(F.col("d") >= k).select(

@@ -437,7 +437,7 @@ def kmv_overlap(
     """
     from pyspark.sql import Window
 
-    sk = kmv_sketch(df, group_col, value_col, k).localCheckpoint()
+    sk = kmv_sketch(df, group_col, value_col, k).localCheckpoint(eager=False)
     per = kmv_estimate(sk, k)
     pairs = (
         per.select(F.col("grp").alias("ga"), F.col("est").alias("est_a"))

@@ -45,7 +45,7 @@ def mann_whitney_by_slice(
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
     tv = c.groupBy("_slice", "_v").agg(F.count(F.lit(1)).alias("_c"))
-    tv = tv.localCheckpoint()  # 2 consumers: pooled grid + rank join
+    tv = tv.localCheckpoint(eager=False)  # 2 consumers: pooled grid + rank join (lazy cut -- r15)
     vals = tv.groupBy("_v").agg(F.sum("_c").alias("_c_v"))
     w_v = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     pooled = vals.select(
@@ -157,7 +157,7 @@ def levene_by_slice(
         F.avg("_z").alias("_zbar_s"),
         ((F.count(F.lit(1)) - 1) * F.var_samp("_z")).alias("_ssw_s"),
     )
-    t = t.localCheckpoint()
+    t = t.localCheckpoint(eager=False)
     g = t.agg(
         F.sum("_n_s").cast("long").alias("_big_n"),
         F.count(F.lit(1)).cast("long").alias("_k"),

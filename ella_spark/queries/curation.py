@@ -599,7 +599,7 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     db0 = (
         tok.groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     raw = db0.groupBy("b").agg(F.sum("n").alias("cnt_r"))
     tgt = (
@@ -721,7 +721,7 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut it so neither replays the corpus scan (r14, the
     # q_cramers_v idiom)
     stats = (
-        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     )
     tot = stats.agg(
         F.sum("n").alias("total"),

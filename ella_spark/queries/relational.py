@@ -1659,8 +1659,11 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
     # O(langs x sources) frame feeds FOUR consumers (cells + both
     # marginals + totals): cut it or each one replays the corpus scan
-    # (the q_cramers_v idiom; un-cut, the final plan ran 4 scans, r14)
-    o = o.localCheckpoint()
+    # (the q_cramers_v idiom; un-cut, the final plan ran 4 scans, r14).
+    # Lazy (r15): the cut is the LogicalRDD plan boundary, which lazy
+    # checkpointing establishes too; the first consumer materializes
+    # the blocks in-line instead of paying a separate eager job.
+    o = o.localCheckpoint(eager=False)
     r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
     s = o.groupBy("source").agg(F.sum("obs").alias("ct"))
     n = o.agg(
@@ -1751,7 +1754,9 @@ def _capped_tv(ev, max_grid: int = _ECDF_MAX_GRID):
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
     )
     tv0 = c.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c_tv"))
-    tv0 = tv0.localCheckpoint()
+    # lazy: the probe collect below is the first consumer and
+    # materializes the blocks in-line (one job instead of two)
+    tv0 = tv0.localCheckpoint(eager=False)
     stats = tv0.agg(
         F.countDistinct("vc").alias("n_vals"),
         F.min("vc").alias("lo"),
@@ -1777,7 +1782,7 @@ def _capped_tv(ev, max_grid: int = _ECDF_MAX_GRID):
         )
         .groupBy("event_type", "vc")
         .agg(F.sum("c_tv").alias("c_tv"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return tv, int(stats.big_n)
 
@@ -2014,8 +2019,9 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
     # O(langs x sources) frame feeds FOUR consumers (cells + both
     # marginals + totals): cut it or each one replays the corpus scan
-    # (the q_cramers_v idiom; un-cut, the final plan ran 4 scans, r14)
-    o = o.localCheckpoint()
+    # (the q_cramers_v idiom; un-cut, the final plan ran 4 scans,
+    # r14). Lazy (r15): same LogicalRDD cut, no separate eager job.
+    o = o.localCheckpoint(eager=False)
     r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
     s = o.groupBy("source").agg(F.sum("obs").alias("ct"))
     n = o.agg(F.sum("obs").alias("big_n"))
@@ -2140,7 +2146,8 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = b.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("c_tb")
     )
-    tb = tb.localCheckpoint()  # 3 consumers: totals, pooled, grid join
+    # 3 consumers: totals, pooled, grid join (lazy cut — r15)
+    tb = tb.localCheckpoint(eager=False)
     tot = tb.groupBy("event_type").agg(F.sum("c_tb").alias("n_t"))
     bk = tb.groupBy("bucket").agg(F.sum("c_tb").alias("c_b"))
     n = tb.agg(F.sum("c_tb").alias("big_n"))
@@ -2282,7 +2289,8 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
     # O(langs x sources) frame feeds FOUR consumers (cells + both
     # marginals + totals): cut it or each one replays the corpus scan
-    o = o.localCheckpoint()
+    # (lazy cut — r15: same LogicalRDD boundary, no separate job)
+    o = o.localCheckpoint(eager=False)
     r = o.groupBy("lang").agg(F.sum("o").alias("rt"))
     s = o.groupBy("source").agg(F.sum("o").alias("ct"))
     n = o.agg(
@@ -2396,8 +2404,8 @@ def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.max("n_t") - 1) * F.var_samp("z")).alias("ssw_t"),
     )
     # k-row frame feeds two consumers (grand means + the W terms):
-    # cut it or both replay the scan-and-window stage
-    t = t.localCheckpoint()
+    # cut it or both replay the scan-and-window stage (lazy — r15)
+    t = t.localCheckpoint(eager=False)
     g = t.agg(
         F.sum("n_t").cast("long").alias("big_n"),
         F.count(F.lit(1)).cast("long").alias("k"),

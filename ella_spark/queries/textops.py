@@ -567,7 +567,7 @@ def winnow_fingerprints_fast(
     # self-join branch
     return n.mapInPandas(
         fp_batches, schema="doc_id long, fp long"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
 
 def _winnow_pairs(
@@ -613,7 +613,7 @@ def _winnow_pairs(
     # hung at any SF). One bounded materialization (a row per doc)
     # makes every later plan shallow — the same idiom as the
     # connected-components edge checkpoint (operators/graph.py).
-    f = g.select("doc_id", fps.alias("fp")).localCheckpoint()
+    f = g.select("doc_id", fps.alias("fp")).localCheckpoint(eager=False)
     e = f.select("doc_id", F.explode("fp").alias("fp"))
     nf = f.select("doc_id", F.size("fp").cast("bigint").alias("nf"))
     return _winnow_tail(e, nf, df_cap, min_shared)

@@ -7,6 +7,7 @@ Prints one JSON line {name: median_sec}. Protocol mirrors bench.py
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -16,7 +17,8 @@ REPO = str(Path(__file__).resolve().parents[1])
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-SF_DIR = "/root/testdata/sf0.1"
+# honor the same env var as bench.py / dump_plans.py (ADVICE r14)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROUNDS = 5
 
 
@@ -28,6 +30,11 @@ def main() -> None:
     spark = get_session("ab_time")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        # fail BEFORE the warm loop: a typo must not abort a long
+        # interleaved run halfway through (ADVICE r14)
+        sys.exit(f"unknown query names: {unknown} (see ella_spark.queries)")
     qs["q_distinct"](spark, SF_DIR).collect()  # JVM/footer warm
     for n in names:
         qs[n](spark, SF_DIR).count()  # untimed warm round
