@@ -512,3 +512,71 @@ def kcore_converged(
     return deg.where(F.col("d") >= k).select(
         F.col("u").alias("node"), F.lit(converged).alias("converged")
     )
+
+
+# ── BFS minimum depth ────────────────────────────────────────────────
+
+
+def bfs_min_depth(
+    edges: DataFrame,
+    depth_cap: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Minimum BFS depth from the minimum ``src`` node, capped.
+
+    Returns ``(node LONG, depth INT)`` — one row per node reachable
+    from ``min(src)`` within ``depth_cap`` hops, with its true BFS
+    level. Equivalent to the depth-capped recursive CTE
+
+    ``r(node, depth) AS (SELECT min(src), 0 FROM edges UNION ALL
+    SELECT DISTINCT e.dst, r.depth+1 FROM r JOIN edges e ON
+    e.src = r.node WHERE r.depth < cap)`` followed by
+    ``GROUP BY node -> min(depth)`` — including the empty-edge-list
+    edge case (one ``(NULL, 0)`` row) — but executed as a
+    visited-set BFS (r15, guide §2 wasted-stage elimination):
+
+    - the frontier at level d+1 is ONLY the newly discovered nodes
+      (anti-join against the visited set), so each level's join input
+      shrinks instead of oscillating over the already-seen core — the
+      recursion's frontier never empties on cyclic graphs (re-visits
+      keep feeding it rows), so SQL recursion ALWAYS runs to the
+      depth cap;
+    - the loop stops at the first level that discovers nothing new:
+      level count = min(true eccentricity + 1, cap) instead of
+      always cap (sf0.1: 5 levels instead of 9; first-discovery
+      depth IS the minimum depth, so the result set is identical).
+
+    ``edges`` must be bounded/materialized by the caller (it is
+    re-joined once per level). Each level is one Spark job: the
+    frontier⋈edges expansion, distinct, anti-join and the emptiness
+    probe all materialize through one lazy localCheckpoint + count.
+    ``stats`` (optional) records {"levels": n} for tests.
+    """
+    # anchor: min(src) at depth 0 — one row even when edges is empty
+    # (min over an empty frame is NULL, matching the CTE's anchor)
+    visited = (
+        edges.agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).cast("int").alias("depth"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("node")
+    levels = 0
+    for depth in range(1, depth_cap + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).cast("int").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+        levels += 1
+        if nxt.count() == 0:
+            break
+        # visited is a union of per-level checkpointed leaves: lineage
+        # stays O(levels) shallow, no re-checkpoint needed
+        visited = visited.unionAll(nxt)
+        frontier = nxt.select("node")
+    if stats is not None:
+        stats["levels"] = levels
+    return visited

@@ -15,7 +15,6 @@ O(groups), never a within-group pair explosion.
 from __future__ import annotations
 
 import math
-import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -379,28 +378,29 @@ _BFS_CAP = 8
     SELECT node, CAST(min(depth) AS INT) AS depth
     FROM r GROUP BY node ORDER BY node
     """,
-    doc="Recursive-CTE BFS (WITH RECURSIVE, Spark 4's UNION ALL "
-    "recursion) over the events co-activity graph: levels from the "
-    "minimum node, depth-capped at 8. The reference's SQL layer is "
-    "DataFusion, which ships recursive CTEs (datafusion/sqllogictest "
-    "cte.slt recursive cases) — this pins the same verb on the Spark "
-    "side. Cycle-safe WITHOUT set-recursion (Spark supports only "
-    "UNION ALL): the recursive term is SELECT DISTINCT over "
-    "(node, depth) and depth strictly increases, so each iteration "
-    "emits at most one row per node — BFS-frontier bounds, O(n) rows "
-    "per level, never path enumeration. min(depth) GROUP BY collapses "
-    "re-visits to the true BFS level. At scale each level is one "
-    "equi-join + distinct on the node key; the working set never "
-    "exceeds the node count. The edge list is MATERIALIZED "
-    "(localCheckpoint) before the recursion: a plain temp view is "
-    "re-evaluated — full events scan + two distincts — at EVERY "
-    "recursion level (9x here; measured 3.6 s -> 1.25 s at sf0.1), "
-    "and the co-activity edge set is bounded by distinct "
-    "(event_type, hour) pairs, far below the raw row count, so "
-    "pinning it is scale-safe (the connected_components/pagerank "
-    "per-round checkpoint discipline).",
+    doc="Depth-capped BFS from the minimum node over the events "
+    "co-activity graph. The oracle stays the depth-capped recursive "
+    "CTE (DataFusion's SQL layer ships recursive CTEs; the spec is "
+    "unchanged); the Spark side executes it as a VISITED-SET BFS "
+    "(operators/graph.py bfs_min_depth — r15, VERDICT #1). Why not "
+    "WITH RECURSIVE (the r9-r14 form): SQL recursion has no visited "
+    "set, so on cyclic graphs the frontier never empties (the same "
+    "~250-node core re-enters every level at sf0.1) and the loop "
+    "ALWAYS runs all 8 recursion levels; first-discovery BFS stops "
+    "at the first level that finds nothing new — min(true "
+    "eccentricity + 1, cap) levels (sf0.1: 5 of 9; the true depth "
+    "histogram tops out at 4) with strictly smaller per-level join "
+    "inputs (new nodes only, never re-visits). Result set identical "
+    "by construction: first-discovery depth IS min(depth), and the "
+    "depth-<=cap node set is unchanged (proved by the unchanged "
+    "oracle hash + tests/test_graph.py equivalence pins). The edge "
+    "list is MATERIALIZED (localCheckpoint) before the loop, bounded "
+    "by distinct (event_type, hour) pairs — the CC/pagerank "
+    "checkpoint discipline.",
 )
 def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ella_spark.operators.graph import bfs_min_depth
+
     ev = load_table(spark, sf_dir, "events")
     g0 = ev.groupBy(
         "event_type", F.expr("ts div 3600000000000").alias("h")
@@ -413,28 +413,11 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize once; ~4M-edge partitions keep the per-level join
     # from paying empty-partition task overhead at tiny frontiers
-    # (coalesce over checkpointed blocks is narrow and cheap)
-    edges = edges.localCheckpoint()
+    # (coalesce over checkpointed blocks is narrow and cheap). Lazy:
+    # the count() is the materializing action.
+    edges = edges.localCheckpoint(eager=False)
     n_parts = max(1, math.ceil(edges.count() / 4_000_000))
     if edges.rdd.getNumPartitions() > n_parts:
         edges = edges.coalesce(n_parts)
-    # unique per-call view name: two concurrent runs on the shared
-    # session must not clobber each other between view creation and
-    # the recursive query's analysis (the engine TVF-view contract)
-    view = f"__reach_edges_{uuid.uuid4().hex[:12]}"
-    edges.createOrReplaceTempView(view)
-    out = spark.sql(f"""
-      WITH RECURSIVE r(node, depth) AS (
-        SELECT min(src), 0 FROM {view}
-        UNION ALL
-        SELECT DISTINCT e.dst, r.depth + 1
-        FROM r JOIN {view} e ON e.src = r.node
-        WHERE r.depth < {_BFS_CAP}
-      )
-      SELECT node, CAST(min(depth) AS INT) AS depth
-      FROM r GROUP BY node ORDER BY node
-    """)
-    # analysis resolved the view into the plan; drop the name now so
-    # repeated calls don't accumulate catalog entries
-    spark.catalog.dropTempView(view)
-    return out
+    reach = bfs_min_depth(edges, _BFS_CAP)
+    return reach.select("node", "depth").orderBy("node")

@@ -322,7 +322,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r_name = 'ASIA'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5: 6-way join incl. compound join key; dims broadcast.",
+    doc="TPC-H Q5: 6-way join incl. compound join key; dims broadcast. "
+    "r15 (guide §3.2): the region predicate reaches customer and "
+    "supplier BEFORE the fact joins via a broadcast semi-join on the "
+    "ASIA nation keys (a constant-size frame, <= 25 rows). The join "
+    "graph forces c_nationkey = s_nationkey and s_nationkey in ASIA, "
+    "so the prefilter removes only rows that could never survive — "
+    "but Catalyst cannot infer it (predicate transitivity across the "
+    "region JOIN's membership is not a rewrite it applies), so "
+    "without it every c/o/li shuffle carries 5x the surviving bytes.",
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -331,6 +339,21 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")  # scales with SF: size-based broadcast
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    # constant-size (<= nations) key list: nation x ASIA-region
+    asia_keys = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    c = c.join(
+        asia_keys, c.c_nationkey == asia_keys.n_nationkey, "left_semi"
+    )
+    s = s.join(
+        asia_keys, s.s_nationkey == asia_keys.n_nationkey, "left_semi"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == o.o_orderkey)

@@ -607,36 +607,55 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q2 shape (no partsupp table -> supplier/part cost derived "
     "from lineitem: min unit price per (part, supplier) pair). The "
-    "correlated min-cost subquery becomes a window MIN over p_partkey "
-    "after the region filter — one shuffle on partkey instead of a "
+    "correlated min-cost subquery becomes a window MIN over the part "
+    "key after the region filter — one shuffle on partkey instead of a "
     "re-scan per outer row. Equality against the window min is exact: "
     "MIN over doubles is order-independent and the min is an element of "
-    "the compared set. Region/nation are constant-size -> broadcast; "
-    "the derived ps aggregate shuffles (partkey, suppkey, 8B) only.",
+    "the compared set. Region/nation are constant-size -> broadcast. "
+    "r15 (guide §3.2/§2.3): the selective part filter (p_size AND "
+    "p_type keep ~0.4% of parts) joins lineitem BEFORE the "
+    "(partkey, suppkey) min-aggregate — the aggregate's exchange now "
+    "carries only qualifying parts' lines (sf0.1: 2,435 rows instead "
+    "of 591k groups; the same ~250x at any SF, since the filter's "
+    "selectivity is scale-free). Correct by construction: the filter "
+    "is on the partkey dimension, so it removes whole (part, supplier) "
+    "groups and never changes a surviving group's MIN. Catalyst could "
+    "not do this itself — the filter sat above the aggregate, and "
+    "aggregate-pushdown through a join is not a rule it applies.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
-    )
     s = _t(spark, sf_dir, "supplier")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
+    # p_name rides the aggregate keys (functionally dependent on the
+    # part key) so part is scanned once and never re-joined.
+    ps = (
+        li.join(p.select("p_partkey", "p_name"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            F.col("p_name"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ps_supplycost"
+            )
+        )
+    )
     eu = (
         ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    j = eu.join(p, F.col("ps_partkey") == F.col("p_partkey")).withColumn(
-        "min_cost", F.min("ps_supplycost").over(Window.partitionBy("p_partkey"))
+    j = eu.withColumn(
+        "min_cost", F.min("ps_supplycost").over(Window.partitionBy("ps_partkey"))
     )
     return (
         j.where(F.col("ps_supplycost") == F.col("min_cost"))
@@ -644,7 +663,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal",
             "s_name",
             "n_name",
-            "p_partkey",
+            F.col("ps_partkey").alias("p_partkey"),
             "p_name",
             F.round("ps_supplycost", 2).alias("supply_cost"),
         )

@@ -265,3 +265,92 @@ def test_kcore_converged_long_chain(spark):
     a = {r["node"] for r in kcore(small, k=2, rounds=8).collect()}
     b = {r["node"] for r in kcore_converged(small, k=2).collect()}
     assert a == b == {0, 1, 2}
+
+
+# ── bfs_min_depth (r15: visited-set BFS replacing WITH RECURSIVE) ────
+
+
+def _bfs_reference(edges: list[tuple[int, int]], cap: int) -> list[tuple]:
+    """Python replay of the depth-capped recursive-CTE semantics:
+    rows (node, depth) for depth <= cap reachable from min(src),
+    grouped to min(depth) per node."""
+    if not edges:
+        return [(None, 0)]
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    start = min(s for s, _ in edges)
+    best = {start: 0}
+    frontier = {start}
+    depth = 0
+    while frontier and depth < cap:
+        depth += 1
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in best:
+                    best[v] = depth
+                    nxt.add(v)
+        frontier = nxt
+    return sorted(best.items())
+
+
+def _bfs_run(spark, edges, cap, stats=None):
+    from ella_spark.operators.graph import bfs_min_depth
+
+    if edges:
+        edf = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "src long, dst long"
+        )
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    out = bfs_min_depth(edf.localCheckpoint(eager=False), cap, stats=stats)
+    rows = sorted(
+        (r["node"], r["depth"]) for r in out.collect()
+    )
+    return rows
+
+
+def test_bfs_min_depth_matches_recursive_semantics(spark):
+    """Cyclic + branchy graph: visited-set BFS must emit exactly the
+    recursive CTE's grouped (node, min depth) rows. The cycle is the
+    case where the CTE's frontier never empties — results must still
+    be identical."""
+    # directed edges incl. a 3-cycle back to the start and a long tail
+    edges = [
+        (1, 2), (2, 3), (3, 1),        # cycle through the anchor
+        (2, 4), (4, 5), (5, 6),        # tail: depths 2,3,4
+        (3, 4),                        # cross edge (shorter path check)
+        (9, 1),                        # 9 is a source, not reachable
+    ]
+    got = _bfs_run(spark, edges, cap=8)
+    assert got == _bfs_reference(edges, 8)
+    # node 9 is never reached (no inbound edge), anchor is min(src)=1
+    assert (9, 0) not in got and got[0] == (1, 0)
+
+
+def test_bfs_min_depth_depth_cap(spark):
+    """A chain longer than the cap: nodes beyond cap hops excluded,
+    node at exactly cap included."""
+    chain = [(i, i + 1) for i in range(12)]
+    got = _bfs_run(spark, chain, cap=8)
+    assert got == _bfs_reference(chain, 8)
+    assert max(d for _, d in got) == 8
+    assert all(n <= 8 for n, _ in got)
+
+
+def test_bfs_min_depth_empty_edges(spark):
+    """Empty edge list: the CTE anchor emits one (NULL, 0) row."""
+    assert _bfs_run(spark, [], cap=8) == [(None, 0)]
+
+
+def test_bfs_min_depth_early_exit_level_count(spark):
+    """The r15 point: on a shallow graph the loop runs
+    (eccentricity + 1) levels — the last discovers nothing — instead
+    of always running to the cap like SQL recursion does on cyclic
+    inputs."""
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1)]  # ecc from node 1 = 2
+    stats: dict = {}
+    got = _bfs_run(spark, edges, cap=8, stats=stats)
+    assert got == _bfs_reference(edges, 8)
+    assert stats["levels"] == 3  # levels 1,2 discover; level 3 is empty
