@@ -684,6 +684,16 @@ def ngram_jaccard_pairs(
         "_id", "_grp", hashed_grams_udf(shingle_k)(F.col("_txt")).alias("_sh")
     )
     cand = _lead_candidates(base, "_sh", window)
+    # The set intersection/union is the CPU-heavy verify step (array
+    # hash-set ops per pair, interpreted — not codegen'd), and left in
+    # the window stage it runs at the GROUP key's parallelism: a
+    # handful of languages, one giant 'en' partition — the operator
+    # cannot use more cores than groups at ANY cluster size (the
+    # edit_distance_pairs straggler class, guide §2.5). Round-robin
+    # redistributing the candidate rows costs one exchange of the
+    # hashed-gram arrays and makes the verify stage corpus-parallel
+    # (r15: 1.19 s -> 0.88 s warm at sf0.1 even with only 5 groups).
+    cand = cand.repartition(_verify_parallelism(df.sparkSession))
     inter = F.size(F.array_intersect(F.col("pay_a"), F.col("pay_b"))).cast("double")
     union = F.size(F.array_union(F.col("pay_a"), F.col("pay_b"))).cast("double")
     out = cand.select(
@@ -784,6 +794,10 @@ def containment_pairs(
         "_id", "_grp", hashed_grams_udf(shingle_k)(F.col("_txt")).alias("_sh")
     )
     cand = _lead_candidates(base, "_sh", window)
+    # same straggler fix as ngram_jaccard_pairs (r15): the per-pair
+    # set intersection must not run at group-key (language)
+    # parallelism — round-robin the candidate rows first
+    cand = cand.repartition(_verify_parallelism(df.sparkSession))
     inter = F.size(F.array_intersect(F.col("pay_a"), F.col("pay_b"))).cast("double")
     na = F.size(F.col("pay_a")).cast("double")
     nb = F.size(F.col("pay_b")).cast("double")

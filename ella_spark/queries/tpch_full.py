@@ -380,31 +380,38 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery -> "
     "left-semi join against the aggregate, then the detail re-join "
-    "and final rollup per order.",
+    "and final rollup per order. r15 (guide §2.3 aggregate before "
+    "you shuffle): the per-order qualifying sum IS the final "
+    "sum_qty, so lineitem collapses to one declarative aggregate "
+    "(map-side partial combine, ~4-7 lines per order merged before "
+    "the exchange) BEFORE any join — the r14 window form shuffled "
+    "every raw line, joined orders/customer per LINE, and re-summed "
+    "through a final 5-wide-key (two strings) aggregate exchange. "
+    "Exact: l_quantity is integral (<= 50), so double sums are "
+    "order-independent. Joins now carry one row per qualifying "
+    "order; the final aggregate is gone entirely.",
 )
 def q18_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    # ONE lineitem scan: the IN-over-HAVING subquery becomes a window
-    # sum per order over the same rows the detail rollup needs — the
-    # former aggregate-then-semi-join-then-rejoin form scanned and
-    # shuffled lineitem twice. The per-order qualifying sum IS the
-    # final sum_qty, so the last groupBy only dedups the (order,
-    # customer) header row.
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey")
-    big_lines = (
+    liq = (
         li.select("l_orderkey", "l_quantity")
-        .withColumn("tot", F.sum("l_quantity").over(w))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot"))
         .where(F.col("tot") > 350)
     )
     return (
-        big_lines.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        liq.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("tot", 2).alias("sum_qty"),
+        )
     )
 
 

@@ -671,3 +671,14 @@ def test_q21_single_lineitem_pass(spark):
     plan = _plan(spark, "q21_waiting_suppliers")
     li_scans = len(re.findall(r"lineitem\.parquet", plan))
     assert li_scans == 1, plan
+
+
+def test_q18_aggregates_before_joins_no_window(spark):
+    """q18_large_volume_cust (r15): lineitem collapses through ONE
+    declarative per-order aggregate (partial_sum BELOW the exchange —
+    map-side combine) before any join; the window-over-every-line +
+    per-line detail join + final 5-wide-key rollup of the r14 form
+    must not come back."""
+    plan = _plan(spark, "q18_large_volume_cust")
+    assert "Window" not in plan, plan
+    assert "partial_sum" in plan, plan
