@@ -89,14 +89,33 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     """,
-    doc="TPC-H Q7 shape: one dim (nation) joined in two roles; the "
-    "OR'd nation-pair predicate lands after both broadcast joins.",
+    doc="TPC-H Q7 shape: one dim (nation) joined in two roles. "
+    "r15 (guide §3.2): the OR'd nation-pair predicate implies BOTH "
+    "sides' nations are in {NATION_1, NATION_2}, so supplier and "
+    "customer are pre-filtered with broadcast LEFT SEMI joins on "
+    "those 2 nation keys before any fact join — every downstream "
+    "join carries only the ~2/25 of rows that can survive "
+    "(scale-free); the diagonal filter (N1-N1/N2-N2) applies after "
+    "the joins exactly as before. Catalyst cannot push the "
+    "disjunction (it references both join branches), and semi-join "
+    "(not a dim-join reorder) is essential: a joined-dims frame gets "
+    "a PRODUCT size estimate that pushed the planner into "
+    "broadcasting the FACT side (measured; the q5 prefilter pattern "
+    "keeps the left's estimate).",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    pair_nations = ("NATION_1", "NATION_2")
+    pair_keys = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair_nations))
+        .select("n_nationkey")
+    )
+    s = s.join(pair_keys, s.s_nationkey == pair_keys.n_nationkey, "left_semi")
+    c = c.join(pair_keys, c.c_nationkey == pair_keys.n_nationkey, "left_semi")
     n1 = F.broadcast(
         _t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -160,7 +179,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 shape: 7-way join, nation in two roles, conditional "
     "share-of-total aggregate. part/customer filters prune before the "
-    "fact joins; region/nation broadcast.",
+    "fact joins; region/nation broadcast. r15 (guide §3.2): the "
+    "AMERICA region predicate reaches customer BEFORE the fact joins "
+    "via a broadcast LEFT SEMI join on the AMERICA nation keys (the "
+    "q5/q7 prefilter pattern — constant-size key frame, no product "
+    "size estimate), so the orders⋈customer join and everything "
+    "after it carries ~1/5 of the rows instead of filtering at the "
+    "tail.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
@@ -180,6 +205,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA"))
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    america_keys = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("am_key"))
+    )
+    c = c.join(america_keys, c.c_nationkey == F.col("am_key"), "left_semi")
     return (
         p.join(li, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -749,15 +783,27 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped aggregate compared against a global scalar subquery. "
     "Spark plans the scalar as a broadcast 1-row cross join, so the "
     "grouped side streams through one filter; no second shuffle. "
-    "DECIMAL sums keep the threshold comparison exact on both engines.",
+    "DECIMAL sums keep the threshold comparison exact on both engines. "
+    "r15 (guide §3.2): supplier is pre-filtered to NATION_3 with a "
+    "broadcast LEFT SEMI join on the nation key BEFORE the lineitem "
+    "join (the q5/q7 prefilter pattern; a dim-join reorder instead "
+    "gave the joined frame a product size estimate and the planner "
+    "broadcast the FACT side — measured). The fact join then emits "
+    "only the ~1/25 of lines from that nation's suppliers, and the "
+    "separate nation filter-join disappears (the semi IS the filter; "
+    "no nation column is needed downstream).",
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    n = F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3"))
+    n3_keys = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    s = s.join(n3_keys, s.s_nationkey == n3_keys.n_nationkey, "left_semi")
     v = (
         li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value"))
     )
