@@ -63,6 +63,11 @@ RESCAN_ALLOWED = {
     # pipelines (approx + exact) by definition.
     ("q_ann_ivfpq_portable", "embeddings"): 8,
     ("q_ann_recall", "embeddings"): 4,
+    # r15: the AMERICA semi-prefilter adds a third scan of the
+    # CONSTANT 25-row nation dim (semi key frame + the two role
+    # joins). Bounded by construction at any SF — never a fact
+    # rescan.
+    ("q8_market_share", "nation"): 3,
 }
 
 
